@@ -20,8 +20,19 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship extraction pipeline at sf0.001 scale.
+
+    The pages corpus (BASELINE.json input_hint shape) is synthesized
+    deterministically (FIXTURES.md; web-page html bytes are not part of
+    the driver corpus) at the sf0.001 row scale, then run through the
+    full Ray Data pipeline: dedup -> quality gate -> extractor actor pool
+    -> normalize -> route.
+    """
+    from webxtract import pipeline
+    from webxtract.testdata import pages_dataset
+
+    ds = pages_dataset(sf_rows=1000)
+    return pipeline.extract_pipeline(ds)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -1,0 +1,76 @@
+"""DOM parser unit tests: nominal trees, tag soup, entities, skip tags."""
+
+from webxtract.htmldom import Node, decode_bytes, parse_html
+
+
+def _all_text(node):
+    out = []
+    for c in node.children:
+        if isinstance(c, str):
+            out.append(c)
+        else:
+            out.extend(_all_text(c))
+    return out
+
+
+def test_nominal_tree():
+    root = parse_html("<html><body><div><p>hello <b>world</b></p></div></body></html>")
+    html = root.children[0]
+    assert html.tag == "html"
+    assert " ".join("".join(_all_text(root)).split()) == "hello world"
+
+
+def test_entities_decoded():
+    root = parse_html("<p>a &amp; b &quot;c&quot;</p>")
+    assert "".join(_all_text(root)) == 'a & b "c"'
+
+
+def test_script_style_skipped():
+    root = parse_html(
+        "<body><script>var x = '<p>no</p>';</script><style>.a{}</style><p>yes</p></body>"
+    )
+    assert "".join(_all_text(root)).strip() == "yes"
+
+
+def test_stray_close_ignored():
+    root = parse_html("<div><p>a</p></span></div><p>b</p>")
+    assert "ab" == "".join(_all_text(root))
+
+
+def test_unclosed_tags_close_implicitly():
+    root = parse_html("<div><div><p>deep")
+    assert "".join(_all_text(root)) == "deep"
+
+
+def test_close_pops_to_matching_open():
+    # </div> must close the inner <p> too (pop-to-match repair)
+    root = parse_html("<div><p>a</div><p>b</p>")
+    div = root.children[0]
+    assert div.tag == "div"
+    # b lands outside the div
+    texts_in_div = "".join(_all_text(div))
+    assert texts_in_div == "a"
+
+
+def test_void_elements_dont_nest():
+    root = parse_html("<p>a<br>b<img src=x>c</p>")
+    p = root.children[0]
+    assert p.tag == "p"
+    assert "".join(_all_text(p)) == "abc"
+
+
+def test_duplicate_attrs_keep_first():
+    root = parse_html('<div class="first" class="second">x</div>')
+    assert root.children[0].attrs["class"] == "first"
+
+
+def test_boiler_container_detection():
+    assert parse_html("<nav>x</nav>").children[0].is_boiler_container()
+    assert parse_html('<div class="sidebar">x</div>').children[0].is_boiler_container()
+    assert parse_html('<div id="page-footer">x</div>').children[0].is_boiler_container()
+    assert not parse_html('<div class="main">x</div>').children[0].is_boiler_container()
+
+
+def test_decode_bytes():
+    assert decode_bytes("héllo".encode()) == "héllo"
+    assert decode_bytes(b"\xff\xfe\x80") is None

@@ -1,0 +1,136 @@
+"""Confidence routing + human-review side-channel (M14-M18, J2).
+
+Replaces the reference's Choice-state routing and A2I review loop:
+  * route: Confidence >= 50 -> auto ("Succeeded"), else review
+    (StateMachine.asl.json:54-65); rejected rows keep their gate verdict.
+  * review task projection (fn-start-human-review/main.py:74-92) with a
+    deterministic task id replacing the timestamp+uuid human-loop name
+    (main.py:31-59) — wall-clock/uuid are forbidden for reproducibility
+    (SURVEY.md M16).
+  * join-back: the reference rendezvous via task token
+    (fn-human-review-callback/main.py:56,71-79) becomes a join on url;
+    the reviews side is small, so the default is a broadcast map-side
+    join (ray.put once, dict lookup per batch) — no shuffle.
+  * coalesce (client logic SmartOCR.vue:190-215): reviewed rows take
+    review values with confidence 1.0 (non-empty) / 0.0 (empty);
+    unreviewed review-rows stay "pending" (the 3600s-timeout analogue,
+    StateMachine.asl.json:80).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .synth import _stable_hash
+
+ROUTE_THRESHOLD = 50.0  # StateMachine.asl.json:58-63
+
+
+def add_route(batch: pa.Table) -> pa.Table:
+    """Append the route column: rejected | auto | review (M14)."""
+    rejected = pc.is_valid(batch.column("reject_reason"))
+    auto = pc.greater_equal(batch.column("model_confidence"), ROUTE_THRESHOLD)
+    route = pc.if_else(
+        rejected, pa.scalar("rejected"),
+        pc.if_else(auto, pa.scalar("auto"), pa.scalar("review")),
+    )
+    return batch.append_column("route", route)
+
+
+def make_review_tasks(batch: pa.Table) -> pa.Table:
+    """Project route=='review' rows into the review-task shape (M15/M16)."""
+    b = batch.filter(pc.equal(batch.column("route"), pa.scalar("review")))
+    urls = b.column("url").to_pylist()
+    task_ids = pa.array([f"task-{_stable_hash(u):016x}" for u in urls], pa.string())
+    cols = {
+        "task_id": task_ids,
+        "url": b.column("url"),
+        "date_value": b.column("date_value"),
+        "date_conf": b.column("date_conf"),
+        "total_value": b.column("total_value"),
+        "total_conf": b.column("total_conf"),
+        "vendor_value": b.column("vendor_value"),
+        "vendor_conf": b.column("vendor_conf"),
+        "model_confidence": b.column("model_confidence"),
+    }
+    return pa.table(cols)
+
+
+class CoalesceReviews:
+    """Broadcast map-side join of review answers onto model results (J2+M18).
+
+    ``reviews_ref`` is a ``ray.put`` object ref of a dict
+    ``url -> (date, total, vendor, worker_id)`` built once on the driver;
+    each actor/task fetches it once (zero-copy from the local object
+    store), so the small side is never re-shipped per batch.
+    """
+
+    def __init__(self, reviews_ref):
+        import ray
+
+        self.reviews = (
+            ray.get(reviews_ref) if not isinstance(reviews_ref, dict) else reviews_ref
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        routes = batch.column("route").to_pylist()
+        n = len(urls)
+        out_route = list(routes)
+        reviewer: list[str | None] = [None] * n
+        dv = batch.column("date_value").to_pylist()
+        dc = batch.column("date_conf").to_pylist()
+        tv = batch.column("total_value").to_pylist()
+        tc = batch.column("total_conf").to_pylist()
+        vv = batch.column("vendor_value").to_pylist()
+        vc = batch.column("vendor_conf").to_pylist()
+        mc = batch.column("model_confidence").to_pylist()
+        for i in range(n):
+            if routes[i] != "review":
+                continue
+            ans = self.reviews.get(urls[i])
+            if ans is None:
+                out_route[i] = "pending"
+                continue
+            date, total, vendor, worker = ans
+            # review values override with confidence 1.0 / 0.0
+            # (SmartOCR.vue:193-207 renders reviewed fields as certain)
+            dv[i], dc[i] = date, 1.0 if date else 0.0
+            tv[i], tc[i] = total, 1.0 if total else 0.0
+            vv[i], vc[i] = vendor, 1.0 if vendor else 0.0
+            mc[i] = min(dc[i], tc[i], vc[i])
+            out_route[i] = "reviewed"
+            reviewer[i] = worker
+        return pa.table({
+            "url": batch.column("url"),
+            "extracted_text": batch.column("extracted_text"),
+            "vendor_value": pa.array(vv, pa.string()),
+            "vendor_conf": pa.array(vc, pa.float64()),
+            "date_value": pa.array(dv, pa.string()),
+            "date_conf": pa.array(dc, pa.float64()),
+            "total_value": pa.array(tv, pa.string()),
+            "total_conf": pa.array(tc, pa.float64()),
+            "model_confidence": pa.array(mc, pa.float64()),
+            "route": pa.array(out_route, pa.string()),
+            "reviewer": pa.array(reviewer, pa.string()),
+        })
+
+
+def reviews_to_dict(reviews: pa.Table) -> dict:
+    """Reviews table -> broadcast lookup dict (M17 answer extraction:
+    fn-human-review-callback/main.py:61-79 takes humanAnswers[0]; with a
+    table one row per url IS the single answer; if duplicates exist the
+    latest answered_ts wins, deterministically)."""
+    idx = pc.sort_indices(
+        reviews, sort_keys=[("url", "ascending"), ("answered_ts", "ascending")]
+    )
+    t = reviews.take(idx)
+    out: dict = {}
+    for u, d, tt, v, w in zip(
+        t.column("url").to_pylist(), t.column("date").to_pylist(),
+        t.column("total").to_pylist(), t.column("vendor").to_pylist(),
+        t.column("worker_id").to_pylist(),
+    ):
+        out[u] = (d, tt, v, w)  # later rows overwrite: latest wins
+    return out

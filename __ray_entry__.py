@@ -3,14 +3,18 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash ->
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` here or in the library code.
+
+Operator coverage map (SURVEY.md §2 + the training-data-pipeline
+extensions): see each query's docstring-comment below. Queries without
+an oracle_sql entry are genuinely non-SQL-expressible (the extraction
+pipeline itself, LSH sketches, language-ID heuristics, approximate ANN)
+and get the driver's rows-only check; each of those is additionally
+golden/property-tested in tests/.
 """
 
 from __future__ import annotations
@@ -35,21 +39,307 @@ def entry() -> Any:
     return pipeline.extract_pipeline(ds)
 
 
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _pages_extract(sf_dir: str):
+    """Flagship: extraction over the synthesized pages corpus scaled to
+    the sf level (rows-only check; extraction is not SQL-expressible).
+    Golden byte-identity is enforced in tests/test_pipeline_e2e.py."""
+    from webxtract import pipeline
+    from webxtract.testdata import pages_dataset, rows_for_sf_dir
+
+    ds = pages_dataset(sf_rows=rows_for_sf_dir(sf_dir))
+    return pipeline.extract_pipeline(ds).drop_columns(["alt_date", "alt_total"])
+
+
+def _pages_final(sf_dir: str):
+    """Full pipeline incl. review join-back + coalesce (rows-only)."""
+    from webxtract import pipeline, synth
+    from webxtract.testdata import pages_dataset, rows_for_sf_dir
+
+    n = rows_for_sf_dir(sf_dir)
+    model = pipeline.extract_table(synth.make_pages(min(n, 2000)))
+    reviews = synth.make_reviews(model)
+    ds = pages_dataset(sf_rows=n)
+    return pipeline.full_pipeline(ds, reviews=reviews)
+
+
+def _docs_token_counts(sf_dir: str):
+    from webxtract.ops.text import token_count_table
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        token_count_table, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _docs_quality(sf_dir: str):
+    from webxtract.ops.text import quality_score_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_score_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _docs_langid(sf_dir: str):
+    from webxtract.ops.text import LangId
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True)
+
+
+def _docs_fingerprints(sf_dir: str):
+    from webxtract.ops.text import Fingerprinter
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Fingerprinter, batch_format="pyarrow", concurrency=(1, 4),
+        zero_copy_batch=True).select_columns(["doc_id", "md5"])
+
+
+def _docs_fingerprint64(sf_dir: str):
+    from webxtract.ops.text import Fingerprinter
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Fingerprinter, batch_format="pyarrow", concurrency=(1, 4),
+        zero_copy_batch=True).select_columns(["doc_id", "fp64"])
+
+
+def _docs_exact_dedup(sf_dir: str):
+    from webxtract.ops.dedup import exact_dedup_keep_first
+
+    return exact_dedup_keep_first(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _docs_ngram_jaccard(sf_dir: str):
+    from webxtract.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                               threshold=0.7, shingle=1)
+
+
+def _docs_minhash_pairs(sf_dir: str):
+    from webxtract.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                             threshold=0.7, shingle=1)
+
+
+def _docs_simhash_pairs(sf_dir: str):
+    from webxtract.ops.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_dist=3)
+
+
+def _emb_dup_pairs(sf_dir: str):
+    # threshold 0.3: the synthetic embeddings contain no true near-dups
+    # (max same-label cosine ~0.5), so a realistic 0.9 returns zero rows;
+    # 0.3 exercises the same operator with a non-trivial result set.
+    from webxtract.ops.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(_emb(sf_dir), threshold=0.3)
+
+
+def _emb_knn(sf_dir: str):
+    from webxtract.ops.knn import knn_bruteforce
+
+    return knn_bruteforce(_emb(sf_dir), query_ids=list(range(8)), k=10)
+
+
+def _emb_knn_ivf(sf_dir: str):
+    from webxtract.ops.knn import knn_ivf
+
+    return knn_ivf(_emb(sf_dir), query_ids=list(range(8)), k=10, nprobe=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from webxtract.ops import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction pipelines (rows-only; golden-tested)
+        "pages_extract": _pages_extract,
+        "pages_final": _pages_final,
+        # relational operators (all oracle-checked)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_segment_revenue": R.q3_segment_revenue,
+        "q5_region_nation_volume": R.q5_region_nation_volume,
+        "top_customers": R.top_customers,
+        "orders_priority_counts": R.orders_priority_counts,
+        "events_latest_per_user": R.events_latest_per_user,
+        "events_hourly_windows": R.events_hourly_windows,
+        "docs_lang_stats": R.docs_lang_stats,
+        # text analysis
+        "docs_token_counts": _docs_token_counts,
+        "docs_quality_scores": _docs_quality,
+        "docs_langid": _docs_langid,              # heuristic; rows-only
+        "docs_fingerprints": _docs_fingerprints,  # md5 (oracle: DuckDB md5())
+        "docs_fingerprint64": _docs_fingerprint64,  # rolling hash; rows-only
+        # dedup suite
+        "docs_exact_dedup": _docs_exact_dedup,
+        "docs_ngram_jaccard": _docs_ngram_jaccard,
+        "docs_minhash_pairs": _docs_minhash_pairs,  # sketch; rows-only
+        "docs_simhash_pairs": _docs_simhash_pairs,  # sketch; rows-only
+        "emb_dup_pairs": _emb_dup_pairs,
+        # similarity search
+        "emb_knn_bruteforce": _emb_knn,
+        "emb_knn_ivf": _emb_knn_ivf,              # approximate; rows-only
+    }
 
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; tables pre-registered as views by the driver)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)                        AS sum_qty,
+                   round(sum(round(l_extendedprice * 100)) / 100.0, 2)
+                       AS sum_base_price,
+                   round(sum(round(l_extendedprice * (1 - l_discount) * 100))
+                         / 100.0, 2)                                AS sum_disc_price,
+                   round(avg(l_quantity), 6)                        AS avg_qty,
+                   round(avg(l_discount), 6)                        AS avg_disc,
+                   count(*)                                         AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_segment_revenue": """
+            SELECT l_orderkey,
+                   round(sum(round(l_extendedprice * (1 - l_discount) * 100))
+                         / 100.0, 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q5_region_nation_volume": """
+            SELECT n_name,
+                   round(sum(round(l_extendedprice * (1 - l_discount) * 100))
+                         / 100.0, 2) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 25
+        """,
+        "orders_priority_counts": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+            FROM orders
+            GROUP BY o_orderstatus, o_orderpriority
+        """,
+        "events_latest_per_user": """
+            SELECT event_id, ts, user_id, event_type, value
+            FROM (
+                SELECT event_id, ts, user_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "events_hourly_windows": """
+            SELECT user_id, date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events,
+                   round(sum(round(value * 100)) / 100.0, 2) AS sum_value
+            FROM events
+            GROUP BY user_id, date_trunc('hour', ts), event_type
+        """,
+        "docs_lang_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   cast(sum(n_chars) AS BIGINT) AS total_chars,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "docs_token_counts": """
+            SELECT doc_id,
+                   cast(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        """,
+        "docs_quality_scores": """
+            WITH f AS (
+                SELECT doc_id,
+                       cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                       cast(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                           AS n_uniq,
+                       cast(length(text) AS BIGINT) AS n_chars
+                FROM documents
+            )
+            SELECT doc_id, n_tokens, n_uniq, n_chars,
+                   round(n_uniq * 1.0 / n_tokens, 6) AS uniq_ratio,
+                   round((n_chars - (n_tokens - 1)) * 1.0 / n_tokens, 6)
+                       AS avg_token_len,
+                   round(50.0 * (n_uniq * 1.0 / n_tokens)
+                         + 5.0 * least((n_chars - (n_tokens - 1)) * 1.0
+                                       / n_tokens, 10.0), 6) AS quality_score
+            FROM f
+        """,
+        "docs_fingerprints": """
+            SELECT doc_id, md5(text) AS md5 FROM documents
+        """,
+        "docs_exact_dedup": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        """,
+        "docs_ngram_jaccard": """
+            WITH t AS (
+                SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                         (len(a.toks) + len(b.toks)
+                          - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                        (len(a.toks) + len(b.toks)
+                         - len(list_intersect(a.toks, b.toks))), 6) >= 0.7
+        """,
+        "emb_dup_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+        """,
+        "emb_knn_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 8),
+                 scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(
+                           q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+                FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+            ), ranked AS (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, cosine, cast(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+    }

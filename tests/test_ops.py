@@ -1,0 +1,189 @@
+"""Unit tests for the corpus-scale ops: dedup sketches, ANN, text
+analysis, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from webxtract.ops import dedup as D
+from webxtract.ops import media as M
+from webxtract.ops import text as T
+
+
+def docs_table(texts):
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+NEAR_DUPS = [
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "the quick brown fox jumps over the lazy dog near the river edge",   # ~dup of 0
+    "completely different content about databases indexes and queries",
+    "the quick brown fox jumps over the lazy dog near the river bank",   # exact dup of 0
+    "unrelated words describing mountains glaciers and alpine meadows",
+]
+
+
+def test_minhash_signature_deterministic():
+    h = D.MinHasher()
+    s1, s2 = h.signature(NEAR_DUPS[0]), h.signature(NEAR_DUPS[0])
+    assert (s1 == s2).all()
+
+
+def test_minhash_similar_docs_share_bands():
+    h = D.MinHasher()
+    t = h(docs_table(NEAR_DUPS))
+    by_doc = {}
+    for r in t.to_pylist():
+        by_doc.setdefault(r["doc_id"], set()).add((r["band"], r["band_key"]))
+    assert len(by_doc[0] & by_doc[3]) == h.bands     # exact dups: all bands
+    assert len(by_doc[0] & by_doc[1]) > 0            # near dups: some band
+    assert len(by_doc[0] & by_doc[2]) == 0           # unrelated: none
+
+
+def test_minhash_lsh_pipeline(ray_session):
+    import ray.data as rd
+
+    pairs = D.minhash_lsh_pairs(rd.from_arrow(docs_table(NEAR_DUPS)),
+                                threshold=0.7).to_pandas()
+    got = {tuple(p) for p in pairs[["doc_a", "doc_b"]].itertuples(index=False)}
+    assert (0, 3) in got            # exact dup
+    assert (0, 1) in got and (1, 3) in got
+    assert all(a < b for a, b in got)
+    assert not any(2 in p or 4 in p for p in got)
+
+
+def test_bucket_pairs_skew_guard():
+    big = pa.table({"doc_id": pa.array(range(100), pa.int64())})
+    out = D._bucket_pairs(big)
+    assert out.num_rows == 99  # star pattern, not 4950-clique
+
+
+def test_simhash_near_dup_low_hamming():
+    h = D.SimHasher()
+    d01 = bin(h.sig64(NEAR_DUPS[0]) ^ h.sig64(NEAR_DUPS[1])).count("1")
+    d02 = bin(h.sig64(NEAR_DUPS[0]) ^ h.sig64(NEAR_DUPS[2])).count("1")
+    assert h.sig64(NEAR_DUPS[0]) == h.sig64(NEAR_DUPS[3])
+    assert d01 < d02
+
+
+def test_simhash_pipeline(ray_session):
+    import ray.data as rd
+
+    pairs = D.simhash_pairs(rd.from_arrow(docs_table(NEAR_DUPS)),
+                            max_dist=6).to_pandas()
+    got = {tuple(p) for p in pairs[["doc_a", "doc_b"]].itertuples(index=False)}
+    assert (0, 3) in got
+
+
+def test_jaccard_exact():
+    assert D.jaccard({"a", "b"}, {"b", "c"}) == pytest.approx(1 / 3)
+    assert D.jaccard(set(), set()) == 1.0
+
+
+def test_knn_ivf_exact_within_probed_cells(ray_session):
+    """IVF's defining property: its top-k equals brute force restricted
+    to the probed cells. (The synthetic labels are random, not geometric
+    clusters, so absolute recall is ~nprobe/ncells by construction —
+    containment, not recall, is the correctness invariant.)"""
+    import pandas as pd
+    import ray.data as rd
+
+    from webxtract.ops import knn as K
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2]
+    ivf = K.knn_ivf(ds, query_ids=qids, k=10, nprobe=3).to_pandas()
+    # recompute the probe map the same way knn_ivf does
+    labels, cents = K.label_centroids(ds)
+    rows = {r["vec_id"]: r for r in ds.take_all()}
+    emb = pd.DataFrame([(r["vec_id"], r["label"]) for r in rows.values()],
+                       columns=["vec_id", "label"])
+    cn = K._normalize(cents)
+    for q in qids:
+        qv = K._normalize(np.asarray(rows[q]["embedding"],
+                                     dtype=np.float64)[None, :])[0]
+        probe = {int(labels[j]) for j in np.argsort(-(cn @ qv))[:3]}
+        allowed = set(emb[emb.label.isin(probe)].vec_id) - {q}
+        got = ivf[ivf.query_id == q]
+        assert set(got.vec_id) <= allowed
+        # brute force over the allowed subset must agree
+        mat = np.array([rows[v]["embedding"] for v in sorted(allowed)],
+                       dtype=np.float64)
+        ids = np.array(sorted(allowed), dtype=np.int64)
+        cos = np.round(K._normalize(mat) @ qv, 6)
+        order = np.lexsort((ids, -cos))[:10]
+        assert set(ids[order]) == set(got.vec_id)
+
+
+def test_langid_real_language_samples():
+    lid = T.LangId()
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "the cat sat on the mat and it was happy with this",
+            "der Hund ist nicht mit der Katze und das ist ein Problem",
+            "el perro es un animal que vive en la casa con los gatos",
+            "zzz qqq xxx",
+        ], pa.string()),
+    })
+    out = lid(t)
+    assert out.column("lang_pred").to_pylist() == ["en", "de", "es", "und"]
+
+
+def test_fingerprint_rolling_vs_reference():
+    fp = T.rolling_fingerprint("hello")
+    # independent Horner evaluation
+    acc = 0
+    for b in "hello".encode():
+        acc = (acc * 1099511628211 + b) % (1 << 64)
+    assert fp == acc
+    assert T.rolling_fingerprint("") == 0
+
+
+def test_fingerprinter_batch_matches_scalar():
+    f = T.Fingerprinter()
+    t = f(docs_table(["abc", "hello world", ""]))
+    fps = t.column("fp64").to_pylist()
+    for txt, got in zip(["abc", "hello world", ""], fps):
+        assert got + (1 << 63) == T.rolling_fingerprint(txt)
+
+
+def test_media_decode_fake_and_poison(ray_session):
+    import ray.data as rd
+
+    rows = pa.table({
+        "media_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "media": pa.array([
+            M.make_fake_image(640, 480, b"pixels"),
+            M.make_fake_image(32, 32),
+            b"\x89PNG\r\n not really a png",
+            b"",
+        ], pa.binary()),
+        "media_type": pa.array(["image"] * 4, pa.string()),
+    })
+    out = rd.from_arrow(rows).map_batches(
+        M.DecodeImage, batch_format="pyarrow", batch_size=32,
+        concurrency=1).to_pandas()
+    metas = list(out["media_meta"])
+    assert metas[0]["ok"] and metas[0]["width"] == 640
+    assert metas[1]["height"] == 32
+    assert not metas[2]["ok"] and metas[2]["error"] == "unsupported_format"
+    assert not metas[3]["ok"] and metas[3]["error"] == "empty"
+
+
+def test_media_features_deterministic():
+    f1 = M.ExtractImageFeatures()
+    f2 = M.ExtractImageFeatures()
+    t = pa.table({"media": pa.array([M.make_fake_image(8, 8, b"xyz")], pa.binary())})
+    a = f1(t).column("features").to_pylist()
+    b = f2(t).column("features").to_pylist()
+    assert a == b
+    assert len(a[0]) == 16
+
+
+def test_frame_sample_stub_raises():
+    with pytest.raises(NotImplementedError):
+        M.frame_sample_stub(pa.table({"media": pa.array([b""], pa.binary())}))

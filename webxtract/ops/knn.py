@@ -1,0 +1,167 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Brute-force cosine top-k is the exact baseline (oracle-checkable in
+DuckDB with list_cosine_similarity + row_number); the IVF variant is the
+scale path (coarse centroids broadcast, nprobe cells searched).
+
+Ray-Data shape (SURVEY brief "similarity search"):
+  * the query matrix is broadcast ONCE via ray.put and read in each
+    actor's __init__ — never re-shipped per batch;
+  * each batch computes a vectorized (batch x Q) cosine block and emits
+    only its per-query top-k (k rows per query per batch, not n x Q);
+  * a final tiny groupby(query) merge selects the global top-k.
+
+Determinism: ties broken by ascending vec_id everywhere; cosines are
+computed in float64 and rounded to 6 decimals to match the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class ScoreBatch:
+    """Per-batch cosine scoring against the broadcast query matrix.
+
+    Optional ``probe_map`` (query_id -> allowed label set) restricts each
+    query to its probed IVF cells."""
+
+    def __init__(self, query_ref, k: int, probe_map: dict | None = None):
+        import ray
+
+        qids, qmat = ray.get(query_ref) if not isinstance(query_ref, tuple) else query_ref
+        self.qids = np.asarray(qids, dtype=np.int64)
+        self.qmat = _normalize(np.asarray(qmat, dtype=np.float64))
+        self.k = k
+        self.probe_map = probe_map
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = _normalize(np.array(batch.column("embedding").to_pylist(),
+                                dtype=np.float64))
+        labels = (np.array(batch.column("label").to_pylist(), dtype=np.int64)
+                  if self.probe_map is not None else None)
+        cos = m @ self.qmat.T  # (batch, Q)
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(self.qids):
+            col = cos[:, qi]
+            mask = ids != qid  # exclude self-match
+            if labels is not None:
+                allowed = self.probe_map[int(qid)]
+                mask &= np.isin(labels, list(allowed))
+            cand_ids, cand_cos = ids[mask], col[mask]
+            if cand_ids.size == 0:
+                continue
+            k = min(self.k, cand_ids.size)
+            # partial top-k within the batch; ties -> smaller vec_id
+            order = np.lexsort((cand_ids, -cand_cos))[:k]
+            out_q.extend([qid] * k)
+            out_v.extend(cand_ids[order].tolist())
+            out_c.extend(np.round(cand_cos[order], 6).tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_c, pa.float64()),
+        })
+
+
+def _topk_merge(k: int):
+    def fn(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(group, sort_keys=[
+            ("cosine", "descending"), ("vec_id", "ascending")])
+        g = group.take(idx[:k])
+        return g.append_column(
+            "rank", pa.array(range(1, g.num_rows + 1), pa.int64()))
+
+    return fn
+
+
+def knn_bruteforce(ds, query_ids: list[int] | None = None, k: int = 10):
+    """embeddings Dataset -> exact top-k cosine neighbors per query.
+
+    ``query_ids`` default: vec_id < 8. Output columns:
+    (query_id, vec_id, cosine, rank)."""
+    import ray
+
+    query_ids = query_ids if query_ids is not None else list(range(8))
+    qset = set(query_ids)
+    qrows = [r for r in ds.select_columns(["vec_id", "embedding"]).take_all()
+             if r["vec_id"] in qset]
+    qrows.sort(key=lambda r: r["vec_id"])
+    qids = [r["vec_id"] for r in qrows]
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    ref = ray.put((qids, qmat))
+    scored = ds.map_batches(
+        ScoreBatch, fn_constructor_args=(ref, k),
+        batch_format="pyarrow", concurrency=(1, 8), zero_copy_batch=True,
+    )
+    return scored.groupby("query_id").map_groups(
+        _topk_merge(k), batch_format="pyarrow")
+
+
+def label_centroids(ds) -> tuple[np.ndarray, np.ndarray]:
+    """Coarse IVF cells = per-label centroids, computed with per-batch
+    partial sums (one (label, sum, count) row per label per batch) and a
+    tiny driver-side combine — no shuffle of the vectors themselves."""
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = np.array(batch.column("label").to_pylist(), dtype=np.int64)
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        uniq = np.unique(labels)
+        sums = [m[labels == u].sum(axis=0).tolist() for u in uniq]
+        counts = [int((labels == u).sum()) for u in uniq]
+        return pa.table({
+            "label": pa.array(uniq, pa.int64()),
+            "vsum": pa.array(sums, pa.list_(pa.float64())),
+            "vcount": pa.array(counts, pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc: dict[int, tuple[np.ndarray, int]] = {}
+    for r in parts:
+        s, c = acc.get(r["label"], (0.0, 0))
+        acc[r["label"]] = (np.asarray(r["vsum"]) + s, c + r["vcount"])
+    labels = np.array(sorted(acc), dtype=np.int64)
+    cents = np.stack([acc[ell][0] / acc[ell][1] for ell in labels])
+    return labels, cents
+
+
+def knn_ivf(ds, query_ids: list[int] | None = None, k: int = 10,
+            nprobe: int = 3):
+    """IVF-style ANN: each query searches only its nprobe nearest label
+    cells. One pass: the dataset is pre-filtered to the union of probed
+    cells (row pruning), then each batch applies the per-query cell mask.
+
+    Approximate (recall < 1 when a true neighbor lives in an unprobed
+    cell); tests measure recall against knn_bruteforce."""
+    import ray
+
+    query_ids = query_ids if query_ids is not None else list(range(8))
+    labels, cents = label_centroids(ds)
+    qset = set(query_ids)
+    qrows = [r for r in ds.take_all() if r["vec_id"] in qset]
+    qrows.sort(key=lambda r: r["vec_id"])
+    qids = [r["vec_id"] for r in qrows]
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    cn = _normalize(cents)
+    qn = _normalize(qmat)
+    probe_map = {}
+    for i, qid in enumerate(qids):
+        order = np.argsort(-(cn @ qn[i]))[:nprobe]
+        probe_map[int(qid)] = {int(labels[j]) for j in order}
+    union = sorted({ell for s in probe_map.values() for ell in s})
+    cell = ds.filter(expr=f"label in {union}")
+    ref = ray.put((qids, qmat))
+    scored = cell.map_batches(
+        ScoreBatch, fn_constructor_args=(ref, k, probe_map),
+        batch_format="pyarrow", concurrency=(1, 8), zero_copy_batch=True)
+    return scored.groupby("query_id").map_groups(
+        _topk_merge(k), batch_format="pyarrow")

@@ -1,0 +1,293 @@
+"""Relational operators over the driver's TPC-H-ish tables.
+
+Generic engine pieces exercised by the DuckDB-oracle gate: filters,
+grouped aggregates (partial-then-final), broadcast map-side joins,
+windowed (tumbling) aggregates, latest-per-key dedup, top-k.
+
+Scale shapes:
+  * broadcast_join — small side materialized once, ray.put, dict lookup
+    per batch (no shuffle); the pattern for dimension tables
+    (SURVEY.md J1; ray_guide "Joins and lookups").
+  * grouped aggregates use ray.data.aggregate.* which pre-reduces per
+    block before the exchange.
+  * latest_per_key mirrors the reference client's event-recency rule
+    (SmartOCR.vue:255-257 — drop events older than last seen ts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _cents(arr) -> pa.Array:
+    """Exact integer cents (DuckDB round() is half-away-from-zero)."""
+    return pc.round(pc.multiply(arr, pa.scalar(100.0)), 0,
+                    round_mode="half_towards_infinity").cast(pa.int64())
+
+
+def _uncents(arr) -> pa.Array:
+    return pc.round(pc.divide(arr.cast(pa.float64()), pa.scalar(100.0)), 2)
+
+
+def read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+class BroadcastJoin:
+    """Map-side hash join against a broadcast key -> row dict.
+
+    how="inner" drops probe rows without a match; how="left" keeps them
+    with nulls. The build side is ray.put once on the driver and fetched
+    once per actor/task (zero-copy within a node)."""
+
+    def __init__(self, lookup_ref, key: str, add_cols: list[str],
+                 how: str = "inner"):
+        import ray
+
+        self.lookup = (ray.get(lookup_ref)
+                       if not isinstance(lookup_ref, dict) else lookup_ref)
+        self.key = key
+        self.add_cols = add_cols
+        self.how = how
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key).to_pylist()
+        hits = [self.lookup.get(k) for k in keys]
+        if self.how == "inner":
+            mask = pa.array([h is not None for h in hits], pa.bool_())
+            batch = batch.filter(mask)
+            hits = [h for h in hits if h is not None]
+        for i, col in enumerate(self.add_cols):
+            batch = batch.append_column(
+                col, pa.array([h[i] if h is not None else None for h in hits]))
+        return batch
+
+
+def broadcast_lookup(ds, key: str, value_cols: list[str]):
+    """Materialize a (small) Dataset into a ray.put dict ref."""
+    import ray
+
+    rows = ds.select_columns([key] + value_cols).take_all()
+    lookup = {r[key]: tuple(r[c] for c in value_cols) for r in rows}
+    return ray.put(lookup)
+
+
+# --- TPC-H-flavored pipelines --------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """Pricing summary: filter on ship date, grouped sums/averages/count.
+    Demonstrates partial+final aggregation (one small exchange)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_linestatus", "l_quantity",
+                       "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
+        # money is summed as exact integer cents: float summation order
+        # differs between Ray's partial aggregation and DuckDB's
+        # sequential sum, and a ~1e-8 difference can straddle a rounding
+        # boundary. Integer sums are order-independent and exact.
+        disc_price = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "l_quantity": t.column("l_quantity"),
+            "base_cents": _cents(t.column("l_extendedprice")),
+            "disc_cents": _cents(disc_price),
+            "l_discount": t.column("l_discount"),
+        })
+
+    agg = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="base_cents"),
+            Sum("disc_cents", alias_name="disc_cents"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.append_column("sum_base_price", _uncents(t.column("base_cents")))
+        t = t.append_column("sum_disc_price", _uncents(t.column("disc_cents")))
+        t = t.drop_columns(["base_cents", "disc_cents"])
+        for c in ["sum_qty"]:
+            t = t.set_column(t.schema.get_field_index(c), c,
+                             pc.round(t.column(c), 2))
+        for c in ["avg_qty", "avg_disc"]:
+            t = t.set_column(t.schema.get_field_index(c), c,
+                             pc.round(t.column(c), 6))
+        return t
+
+    return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q3_segment_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+    """Top-k open orders by revenue for a market segment: two broadcast
+    joins (customer, orders are the small sides vs lineitem) + grouped
+    sum + global top-k (sort + limit on the tiny aggregate)."""
+    from ray.data.aggregate import Sum
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(expr=f"c_mktsegment == '{segment}'")
+    cust_ref = broadcast_lookup(cust, "c_custkey", ["c_mktsegment"])
+
+    orders = read(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        BroadcastJoin, fn_constructor_args=(cust_ref, "o_custkey",
+                                            ["c_mktsegment"]),
+        batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True)
+    orders_ref = broadcast_lookup(orders, "o_orderkey", ["o_orderdate"])
+
+    li = read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "rev_cents": _cents(rev)})
+
+    li = li.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
+    li = li.map_batches(
+        BroadcastJoin, fn_constructor_args=(orders_ref, "l_orderkey",
+                                            ["o_orderdate"]),
+        batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True)
+    agg = li.groupby("l_orderkey").aggregate(
+        Sum("rev_cents", alias_name="rev_cents"))
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.append_column("revenue", _uncents(t.column("rev_cents")))
+        return t.drop_columns(["rev_cents"])
+
+    out = agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k)
+
+
+def q5_region_nation_volume(sf_dir: str, region: str = "ASIA"):
+    """Revenue per nation within a region: a chain of broadcast joins
+    over the dimension tables (region -> nation -> supplier), then
+    grouped sum over lineitem."""
+    from ray.data.aggregate import Sum
+
+    reg = read(sf_dir, "region").filter(expr=f"r_name == '{region}'")
+    rkeys = {r["r_regionkey"] for r in reg.take_all()}
+    nat = read(sf_dir, "nation")
+    nat = nat.filter(expr=f"n_regionkey in {sorted(rkeys)}")
+    nat_ref = broadcast_lookup(nat, "n_nationkey", ["n_name"])
+
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    supp = supp.map_batches(
+        BroadcastJoin, fn_constructor_args=(nat_ref, "s_nationkey", ["n_name"]),
+        batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True)
+    supp_ref = broadcast_lookup(supp, "s_suppkey", ["n_name"])
+
+    li = read(sf_dir, "lineitem",
+              columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"l_suppkey": t.column("l_suppkey"),
+                         "rev_cents": _cents(rev)})
+
+    li = li.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
+    li = li.map_batches(
+        BroadcastJoin, fn_constructor_args=(supp_ref, "l_suppkey", ["n_name"]),
+        batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True)
+    agg = li.groupby("n_name").aggregate(
+        Sum("rev_cents", alias_name="rev_cents"))
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.append_column("revenue", _uncents(t.column("rev_cents")))
+        return t.drop_columns(["rev_cents"])
+
+    return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_customers(sf_dir: str, k: int = 25):
+    """Global top-k by account balance: sort + limit."""
+    ds = read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    return ds.sort(["c_acctbal", "c_custkey"],
+                   descending=[True, False]).limit(k)
+
+
+def orders_priority_counts(sf_dir: str):
+    """Distinct-ish: order counts per (status, priority)."""
+    from ray.data.aggregate import Count
+
+    ds = read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"])
+    return ds.groupby(["o_orderstatus", "o_orderpriority"]).aggregate(
+        Count(alias_name="n_orders"))
+
+
+# --- events (stream-shaped) ----------------------------------------------
+
+def events_latest_per_user(sf_dir: str):
+    """Latest event per user (dedup-by-recency, O3/D1 analogue).
+    Deterministic tie-break: ts desc, then event_id desc."""
+    ds = read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def latest(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[
+            ("ts", "descending"), ("event_id", "descending")])
+        return group.take(idx[:1])
+
+    return ds.groupby("user_id").map_groups(latest, batch_format="pyarrow")
+
+
+def events_hourly_windows(sf_dir: str):
+    """Tumbling 1h windows per (user, event_type): count + sum(value).
+    Window assignment is a vectorized floor_temporal inside map_batches —
+    no per-row Python, and the only shuffle is the final grouped
+    aggregate over (user, window, type) partials."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read(sf_dir, "events", columns=["ts", "user_id", "event_type", "value"])
+
+    def window(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t.column("ts"), unit="hour")
+        t = t.append_column("window_start", w)
+        return t.append_column("value_cents", _cents(t.column("value")))
+
+    agg = ds.map_batches(window, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["user_id", "window_start", "event_type"]).aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.append_column("sum_value", _uncents(t.column("value_cents")))
+        return t.drop_columns(["value_cents"])
+
+    return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def docs_lang_stats(sf_dir: str):
+    """Per-language corpus stats over documents."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = read(sf_dir, "documents", columns=["lang", "n_chars"])
+    agg = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+        Mean("n_chars", alias_name="avg_chars"),
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("avg_chars")
+        return t.set_column(i, "avg_chars", pc.round(t.column("avg_chars"), 6))
+
+    return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)

@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_per_user": R.events_latest_per_user,
         "events_hourly_windows": R.events_hourly_windows,
         "docs_lang_stats": R.docs_lang_stats,
+        "customers_without_urgent_orders": R.customers_without_urgent_orders,
+        "docs_sample": R.docs_sample,
         # text analysis
         "docs_token_counts": _docs_token_counts,
         "docs_quality_scores": _docs_quality,
@@ -265,6 +267,17 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(round(value * 100)) / 100.0, 2) AS sum_value
             FROM events
             GROUP BY user_id, date_trunc('hour', ts), event_type
+        """,
+        "customers_without_urgent_orders": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+        """,
+        "docs_sample": """
+            SELECT doc_id FROM documents
+            WHERE substr(md5(text), 1, 2) < '28'
         """,
         "docs_lang_stats": """
             SELECT lang, count(*) AS n_docs,

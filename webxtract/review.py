@@ -61,17 +61,17 @@ class CoalesceReviews:
     """Broadcast map-side join of review answers onto model results (J2+M18).
 
     ``reviews_ref`` is a ``ray.put`` object ref of a dict
-    ``url -> (date, total, vendor, worker_id)`` built once on the driver;
-    each actor/task fetches it once (zero-copy from the local object
-    store), so the small side is never re-shipped per batch.
+    ``url -> (date, total, vendor, worker_id)`` built once on the driver
+    and fetched through the per-worker broadcast cache (never re-shipped
+    per batch). Used as a plain function stage via ``coalesce_stage``
+    (task pool — lookup stages must not reserve actor-pool minimums,
+    see broadcast.py).
     """
 
     def __init__(self, reviews_ref):
-        import ray
+        from .broadcast import get_broadcast
 
-        self.reviews = (
-            ray.get(reviews_ref) if not isinstance(reviews_ref, dict) else reviews_ref
-        )
+        self.reviews = get_broadcast(reviews_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -115,6 +115,14 @@ class CoalesceReviews:
             "route": pa.array(out_route, pa.string()),
             "reviewer": pa.array(reviewer, pa.string()),
         })
+
+
+def coalesce_stage(reviews_ref):
+    """Task-pool closure applying CoalesceReviews per batch."""
+    def fn(batch: pa.Table) -> pa.Table:
+        return CoalesceReviews(reviews_ref)(batch)
+
+    return fn
 
 
 def reviews_to_dict(reviews: pa.Table) -> dict:

@@ -8,8 +8,10 @@ import os
 
 _CACHE_ROOT = os.environ.get("WEBXTRACT_CACHE", "/tmp/webxtract_pages")
 
-# driver sf dir -> pages row count (mirrors lineitem scale / 6)
-SF_ROWS = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000}
+# driver sf dir -> pages row count (FIXTURES.md: t1 smoke ~1k,
+# correctness ~10k, bench ~600k — large enough that parallel compute,
+# not fixed pipeline overhead, dominates the scaling measurement)
+SF_ROWS = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 600_000}
 
 
 def pages_path(sf_rows: int, seed: int = 42) -> str:

@@ -162,6 +162,16 @@ def _emb_knn_ivf(sf_dir: str):
     return knn_ivf(_emb(sf_dir), query_ids=list(range(8)), k=10, nprobe=3)
 
 
+def _pages_review_tasks(sf_dir: str):
+    """Review-queue projection with deterministic task ids (M15/M16);
+    rows-only (derived from the non-SQL extraction)."""
+    from webxtract.review import make_review_tasks
+
+    res = _pages_extract(sf_dir)
+    return res.map_batches(make_review_tasks, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from webxtract.ops import relational as R
 
@@ -169,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship extraction pipelines (rows-only; golden-tested)
         "pages_extract": _pages_extract,
         "pages_final": _pages_final,
+        "pages_review_tasks": _pages_review_tasks,
         # relational operators (all oracle-checked)
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_segment_revenue": R.q3_segment_revenue,
@@ -180,6 +191,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_stats": R.docs_lang_stats,
         "customers_without_urgent_orders": R.customers_without_urgent_orders,
         "docs_sample": R.docs_sample,
+        "supplier_nation_hashjoin": R.supplier_nation_hashjoin,
+        "acctbal_union_topk": R.acctbal_union_topk,
+        "events_sessions": R.events_sessions,
         # text analysis
         "docs_token_counts": _docs_token_counts,
         "docs_quality_scores": _docs_quality,
@@ -278,6 +292,37 @@ def oracle_sql() -> dict[str, str]:
         "docs_sample": """
             SELECT doc_id FROM documents
             WHERE substr(md5(text), 1, 2) < '28'
+        """,
+        "supplier_nation_hashjoin": """
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        """,
+        "acctbal_union_topk": """
+            SELECT name, acctbal, side FROM (
+                SELECT c_name AS name, c_acctbal AS acctbal,
+                       'customer' AS side FROM customer
+                UNION ALL
+                SELECT s_name, s_acctbal, 'supplier' FROM supplier
+            ) ORDER BY acctbal DESC, name LIMIT 20
+        """,
+        "events_sessions": """
+            WITH marked AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT user_id,
+                       sum(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM marked
+            )
+            SELECT user_id, cast(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events
+            FROM numbered GROUP BY user_id, session_id
         """,
         "docs_lang_stats": """
             SELECT lang, count(*) AS n_docs,

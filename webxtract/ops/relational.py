@@ -242,6 +242,66 @@ def orders_priority_counts(sf_dir: str):
 
 # --- events (stream-shaped) ----------------------------------------------
 
+def supplier_nation_hashjoin(sf_dir: str):
+    """Native hash-partitioned join demo (supplier x nation on the
+    nation key): the both-sides-large path; oracle-checked."""
+    supp = read(sf_dir, "supplier")
+    nat = read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    joined = hash_join(supp, nat, on="s_nationkey", right_on="n_nationkey")
+    return joined.select_columns(["s_suppkey", "s_name", "s_acctbal", "n_name"])
+
+
+def acctbal_union_topk(sf_dir: str, k: int = 20):
+    """Union of two sources (D3: accepted ∪ reviewed analogue) + global
+    top-k: customers and suppliers pooled by account balance."""
+    cust = read(sf_dir, "customer", columns=["c_name", "c_acctbal"])
+    supp = read(sf_dir, "supplier", columns=["s_name", "s_acctbal"])
+
+    def tag_c(t: pa.Table) -> pa.Table:
+        return pa.table({"name": t.column("c_name"),
+                         "acctbal": t.column("c_acctbal"),
+                         "side": pa.array(["customer"] * t.num_rows)})
+
+    def tag_s(t: pa.Table) -> pa.Table:
+        return pa.table({"name": t.column("s_name"),
+                         "acctbal": t.column("s_acctbal"),
+                         "side": pa.array(["supplier"] * t.num_rows)})
+
+    u = cust.map_batches(tag_c, batch_format="pyarrow").union(
+        supp.map_batches(tag_s, batch_format="pyarrow"))
+    return u.sort(["acctbal", "name"], descending=[True, False]).limit(k)
+
+
+def events_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user (gap-based): a new session starts when
+    the inter-event gap exceeds ``gap_minutes``. Windowing runs inside
+    groupby(user).map_groups over the ts-sorted group (the engine's
+    streaming-window pattern, SURVEY.md §2.9); SQL oracle = lag() +
+    cumulative sum window functions."""
+    from ray.data.aggregate import Count
+
+    ds = read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessionize(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
+                                                ("event_id", "ascending")])
+        g = group.take(idx)
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        new_session = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            new_session[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        session_id = np.cumsum(new_session)
+        return pa.table({
+            "user_id": g.column("user_id"),
+            "session_id": pa.array(session_id, pa.int64()),
+        })
+
+    sess = ds.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")
+    return sess.groupby(["user_id", "session_id"]).aggregate(
+        Count(alias_name="n_events"))
+
+
 def events_latest_per_user(sf_dir: str):
     """Latest event per user (dedup-by-recency, O3/D1 analogue).
     Deterministic tie-break: ts desc, then event_id desc."""
@@ -281,6 +341,23 @@ def events_hourly_windows(sf_dir: str):
         return t.drop_columns(["value_cents"])
 
     return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_join(left, right, on: str, right_on: str | None = None,
+              join_type: str = "inner", num_partitions: int | None = None):
+    """Distributed hash join (both sides large): Ray Data's native
+    hash-partitioned join. Use broadcast_join_stage instead whenever one
+    side fits in memory — it avoids the all-to-all exchange entirely."""
+    if num_partitions is None:
+        try:
+            import ray
+
+            num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            num_partitions = 8
+    return left.join(right, join_type=join_type,
+                     num_partitions=num_partitions, on=(on,),
+                     right_on=(right_on,) if right_on else None)
 
 
 def anti_join_stage(keys_ref, key: str):

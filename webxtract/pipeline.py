@@ -131,16 +131,24 @@ class Extractor:
         # python-call + buffer-slice per blob)
         htmls = batch.column("html").to_pylist()
         if "quality_label" not in batch.column_names:
-            # fused gate (M2-M4): classify on the SAME python blobs so
-            # the multi-KB html column is converted exactly once
+            # fused gate (M1-M4): validate + classify on the SAME python
+            # blobs so the multi-KB html column is converted exactly once.
+            # M1: a null key is a malformed record -> rejected DATA row
+            # (the reference's KeyError -> MalformedRequest,
+            # preprocessing/fn-preprocess/main.py:48-52), never an abort.
             from .quality import score_page
 
+            urls = batch.column("url").to_pylist()
             n = len(htmls)
             labels = [None] * n
             confs = [0.0] * n
             reasons = [None] * n
             kinds = [None] * n
             for i in range(n):
+                if urls[i] is None:
+                    labels[i], confs[i], reasons[i], kinds[i] = (
+                        "bad", 99.0, "malformed", "raw")
+                    continue
                 labels[i], confs[i], reasons[i], kinds[i] = score_page(
                     htmls[i], self.min_bytes, self.max_bytes)
             batch = batch.append_column("quality_label", pa.array(labels, pa.string()))

@@ -81,12 +81,17 @@ class QualityGate:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         htmls = batch.column("html").to_pylist()  # bulk, not per-row as_py
+        urls = batch.column("url").to_pylist()
         n = len(htmls)
         labels = np.empty(n, dtype=object)
         confs = np.empty(n, dtype=np.float64)
         reasons = np.empty(n, dtype=object)
         kinds = np.empty(n, dtype=object)
         for i in range(n):
+            if urls[i] is None:  # M1: malformed record -> rejected data
+                labels[i], confs[i], reasons[i], kinds[i] = (
+                    "bad", 99.0, "malformed", "raw")
+                continue
             labels[i], confs[i], reasons[i], kinds[i] = score_page(
                 htmls[i], self.min_bytes, self.max_bytes
             )

@@ -125,11 +125,22 @@ def coalesce_stage(reviews_ref):
     return fn
 
 
-def reviews_to_dict(reviews: pa.Table) -> dict:
-    """Reviews table -> broadcast lookup dict (M17 answer extraction:
-    fn-human-review-callback/main.py:61-79 takes humanAnswers[0]; with a
-    table one row per url IS the single answer; if duplicates exist the
-    latest answered_ts wins, deterministically)."""
+def read_reviews(path: str):
+    """Source S6: review answers parquet (the reviews-bucket consumer,
+    template.sam.yml:140-144) -> Dataset with the REVIEWS schema."""
+    import ray.data as rd
+
+    return rd.read_parquet(path)
+
+
+def reviews_to_dict(reviews) -> dict:
+    """Reviews table/Dataset -> broadcast lookup dict (M17 answer
+    extraction: fn-human-review-callback/main.py:61-79 takes
+    humanAnswers[0]; with a table one row per url IS the single answer;
+    if duplicates exist the latest answered_ts wins, deterministically)."""
+    if not isinstance(reviews, pa.Table):  # Dataset (small side)
+        reviews = pa.concat_tables(
+            list(reviews.iter_batches(batch_format="pyarrow")))
     idx = pc.sort_indices(
         reviews, sort_keys=[("url", "ascending"), ("answered_ts", "ascending")]
     )

@@ -1,0 +1,140 @@
+"""CLI entry points — the operational surface a user of the reference
+would switch to (upload-bucket trigger -> batch runs over parquet).
+
+    python -m webxtract run --input DIR --out DIR [--resume] [...]
+    python -m webxtract synth --out DIR --docs N
+    python -m webxtract reviews --results DIR --reviews PATH --out DIR
+    python -m webxtract manifest --out DIR
+
+Only this CLI (and bench.py / the test fixture) owns a Ray session;
+library code never calls ray.init (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False,
+                      ignore_reinit_error=True, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    return ray
+
+
+def cmd_run(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from .checkpoint import manifest_table, run_partitioned
+    from .metrics import dump, start
+    from .pipeline import PipelineConfig
+
+    start()
+    cfg = PipelineConfig(
+        max_bytes=args.max_bytes,
+        skew_split_bytes=args.skew_split_bytes,
+        exact_dedup=args.exact_dedup,
+    )
+    manifest = run_partitioned(args.input, args.out, cfg)
+    dump(args.out)
+    mt = manifest_table(args.out)
+    print(json.dumps({
+        "partitions": len(manifest),
+        "rows_in": sum(m["rows_in"] for m in manifest.values()),
+        "rows_out": sum(m["rows_out"] for m in manifest.values()),
+        "rejected": sum(m["rejected"] for m in manifest.values()),
+        "review": sum(m["reviewed"] for m in manifest.values()),
+        "wall_ms": sum(m["wall_ms"] for m in manifest.values()),
+    }))
+    ray.shutdown()
+    return 0
+
+
+def cmd_synth(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from .synth import write_pages_parquet
+
+    write_pages_parquet(args.out, args.docs, seed=args.seed)
+    print(json.dumps({"out": args.out, "docs": args.docs}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_reviews(args) -> int:
+    """Join review answers back onto extraction results (run 2 of the
+    human-review path, SURVEY §3.2)."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .review import coalesce_stage, read_reviews, reviews_to_dict
+
+    results = rd.read_parquet(args.results)
+    lookup = reviews_to_dict(read_reviews(args.reviews))
+    ref = ray.put(lookup)
+    out = results.map_batches(coalesce_stage(ref), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out.write_parquet(args.out)
+    print(json.dumps({"rows": sum(
+        b.num_rows for b in rd.read_parquet(args.out).iter_batches(
+            batch_format="pyarrow"))}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_manifest(args) -> int:
+    from .checkpoint import load_manifest
+
+    print(json.dumps(sorted(load_manifest(args.out).values(),
+                            key=lambda r: r["partition_id"]), indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="webxtract")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="checkpointed extraction run")
+    r.add_argument("--input", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--num-cpus", type=int, default=None)
+    r.add_argument("--max-bytes", type=int, default=65_536)
+    r.add_argument("--skew-split-bytes", type=int, default=None)
+    r.add_argument("--exact-dedup", action="store_true")
+    r.set_defaults(fn=cmd_run)
+
+    s = sub.add_parser("synth", help="generate a synthetic pages corpus")
+    s.add_argument("--out", required=True)
+    s.add_argument("--docs", type=int, default=10_000)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--num-cpus", type=int, default=None)
+    s.set_defaults(fn=cmd_synth)
+
+    v = sub.add_parser("reviews", help="coalesce review answers onto results")
+    v.add_argument("--results", required=True)
+    v.add_argument("--reviews", required=True)
+    v.add_argument("--out", required=True)
+    v.add_argument("--num-cpus", type=int, default=None)
+    v.set_defaults(fn=cmd_reviews)
+
+    m = sub.add_parser("manifest", help="print a run's checkpoint manifest")
+    m.add_argument("--out", required=True)
+    m.set_defaults(fn=cmd_manifest)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

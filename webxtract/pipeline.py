@@ -64,6 +64,13 @@ class PipelineConfig:
     dedup: bool = True
     exact_dedup: bool = False   # True: full-row groupby dedup (any ties)
     emit_blocks: bool = False   # True: materialize the blocks column
+    # Skew-aware batching (SURVEY §4.2): when set, rows with
+    # len(html) > skew_split_bytes are routed through a dedicated
+    # small-batch path so one giant blob cannot blow a worker's heap
+    # (batch_size counts ROWS; 512 rows x 1MB = 512MB without this).
+    # Only meaningful when max_bytes admits large documents.
+    skew_split_bytes: int | None = None
+    big_batch_size: int = 16
 
     def resolved_concurrency(self) -> tuple[int, int] | int:
         if self.extract_concurrency is not None:
@@ -268,11 +275,36 @@ def extract_pipeline(ds, cfg: PipelineConfig | None = None,
         # gate fused into the extractor task: the html column is
         # converted to Python exactly once (memory bandwidth is the
         # measured single-box scaling limit)
-        ds = ds.map_batches(
-            extractor_task(cfg.emit_blocks, cfg.min_bytes, cfg.max_bytes),
-            batch_format="pyarrow", batch_size=cfg.extract_batch_size,
-            zero_copy_batch=True,
-        )
+        task = extractor_task(cfg.emit_blocks, cfg.min_bytes, cfg.max_bytes)
+        if cfg.skew_split_bytes:
+            import pyarrow.compute as pc
+
+            thresh = cfg.skew_split_bytes
+
+            def _small(t: pa.Table) -> pa.Table:
+                return t.filter(pc.less_equal(
+                    pc.binary_length(t.column("html")), thresh))
+
+            def _big(t: pa.Table) -> pa.Table:
+                return t.filter(pc.greater(
+                    pc.binary_length(t.column("html")), thresh))
+
+            small = ds.map_batches(_small, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+            big = ds.map_batches(_big, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            small = small.map_batches(
+                task, batch_format="pyarrow",
+                batch_size=cfg.extract_batch_size, zero_copy_batch=True)
+            big = big.map_batches(
+                task, batch_format="pyarrow",
+                batch_size=cfg.big_batch_size, zero_copy_batch=True)
+            ds = small.union(big)
+        else:
+            ds = ds.map_batches(
+                task, batch_format="pyarrow",
+                batch_size=cfg.extract_batch_size, zero_copy_batch=True,
+            )
     if cfg.emit_blocks:
         ds = ds.map_batches(
             lambda t: t.drop_columns(["blocks"]), batch_format="pyarrow",

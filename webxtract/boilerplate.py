@@ -68,6 +68,11 @@ class TextBlock:
             return True
         if self.heading and self.words >= 1:
             return True
+        if self.table_row >= 0:
+            # table cells are structured data: keep even single-word
+            # cells (Textract emits every CELL; the length heuristics
+            # below are for prose blocks)
+            return True
         if self.words >= 2:
             t = self.text
             return any(c.isdigit() for c in t) or ":" in t or "$" in t

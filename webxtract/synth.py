@@ -84,12 +84,21 @@ def _receipt(rng: random.Random) -> tuple[str, str]:
     vendor = rng.choice(VENDORS)
     date = rng.choice(DATE_FORMATS)(rng)
     n_items = rng.randint(2, 6)
-    lines = []
+    item_rows = []
     subtotal = 0.0
     for _ in range(n_items):
         price = rng.randint(150, 4999) / 100.0
         subtotal += price
-        lines.append(f"<p>{rng.choice(ITEMS)} ${price:.2f}</p>")
+        item_rows.append((rng.choice(ITEMS), price))
+    # ~30% of receipts itemize in an HTML table (exercises the
+    # TABLE_CELL path end to end), the rest as <p> lines
+    if rng.random() < 0.3:
+        cells = "\n".join(
+            f"<tr><td>{name}</td><td>${price:.2f}</td></tr>"
+            for name, price in item_rows)
+        lines = [f"<table>\n{cells}\n</table>"]
+    else:
+        lines = [f"<p>{name} ${price:.2f}</p>" for name, price in item_rows]
     tax = round(subtotal * 0.1, 2)
     total = round(subtotal + tax, 2)
     date_labelled = rng.random() < 0.7

@@ -46,6 +46,7 @@ def cmd_run(args) -> int:
         max_bytes=args.max_bytes,
         skew_split_bytes=args.skew_split_bytes,
         exact_dedup=args.exact_dedup,
+        instrument=True,
     )
     manifest = run_partitioned(args.input, args.out, cfg)
     dump(args.out)

@@ -71,6 +71,7 @@ class PipelineConfig:
     # Only meaningful when max_bytes admits large documents.
     skew_split_bytes: int | None = None
     big_batch_size: int = 16
+    instrument: bool = False    # record per-stage counters (metrics.py)
 
     def resolved_concurrency(self) -> tuple[int, int] | int:
         if self.extract_concurrency is not None:
@@ -276,6 +277,10 @@ def extract_pipeline(ds, cfg: PipelineConfig | None = None,
         # converted to Python exactly once (memory bandwidth is the
         # measured single-box scaling limit)
         task = extractor_task(cfg.emit_blocks, cfg.min_bytes, cfg.max_bytes)
+        if cfg.instrument:
+            from .metrics import instrument
+
+            task = instrument("gate_extract_normalize", task)
         if cfg.skew_split_bytes:
             import pyarrow.compute as pc
 

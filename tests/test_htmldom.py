@@ -74,3 +74,20 @@ def test_boiler_container_detection():
 def test_decode_bytes():
     assert decode_bytes("héllo".encode()) == "héllo"
     assert decode_bytes(b"\xff\xfe\x80") is None
+
+
+def test_declared_charset_cp1252():
+    body = "<html><head><meta charset=\"windows-1252\"></head><body><p>Caf\xe9 cr\xe8me costs $3</p></body></html>"
+    raw = body.encode("cp1252")
+    decoded = decode_bytes(raw)
+    assert decoded is not None
+    assert "Café crème" in decoded
+
+
+def test_undeclared_bad_bytes_still_rejected():
+    assert decode_bytes(b"\xff\xfe\x80" * 40) is None
+
+
+def test_declared_unknown_charset_rejected():
+    raw = b'<meta charset="shift-jis">' + b"\xff\xfe\x80" * 30
+    assert decode_bytes(raw) is None

@@ -54,3 +54,11 @@ def test_gate_batch_columns():
     assert out.column("quality_label").to_pylist() == ["good", "bad"]
     assert out.column("reject_reason").to_pylist() == [None, "too_small"]
     assert out.column("doc_kind").to_pylist() == ["html", "raw"]
+
+
+def test_declared_cp1252_page_accepted():
+    body = ('<html><head><meta charset="windows-1252"></head><body><p>'
+            + "caf\xe9 content words here " * 20 + "</p></body></html>")
+    raw = body.encode("cp1252")
+    label, conf, reason, kind = score_page(raw)
+    assert (label, reason, kind) == ("good", None, "html")

@@ -132,10 +132,34 @@ def parse_html(text: str) -> Node:
     return b.root
 
 
+import re as _re
+
+_CHARSET_RE = _re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_-]{2,20})", _re.I)
+
+# declared-charset whitelist -> python codec (web-scale corpora are
+# mostly utf-8 + cp1252/latin-1; anything else is rejected as
+# undecodable rather than silently mangled)
+_CODECS = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "latin-1": "windows-1252", "latin1": "windows-1252",
+    "iso-8859-1": "windows-1252", "windows-1252": "windows-1252",
+    "cp1252": "windows-1252",
+}
+
+
 def decode_bytes(html: bytes) -> str | None:
-    """Encoding sniff: strict utf-8, else None (undecodable -> quality
-    reject; the synth 'bad' family emits invalid utf-8 on purpose)."""
+    """Encoding sniff: strict utf-8 first; on failure honor an explicit
+    ``<meta charset=...>`` declaration from the whitelist (decoded with
+    'replace' — deterministic); else None (undecodable -> quality
+    reject; the synth 'bad' family emits invalid utf-8 with no declared
+    charset on purpose)."""
     try:
         return html.decode("utf-8")
     except (UnicodeDecodeError, AttributeError):
-        return None
+        pass
+    m = _CHARSET_RE.search(html[:2048])
+    if m:
+        codec = _CODECS.get(m.group(1).decode("ascii", "replace").lower())
+        if codec:
+            return html.decode(codec, "replace")
+    return None

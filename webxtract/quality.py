@@ -56,7 +56,11 @@ def score_page(html: bytes | None, min_bytes: int = 64,
     except UnicodeDecodeError as e:
         # a multi-byte char straddling the probe edge is not an encoding error
         if e.start < len(probe) - 4:
-            return "bad", 99.0, "bad_encoding", "raw"
+            from .htmldom import decode_bytes
+
+            # honor an explicitly declared whitelisted charset
+            if decode_bytes(html) is None:
+                return "bad", 99.0, "bad_encoding", "raw"
     if _TAG_RE.search(probe) is None:
         return "bad", 99.0, "not_html", "raw"
     text_bytes = len(_STRIP_TAGS_RE.sub(b"", probe))

@@ -61,3 +61,25 @@ def test_emit_blocks_column_shape(ray_session):
     blocks = out.column("blocks").to_pylist()
     nonempty = [b for b in blocks if b]
     assert nonempty and all("block_type" in b[0] for b in nonempty)
+
+
+def test_hash_join_reviews_equals_broadcast(ray_session, tmp_path):
+    import ray.data as rd
+
+    from webxtract.review import coalesce_hash_join
+
+    pages = synth.make_pages(300, seed=42)
+    pq.write_table(pages, tmp_path / "p.parquet")
+    src = str(tmp_path / "p.parquet")
+    model = pipeline.extract_table(pages)
+    reviews = synth.make_reviews(model)
+
+    broadcast = pipeline.full_pipeline(
+        rd.read_parquet(src), reviews=reviews).to_pandas()
+    results = pipeline.extract_pipeline(rd.read_parquet(src))
+    hashed = coalesce_hash_join(
+        results, rd.from_arrow(reviews), num_partitions=4).to_pandas()
+
+    b = broadcast.sort_values("url", ignore_index=True)
+    h = hashed[b.columns].sort_values("url", ignore_index=True)
+    assert b.equals(h)

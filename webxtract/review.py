@@ -125,6 +125,64 @@ def coalesce_stage(reviews_ref):
     return fn
 
 
+def coalesce_hash_join(results_ds, reviews_ds, num_partitions: int | None = None):
+    """J2 at scale: when the reviews side is too large to broadcast,
+    LEFT hash-join results x reviews on url (hash-partitioned exchange)
+    and coalesce vectorized. Semantics identical to the broadcast path
+    (tested); reviews must be pre-deduped one-row-per-url (latest
+    answered_ts) — reviews_to_dict does that for the broadcast path, here
+    the caller dedupes with dedup-by-latest if needed."""
+    import pyarrow.compute as pc
+
+    from .ops.relational import hash_join
+
+    # Acero's hash join rejects list<struct> payload columns; the
+    # alternatives are not part of FINAL_RESULT anyway
+    results_ds = results_ds.drop_columns(["alt_date", "alt_total"])
+    joined = hash_join(results_ds, reviews_ds, on="url",
+                       join_type="left_outer",
+                       num_partitions=num_partitions)
+
+    def coalesce(batch: pa.Table) -> pa.Table:
+        reviewed = pc.and_(pc.is_valid(batch.column("worker_id")),
+                           pc.equal(batch.column("route"), pa.scalar("review")))
+
+        def pick(review_col, model_col):
+            rc = batch.column(review_col)
+            conf = pc.if_else(
+                pc.and_(pc.is_valid(rc), pc.not_equal(rc, pa.scalar(""))),
+                pa.scalar(1.0), pa.scalar(0.0))
+            val = pc.if_else(reviewed, rc, batch.column(model_col))
+            cval = pc.if_else(reviewed, conf, batch.column(model_col[:-5] + "conf"))
+            return val, cval
+
+        dv, dc = pick("date", "date_value")
+        tv, tc = pick("total", "total_value")
+        vv, vc = pick("vendor", "vendor_value")
+        mc = pc.if_else(
+            reviewed, pc.min_element_wise(dc, pc.min_element_wise(tc, vc)),
+            batch.column("model_confidence"))
+        route = pc.if_else(
+            reviewed, pa.scalar("reviewed"),
+            pc.if_else(pc.equal(batch.column("route"), pa.scalar("review")),
+                       pa.scalar("pending"), batch.column("route")))
+        reviewer = pc.if_else(reviewed, batch.column("worker_id"),
+                              pa.scalar(None, pa.string()))
+        return pa.table({
+            "url": batch.column("url"),
+            "extracted_text": batch.column("extracted_text"),
+            "vendor_value": vv, "vendor_conf": vc,
+            "date_value": dv, "date_conf": dc,
+            "total_value": tv, "total_conf": tc,
+            "model_confidence": mc,
+            "route": route,
+            "reviewer": reviewer,
+        })
+
+    return joined.map_batches(coalesce, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def read_reviews(path: str):
     """Source S6: review answers parquet (the reviews-bucket consumer,
     template.sam.yml:140-144) -> Dataset with the REVIEWS schema."""

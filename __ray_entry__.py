@@ -172,6 +172,26 @@ def _pages_review_tasks(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def _events_distinct_users(sf_dir: str):
+    from webxtract.ops.sketch import exact_distinct_users
+
+    return exact_distinct_users(sf_dir)
+
+
+def _events_users_hll(sf_dir: str):
+    """Approximate distinct users via mergeable HyperLogLog sketches
+    (deterministic hashes + order-independent merge -> stable result;
+    accuracy vs exact tested in tests/test_ops.py)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webxtract.ops.sketch import approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pa.table({"approx_users": pa.array([round(est, 1)], pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from webxtract.ops import relational as R
 
@@ -194,6 +214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_hashjoin": R.supplier_nation_hashjoin,
         "acctbal_union_topk": R.acctbal_union_topk,
         "events_sessions": R.events_sessions,
+        "events_distinct_users": _events_distinct_users,
+        "events_users_hll": _events_users_hll,    # sketch; rows-only
         # text analysis
         "docs_token_counts": _docs_token_counts,
         "docs_quality_scores": _docs_quality,
@@ -296,6 +318,10 @@ def oracle_sql() -> dict[str, str]:
         "supplier_nation_hashjoin": """
             SELECT s_suppkey, s_name, s_acctbal, n_name
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        """,
+        "events_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "acctbal_union_topk": """
             SELECT name, acctbal, side FROM (

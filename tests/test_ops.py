@@ -187,3 +187,37 @@ def test_media_features_deterministic():
 def test_frame_sample_stub_raises():
     with pytest.raises(NotImplementedError):
         M.frame_sample_stub(pa.table({"media": pa.array([b""], pa.binary())}))
+
+
+def test_hll_accuracy_and_merge():
+    from webxtract.ops.sketch import HyperLogLog, _hash64
+
+    a = HyperLogLog(12)
+    b = HyperLogLog(12)
+    a.add_hashes(_hash64([f"user{i}" for i in range(5000)]))
+    b.add_hashes(_hash64([f"user{i}" for i in range(2500, 7500)]))
+    merged = a.merge(b)
+    est = merged.estimate()
+    assert abs(est - 7500) / 7500 < 0.05
+    # merge is idempotent and commutative
+    assert b.merge(a).estimate() == est
+    assert merged.merge(merged).estimate() == est
+    # serialization round-trip
+    back = HyperLogLog.deserialize(merged.serialize(), 12)
+    assert back.estimate() == est
+
+
+def test_approx_distinct_vs_exact(ray_session):
+    import ray.data as rd
+
+    from webxtract.ops.sketch import approx_distinct
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/events.parquet",
+                         columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    import duckdb
+
+    exact = duckdb.sql(
+        "SELECT count(DISTINCT user_id) FROM "
+        "'/root/testdata/sf0.01/events.parquet'").fetchone()[0]
+    assert abs(est - exact) / exact < 0.05

@@ -1,0 +1,128 @@
+"""Mergeable sketch aggregates — the approximate-aggregation pattern for
+corpus-scale stats (ray_guide "Aggregation at scale": emit one serialized
+sketch per batch, merge in a tiny second stage).
+
+HyperLogLog (Flajolet et al. 2007) from scratch on numpy: register
+array per batch -> elementwise-max merge -> bias-corrected estimate.
+Standard error ~1.04/sqrt(2^p); p=12 -> ~1.6%.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class HyperLogLog:
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (registers if registers is not None
+                          else np.zeros(self.m, dtype=np.uint8))
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        """Vectorized insert of uint64 hashes."""
+        h = h.astype(np.uint64, copy=False)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros of `rest` + 1 (bounded by 64-p+1)
+        nlz = np.zeros(len(h), dtype=np.uint8)
+        mask = np.uint64(1) << np.uint64(63)
+        cur = rest.copy()
+        done = np.zeros(len(h), dtype=bool)
+        for r in range(64 - self.p + 1):
+            top = (cur & mask) != 0
+            newly = top & ~done
+            nlz[newly] = r + 1
+            done |= top
+            if done.all():
+                break
+            cur = cur << np.uint64(1)
+        np.maximum.at(self.registers, idx, nlz)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        return HyperLogLog(self.p, np.maximum(self.registers, other.registers))
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        e = alpha * m * m / inv.sum()
+        if e <= 2.5 * m:  # small-range correction
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                e = m * np.log(m / zeros)
+        return float(e)
+
+    def serialize(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def deserialize(cls, raw: bytes, p: int = 12) -> "HyperLogLog":
+        return cls(p, np.frombuffer(raw, dtype=np.uint8).copy())
+
+
+def _hash64(values: list) -> np.ndarray:
+    """Deterministic 64-bit hashes: FNV-1a + murmur3 finalizer (FNV's
+    high bits avalanche poorly and HLL indexes by the TOP p bits; no
+    process-salted hash())."""
+    M = 0xFFFFFFFFFFFFFFFF
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        h = 0xCBF29CE484222325
+        for b in str(v).encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & M
+        h ^= h >> 33
+        h = (h * 0xFF51AFD7ED558CCD) & M
+        h ^= h >> 33
+        h = (h * 0xC4CEB9FE1A85EC53) & M
+        h ^= h >> 33
+        out[i] = h
+    return out
+
+
+def approx_distinct(ds, column: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT column): one HLL sketch per batch
+    (map_batches emits a single serialized-registers row), merged on the
+    driver (sketch size 2^p bytes, merge is elementwise max — the
+    shuffle carries sketches, never values)."""
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        hll = HyperLogLog(p)
+        hll.add_hashes(_hash64(batch.column(column).to_pylist()))
+        return pa.table({"sketch": pa.array([hll.serialize()], pa.binary())})
+
+    merged = HyperLogLog(p)
+    for b in ds.map_batches(sketch_batch, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+                                batch_format="pyarrow"):
+        for raw in b.column("sketch").to_pylist():
+            merged = merged.merge(HyperLogLog.deserialize(raw, p))
+    return merged.estimate()
+
+
+def exact_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type (oracle-checked):
+    pre-reduced per batch (unique pairs) before the grouped distinct."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def uniq_pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = ds.map_batches(uniq_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    # second local distinct after the exchange, then count per type
+    from ray.data.aggregate import Count
+
+    def first_of_group(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    deduped = pairs.groupby(["event_type", "user_id"]).map_groups(
+        first_of_group, batch_format="pyarrow")
+    return deduped.groupby("event_type").aggregate(
+        Count(alias_name="n_users"))

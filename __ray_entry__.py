@@ -141,6 +141,17 @@ def _docs_simhash_pairs(sf_dir: str):
     return simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_dist=3)
 
 
+def _docs_dedup_clusters(sf_dir: str):
+    """Near-dup clusters: MinHash-LSH pairs -> connected components via
+    min-label propagation (rows-only; component semantics unit-tested
+    on planted chain/star graphs)."""
+    from webxtract.ops.dedup import dedup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                              threshold=0.7, shingle=1)
+    return dedup_clusters(pairs)
+
+
 def _emb_dup_pairs(sf_dir: str):
     # threshold 0.3: the synthetic embeddings contain no true near-dups
     # (max same-label cosine ~0.5), so a realistic 0.9 returns zero rows;
@@ -227,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_jaccard": _docs_ngram_jaccard,
         "docs_minhash_pairs": _docs_minhash_pairs,  # sketch; rows-only
         "docs_simhash_pairs": _docs_simhash_pairs,  # sketch; rows-only
+        "docs_dedup_clusters": _docs_dedup_clusters,  # rows-only
         "emb_dup_pairs": _emb_dup_pairs,
         # similarity search
         "emb_knn_bruteforce": _emb_knn,

@@ -70,3 +70,20 @@ def test_confidence_deterministic_and_bounded():
     c1, c2 = b.confidence(), b.confidence()
     assert c1 == c2
     assert 1.0 <= c1 <= 99.0
+
+
+def test_article_corpus_purity():
+    """Corpus-level boilerplate check: extracted article text keeps the
+    main paragraphs and never leaks nav/footer link text."""
+    import random
+
+    from webxtract import synth
+
+    for doc_id in range(300):
+        if synth._family(doc_id) != "article":
+            continue
+        d = synth.render_doc(doc_id)
+        text = "\n".join(texts(d["html"].decode()))
+        for nav_word in ("Privacy", "Sitemap", "Careers", "Login"):
+            assert nav_word not in text, (doc_id, nav_word)
+        assert len(text.split()) >= 60  # main paragraphs survive

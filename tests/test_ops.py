@@ -221,3 +221,42 @@ def test_approx_distinct_vs_exact(ray_session):
         "SELECT count(DISTINCT user_id) FROM "
         "'/root/testdata/sf0.01/events.parquet'").fetchone()[0]
     assert abs(est - exact) / exact < 0.05
+
+
+def test_dedup_clusters_connected_components(ray_session):
+    import ray.data as rd
+
+    # components: {0,1,2} chained (0-1, 1-2), {5,7}, singleton edges none
+    pairs = pa.table({
+        "doc_a": pa.array([0, 1, 5], pa.int64()),
+        "doc_b": pa.array([1, 2, 7], pa.int64()),
+        "jaccard": pa.array([0.9, 0.9, 0.8], pa.float64()),
+    })
+    clusters = D.dedup_clusters(rd.from_arrow(pairs)).to_pandas()
+    got = dict(zip(clusters.doc_id, clusters.cluster_id))
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 7: 5}
+
+
+def test_dedup_clusters_long_chain(ray_session):
+    import ray.data as rd
+
+    # a 12-node path graph: needs multiple propagation rounds
+    n = 12
+    pairs = pa.table({
+        "doc_a": pa.array(list(range(n - 1)), pa.int64()),
+        "doc_b": pa.array(list(range(1, n)), pa.int64()),
+        "jaccard": pa.array([0.9] * (n - 1), pa.float64()),
+    })
+    clusters = D.dedup_clusters(rd.from_arrow(pairs)).to_pandas()
+    assert set(clusters.cluster_id) == {0}
+    assert len(clusters) == n
+
+
+def test_canonical_docs_near_dup(ray_session):
+    import ray.data as rd
+
+    docs = docs_table(NEAR_DUPS)
+    pairs = D.minhash_lsh_pairs(rd.from_arrow(docs), threshold=0.7)
+    kept = D.canonical_docs(rd.from_arrow(docs), pairs).to_pandas()
+    # docs 0,1,3 form one cluster -> keep 0; 2 and 4 are singletons
+    assert sorted(kept.doc_id) == [0, 2, 4]

@@ -317,6 +317,102 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.7, shingle: int = 1):
         compare, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# --- connected components over near-dup pairs ----------------------------
+
+def dedup_clusters(pairs_ds, max_rounds: int = 10):
+    """Near-dup pairs (doc_a < doc_b) -> cluster assignment
+    (doc_id, cluster_id) where cluster_id = min doc_id of the component.
+
+    Distributed min-label propagation (ray_guide "Near-dup" pattern):
+    each round every node adopts the smallest label among itself and its
+    neighbors via one groupby; converges in O(component-diameter)
+    rounds. Rounds terminate early when an iteration changes nothing.
+    Only docs appearing in >=1 pair are returned (singletons are their
+    own clusters trivially).
+    """
+    import pyarrow.compute as pc
+
+    def edges_to_labels(batch: pa.Table) -> pa.Table:
+        # undirected edge -> both endpoints propose the smaller endpoint
+        a = batch.column("doc_a")
+        b = batch.column("doc_b")
+        lo = pc.min_element_wise(a, b)
+        return pa.table({
+            "doc_id": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+            "label": pa.concat_arrays([lo.combine_chunks(), lo.combine_chunks()]),
+        })
+
+    edges = pairs_ds.select_columns(["doc_a", "doc_b"])
+    labels = edges.map_batches(edges_to_labels, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def min_label(group: pa.Table) -> pa.Table:
+        m = pc.min(group.column("label"))
+        return pa.table({
+            "doc_id": group.column("doc_id").slice(0, 1),
+            "label": pa.array([m.as_py()], pa.int64()),
+        })
+
+    assign = labels.groupby("doc_id").map_groups(min_label,
+                                                 batch_format="pyarrow")
+    edge_tbl = pa.concat_tables(
+        list(edges.iter_batches(batch_format="pyarrow")))
+    for _ in range(max_rounds):
+        cur = {r["doc_id"]: r["label"]
+               for b in assign.iter_batches(batch_format="pyarrow")
+               for r in b.to_pylist()}
+        # propagate labels across edges (driver-held edge list at test
+        # scale; at corpus scale this is a join of edges with labels on
+        # each endpoint followed by the same groupby-min)
+        rows_doc, rows_lab = [], []
+        changed = False
+        for a, b_ in zip(edge_tbl.column("doc_a").to_pylist(),
+                         edge_tbl.column("doc_b").to_pylist()):
+            la, lb = cur[a], cur[b_]
+            m = min(la, lb)
+            if la != m or lb != m:
+                changed = True
+            rows_doc.extend((a, b_))
+            rows_lab.extend((m, m))
+        if not changed:
+            break
+        import ray.data as rd
+
+        labels = rd.from_arrow(pa.table({
+            "doc_id": pa.array(rows_doc, pa.int64()),
+            "label": pa.array(rows_lab, pa.int64()),
+        }))
+        assign = labels.groupby("doc_id").map_groups(
+            min_label, batch_format="pyarrow")
+    return assign.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def canonical_docs(ds, pairs_ds):
+    """Keep one representative (min doc_id) per near-dup cluster: the
+    near-dup analogue of exact_dedup_keep_first."""
+    import ray
+
+    clusters = dedup_clusters(pairs_ds)
+    drop: set = set()
+    for b in clusters.iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            if r["doc_id"] != r["cluster_id"]:
+                drop.add(r["doc_id"])
+    ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        from ..broadcast import get_broadcast
+
+        dropset = get_broadcast(ref)
+        ids = batch.column("doc_id").to_pylist()
+        return batch.filter(pa.array([i not in dropset for i in ids],
+                                     pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --- exact dedup by content hash -----------------------------------------
 
 def exact_dedup_keep_first(ds):

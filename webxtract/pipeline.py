@@ -50,8 +50,8 @@ class PipelineConfig:
     # batch sizing: html blobs are KB-scale; keep batch x blob bounded
     # (SURVEY.md §7.4 skew note). 256 rows x 64KB cap = <=16MB per batch.
     gate_batch_size: int = 1024
-    extract_batch_size: int = 512
-    normalize_batch_size: int = 1024
+    extract_batch_size: int = 1024  # swept 256-2048 at sf0.1/32cpu: flat
+    normalize_batch_size: int = 1024  # within noise; 1024 marginally best
     # Extractor scheduling. Default is an elastic TASK pool with lazy
     # per-worker-process parser state (measured 2-4x faster than an actor
     # pool at sf0.1/32cpus: 8s vs 19-34s — actor pools pay pool-startup +

@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_windows": R.events_hourly_windows,
         "docs_lang_stats": R.docs_lang_stats,
         "customers_without_urgent_orders": R.customers_without_urgent_orders,
+        "customers_with_urgent_orders": R.customers_with_urgent_orders,
         "docs_sample": R.docs_sample,
         "supplier_nation_hashjoin": R.supplier_nation_hashjoin,
         "acctbal_union_topk": R.acctbal_union_topk,
@@ -322,6 +323,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')
+        """,
+        "customers_with_urgent_orders": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
         """,
         "docs_sample": """
             SELECT doc_id FROM documents

@@ -376,6 +376,38 @@ def anti_join_stage(keys_ref, key: str):
     return fn
 
 
+def semi_join_stage(keys_ref, key: str):
+    """Left-semi join: keep probe rows whose key IS in the broadcast set
+    (at corpus scale: Bloom filter of the key set)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..broadcast import get_broadcast
+
+        keys = get_broadcast(keys_ref)
+        vals = batch.column(key).to_pylist()
+        return batch.filter(pa.array([v in keys for v in vals], pa.bool_()))
+
+    return fn
+
+
+def _urgent_custkeys(sf_dir: str):
+    import ray
+
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    orders = orders.filter(expr="o_orderpriority == '1-URGENT'")
+    custkeys = set()
+    for b in orders.iter_batches(batch_format="pyarrow"):
+        custkeys.update(b.column("o_custkey").to_pylist())
+    return ray.put(custkeys)
+
+
+def customers_with_urgent_orders(sf_dir: str):
+    """Semi-join: customers that placed at least one 1-URGENT order."""
+    ref = _urgent_custkeys(sf_dir)
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    return cust.map_batches(semi_join_stage(ref, "c_custkey"),
+                            batch_format="pyarrow", zero_copy_batch=True)
+
+
 def customers_without_urgent_orders(sf_dir: str):
     """Anti-join: customers that never placed a 1-URGENT order (the
     unrestricted "no orders at all" variant is empty on this dense

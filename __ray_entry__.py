@@ -220,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_per_user": R.events_latest_per_user,
         "events_hourly_windows": R.events_hourly_windows,
         "docs_lang_stats": R.docs_lang_stats,
+        "parts_brand_stats": R.parts_brand_stats,
+        "docs_term_counts": R.docs_term_counts,
         "customers_without_urgent_orders": R.customers_without_urgent_orders,
         "customers_with_urgent_orders": R.customers_with_urgent_orders,
         "docs_sample": R.docs_sample,
@@ -369,6 +371,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, cast(session_id AS BIGINT) AS session_id,
                    count(*) AS n_events
             FROM numbered GROUP BY user_id, session_id
+        """,
+        "parts_brand_stats": """
+            SELECT p_brand, count(*) AS n_parts,
+                   round(avg(p_retailprice), 6) AS avg_price,
+                   max(p_size) AS max_size
+            FROM part GROUP BY p_brand
+        """,
+        "docs_term_counts": """
+            SELECT term, count(*) AS n FROM (
+                SELECT unnest(string_split(text, ' ')) AS term
+                FROM documents)
+            GROUP BY term ORDER BY n DESC, term LIMIT 50
         """,
         "docs_lang_stats": """
             SELECT lang, count(*) AS n_docs,

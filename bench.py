@@ -56,9 +56,12 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
     qs = entry.queries()
     names = [
         "q1_pricing_summary", "q3_segment_revenue", "q5_region_nation_volume",
-        "events_hourly_windows", "events_latest_per_user",
+        "supplier_nation_hashjoin", "acctbal_union_topk",
+        "events_hourly_windows", "events_latest_per_user", "events_sessions",
+        "events_distinct_users",
         "docs_token_counts", "docs_quality_scores", "docs_exact_dedup",
-        "docs_minhash_pairs", "docs_simhash_pairs",
+        "docs_term_counts", "docs_minhash_pairs", "docs_simhash_pairs",
+        "docs_dedup_clusters",
         "emb_knn_bruteforce", "emb_dup_pairs",
     ]
     out: dict[str, float] = {}

@@ -444,6 +444,50 @@ def docs_sample(sf_dir: str, pct_hex: str = "28"):
     return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def parts_brand_stats(sf_dir: str):
+    """Grouped stats over the part dimension (count, avg retail price,
+    max size per brand)."""
+    from ray.data.aggregate import Count, Max, Mean
+
+    ds = read(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
+    agg = ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Mean("p_retailprice", alias_name="avg_price"),
+        Max("p_size", alias_name="max_size"),
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("avg_price")
+        return t.set_column(i, "avg_price", pc.round(t.column("avg_price"), 6))
+
+    return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def docs_term_counts(sf_dir: str, k: int = 50):
+    """Top-k corpus terms: the explode/flat_map pattern done scale-right —
+    each batch pre-aggregates its own (term, count) partials (polars
+    explode + group_by, vectorized), so the exchange carries one row per
+    distinct term per batch, never one row per token. Deterministic
+    tie-break: count desc, term asc."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", columns=["text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        out = (df.select(pl.col("text").str.split(" ").alias("term"))
+               .explode("term").group_by("term").len())
+        return out.to_arrow().cast(pa.schema([
+            ("term", pa.string()), ("len", pa.int64())]))
+
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    agg = partials.groupby("term").aggregate(Sum("len", alias_name="n"))
+    return agg.sort(["n", "term"], descending=[True, False]).limit(k)
+
+
 def docs_lang_stats(sf_dir: str):
     """Per-language corpus stats over documents."""
     from ray.data.aggregate import Count, Mean, Sum

@@ -120,6 +120,7 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
     })
 
 
+
 def _dedupe_pairs(group: pa.Table) -> pa.Table:
     return group.slice(0, 1)
 
@@ -168,11 +169,16 @@ def minhash_lsh_pairs(ds, threshold: float = 0.7, shingle: int = 1,
         MinHasher, fn_constructor_kwargs={
             "num_perm": num_perm, "bands": bands, "shingle": shingle},
         batch_format="pyarrow", concurrency=(1, 8), zero_copy_batch=True,
-    )
+    ).materialize()  # signatures are ~100 B/doc; pinning them avoids the
+    # streaming planner recomputing the hash stage for each consumer
     cands = sig.groupby(["band", "band_key"]).map_groups(
         _bucket_pairs, batch_format="pyarrow")
-    cands = cands.groupby(["doc_a", "doc_b"]).map_groups(
-        _dedupe_pairs, batch_format="pyarrow")
+    # distinct pairs via a vectorized Count aggregate (a per-pair
+    # map_groups would pay Python overhead per tiny group)
+    from ray.data.aggregate import Count
+
+    cands = cands.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="_n")).select_columns(["doc_a", "doc_b"])
     # broadcast shingle sets (test-scale; scale path = 2 hash joins)
     docs = ds.select_columns(["doc_id", "text"]).take_all()
     sets = {r["doc_id"]: _token_shingles(r["text"], shingle) for r in docs}
@@ -257,11 +263,13 @@ def simhash_pairs(ds, max_dist: int = 3):
 
     hasher = SimHasher()
     sig = ds.map_batches(SimHasher, batch_format="pyarrow",
-                         concurrency=(1, 8), zero_copy_batch=True)
+                         concurrency=(1, 8), zero_copy_batch=True).materialize()
     cands = sig.groupby(["band", "band_key"]).map_groups(
         _bucket_pairs, batch_format="pyarrow")
-    cands = cands.groupby(["doc_a", "doc_b"]).map_groups(
-        _dedupe_pairs, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    cands = cands.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="_n")).select_columns(["doc_a", "doc_b"])
     docs = ds.select_columns(["doc_id", "text"]).take_all()
     sigs = {r["doc_id"]: hasher.sig64(r["text"]) for r in docs}
     ref = ray.put(sigs)
@@ -346,47 +354,40 @@ def dedup_clusters(pairs_ds, max_rounds: int = 10):
     labels = edges.map_batches(edges_to_labels, batch_format="pyarrow",
                                zero_copy_batch=True)
 
-    def min_label(group: pa.Table) -> pa.Table:
-        m = pc.min(group.column("label"))
-        return pa.table({
-            "doc_id": group.column("doc_id").slice(0, 1),
-            "label": pa.array([m.as_py()], pa.int64()),
-        })
+    from ray.data.aggregate import Min
 
-    assign = labels.groupby("doc_id").map_groups(min_label,
-                                                 batch_format="pyarrow")
+    assign = labels.groupby("doc_id").aggregate(Min("label", alias_name="label"))
+    # Propagation rounds: vectorized min-relaxation over the edge arrays
+    # (driver-held at this scale — numpy minimum.at per round; at corpus
+    # scale each round is edges ⋈ labels hash join + the same
+    # groupby-min, identical semantics).
     edge_tbl = pa.concat_tables(
         list(edges.iter_batches(batch_format="pyarrow")))
+    first = pa.concat_tables(list(assign.iter_batches(batch_format="pyarrow")))
+    ids = first.column("doc_id").to_numpy()
+    lab = first.column("label").to_numpy().copy()
+    order = np.argsort(ids)
+    ids, lab = ids[order], lab[order]
+    ea = np.searchsorted(ids, edge_tbl.column("doc_a").to_numpy())
+    eb = np.searchsorted(ids, edge_tbl.column("doc_b").to_numpy())
     for _ in range(max_rounds):
-        cur = {r["doc_id"]: r["label"]
-               for b in assign.iter_batches(batch_format="pyarrow")
-               for r in b.to_pylist()}
-        # propagate labels across edges (driver-held edge list at test
-        # scale; at corpus scale this is a join of edges with labels on
-        # each endpoint followed by the same groupby-min)
-        rows_doc, rows_lab = [], []
-        changed = False
-        for a, b_ in zip(edge_tbl.column("doc_a").to_pylist(),
-                         edge_tbl.column("doc_b").to_pylist()):
-            la, lb = cur[a], cur[b_]
-            m = min(la, lb)
-            if la != m or lb != m:
-                changed = True
-            rows_doc.extend((a, b_))
-            rows_lab.extend((m, m))
-        if not changed:
+        m = np.minimum(lab[ea], lab[eb])
+        new = lab.copy()
+        np.minimum.at(new, ea, m)
+        np.minimum.at(new, eb, m)
+        # pointer-jump: labels are doc ids; chase one hop per round
+        pos = np.searchsorted(ids, new)
+        valid = (pos < len(ids)) & (ids[np.clip(pos, 0, len(ids) - 1)] == new)
+        new[valid] = np.minimum(new[valid], lab[pos[valid]])
+        if (new == lab).all():
             break
-        import ray.data as rd
+        lab = new
+    import ray.data as rd
 
-        labels = rd.from_arrow(pa.table({
-            "doc_id": pa.array(rows_doc, pa.int64()),
-            "label": pa.array(rows_lab, pa.int64()),
-        }))
-        assign = labels.groupby("doc_id").map_groups(
-            min_label, batch_format="pyarrow")
-    return assign.map_batches(
-        lambda t: t.rename_columns(["doc_id", "cluster_id"]),
-        batch_format="pyarrow", zero_copy_batch=True)
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "cluster_id": pa.array(lab, pa.int64()),
+    }))
 
 
 def canonical_docs(ds, pairs_ds):

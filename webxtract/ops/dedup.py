@@ -121,10 +121,6 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
 
 
 
-def _dedupe_pairs(group: pa.Table) -> pa.Table:
-    return group.slice(0, 1)
-
-
 def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0

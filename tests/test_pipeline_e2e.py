@@ -28,7 +28,7 @@ def test_single_process_oracle_matches_golden(golden):
     assert res.equals(golden), "oracle path drifted from frozen goldens"
 
 
-@pytest.mark.parametrize("num_blocks", [1, 8])
+@pytest.mark.parametrize("num_blocks", [1, 8, 64])
 def test_ray_pipeline_matches_golden(ray_session, golden, num_blocks, tmp_path):
     import ray.data as rd
 

@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_hashjoin": R.supplier_nation_hashjoin,
         "acctbal_union_topk": R.acctbal_union_topk,
         "events_sessions": R.events_sessions,
+        "purchases_with_prior_error": R.purchases_with_prior_error,
         "events_distinct_users": _events_distinct_users,
         "events_users_hll": _events_users_hll,    # sketch; rows-only
         # text analysis
@@ -340,6 +341,14 @@ def oracle_sql() -> dict[str, str]:
         "supplier_nation_hashjoin": """
             SELECT s_suppkey, s_name, s_acctbal, n_name
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        """,
+        "purchases_with_prior_error": """
+            SELECT p.event_id, p.ts, p.user_id,
+                   e.event_id AS prior_error_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'error') e
+              ON p.user_id = e.user_id AND p.ts > e.ts
         """,
         "events_distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users

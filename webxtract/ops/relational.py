@@ -302,6 +302,80 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
         Count(alias_name="n_events"))
 
 
+def asof_join_by_key(left_ds, right_ds, key: str, ts_col: str,
+                     right_cols: list[str], strict: bool = True):
+    """As-of join: for each left row, the latest right row with the same
+    key and right.ts < left.ts (strict) / <= (non-strict).
+
+    Ray Data lacks a native as-of join; the composition is
+    groupby(key).map_groups over the union of both sides with a
+    side tag, using pandas merge_asof per group (sorted within group).
+    Partitioning assumption: one key's rows fit in one group — true for
+    per-user event streams; salt hot keys if a single key outgrows a
+    worker.
+    """
+    import pandas as pd
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("_side", pa.array([side] * t.num_rows))
+
+        return fn
+
+    u = left_ds.map_batches(tag("L"), batch_format="pyarrow").union(
+        right_ds.map_batches(tag("R"), batch_format="pyarrow"))
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g._side == "L"].drop(columns=["_side"] + right_cols,
+                                      errors="ignore")
+        left = left.sort_values(ts_col, kind="mergesort")
+        right = g[g._side == "R"].drop(columns=["_side"])
+        right = right.sort_values(ts_col, kind="mergesort")
+        if left.empty:
+            return left.iloc[0:0]
+        right_sel = right[[ts_col] + right_cols].rename(
+            columns={ts_col: "_rts"})
+        out = pd.merge_asof(
+            left, right_sel, left_on=ts_col, right_on="_rts",
+            direction="backward", allow_exact_matches=not strict)
+        return out.drop(columns=["_rts"])
+
+    return u.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def purchases_with_prior_error(sf_dir: str):
+    """As-of join demo: each purchase event paired with the user's most
+    recent STRICTLY-prior error event (oracle: DuckDB native ASOF JOIN)."""
+    purchases = read(sf_dir, "events",
+                     columns=["event_id", "ts", "user_id", "event_type"]) \
+        .filter(expr="event_type == 'purchase'")
+    errors = read(sf_dir, "events",
+                  columns=["event_id", "ts", "user_id", "event_type"]) \
+        .filter(expr="event_type == 'error'")
+
+    def prep_l(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"), "ts": t.column("ts"),
+            "user_id": t.column("user_id"),
+            "prior_error_id": pa.nulls(t.num_rows, pa.int64()),
+        })
+
+    def prep_r(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pa.nulls(t.num_rows, pa.int64()),
+            "ts": t.column("ts"),
+            "user_id": t.column("user_id"),
+            "prior_error_id": t.column("event_id"),
+        })
+
+    purchases = purchases.map_batches(prep_l, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    errors = errors.map_batches(prep_r, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return asof_join_by_key(purchases, errors, key="user_id", ts_col="ts",
+                            right_cols=["prior_error_id"], strict=True)
+
+
 def events_latest_per_user(sf_dir: str):
     """Latest event per user (dedup-by-recency, O3/D1 analogue).
     Deterministic tie-break: ts desc, then event_id desc."""

@@ -221,6 +221,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_windows": R.events_hourly_windows,
         "docs_lang_stats": R.docs_lang_stats,
         "parts_brand_stats": R.parts_brand_stats,
+        "parts_price_bands": R.parts_price_bands,
+        "events_running_total": R.events_running_total,
+        "events_value_median": R.events_value_median,
         "docs_term_counts": R.docs_term_counts,
         "customers_without_urgent_orders": R.customers_without_urgent_orders,
         "customers_with_urgent_orders": R.customers_with_urgent_orders,
@@ -380,6 +383,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, cast(session_id AS BIGINT) AS session_id,
                    count(*) AS n_events
             FROM numbered GROUP BY user_id, session_id
+        """,
+        "parts_price_bands": """
+            SELECT CASE WHEN p_retailprice > 2000 THEN 4
+                        WHEN p_retailprice > 1500 THEN 3
+                        WHEN p_retailprice > 1000 THEN 2
+                        WHEN p_retailprice > 500  THEN 1
+                        ELSE 0 END AS band,
+                   count(*) AS n_parts
+            FROM part GROUP BY band
+        """,
+        "events_running_total": """
+            SELECT event_id, user_id,
+                   round(sum(round(value * 100))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) / 100.0, 2)
+                       AS running_value
+            FROM events
+        """,
+        "events_value_median": """
+            SELECT event_type, round(median(value), 6) AS median_value
+            FROM events GROUP BY event_type
         """,
         "parts_brand_stats": """
             SELECT p_brand, count(*) AS n_parts,

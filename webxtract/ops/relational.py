@@ -562,6 +562,72 @@ def docs_term_counts(sf_dir: str, k: int = 50):
     return agg.sort(["n", "term"], descending=[True, False]).limit(k)
 
 
+PRICE_BANDS = [0.0, 500.0, 1000.0, 1500.0, 2000.0]  # upper band open-ended
+
+
+def parts_price_bands(sf_dir: str):
+    """Range join: each part assigned to its retail-price band via a
+    broadcast sorted band table + vectorized searchsorted (the band
+    table is tiny, so the range join is a map-side lookup, not a
+    shuffle), then counted per band."""
+    from ray.data.aggregate import Count
+
+    ds = read(sf_dir, "part", columns=["p_retailprice"])
+    edges = np.array(PRICE_BANDS[1:], dtype=np.float64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        prices = t.column("p_retailprice").to_numpy()
+        # side="left": a price exactly on an edge stays in the lower band
+        # (matches the oracle's strict '>' comparisons)
+        band = np.searchsorted(edges, prices, side="left")
+        return pa.table({"band": pa.array(band.astype(np.int64), pa.int64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True).groupby("band").aggregate(
+        Count(alias_name="n_parts"))
+
+
+def events_running_total(sf_dir: str):
+    """Per-user running sum of event values (rolling/window aggregate):
+    groupby(user).map_groups over the ts-sorted group with a vectorized
+    cumulative sum; money as exact cents (oracle: SUM OVER window)."""
+    ds = read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def running(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("ts", "ascending"),
+                                            ("event_id", "ascending")])
+        g = g.take(idx)
+        cents = _cents(g.column("value")).to_numpy()
+        run = np.cumsum(cents)
+        return pa.table({
+            "event_id": g.column("event_id"),
+            "user_id": g.column("user_id"),
+            "running_value": pa.array(
+                np.round(run / 100.0, 2), pa.float64()),
+        })
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pyarrow")
+
+
+def events_value_median(sf_dir: str):
+    """Grouped exact median (continuous: mean of middle pair for even
+    counts, matching DuckDB median()) via per-group sort — quantiles
+    are not decomposable, so the group's values co-locate (the honest
+    shuffle); for approximate scale-out use a KLL/t-digest sketch."""
+    ds = read(sf_dir, "events", columns=["event_type", "value"])
+
+    def med(g: pa.Table) -> pa.Table:
+        v = np.sort(g.column("value").to_numpy())
+        n = len(v)
+        m = float(v[n // 2]) if n % 2 else float((v[n // 2 - 1] + v[n // 2]) / 2.0)
+        return pa.table({
+            "event_type": g.column("event_type").slice(0, 1),
+            "median_value": pa.array([round(m, 6)], pa.float64()),
+        })
+
+    return ds.groupby("event_type").map_groups(med, batch_format="pyarrow")
+
+
 def docs_lang_stats(sf_dir: str):
     """Per-language corpus stats over documents."""
     from ray.data.aggregate import Count, Mean, Sum

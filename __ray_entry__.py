@@ -385,10 +385,10 @@ def oracle_sql() -> dict[str, str]:
             FROM numbered GROUP BY user_id, session_id
         """,
         "parts_price_bands": """
-            SELECT CASE WHEN p_retailprice > 2000 THEN 4
-                        WHEN p_retailprice > 1500 THEN 3
-                        WHEN p_retailprice > 1000 THEN 2
-                        WHEN p_retailprice > 500  THEN 1
+            SELECT CASE WHEN p_retailprice > 980 THEN 4
+                        WHEN p_retailprice > 960 THEN 3
+                        WHEN p_retailprice > 940 THEN 2
+                        WHEN p_retailprice > 920 THEN 1
                         ELSE 0 END AS band,
                    count(*) AS n_parts
             FROM part GROUP BY band

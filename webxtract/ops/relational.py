@@ -562,7 +562,8 @@ def docs_term_counts(sf_dir: str, k: int = 50):
     return agg.sort(["n", "term"], descending=[True, False]).limit(k)
 
 
-PRICE_BANDS = [0.0, 500.0, 1000.0, 1500.0, 2000.0]  # upper band open-ended
+PRICE_BANDS = [0.0, 920.0, 940.0, 960.0, 980.0]  # upper band open-ended
+# (synthetic p_retailprice spans 900-1000; bands chosen to split it)
 
 
 def parts_price_bands(sf_dir: str):

@@ -63,3 +63,37 @@ def test_fieldspec_custom_penalty():
     blocks = [line("V", 90.0), kv("Subtotal", "$5.00", 80.0, 80.0)]
     spec = FieldSpec(subtotal_penalty=0.25)
     assert normalize_doc(blocks, spec)["total_conf"] == 20.0
+
+
+def test_enhancer_plugin_rewrites_artifact(ray_session, tmp_path):
+    """SURVEY §2.10 stage contract: an enhancement plugin may rewrite the
+    html artifact before extraction (the reference's pre-processing
+    returns a possibly-modified pointer for exactly this)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    page = (b"<html><body><h1>Fix Me Shop</h1>"
+            b"<p>Date 01/02/2024 here</p><p>Total $9.99</p></body></html>")
+    t = pa.table({
+        "url": ["https://e.example/x"],
+        "warc_ts": pa.array([1], pa.timestamp("us")),
+        "html": pa.array([page], pa.binary()),
+        "text": [""], "lang": ["en"],
+    })
+    pq.write_table(t, tmp_path / "e.parquet")
+    src = str(tmp_path / "e.parquet")
+
+    def add_colons(batch: pa.Table) -> pa.Table:
+        fixed = [h.replace(b"Total $", b"Total: $") if h else h
+                 for h in batch.column("html").to_pylist()]
+        i = batch.schema.get_field_index("html")
+        return batch.set_column(i, "html", pa.array(fixed, pa.binary()))
+
+    plain = pipeline.extract_pipeline(
+        rd.read_parquet(src), pipeline.PipelineConfig(dedup=False)).to_pandas()
+    enhanced = pipeline.extract_pipeline(
+        rd.read_parquet(src),
+        pipeline.PipelineConfig(dedup=False, enhancers=(add_colons,))
+    ).to_pandas()
+    assert plain.iloc[0]["total_value"] == ""       # no KV without the colon
+    assert enhanced.iloc[0]["total_value"] == "$9.99"

@@ -72,6 +72,13 @@ class PipelineConfig:
     skew_split_bytes: int | None = None
     big_batch_size: int = 16
     instrument: bool = False    # record per-stage counters (metrics.py)
+    # Enhancement plugin slot (SURVEY §2.10): the reference's
+    # pre-processing contract returns a *possibly modified* artifact so
+    # enhancement stages can slot in (preprocessing/fn-preprocess/
+    # main.py:126-128, preprocessing/README.md:20). Each enhancer is a
+    # batch fn (pa.Table -> pa.Table) applied before the gate/extractor
+    # and may rewrite the html column.
+    enhancers: tuple = ()
 
     def resolved_concurrency(self) -> tuple[int, int] | int:
         if self.extract_concurrency is not None:
@@ -260,6 +267,9 @@ def extract_pipeline(ds, cfg: PipelineConfig | None = None,
             from .dedup import dedup_pages_fast
 
             ds = dedup_pages_fast(ds, source_path=source_path)
+    for enhancer in cfg.enhancers:
+        ds = ds.map_batches(enhancer, batch_format="pyarrow",
+                            zero_copy_batch=True)
     if cfg.extract_use_actors:
         ds = ds.map_batches(
             QualityGate(cfg.min_bytes, cfg.max_bytes),

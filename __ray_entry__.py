@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_urgent_orders": R.customers_without_urgent_orders,
         "customers_with_urgent_orders": R.customers_with_urgent_orders,
         "docs_sample": R.docs_sample,
+        "docs_shuffled": R.docs_shuffled,  # seeded epoch shuffle; rows-only
         "supplier_nation_hashjoin": R.supplier_nation_hashjoin,
         "acctbal_union_topk": R.acctbal_union_topk,
         "events_sessions": R.events_sessions,

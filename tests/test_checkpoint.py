@@ -77,3 +77,16 @@ def test_changed_input_invalidates_partition(ray_session, input_dir, tmp_path):
     after = run_partitioned(input_dir, out)
     assert after[1]["rows_in"] == t.num_rows
     assert after[0]["created_at"] == before[0]["created_at"]  # 0 untouched
+
+
+def test_cli_resume_recomputes_deleted_partition(ray_session, input_dir, tmp_path):
+    """Deleting one partition's manifest row forces just that partition
+    to recompute; output equals a fresh run."""
+    out = str(tmp_path / "out_cli")
+    run_partitioned(input_dir, out)
+    fresh = _sorted(read_output(out))
+    os.remove(os.path.join(out, "manifest", "part-00001.json"))
+    manifest = run_partitioned(input_dir, out)
+    assert sorted(manifest) == [0, 1, 2]
+    again = _sorted(read_output(out))
+    assert again.equals(fresh)

@@ -260,3 +260,13 @@ def test_canonical_docs_near_dup(ray_session):
     kept = D.canonical_docs(rd.from_arrow(docs), pairs).to_pandas()
     # docs 0,1,3 form one cluster -> keep 0; 2 and 4 are singletons
     assert sorted(kept.doc_id) == [0, 2, 4]
+
+
+def test_docs_shuffled_preserves_content(ray_session):
+    from webxtract.ops.relational import docs_shuffled
+
+    a = docs_shuffled("/root/testdata/sf0.001").to_pandas()
+    b = docs_shuffled("/root/testdata/sf0.001").to_pandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id) == list(range(len(a)))
+    assert list(a.doc_id) == list(b.doc_id)       # same seed -> same order
+    assert list(a.doc_id) != list(range(len(a)))  # actually shuffled

@@ -629,6 +629,15 @@ def events_value_median(sf_dir: str):
     return ds.groupby("event_type").map_groups(med, batch_format="pyarrow")
 
 
+def docs_shuffled(sf_dir: str, seed: int = 7):
+    """Seeded global shuffle — the training-data-loader epoch shuffle
+    (an explicit all-to-all; for lighter randomization prefer
+    iter_batches(local_shuffle_buffer_size=...) which avoids the full
+    exchange). Deterministic for a fixed seed and input layout."""
+    return read(sf_dir, "documents",
+                columns=["doc_id", "lang"]).random_shuffle(seed=seed)
+
+
 def docs_lang_stats(sf_dir: str):
     """Per-language corpus stats over documents."""
     from ray.data.aggregate import Count, Mean, Sum

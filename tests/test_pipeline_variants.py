@@ -83,3 +83,19 @@ def test_hash_join_reviews_equals_broadcast(ray_session, tmp_path):
     b = broadcast.sort_values("url", ignore_index=True)
     h = hashed[b.columns].sort_values("url", ignore_index=True)
     assert b.equals(h)
+
+
+def test_full_pipeline_hash_join_option(ray_session, tmp_path):
+    import ray.data as rd
+
+    pages = synth.make_pages(200, seed=42)
+    pq.write_table(pages, tmp_path / "p.parquet")
+    src = str(tmp_path / "p.parquet")
+    reviews = synth.make_reviews(pipeline.extract_table(pages))
+    a = pipeline.full_pipeline(rd.read_parquet(src), reviews=reviews,
+                               reviews_join="broadcast").to_pandas()
+    b = pipeline.full_pipeline(rd.read_parquet(src), reviews=reviews,
+                               reviews_join="hash").to_pandas()
+    a = a.sort_values("url", ignore_index=True)
+    b = b[a.columns].sort_values("url", ignore_index=True)
+    assert a.equals(b)

@@ -49,10 +49,13 @@ def dedup_pages_fast(ds, source_path: str | None = None):
     parallel filter against the broadcast dup-winner dict (dup rate is
     low, so the dict holds only duplicated urls, not the whole keyspace).
 
-    ASSUMPTION (documented; asserted by tests on the synth corpus): no
-    two rows share (url, warc_ts). Rows that did would BOTH survive;
-    use dedup_pages (exact) when that can occur. At 10^12 scale the
-    broadcast dict becomes a hash semi-join of the dup-url list instead.
+    ASSUMPTIONS (documented; asserted by tests on the synth corpus):
+    no two rows share (url, warc_ts) — rows that did would BOTH
+    survive — and warc_ts is non-null (a null-ts row of a duplicated
+    url would be dropped; an all-null-ts duplicate group survives
+    undeduped). Use dedup_pages (exact) for corpora where either can
+    occur. At 10^12 scale the broadcast dict becomes a hash semi-join
+    of the dup-url list instead.
 
     ``source_path``: when given, phase 1 re-reads just (url, warc_ts)
     from parquet (column pruning at the read) instead of projecting the

@@ -331,13 +331,24 @@ def extract_pipeline(ds, cfg: PipelineConfig | None = None,
 
 def full_pipeline(ds, reviews: pa.Table | None = None,
                   cfg: PipelineConfig | None = None,
-                  source_path: str | None = None):
-    """pages -> FINAL_RESULT, with the review join-back when reviews exist."""
+                  source_path: str | None = None,
+                  reviews_join: str = "broadcast"):
+    """pages -> FINAL_RESULT, with the review join-back when reviews exist.
+
+    ``reviews_join``: "broadcast" (default — review answers are
+    human-generated and small) or "hash" (hash-partitioned join for a
+    machine-scale reviews side; equivalence-tested)."""
     import ray
 
-    from .review import coalesce_stage, reviews_to_dict
+    from .review import coalesce_hash_join, coalesce_stage, reviews_to_dict
 
     results = extract_pipeline(ds, cfg, source_path=source_path)
+    if reviews_join == "hash" and reviews is not None:
+        import ray.data as rd
+
+        reviews_ds = (reviews if not isinstance(reviews, pa.Table)
+                      else rd.from_arrow(reviews))
+        return coalesce_hash_join(results, reviews_ds)
     lookup = reviews_to_dict(reviews) if reviews is not None else {}
     ref = ray.put(lookup)
     return results.map_batches(

@@ -203,6 +203,19 @@ def _events_users_hll(sf_dir: str):
     return pa.table({"approx_users": pa.array([round(est, 1)], pa.float64())})
 
 
+def _pages_training_corpus(sf_dir: str):
+    """Composite training-corpus export: extract -> quality/length
+    filter -> exact content dedup (min-url canonical) -> token/char
+    stats (rows-only; determinism + dedup semantics tested in
+    tests/test_training.py)."""
+    from webxtract.testdata import pages_dataset, pages_path, rows_for_sf_dir
+    from webxtract.training import training_corpus
+
+    n = rows_for_sf_dir(sf_dir)
+    return training_corpus(pages_dataset(sf_rows=n),
+                           source_path=pages_path(n))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from webxtract.ops import relational as R
 
@@ -211,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_extract": _pages_extract,
         "pages_final": _pages_final,
         "pages_review_tasks": _pages_review_tasks,
+        "pages_training_corpus": _pages_training_corpus,
         # relational operators (all oracle-checked)
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_segment_revenue": R.q3_segment_revenue,

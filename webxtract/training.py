@@ -1,0 +1,112 @@
+"""Training-corpus export — the composite 100 TB use case.
+
+Chains the engine's pieces into the canonical LLM-data pipeline:
+
+    pages parquet
+      -> extract_pipeline        (dedup by url, gate, parse, normalize)
+      -> keep non-rejected docs with enough extracted text
+      -> exact near-dup removal by content hash (md5 of extracted_text,
+         min-url representative wins — deterministic)
+      -> text stats columns (token count, quality score)
+      -> optional language filter
+      -> sharded parquet (streaming write)
+
+Everything streams; the only exchange beyond extraction's dedup is the
+content-hash groupby, which shuffles (hash, url) pairs — never text.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .pipeline import PipelineConfig, extract_pipeline
+
+
+def _content_hash(batch: pa.Table) -> pa.Table:
+    texts = batch.column("extracted_text").to_pylist()
+    h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    return batch.append_column("content_md5", pa.array(h, pa.string()))
+
+
+def _text_stats(batch: pa.Table) -> pa.Table:
+    toks = pc.list_value_length(
+        pc.utf8_split_whitespace(batch.column("extracted_text"))
+    ).cast(pa.int64())
+    chars = pc.utf8_length(batch.column("extracted_text")).cast(pa.int64())
+    return (batch.append_column("n_tokens", toks)
+                 .append_column("n_chars", chars))
+
+
+def training_corpus(ds, cfg: PipelineConfig | None = None,
+                    min_text_chars: int = 80,
+                    langs: tuple[str, ...] | None = None,
+                    source_path: str | None = None):
+    """pages Dataset -> deduplicated, filtered, stats-annotated corpus.
+
+    Output columns: url, lang, extracted_text, n_tokens, n_chars,
+    model_confidence, content_md5.
+    """
+    import ray
+
+    results = extract_pipeline(ds, cfg, source_path=source_path)
+
+    def keep_quality(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.not_equal(batch.column("route"), pa.scalar("rejected")),
+            pc.greater_equal(
+                pc.utf8_length(batch.column("extracted_text")),
+                pa.scalar(min_text_chars)),
+        )
+        if langs is not None:
+            ok = pc.and_(ok, pc.is_in(batch.column("lang"),
+                                      value_set=pa.array(langs)))
+        return batch.filter(ok)
+
+    kept = results.map_batches(keep_quality, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    kept = kept.map_batches(_content_hash, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    # exact content dedup: winner = min url per hash. Same two-phase
+    # shape as dedup_pages_fast: aggregate winners over a slim
+    # projection, broadcast only the DUPLICATED hashes.
+    from ray.data.aggregate import Count, Min
+
+    agg = kept.select_columns(["content_md5", "url"]) \
+        .groupby("content_md5").aggregate(
+            Min("url", alias_name="keep_url"), Count(alias_name="n"))
+    dups: dict = {}
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        d = b.filter(pc.greater(b.column("n"), 1))
+        for h, u in zip(d.column("content_md5").to_pylist(),
+                        d.column("keep_url").to_pylist()):
+            dups[h] = u
+    ref = ray.put(dups)
+
+    def keep_canonical(batch: pa.Table) -> pa.Table:
+        from .broadcast import get_broadcast
+
+        lookup = get_broadcast(ref)
+        if not lookup:
+            return batch
+        hs = batch.column("content_md5").to_pylist()
+        us = batch.column("url").to_pylist()
+        keep = [h not in lookup or lookup[h] == u for h, u in zip(hs, us)]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    deduped = kept.map_batches(keep_canonical, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    deduped = deduped.map_batches(_text_stats, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return deduped.select_columns([
+        "url", "lang", "extracted_text", "n_tokens", "n_chars",
+        "model_confidence", "content_md5"])
+
+
+def export_training_corpus(ds, out_dir: str, **kwargs) -> str:
+    """Materialize the corpus as sharded parquet (streaming sink)."""
+    training_corpus(ds, **kwargs).write_parquet(out_dir)
+    return out_dir

@@ -361,8 +361,11 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
         """,
         "purchases_with_prior_error": """
+            -- no-match coalesces to -1: keeps the column int64 in every
+            -- materialization (a nullable int NaN-promotes to double in
+            -- pandas, which hash-mismatches the Ray side's int64)
             SELECT p.event_id, p.ts, p.user_id,
-                   e.event_id AS prior_error_id
+                   COALESCE(e.event_id, -1) AS prior_error_id
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN
                  (SELECT * FROM events WHERE event_type = 'error') e

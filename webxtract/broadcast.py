@@ -13,11 +13,12 @@ batch within a reused worker process.
 from __future__ import annotations
 
 _CACHE: dict[str, object] = {}
+_DERIVED: dict[tuple[str, str], object] = {}
 
 
 def get_broadcast(ref):
     """ray.get(ref) with a process-level cache (workers are reused)."""
-    if isinstance(ref, (dict, tuple, list)):
+    if isinstance(ref, (dict, tuple, list, set)):
         return ref  # already a local object (single-process/test path)
     key = ref.hex()
     if key not in _CACHE:
@@ -25,3 +26,18 @@ def get_broadcast(ref):
 
         _CACHE[key] = ray.get(ref)
     return _CACHE[key]
+
+
+def get_broadcast_derived(ref, tag: str, builder):
+    """``builder(get_broadcast(ref))`` computed once per worker process.
+
+    Lets probe stages keep a vectorization-friendly view of a broadcast
+    object (e.g. an Arrow value-set array built from a key set) without
+    rebuilding it on every batch. ``tag`` namespaces multiple derived
+    views of the same ref."""
+    if isinstance(ref, (dict, tuple, list, set)):
+        return builder(ref)  # local/test path: no stable cache key
+    key = (ref.hex(), tag)
+    if key not in _DERIVED:
+        _DERIVED[key] = builder(get_broadcast(ref))
+    return _DERIVED[key]

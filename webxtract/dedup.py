@@ -72,28 +72,34 @@ def dedup_pages_fast(ds, source_path: str | None = None):
         proj = ds.select_columns(["url", "warc_ts"])
     agg = proj.groupby("url").aggregate(
         Max("warc_ts", alias_name="max_ts"), Count(alias_name="n"))
-    dups: dict = {}
+    dup_batches = []
     for b in agg.iter_batches(batch_format="pyarrow"):
-        mask = pc.greater(b.column("n"), 1)
-        d = b.filter(mask)
-        for u, t in zip(d.column("url").to_pylist(),
-                        d.column("max_ts").to_pylist()):
-            dups[u] = t
-    ref = ray.put(dups)
+        d = b.filter(pc.greater(b.column("n"), 1)).select(["url", "max_ts"])
+        if d.num_rows:
+            dup_batches.append(d)
+    # broadcast the duplicated urls as a typed Arrow table (keeps the
+    # winner-timestamp type exact for the vectorized equality probe)
+    dup_tbl = (pa.concat_tables(dup_batches).combine_chunks()
+               if dup_batches else None)
+    ref = ray.put(dup_tbl)
 
     # task-pool stage (NOT an actor pool: lookup stages must stay elastic —
-    # see broadcast.py); the dup dict is fetched via the per-worker cache
+    # see broadcast.py); the dup table is fetched via the per-worker cache
     def keep_latest(batch: pa.Table) -> pa.Table:
         from .broadcast import get_broadcast
 
-        lookup = get_broadcast(ref)
-        if not lookup:
+        dup = get_broadcast(ref)
+        if dup is None:
             return batch
-        urls = batch.column("url").to_pylist()
-        ts = batch.column("warc_ts").to_pylist()
-        keep = [u not in lookup or lookup[u] == t
-                for u, t in zip(urls, ts)]
-        return batch.filter(pa.array(keep, pa.bool_()))
+        # vectorized probe: row survives iff its url is unduplicated OR
+        # its warc_ts equals the winning (max) ts for that url; a
+        # null-ts row of a duplicated url compares null -> dropped
+        # (same contract as the documented assumptions above)
+        idx = pc.index_in(batch.column("url"), value_set=dup.column("url"))
+        win_ts = pc.take(dup.column("max_ts"), idx)
+        keep = pc.or_kleene(pc.is_null(idx),
+                            pc.equal(batch.column("warc_ts"), win_ts))
+        return batch.filter(keep)
 
     return ds.map_batches(keep_latest, batch_format="pyarrow",
                           zero_copy_batch=True)

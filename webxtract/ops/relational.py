@@ -38,11 +38,15 @@ def read(sf_dir: str, table: str, columns: list[str] | None = None):
 
 
 class BroadcastJoin:
-    """Map-side hash join against a broadcast key -> row dict.
+    """Map-side hash join against a broadcast (key_array, value_arrays)
+    build side.
 
     how="inner" drops probe rows without a match; how="left" keeps them
-    with nulls. The build side is ray.put once on the driver and fetched
-    through the per-worker broadcast cache. Applied as a TASK stage via
+    with nulls. The build side is ray.put once on the driver (typed Arrow
+    arrays, so an all-miss batch still appends correctly-typed null
+    columns) and fetched through the per-worker broadcast cache. The
+    probe is fully vectorized: one ``pc.index_in`` per batch (C++ hash
+    table) + ``pc.take`` per appended column. Applied as a TASK stage via
     ``broadcast_join_stage`` — lookup stages must not reserve actor-pool
     minimums (see webxtract/broadcast.py)."""
 
@@ -50,21 +54,21 @@ class BroadcastJoin:
                  how: str = "inner"):
         from ..broadcast import get_broadcast
 
-        self.lookup = get_broadcast(lookup_ref)
+        self.build_keys, self.build_vals = get_broadcast(lookup_ref)
         self.key = key
         self.add_cols = add_cols
         self.how = how
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch.column(self.key).to_pylist()
-        hits = [self.lookup.get(k) for k in keys]
+        idx = pc.index_in(batch.column(self.key), value_set=self.build_keys)
         if self.how == "inner":
-            mask = pa.array([h is not None for h in hits], pa.bool_())
+            mask = pc.is_valid(idx)
             batch = batch.filter(mask)
-            hits = [h for h in hits if h is not None]
-        for i, col in enumerate(self.add_cols):
-            batch = batch.append_column(
-                col, pa.array([h[i] if h is not None else None for h in hits]))
+            idx = idx.filter(mask)
+        for col, vals in zip(self.add_cols, self.build_vals):
+            # take with a null index yields a typed null — schema is
+            # stable across batches even when every probe key misses
+            batch = batch.append_column(col, pc.take(vals, idx))
         return batch
 
 
@@ -78,12 +82,28 @@ def broadcast_join_stage(lookup_ref, key: str, add_cols: list[str],
 
 
 def broadcast_lookup(ds, key: str, value_cols: list[str]):
-    """Materialize a (small) Dataset into a ray.put dict ref."""
+    """Materialize a (small) Dataset into a ray.put (key_array,
+    [value_array, ...]) build side for BroadcastJoin. Duplicate build
+    keys keep the LAST occurrence (dict-insert semantics; index_in
+    returns the FIRST match, so duplicates are collapsed up front)."""
     import ray
 
-    rows = ds.select_columns([key] + value_cols).take_all()
-    lookup = {r[key]: tuple(r[c] for c in value_cols) for r in rows}
-    return ray.put(lookup)
+    slim = ds.select_columns([key] + value_cols)
+    blocks = [b for b in ray.get(slim.to_arrow_refs()) if b.num_rows]
+    if blocks:
+        tbl = pa.concat_tables(blocks).combine_chunks()
+    else:
+        sch = slim.schema()
+        tbl = pa.table({n: pa.array([], t)
+                        for n, t in zip(sch.names, sch.types)})
+    keys = tbl.column(key).combine_chunks()
+    if len(keys) and pc.count_distinct(keys).as_py() < len(keys):
+        df = tbl.to_pandas().drop_duplicates(subset=[key], keep="last")
+        tbl = pa.Table.from_pandas(df, schema=tbl.schema,
+                                   preserve_index=False)
+        keys = tbl.column(key).combine_chunks()
+    vals = [tbl.column(c).combine_chunks() for c in value_cols]
+    return ray.put((keys, vals))
 
 
 # --- TPC-H-flavored pipelines --------------------------------------------
@@ -313,8 +333,23 @@ def asof_join_by_key(left_ds, right_ds, key: str, ts_col: str,
     Partitioning assumption: one key's rows fit in one group — true for
     per-user event streams; salt hot keys if a single key outgrows a
     worker.
+
+    Dtype contract: merge_asof NaN-promotes nullable int columns to
+    float64, so integer columns (per the input Arrow schemas) are cast
+    back to pandas nullable Int64 before returning — the output Arrow
+    schema matches the inputs (int64, not double).
     """
     import pandas as pd
+
+    # capture the Arrow types once on the driver: the per-group pandas
+    # frames lose them (int64-with-nulls arrives as float64)
+    lsch, rsch = left_ds.schema(), right_ds.schema()
+    types = dict(zip(rsch.names, rsch.types))
+    types.update({n: t for n, t in zip(lsch.names, lsch.types)
+                  if n not in right_cols})
+    left_out = [n for n in lsch.names if n not in right_cols]
+    out_cols = left_out + list(right_cols)
+    int_cols = [c for c in out_cols if pa.types.is_integer(types[c])]
 
     def tag(side: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -332,13 +367,17 @@ def asof_join_by_key(left_ds, right_ds, key: str, ts_col: str,
         right = g[g._side == "R"].drop(columns=["_side"])
         right = right.sort_values(ts_col, kind="mergesort")
         if left.empty:
-            return left.iloc[0:0]
-        right_sel = right[[ts_col] + right_cols].rename(
-            columns={ts_col: "_rts"})
-        out = pd.merge_asof(
-            left, right_sel, left_on=ts_col, right_on="_rts",
-            direction="backward", allow_exact_matches=not strict)
-        return out.drop(columns=["_rts"])
+            out = left.iloc[0:0].reindex(columns=out_cols)
+        else:
+            right_sel = right[[ts_col] + right_cols].rename(
+                columns={ts_col: "_rts"})
+            out = pd.merge_asof(
+                left, right_sel, left_on=ts_col, right_on="_rts",
+                direction="backward", allow_exact_matches=not strict)
+            out = out.drop(columns=["_rts"])
+        for c in int_cols:
+            out[c] = out[c].astype("Int64")
+        return out[out_cols]
 
     return u.groupby(key).map_groups(per_key, batch_format="pandas")
 
@@ -372,8 +411,19 @@ def purchases_with_prior_error(sf_dir: str):
                                       zero_copy_batch=True)
     errors = errors.map_batches(prep_r, batch_format="pyarrow",
                                 zero_copy_batch=True)
-    return asof_join_by_key(purchases, errors, key="user_id", ts_col="ts",
-                            right_cols=["prior_error_id"], strict=True)
+    out = asof_join_by_key(purchases, errors, key="user_id", ts_col="ts",
+                           right_cols=["prior_error_id"], strict=True)
+
+    def fill(t: pa.Table) -> pa.Table:
+        # no-match -> -1 (not null): a nullable int column NaN-promotes
+        # to float64 in pandas materializations, hash-diverging from the
+        # oracle; -1 keeps int64 everywhere (oracle uses COALESCE(.,-1))
+        i = t.schema.get_field_index("prior_error_id")
+        col = pc.fill_null(t.column("prior_error_id").cast(pa.int64()),
+                           pa.scalar(-1, pa.int64()))
+        return t.set_column(i, "prior_error_id", col)
+
+    return out.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def events_latest_per_user(sf_dir: str):
@@ -434,31 +484,41 @@ def hash_join(left, right, on: str, right_on: str | None = None,
                      right_on=(right_on,) if right_on else None)
 
 
+def _value_set(s) -> pa.Array:
+    """Python set -> sorted typed Arrow value-set array (built once per
+    worker via the derived-broadcast cache)."""
+    return pa.array(sorted(s))
+
+
 def anti_join_stage(keys_ref, key: str):
     """Left-anti join: drop probe rows whose key is in the broadcast set
     (SURVEY J3/D2 — the reference's attach-set reconciliation,
-    ui-notifications/fn-setup-iot-auth/main.py:337-379). At corpus scale
-    the broadcast set becomes a Bloom filter or a hash semi-join."""
+    ui-notifications/fn-setup-iot-auth/main.py:337-379). Vectorized:
+    one pc.is_in per batch against a per-worker cached Arrow value set.
+    At corpus scale the broadcast set becomes a Bloom filter or a hash
+    semi-join."""
     def fn(batch: pa.Table) -> pa.Table:
-        from ..broadcast import get_broadcast
+        from ..broadcast import get_broadcast, get_broadcast_derived
 
-        keys = get_broadcast(keys_ref)
-        vals = batch.column(key).to_pylist()
-        mask = pa.array([v not in keys for v in vals], pa.bool_())
-        return batch.filter(mask)
+        if not get_broadcast(keys_ref):
+            return batch  # empty filter set: everything survives
+        vs = get_broadcast_derived(keys_ref, "valueset", _value_set)
+        hit = pc.is_in(batch.column(key), value_set=vs)
+        return batch.filter(pc.invert(hit))
 
     return fn
 
 
 def semi_join_stage(keys_ref, key: str):
     """Left-semi join: keep probe rows whose key IS in the broadcast set
-    (at corpus scale: Bloom filter of the key set)."""
+    (vectorized pc.is_in; at corpus scale: Bloom filter of the key set)."""
     def fn(batch: pa.Table) -> pa.Table:
-        from ..broadcast import get_broadcast
+        from ..broadcast import get_broadcast, get_broadcast_derived
 
-        keys = get_broadcast(keys_ref)
-        vals = batch.column(key).to_pylist()
-        return batch.filter(pa.array([v in keys for v in vals], pa.bool_()))
+        if not get_broadcast(keys_ref):
+            return batch.slice(0, 0)  # empty key set: nothing matches
+        vs = get_broadcast_derived(keys_ref, "valueset", _value_set)
+        return batch.filter(pc.is_in(batch.column(key), value_set=vs))
 
     return fn
 

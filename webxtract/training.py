@@ -43,7 +43,8 @@ def _text_stats(batch: pa.Table) -> pa.Table:
 def training_corpus(ds, cfg: PipelineConfig | None = None,
                     min_text_chars: int = 80,
                     langs: tuple[str, ...] | None = None,
-                    source_path: str | None = None):
+                    source_path: str | None = None,
+                    checkpoint_dir: str | None = None):
     """pages Dataset -> deduplicated, filtered, stats-annotated corpus.
 
     Output columns: url, lang, extracted_text, n_tokens, n_chars,
@@ -69,6 +70,19 @@ def training_corpus(ds, cfg: PipelineConfig | None = None,
                                zero_copy_batch=True)
     kept = kept.map_batches(_content_hash, batch_format="pyarrow",
                             zero_copy_batch=True)
+    # `kept` feeds TWO consumers (winner aggregation below, then the
+    # canonical filter); an unmaterialized lineage would re-execute the
+    # whole gate+extract pipeline for the second consumer (the streaming
+    # planner recomputes shared stages per consumer — same recompute
+    # fixed for LSH signatures). Pin the post-extraction results once;
+    # at 100 TB checkpoint to parquet instead (pass checkpoint_dir).
+    if checkpoint_dir is not None:
+        import ray.data as rd
+
+        kept.write_parquet(checkpoint_dir)
+        kept = rd.read_parquet(checkpoint_dir)
+    else:
+        kept = kept.materialize()
 
     # exact content dedup: winner = min url per hash. Same two-phase
     # shape as dedup_pages_fast: aggregate winners over a slim
@@ -86,16 +100,23 @@ def training_corpus(ds, cfg: PipelineConfig | None = None,
             dups[h] = u
     ref = ray.put(dups)
 
-    def keep_canonical(batch: pa.Table) -> pa.Table:
-        from .broadcast import get_broadcast
+    def _dup_arrays(d: dict) -> tuple[pa.Array, pa.Array]:
+        return (pa.array(list(d.keys()), pa.string()),
+                pa.array(list(d.values()), pa.string()))
 
-        lookup = get_broadcast(ref)
-        if not lookup:
+    def keep_canonical(batch: pa.Table) -> pa.Table:
+        from .broadcast import get_broadcast, get_broadcast_derived
+
+        if not get_broadcast(ref):
             return batch
-        hs = batch.column("content_md5").to_pylist()
-        us = batch.column("url").to_pylist()
-        keep = [h not in lookup or lookup[h] == u for h, u in zip(hs, us)]
-        return batch.filter(pa.array(keep, pa.bool_()))
+        hs, keep_urls = get_broadcast_derived(ref, "dup_arrays", _dup_arrays)
+        # vectorized: row survives iff its hash is unduplicated OR its
+        # url is the winning (min) url for that hash
+        idx = pc.index_in(batch.column("content_md5"), value_set=hs)
+        winner = pc.take(keep_urls, idx)
+        keep = pc.or_kleene(pc.is_null(idx),
+                            pc.equal(batch.column("url"), winner))
+        return batch.filter(keep)
 
     deduped = kept.map_batches(keep_canonical, batch_format="pyarrow",
                                zero_copy_batch=True)

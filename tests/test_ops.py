@@ -270,3 +270,101 @@ def test_docs_shuffled_preserves_content(ray_session):
     assert sorted(a.doc_id) == sorted(b.doc_id) == list(range(len(a)))
     assert list(a.doc_id) == list(b.doc_id)       # same seed -> same order
     assert list(a.doc_id) != list(range(len(a)))  # actually shuffled
+
+
+# --- scale-path equivalence gates (round 2) -------------------------------
+
+def _planted_corpus(n_base=40, n_dups=12, tokens_per_doc=30, seed=13):
+    """Synthetic corpus where planted near-dups have Jaccard ~0.94 and
+    unrelated docs ~0: LSH candidate recall at threshold 0.7 is
+    effectively guaranteed (miss prob (1-0.94^4)^16 < 1e-6), so LSH
+    output must EQUAL the exact all-pairs baseline."""
+    import random
+
+    rng = random.Random(seed)
+    texts = []
+    for i in range(n_base):
+        texts.append(" ".join(f"w{i}_{rng.randrange(10_000)}"
+                              for _ in range(tokens_per_doc)))
+    for d in range(n_dups):
+        base = texts[d % n_base].split()
+        base[rng.randrange(len(base))] = f"alt{d}"
+        texts.append(" ".join(base))
+    return docs_table(texts)
+
+
+def _pair_set(df):
+    return {(a, b) for a, b in df[["doc_a", "doc_b"]].itertuples(index=False)}
+
+
+def test_minhash_verify_join_equals_broadcast(ray_session):
+    import ray.data as rd
+
+    docs = _planted_corpus()
+    bc = D.minhash_lsh_pairs(rd.from_arrow(docs), threshold=0.7,
+                             verify="broadcast").to_pandas()
+    jn = D.minhash_lsh_pairs(rd.from_arrow(docs), threshold=0.7,
+                             verify="join").to_pandas()
+    assert _pair_set(bc) == _pair_set(jn)
+    assert len(bc) > 0
+    # jaccard values identical per pair
+    jb = {(r.doc_a, r.doc_b): r.jaccard for r in bc.itertuples()}
+    jj = {(r.doc_a, r.doc_b): r.jaccard for r in jn.itertuples()}
+    assert jb == jj
+
+
+def test_simhash_verify_join_equals_broadcast(ray_session):
+    import ray.data as rd
+
+    docs = _planted_corpus()
+    bc = D.simhash_pairs(rd.from_arrow(docs), max_dist=6,
+                         verify="broadcast").to_pandas()
+    jn = D.simhash_pairs(rd.from_arrow(docs), max_dist=6,
+                         verify="join").to_pandas()
+    assert _pair_set(bc) == _pair_set(jn)
+    hb = {(r.doc_a, r.doc_b): r.hamming for r in bc.itertuples()}
+    hj = {(r.doc_a, r.doc_b): r.hamming for r in jn.itertuples()}
+    assert hb == hj
+    assert len(bc) > 0
+
+
+def test_lsh_equals_exact_baseline_on_planted(ray_session):
+    """The LSH-vs-exact gate: on the planted corpus (dup Jaccard ~0.94,
+    candidate recall ~1), minhash_lsh_pairs must return EXACTLY the
+    oracle-checked exact all-pairs baseline — converting the rows-only
+    LSH query into an indirectly-oracled one."""
+    import ray.data as rd
+
+    docs = _planted_corpus()
+    lsh = D.minhash_lsh_pairs(rd.from_arrow(docs), threshold=0.7).to_pandas()
+    exact = D.ngram_jaccard_pairs(rd.from_arrow(docs),
+                                  threshold=0.7).to_pandas()
+    assert _pair_set(lsh) == _pair_set(exact)
+    assert len(exact) >= 12  # every planted dup found
+
+
+def test_dedup_clusters_distributed_equals_local(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    # chain 0-1-2-3-4, star 10-{11,12,13}, pair (20,21)
+    pairs = pa.table({
+        "doc_a": pa.array([0, 1, 2, 3, 10, 10, 10, 20], pa.int64()),
+        "doc_b": pa.array([1, 2, 3, 4, 11, 12, 13, 21], pa.int64()),
+    })
+    loc = D.dedup_clusters(rd.from_arrow(pairs), mode="local").to_pandas()
+    dist = D.dedup_clusters(rd.from_arrow(pairs), mode="distributed").to_pandas()
+    key = lambda df: df.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(loc), key(dist))
+    by = dict(zip(dist.doc_id, dist.cluster_id))
+    assert all(by[i] == 0 for i in range(5))
+    assert all(by[i] == 10 for i in (10, 11, 12, 13))
+    assert by[20] == by[21] == 20
+
+
+def test_popcount64_vectorized():
+    vals = np.array([0, 1, 3, 0xFFFFFFFFFFFFFFFF, 0x8000000000000000,
+                     0x5555555555555555], dtype=np.uint64)
+    got = D._popcount64(vals.copy())
+    exp = [bin(int(v)).count("1") for v in vals]
+    assert got.tolist() == exp

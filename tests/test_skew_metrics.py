@@ -65,3 +65,16 @@ def test_metrics_instrumentation(ray_session, tmp_path):
     assert row["wall_ms"] > 0
     path = metrics.dump(str(tmp_path))
     assert "quality_gate" in open(path).read()
+
+
+def test_hash64_vectorized_equals_scalar():
+    import numpy as np
+
+    from webxtract.ops.sketch import _hash64, _hash64_scalar
+
+    cases = [list(range(-5, 500)),
+             ["", "a", "user_42", "x" * 120],
+             np.arange(1000, dtype=np.int64),
+             ["café", "naïve"]]  # non-ASCII -> scalar fallback
+    for c in cases:
+        assert (_hash64(c) == _hash64_scalar(list(c))).all()

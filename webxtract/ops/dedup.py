@@ -22,9 +22,11 @@ Scale notes (100 TB design):
   - LSH bucket skew: a bucket with > BUCKET_CAP members is a
     near-identical cluster; we emit star pairs (min doc vs rest), not
     the O(n^2) clique.
-  - pair verification here broadcasts the token-set/signature dict
-    (fits the object store at test scale); at corpus scale replace with
-    two hash joins of the pair list against the docs table on doc_id.
+  - pair verification has TWO implementations selected by corpus size
+    (``verify="auto"``): a broadcast token-set/signature dict for small
+    corpora, and the scale path — two hash joins of the candidate-pair
+    list against the docs/signature table on doc_id, verifying inside
+    each joined batch with nothing text-sized ever on the driver.
 """
 
 from __future__ import annotations
@@ -36,6 +38,33 @@ import pyarrow as pa
 
 _MERSENNE = (1 << 61) - 1
 BUCKET_CAP = 50
+# auto verify-mode switch: below this corpus size the token-set /
+# signature dict comfortably fits the object store and the broadcast
+# path avoids two join shuffles; above it, the join path is mandatory
+JOIN_VERIFY_MIN_DOCS = 100_000
+
+
+def _num_partitions() -> int:
+    """Hash-join partition count = cluster CPUs. Never MORE than the
+    CPU count: each partition wants an aggregator actor, and
+    num_partitions > CPUs deadlocks/mis-plans the streaming executor on
+    small sessions (observed: 32 partitions on a 4-CPU session hangs)."""
+    try:
+        import ray
+
+        return max(2, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
+
+
+def _resolve_verify(verify: str, ds) -> str:
+    if verify != "auto":
+        return verify
+    try:
+        n = ds.count()
+    except Exception:
+        return "broadcast"
+    return "join" if n >= JOIN_VERIFY_MIN_DOCS else "broadcast"
 
 
 def _token_shingles(text: str, k: int) -> set[str]:
@@ -156,9 +185,51 @@ class VerifyJaccard:
         })
 
 
+def _verify_jaccard_join(cands, ds, threshold: float, shingle: int):
+    """Scale-path verification: candidate pairs ⋈ docs on doc_a, then on
+    doc_b (two hash-partitioned joins shipping each text to its pairs),
+    exact Jaccard per joined batch. The driver never materializes text;
+    memory per task is one joined batch."""
+    nparts = _num_partitions()
+    docs_a = ds.select_columns(["doc_id", "text"]).rename_columns(
+        {"doc_id": "doc_a", "text": "_text_a"})
+    docs_b = ds.select_columns(["doc_id", "text"]).rename_columns(
+        {"doc_id": "doc_b", "text": "_text_b"})
+    j = cands.join(docs_a, join_type="inner", num_partitions=nparts,
+                   on=("doc_a",))
+    j = j.join(docs_b, join_type="inner", num_partitions=nparts,
+               on=("doc_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        da = batch.column("doc_a").to_pylist()
+        db = batch.column("doc_b").to_pylist()
+        ta = batch.column("_text_a").to_pylist()
+        tb = batch.column("_text_b").to_pylist()
+        keep_a, keep_b, sims = [], [], []
+        for x, y, sx, sy in zip(da, db, ta, tb):
+            jv = round(jaccard(_token_shingles(sx, shingle),
+                               _token_shingles(sy, shingle)), 6)
+            if jv >= threshold:  # threshold on the ROUNDED value (oracle)
+                keep_a.append(x)
+                keep_b.append(y)
+                sims.append(jv)
+        return pa.table({
+            "doc_a": pa.array(keep_a, pa.int64()),
+            "doc_b": pa.array(keep_b, pa.int64()),
+            "jaccard": pa.array(sims, pa.float64()),
+        })
+
+    return j.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def minhash_lsh_pairs(ds, threshold: float = 0.7, shingle: int = 1,
-                      num_perm: int = 64, bands: int = 16):
-    """documents Dataset -> verified near-dup pairs (doc_a < doc_b)."""
+                      num_perm: int = 64, bands: int = 16,
+                      verify: str = "auto"):
+    """documents Dataset -> verified near-dup pairs (doc_a < doc_b).
+
+    ``verify``: "broadcast" (token-set dict via ray.put; small corpora),
+    "join" (two hash joins of the pair list against the docs table —
+    the 100 TB path), or "auto" (by corpus size)."""
     import ray
 
     sig = ds.map_batches(
@@ -175,14 +246,15 @@ def minhash_lsh_pairs(ds, threshold: float = 0.7, shingle: int = 1,
 
     cands = cands.groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="_n")).select_columns(["doc_a", "doc_b"])
-    # broadcast shingle sets (test-scale; scale path = 2 hash joins)
+    if _resolve_verify(verify, ds) == "join":
+        return _verify_jaccard_join(cands, ds, threshold, shingle)
     docs = ds.select_columns(["doc_id", "text"]).take_all()
     sets = {r["doc_id"]: _token_shingles(r["text"], shingle) for r in docs}
     ref = ray.put(sets)
-    def verify(batch: pa.Table) -> pa.Table:
+    def verify_fn(batch: pa.Table) -> pa.Table:
         return VerifyJaccard(ref, threshold, shingle)(batch)
 
-    return cands.map_batches(verify, batch_format="pyarrow",
+    return cands.map_batches(verify_fn, batch_format="pyarrow",
                              zero_copy_batch=True)
 
 
@@ -253,8 +325,53 @@ class VerifyHamming:
         })
 
 
-def simhash_pairs(ds, max_dist: int = 3):
-    """documents Dataset -> SimHash near-dup pairs (hamming <= max_dist)."""
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64."""
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    with np.errstate(over="ignore"):
+        return ((x * h01) >> np.uint64(56)).astype(np.int64)
+
+
+def _verify_hamming_join(cands, sig, max_dist: int):
+    """Scale-path verification: pair list ⋈ per-doc signatures (8 B/doc)
+    twice on doc_id, then a fully vectorized XOR + SWAR popcount per
+    joined batch — no signature dict on the driver."""
+    nparts = _num_partitions()
+    per_doc = sig.filter(expr="band == 0").select_columns(["doc_id", "sig"])
+    sa = per_doc.rename_columns({"doc_id": "doc_a", "sig": "_sig_a"})
+    sb = per_doc.rename_columns({"doc_id": "doc_b", "sig": "_sig_b"})
+    j = cands.join(sa, join_type="inner", num_partitions=nparts,
+                   on=("doc_a",))
+    j = j.join(sb, join_type="inner", num_partitions=nparts,
+               on=("doc_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        # int64 bit pattern == uint64 bit pattern: xor-view is exact
+        a = batch.column("_sig_a").to_numpy().view(np.uint64)
+        b = batch.column("_sig_b").to_numpy().view(np.uint64)
+        d = _popcount64(a ^ b)
+        keep = d <= max_dist
+        return pa.table({
+            "doc_a": batch.column("doc_a").filter(pa.array(keep)),
+            "doc_b": batch.column("doc_b").filter(pa.array(keep)),
+            "hamming": pa.array(d[keep].astype(np.int32), pa.int32()),
+        })
+
+    return j.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash_pairs(ds, max_dist: int = 3, verify: str = "auto"):
+    """documents Dataset -> SimHash near-dup pairs (hamming <= max_dist).
+
+    ``verify``: "broadcast" | "join" | "auto" — the join path reuses the
+    already-materialized signature table (one row per doc at band 0), so
+    it never touches document text after the hashing stage."""
     import ray
 
     hasher = SimHasher()
@@ -266,13 +383,17 @@ def simhash_pairs(ds, max_dist: int = 3):
 
     cands = cands.groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="_n")).select_columns(["doc_a", "doc_b"])
+    if _resolve_verify(verify, ds) == "join":
+        # stored sig is offset by -2^63 (signed storage); XOR of the
+        # signed bit patterns equals XOR of the raw signatures
+        return _verify_hamming_join(cands, sig, max_dist)
     docs = ds.select_columns(["doc_id", "text"]).take_all()
     sigs = {r["doc_id"]: hasher.sig64(r["text"]) for r in docs}
     ref = ray.put(sigs)
-    def verify(batch: pa.Table) -> pa.Table:
+    def verify_fn(batch: pa.Table) -> pa.Table:
         return VerifyHamming(ref, max_dist)(batch)
 
-    return cands.map_batches(verify, batch_format="pyarrow",
+    return cands.map_batches(verify_fn, batch_format="pyarrow",
                              zero_copy_batch=True)
 
 
@@ -323,16 +444,25 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.7, shingle: int = 1):
 
 # --- connected components over near-dup pairs ----------------------------
 
-def dedup_clusters(pairs_ds, max_rounds: int = 10):
+# edges above this count leave the numpy fast path for the join-based
+# distributed rounds (driver memory stays O(1) there)
+LOCAL_CC_MAX_EDGES = 2_000_000
+
+
+def dedup_clusters(pairs_ds, max_rounds: int = 10, mode: str = "auto"):
     """Near-dup pairs (doc_a < doc_b) -> cluster assignment
     (doc_id, cluster_id) where cluster_id = min doc_id of the component.
 
-    Distributed min-label propagation (ray_guide "Near-dup" pattern):
-    each round every node adopts the smallest label among itself and its
-    neighbors via one groupby; converges in O(component-diameter)
-    rounds. Rounds terminate early when an iteration changes nothing.
-    Only docs appearing in >=1 pair are returned (singletons are their
-    own clusters trivially).
+    Min-label propagation with pointer jumping; converges in
+    O(log diameter) rounds. Only docs appearing in >=1 pair are returned
+    (singletons are their own clusters trivially).
+
+    ``mode``: "local" (edge arrays on the driver, vectorized numpy
+    rounds), "distributed" (each round = edges ⋈ labels hash joins +
+    groupby-min + a label-chase join; driver holds only a per-round sum
+    for the convergence check), or "auto" (by edge count,
+    LOCAL_CC_MAX_EDGES). Both modes produce identical assignments —
+    equivalence-tested on planted chains/stars.
     """
     import pyarrow.compute as pc
 
@@ -346,17 +476,24 @@ def dedup_clusters(pairs_ds, max_rounds: int = 10):
             "label": pa.concat_arrays([lo.combine_chunks(), lo.combine_chunks()]),
         })
 
-    edges = pairs_ds.select_columns(["doc_a", "doc_b"])
-    labels = edges.map_batches(edges_to_labels, batch_format="pyarrow",
-                               zero_copy_batch=True)
+    # pin the pair list once: both the mode probe and every propagation
+    # round re-consume it (an unmaterialized lineage would re-run LSH
+    # per consumer); edges are 16 B/row
+    edges = pairs_ds.select_columns(["doc_a", "doc_b"]).materialize()
+    if mode == "auto":
+        mode = "local" if edges.count() <= LOCAL_CC_MAX_EDGES else "distributed"
 
     from ray.data.aggregate import Min
 
-    assign = labels.groupby("doc_id").aggregate(Min("label", alias_name="label"))
-    # Propagation rounds: vectorized min-relaxation over the edge arrays
-    # (driver-held at this scale — numpy minimum.at per round; at corpus
-    # scale each round is edges ⋈ labels hash join + the same
-    # groupby-min, identical semantics).
+    labels0 = edges.map_batches(edges_to_labels, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    assign = labels0.groupby("doc_id").aggregate(
+        Min("label", alias_name="label"))
+
+    if mode == "distributed":
+        return _cc_distributed(edges, assign, max_rounds)
+
+    # local fast path: vectorized min-relaxation over driver-held arrays
     edge_tbl = pa.concat_tables(
         list(edges.iter_batches(batch_format="pyarrow")))
     first = pa.concat_tables(list(assign.iter_batches(batch_format="pyarrow")))
@@ -386,26 +523,152 @@ def dedup_clusters(pairs_ds, max_rounds: int = 10):
     }))
 
 
+def _drop_empty_blocks(mat_ds):
+    """Rebuild a materialized Dataset without its empty blocks.
+
+    Hash-shuffle groupbys emit schema-LESS empty partitions (the known
+    empty-block schema-loss failure mode); an Acero join consuming one
+    fails FieldRef resolution, and map_batches passes empty blocks
+    through UNPROCESSED so a coercion stage can't repair them. Block
+    payloads never move: a tiny remote num_rows probe per block, then
+    from_arrow_refs over the survivors."""
+    import ray
+    import ray.data as rd
+
+    refs = mat_ds.to_arrow_refs()
+    counts = ray.get([_block_rows.remote(r) for r in refs])
+    keep = [r for r, c in zip(refs, counts) if c > 0]
+    if not keep or len(keep) == len(refs):
+        return mat_ds
+    return rd.from_arrow_refs(keep)
+
+
+def _block_rows_fn(t: pa.Table) -> int:
+    return t.num_rows
+
+
+try:
+    import ray as _ray
+
+    _block_rows = _ray.remote(num_cpus=0)(_block_rows_fn)
+except Exception:  # pragma: no cover - ray import is always available
+    _block_rows = None
+
+
+def _cc_distributed(edges, assign, max_rounds: int):
+    """Join-based label-propagation rounds: labels live as a Dataset; a
+    round is two edges ⋈ labels joins (propose min over each edge), one
+    labels ⋈ labels label-chase (pointer jump), and a groupby-min.
+    Convergence is detected by the label sum (labels only decrease, so
+    an unchanged sum is a fixpoint) — the driver sees one scalar per
+    round."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    nparts = _num_partitions()
+    labels = _drop_empty_blocks(assign.materialize())
+
+    def lab_sum(ls) -> int:
+        row = ls.aggregate(Sum("label", alias_name="s"))
+        return int(row["s"])
+
+    def _project(names: list[str]):
+        # rename via an explicit per-batch projection: rename_columns
+        # datasets feeding joins get mis-planned (FieldRef resolution
+        # failures when one materialized ds is renamed 3 ways in a plan)
+        def fn(t: pa.Table) -> pa.Table:
+            return t.select(["doc_id", "label"]).rename_columns(names)
+
+        return fn
+
+    prev = lab_sum(labels)
+    for _ in range(max_rounds):
+        la = labels.map_batches(_project(["doc_a", "_la"]),
+                                batch_format="pyarrow", zero_copy_batch=True)
+        lb = labels.map_batches(_project(["doc_b", "_lb"]),
+                                batch_format="pyarrow", zero_copy_batch=True)
+        j = edges.join(la, join_type="inner", num_partitions=nparts,
+                       on=("doc_a",))
+        j = j.join(lb, join_type="inner", num_partitions=nparts,
+                   on=("doc_b",))
+
+        def propose(batch: pa.Table) -> pa.Table:
+            m = pc.min_element_wise(batch.column("_la"), batch.column("_lb"))
+            mc = m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
+            return pa.table({
+                "doc_id": pa.concat_arrays(
+                    [batch.column("doc_a").combine_chunks(),
+                     batch.column("doc_b").combine_chunks()]),
+                "label": pa.concat_arrays([mc, mc]),
+            })
+
+        props = j.map_batches(propose, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        # pointer jump: each node also proposes its label's label
+        ll = labels.map_batches(_project(["label", "_l2"]),
+                                batch_format="pyarrow", zero_copy_batch=True)
+        chase = labels.join(ll, join_type="inner", num_partitions=nparts,
+                            on=("label",))
+
+        def jump(batch: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "label": batch.column("_l2")})
+
+        chased = chase.map_batches(jump, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        new_labels = _drop_empty_blocks(
+            props.union(chased).union(labels)
+            .groupby("doc_id").aggregate(Min("label", alias_name="label"))
+            .materialize())
+        cur = lab_sum(new_labels)
+        labels = new_labels
+        if cur == prev:
+            break
+        prev = cur
+
+    def to_out(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "cluster_id": batch.column("label")})
+
+    return labels.map_batches(to_out, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def canonical_docs(ds, pairs_ds):
     """Keep one representative (min doc_id) per near-dup cluster: the
-    near-dup analogue of exact_dedup_keep_first."""
+    near-dup analogue of exact_dedup_keep_first.
+
+    The non-canonical id list (dup-rate-sized, ids only — never text) is
+    collected via a vectorized filter and broadcast as a typed Arrow
+    value set; the keep stage is one pc.is_in per batch. At corpus scale
+    with a high dup rate, swap the broadcast for an anti join of ds
+    against the id list (the semi_join_stage shape)."""
+    import pyarrow.compute as pc
     import ray
 
     clusters = dedup_clusters(pairs_ds)
-    drop: set = set()
-    for b in clusters.iter_batches(batch_format="pyarrow"):
-        for r in b.to_pylist():
-            if r["doc_id"] != r["cluster_id"]:
-                drop.add(r["doc_id"])
-    ref = ray.put(drop)
+
+    def non_canonical(batch: pa.Table) -> pa.Table:
+        m = pc.not_equal(batch.column("doc_id"), batch.column("cluster_id"))
+        return batch.filter(m).select(["doc_id"])
+
+    chunks = [b.column("doc_id").combine_chunks()
+              for b in clusters.map_batches(
+                  non_canonical, batch_format="pyarrow",
+                  zero_copy_batch=True).iter_batches(batch_format="pyarrow")
+              if b.num_rows]
+    drop_arr = (pa.concat_arrays(chunks) if chunks
+                else pa.array([], pa.int64()))
+    ref = ray.put(drop_arr)
 
     def keep(batch: pa.Table) -> pa.Table:
         from ..broadcast import get_broadcast
 
-        dropset = get_broadcast(ref)
-        ids = batch.column("doc_id").to_pylist()
-        return batch.filter(pa.array([i not in dropset for i in ids],
-                                     pa.bool_()))
+        drop = get_broadcast(ref)
+        if len(drop) == 0:
+            return batch
+        hit = pc.is_in(batch.column("doc_id"), value_set=drop)
+        return batch.filter(pc.invert(hit))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -413,19 +676,17 @@ def canonical_docs(ds, pairs_ds):
 # --- exact dedup by content hash -----------------------------------------
 
 def exact_dedup_keep_first(ds):
-    """documents -> representative rows (min doc_id per md5(text))."""
+    """documents -> representative rows (min doc_id per md5(text)).
+    Vectorized Min aggregate (pre-reduced per block) — no per-group
+    Python, the exchange carries (md5, doc_id) partials only."""
+    from ray.data.aggregate import Min
+
     from .text import Fingerprinter
 
     hashed = ds.map_batches(Fingerprinter, batch_format="pyarrow",
                             concurrency=(1, 8), zero_copy_batch=True)
-
-    def _first(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        idx = pc.sort_indices(group.column("doc_id"))
-        return group.select(["doc_id"]).take(idx[:1])
-
-    return hashed.groupby("md5").map_groups(_first, batch_format="pyarrow")
+    return hashed.groupby("md5").aggregate(
+        Min("doc_id", alias_name="doc_id")).select_columns(["doc_id"])
 
 
 # --- embedding cosine near-dup -------------------------------------------

@@ -72,6 +72,19 @@ class ScoreBatch:
         })
 
 
+def _fetch_queries(ds, query_ids: list[int]) -> tuple[list[int], np.ndarray]:
+    """Pull just the query vectors out of the embeddings Dataset: a row
+    filter (pushed into the parquet read when ds is a fresh read) + a
+    two-column projection, so only len(query_ids) rows ever reach the
+    driver."""
+    qrows = (ds.filter(expr=f"vec_id in {sorted(set(query_ids))}")
+             .select_columns(["vec_id", "embedding"]).take_all())
+    qrows.sort(key=lambda r: r["vec_id"])
+    qids = [r["vec_id"] for r in qrows]
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    return qids, qmat
+
+
 def _topk_merge(k: int):
     def fn(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -93,12 +106,9 @@ def knn_bruteforce(ds, query_ids: list[int] | None = None, k: int = 10):
     import ray
 
     query_ids = query_ids if query_ids is not None else list(range(8))
-    qset = set(query_ids)
-    qrows = [r for r in ds.select_columns(["vec_id", "embedding"]).take_all()
-             if r["vec_id"] in qset]
-    qrows.sort(key=lambda r: r["vec_id"])
-    qids = [r["vec_id"] for r in qrows]
-    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    # fetch ONLY the query rows: predicate + projection push down to the
+    # read — the full table never reaches the driver
+    qids, qmat = _fetch_queries(ds, query_ids)
     ref = ray.put((qids, qmat))
     def score(batch: pa.Table) -> pa.Table:
         return ScoreBatch(ref, k)(batch)
@@ -147,11 +157,9 @@ def knn_ivf(ds, query_ids: list[int] | None = None, k: int = 10,
 
     query_ids = query_ids if query_ids is not None else list(range(8))
     labels, cents = label_centroids(ds)
-    qset = set(query_ids)
-    qrows = [r for r in ds.take_all() if r["vec_id"] in qset]
-    qrows.sort(key=lambda r: r["vec_id"])
-    qids = [r["vec_id"] for r in qrows]
-    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    # pruned query fetch (predicate + projection at the read); the IVF
+    # path never materializes the full table anywhere
+    qids, qmat = _fetch_queries(ds, query_ids)
     cn = _normalize(cents)
     qn = _normalize(qmat)
     probe_map = {}

@@ -65,23 +65,63 @@ class HyperLogLog:
         return cls(p, np.frombuffer(raw, dtype=np.uint8).copy())
 
 
-def _hash64(values: list) -> np.ndarray:
-    """Deterministic 64-bit hashes: FNV-1a + murmur3 finalizer (FNV's
-    high bits avalanche poorly and HLL indexes by the TOP p bits; no
-    process-salted hash())."""
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _finalize64(h: np.ndarray) -> np.ndarray:
+    """Vectorized murmur3 fmix64 (FNV's high bits avalanche poorly and
+    HLL indexes by the TOP p bits)."""
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(0xFF51AFD7ED558CCD)
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(0xC4CEB9FE1A85EC53)
+        h = h ^ (h >> np.uint64(33))
+    return h
+
+
+def _hash64(values) -> np.ndarray:
+    """Deterministic 64-bit hashes of str(v): FNV-1a + fmix64 (no
+    process-salted hash()). Vectorized: values are rendered to a
+    fixed-width numpy byte matrix and FNV runs one vectorized step per
+    BYTE POSITION (~width ops total) instead of a Python loop per byte.
+    Falls back to the scalar loop for non-ASCII-representable input;
+    both paths produce identical hashes."""
+    n = len(values)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    try:
+        arr = np.asarray(values)
+        if arr.dtype == object or arr.dtype.kind in "US":
+            s = arr.astype("S")  # raises UnicodeEncodeError on non-ASCII
+        elif arr.dtype.kind in "iu":
+            s = arr.astype("U").astype("S")  # str(int) == np int render
+        else:
+            raise TypeError  # floats etc: np repr may differ from str()
+    except (UnicodeEncodeError, TypeError, ValueError):
+        return _hash64_scalar(values)
+    width = s.dtype.itemsize
+    m = np.ascontiguousarray(s).view(np.uint8).reshape(n, width)
+    lengths = (m != 0).sum(axis=1)  # str() output has no NUL bytes
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(width):
+            # branchless: rows already past their end keep h unchanged
+            upd = (h ^ m[:, j].astype(np.uint64)) * _FNV_PRIME
+            h = np.where(lengths > j, upd, h)
+    return _finalize64(h)
+
+
+def _hash64_scalar(values) -> np.ndarray:
     M = 0xFFFFFFFFFFFFFFFF
     out = np.empty(len(values), dtype=np.uint64)
     for i, v in enumerate(values):
         h = 0xCBF29CE484222325
         for b in str(v).encode("utf-8"):
             h = ((h ^ b) * 0x100000001B3) & M
-        h ^= h >> 33
-        h = (h * 0xFF51AFD7ED558CCD) & M
-        h ^= h >> 33
-        h = (h * 0xC4CEB9FE1A85EC53) & M
-        h ^= h >> 33
         out[i] = h
-    return out
+    return _finalize64(out.copy())
 
 
 def approx_distinct(ds, column: str, p: int = 12) -> float:
@@ -91,7 +131,12 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
     shuffle carries sketches, never values)."""
     def sketch_batch(batch: pa.Table) -> pa.Table:
         hll = HyperLogLog(p)
-        hll.add_hashes(_hash64(batch.column(column).to_pylist()))
+        col = batch.column(column)
+        if col.null_count == 0:  # numeric: zero-copy numpy, vectorized
+            vals = col.to_numpy()
+        else:  # nulls hash as str(None) like the original scalar path
+            vals = col.to_pylist()
+        hll.add_hashes(_hash64(vals))
         return pa.table({"sketch": pa.array([hll.serialize()], pa.binary())})
 
     merged = HyperLogLog(p)

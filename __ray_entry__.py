@@ -203,6 +203,17 @@ def _events_users_hll(sf_dir: str):
     return pa.table({"approx_users": pa.array([round(est, 1)], pa.float64())})
 
 
+def _events_value_p50_sketch(sf_dir: str):
+    """Approximate grouped median via mergeable KLL sketches — the
+    scale-out path named by events_value_median: the exchange carries
+    one ~2KB sketch per (group, batch), never the values. Rows-only
+    (approximate); rank accuracy vs the exact oracle-checked median is
+    gated in tests/test_ops.py::test_grouped_quantile_sketch_vs_exact."""
+    from webxtract.ops.sketch import grouped_quantile_sketch
+
+    return grouped_quantile_sketch(sf_dir, q=0.5)
+
+
 def _pages_training_corpus(sf_dir: str):
     """Composite training-corpus export: extract -> quality/length
     filter -> exact content dedup (min-url canonical) -> token/char
@@ -249,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchases_with_prior_error": R.purchases_with_prior_error,
         "events_distinct_users": _events_distinct_users,
         "events_users_hll": _events_users_hll,    # sketch; rows-only
+        "events_value_p50_sketch": _events_value_p50_sketch,  # KLL; rows-only
         # text analysis
         "docs_token_counts": _docs_token_counts,
         "docs_quality_scores": _docs_quality,

@@ -90,3 +90,68 @@ def test_cli_resume_recomputes_deleted_partition(ray_session, input_dir, tmp_pat
     assert sorted(manifest) == [0, 1, 2]
     again = _sorted(read_output(out))
     assert again.equals(fresh)
+
+
+def test_cross_file_dup_deduped_globally(ray_session, tmp_path):
+    """A url duplicated ACROSS two input files keeps only the global
+    max-warc_ts row (url-dedup is global under run_partitioned, not
+    per-partition)."""
+    import pyarrow as pa
+
+    d = tmp_path / "in_xfile"
+    d.mkdir()
+    a = synth.make_pages(50, seed=1)
+    b = synth.make_pages(50, seed=2, doc_id_start=50)
+    # plant a's first row into b with a NEWER fetch time
+    r = a.slice(0, 1)
+    bumped = pc.add(r.column("warc_ts"),
+                    pa.scalar(86_400_000_000, pa.duration("us")))
+    r = r.set_column(r.schema.get_field_index("warc_ts"), "warc_ts", bumped)
+    dup_url = r.column("url").to_pylist()[0]
+    dup_ts = r.column("warc_ts").to_pylist()[0]
+    pq.write_table(a, d / "part-00000.parquet")
+    pq.write_table(pa.concat_tables([b, r]), d / "part-00001.parquet")
+
+    out = str(tmp_path / "out_xfile")
+    run_partitioned(str(d), out)
+    got = read_output(out, columns=["url", "warc_ts"])
+    urls = got.column("url").to_pylist()
+    assert urls.count(dup_url) == 1
+    kept_ts = dict(zip(urls, got.column("warc_ts").to_pylist()))[dup_url]
+    assert kept_ts == dup_ts  # the cross-file max won
+
+
+def test_orphan_partitions_gced(ray_session, tmp_path):
+    """Shrinking the input set garbage-collects the now-orphan partition
+    instead of serving its stale rows from read_output."""
+    d = tmp_path / "in_shrink"
+    d.mkdir()
+    for i in range(3):
+        pq.write_table(synth.make_pages(40, seed=10 + i, doc_id_start=i * 40),
+                       d / f"part-{i:05d}.parquet")
+    out = str(tmp_path / "out_shrink")
+    run_partitioned(str(d), out)
+    n_all = read_output(out).num_rows
+    assert len(load_manifest(out)) == 3
+
+    os.remove(d / "part-00002.parquet")
+    manifest = run_partitioned(str(d), out)
+    assert sorted(manifest) == [0, 1]
+    assert len(load_manifest(out)) == 2
+    assert not os.path.isdir(os.path.join(out, "part=00002"))
+    assert read_output(out).num_rows < n_all
+
+
+def test_same_second_rewrite_invalidates(tmp_path):
+    """Same-size same-second rewrites still change the fingerprint
+    (mtime tracked at ns resolution) when the filesystem timestamp
+    moves at all; identical (size, mtime_ns) is indistinguishable by
+    design, so force distinct ns mtimes and verify divergence."""
+    p = tmp_path / "f.parquet"
+    p.write_bytes(b"x" * 128)
+    os.utime(p, ns=(1_000_000_000_123_456_789, 1_000_000_000_123_456_789))
+    fp1 = input_fingerprint(str(p))
+    os.utime(p, ns=(1_000_000_000_123_456_790, 1_000_000_000_123_456_790))
+    fp2 = input_fingerprint(str(p))
+    assert fp1 != fp2  # sub-second rewrite detected
+    assert input_fingerprint(str(p), extra="dupdigest") != fp2

@@ -368,3 +368,67 @@ def test_popcount64_vectorized():
     got = D._popcount64(vals.copy())
     exp = [bin(int(v)).count("1") for v in vals]
     assert got.tolist() == exp
+
+
+# --- KLL quantile sketch ---------------------------------------------------
+
+def test_kll_rank_accuracy_uniform():
+    from webxtract.ops.sketch import KLLSketch
+
+    rng = np.random.RandomState(3)
+    data = rng.uniform(0, 1000, size=50_000)
+    s = KLLSketch(k=256)
+    for chunk in np.array_split(data, 25):
+        s.add(chunk)
+    srt = np.sort(data)
+    for q in (0.1, 0.5, 0.9):
+        est = s.quantile(q)
+        rank = np.searchsorted(srt, est) / len(srt)
+        assert abs(rank - q) < 0.02, (q, est, rank)
+
+
+def test_kll_merge_equals_single_accuracy():
+    from webxtract.ops.sketch import KLLSketch
+
+    rng = np.random.RandomState(7)
+    data = rng.normal(50, 10, size=40_000)
+    shards = [KLLSketch(k=256) for _ in range(8)]
+    for i, chunk in enumerate(np.array_split(data, 8)):
+        shards[i].add(chunk)
+    merged = shards[0]
+    for sh in shards[1:]:
+        merged = merged.merge(sh)
+    assert merged.count == len(data)
+    srt = np.sort(data)
+    for q in (0.25, 0.5, 0.75):
+        rank = np.searchsorted(srt, merged.quantile(q)) / len(srt)
+        assert abs(rank - q) < 0.02
+
+
+def test_kll_serialize_roundtrip():
+    from webxtract.ops.sketch import KLLSketch
+
+    s = KLLSketch(k=64)
+    s.add(np.arange(10_000, dtype=np.float64))
+    back = KLLSketch.deserialize(s.serialize())
+    assert back.count == s.count
+    for q in (0.1, 0.5, 0.9):
+        assert back.quantile(q) == s.quantile(q)
+
+
+def test_grouped_quantile_sketch_vs_exact(ray_session):
+    """p50 sketch lands within 5% rank of the exact per-group median."""
+    import pyarrow.parquet as pq
+
+    from webxtract.ops.sketch import grouped_quantile_sketch
+
+    sf = "/root/testdata/sf0.001"
+    got = grouped_quantile_sketch(sf).to_pandas().set_index("event_type")
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    for etype, grp in ev.groupby("event_type"):
+        vals = np.sort(grp.value.to_numpy())
+        est = got.loc[etype, "p_value"]
+        rank = np.searchsorted(vals, est) / len(vals)
+        assert abs(rank - 0.5) < 0.05, (etype, est, rank)
+        assert got.loc[etype, "n"] == len(vals)

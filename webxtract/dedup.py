@@ -70,6 +70,16 @@ def dedup_pages_fast(ds, source_path: str | None = None):
         proj = rd.read_parquet(source_path, columns=["url", "warc_ts"])
     else:
         proj = ds.select_columns(["url", "warc_ts"])
+    dup_tbl = dup_winners(proj)
+    return filter_to_winners(ds, dup_tbl)
+
+
+def dup_winners(proj) -> pa.Table | None:
+    """(url, warc_ts) Dataset -> (url, max_ts) table of DUPLICATED urls
+    only (None when dup-free). The exchange carries (url, ts) pairs;
+    the returned table is dup-rate-sized."""
+    from ray.data.aggregate import Count, Max
+
     agg = proj.groupby("url").aggregate(
         Max("warc_ts", alias_name="max_ts"), Count(alias_name="n"))
     dup_batches = []
@@ -77,10 +87,20 @@ def dedup_pages_fast(ds, source_path: str | None = None):
         d = b.filter(pc.greater(b.column("n"), 1)).select(["url", "max_ts"])
         if d.num_rows:
             dup_batches.append(d)
-    # broadcast the duplicated urls as a typed Arrow table (keeps the
-    # winner-timestamp type exact for the vectorized equality probe)
-    dup_tbl = (pa.concat_tables(dup_batches).combine_chunks()
-               if dup_batches else None)
+    # typed Arrow table (keeps the winner-timestamp type exact for the
+    # vectorized equality probe)
+    return (pa.concat_tables(dup_batches).combine_chunks()
+            if dup_batches else None)
+
+
+def filter_to_winners(ds, dup_tbl: pa.Table | None):
+    """Broadcast-filter ``ds`` to dedup winners: a row survives iff its
+    url is unduplicated (absent from ``dup_tbl``) or its warc_ts equals
+    the winning (max) ts for that url."""
+    import ray
+
+    if dup_tbl is None or dup_tbl.num_rows == 0:
+        return ds
     ref = ray.put(dup_tbl)
 
     # task-pool stage (NOT an actor pool: lookup stages must stay elastic —
@@ -89,12 +109,8 @@ def dedup_pages_fast(ds, source_path: str | None = None):
         from .broadcast import get_broadcast
 
         dup = get_broadcast(ref)
-        if dup is None:
-            return batch
-        # vectorized probe: row survives iff its url is unduplicated OR
-        # its warc_ts equals the winning (max) ts for that url; a
-        # null-ts row of a duplicated url compares null -> dropped
-        # (same contract as the documented assumptions above)
+        # vectorized probe; a null-ts row of a duplicated url compares
+        # null -> dropped (same contract as the documented assumptions)
         idx = pc.index_in(batch.column("url"), value_set=dup.column("url"))
         win_ts = pc.take(dup.column("max_ts"), idx)
         keep = pc.or_kleene(pc.is_null(idx),

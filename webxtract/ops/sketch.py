@@ -148,6 +148,157 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
     return merged.estimate()
 
 
+# --- KLL-style mergeable quantile sketch ----------------------------------
+
+class KLLSketch:
+    """Mergeable quantile sketch (Karnin-Lang-Liberty compactor scheme,
+    KLL16 — public algorithm): level ``h`` holds items of weight 2^h; an
+    over-capacity level sorts itself and promotes every other item.
+    Deterministic alternating-offset compaction (no RNG) — rank error
+    stays O(1/k) empirically; merge = level-wise concatenation + the
+    same compaction, so per-batch partial sketches combine exactly like
+    HLL registers (the approximate-grouped-quantile scale path named by
+    events_value_median)."""
+
+    __slots__ = ("k", "levels", "_flip", "count")
+
+    def __init__(self, k: int = 256):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self._flip = 0
+        self.count = 0
+
+    def _capacity(self, lvl: int) -> int:
+        # lower levels shrink geometrically (2/3 schedule per KLL16)
+        h = len(self.levels)
+        return max(2, int(self.k * (2.0 / 3.0) ** (h - 1 - lvl)))
+
+    def add(self, values: np.ndarray) -> None:
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return
+        self.count += int(v.size)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+
+    def _compress(self) -> None:
+        while True:
+            total_cap = sum(self._capacity(i) for i in range(len(self.levels)))
+            if sum(lv.size for lv in self.levels) <= total_cap:
+                return
+            for i, lv in enumerate(self.levels):
+                if lv.size > self._capacity(i):
+                    if i + 1 == len(self.levels):
+                        self.levels.append(np.empty(0, np.float64))
+                    s = np.sort(lv)
+                    keep = s[self._flip::2]
+                    self._flip ^= 1
+                    self.levels[i] = np.empty(0, np.float64)
+                    self.levels[i + 1] = np.concatenate(
+                        [self.levels[i + 1], keep])
+                    break
+            else:
+                return
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        assert self.k == other.k
+        out = KLLSketch(self.k)
+        n = max(len(self.levels), len(other.levels))
+        out.levels = []
+        for i in range(n):
+            a = self.levels[i] if i < len(self.levels) else np.empty(0)
+            b = other.levels[i] if i < len(other.levels) else np.empty(0)
+            out.levels.append(np.concatenate([a, b]).astype(np.float64))
+        out.count = self.count + other.count
+        out._flip = self._flip ^ other._flip
+        out._compress()
+        return out
+
+    def quantile(self, q: float) -> float:
+        vals, wts = [], []
+        for i, lv in enumerate(self.levels):
+            if lv.size:
+                vals.append(lv)
+                wts.append(np.full(lv.size, 1 << i, np.int64))
+        if not vals:
+            return float("nan")
+        v = np.concatenate(vals)
+        w = np.concatenate(wts)
+        order = np.argsort(v, kind="mergesort")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        target = q * cum[-1]
+        return float(v[np.searchsorted(cum, target, side="left")])
+
+    def serialize(self) -> bytes:
+        sizes = np.array([lv.size for lv in self.levels], np.int64)
+        head = np.array([self.k, self._flip, self.count, sizes.size],
+                        np.int64)
+        body = [lv.astype(np.float64).tobytes() for lv in self.levels]
+        return head.tobytes() + sizes.tobytes() + b"".join(body)
+
+    @classmethod
+    def deserialize(cls, raw: bytes) -> "KLLSketch":
+        head = np.frombuffer(raw[:32], np.int64)
+        k, flip, count, n_lv = (int(x) for x in head)
+        sizes = np.frombuffer(raw[32:32 + 8 * n_lv], np.int64)
+        out = cls(k)
+        out._flip, out.count = flip, count
+        out.levels = []
+        off = 32 + 8 * n_lv
+        for s in sizes:
+            out.levels.append(
+                np.frombuffer(raw[off:off + 8 * s], np.float64).copy())
+            off += 8 * int(s)
+        return out
+
+
+def grouped_quantile_sketch(sf_dir: str, column: str = "value",
+                            group_col: str = "event_type",
+                            q: float = 0.5, k: int = 256):
+    """Approximate grouped quantile over events: one KLL sketch per
+    group per batch (the exchange carries sketches, never values), then
+    a per-group merge + quantile readout. The scale-out companion to
+    the exact events_value_median (which must co-locate every group
+    value)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=[group_col, column])
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        keys, blobs = [], []
+        for (key,), sub in df.group_by(group_col):
+            s = KLLSketch(k)
+            s.add(sub[column].to_numpy())
+            keys.append(key)
+            blobs.append(s.serialize())
+        return pa.table({group_col: pa.array(keys, pa.string()),
+                         "sketch": pa.array(blobs, pa.binary())})
+
+    partials = ds.map_batches(sketch_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        merged = None
+        for raw in g.column("sketch").to_pylist():
+            s = KLLSketch.deserialize(raw)
+            merged = s if merged is None else merged.merge(s)
+        return pa.table({
+            group_col: g.column(group_col).slice(0, 1),
+            "p_value": pa.array([round(merged.quantile(q), 6)],
+                                pa.float64()),
+            "n": pa.array([merged.count], pa.int64()),
+        })
+
+    return partials.groupby(group_col).map_groups(merge_group,
+                                                  batch_format="pyarrow")
+
+
 def exact_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user_id) per event_type (oracle-checked):
     pre-reduced per batch (unique pairs) before the grouped distinct."""

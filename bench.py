@@ -63,6 +63,8 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "docs_term_counts", "docs_minhash_pairs", "docs_simhash_pairs",
         "docs_dedup_clusters",
         "emb_knn_bruteforce", "emb_dup_pairs",
+        "events_value_p50_sketch",
+        "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]
     out: dict[str, float] = {}
     for name in names:

@@ -91,3 +91,75 @@ def test_undeclared_bad_bytes_still_rejected():
 def test_declared_unknown_charset_rejected():
     raw = b'<meta charset="shift-jis">' + b"\xff\xfe\x80" * 30
     assert decode_bytes(raw) is None
+
+
+# --- fast tokenizer differential gate --------------------------------------
+
+def _tree_sig(node):
+    """Canonical serialization of a DOM subtree for equality checks."""
+    out = [node.tag, sorted(node.attrs.items())]
+    for c in node.children:
+        out.append(c if isinstance(c, str) else _tree_sig(c))
+    return out
+
+
+HOSTILE = [
+    "",
+    "plain text only, no tags at all & an amp",
+    "<div>unterminated <b>bold",
+    "<div attr='unterminated",
+    "text <  not a tag > more",
+    "<!-- unterminated comment with <div>inside</div>",
+    "<!doctype html><p>after doctype</p>",
+    "<?php echo 'pi'; ?><p>x</p>",
+    "<![CDATA[ raw <b>stuff</b> ]]><p>y</p>",
+    "<script>var a = '<div>not a tag</div>';</script><p>real</p>",
+    "<script>never closed <p>swallowed</p>",
+    "<style>p { color: red }</style><p>styled</p>",
+    "<p>a &amp; b &lt;c&gt; &#65; &unknown; &#x41;</p>",
+    "<p>dangling amp & here</p>",
+    "<div class='a&amp;b' id=unquoted empty>attrs</div>",
+    "<DIV CLASS='UP'>case</DIV>",
+    "<br/><hr /><img src=x>voids</img>",
+    "</>bogus</ stray></123>",
+    "<p>text</p foo='bar'>tail</p>",
+    "<a href='x'>link <span>nested <b>deep</b></span></a>",
+    "<table><tr><td>c1<td>c2<tr><td>c3</table>",
+    "<div>\x00null byte</div>",
+    "<p>trailing <",
+    "<p>trailing <!",
+    "<p>trailing </",
+    "< p>space before name</p>",
+    "<p a=1 a=2>dup attr</p>",
+    "<sCrIpT>mixed case raw</ScRiPt><p>after</p>",
+    "<script>x</script extra='1'><p>odd close</p>",
+]
+
+
+def test_fast_feed_differential_hostile():
+    from webxtract.htmldom import parse_html
+
+    for doc in HOSTILE:
+        fast = _tree_sig(parse_html(doc, fast=True))
+        slow = _tree_sig(parse_html(doc, fast=False))
+        assert fast == slow, f"divergence on: {doc!r}"
+
+
+def test_fast_feed_differential_synth_corpus():
+    """The gate that lets the fast tokenizer be the default: identical
+    trees over EVERY decodable synthetic page (all families, including
+    tag soup) at a corpus size large enough to hit each template."""
+    from webxtract import synth
+    from webxtract.htmldom import decode_bytes, parse_html
+
+    pages = synth.make_pages(3000, seed=1234)
+    checked = 0
+    for raw in pages.column("html").to_pylist():
+        text = decode_bytes(raw)
+        if text is None:
+            continue
+        fast = _tree_sig(parse_html(text, fast=True))
+        slow = _tree_sig(parse_html(text, fast=False))
+        assert fast == slow
+        checked += 1
+    assert checked > 2500

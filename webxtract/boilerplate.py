@@ -113,7 +113,8 @@ def segment(root: Node) -> list[TextBlock]:
         nonlocal cur
         for child in node.children:
             if isinstance(child, str):
-                frag = child.strip("\x00")
+                # strip allocates; NUL bytes are rare — scan first
+                frag = child.strip("\x00") if "\x00" in child else child
                 if frag and not frag.isspace():
                     cur.fragments.append(frag)
                     if in_anchor:

@@ -152,6 +152,31 @@ def _docs_dedup_clusters(sf_dir: str):
     return dedup_clusters(pairs)
 
 
+def _docs_minhash_pairs_joinverify(sf_dir: str):
+    """The 100 TB verify path made driver-visible: candidate pairs are
+    verified via two hash joins against the docs table (nothing
+    text-sized on the driver) instead of the broadcast token-set dict.
+    Must emit exactly the docs_minhash_pairs rows (pytest equivalence
+    gate: test_minhash_verify_join_equals_broadcast)."""
+    from webxtract.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                             threshold=0.7, shingle=1, verify="join")
+
+
+def _docs_dedup_clusters_dist(sf_dir: str):
+    """Distributed connected components made driver-visible: label
+    propagation runs as per-round edges ⋈ labels hash joins +
+    groupby-min (driver holds one scalar per round). Must emit exactly
+    the docs_dedup_clusters rows (pytest gate:
+    test_dedup_clusters_distributed_equals_local)."""
+    from webxtract.ops.dedup import dedup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                              threshold=0.7, shingle=1)
+    return dedup_clusters(pairs, mode="distributed")
+
+
 def _emb_dup_pairs(sf_dir: str):
     # threshold 0.3: the synthetic embeddings contain no true near-dups
     # (max same-label cosine ~0.5), so a realistic 0.9 returns zero rows;
@@ -273,6 +298,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": _docs_minhash_pairs,  # sketch; rows-only
         "docs_simhash_pairs": _docs_simhash_pairs,  # sketch; rows-only
         "docs_dedup_clusters": _docs_dedup_clusters,  # rows-only
+        # scale-path twins (same rows as their siblings; pytest-gated)
+        "docs_minhash_pairs_joinverify": _docs_minhash_pairs_joinverify,
+        "docs_dedup_clusters_dist": _docs_dedup_clusters_dist,
         "emb_dup_pairs": _emb_dup_pairs,
         # similarity search
         "emb_knn_bruteforce": _emb_knn,

@@ -68,52 +68,70 @@ class CoalesceReviews:
     see broadcast.py).
     """
 
-    def __init__(self, reviews_ref):
-        from .broadcast import get_broadcast
+    @staticmethod
+    def _arrays(reviews: dict) -> tuple[pa.Array, ...]:
+        urls = pa.array(list(reviews.keys()), pa.string())
+        cols = list(zip(*reviews.values())) if reviews else ([], [], [], [])
+        return (urls,
+                pa.array(cols[0], pa.string()),   # date
+                pa.array(cols[1], pa.string()),   # total
+                pa.array(cols[2], pa.string()),   # vendor
+                pa.array(cols[3], pa.string()))   # worker_id
 
-        self.reviews = get_broadcast(reviews_ref)
+    def __init__(self, reviews_ref):
+        from .broadcast import get_broadcast_derived
+
+        (self.r_urls, self.r_date, self.r_total, self.r_vendor,
+         self.r_worker) = get_broadcast_derived(
+            reviews_ref, "review_arrays", self._arrays)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        routes = batch.column("route").to_pylist()
-        n = len(urls)
-        out_route = list(routes)
-        reviewer: list[str | None] = [None] * n
-        dv = batch.column("date_value").to_pylist()
-        dc = batch.column("date_conf").to_pylist()
-        tv = batch.column("total_value").to_pylist()
-        tc = batch.column("total_conf").to_pylist()
-        vv = batch.column("vendor_value").to_pylist()
-        vc = batch.column("vendor_conf").to_pylist()
-        mc = batch.column("model_confidence").to_pylist()
-        for i in range(n):
-            if routes[i] != "review":
-                continue
-            ans = self.reviews.get(urls[i])
-            if ans is None:
-                out_route[i] = "pending"
-                continue
-            date, total, vendor, worker = ans
-            # review values override with confidence 1.0 / 0.0
-            # (SmartOCR.vue:193-207 renders reviewed fields as certain)
-            dv[i], dc[i] = date, 1.0 if date else 0.0
-            tv[i], tc[i] = total, 1.0 if total else 0.0
-            vv[i], vc[i] = vendor, 1.0 if vendor else 0.0
-            mc[i] = min(dc[i], tc[i], vc[i])
-            out_route[i] = "reviewed"
-            reviewer[i] = worker
+        is_review = pc.equal(batch.column("route"), pa.scalar("review"))
+        if len(self.r_urls):
+            idx = pc.index_in(batch.column("url"), value_set=self.r_urls)
+            reviewed = pc.and_(is_review, pc.is_valid(idx))
+        else:
+            idx = None
+            reviewed = pa.array([False] * batch.num_rows, pa.bool_())
+
+        def pick(r_col, val_col: str, conf_col: str):
+            if idx is None:
+                return batch.column(val_col), batch.column(conf_col)
+            rv = pc.take(r_col, idx)
+            # review values override with confidence 1.0 (non-empty) /
+            # 0.0 (SmartOCR.vue:193-207 renders reviewed fields certain)
+            conf = pc.if_else(
+                pc.and_(pc.is_valid(rv), pc.not_equal(rv, pa.scalar(""))),
+                pa.scalar(1.0), pa.scalar(0.0))
+            return (pc.if_else(reviewed, rv, batch.column(val_col)),
+                    pc.if_else(reviewed, conf, batch.column(conf_col)))
+
+        dv, dc = pick(self.r_date, "date_value", "date_conf")
+        tv, tc = pick(self.r_total, "total_value", "total_conf")
+        vv, vc = pick(self.r_vendor, "vendor_value", "vendor_conf")
+        mc = pc.if_else(
+            reviewed, pc.min_element_wise(dc, pc.min_element_wise(tc, vc)),
+            batch.column("model_confidence"))
+        route = pc.if_else(
+            reviewed, pa.scalar("reviewed"),
+            pc.if_else(is_review, pa.scalar("pending"),
+                       batch.column("route")))
+        reviewer = (pc.if_else(reviewed, pc.take(self.r_worker, idx),
+                               pa.scalar(None, pa.string()))
+                    if idx is not None
+                    else pa.nulls(batch.num_rows, pa.string()))
         return pa.table({
             "url": batch.column("url"),
             "extracted_text": batch.column("extracted_text"),
-            "vendor_value": pa.array(vv, pa.string()),
-            "vendor_conf": pa.array(vc, pa.float64()),
-            "date_value": pa.array(dv, pa.string()),
-            "date_conf": pa.array(dc, pa.float64()),
-            "total_value": pa.array(tv, pa.string()),
-            "total_conf": pa.array(tc, pa.float64()),
-            "model_confidence": pa.array(mc, pa.float64()),
-            "route": pa.array(out_route, pa.string()),
-            "reviewer": pa.array(reviewer, pa.string()),
+            "vendor_value": vv,
+            "vendor_conf": vc,
+            "date_value": dv,
+            "date_conf": dc,
+            "total_value": tv,
+            "total_conf": tc,
+            "model_confidence": mc,
+            "route": route,
+            "reviewer": reviewer,
         })
 
 

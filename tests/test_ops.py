@@ -3,6 +3,7 @@ analysis, multimodal plumbing."""
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 
 from webxtract.ops import dedup as D
@@ -432,3 +433,29 @@ def test_grouped_quantile_sketch_vs_exact(ray_session):
         rank = np.searchsorted(vals, est) / len(vals)
         assert abs(rank - 0.5) < 0.05, (etype, est, rank)
         assert got.loc[etype, "n"] == len(vals)
+
+
+def test_bucket_pairs_partition_skew_guard_and_equivalence():
+    """The partition-level pair expansion matches per-bucket _bucket_pairs
+    (incl. the BUCKET_CAP star guard) across mixed bucket sizes."""
+    rows = []
+    # bucket 1: 3 members; bucket 2: singleton; bucket 3: 60 members (star)
+    rows += [(d, 1) for d in (5, 3, 9)]
+    rows += [(7, 2)]
+    rows += [(d, 3) for d in range(100, 160)]
+    part = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "_bkey": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    got = D._bucket_pairs_partition(part)
+    gset = set(zip(got.column("doc_a").to_pylist(),
+                   got.column("doc_b").to_pylist()))
+    exp = set()
+    for bkey in (1, 2, 3):
+        ids = pa.table({"doc_id": part.filter(
+            pc.equal(part.column("_bkey"), bkey)).column("doc_id")})
+        t = D._bucket_pairs(ids)
+        exp |= set(zip(t.column("doc_a").to_pylist(),
+                       t.column("doc_b").to_pylist()))
+    assert gset == exp
+    assert len([p for p in gset if p[0] == 100]) == 59  # star, not clique

@@ -106,6 +106,68 @@ def broadcast_lookup(ds, key: str, value_cols: list[str]):
     return ray.put((keys, vals))
 
 
+def _default_parts() -> int:
+    try:
+        import ray
+
+        return max(2, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
+
+
+def _hash_part_column(t: pa.Table, key: str, num_parts: int) -> pa.Table:
+    """Append _part = hash(key) % num_parts (vectorized; deterministic
+    within a run, and the OUTPUT of partitioned operators never depends
+    on the assignment — only co-location does)."""
+    col = t.column(key)
+    if pa.types.is_integer(col.type):
+        part = (col.to_numpy().astype(np.int64) % num_parts).astype(np.int32)
+        arr = pa.array(part, pa.int32())
+    else:
+        import polars as pl
+
+        h = pl.from_arrow(pa.table({"k": col}))["k"].hash(seed=7)
+        arr = pa.array((h.to_numpy() % num_parts).astype(np.int32),
+                       pa.int32())
+    return t.append_column("_part", arr)
+
+
+def partitioned_map_groups(ds, key: str, fn, num_parts: int | None = None,
+                           batch_format: str = "pyarrow"):
+    """The scale-safe replacement for groupby(key).map_groups when the
+    key has high cardinality: co-locate rows by hash(key) into a BOUNDED
+    number of partitions (one shuffle, same as the per-key groupby), and
+    run ``fn`` once per PARTITION over all its keys at once — vectorized
+    segment operations instead of ~0.15 ms of per-group Python overhead
+    per key (millions of keys at corpus scale = hours of pure overhead).
+
+    ``fn`` receives a partition table (the _part column already removed)
+    holding every row of every key hashed there, and must handle
+    multiple keys itself (sort + numpy segment ops, or pandas by=...)."""
+    num_parts = num_parts or _default_parts()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return _hash_part_column(t, key, num_parts)
+
+    def run(g):
+        if batch_format == "pyarrow":
+            return fn(g.drop_columns(["_part"]))
+        return fn(g.drop(columns=["_part"]))
+
+    return ds.map_batches(add_part, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_part").map_groups(run, batch_format=batch_format)
+
+
+def _segment_starts(keys: np.ndarray) -> np.ndarray:
+    """Indices where a new key segment begins in a key-sorted array."""
+    if len(keys) == 0:
+        return np.empty(0, np.int64)
+    new = np.ones(len(keys), dtype=bool)
+    new[1:] = keys[1:] != keys[:-1]
+    return np.flatnonzero(new)
+
+
 # --- TPC-H-flavored pipelines --------------------------------------------
 
 def q1_pricing_summary(sf_dir: str):
@@ -294,30 +356,41 @@ def acctbal_union_topk(sf_dir: str, k: int = 20):
 
 def events_sessions(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user (gap-based): a new session starts when
-    the inter-event gap exceeds ``gap_minutes``. Windowing runs inside
-    groupby(user).map_groups over the ts-sorted group (the engine's
-    streaming-window pattern, SURVEY.md §2.9); SQL oracle = lag() +
-    cumulative sum window functions."""
+    the inter-event gap exceeds ``gap_minutes``. Runs as ONE hash
+    co-location by user (partitioned_map_groups) with fully vectorized
+    segment ops per partition — no per-user Python (SURVEY.md §2.9);
+    SQL oracle = lag() + cumulative sum window functions."""
     from ray.data.aggregate import Count
 
     ds = read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def sessionize(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
-                                                ("event_id", "ascending")])
-        g = group.take(idx)
+    def sessionize(part: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(part, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = part.take(idx)
+        uid = g.column("user_id").to_numpy()
         ts = g.column("ts").cast(pa.int64()).to_numpy()
-        new_session = np.ones(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            new_session[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        session_id = np.cumsum(new_session)
+        n = len(ts)
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "session_id": pa.array([], pa.int64())})
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.ones(n, dtype=bool)
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_us
+        cs = np.cumsum((new_user | gap).astype(np.int64))
+        starts = np.flatnonzero(new_user)
+        counts = np.diff(np.append(starts, n))
+        # session ids restart at 1 per user: subtract the user's base
+        session_id = cs - np.repeat(cs[starts] - 1, counts)
         return pa.table({
             "user_id": g.column("user_id"),
             "session_id": pa.array(session_id, pa.int64()),
         })
 
-    sess = ds.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")
+    sess = partitioned_map_groups(ds, "user_id", sessionize)
     return sess.groupby(["user_id", "session_id"]).aggregate(
         Count(alias_name="n_events"))
 
@@ -327,12 +400,13 @@ def asof_join_by_key(left_ds, right_ds, key: str, ts_col: str,
     """As-of join: for each left row, the latest right row with the same
     key and right.ts < left.ts (strict) / <= (non-strict).
 
-    Ray Data lacks a native as-of join; the composition is
-    groupby(key).map_groups over the union of both sides with a
-    side tag, using pandas merge_asof per group (sorted within group).
-    Partitioning assumption: one key's rows fit in one group — true for
-    per-user event streams; salt hot keys if a single key outgrows a
-    worker.
+    Ray Data lacks a native as-of join; the composition is ONE hash
+    co-location by key over the union of both sides with a side tag,
+    then a single vectorized ``pandas.merge_asof(..., by=key)`` per
+    PARTITION (merge_asof's ``by`` does the per-key matching inside one
+    C-level call — no per-key Python frames). Partitioning assumption:
+    one partition's rows fit in one worker; salt hot keys if a single
+    key outgrows it.
 
     Dtype contract: merge_asof NaN-promotes nullable int columns to
     float64, so integer columns (per the input Arrow schemas) are cast
@@ -341,8 +415,8 @@ def asof_join_by_key(left_ds, right_ds, key: str, ts_col: str,
     """
     import pandas as pd
 
-    # capture the Arrow types once on the driver: the per-group pandas
-    # frames lose them (int64-with-nulls arrives as float64)
+    # capture the Arrow types once on the driver: the per-partition
+    # pandas frames lose them (int64-with-nulls arrives as float64)
     lsch, rsch = left_ds.schema(), right_ds.schema()
     types = dict(zip(rsch.names, rsch.types))
     types.update({n: t for n, t in zip(lsch.names, lsch.types)
@@ -360,26 +434,42 @@ def asof_join_by_key(left_ds, right_ds, key: str, ts_col: str,
     u = left_ds.map_batches(tag("L"), batch_format="pyarrow").union(
         right_ds.map_batches(tag("R"), batch_format="pyarrow"))
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g._side == "L"].drop(columns=["_side"] + right_cols,
                                       errors="ignore")
+        # merge_asof requires GLOBAL sort by the on-column; ``by``
+        # handles the per-key scoping
         left = left.sort_values(ts_col, kind="mergesort")
         right = g[g._side == "R"].drop(columns=["_side"])
         right = right.sort_values(ts_col, kind="mergesort")
-        if left.empty:
-            out = left.iloc[0:0].reindex(columns=out_cols)
+        if left.empty or right.empty:
+            if left.empty:
+                out = left.iloc[0:0].reindex(columns=out_cols)
+            else:
+                out = left.reindex(columns=out_cols)
         else:
-            right_sel = right[[ts_col] + right_cols].rename(
+            right_sel = right[[key, ts_col] + right_cols].rename(
                 columns={ts_col: "_rts"})
             out = pd.merge_asof(
-                left, right_sel, left_on=ts_col, right_on="_rts",
+                left, right_sel, left_on=ts_col, right_on="_rts", by=key,
                 direction="backward", allow_exact_matches=not strict)
             out = out.drop(columns=["_rts"])
         for c in int_cols:
             out[c] = out[c].astype("Int64")
+        # stabilize dtypes of right_cols that may be all-NaN in a
+        # partition whose right side is empty (object-NaN would infer
+        # Arrow null and diverge the schema across partitions)
+        for c in right_cols:
+            t = types[c]
+            if pa.types.is_string(t):
+                out[c] = out[c].astype("string")
+            elif pa.types.is_floating(t):
+                out[c] = out[c].astype("float64")
+            elif pa.types.is_timestamp(t):
+                out[c] = out[c].astype("datetime64[us]")
         return out[out_cols]
 
-    return u.groupby(key).map_groups(per_key, batch_format="pandas")
+    return partitioned_map_groups(u, key, per_part, batch_format="pandas")
 
 
 def purchases_with_prior_error(sf_dir: str):
@@ -428,16 +518,21 @@ def purchases_with_prior_error(sf_dir: str):
 
 def events_latest_per_user(sf_dir: str):
     """Latest event per user (dedup-by-recency, O3/D1 analogue).
-    Deterministic tie-break: ts desc, then event_id desc."""
+    Deterministic tie-break: ts desc, then event_id desc. Vectorized:
+    hash co-location by user, one sort per partition, take the first
+    row of each user segment — no per-user Python."""
     ds = read(sf_dir, "events",
               columns=["event_id", "ts", "user_id", "event_type", "value"])
 
-    def latest(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[
-            ("ts", "descending"), ("event_id", "descending")])
-        return group.take(idx[:1])
+    def latest(part: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(part, sort_keys=[
+            ("user_id", "ascending"), ("ts", "descending"),
+            ("event_id", "descending")])
+        g = part.take(idx)
+        starts = _segment_starts(g.column("user_id").to_numpy())
+        return g.take(pa.array(starts, pa.int64()))
 
-    return ds.groupby("user_id").map_groups(latest, batch_format="pyarrow")
+    return partitioned_map_groups(ds, "user_id", latest)
 
 
 def events_hourly_windows(sf_dir: str):
@@ -650,24 +745,37 @@ def parts_price_bands(sf_dir: str):
 
 def events_running_total(sf_dir: str):
     """Per-user running sum of event values (rolling/window aggregate):
-    groupby(user).map_groups over the ts-sorted group with a vectorized
-    cumulative sum; money as exact cents (oracle: SUM OVER window)."""
+    hash co-location by user + one segmented cumulative sum per
+    partition (no per-user Python); money as exact cents (oracle:
+    SUM OVER window)."""
     ds = read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
 
-    def running(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=[("ts", "ascending"),
-                                            ("event_id", "ascending")])
-        g = g.take(idx)
+    def running(part: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(part, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = part.take(idx)
+        uid = g.column("user_id").to_numpy()
         cents = _cents(g.column("value")).to_numpy()
-        run = np.cumsum(cents)
+        n = len(uid)
+        if n == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "running_value": pa.array([], pa.float64())})
+        total = np.cumsum(cents)
+        starts = _segment_starts(uid)
+        counts = np.diff(np.append(starts, n))
+        # segmented cumsum: subtract each user's pre-segment total
+        base = np.repeat(total[starts] - cents[starts], counts)
+        run = total - base
         return pa.table({
             "event_id": g.column("event_id"),
             "user_id": g.column("user_id"),
-            "running_value": pa.array(
-                np.round(run / 100.0, 2), pa.float64()),
+            "running_value": pa.array(np.round(run / 100.0, 2),
+                                      pa.float64()),
         })
 
-    return ds.groupby("user_id").map_groups(running, batch_format="pyarrow")
+    return partitioned_map_groups(ds, "user_id", running)
 
 
 def events_value_median(sf_dir: str):

@@ -312,13 +312,18 @@ def exact_distinct_users(sf_dir: str):
 
     pairs = ds.map_batches(uniq_pairs, batch_format="pyarrow",
                            zero_copy_batch=True)
-    # second local distinct after the exchange, then count per type
-    from ray.data.aggregate import Count
 
-    def first_of_group(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
+    # second distinct after the exchange, vectorized per event_type
+    # group (a per-(type,user) map_groups would pay Python overhead per
+    # distinct pair — the group count here is #event_types, bounded)
+    def distinct_users(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    deduped = pairs.groupby(["event_type", "user_id"]).map_groups(
-        first_of_group, batch_format="pyarrow")
-    return deduped.groupby("event_type").aggregate(
-        Count(alias_name="n_users"))
+        n = pc.count_distinct(g.column("user_id")).as_py()
+        return pa.table({
+            "event_type": g.column("event_type").slice(0, 1),
+            "n_users": pa.array([n], pa.int64()),
+        })
+
+    return pairs.groupby("event_type").map_groups(
+        distinct_users, batch_format="pyarrow")

@@ -40,3 +40,22 @@ def test_dedup_idempotent():
     once = dedup_table(t)
     twice = dedup_table(once)
     assert once.equals(twice)
+
+
+def test_dedup_join_matches_table(ray_session):
+    """The 10^12-scale join-based dedup emits exactly the broadcast/fast
+    path's rows (winner = max warc_ts per url; no (url, ts) ties in the
+    synth corpus by construction)."""
+    import ray.data as rd
+
+    from webxtract.dedup import dedup_pages_join
+
+    t = synth.make_pages(300, seed=43)
+    expected = dedup_table(t)
+    got = pa.concat_tables(list(
+        dedup_pages_join(rd.from_arrow(t)).iter_batches(
+            batch_format="pyarrow")))
+    got = got.select(expected.column_names)
+    got = got.take(pc.sort_indices(got.column("url")))
+    exp = expected.take(pc.sort_indices(expected.column("url")))
+    assert got.equals(exp)

@@ -459,3 +459,57 @@ def test_bucket_pairs_partition_skew_guard_and_equivalence():
                        t.column("doc_b").to_pylist()))
     assert gset == exp
     assert len([p for p in gset if p[0] == 100]) == 59  # star, not clique
+
+
+# --- Bloom filter -----------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_low_fp():
+    from webxtract.ops.sketch import BloomFilter
+
+    members = np.arange(0, 20_000, 2, dtype=np.int64)       # evens
+    probes = np.arange(1, 20_001, 2, dtype=np.int64)        # odds
+    bf = BloomFilter(expected_n=len(members))
+    bf.add(members)
+    assert bf.might_contain(members).all()                  # no false negs
+    fp = bf.might_contain(probes).mean()
+    assert fp < 0.03, fp                                     # ~1% at 10b/key
+
+
+def test_bloom_merge_and_roundtrip():
+    from webxtract.ops.sketch import BloomFilter
+
+    a = BloomFilter(expected_n=1000)
+    b = BloomFilter(expected_n=1000)
+    a.add(np.arange(0, 500, dtype=np.int64))
+    b.add(np.arange(500, 1000, dtype=np.int64))
+    m = a.merge(b)
+    assert m.might_contain(np.arange(0, 1000, dtype=np.int64)).all()
+    back = BloomFilter.deserialize(m.serialize())
+    assert (back.bits == m.bits).all()
+
+
+def test_bloom_semi_join_prefilter_superset(ray_session):
+    """Bloom prefilter keeps a SUPERSET of the exact semi join (no false
+    negatives), small enough to be a useful prefilter."""
+    import ray
+    import ray.data as rd
+
+    from webxtract.ops.relational import read, semi_join_stage
+    from webxtract.ops.sketch import BloomFilter, bloom_semi_join_stage
+
+    sf = "/root/testdata/sf0.001"
+    orders = read(sf, "orders", columns=["o_custkey", "o_orderpriority"]) \
+        .filter(expr="o_orderpriority == '1-URGENT'")
+    keys = set()
+    for b in orders.iter_batches(batch_format="pyarrow"):
+        keys.update(b.column("o_custkey").to_pylist())
+    bf = BloomFilter(expected_n=len(keys))
+    bf.add(np.array(sorted(keys), dtype=np.int64))
+    bref, kref = ray.put(bf), ray.put(keys)
+    cust = read(sf, "customer", columns=["c_custkey", "c_name"])
+    approx = cust.map_batches(bloom_semi_join_stage(bref, "c_custkey"),
+                              batch_format="pyarrow").to_pandas()
+    exact = cust.map_batches(semi_join_stage(kref, "c_custkey"),
+                             batch_format="pyarrow").to_pandas()
+    assert set(exact.c_custkey).issubset(set(approx.c_custkey))
+    assert len(approx) <= len(exact) * 1.1 + 5

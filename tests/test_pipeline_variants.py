@@ -99,3 +99,17 @@ def test_full_pipeline_hash_join_option(ray_session, tmp_path):
     a = a.sort_values("url", ignore_index=True)
     b = b[a.columns].sort_values("url", ignore_index=True)
     assert a.equals(b)
+
+
+def test_join_dedup_equals_fast(ray_session, tmp_path):
+    """dedup_join=True (hash-join winner filter, the 10^12-row path)
+    produces byte-identical pipeline output to the broadcast fast path."""
+    import ray.data as rd
+
+    pages = synth.make_pages(400, seed=42)
+    pq.write_table(pages, tmp_path / "pj.parquet")
+    src = str(tmp_path / "pj.parquet")
+    fast = _run(rd.read_parquet(src), PipelineConfig(), src=src)
+    joined = _run(rd.read_parquet(src), PipelineConfig(dedup_join=True),
+                  src=src)
+    assert fast.equals(joined)

@@ -121,6 +121,61 @@ def filter_to_winners(ds, dup_tbl: pa.Table | None):
                           zero_copy_batch=True)
 
 
+def dedup_pages_join(ds, source_path: str | None = None,
+                     num_partitions: int | None = None):
+    """The 10^12-row variant of dedup_pages_fast: winners stay a DATASET
+    and reach the rows via a hash-partitioned LEFT join on url instead
+    of a driver-collected broadcast table (a 3% dup rate over 10^12
+    urls is ~30B winner rows — far beyond any broadcast or driver).
+
+    Costs one all-to-all of the full rows (the join exchange), which
+    dedup_pages_fast avoids — use it when the dup-winner table outgrows
+    the object store; semantics are identical (equivalence-tested)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max
+
+    if source_path is not None:
+        proj = rd.read_parquet(source_path, columns=["url", "warc_ts"])
+    else:
+        proj = ds.select_columns(["url", "warc_ts"])
+    agg = proj.groupby("url").aggregate(
+        Max("warc_ts", alias_name="_max_ts"), Count(alias_name="_n"))
+
+    def dups_only(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:  # empty shuffle partition lost its schema
+            return pa.table({"url": pa.array([], pa.string()),
+                             "_max_ts": pa.array([], pa.timestamp("us"))})
+        return t.filter(pc.greater(t.column("_n"), 1)) \
+                .select(["url", "_max_ts"])
+
+    from .ops.dedup import _drop_empty_blocks
+
+    # materialized in the OBJECT STORE (distributed, never the driver);
+    # schema-less empty shuffle partitions would break the Acero join
+    # and pass through map_batches unprocessed, so drop them by ref
+    winners = _drop_empty_blocks(
+        agg.map_batches(dups_only, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize())
+    if num_partitions is None:
+        try:
+            import ray
+
+            num_partitions = max(2, int(
+                ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            num_partitions = 8
+    joined = ds.join(winners, join_type="left_outer",
+                     num_partitions=num_partitions, on=("url",))
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.or_kleene(pc.is_null(t.column("_max_ts")),
+                         pc.equal(t.column("warc_ts"), t.column("_max_ts")))
+        return t.filter(m).drop_columns(["_max_ts"])
+
+    return joined.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def dedup_table(t: pa.Table) -> pa.Table:
     """Single-table (oracle/test) variant with identical semantics."""
     idx = pc.sort_indices(

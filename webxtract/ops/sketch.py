@@ -148,6 +148,88 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
     return merged.estimate()
 
 
+# --- Bloom filter -----------------------------------------------------------
+
+class BloomFilter:
+    """Vectorized Bloom filter over a numpy bit array — the named
+    corpus-scale replacement for broadcasting raw key SETS in
+    semi/anti-join prefilters (ops/relational.py): ~10 bits/key instead
+    of the keys themselves, mergeable via OR.
+
+    `might_contain` has NO false negatives; false-positive rate
+    ~(1-e^{-kn/m})^k (~1% at 10 bits/key, k=7) — so a Bloom PREfilter
+    must be followed by an exact stage for anti-join semantics (a semi
+    join only over-keeps). All hashing reuses the deterministic
+    vectorized _hash64; the k indexes derive via double hashing
+    (h1 + i*h2, Kirsch-Mitzenmacher)."""
+
+    __slots__ = ("m", "k", "bits")
+
+    def __init__(self, expected_n: int, bits_per_key: int = 10,
+                 bits: np.ndarray | None = None):
+        self.m = max(64, int(expected_n * bits_per_key))
+        self.k = max(1, int(round(0.693 * bits_per_key)))
+        nwords = (self.m + 63) // 64
+        self.bits = (bits if bits is not None
+                     else np.zeros(nwords, dtype=np.uint64))
+
+    def _positions(self, values) -> np.ndarray:
+        h1 = _hash64(values)
+        h2 = (h1 >> np.uint64(32)) | (h1 << np.uint64(32))  # rotate
+        h2 = _finalize64(h2)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return ((h1[None, :] + i * h2[None, :])
+                    % np.uint64(self.m))  # (k, n)
+
+    def add(self, values) -> None:
+        pos = self._positions(values).ravel()
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+    def might_contain(self, values) -> np.ndarray:
+        pos = self._positions(values)
+        word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=0).astype(bool)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m == other.m and self.k == other.k
+        out = BloomFilter(1)
+        out.m, out.k = self.m, self.k
+        out.bits = np.bitwise_or(self.bits, other.bits)
+        return out
+
+    def serialize(self) -> bytes:
+        head = np.array([self.m, self.k], np.int64).tobytes()
+        return head + self.bits.tobytes()
+
+    @classmethod
+    def deserialize(cls, raw: bytes) -> "BloomFilter":
+        m, k = (int(x) for x in np.frombuffer(raw[:16], np.int64))
+        out = cls(1)
+        out.m, out.k = m, k
+        out.bits = np.frombuffer(raw[16:], np.uint64).copy()
+        return out
+
+
+def bloom_semi_join_stage(bloom_ref, key: str):
+    """Approximate semi-join prefilter: keep rows whose key MIGHT be in
+    the broadcast Bloom filter (no false negatives — safe before an
+    exact semi join; over-keeps ~1% at default sizing)."""
+    import pyarrow as _pa
+
+    def fn(batch: _pa.Table) -> _pa.Table:
+        from ..broadcast import get_broadcast
+
+        bf = get_broadcast(bloom_ref)
+        col = batch.column(key)
+        vals = (col.to_numpy() if col.null_count == 0 else col.to_pylist())
+        return batch.filter(_pa.array(bf.might_contain(vals)))
+
+    return fn
+
+
 # --- KLL-style mergeable quantile sketch ----------------------------------
 
 class KLLSketch:

@@ -63,6 +63,10 @@ class PipelineConfig:
     extract_concurrency: tuple[int, int] | int | None = None
     dedup: bool = True
     exact_dedup: bool = False   # True: full-row groupby dedup (any ties)
+    # True: winner filter via hash-partitioned LEFT join instead of the
+    # broadcast dup table — for corpora whose dup-winner list outgrows
+    # the object store (the 10^12-row path; equivalence-tested)
+    dedup_join: bool = False
     emit_blocks: bool = False   # True: materialize the blocks column
     # Skew-aware batching (SURVEY §4.2): when set, rows with
     # len(html) > skew_split_bytes are routed through a dedicated
@@ -263,6 +267,10 @@ def extract_pipeline(ds, cfg: PipelineConfig | None = None,
             from .dedup import dedup_pages
 
             ds = dedup_pages(ds)
+        elif cfg.dedup_join:
+            from .dedup import dedup_pages_join
+
+            ds = dedup_pages_join(ds, source_path=source_path)
         else:
             from .dedup import dedup_pages_fast
 

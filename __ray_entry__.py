@@ -284,6 +284,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": R.events_sessions,
         "purchases_with_prior_error": R.purchases_with_prior_error,
         "events_distinct_users": _events_distinct_users,
+        "events_rank_in_user": R.events_rank_in_user,
+        "events_value_p90": R.events_value_p90,
+        "lang_top_terms": R.lang_top_terms,
+        "orders_rollup": R.orders_rollup,
         "events_users_hll": _events_users_hll,    # sketch; rows-only
         "events_value_p50_sketch": _events_value_p50_sketch,  # KLL; rows-only
         # text analysis
@@ -414,6 +418,40 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "events_rank_in_user": """
+            SELECT event_id, user_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rnk
+            FROM events
+        """,
+        "events_value_p90": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.9), 6) AS p90_value
+            FROM events GROUP BY event_type
+        """,
+        "lang_top_terms": """
+            WITH counts AS (
+                SELECT lang, term, count(*) AS n
+                FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+                      FROM documents)
+                GROUP BY lang, term
+            ), ranked AS (
+                SELECT lang, term, n,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY n DESC, term) AS r
+                FROM counts
+            )
+            SELECT lang, term, n FROM ranked WHERE r <= 3
+        """,
+        "orders_rollup": """
+            SELECT COALESCE(o_orderstatus, 'ALL')   AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   count(*)                         AS n_orders,
+                   round(sum(round(o_totalprice * 100)) / 100.0, 2)
+                       AS total_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "acctbal_union_topk": """
             SELECT name, acctbal, side FROM (

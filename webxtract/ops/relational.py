@@ -806,6 +806,158 @@ def docs_shuffled(sf_dir: str, seed: int = 7):
                 columns=["doc_id", "lang"]).random_shuffle(seed=seed)
 
 
+def events_rank_in_user(sf_dir: str):
+    """Per-user event rank by time (ROW_NUMBER OVER (PARTITION BY user
+    ORDER BY ts, event_id)): hash co-location by user + one segmented
+    arange per partition — the grouped-window pattern, oracled."""
+    ds = read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def rank(part: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(part, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = part.take(idx)
+        uid = g.column("user_id").to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "rnk": pa.array([], pa.int64())})
+        starts = _segment_starts(uid)
+        counts = np.diff(np.append(starts, n))
+        rnk = np.arange(1, n + 1) - np.repeat(starts, counts)
+        return pa.table({
+            "event_id": g.column("event_id"),
+            "user_id": g.column("user_id"),
+            "rnk": pa.array(rnk, pa.int64()),
+        })
+
+    return partitioned_map_groups(ds, "user_id", rank)
+
+
+def lang_top_terms(sf_dir: str, k: int = 3):
+    """Top-k terms per language (grouped top-k): per-batch (lang, term)
+    partial counts -> one grouped Sum exchange -> co-locate by lang and
+    take the first k of each sorted segment. Deterministic tie-break:
+    count desc, term asc. Oracle: ROW_NUMBER window over grouped counts."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        out = (df.select(["lang", pl.col("text").str.split(" ").alias("term")])
+               .explode("term").group_by(["lang", "term"]).len())
+        return out.to_arrow().cast(pa.schema([
+            ("lang", pa.string()), ("term", pa.string()),
+            ("len", pa.int64())]))
+
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    agg = partials.groupby(["lang", "term"]).aggregate(
+        Sum("len", alias_name="n"))
+
+    def topk(part: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(part, sort_keys=[
+            ("lang", "ascending"), ("n", "descending"),
+            ("term", "ascending")])
+        g = part.take(idx)
+        langs = g.column("lang").to_pylist()
+        n = len(langs)
+        if n == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        langs_np = np.array(langs)
+        starts = _segment_starts(langs_np)
+        counts = np.diff(np.append(starts, n))
+        offsets = np.arange(n) - np.repeat(starts, counts)
+        return g.filter(pa.array(offsets < k))
+
+    return partitioned_map_groups(agg, "lang", topk)
+
+
+def orders_rollup(sf_dir: str):
+    """ROLLUP-style aggregate: order counts + total price at
+    (status, priority), (status) and grand-total levels, rolled-up
+    dimensions coalesced to 'ALL'. Three grouped aggregates over the
+    same pre-reduced partials + a union (each level pre-reduces before
+    its exchange); oracle = GROUP BY ROLLUP + COALESCE."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read(sf_dir, "orders",
+              columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": t.column("o_orderstatus"),
+            "o_orderpriority": t.column("o_orderpriority"),
+            "price_cents": _cents(t.column("o_totalprice")),
+        })
+
+    base = ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    # materialized once: three level aggregations consume the same
+    # pre-reduced projection (24 B/row) without re-reading the input
+
+    lvl2 = base.groupby(["o_orderstatus", "o_orderpriority"]).aggregate(
+        Count(alias_name="n_orders"), Sum("price_cents", alias_name="cents"))
+    lvl1 = base.groupby("o_orderstatus").aggregate(
+        Count(alias_name="n_orders"), Sum("price_cents", alias_name="cents"))
+
+    def fin(all_cols: tuple[str, ...]):
+        def fn(t: pa.Table) -> pa.Table:
+            for c in all_cols:
+                t = t.append_column(c, pa.array(["ALL"] * t.num_rows,
+                                                pa.string()))
+            t = t.append_column("total_price", _uncents(t.column("cents")))
+            return t.select(["o_orderstatus", "o_orderpriority",
+                             "n_orders", "total_price"])
+
+        return fn
+
+    out2 = lvl2.map_batches(fin(()), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out1 = lvl1.map_batches(fin(("o_orderpriority",)),
+                            batch_format="pyarrow", zero_copy_batch=True)
+
+    def grand(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": pa.array(["ALL"], pa.string()),
+            "o_orderpriority": pa.array(["ALL"], pa.string()),
+            "n_orders": pa.array(
+                [pc.sum(t.column("n_orders")).as_py()], pa.int64()),
+            "total_price": _uncents(pa.array(
+                [pc.sum(t.column("cents")).as_py()], pa.int64())),
+        })
+
+    # grand total folds the (already tiny) per-status rows in one task
+    out0 = lvl1.repartition(1).map_batches(grand, batch_format="pyarrow",
+                                           zero_copy_batch=True)
+    return out2.union(out1).union(out0)
+
+
+def events_value_p90(sf_dir: str):
+    """Grouped interpolated p90 (DuckDB quantile_cont semantics: linear
+    interpolation between order statistics). Like the exact median, the
+    group's values co-locate (quantiles are not decomposable) — group
+    count is #event_types, bounded; the approximate companion is
+    events_value_p50_sketch."""
+    ds = read(sf_dir, "events", columns=["event_type", "value"])
+
+    def p90(g: pa.Table) -> pa.Table:
+        v = np.sort(g.column("value").to_numpy())
+        q = np.quantile(v, 0.9, method="linear")
+        return pa.table({
+            "event_type": g.column("event_type").slice(0, 1),
+            "p90_value": pa.array([round(float(q), 6)], pa.float64()),
+        })
+
+    return ds.groupby("event_type").map_groups(p90, batch_format="pyarrow")
+
+
 def docs_lang_stats(sf_dir: str):
     """Per-language corpus stats over documents."""
     from ray.data.aggregate import Count, Mean, Sum

@@ -288,6 +288,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_p90": R.events_value_p90,
         "lang_top_terms": R.lang_top_terms,
         "orders_rollup": R.orders_rollup,
+        "events_time_since_prev": R.events_time_since_prev,
+        "events_moving_avg": R.events_moving_avg,
+        "q6_revenue_filter": R.q6_revenue_filter,
+        "q4_priority_exists": R.q4_priority_exists,
+        "nation_status_pivot": R.nation_status_pivot,
+        "events_props_k_stats": R.events_props_k_stats,
         "events_users_hll": _events_users_hll,    # sketch; rows-only
         "events_value_p50_sketch": _events_value_p50_sketch,  # KLL; rows-only
         # text analysis
@@ -452,6 +458,63 @@ def oracle_sql() -> dict[str, str]:
                        AS total_price
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "events_time_since_prev": """
+            SELECT event_id, user_id,
+                   date_diff('microsecond',
+                             LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts) AS prev_gap_us
+            FROM events
+        """,
+        "events_moving_avg": """
+            SELECT event_id, user_id,
+                   round(AVG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+                       AS mavg3
+            FROM events
+        """,
+        "q6_revenue_filter": """
+            SELECT round(sum(round(l_extendedprice * l_discount * 10000))
+                         / 10000.0, 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q4_priority_exists": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "nation_status_pivot": """
+            SELECT n_name,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+            FROM orders
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            GROUP BY n_name
+        """,
+        "events_props_k_stats": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS max_k,
+                   round(avg(CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT)), 6) AS avg_k
+            FROM events GROUP BY event_type
         """,
         "acctbal_union_topk": """
             SELECT name, acctbal, side FROM (

@@ -958,6 +958,227 @@ def events_value_p90(sf_dir: str):
     return ds.groupby("event_type").map_groups(p90, batch_format="pyarrow")
 
 
+def events_time_since_prev(sf_dir: str):
+    """LAG window: microseconds since the user's previous event (null on
+    each user's first event). Same grouped-window shape as
+    events_rank_in_user — hash co-location by user, one vectorized
+    segmented diff per partition; no per-group task dispatch."""
+    ds = read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def lag(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "prev_gap_us": pa.array([], pa.int64())})
+        idx = pc.sort_indices(part, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = part.take(idx)
+        uid = g.column("user_id").to_numpy()
+        ts = g.column("ts").cast(pa.int64()).combine_chunks().to_numpy()
+        n = len(uid)
+        starts = _segment_starts(uid)
+        gap = np.empty(n, np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        first = np.zeros(n, bool)
+        first[starts] = True
+        return pa.table({
+            "event_id": g.column("event_id"),
+            "user_id": g.column("user_id"),
+            "prev_gap_us": pa.array(gap, pa.int64(), mask=first),
+        })
+
+    return partitioned_map_groups(ds, "user_id", lag)
+
+
+def events_moving_avg(sf_dir: str):
+    """Moving average over a bounded frame (ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW) per user, ordered by (ts, event_id). The frame sum is
+    built from shifted copies in frame order — no cumsum drift — and
+    rounded to 6 decimals to pin the float representation (oracle does
+    the same)."""
+    ds = read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def mavg(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "mavg3": pa.array([], pa.float64())})
+        idx = pc.sort_indices(part, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = part.take(idx)
+        uid = g.column("user_id").to_numpy()
+        v = g.column("value").to_numpy()
+        n = len(uid)
+        starts = _segment_starts(uid)
+        counts = np.diff(np.append(starts, n))
+        off = np.arange(n) - np.repeat(starts, counts)  # pos within user
+        p1 = np.empty(n)
+        p1[0] = 0.0
+        p1[1:] = v[:-1]
+        p2 = np.empty(n)
+        p2[:2] = 0.0
+        p2[2:] = v[:-2]
+        in1, in2 = off >= 1, off >= 2
+        total = np.where(in2, (p2 + p1) + v,
+                         np.where(in1, p1 + v, v))
+        cnt = np.minimum(off + 1, 3)
+        return pa.table({
+            "event_id": g.column("event_id"),
+            "user_id": g.column("user_id"),
+            "mavg3": pa.array(np.round(total / cnt, 6), pa.float64()),
+        })
+
+    return partitioned_map_groups(ds, "user_id", mavg)
+
+
+def q6_revenue_filter(sf_dir: str):
+    """Selective scan + global aggregate (TPC-H Q6 shape). The predicate
+    is handed to the parquet scan (arrow dataset filter -> row-group and
+    page pruning), so non-qualifying data never enters the object store;
+    revenue is summed as integer 1e-4 units for float-order independence
+    (oracle mirrors the same rounding)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    expr = ((pads.field("l_shipdate") >= _dt.datetime(1995, 1, 1))
+            & (pads.field("l_shipdate") < _dt.datetime(1996, 1, 1))
+            & (pads.field("l_discount") >= 0.05)
+            & (pads.field("l_discount") <= 0.07)
+            & (pads.field("l_quantity") < 24.0))
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"], filter=expr)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.round(
+            pc.multiply(pc.multiply(t.column("l_extendedprice"),
+                                    t.column("l_discount")),
+                        pa.scalar(10000.0)),
+            0, round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({
+            "rev_e4": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+            "n_items": pa.array([t.num_rows], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def final(t: pa.Table) -> pa.Table:
+        rev = pc.sum(t.column("rev_e4")).as_py() or 0
+        n = pc.sum(t.column("n_items")).as_py() or 0
+        return pa.table({
+            "revenue": pa.array([round(rev / 10000.0, 2)], pa.float64()),
+            "n_items": pa.array([n], pa.int64()),
+        })
+
+    return parts.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+def q4_priority_exists(sf_dir: str):
+    """EXISTS-style grouped semi-join with two LARGE sides (TPC-H Q4
+    shape): distinct qualifying l_orderkeys via a pre-reduced groupby
+    (not a broadcast — the key set grows with the fact table), then Ray
+    Data's native hash-partitioned join against orders, then a grouped
+    count. The broadcast twin for small key sets is
+    customers_with_urgent_orders."""
+    from ray.data.aggregate import Count
+
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    li = li.filter(expr="l_returnflag == 'R'")
+    keys = (li.groupby("l_orderkey").aggregate(Count(alias_name="_n"))
+            .select_columns(["l_orderkey"]))
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_join(orders, keys, on="o_orderkey", right_on="l_orderkey")
+    return (joined.groupby("o_orderpriority")
+            .aggregate(Count(alias_name="n_orders")))
+
+
+def nation_status_pivot(sf_dir: str):
+    """Pivot (conditional aggregation): order counts per customer nation
+    spread across one column per order status. Broadcast dimension chain
+    (customer -> nation name) on the fact scan, per-batch pivoted
+    partial counts via Arrow group_by, one tiny grouped-Sum exchange."""
+    from ray.data.aggregate import Sum
+
+    cust_ref = broadcast_lookup(
+        read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        "c_custkey", ["c_nationkey"])
+    nat_ref = broadcast_lookup(
+        read(sf_dir, "nation", columns=["n_nationkey", "n_name"]),
+        "n_nationkey", ["n_name"])
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    statuses = ("O", "F", "P")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = BroadcastJoin(cust_ref, "o_custkey", ["c_nationkey"])(batch)
+        batch = BroadcastJoin(nat_ref, "c_nationkey", ["n_name"])(batch)
+        cols = {"n_name": batch.column("n_name")}
+        st = batch.column("o_orderstatus")
+        for s in statuses:
+            cols[f"n_{s}"] = pc.cast(pc.equal(st, pa.scalar(s)), pa.int64())
+        flat = pa.table(cols)
+        return flat.group_by("n_name").aggregate(
+            [(f"n_{s}", "sum") for s in statuses])
+
+    parts = orders.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    agg = parts.groupby("n_name").aggregate(
+        *[Sum(f"n_{s}_sum", alias_name=f"n_{s.lower()}") for s in statuses])
+    return agg
+
+
+def events_props_k_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` out of the JSON
+    ``props`` column (vectorized polars JSON path match, compiled once),
+    then grouped stats per event type. All partials are integer sums, so
+    the final avg is float-order independent."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        out = (df.select([
+            "event_type",
+            pl.col("props").str.json_path_match("$.k")
+            .cast(pl.Int64).alias("k"),
+        ]).group_by("event_type").agg([
+            pl.len().cast(pl.Int64).alias("n_events"),
+            pl.col("k").sum().alias("sum_k"),
+            pl.col("k").min().alias("min_k"),
+            pl.col("k").max().alias("max_k"),
+        ]))
+        return out.to_arrow().cast(pa.schema([
+            ("event_type", pa.string()), ("n_events", pa.int64()),
+            ("sum_k", pa.int64()), ("min_k", pa.int64()),
+            ("max_k", pa.int64())]))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    agg = parts.groupby("event_type").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_k", alias_name="sum_k"),
+        Min("min_k", alias_name="min_k"),
+        Max("max_k", alias_name="max_k"),
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        avg = pc.round(pc.divide(
+            pc.cast(t.column("sum_k"), pa.float64()),
+            pc.cast(t.column("n_events"), pa.float64())), 6)
+        return t.append_column("avg_k", avg)
+
+    return agg.map_batches(final, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def docs_lang_stats(sf_dir: str):
     """Per-language corpus stats over documents."""
     from ray.data.aggregate import Count, Mean, Sum

@@ -86,8 +86,15 @@ def run_bench() -> dict:
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    # log_to_driver=False: keeps the bench output to the single JSON line.
+    # Worker logs otherwise spam an upstream Ray 2.49 cosmetic warning
+    # ("Failed to hash the schemas (for deduplication)") on EVERY
+    # sort/groupby reduce task — reproducible with a bare
+    # read_parquet().groupby().aggregate(), nothing engine-specific.
+    # Failures still surface: exceptions propagate to the driver.
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     import logging
 
     from ray.data import DataContext

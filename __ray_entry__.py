@@ -239,6 +239,22 @@ def _events_value_p50_sketch(sf_dir: str):
     return grouped_quantile_sketch(sf_dir, q=0.5)
 
 
+def _docs_contaminated(sf_dir: str):
+    """Benchmark decontamination: docs containing any eval-set snippet
+    (Aho-Corasick broadcast probe; oracle: EXISTS + contains)."""
+    from webxtract.ops.text import docs_decontaminate_ids
+
+    return docs_decontaminate_ids(sf_dir)
+
+
+def _docs_stratified_sample(sf_dir: str):
+    """Deterministic per-language stratified sample (grouped
+    ROW_NUMBER <= k by md5; oracled)."""
+    from webxtract.ops.text import docs_stratified_sample
+
+    return docs_stratified_sample(sf_dir)
+
+
 def _pages_training_corpus(sf_dir: str):
     """Composite training-corpus export: extract -> quality/length
     filter -> exact content dedup (min-url canonical) -> token/char
@@ -294,6 +310,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_priority_exists": R.q4_priority_exists,
         "nation_status_pivot": R.nation_status_pivot,
         "events_props_k_stats": R.events_props_k_stats,
+        "events_type_user_distinct": R.events_type_user_distinct,
+        "events_type_share": R.events_type_share,
+        "customer_order_histogram": R.customer_order_histogram,
+        "customer_ntile": R.customer_ntile,
+        "region_nation_list": R.region_nation_list,
+        "lineitem_corr_disc_tax": R.lineitem_corr_disc_tax,
+        "docs_contaminated": _docs_contaminated,
+        "docs_stratified_sample": _docs_stratified_sample,
         "events_users_hll": _events_users_hll,    # sketch; rows-only
         "events_value_p50_sketch": _events_value_p50_sketch,  # KLL; rows-only
         # text analysis
@@ -651,5 +675,58 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, cosine, cast(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 10
+        """,
+        "events_type_user_distinct": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "events_type_share": """
+            SELECT event_type, count(*) AS n,
+                   round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share
+            FROM events GROUP BY event_type
+        """,
+        "customer_order_histogram": """
+            SELECT c_count, count(*) AS n_custs FROM (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c LEFT JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey
+            ) GROUP BY c_count
+        """,
+        "customer_ntile": """
+            SELECT c_custkey, c_acctbal,
+                   row_number() OVER (ORDER BY c_acctbal DESC, c_custkey)
+                       AS rn,
+                   ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey)
+                       AS tile
+            FROM customer
+        """,
+        "region_nation_list": """
+            SELECT r_name,
+                   string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                   count(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "lineitem_corr_disc_tax": """
+            SELECT round(corr(l_discount, l_tax), 6) AS corr_disc_tax
+            FROM lineitem
+        """,
+        "docs_contaminated": """
+            -- benchmark decontamination: docs containing any eval-set
+            -- snippet (eval set = doc_id % 23 == 0, first 16 chars)
+            SELECT DISTINCT d.doc_id
+            FROM documents d
+            WHERE d.doc_id % 23 <> 0
+              AND EXISTS (SELECT 1 FROM documents e
+                          WHERE e.doc_id % 23 = 0
+                            AND contains(d.text, substr(e.text, 1, 16)))
+        """,
+        "docs_stratified_sample": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY md5(text), doc_id) AS rn
+                FROM documents) WHERE rn <= 20
         """,
     }

@@ -1199,6 +1199,192 @@ def events_props_k_stats(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def events_type_user_distinct(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): distinct users per event type.
+    Scale shape: distinct-count is not decomposable directly, so it runs
+    as TWO pre-reduced aggregations — per-batch (type, user) dedupe via
+    Arrow group_by (so the first exchange carries distinct pairs per
+    block, not raw events), a grouped Count to collapse pairs globally,
+    then a tiny per-type Count. The approximate twin (one pass, no pair
+    exchange) is events_users_hll."""
+    from ray.data.aggregate import Count
+
+    ds = read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    global_pairs = pairs.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="_n"))
+    return (global_pairs.select_columns(["event_type"])
+            .groupby("event_type").aggregate(Count(alias_name="n_users")))
+
+
+def customer_order_histogram(sf_dir: str):
+    """Order-count distribution over customers (TPC-H Q13 shape) WITHOUT
+    the customer-side join: per-customer order counts from one grouped
+    Count over orders, histogrammed by a second tiny groupby; the
+    zero-order bucket is total customers (parquet footer, no scan) minus
+    customers seen in orders. Returns a driver-side Arrow table (the
+    histogram is bounded by max orders per customer)."""
+    from ray.data.aggregate import Count
+
+    orders = read(sf_dir, "orders", columns=["o_custkey"])
+    per_cust = orders.groupby("o_custkey").aggregate(
+        Count(alias_name="c_count"))
+    hist = per_cust.groupby("c_count").aggregate(
+        Count(alias_name="n_custs"))
+    t = pa.concat_tables(
+        [b for b in hist.iter_batches(batch_format="pyarrow")])
+    n_customers = parquet_rows(sf_dir, "customer")
+    n_with_orders = pc.sum(t.column("n_custs")).as_py() or 0
+    n_zero = n_customers - n_with_orders
+    if n_zero > 0:
+        t = pa.concat_tables([t, pa.table({
+            "c_count": pa.array([0], t.column("c_count").type),
+            "n_custs": pa.array([n_zero], pa.int64())})])
+    return t.combine_chunks()
+
+
+def global_row_number(ds, sort_keys: list[str],
+                      descending: list[bool] | None = None,
+                      rn_col: str = "rn"):
+    """Global ROW_NUMBER() OVER (ORDER BY sort_keys): Ray Data's sort
+    yields globally range-partitioned blocks in total order; per-block
+    row COUNTS (8 bytes each) come back to the driver for a prefix sum,
+    then each block gets offset + arange via a remote task. Blocks never
+    leave the object store — the driver sees only the count vector.
+    This is the documented drop-to-raw-tasks case: the Dataset API has
+    no ordinal-over-total-order operator."""
+    import ray
+    import ray.data as rd
+
+    sorted_ds = ds.sort(sort_keys, descending=descending).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote(num_cpus=0.25)
+    def _add_rn(t: pa.Table, off: int, col: str) -> pa.Table:
+        return t.append_column(
+            col, pa.array(np.arange(off + 1, off + 1 + t.num_rows,
+                                    dtype=np.int64), pa.int64()))
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1])) if counts else []
+    out = [_add_rn.remote(r, int(o), rn_col)
+           for r, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(out)
+
+
+def customer_ntile(sf_dir: str, n: int = 4):
+    """NTILE(n) + global row number over customers by account balance:
+    exercises global_row_number (total-order ranking). Bucket sizes
+    follow SQL NTILE: the first total%n buckets get one extra row."""
+    ds = read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    rn = global_row_number(ds, ["c_acctbal", "c_custkey"],
+                           descending=[True, False], rn_col="rn")
+    total = parquet_rows(sf_dir, "customer")
+    q, r = divmod(total, n)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        rnv = t.column("rn").to_numpy()
+        if q == 0:
+            tile = np.minimum(rnv, n)
+        else:
+            big = r * (q + 1)
+            tile = np.where(rnv <= big, (rnv - 1) // (q + 1) + 1,
+                            r + (rnv - big - 1) // max(q, 1) + 1)
+        return t.append_column("tile",
+                               pa.array(tile.astype(np.int64), pa.int64()))
+
+    return rn.map_batches(bucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def region_nation_list(sf_dir: str):
+    """Grouped ordered string_agg: comma-joined sorted nation names per
+    region. Group count is bounded (#regions), so per-group Python is
+    O(1); the dimension join is a broadcast lookup."""
+    reg_ref = broadcast_lookup(
+        read(sf_dir, "region", columns=["r_regionkey", "r_name"]),
+        "r_regionkey", ["r_name"])
+    nat = read(sf_dir, "nation", columns=["n_regionkey", "n_name"])
+    nat = nat.map_batches(
+        broadcast_join_stage(reg_ref, "n_regionkey", ["r_name"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def agg(g: pa.Table) -> pa.Table:
+        names = sorted(g.column("n_name").to_pylist())
+        return pa.table({
+            "r_name": g.column("r_name").slice(0, 1),
+            "nations": pa.array([",".join(names)], pa.string()),
+            "n_nations": pa.array([len(names)], pa.int64()),
+        })
+
+    return nat.groupby("r_name").map_groups(agg, batch_format="pyarrow")
+
+
+def lineitem_corr_disc_tax(sf_dir: str):
+    """Global Pearson correlation (discount vs tax) from EXACT integer
+    moment sums: each batch reduces to six int64 partials (n, Σx, Σy,
+    Σx², Σy², Σxy in 1e-4 units — synthetic discounts/taxes are 0.01
+    multiples, so the encoding is exact), one tiny exchange, final ratio
+    in Python ints (no float-order dependence anywhere before the last
+    division). Oracle: DuckDB corr()."""
+    ds = read(sf_dir, "lineitem", columns=["l_discount", "l_tax"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.round(t.column("l_discount").to_numpy() * 1e4).astype(np.int64)
+        y = np.round(t.column("l_tax").to_numpy() * 1e4).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def final(t: pa.Table) -> pa.Table:
+        n = pc.sum(t.column("n")).as_py() or 0
+        sx = pc.sum(t.column("sx")).as_py() or 0
+        sy = pc.sum(t.column("sy")).as_py() or 0
+        sxx = pc.sum(t.column("sxx")).as_py() or 0
+        syy = pc.sum(t.column("syy")).as_py() or 0
+        sxy = pc.sum(t.column("sxy")).as_py() or 0
+        num = n * sxy - sx * sy                      # exact ints
+        den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        corr = float(num) / float(den2) ** 0.5 if den2 > 0 else float("nan")
+        return pa.table({
+            "corr_disc_tax": pa.array([round(corr, 6)], pa.float64())})
+
+    return parts.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+def events_type_share(sf_dir: str):
+    """Share-of-total per group (aggregate over an aggregate): event
+    counts per type plus each type's fraction of all events. The grouped
+    result is tiny, so the total folds driver-side."""
+    from ray.data.aggregate import Count
+
+    ds = read(sf_dir, "events", columns=["event_type"])
+    agg = ds.groupby("event_type").aggregate(Count(alias_name="n"))
+    t = pa.concat_tables(
+        [b for b in agg.iter_batches(batch_format="pyarrow")])
+    total = pc.sum(t.column("n")).as_py() or 0
+    share = pc.round(pc.divide(pc.cast(t.column("n"), pa.float64()),
+                               pa.scalar(float(total))), 6)
+    return t.append_column("share", share).combine_chunks()
+
+
 def docs_lang_stats(sf_dir: str):
     """Per-language corpus stats over documents."""
     from ray.data.aggregate import Count, Mean, Sum

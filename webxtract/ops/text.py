@@ -126,6 +126,107 @@ class LangId:
         return out
 
 
+# --- benchmark decontamination -------------------------------------------
+
+def contaminated_doc_ids(ds, snippets: list[str], exclude_expr=None):
+    """Docs whose text contains ANY of the (broadcast) benchmark
+    snippets — the eval-set decontamination pass of an LLM training
+    pipeline. The probe is polars ``str.contains_any`` (Aho–Corasick
+    over all patterns in one scan per row, compiled once per batch from
+    the per-worker cached snippet list), so cost is O(text), not
+    O(text × patterns). ``exclude_expr``: optional vectorized predicate
+    (pa.Table -> BooleanArray) removing the eval docs themselves."""
+    import ray
+
+    ref = ray.put(list(snippets))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        from ..broadcast import get_broadcast
+
+        snips = get_broadcast(ref)
+        if exclude_expr is not None:
+            batch = batch.filter(exclude_expr(batch))
+        if not snips:
+            return batch.select(["doc_id"]).slice(0, 0)
+        hit = pl.from_arrow(batch.select(["text"]))["text"] \
+            .str.contains_any(snips)
+        return batch.select(["doc_id"]).filter(hit.to_arrow())
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def docs_decontaminate_ids(sf_dir: str, eval_mod: int = 23,
+                           snip_len: int = 16):
+    """Demo wiring over the documents table: the 'benchmark set' is
+    every doc with doc_id % eval_mod == 0, its signature the first
+    snip_len chars; returns the CONTAMINATED doc ids (the pipeline's
+    next stage would anti-join them away). Oracle: EXISTS + contains."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    # the eval set is tiny (1/eval_mod of the corpus) — collect its
+    # snippets driver-side; at real scale this is the benchmark file
+    snippets = []
+    for b in docs.iter_batches(batch_format="pyarrow"):
+        ids = b.column("doc_id").to_numpy()
+        mask = ids % eval_mod == 0
+        for t in b.column("text").filter(pa.array(mask)).to_pylist():
+            snippets.append(t[:snip_len])
+
+    def not_eval(batch: pa.Table) -> pa.Array:
+        return pa.array(batch.column("doc_id").to_numpy() % eval_mod != 0)
+
+    return contaminated_doc_ids(docs, snippets, exclude_expr=not_eval)
+
+
+# --- stratified sampling --------------------------------------------------
+
+def docs_stratified_sample(sf_dir: str, per_lang: int = 20):
+    """Deterministic stratified sample: the per_lang docs with smallest
+    md5(text) within each language (tie-break doc_id). One hash
+    co-location by lang + a vectorized per-segment top-k — the grouped
+    ROW_NUMBER() <= k pattern; reproducible under any partitioning and
+    SQL-expressible (oracled)."""
+    import ray.data as rd
+
+    from .relational import _segment_starts, partitioned_map_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(x.encode("utf-8")).hexdigest()
+             for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lang": t.column("lang"),
+                         "h": pa.array(h, pa.string())})
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def topk(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string())})
+        idx = pc.sort_indices(part, sort_keys=[
+            ("lang", "ascending"), ("h", "ascending"),
+            ("doc_id", "ascending")])
+        g = part.take(idx)
+        langs = np.array(g.column("lang").to_pylist())
+        starts = _segment_starts(langs)
+        counts = np.diff(np.append(starts, len(langs)))
+        offsets = np.arange(len(langs)) - np.repeat(starts, counts)
+        return g.select(["doc_id", "lang"]).filter(
+            pa.array(offsets < per_lang))
+
+    return partitioned_map_groups(keyed_ds, "lang", topk)
+
+
 # --- fingerprinting -------------------------------------------------------
 
 _FP_BASE = np.uint64(1099511628211)   # FNV prime as polynomial base

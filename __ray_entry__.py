@@ -239,6 +239,21 @@ def _events_value_p50_sketch(sf_dir: str):
     return grouped_quantile_sketch(sf_dir, q=0.5)
 
 
+def _pages_line_dedup(sf_dir: str):
+    """CCNet-style corpus-wide LINE dedup over the extracted pages
+    corpus: duplicated lines (shared boilerplate) survive only at their
+    canonical first occurrence (rows-only; line semantics pytest-gated
+    in tests/test_dedup.py)."""
+    from webxtract import pipeline
+    from webxtract.ops.dedup import dedup_lines
+    from webxtract.testdata import pages_dataset, rows_for_sf_dir
+
+    ds = pages_dataset(sf_rows=rows_for_sf_dir(sf_dir))
+    res = pipeline.extract_pipeline(ds).select_columns(
+        ["url", "extracted_text"])
+    return dedup_lines(res)
+
+
 def _docs_contaminated(sf_dir: str):
     """Benchmark decontamination: docs containing any eval-set snippet
     (Aho-Corasick broadcast probe; oracle: EXISTS + contains)."""
@@ -332,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": _docs_minhash_pairs,  # sketch; rows-only
         "docs_simhash_pairs": _docs_simhash_pairs,  # sketch; rows-only
         "docs_dedup_clusters": _docs_dedup_clusters,  # rows-only
+        "pages_line_dedup": _pages_line_dedup,  # CCNet line dedup; rows-only
         # scale-path twins (same rows as their siblings; pytest-gated)
         "docs_minhash_pairs_joinverify": _docs_minhash_pairs_joinverify,
         "docs_dedup_clusters_dist": _docs_dedup_clusters_dist,

@@ -59,3 +59,79 @@ def test_dedup_join_matches_table(ray_session):
     got = got.take(pc.sort_indices(got.column("url")))
     exp = expected.take(pc.sort_indices(expected.column("url")))
     assert got.equals(exp)
+
+
+# --- line-level dedup (CCNet-style) ---------------------------------------
+
+def _lines_out(ds):
+    import pyarrow as pa
+
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    return dict(zip(t.column("url").to_pylist(),
+                    t.column("extracted_text").to_pylist()))
+
+
+def test_dedup_lines_cross_doc(ray_session):
+    import ray.data as rd
+
+    from webxtract.ops.dedup import dedup_lines
+
+    t = pa.table({
+        "url": ["u1", "u2", "u3"],
+        "extracted_text": ["keep1\nBOILER\nkeep2",
+                           "BOILER\nunique2",
+                           "solo\nBOILER"],
+    })
+    d = _lines_out(dedup_lines(rd.from_arrow(t)))
+    # canonical occurrence = min (url, line_idx): u1 line 1 wins
+    assert d["u1"] == "keep1\nBOILER\nkeep2"
+    assert d["u2"] == "unique2"
+    assert d["u3"] == "solo"
+
+
+def test_dedup_lines_within_doc_and_empty(ray_session):
+    import ray.data as rd
+
+    from webxtract.ops.dedup import dedup_lines
+
+    t = pa.table({
+        "url": ["a", "b"],
+        "extracted_text": ["x\nx\ny", "x"],
+    })
+    d = _lines_out(dedup_lines(rd.from_arrow(t)))
+    assert d["a"] == "x\ny"   # within-doc dup stripped too
+    assert d["b"] == ""       # fully-boilerplate doc -> empty string
+
+
+def test_dedup_lines_parallelism_invariant_and_idempotent(ray_session):
+    import ray.data as rd
+
+    from webxtract.ops.dedup import dedup_lines
+
+    shared = ["COMMON HEADER", "COMMON FOOTER", "visit our shop"]
+    urls, texts = [], []
+    for i in range(120):
+        body = [f"unique line {i} alpha", f"unique line {i} beta"]
+        lines = [shared[i % 3]] + body + [shared[(i + 1) % 3]]
+        urls.append(f"https://ex.com/{i:04d}")
+        texts.append("\n".join(lines))
+    t = pa.table({"url": urls, "extracted_text": texts})
+
+    outs = []
+    for nblocks in (1, 8):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        outs.append(_lines_out(dedup_lines(ds)))
+    assert outs[0] == outs[1]
+
+    # each shared line survives exactly once, at its first occurrence
+    corpus = "\n".join(outs[0].values())
+    for s in shared:
+        assert corpus.count(s) == 1
+    assert outs[0]["https://ex.com/0000"].startswith("COMMON HEADER")
+
+    # idempotent: a second pass changes nothing
+    again = _lines_out(dedup_lines(
+        rd.from_arrow(pa.table({
+            "url": list(outs[0].keys()),
+            "extracted_text": list(outs[0].values())}))))
+    assert again == outs[0]

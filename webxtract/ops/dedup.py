@@ -35,6 +35,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _MERSENNE = (1 << 61) - 1
 BUCKET_CAP = 50
@@ -740,6 +741,128 @@ def exact_dedup_keep_first(ds):
                             concurrency=(1, 8), zero_copy_batch=True)
     return hashed.groupby("md5").aggregate(
         Min("doc_id", alias_name="doc_id")).select_columns(["doc_id"])
+
+
+# --- line-level dedup (CCNet/RefinedWeb-style boilerplate removal) --------
+
+def dedup_lines(ds, text_col: str = "extracted_text", id_col: str = "url",
+                materialize_input: bool = True):
+    """Corpus-wide LINE dedup: every line that occurs more than once in
+    the corpus survives only at its canonical occurrence (min (id,
+    line_idx) lexicographically) and is stripped everywhere else — the
+    CCNet/RefinedWeb boilerplate-removal pass of an LLM data pipeline.
+
+    Scale shape mirrors dedup_pages_fast: phase 1 pre-reduces each batch
+    to distinct (line_hash -> min_winner_key, count) partials (polars
+    explode + group_by, vectorized xxhash per line — the exchange
+    carries per-batch DISTINCT line hashes, never line text), one
+    grouped Min/Sum, then only DUPLICATED hashes (dup-rate-sized)
+    broadcast as typed Arrow arrays. Phase 2 re-derives each batch's
+    line hashes and keeps a line iff unduplicated or at its winner
+    position — embarrassingly parallel, no second shuffle. At 10^12
+    docs swap the broadcast for a hash join of the exploded lines
+    against the winner table (the dedup_pages_join shape).
+
+    Rows whose every line is stripped keep an empty string (callers
+    filter on min length downstream). Hash collisions (64-bit xxhash)
+    would drop a non-duplicate line; at corpus scale use a 128-bit
+    hash.
+
+    ``ds`` feeds BOTH phases; the default ``materialize_input`` pins it
+    once so an expensive upstream lineage (e.g. extraction) is not
+    re-executed by the streaming planner for the second consumer — at
+    checkpoint scale pass False and hand in a re-readable source."""
+    import ray
+
+    if materialize_input:
+        ds = ds.materialize()
+
+    def _exploded(batch: pa.Table):
+        import polars as pl
+
+        df = pl.from_arrow(batch.select([id_col, text_col]))
+        ex = df.select(
+            pl.col(id_col),
+            pl.col(text_col).str.split("\n").alias("_l"))
+        ex = ex.with_columns(
+            pl.int_ranges(pl.col("_l").list.len()).alias("_i"))
+        ex = ex.explode(["_l", "_i"])
+        # reinterpret u64 -> i64 (same bits): Ray's sort-based groupby
+        # round-trips keys through Python ints and overflows on uint64
+        return ex.with_columns(
+            pl.col("_l").hash(seed=0).reinterpret(signed=True)
+            .alias("line_h"),
+            pl.concat_str([
+                pl.col(id_col), pl.lit("\x00"),
+                pl.col("_i").cast(pl.String).str.zfill(8)]).alias("_key"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ex = _exploded(batch)
+        out = ex.group_by("line_h").agg(
+            pl.col("_key").min().alias("win"),
+            pl.len().cast(pl.Int64).alias("n"))
+        return out.to_arrow().cast(pa.schema([
+            ("line_h", pa.int64()), ("win", pa.string()),
+            ("n", pa.int64())]))
+
+    from ray.data.aggregate import Min, Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("line_h").aggregate(
+            Min("win", alias_name="win"), Sum("n", alias_name="n"))
+
+    hs, wins = [], []
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        d = b.filter(pc.greater(b.column("n"), 1))
+        if d.num_rows:
+            hs.append(d.column("line_h").combine_chunks())
+            wins.append(d.column("win").combine_chunks())
+    if not hs:
+        return ds
+    dup_h = pa.concat_arrays(hs)
+    dup_win = pa.concat_arrays(wins)
+    ref = ray.put((dup_h, dup_win))
+
+    def strip(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        from ..broadcast import get_broadcast
+
+        d_h, d_win = get_broadcast(ref)
+        df = pl.from_arrow(batch.select([id_col, text_col]))
+        df = df.with_row_index("_r")
+        ex = df.select(
+            pl.col("_r"), pl.col(id_col),
+            pl.col(text_col).str.split("\n").alias("_l"))
+        ex = ex.with_columns(
+            pl.int_ranges(pl.col("_l").list.len()).alias("_i"))
+        ex = ex.explode(["_l", "_i"])
+        ex = ex.with_columns(
+            pl.col("_l").hash(seed=0).reinterpret(signed=True)
+            .alias("line_h"),
+            pl.concat_str([
+                pl.col(id_col), pl.lit("\x00"),
+                pl.col("_i").cast(pl.String).str.zfill(8)]).alias("_key"))
+        idx = pc.index_in(ex["line_h"].to_arrow(), value_set=d_h)
+        winner = pc.take(d_win, idx)
+        keep = pc.or_kleene(pc.is_null(idx),
+                            pc.equal(ex["_key"].to_arrow(), winner))
+        kept = ex.with_columns(pl.Series(
+            "_keep", keep.to_numpy(zero_copy_only=False))) \
+            .filter(pl.col("_keep"))
+        re = kept.group_by("_r", maintain_order=True).agg(
+            pl.col("_l").str.join("\n").alias("_new"))
+        out = df.join(re, on="_r", how="left") \
+            .with_columns(pl.col("_new").fill_null("")).sort("_r")
+        new_text = out["_new"].to_arrow().cast(pa.string())
+        i = batch.schema.get_field_index(text_col)
+        return batch.set_column(i, text_col, new_text)
+
+    return ds.map_batches(strip, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 # --- embedding cosine near-dup -------------------------------------------

@@ -171,7 +171,7 @@ def test_media_decode_fake_and_poison(ray_session):
     metas = list(out["media_meta"])
     assert metas[0]["ok"] and metas[0]["width"] == 640
     assert metas[1]["height"] == 32
-    assert not metas[2]["ok"] and metas[2]["error"] == "unsupported_format"
+    assert not metas[2]["ok"] and metas[2]["error"] == "codec_unavailable:png"
     assert not metas[3]["ok"] and metas[3]["error"] == "empty"
 
 
@@ -513,3 +513,105 @@ def test_bloom_semi_join_prefilter_superset(ray_session):
                              batch_format="pyarrow").to_pandas()
     assert set(exact.c_custkey).issubset(set(approx.c_custkey))
     assert len(approx) <= len(exact) * 1.1 + 5
+
+
+# --- real image codecs (BMP/PPM, pure numpy) ------------------------------
+
+def _grad_image(w, h):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    r = (x * 255 // max(1, w - 1)).astype(np.uint8)
+    g = (y * 255 // max(1, h - 1)).astype(np.uint8)
+    b = ((x + y) % 256).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+def test_imagecodec_roundtrip_bmp_ppm():
+    import numpy as np
+
+    from webxtract.ops import imagecodec as IC
+
+    for w, h in [(7, 5), (8, 8), (1, 1), (33, 2)]:  # odd widths hit BMP padding
+        img = _grad_image(w, h)
+        for enc, dims in [(IC.encode_bmp24, IC.bmp_dims),
+                          (IC.encode_ppm, IC.ppm_dims)]:
+            raw = enc(img)
+            assert dims(raw) == (w, h)
+            back = IC.decode_image(raw)
+            assert back is not None and np.array_equal(back, img), (w, h, enc)
+
+
+def test_imagecodec_rejects_garbage():
+    from webxtract.ops import imagecodec as IC
+
+    assert IC.decode_image(b"") is None
+    assert IC.decode_image(b"BMxx") is None
+    assert IC.decode_image(b"P6\n4 4\n255\nshort") is None
+    assert IC.sniff(b"\x89PNG\r\n") == "png"
+    assert IC.sniff(b"\xff\xd8\xff\xe0") == "jpeg"
+    # truncated pixel data
+    img = _grad_image(6, 6)
+    raw = IC.encode_bmp24(img)
+    assert IC.decode_image(raw[:-8]) is None
+
+
+def test_media_decode_real_formats(ray_session):
+    import ray.data as rd
+
+    from webxtract.ops import imagecodec as IC
+
+    img = _grad_image(12, 9)
+    t = pa.table({
+        "media_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "media": pa.array([
+            IC.encode_bmp24(img), IC.encode_ppm(img),
+            b"\x89PNG\r\n\x1a\nrest", M.make_fake_image(3, 4)],
+            pa.binary()),
+    })
+    out = rd.from_arrow(t).map_batches(
+        M.DecodeImage, batch_format="pyarrow", batch_size=32,
+        concurrency=1).take_all()
+    by_id = {r["media_id"]: r["media_meta"] for r in out}
+    assert by_id[0] == {"ok": True, "width": 12, "height": 9,
+                       "n_bytes": len(IC.encode_bmp24(img)), "error": None}
+    assert by_id[1]["ok"] and (by_id[1]["width"], by_id[1]["height"]) == (12, 9)
+    assert not by_id[2]["ok"] and by_id[2]["error"] == "codec_unavailable:png"
+    assert by_id[3]["ok"] and (by_id[3]["width"], by_id[3]["height"]) == (3, 4)
+
+
+def test_media_resize_stage(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from webxtract.ops import imagecodec as IC
+
+    img = _grad_image(32, 16)
+    t = pa.table({
+        "media": pa.array([IC.encode_ppm(img), b"not an image"], pa.binary()),
+    })
+    out = rd.from_arrow(t).map_batches(
+        M.ResizeImage(8, 4), batch_format="pyarrow", batch_size=8,
+        concurrency=1).take_all()
+    small = IC.decode_image(out[0]["media_resized"])
+    assert small.shape == (4, 8, 3)
+    # nearest-neighbor of a gradient keeps corner pixels
+    assert np.array_equal(small[0, 0], img[0, 0])
+    assert (out[0]["resized_w"], out[0]["resized_h"]) == (8, 4)
+    assert out[1]["media_resized"] is None and out[1]["resized_w"] is None
+
+
+def test_media_features_pixels_vs_bytes():
+    import numpy as np
+
+    from webxtract.ops import imagecodec as IC
+
+    img = np.full((4, 4, 3), 255, np.uint8)
+    t = pa.table({"media": pa.array(
+        [IC.encode_ppm(img), b"opaque-bytes"], pa.binary())})
+    out = M.ExtractImageFeatures(dim=16)(t)
+    f_img, f_bytes = out.column("features").to_pylist()
+    assert len(f_img) == 16 and len(f_bytes) == 16
+    assert f_img[:3] == [1.0, 1.0, 1.0]        # all-white means
+    assert abs(f_img[-1] - 1.0) < 1e-9         # luma in top bin
+    assert f_img != f_bytes

@@ -1,20 +1,23 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-The decode kernels themselves are STUBBED (no PIL/ffmpeg in this
-container — task brief: make the Ray-side plumbing real and tested, gate
-the real decode behind an import-try). What IS real:
+What IS real here:
 
   * the column convention: ``media`` (binary payload) + ``media_type``
     (string) + typed metadata struct appended by the decode stage;
   * actor-pool stage shape (decoder state loaded once per actor);
   * small-batch sizing for blob-heavy rows (SURVEY.md §4.2 skew note);
+  * REAL pixel decode for uncompressed raster formats — 24-bit BMP and
+    binary PPM are parsed straight from bytes with numpy
+    (ops/imagecodec.py), no external libraries needed — plus
+    nearest-neighbor resize and pixel-stat feature extraction over the
+    decoded arrays;
   * deterministic fake decode for tests: a 16-byte header
-    ``WXMEDIA!<u32 w><u32 h>`` is parsed as an "image", giving the
-    stage observable, checkable behavior end to end.
+    ``WXMEDIA!<u32 w><u32 h>`` is parsed as an "image".
 
-Real-image path: if PIL is importable the stage uses it; this container
-never has it, so the fake-header path is the tested one.
-"""
+Compressed codecs are the honest gap: JPEG/PNG decode uses PIL IF
+importable (never in this container) and otherwise yields
+``ok=False, error='codec_unavailable:<kind>'`` DATA rows; video frame
+sampling raises NotImplementedError (needs ffmpeg)."""
 
 from __future__ import annotations
 
@@ -57,6 +60,8 @@ class DecodeImage:
         self.have_pil = _HAVE_PIL
 
     def _decode_one(self, raw: bytes | None) -> tuple[bool, int, int, str | None]:
+        from . import imagecodec
+
         if raw is None or len(raw) == 0:
             return False, 0, 0, "empty"
         if raw.startswith(FAKE_MAGIC):
@@ -64,6 +69,12 @@ class DecodeImage:
                 return False, 0, 0, "truncated_header"
             w, h = struct.unpack("<II", raw[8:16])
             return True, w, h, None
+        kind = imagecodec.sniff(raw)
+        if kind in ("bmp", "ppm"):
+            dims = imagecodec.image_dims(raw)  # header-only, no pixel pass
+            if dims is None:
+                return False, 0, 0, f"corrupt_{kind}"
+            return True, dims[0], dims[1], None
         if self.have_pil:  # pragma: no cover
             import io
 
@@ -72,6 +83,8 @@ class DecodeImage:
                 return True, img.width, img.height, None
             except Exception as e:
                 return False, 0, 0, type(e).__name__
+        if kind in ("png", "jpeg"):
+            return False, 0, 0, f"codec_unavailable:{kind}"
         return False, 0, 0, "unsupported_format"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -86,11 +99,43 @@ class DecodeImage:
         return batch.append_column("media_meta", pa.array(metas, MEDIA_META))
 
 
+class ResizeImage:
+    """Actor-pool stage: decode (BMP/PPM) -> nearest-neighbor resize ->
+    re-encode as PPM into ``media_resized`` (+ ``resized_w/h``).
+    Undecodable rows pass through with a null resized payload (data,
+    not failure). Small batch sizes apply — output blobs are
+    width*height*3 bytes each."""
+
+    def __init__(self, width: int = 64, height: int = 64):
+        self.width, self.height = width, height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from . import imagecodec
+
+        outs, ws, hs = [], [], []
+        for v in batch.column("media").to_pylist():
+            arr = imagecodec.decode_image(v)
+            if arr is None:
+                outs.append(None)
+                ws.append(None)
+                hs.append(None)
+            else:
+                small = imagecodec.resize_nearest(arr, self.width, self.height)
+                outs.append(imagecodec.encode_ppm(np.ascontiguousarray(small)))
+                ws.append(self.width)
+                hs.append(self.height)
+        return (batch.append_column("media_resized", pa.array(outs, pa.binary()))
+                     .append_column("resized_w", pa.array(ws, pa.int32()))
+                     .append_column("resized_h", pa.array(hs, pa.int32())))
+
+
 class ExtractImageFeatures:
-    """Feature-extraction stage stub: emits a deterministic feature vector
-    derived from the payload bytes (stands in for a vision model; the
-    actor shape — model "loaded" in __init__, batched inference in
-    __call__ — is the real contract)."""
+    """Feature-extraction stage (actor shape: "model" built once in
+    __init__, batched inference in __call__). For decodable images the
+    vector is real pixel statistics — mean R/G/B (normalized) + a
+    13-bin luma histogram; for opaque payloads it falls back to a
+    deterministic byte-histogram projection (the vision-model
+    stand-in)."""
 
     def __init__(self, dim: int = 16):
         self.dim = dim
@@ -98,11 +143,25 @@ class ExtractImageFeatures:
         rng = np.random.RandomState(123)
         self.proj = rng.standard_normal((256, dim)).astype(np.float64)
 
+    def _pixel_features(self, arr: np.ndarray) -> list[float]:
+        flat = arr.reshape(-1, 3).astype(np.float64)
+        means = flat.mean(axis=0) / 255.0
+        luma = flat @ np.array([0.299, 0.587, 0.114])
+        hist, _ = np.histogram(luma, bins=self.dim - 3, range=(0.0, 255.0))
+        hist = hist.astype(np.float64) / max(1, luma.size)
+        return np.round(np.concatenate([means, hist]), 9).tolist()
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from . import imagecodec
+
         feats = []
         for v in batch.column("media").to_pylist():
             if not v:
                 feats.append([0.0] * self.dim)
+                continue
+            arr = imagecodec.decode_image(v)
+            if arr is not None:
+                feats.append(self._pixel_features(arr))
                 continue
             hist = np.bincount(
                 np.frombuffer(v, dtype=np.uint8), minlength=256

@@ -615,3 +615,81 @@ def test_media_features_pixels_vs_bytes():
     assert f_img[:3] == [1.0, 1.0, 1.0]        # all-white means
     assert abs(f_img[-1] - 1.0) < 1e-9         # luma in top bin
     assert f_img != f_bytes
+
+
+# --- WAV codec + audio stages ---------------------------------------------
+
+def test_wav_roundtrip_and_chunk_walk():
+    import numpy as np
+
+    from webxtract.ops import audiocodec as AC
+
+    t = np.arange(1600, dtype=np.float64) / 16000.0
+    mono = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)
+    raw = AC.encode_wav(mono, rate=16000)
+    out = AC.decode_wav(raw)
+    assert out is not None
+    arr, rate = out
+    assert rate == 16000 and arr.shape == (1600, 1)
+    assert np.array_equal(arr[:, 0], mono)
+
+    stereo = np.stack([mono, -mono], axis=1)
+    arr2, _ = AC.decode_wav(AC.encode_wav(stereo, rate=8000))
+    assert arr2.shape == (1600, 2) and np.array_equal(arr2, stereo)
+
+    # RIFF with an extra LIST chunk before data still parses
+    chunks = raw[12:]  # fmt + data chunks after the 12-byte RIFF/WAVE tag
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    patched = b"RIFF" \
+        + (4 + len(extra) + len(chunks)).to_bytes(4, "little") \
+        + b"WAVE" + extra + chunks
+    out3 = AC.decode_wav(patched)
+    assert out3 is not None and np.array_equal(out3[0][:, 0], mono)
+
+    assert AC.decode_wav(b"") is None
+    assert AC.decode_wav(b"RIFFxxxxWAVE") is None
+    info = AC.wav_info(raw)
+    assert info == {"rate": 16000, "channels": 1, "n_frames": 1600,
+                    "duration_s": 0.1}
+
+
+def test_audio_stages(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from webxtract.ops import audiocodec as AC
+
+    loud = (np.full(800, 16384)).astype(np.int16)
+    quiet = np.zeros(800, dtype=np.int16)
+    t = pa.table({"media": pa.array(
+        [AC.encode_wav(loud), AC.encode_wav(quiet),
+         b"ID3\x04mp3-ish", b""], pa.binary())})
+    ds = rd.from_arrow(t)
+    metas = [r["audio_meta"] for r in ds.map_batches(
+        AC.DecodeAudio, batch_format="pyarrow", batch_size=16,
+        concurrency=1).take_all()]
+    assert metas[0]["ok"] and metas[0]["n_frames"] == 800
+    assert metas[1]["ok"]
+    assert not metas[2]["ok"] and metas[2]["error"] == "codec_unavailable"
+    assert not metas[3]["ok"] and metas[3]["error"] == "empty"
+
+    feats = [r["audio_features"] for r in ds.map_batches(
+        AC.ExtractAudioFeatures(n_bands=4), batch_format="pyarrow",
+        batch_size=16, concurrency=1).take_all()]
+    assert feats[0][0] > 0.49 and feats[0][1] > 0.49   # rms, peak of loud
+    assert feats[1][0] == 0.0
+    assert feats[2] is None and feats[3] is None
+    assert len(feats[0]) == 3 + 4
+
+
+def test_audio_resample():
+    import numpy as np
+
+    from webxtract.ops import audiocodec as AC
+
+    x = np.arange(100, dtype=np.int16)[:, None]
+    half = AC.resample_nearest(x, 16000, 8000)
+    assert half.shape[0] == 50
+    assert np.array_equal(half[:, 0], np.arange(0, 100, 2, dtype=np.int16))
+    same = AC.resample_nearest(x, 16000, 16000)
+    assert same is x

@@ -270,6 +270,30 @@ def _docs_stratified_sample(sf_dir: str):
     return docs_stratified_sample(sf_dir)
 
 
+def _docs_source_mix(sf_dir: str):
+    """Training-mixture sampling: per-source quotas (grouped
+    ROW_NUMBER <= k(source) by md5; oracled)."""
+    from webxtract.ops.text import docs_source_mix
+
+    return docs_source_mix(sf_dir)
+
+
+def _docs_tfidf_top_term(sf_dir: str):
+    """Per-doc keyword extraction: highest tf*ln(N/df) term (oracled)."""
+    from webxtract.ops.text import docs_tfidf_top_term
+
+    return docs_tfidf_top_term(sf_dir)
+
+
+def _docs_terms_mg(sf_dir: str):
+    """Approximate top-k terms via mergeable Misra-Gries summaries —
+    bounded-memory scale path of docs_term_counts (rows-only; accuracy
+    vs the exact oracled twin gated in tests/test_ops.py)."""
+    from webxtract.ops.sketch import docs_terms_mg
+
+    return docs_terms_mg(sf_dir)
+
+
 def _pages_training_corpus(sf_dir: str):
     """Composite training-corpus export: extract -> quality/length
     filter -> exact content dedup (min-url canonical) -> token/char
@@ -333,6 +357,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_disc_tax": R.lineitem_corr_disc_tax,
         "docs_contaminated": _docs_contaminated,
         "docs_stratified_sample": _docs_stratified_sample,
+        "purchases_after_errors": R.purchases_after_errors,
+        "users_top_event_type": R.users_top_event_type,
+        "nation_top_supplier": R.nation_top_supplier,
+        "nation_balance_fulljoin": R.nation_balance_fulljoin,
+        "docs_source_mix": _docs_source_mix,
+        "supplier_balance_zscore": R.supplier_balance_zscore,
+        "docs_tfidf_top_term": _docs_tfidf_top_term,
+        "docs_terms_mg": _docs_terms_mg,  # Misra-Gries sketch; rows-only
         "events_users_hll": _events_users_hll,    # sketch; rows-only
         "events_value_p50_sketch": _events_value_p50_sketch,  # KLL; rows-only
         # text analysis
@@ -584,11 +616,11 @@ def oracle_sql() -> dict[str, str]:
             FROM numbered GROUP BY user_id, session_id
         """,
         "parts_price_bands": """
-            SELECT CASE WHEN p_retailprice > 980 THEN 4
-                        WHEN p_retailprice > 960 THEN 3
-                        WHEN p_retailprice > 940 THEN 2
-                        WHEN p_retailprice > 920 THEN 1
-                        ELSE 0 END AS band,
+            SELECT CAST(CASE WHEN p_retailprice > 980 THEN 4
+                             WHEN p_retailprice > 960 THEN 3
+                             WHEN p_retailprice > 940 THEN 2
+                             WHEN p_retailprice > 920 THEN 1
+                             ELSE 0 END AS BIGINT) AS band,
                    count(*) AS n_parts
             FROM part GROUP BY band
         """,
@@ -744,5 +776,88 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY lang
                                           ORDER BY md5(text), doc_id) AS rn
                 FROM documents) WHERE rn <= 20
+        """,
+        "purchases_after_errors": """
+            SELECT p.event_id, p.user_id, e.event_id AS error_id,
+                   date_diff('microsecond', e.ts, p.ts) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'error') e
+              ON p.user_id = e.user_id
+             AND e.ts >= p.ts - INTERVAL 6 HOUR
+             AND e.ts <  p.ts
+        """,
+        "users_top_event_type": """
+            SELECT user_id, event_type AS top_type, n FROM (
+                SELECT user_id, event_type, count(*) AS n,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY count(*) DESC, event_type)
+                           AS r
+                FROM events GROUP BY user_id, event_type
+            ) WHERE r = 1
+        """,
+        "nation_top_supplier": """
+            SELECT s_suppkey, s_name, s_nationkey, s_acctbal, n_name FROM (
+                SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+                       row_number() OVER (PARTITION BY s_nationkey
+                                          ORDER BY s_acctbal DESC, s_suppkey)
+                           AS r
+                FROM supplier
+            ) JOIN nation ON s_nationkey = n_nationkey
+            WHERE r = 1
+        """,
+        "nation_balance_fulljoin": """
+            WITH c AS (
+                SELECT c_nationkey AS nk,
+                       sum(round(c_acctbal * 100)) AS c_cents
+                FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey
+            ), s AS (
+                SELECT s_nationkey AS nk,
+                       sum(round(s_acctbal * 100)) AS s_cents
+                FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey
+            )
+            SELECT CAST(COALESCE(c.nk, s.nk) AS INTEGER) AS nationkey,
+                   round(COALESCE(c_cents, 0) / 100.0, 2) AS cust_bal,
+                   round(COALESCE(s_cents, 0) / 100.0, 2) AS supp_bal
+            FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        """,
+        "docs_source_mix": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY md5(text), doc_id) AS rn
+                FROM documents)
+            WHERE rn <= (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 5
+        """,
+        "supplier_balance_zscore": """
+            SELECT s_suppkey, s_nationkey, s_acctbal,
+                   round((s_acctbal
+                          - avg(s_acctbal) OVER (PARTITION BY s_nationkey))
+                         / NULLIF(stddev_pop(s_acctbal)
+                                  OVER (PARTITION BY s_nationkey), 0), 4)
+                       AS z
+            FROM supplier
+        """,
+        "docs_tfidf_top_term": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM tok GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, count(DISTINCT doc_id) AS df
+                FROM tok GROUP BY term
+            ), n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       tf.tf * ln(n.n * 1.0 / df.df) AS score,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * ln(n.n * 1.0 / df.df) DESC,
+                                    tf.term) AS r
+                FROM tf JOIN df USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term AS top_term, round(score, 6) AS tfidf
+            FROM scored WHERE r = 1
         """,
     }

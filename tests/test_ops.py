@@ -693,3 +693,32 @@ def test_audio_resample():
     assert np.array_equal(half[:, 0], np.arange(0, 100, 2, dtype=np.int16))
     same = AC.resample_nearest(x, 16000, 16000)
     assert same is x
+
+
+def test_mg_compress_bound_and_heavy_hitters(ray_session):
+    """Misra-Gries: (1) the compression undercounts by at most the
+    subtracted pivot and keeps <= counters entries; (2) over the real
+    sf0.001 docs the sketch's top terms equal the exact oracled twin's
+    (counts separated further than the N/(counters+1) error bound)."""
+    import numpy as np
+
+    from webxtract.ops.relational import docs_term_counts
+    from webxtract.ops.sketch import _mg_compress, docs_terms_mg
+
+    terms = np.asarray([f"t{i}" for i in range(10)], dtype=object)
+    counts = np.arange(1, 11)[::-1].copy()  # 10..1
+    kt, kc = _mg_compress(terms, counts, 3)
+    assert len(kt) <= 3
+    # pivot = 4th largest (7): survivors are 10-7, 9-7, 8-7
+    assert list(kc) == [3, 2, 1] and list(kt) == ["t0", "t1", "t2"]
+
+    sf = "/root/testdata/sf0.001"
+    exact = docs_term_counts(sf, k=10).to_pandas()
+    approx = docs_terms_mg(sf, counters=400, k=10).to_pandas()
+    n_total = int(exact["n"].sum())  # lower bound on token count
+    err = n_total // 401 + 1
+    ex = dict(zip(exact["term"], exact["n"]))
+    ap = dict(zip(approx["term"], approx["n"]))
+    for t, n in list(ex.items())[:10]:
+        assert t in ap, f"top term {t} missing from MG sketch"
+        assert 0 <= n - ap[t] <= err, (t, n, ap[t])

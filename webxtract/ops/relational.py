@@ -508,11 +508,18 @@ def purchases_with_prior_error(sf_dir: str):
     def fill(t: pa.Table) -> pa.Table:
         # no-match -> -1 (not null): a nullable int column NaN-promotes
         # to float64 in pandas materializations, hash-diverging from the
-        # oracle; -1 keeps int64 everywhere (oracle uses COALESCE(.,-1))
-        i = t.schema.get_field_index("prior_error_id")
-        col = pc.fill_null(t.column("prior_error_id").cast(pa.int64()),
-                           pa.scalar(-1, pa.int64()))
-        return t.set_column(i, "prior_error_id", col)
+        # oracle; -1 keeps int64 everywhere (oracle uses COALESCE(.,-1)).
+        # Rebuilt as a FRESH table: blocks that passed through pandas
+        # carry pandas-extension schema metadata that would resurface as
+        # nullable Int64Dtype in any downstream to_pandas().
+        return pa.table({
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "ts": t.column("ts"),
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "prior_error_id": pc.fill_null(
+                t.column("prior_error_id").cast(pa.int64()),
+                pa.scalar(-1, pa.int64())),
+        })
 
     return out.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -546,7 +553,10 @@ def events_hourly_windows(sf_dir: str):
     ds = read(sf_dir, "events", columns=["ts", "user_id", "event_type", "value"])
 
     def window(t: pa.Table) -> pa.Table:
-        w = pc.floor_temporal(t.column("ts"), unit="hour")
+        # explicit us cast: floor_temporal can narrow to second
+        # resolution, and the oracle's date_trunc stays timestamp[us]
+        w = pc.floor_temporal(t.column("ts"), unit="hour") \
+            .cast(pa.timestamp("us"))
         t = t.append_column("window_start", w)
         return t.append_column("value_cents", _cents(t.column("value")))
 
@@ -558,7 +568,12 @@ def events_hourly_windows(sf_dir: str):
 
     def final(t: pa.Table) -> pa.Table:
         t = t.append_column("sum_value", _uncents(t.column("value_cents")))
-        return t.drop_columns(["value_cents"])
+        t = t.drop_columns(["value_cents"])
+        # Ray's hash-shuffle aggregate narrows the timestamp key to
+        # second resolution; the oracle's date_trunc stays timestamp[us]
+        i = t.schema.get_field_index("window_start")
+        return t.set_column(i, "window_start",
+                            t.column("window_start").cast(pa.timestamp("us")))
 
     return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -706,7 +721,11 @@ def parts_brand_stats(sf_dir: str):
 
     def final(t: pa.Table) -> pa.Table:
         i = t.schema.get_field_index("avg_price")
-        return t.set_column(i, "avg_price", pc.round(t.column("avg_price"), 6))
+        t = t.set_column(i, "avg_price", pc.round(t.column("avg_price"), 6))
+        # Ray's Max promotes to int64; p_size is int32 (match the oracle)
+        j = t.schema.get_field_index("max_size")
+        return t.set_column(j, "max_size",
+                            t.column("max_size").cast(pa.int32()))
 
     return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -1383,6 +1402,266 @@ def events_type_share(sf_dir: str):
     share = pc.round(pc.divide(pc.cast(t.column("n"), pa.float64()),
                                pa.scalar(float(total))), 6)
     return t.append_column("share", share).combine_chunks()
+
+
+def interval_self_join(ds, key: str, ts_col: str, left_expr: str,
+                       right_expr: str, window_us: int,
+                       left_cols: list[str], right_cols: list[str]):
+    """Interval (range) self-join: pair each left row with every right
+    row of the SAME key whose timestamp falls in
+    [left.ts - window, left.ts). Ray Data has no inequality join; the
+    composition is ONE hash co-location by key (both sides filtered at
+    the scan and tagged), then a vectorized pandas equi-merge on key per
+    partition followed by the interval filter — the per-key cross
+    product is the true output-size lower bound, and it never leaves
+    the worker unfiltered. Partitioning assumption: one key's rows fit
+    in one worker (salt hot keys beyond that)."""
+    import pandas as pd
+
+    left = ds.filter(expr=left_expr)
+    right = ds.filter(expr=right_expr)
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("_side", pa.array([side] * t.num_rows))
+
+        return fn
+
+    u = left.map_batches(tag("L"), batch_format="pyarrow").union(
+        right.map_batches(tag("R"), batch_format="pyarrow"))
+
+    l_out = [c for c in left_cols if c != key]
+    r_out = [c for c in right_cols if c != key]
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        lt = g[g._side == "L"][[key, ts_col] + [c for c in l_out
+                                               if c != ts_col]]
+        rt = g[g._side == "R"][[key, ts_col] + [c for c in r_out
+                                               if c != ts_col]]
+        rt = rt.rename(columns={c: f"r_{c}" for c in rt.columns
+                                if c != key})
+        m = lt.merge(rt, on=key)  # C-level hash merge per partition
+        lts = m[ts_col].astype("int64")
+        rts = m[f"r_{ts_col}"].astype("int64")
+        keep = (rts >= lts - window_us) & (rts < lts)
+        m = m[keep]
+        out = pd.DataFrame({
+            key: m[key].astype("int64"),
+        })
+        for c in l_out:
+            out[c] = m[c]
+        for c in r_out:
+            out[f"r_{c}"] = m[f"r_{c}"]
+        out["gap_us"] = (m[ts_col].astype("int64")
+                         - m[f"r_{ts_col}"].astype("int64")).astype("int64")
+        return out
+
+    return partitioned_map_groups(u, key, per_part, batch_format="pandas")
+
+
+def purchases_after_errors(sf_dir: str, window_hours: int = 6):
+    """Interval self-join demo: every (purchase, prior error within the
+    last ``window_hours``) pair per user, with the gap in microseconds.
+    Unlike the as-of join (latest match only) this keeps ALL matches in
+    the window — the burst-correlation shape. Oracle: inequality JOIN."""
+    ds = read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                         "event_type"])
+    out = interval_self_join(
+        ds, key="user_id", ts_col="ts",
+        left_expr="event_type == 'purchase'",
+        right_expr="event_type == 'error'",
+        window_us=window_hours * 3600 * 1_000_000,
+        left_cols=["event_id", "ts"], right_cols=["event_id"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "error_id": t.column("r_event_id").cast(pa.int64()),
+            "gap_us": t.column("gap_us").cast(pa.int64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def users_top_event_type(sf_dir: str):
+    """Grouped MODE: each user's most frequent event type (ties -> the
+    lexicographically smallest type). Two pre-reduced exchanges — per-
+    batch (user, type) partial counts via Arrow group_by, a grouped Sum,
+    then hash co-location by user with a vectorized per-segment argmax.
+    Oracle: ROW_NUMBER over grouped counts."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = t.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return pa.table({
+            "user_id": out.column("user_id"),
+            "event_type": out.column("event_type"),
+            "n": out.column("count_all").cast(pa.int64()),
+        })
+
+    counts = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby(["user_id", "event_type"]).aggregate(Sum("n", alias_name="n"))
+
+    def argmax(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "top_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        idx = pc.sort_indices(part, sort_keys=[
+            ("user_id", "ascending"), ("n", "descending"),
+            ("event_type", "ascending")])
+        g = part.take(idx)
+        starts = _segment_starts(g.column("user_id").to_numpy())
+        g = g.take(pa.array(starts, pa.int64()))
+        return pa.table({"user_id": g.column("user_id"),
+                         "top_type": g.column("event_type"),
+                         "n": g.column("n")})
+
+    return partitioned_map_groups(counts, "user_id", argmax)
+
+
+def nation_top_supplier(sf_dir: str):
+    """Grouped MAX_BY (argmax): per nation, the supplier with the
+    highest account balance (tie -> min suppkey), with the nation name
+    attached via a broadcast dimension lookup. Hash co-location by
+    nation key + per-segment first-row take."""
+    supp = read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+
+    def argmax(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part
+        idx = pc.sort_indices(part, sort_keys=[
+            ("s_nationkey", "ascending"), ("s_acctbal", "descending"),
+            ("s_suppkey", "ascending")])
+        g = part.take(idx)
+        starts = _segment_starts(g.column("s_nationkey").to_numpy())
+        return g.take(pa.array(starts, pa.int64()))
+
+    best = partitioned_map_groups(supp, "s_nationkey", argmax)
+    nat_ref = broadcast_lookup(
+        read(sf_dir, "nation", columns=["n_nationkey", "n_name"]),
+        "n_nationkey", ["n_name"])
+    return best.map_batches(
+        broadcast_join_stage(nat_ref, "s_nationkey", ["n_name"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def nation_balance_fulljoin(sf_dir: str):
+    """FULL OUTER hash join of two grouped aggregates: per-nation
+    customer balance (acctbal > 9900) vs per-nation supplier balance
+    (acctbal > 5000) — the filters leave each side with nations the
+    other lacks, so both null directions are exercised. Money is exact
+    integer cents end-to-end; missing sides coalesce to 0.00 and the
+    key coalesces across the two join columns."""
+    from ray.data.aggregate import Sum
+
+    cust = read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"]) \
+        .filter(expr="c_acctbal > 9900")
+    supp = read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"]) \
+        .filter(expr="s_acctbal > 5000")
+
+    def prep(key: str, val: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({key: t.column(key),
+                             "cents": _cents(t.column(val))})
+
+        return fn
+
+    c_agg = cust.map_batches(prep("c_nationkey", "c_acctbal"),
+                             batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("c_nationkey").aggregate(Sum("cents", alias_name="c_cents"))
+    s_agg = supp.map_batches(prep("s_nationkey", "s_acctbal"),
+                             batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("s_nationkey").aggregate(Sum("cents", alias_name="s_cents"))
+
+    # num_partitions=1: both sides are grouped aggregates bounded by the
+    # nation count (~25 rows), and Ray's hash-join finalize loses the
+    # side schema on an EMPTY partition (pyarrow join KeyError) — one
+    # partition guarantees both sides are non-empty wherever rows exist
+    j = c_agg.join(s_agg, join_type="full_outer", num_partitions=1,
+                   on=("c_nationkey",), right_on=("s_nationkey",))
+
+    def fin(t: pa.Table) -> pa.Table:
+        # Ray's full-outer join coalesces the join keys into the left
+        # key column (SQL USING semantics): c_nationkey is already the
+        # merged key
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "nationkey": t.column("c_nationkey").cast(pa.int32()),
+            "cust_bal": _uncents(pc.fill_null(
+                t.column("c_cents").cast(pa.int64()), zero)),
+            "supp_bal": _uncents(pc.fill_null(
+                t.column("s_cents").cast(pa.int64()), zero)),
+        })
+
+    return j.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_standardize(ds, key: str, col: str, out_col: str = "z",
+                        decimals: int = 4):
+    """Per-group feature standardization (z-score): the two-pass ML
+    normalization pattern. Pass 1 reduces each batch to integer-cent
+    moment partials (n, Σx, Σx²) per group — one tiny exchange, exact
+    sums; the per-group (mean, inv_std) table is broadcast. Pass 2 is a
+    vectorized map over the original rows. Groups with zero variance
+    emit null. Output rounded to ``decimals`` (both sides compute
+    (x-μ)/σ in float64 from exact moments, so a coarse rounding absorbs
+    the oracle's streaming-aggregation drift)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = _cents(t.column(col)).to_numpy()
+        k = t.column(key)
+        tt = pa.table({key: k,
+                       "n": pa.array(np.ones(len(x), np.int64)),
+                       "s": pa.array(x, pa.int64()),
+                       "ss": pa.array(x * x, pa.int64())})
+        return tt.group_by(key).aggregate(
+            [("n", "sum"), ("s", "sum"), ("ss", "sum")])
+
+    stats = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby(key).aggregate(Sum("n_sum", alias_name="n"),
+                                Sum("s_sum", alias_name="s"),
+                                Sum("ss_sum", alias_name="ss"))
+    rows = pa.concat_tables(
+        [b for b in stats.iter_batches(batch_format="pyarrow")])
+    n = rows.column("n").to_numpy().astype(np.float64)
+    s = rows.column("s").to_numpy().astype(np.float64)
+    ss = rows.column("ss").to_numpy().astype(np.float64)
+    mean = s / n / 100.0
+    var = (ss / n - (s / n) ** 2) / 10000.0
+    std = np.sqrt(np.maximum(var, 0.0))
+    inv = np.where(std > 0, 1.0 / np.where(std > 0, std, 1.0), np.nan)
+    ref = ray.put((rows.column(key).combine_chunks(),
+                   [pa.array(mean, pa.float64()),
+                    pa.array(inv, pa.float64())]))
+
+    def apply(t: pa.Table) -> pa.Table:
+        t = BroadcastJoin(ref, key, ["_mean", "_inv"])(t)
+        x = t.column(col).to_numpy()
+        z = (x - t.column("_mean").to_numpy()) * t.column("_inv").to_numpy()
+        t = t.drop_columns(["_mean", "_inv"])
+        # zero-variance groups -> NULL (oracle: NULLIF(stddev_pop, 0))
+        arr = pa.array(z, pa.float64(), mask=np.isnan(z))
+        return t.append_column(out_col, pc.round(arr, decimals))
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def supplier_balance_zscore(sf_dir: str):
+    """Per-nation z-score of supplier account balances (grouped
+    standardization; oracle: window avg/stddev_pop)."""
+    supp = read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+    return grouped_standardize(supp, "s_nationkey", "s_acctbal")
 
 
 def docs_lang_stats(sf_dir: str):

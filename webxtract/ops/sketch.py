@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 class HyperLogLog:
@@ -379,6 +380,84 @@ def grouped_quantile_sketch(sf_dir: str, column: str = "value",
 
     return partials.groupby(group_col).map_groups(merge_group,
                                                   batch_format="pyarrow")
+
+
+# --- Misra-Gries heavy hitters ---------------------------------------------
+
+def _mg_compress(terms: np.ndarray, counts: np.ndarray,
+                 counters: int) -> tuple[np.ndarray, np.ndarray]:
+    """Compress a (term, count) summary to <= ``counters`` entries by
+    subtracting the (counters+1)-th largest count from every entry and
+    dropping the non-positive ones (mergeable Misra-Gries reduction,
+    Agarwal et al., "Mergeable Summaries"). Each compression lowers
+    every surviving count by at most the subtracted value; the total
+    undercount after any merge tree is <= N/(counters+1)."""
+    if len(counts) <= counters:
+        return terms, counts
+    kth = np.partition(counts, len(counts) - counters - 1)[
+        len(counts) - counters - 1]
+    adj = counts - kth
+    keep = adj > 0
+    return terms[keep], adj[keep]
+
+
+def heavy_hitters(ds, explode_fn, counters: int = 400, k: int = 50):
+    """Approximate top-k heavy hitters with a mergeable Misra-Gries
+    summary: each batch reduces to <= ``counters`` (term, count) rows
+    (``explode_fn``: batch -> polars (term, n) counts), one grouped Sum
+    collapses the partials, and a single final task re-compresses and
+    takes the top k (count desc, term asc). The exchange carries
+    O(batches x counters) rows — independent of corpus size; counts are
+    UNDERestimates by at most N/(counters+1), so the true top k are
+    retained whenever their counts clear that gap (accuracy gate:
+    tests/test_ops.py)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = explode_fn(batch)  # arrow (term: string, n: int64)
+        terms = np.asarray(out.column("term").to_pylist(), dtype=object)
+        counts = out.column("n").to_numpy()
+        terms, counts = _mg_compress(terms, counts, counters)
+        return pa.table({"term": pa.array(list(terms), pa.string()),
+                         "n": pa.array(counts, pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("term").aggregate(Sum("n", alias_name="n"))
+
+    def final(t: pa.Table) -> pa.Table:
+        terms = np.asarray(t.column("term").to_pylist(), dtype=object)
+        counts = t.column("n").to_numpy()
+        terms, counts = _mg_compress(terms, counts, counters)
+        out = pa.table({"term": pa.array(list(terms), pa.string()),
+                        "n": pa.array(counts, pa.int64())})
+        idx = pc.sort_indices(out, sort_keys=[
+            ("n", "descending"), ("term", "ascending")])
+        return out.take(idx[:k])
+
+    return agg.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+def docs_terms_mg(sf_dir: str, counters: int = 400, k: int = 50):
+    """Approximate top-k corpus terms via mergeable Misra-Gries — the
+    bounded-memory scale path named by docs_term_counts (whose exact
+    exchange carries every distinct term per batch; this one never
+    exceeds ``counters`` rows per batch regardless of vocabulary).
+    Rows-only; accuracy vs the exact oracled twin is pytest-gated."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        out = (df.select(pl.col("text").str.split(" ").alias("term"))
+               .explode("term").group_by("term").len().rename({"len": "n"}))
+        return out.to_arrow().cast(pa.schema([
+            ("term", pa.string()), ("n", pa.int64())]))
+
+    return heavy_hitters(ds, explode, counters=counters, k=k)
 
 
 def exact_distinct_users(sf_dir: str):

@@ -227,6 +227,133 @@ def docs_stratified_sample(sf_dir: str, per_lang: int = 20):
     return partitioned_map_groups(keyed_ds, "lang", topk)
 
 
+# --- dataset mixing -------------------------------------------------------
+
+def source_quota(source: str) -> int:
+    """Deterministic per-source doc quota for the mixing demo: sources
+    are 'src<N>'; quota cycles 5/10/15/20 by N % 4 (stands in for the
+    per-corpus sampling weights of a training mixture)."""
+    try:
+        n = int(source[3:])
+    except (ValueError, IndexError):
+        n = 0
+    return (n % 4 + 1) * 5
+
+
+def docs_source_mix(sf_dir: str):
+    """Training-mixture construction: deterministically sample each
+    source at its own weight (quota = the source's mixing ratio x epoch
+    size) by keeping the quota docs with smallest md5(text) per source.
+    Same grouped ROW_NUMBER() <= k shape as the stratified sample but
+    with a PER-GROUP k — one hash co-location by source, vectorized
+    per-segment rank against a quota vector. Oracled."""
+    import ray.data as rd
+
+    from .relational import _segment_starts, partitioned_map_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(x.encode("utf-8")).hexdigest()
+             for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "source": t.column("source"),
+                         "h": pa.array(h, pa.string())})
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def take_quota(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string())})
+        idx = pc.sort_indices(part, sort_keys=[
+            ("source", "ascending"), ("h", "ascending"),
+            ("doc_id", "ascending")])
+        g = part.take(idx)
+        src = np.array(g.column("source").to_pylist())
+        starts = _segment_starts(src)
+        counts = np.diff(np.append(starts, len(src)))
+        offsets = np.arange(len(src)) - np.repeat(starts, counts)
+        quotas = np.repeat(
+            np.array([source_quota(s) for s in src[starts]], dtype=np.int64),
+            counts)
+        return g.select(["doc_id", "source"]).filter(
+            pa.array(offsets < quotas))
+
+    return partitioned_map_groups(keyed_ds, "source", take_quota)
+
+
+# --- TF-IDF keyword extraction -------------------------------------------
+
+def docs_tfidf_top_term(sf_dir: str):
+    """Per-doc keyword extraction: the term with the highest
+    tf * ln(N/df) score (ties -> term asc). Two passes: (1) document
+    frequencies via per-batch DISTINCT (doc, term) partials + one
+    grouped Sum (each doc lives in exactly one batch, so per-batch
+    distinct-then-count is exact), broadcast as a vocabulary lookup
+    (vocab << corpus — the standard trick); (2) per-batch polars
+    explode + tf counts + vectorized score + per-doc argmax, entirely
+    in-batch because a doc's text never spans batches. Oracled."""
+    import ray.data as rd
+
+    from .relational import (BroadcastJoin, _segment_starts,
+                             broadcast_lookup, parquet_rows)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        out = (df.select(["doc_id",
+                          pl.col("text").str.split(" ").alias("term")])
+               .explode("term").unique(["doc_id", "term"])
+               .group_by("term").len().rename({"len": "n"}))
+        return out.to_arrow().cast(pa.schema([
+            ("term", pa.string()), ("n", pa.int64())]))
+
+    from ray.data.aggregate import Sum
+
+    df_tbl = ds.map_batches(partial_df, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("term").aggregate(Sum("n", alias_name="df"))
+    df_ref = broadcast_lookup(df_tbl, "term", ["df"])
+    n_docs = parquet_rows(sf_dir, "documents")
+
+    def score(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        tf = (df.select(["doc_id",
+                         pl.col("text").str.split(" ").alias("term")])
+              .explode("term").group_by(["doc_id", "term"]).len()
+              .rename({"len": "tf"}))
+        t = tf.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("term", pa.string()),
+            ("tf", pa.int64())]))
+        t = BroadcastJoin(df_ref, "term", ["df"])(t)
+        tfv = t.column("tf").to_numpy().astype(np.float64)
+        dfv = t.column("df").to_numpy().astype(np.float64)
+        sc = tfv * np.log(float(n_docs) / dfv)
+        t = t.append_column("tfidf", pa.array(sc, pa.float64()))
+        idx = pc.sort_indices(t, sort_keys=[
+            ("doc_id", "ascending"), ("tfidf", "descending"),
+            ("term", "ascending")])
+        g = t.take(idx)
+        starts = _segment_starts(g.column("doc_id").to_numpy())
+        g = g.take(pa.array(starts, pa.int64()))
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "top_term": g.column("term"),
+            "tfidf": pc.round(g.column("tfidf"), 6),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --- fingerprinting -------------------------------------------------------
 
 _FP_BASE = np.uint64(1099511628211)   # FNV prime as polynomial base

@@ -294,6 +294,13 @@ def _docs_terms_mg(sf_dir: str):
     return docs_terms_mg(sf_dir)
 
 
+def _docs_stopword_removal(sf_dir: str):
+    """Vectorized stopword-strip cleaning (oracle: regexp_replace g)."""
+    from webxtract.ops.text import docs_stopword_removal
+
+    return docs_stopword_removal(sf_dir)
+
+
 def _pages_training_corpus(sf_dir: str):
     """Composite training-corpus export: extract -> quality/length
     filter -> exact content dedup (min-url canonical) -> token/char
@@ -365,6 +372,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_zscore": R.supplier_balance_zscore,
         "docs_tfidf_top_term": _docs_tfidf_top_term,
         "docs_terms_mg": _docs_terms_mg,  # Misra-Gries sketch; rows-only
+        "docs_stopword_removal": _docs_stopword_removal,
+        "orders_monthly_growth": R.orders_monthly_growth,
+        "user_conversion_funnel": R.user_conversion_funnel,
         "events_users_hll": _events_users_hll,    # sketch; rows-only
         "events_value_p50_sketch": _events_value_p50_sketch,  # KLL; rows-only
         # text analysis
@@ -859,5 +869,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term AS top_term, round(score, 6) AS tfidf
             FROM scored WHERE r = 1
+        """,
+        "docs_stopword_removal": """
+            SELECT doc_id,
+                   regexp_replace(text, '\\b(the|and|of|to|a|in|is)\\b ?',
+                                  '', 'g') AS clean_text,
+                   cast(len(regexp_extract_all(
+                       text, '\\b(the|and|of|to|a|in|is)\\b ?')) AS BIGINT)
+                       AS n_removed
+            FROM documents
+        """,
+        "orders_monthly_growth": """
+            WITH m AS (
+                SELECT date_trunc('month', o_orderdate) AS month,
+                       count(*) AS n_orders
+                FROM orders GROUP BY 1
+            )
+            SELECT month, n_orders,
+                   round((n_orders - LAG(n_orders) OVER (ORDER BY month))
+                         * 1.0 / LAG(n_orders) OVER (ORDER BY month), 6)
+                       AS mom_growth
+            FROM m
+        """,
+        "user_conversion_funnel": """
+            SELECT user_id,
+                   min(ts) FILTER (WHERE event_type = 'view') AS first_view,
+                   COALESCE(min(ts) FILTER (WHERE event_type = 'purchase')
+                            > min(ts) FILTER (WHERE event_type = 'view'),
+                            FALSE) AS converted
+            FROM events GROUP BY user_id
         """,
     }

@@ -1602,6 +1602,87 @@ def nation_balance_fulljoin(sf_dir: str):
     return j.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def orders_monthly_growth(sf_dir: str):
+    """Time-series over an aggregate: order counts per month plus
+    month-over-month growth (LAG over the aggregated series). The
+    grouped count pre-reduces per batch; the month series is bounded
+    (#months), so the growth diff folds in one final task."""
+    from ray.data.aggregate import Count
+
+    ds = read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def month(t: pa.Table) -> pa.Table:
+        m = pc.floor_temporal(t.column("o_orderdate"), unit="month") \
+            .cast(pa.timestamp("us"))
+        return pa.table({"month": m})
+
+    agg = ds.map_batches(month, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("month").aggregate(Count(alias_name="n_orders"))
+
+    def growth(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("month", "ascending")])
+        g = t.take(idx)
+        n = g.column("n_orders").to_numpy().astype(np.float64)
+        pct = np.full(len(n), np.nan)
+        if len(n) > 1:
+            pct[1:] = np.round((n[1:] - n[:-1]) / n[:-1], 6)
+        return pa.table({
+            "month": g.column("month").cast(pa.timestamp("us")),
+            "n_orders": g.column("n_orders"),
+            "mom_growth": pa.array(pct, pa.float64(),
+                                   mask=np.isnan(pct)),
+        })
+
+    return agg.repartition(1).map_batches(growth, batch_format="pyarrow")
+
+
+def user_conversion_funnel(sf_dir: str):
+    """Funnel analysis: per user, converted = the FIRST 'purchase'
+    falls strictly after the FIRST 'view' (both must exist) — the
+    min-only funnel formulation, decomposable as filtered-min partials
+    per batch (type-masked min ts), one grouped Min exchange, then a
+    vectorized compare — no per-user Python."""
+    from ray.data.aggregate import Min
+
+    ds = read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+    far = pa.scalar(np.datetime64("2100-01-01", "us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        is_view = pc.equal(t.column("event_type"), pa.scalar("view"))
+        is_buy = pc.equal(t.column("event_type"), pa.scalar("purchase"))
+        ts = t.column("ts")
+        return pa.table({
+            "user_id": t.column("user_id"),
+            # non-matching rows get a far-future sentinel so Min ignores
+            # them without null handling differences across versions
+            "view_ts": pc.if_else(is_view, ts, far),
+            "buy_ts": pc.if_else(is_buy, ts, far),
+        })
+
+    agg = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("user_id").aggregate(Min("view_ts", alias_name="first_view"),
+                                      Min("buy_ts", alias_name="first_buy"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        fv = t.column("first_view").cast(pa.timestamp("us"))
+        fb = t.column("first_buy").cast(pa.timestamp("us"))
+        has_view = pc.less(fv, far)
+        has_buy = pc.less(fb, far)
+        # converted: the user's FIRST purchase happened strictly after
+        # their FIRST view (both must exist) — the min-only formulation
+        # that stays decomposable; oracle computes the same expression
+        conv = pc.and_(pc.and_(has_view, has_buy), pc.less(fv, fb))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "first_view": pc.if_else(has_view, fv,
+                                     pa.nulls(t.num_rows, pa.timestamp("us"))),
+            "converted": conv,
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def grouped_standardize(ds, key: str, col: str, out_col: str = "z",
                         decimals: int = 4):
     """Per-group feature standardization (z-score): the two-pass ML

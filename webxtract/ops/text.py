@@ -285,6 +285,37 @@ def docs_source_mix(sf_dir: str):
     return partitioned_map_groups(keyed_ds, "source", take_quota)
 
 
+# --- text cleaning --------------------------------------------------------
+
+STOPWORD_PATTERN = r"\b(the|and|of|to|a|in|is)\b ?"
+
+
+def docs_stopword_removal(sf_dir: str):
+    """Corpus cleaning: strip stopwords (compiled regex alternation,
+    word-bounded) and report how many were removed per doc. Fully
+    vectorized — one Arrow C++ regex pass for the replacement and one
+    for the count, no Python per row (RE2 on both sides, so the oracle's
+    regexp_replace(g) matches byte-for-byte). The
+    normalize-before-tokenize stage every training-corpus pipeline
+    runs ahead of dedup/quality."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def clean(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        removed = pc.count_substring_regex(txt, STOPWORD_PATTERN)
+        cleaned = pc.replace_substring_regex(txt, STOPWORD_PATTERN, "")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "clean_text": cleaned,
+            "n_removed": removed.cast(pa.int64()),
+        })
+
+    return ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --- TF-IDF keyword extraction -------------------------------------------
 
 def docs_tfidf_top_term(sf_dir: str):

@@ -68,13 +68,21 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "events_value_p50_sketch",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]
+    # text-heavy outputs are consumed through the real sink (parallel
+    # parquet writers) — draining them through the driver's
+    # iter_batches would serialize ~GBs through one process and time
+    # the bench harness, not the pipeline
+    write_out = {"pages_training_corpus"}
     out: dict[str, float] = {}
     for name in names:
         t0 = time.monotonic()
         res = qs[name](sf_dir)
-        # consume fully (iterate batches; avoids driver-side materialization
-        # of anything big)
-        if hasattr(res, "iter_batches"):
+        if name in write_out and hasattr(res, "write_parquet"):
+            dst = f"/tmp/webxtract_bench_q_{name}"
+            shutil.rmtree(dst, ignore_errors=True)
+            res.write_parquet(dst)
+        elif hasattr(res, "iter_batches"):
+            # consume fully without driver-side materialization
             for _ in res.iter_batches(batch_format="pyarrow"):
                 pass
         out[name] = round(time.monotonic() - t0, 3)

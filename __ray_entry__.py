@@ -301,6 +301,14 @@ def _docs_stopword_removal(sf_dir: str):
     return docs_stopword_removal(sf_dir)
 
 
+def _docs_unigram_logprob(sf_dir: str):
+    """CCNet-style corpus-LM quality score: per-doc mean unigram
+    log-probability (oracled: unnest + join + avg(ln))."""
+    from webxtract.ops.text import docs_unigram_logprob
+
+    return docs_unigram_logprob(sf_dir)
+
+
 def _pages_training_corpus(sf_dir: str):
     """Composite training-corpus export: extract -> quality/length
     filter -> exact content dedup (min-url canonical) -> token/char
@@ -373,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf_top_term": _docs_tfidf_top_term,
         "docs_terms_mg": _docs_terms_mg,  # Misra-Gries sketch; rows-only
         "docs_stopword_removal": _docs_stopword_removal,
+        "docs_unigram_logprob": _docs_unigram_logprob,
         "orders_monthly_growth": R.orders_monthly_growth,
         "user_conversion_funnel": R.user_conversion_funnel,
         "events_users_hll": _events_users_hll,    # sketch; rows-only
@@ -878,6 +887,20 @@ def oracle_sql() -> dict[str, str]:
                        text, '\\b(the|and|of|to|a|in|is)\\b ?')) AS BIGINT)
                        AS n_removed
             FROM documents
+        """,
+        "docs_unigram_logprob": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ), tc AS (
+                SELECT term, count(*) AS tc FROM tok GROUP BY term
+            ), tot AS (SELECT count(*) AS total FROM tok)
+            SELECT doc_id,
+                   round(avg(ln(tc.tc * 1.0 / tot.total)), 6)
+                       AS mean_logprob,
+                   count(*) AS n_tokens
+            FROM tok JOIN tc USING (term) CROSS JOIN tot
+            GROUP BY doc_id
         """,
         "orders_monthly_growth": """
             WITH m AS (

@@ -893,8 +893,10 @@ def dedup_lines(ds, text_col: str = "extracted_text", id_col: str = "url",
 
 def _label_block_pairs(threshold: float):
     def fn(group: pa.Table) -> pa.Table:
-        ids = np.array(group.column("vec_id").to_pylist(), dtype=np.int64)
-        m = np.array(group.column("embedding").to_pylist(), dtype=np.float64)
+        from .knn import _emb_matrix
+
+        ids = group.column("vec_id").to_numpy().astype(np.int64)
+        m = _emb_matrix(group.column("embedding"))
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mn = m / norms

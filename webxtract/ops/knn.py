@@ -27,6 +27,19 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _emb_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column -> (n, dim) float64 matrix, zero-copy through
+    the flattened value buffer (a to_pylist round-trip builds n Python
+    lists per batch — measurably slower on wide embedding columns)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    values = col.flatten().to_numpy(zero_copy_only=False)
+    return values.astype(np.float64, copy=False).reshape(n, -1)
+
+
 class ScoreBatch:
     """Per-batch cosine scoring against the broadcast query matrix.
 
@@ -43,10 +56,9 @@ class ScoreBatch:
         self.probe_map = probe_map
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        m = _normalize(np.array(batch.column("embedding").to_pylist(),
-                                dtype=np.float64))
-        labels = (np.array(batch.column("label").to_pylist(), dtype=np.int64)
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        m = _normalize(_emb_matrix(batch.column("embedding")))
+        labels = (batch.column("label").to_numpy().astype(np.int64)
                   if self.probe_map is not None else None)
         cos = m @ self.qmat.T  # (batch, Q)
         out_q, out_v, out_c = [], [], []
@@ -124,8 +136,8 @@ def label_centroids(ds) -> tuple[np.ndarray, np.ndarray]:
     partial sums (one (label, sum, count) row per label per batch) and a
     tiny driver-side combine — no shuffle of the vectors themselves."""
     def partial(batch: pa.Table) -> pa.Table:
-        labels = np.array(batch.column("label").to_pylist(), dtype=np.int64)
-        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        labels = batch.column("label").to_numpy().astype(np.int64)
+        m = _emb_matrix(batch.column("embedding"))
         uniq = np.unique(labels)
         sums = [m[labels == u].sum(axis=0).tolist() for u in uniq]
         counts = [int((labels == u).sum()) for u in uniq]

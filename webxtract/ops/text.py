@@ -385,6 +385,69 @@ def docs_tfidf_top_term(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# --- unigram LM scoring ---------------------------------------------------
+
+def docs_unigram_logprob(sf_dir: str):
+    """CCNet-style language-model quality score, with the corpus itself
+    as the LM: mean unigram log-probability per doc (higher = more
+    typical; the perplexity-filter stand-in used to rank web documents
+    for training-data selection). Pass 1 builds corpus term counts
+    (pre-reduced partials -> grouped Sum) and broadcasts the vocabulary;
+    pass 2 joins each doc's tokens against it in-batch and averages
+    ln(count/total) — same two-pass broadcast-vocab shape as TF-IDF.
+    Oracled (unnest + join + avg(ln))."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from .relational import (BroadcastJoin, broadcast_lookup, parquet_rows)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def partial_tc(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        out = (df.select(pl.col("text").str.split(" ").alias("term"))
+               .explode("term").group_by("term").len().rename({"len": "n"}))
+        return out.to_arrow().cast(pa.schema([
+            ("term", pa.string()), ("n", pa.int64())]))
+
+    counts = ds.map_batches(partial_tc, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("term").aggregate(Sum("n", alias_name="tc"))
+    vocab_ref = broadcast_lookup(counts, "term", ["tc"])
+    # corpus token total: fold the (bounded) vocabulary counts
+    total = 0
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        total += pc.sum(b.column("tc")).as_py() or 0
+
+    def score(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        toks = (df.select(["doc_id",
+                           pl.col("text").str.split(" ").alias("term")])
+                .explode("term"))
+        t = toks.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("term", pa.string())]))
+        t = BroadcastJoin(vocab_ref, "term", ["tc"])(t)
+        lp = np.log(t.column("tc").to_numpy().astype(np.float64)
+                    / float(total))
+        t = pa.table({"doc_id": t.column("doc_id"),
+                      "lp": pa.array(lp, pa.float64())})
+        out = (pl.from_arrow(t).group_by("doc_id")
+               .agg(pl.col("lp").mean().round(6).alias("mean_logprob"),
+                    pl.len().alias("n_tokens"))
+               .sort("doc_id"))
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("mean_logprob", pa.float64()),
+            ("n_tokens", pa.int64())]))
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --- fingerprinting -------------------------------------------------------
 
 _FP_BASE = np.uint64(1099511628211)   # FNV prime as polynomial base

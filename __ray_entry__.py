@@ -384,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_unigram_logprob": _docs_unigram_logprob,
         "orders_monthly_growth": R.orders_monthly_growth,
         "user_conversion_funnel": R.user_conversion_funnel,
+        "user_retention": R.user_retention,
         "events_users_hll": _events_users_hll,    # sketch; rows-only
         "events_value_p50_sketch": _events_value_p50_sketch,  # KLL; rows-only
         # text analysis
@@ -921,5 +922,24 @@ def oracle_sql() -> dict[str, str]:
                             > min(ts) FILTER (WHERE event_type = 'view'),
                             FALSE) AS converted
             FROM events GROUP BY user_id
+        """,
+        "user_retention": """
+            WITH act AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                FROM events
+            ), cohort AS (
+                SELECT user_id, min(day) AS d0 FROM act GROUP BY user_id
+            ), flags AS (
+                SELECT c.user_id, c.d0,
+                       EXISTS (SELECT 1 FROM act a
+                               WHERE a.user_id = c.user_id
+                                 AND a.day = c.d0 + INTERVAL 7 DAY)
+                           AS retained
+                FROM cohort c
+            )
+            SELECT d0 AS cohort_day, count(*) AS n_users,
+                   CAST(sum(CASE WHEN retained THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_retained
+            FROM flags GROUP BY d0
         """,
     }

@@ -66,6 +66,9 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "docs_dedup_clusters",
         "emb_knn_bruteforce", "emb_dup_pairs",
         "events_value_p50_sketch",
+        "purchases_after_errors", "users_top_event_type",
+        "docs_tfidf_top_term", "docs_unigram_logprob", "docs_terms_mg",
+        "docs_source_mix", "docs_stopword_removal",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]
     # text-heavy outputs are consumed through the real sink (parallel

@@ -1683,6 +1683,61 @@ def user_conversion_funnel(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def user_retention(sf_dir: str, horizon_days: int = 7):
+    """Cohort retention: users grouped by the day of their FIRST event;
+    retained = the user is also active exactly ``horizon_days`` later.
+    Shape: in-batch distinct (user, day) pairs (the exchange carries
+    active-days, not events), ONE hash co-location by user, then a
+    vectorized per-segment first-day + membership test
+    (bitwise_or.reduceat), and a tiny cohort-level aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def active_pairs(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column("ts"), unit="day") \
+            .cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"user_id": t.column("user_id"),
+                         "day_us": day}).group_by(
+            ["user_id", "day_us"]).aggregate([])
+
+    act = ds.map_batches(active_pairs, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    horizon_us = horizon_days * 86_400_000_000
+
+    def per_user(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"cohort_us": pa.array([], pa.int64()),
+                             "retained": pa.array([], pa.int64())})
+        idx = pc.sort_indices(part, sort_keys=[
+            ("user_id", "ascending"), ("day_us", "ascending")])
+        g = part.take(idx)
+        uid = g.column("user_id").to_numpy()
+        day = g.column("day_us").to_numpy()
+        starts = _segment_starts(uid)
+        counts = np.diff(np.append(starts, len(uid)))
+        d0 = np.repeat(day[starts], counts)
+        hit = day == d0 + horizon_us  # distinct within user: ==, not >=
+        retained = np.bitwise_or.reduceat(hit, starts)
+        return pa.table({
+            "cohort_us": pa.array(day[starts], pa.int64()),
+            "retained": pa.array(retained.astype(np.int64), pa.int64()),
+        })
+
+    per = partitioned_map_groups(act, "user_id", per_user)
+    agg = per.groupby("cohort_us").aggregate(
+        Count(alias_name="n_users"), Sum("retained", alias_name="n_retained"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_day": t.column("cohort_us").cast(pa.timestamp("us")),
+            "n_users": t.column("n_users"),
+            "n_retained": t.column("n_retained").cast(pa.int64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def grouped_standardize(ds, key: str, col: str, out_col: str = "z",
                         decimals: int = 4):
     """Per-group feature standardization (z-score): the two-pass ML

@@ -94,6 +94,61 @@ def cmd_reviews(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Near-dup mining over a (doc_id, text) parquet corpus: verified
+    pair list (minhash | simhash | the exact all-pairs baseline), with
+    optional connected-component cluster assignment."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .ops import dedup as D
+
+    ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    if args.id_col != "doc_id" or args.text_col != "text":
+        ds = ds.rename_columns({args.id_col: "doc_id",
+                                args.text_col: "text"})
+    if args.method == "minhash":
+        pairs = D.minhash_lsh_pairs(ds, threshold=args.threshold)
+    elif args.method == "simhash":
+        pairs = D.simhash_pairs(ds, max_dist=args.max_dist)
+    else:
+        pairs = D.ngram_jaccard_pairs(ds, threshold=args.threshold)
+    pairs = pairs.materialize()  # consumed twice when clustering
+    pairs.write_parquet(f"{args.out}/pairs")
+    n_pairs = pairs.count()
+    n_clusters = None
+    if args.clusters:
+        cl = D.dedup_clusters(pairs)
+        cl.write_parquet(f"{args.out}/clusters")
+        n_clusters = cl.count()
+    print(json.dumps({"pairs": n_pairs, "clustered_docs": n_clusters,
+                      "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_corpus(args) -> int:
+    """Training-corpus export over a pages parquet directory:
+    extract -> quality/length filter -> exact content dedup -> stats ->
+    sharded parquet (the flagship composite; see webxtract/training.py)."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .training import export_training_corpus
+
+    ds = rd.read_parquet(args.input)
+    langs = tuple(args.langs.split(",")) if args.langs else None
+    export_training_corpus(
+        ds, args.out, min_text_chars=args.min_chars, langs=langs,
+        source_path=args.input,
+        checkpoint_dir=f"{args.out}.ckpt" if args.checkpoint else None)
+    n = sum(b.num_rows for b in rd.read_parquet(args.out).iter_batches(
+        batch_format="pyarrow"))
+    print(json.dumps({"rows": n, "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_manifest(args) -> int:
     from .checkpoint import load_manifest
 
@@ -132,6 +187,29 @@ def main(argv=None) -> int:
     m = sub.add_parser("manifest", help="print a run's checkpoint manifest")
     m.add_argument("--out", required=True)
     m.set_defaults(fn=cmd_manifest)
+
+    d = sub.add_parser("dedup", help="near-dup pair mining / clustering")
+    d.add_argument("--input", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--method", choices=["minhash", "simhash", "exact"],
+                   default="minhash")
+    d.add_argument("--threshold", type=float, default=0.7)
+    d.add_argument("--max-dist", type=int, default=3)
+    d.add_argument("--clusters", action="store_true")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--num-cpus", type=int, default=None)
+    d.set_defaults(fn=cmd_dedup)
+
+    c = sub.add_parser("corpus", help="training-corpus export")
+    c.add_argument("--input", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--min-chars", type=int, default=80)
+    c.add_argument("--langs", default=None)
+    c.add_argument("--checkpoint", action="store_true",
+                   help="spill the extraction pin to parquet (100TB path)")
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_corpus)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -48,7 +48,8 @@ def cmd_run(args) -> int:
         exact_dedup=args.exact_dedup,
         instrument=True,
     )
-    manifest = run_partitioned(args.input, args.out, cfg)
+    manifest = run_partitioned(args.input, args.out, cfg,
+                               max_concurrent=args.max_concurrent)
     dump(args.out)
     mt = manifest_table(args.out)
     print(json.dumps({
@@ -168,6 +169,8 @@ def main(argv=None) -> int:
     r.add_argument("--max-bytes", type=int, default=65_536)
     r.add_argument("--skew-split-bytes", type=int, default=None)
     r.add_argument("--exact-dedup", action="store_true")
+    r.add_argument("--max-concurrent", type=int, default=None,
+                   help="concurrent partition pipelines (default 4)")
     r.set_defaults(fn=cmd_run)
 
     s = sub.add_parser("synth", help="generate a synthetic pages corpus")

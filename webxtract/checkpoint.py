@@ -102,18 +102,24 @@ def _global_dup_state(paths: list[str]):
     import ray.data as rd
     from ray.data.aggregate import Count, Max, Sum
 
-    def _tag(fid: int):
-        def fn(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "fid", pa.array([fid] * t.num_rows, pa.int32()))
+    # ONE multi-file read with include_paths, fid derived from the path
+    # column vectorized — a union of N tagged per-file reads planned a
+    # 100-way lineage that pinned the DRIVER at 100% while workers sat
+    # idle (union planning is driver-bound and quadratic-ish in inputs)
+    paths_arr = pa.array([os.path.abspath(p) for p in paths])
+    proj = rd.read_parquet(paths, columns=["url", "warc_ts"],
+                           include_paths=True)
 
-        return fn
+    def _tag(t: pa.Table) -> pa.Table:
+        fid = pc.index_in(t.column("path"), value_set=paths_arr) \
+            .cast(pa.int32())
+        if fid.null_count:  # path form drifted from the input list
+            raise ValueError("unresolvable source path in include_paths")
+        return pa.table({"url": t.column("url"),
+                         "warc_ts": t.column("warc_ts"), "fid": fid})
 
-    parts = [rd.read_parquet(p, columns=["url", "warc_ts"])
-             .map_batches(_tag(i), batch_format="pyarrow",
-                          zero_copy_batch=True)
-             for i, p in enumerate(paths)]
-    proj = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    proj = proj.map_batches(_tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
     per_file = proj.groupby(["url", "fid"]).aggregate(
         Max("warc_ts", alias_name="max_ts"), Count(alias_name="n"))
     per_url = per_file.groupby("url").aggregate(
@@ -137,9 +143,112 @@ def _global_dup_state(paths: list[str]):
     return dup_tbl, h.hexdigest()
 
 
+def _patch_fsspec_import_race() -> None:
+    """Ray's path resolution probes `fsspec.implementations.http` on
+    EVERY read/write and suppresses only ModuleNotFoundError (aiohttp
+    absent). Under concurrent driver threads the first imports can race
+    and leave a partially-initialized module in sys.modules, after
+    which every probe raises ImportError ("cannot import name
+    HTTPFileSystem") instead — poisoning the whole process. Wrap the
+    probe so ImportError means what ModuleNotFoundError means: "not an
+    HTTP filesystem". Idempotent; driver-side only; this engine never
+    reads HTTP filesystems."""
+    import ray.data.datasource.path_util as _pu
+
+    orig = _pu._is_http_filesystem
+    if getattr(orig, "_webxtract_safe", False):
+        return
+
+    def safe(fs):
+        try:
+            return orig(fs)
+        except ImportError:
+            return False
+
+    safe._webxtract_safe = True
+    _pu._is_http_filesystem = safe
+
+
+def _run_one_partition(pid: int, fpath: str, fp: str, out_dir: str,
+                       cfg: PipelineConfig, dup_tbl) -> dict:
+    """Execute one partition's pipeline and publish it atomically.
+    Thread-safe with respect to other partitions: every write it makes
+    (part dir, manifest row, metrics file) is partition-scoped."""
+    import ray.data as rd
+
+    from .dedup import filter_to_winners
+
+    t0 = time.monotonic()
+    ds = rd.read_parquet(fpath)
+    rows_in = ds.count()
+    ds = filter_to_winners(ds, dup_tbl)
+    # source_path: the internal (within-file) dedup aggregates its
+    # winners from a pruned re-read of the file rather than
+    # re-executing the filtered lineage; compatible with the global
+    # filter (a global winner always has the file-level max ts too)
+    result = extract_pipeline(ds, cfg, source_path=fpath)
+    part_dir = os.path.join(out_dir, f"part={pid:05d}")
+    tmp_dir = part_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(part_dir, ignore_errors=True)
+    result.write_parquet(tmp_dir)
+    os.replace(tmp_dir, part_dir)  # atomic publish
+    out_t = pq.read_table(part_dir, columns=["route"])
+    routes = out_t.column("route")
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    row = {
+        "partition_id": pid,
+        "input_fingerprint": fp,
+        "rows_in": rows_in,
+        "rows_out": out_t.num_rows,
+        "rejected": pc.sum(pc.equal(routes, pa.scalar("rejected"))).as_py() or 0,
+        "reviewed": pc.sum(pc.equal(routes, pa.scalar("review"))).as_py() or 0,
+        "status": "done",
+        "wall_ms": wall_ms,
+        "created_at": int(time.time() * 1_000_000),
+    }
+    _atomic_write_json(_manifest_path(out_dir, pid), row)
+    _append_metrics(out_dir, pid, "extract_pipeline", rows_in,
+                    out_t.num_rows, wall_ms)
+    return row
+
+
+def _dup_cache_paths(out_dir: str) -> tuple[str, str]:
+    d = os.path.join(out_dir, "dedup_state")
+    return os.path.join(d, "meta.json"), os.path.join(d, "dups.parquet")
+
+
+def _load_dup_cache(out_dir: str, inputs_key: str):
+    """Reuse the global dup-winner state when NO input file changed —
+    otherwise a resume over an already-finished run would pay the full
+    (url, warc_ts) corpus scan just to recompute an identical digest."""
+    meta_p, tbl_p = _dup_cache_paths(out_dir)
+    try:
+        with open(meta_p) as f:
+            meta = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+    if meta.get("inputs_key") != inputs_key:
+        return None
+    tbl = pq.read_table(tbl_p) if meta.get("has_dups") else None
+    return tbl, meta["digest"]
+
+
+def _save_dup_cache(out_dir: str, inputs_key: str, dup_tbl,
+                    digest: str) -> None:
+    meta_p, tbl_p = _dup_cache_paths(out_dir)
+    os.makedirs(os.path.dirname(meta_p), exist_ok=True)
+    if dup_tbl is not None:
+        pq.write_table(dup_tbl, tbl_p + ".tmp")
+        os.replace(tbl_p + ".tmp", tbl_p)
+    _atomic_write_json(meta_p, {"inputs_key": inputs_key, "digest": digest,
+                                "has_dups": dup_tbl is not None})
+
+
 def run_partitioned(input_dir: str, out_dir: str,
                     cfg: PipelineConfig | None = None,
-                    fail_after: int | None = None) -> dict[int, dict]:
+                    fail_after: int | None = None,
+                    max_concurrent: int | None = None) -> dict[int, dict]:
     """Run the extraction pipeline partition-by-partition with resume.
 
     Url-dedup is GLOBAL across partitions: a pruned (url, warc_ts) scan
@@ -149,67 +258,77 @@ def run_partitioned(input_dir: str, out_dir: str,
     (pids beyond the current input list) are garbage-collected so a
     resumed run over a reduced input set never serves stale data.
 
+    Pending partitions dispatch CONCURRENTLY (``max_concurrent`` driver
+    threads, default 4, each driving an independent Ray Data pipeline —
+    partitions share the cluster but nothing else, so the overlap hides
+    each pipeline's fixed startup cost; output bytes are identical to a
+    sequential run because every write is partition-scoped and atomic).
+    On a multi-node cluster this is the one-driver-many-jobs dispatch
+    pattern; raise max_concurrent with cluster width.
+
     ``fail_after`` (tests only): raise after N partitions to simulate a
-    mid-run crash; a rerun must produce outputs identical to an
+    mid-run crash (forces sequential dispatch so the cut point is
+    deterministic); a rerun must produce outputs identical to an
     uninterrupted run (property test).
     Returns the manifest dict.
     """
-    import ray.data as rd
-
-    from .dedup import filter_to_winners
-
+    _patch_fsspec_import_race()
     cfg = cfg or PipelineConfig()
     files = sorted(
         f for f in os.listdir(input_dir)
         if f.endswith(".parquet") and not f.startswith(".")
     )
     paths = [os.path.join(input_dir, f) for f in files]
-    dup_tbl, dup_digest = _global_dup_state(paths)
+    inputs_key = hashlib.md5("|".join(
+        input_fingerprint(p) for p in paths).encode()).hexdigest()
+    cached = _load_dup_cache(out_dir, inputs_key)
+    if cached is not None:
+        dup_tbl, dup_digest = cached
+    else:
+        dup_tbl, dup_digest = _global_dup_state(paths)
+        _save_dup_cache(out_dir, inputs_key, dup_tbl, dup_digest)
     manifest = load_manifest(out_dir)
     _gc_orphans(out_dir, manifest, len(files))
-    done = 0
+    todo: list[tuple[int, str, str]] = []
     for pid, fname in enumerate(files):
         fpath = os.path.join(input_dir, fname)
         fp = input_fingerprint(fpath, extra=dup_digest)
         prev = manifest.get(pid)
         if prev and prev["status"] == "done" and prev["input_fingerprint"] == fp:
             continue  # resume: this partition is finished and unchanged
-        if fail_after is not None and done >= fail_after:
-            raise RuntimeError(f"injected failure before partition {pid}")
-        t0 = time.monotonic()
-        ds = rd.read_parquet(fpath)
-        rows_in = ds.count()
-        ds = filter_to_winners(ds, dup_tbl)
-        # source_path: the internal (within-file) dedup aggregates its
-        # winners from a pruned re-read of the file rather than
-        # re-executing the filtered lineage; compatible with the global
-        # filter (a global winner always has the file-level max ts too)
-        result = extract_pipeline(ds, cfg, source_path=fpath)
-        part_dir = os.path.join(out_dir, f"part={pid:05d}")
-        tmp_dir = part_dir + ".tmp"
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        shutil.rmtree(part_dir, ignore_errors=True)
-        result.write_parquet(tmp_dir)
-        os.replace(tmp_dir, part_dir)  # atomic publish
-        out_t = pq.read_table(part_dir, columns=["route"])
-        routes = out_t.column("route")
-        wall_ms = int((time.monotonic() - t0) * 1000)
-        row = {
-            "partition_id": pid,
-            "input_fingerprint": fp,
-            "rows_in": rows_in,
-            "rows_out": out_t.num_rows,
-            "rejected": pc.sum(pc.equal(routes, pa.scalar("rejected"))).as_py() or 0,
-            "reviewed": pc.sum(pc.equal(routes, pa.scalar("review"))).as_py() or 0,
-            "status": "done",
-            "wall_ms": wall_ms,
-            "created_at": int(time.time() * 1_000_000),
-        }
-        _atomic_write_json(_manifest_path(out_dir, pid), row)
-        _append_metrics(out_dir, pid, "extract_pipeline", rows_in,
-                        out_t.num_rows, wall_ms)
-        manifest[pid] = row
-        done += 1
+        todo.append((pid, fpath, fp))
+
+    if fail_after is not None:
+        for done, (pid, fpath, fp) in enumerate(todo):
+            if done >= fail_after:
+                raise RuntimeError(f"injected failure before partition {pid}")
+            manifest[pid] = _run_one_partition(pid, fpath, fp, out_dir,
+                                               cfg, dup_tbl)
+        return manifest
+
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    retry_lock = threading.Lock()
+
+    def run_one(a):
+        try:
+            return _run_one_partition(a[0], a[1], a[2], out_dir, cfg, dup_tbl)
+        except ImportError:
+            # concurrent first-imports inside Ray's path resolution can
+            # observe a partially-failed optional module (fsspec http /
+            # aiohttp) as ImportError instead of the ModuleNotFoundError
+            # Ray suppresses; the partition is idempotent (atomic
+            # publish), so retry once serialized
+            with retry_lock:
+                return _run_one_partition(a[0], a[1], a[2], out_dir,
+                                          cfg, dup_tbl)
+
+    workers = max(1, min(max_concurrent or 4, len(todo) or 1))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        rows = list(pool.map(run_one, todo))
+    for row in rows:
+        manifest[row["partition_id"]] = row
     return manifest
 
 

@@ -164,6 +164,33 @@ def _docs_minhash_pairs_joinverify(sf_dir: str):
                              threshold=0.7, shingle=1, verify="join")
 
 
+def _docs_jaccard_clusters(sf_dir: str):
+    """Connected components ORACLE-CHECKED end-to-end: cluster the
+    exact (oracled) n-gram-Jaccard pair list with the same min-label
+    propagation used for LSH pairs; the DuckDB twin computes components
+    via a recursive-CTE transitive closure. This oracles the clustering
+    OPERATOR itself (the LSH variants differ only in their pair
+    source)."""
+    from webxtract.ops.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                                threshold=0.7, shingle=1)
+    return dedup_clusters(pairs)
+
+
+def _docs_jaccard_canonical(sf_dir: str):
+    """Canonical-doc selection ORACLE-CHECKED: keep one representative
+    (min doc_id) per exact-Jaccard near-dup cluster, singletons
+    untouched; oracle = anti-join against the recursive-CTE non-
+    canonical set."""
+    from webxtract.ops.dedup import canonical_docs, ngram_jaccard_pairs
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+    pairs = ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                                threshold=0.7, shingle=1)
+    return canonical_docs(docs, pairs)
+
+
 def _docs_dedup_clusters_dist(sf_dir: str):
     """Distributed connected components made driver-visible: label
     propagation runs as per-round edges ⋈ labels hash joins +
@@ -399,6 +426,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": _docs_minhash_pairs,  # sketch; rows-only
         "docs_simhash_pairs": _docs_simhash_pairs,  # sketch; rows-only
         "docs_dedup_clusters": _docs_dedup_clusters,  # rows-only
+        "docs_jaccard_clusters": _docs_jaccard_clusters,  # CC oracled
+        "docs_jaccard_canonical": _docs_jaccard_canonical,
         "pages_line_dedup": _pages_line_dedup,  # CCNet line dedup; rows-only
         # scale-path twins (same rows as their siblings; pytest-gated)
         "docs_minhash_pairs_joinverify": _docs_minhash_pairs_joinverify,
@@ -717,6 +746,55 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0 /
                         (len(a.toks) + len(b.toks)
                          - len(list_intersect(a.toks, b.toks))), 6) >= 0.7
+        """,
+        "docs_jaccard_clusters": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                FROM documents
+            ), pairs AS (
+                SELECT a.doc_id AS pa, b.doc_id AS pb
+                FROM t a JOIN t b ON a.doc_id < b.doc_id
+                WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                            (len(a.toks) + len(b.toks)
+                             - len(list_intersect(a.toks, b.toks))), 6)
+                      >= 0.7
+            ), edges AS (
+                SELECT pa AS u, pb AS v FROM pairs
+                UNION SELECT pb, pa FROM pairs
+            ), reach AS (
+                SELECT u AS src, u AS dst FROM edges
+                UNION
+                SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+            )
+            SELECT src AS doc_id, min(dst) AS cluster_id
+            FROM reach GROUP BY src
+        """,
+        "docs_jaccard_canonical": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                FROM documents
+            ), pairs AS (
+                SELECT a.doc_id AS pa, b.doc_id AS pb
+                FROM t a JOIN t b ON a.doc_id < b.doc_id
+                WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                            (len(a.toks) + len(b.toks)
+                             - len(list_intersect(a.toks, b.toks))), 6)
+                      >= 0.7
+            ), edges AS (
+                SELECT pa AS u, pb AS v FROM pairs
+                UNION SELECT pb, pa FROM pairs
+            ), reach AS (
+                SELECT u AS src, u AS dst FROM edges
+                UNION
+                SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+            ), clusters AS (
+                SELECT src AS doc_id, min(dst) AS cluster_id
+                FROM reach GROUP BY src
+            )
+            SELECT d.doc_id, d.lang FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM clusters c
+                              WHERE c.doc_id = d.doc_id
+                                AND c.doc_id <> c.cluster_id)
         """,
         "emb_dup_pairs": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

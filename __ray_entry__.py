@@ -412,6 +412,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly_growth": R.orders_monthly_growth,
         "user_conversion_funnel": R.user_conversion_funnel,
         "user_retention": R.user_retention,
+        "q10_returned_revenue": R.q10_returned_revenue,
+        "q14_promo_share": R.q14_promo_share,
+        "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
+        "q18_large_orders": R.q18_large_orders,
+        "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
+        "q22_idle_customers": R.q22_idle_customers,
         "events_users_hll": _events_users_hll,    # sketch; rows-only
         "events_value_p50_sketch": _events_value_p50_sketch,  # KLL; rows-only
         # text analysis
@@ -1019,5 +1025,82 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN retained THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_retained
             FROM flags GROUP BY d0
+        """,
+        "q10_returned_revenue": """
+            SELECT c_custkey, c_name,
+                   round(sum(round(l_extendedprice * (1 - l_discount) * 100))
+                         / 100.0, 2) AS revenue,
+                   c_acctbal, n_name
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "q14_promo_share": """
+            SELECT round(
+                100.0 * sum(CASE WHEN p_type = 'PROMO'
+                    THEN round(l_extendedprice * (1 - l_discount) * 10000)
+                    ELSE 0 END)
+                / sum(round(l_extendedprice * (1 - l_discount) * 10000)),
+                6) AS promo_share_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-04-01'
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT round(sum(round(l_extendedprice * 100)) / 100.0 / 7.0, 2)
+                       AS avg_yearly
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand = 'Brand#13'
+              AND l.l_quantity < (
+                  SELECT 0.2 * (sum(l2.l_quantity) / count(*))
+                  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        """,
+        "q18_large_orders": """
+            SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   sum_qty
+            FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(l_quantity) > 300) big
+            JOIN orders   ON o_orderkey = big.l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT round(COALESCE(sum(round(l_extendedprice * (1 - l_discount)
+                                   * 10000)), 0) / 10000.0, 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+                   AND p_size BETWEEN 1 AND 5)
+               OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+                   AND p_size BETWEEN 1 AND 10)
+               OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+                   AND p_size BETWEEN 1 AND 15)
+        """,
+        "q22_idle_customers": """
+            WITH thresh AS (
+                SELECT sum(round(c_acctbal * 100)) / 100.0 / count(*) AS a
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT substr(c_name, 17, 2) AS cntrycode,
+                   count(*) AS numcust,
+                   round(sum(round(c_acctbal * 100)) / 100.0, 2)
+                       AS totacctbal
+            FROM customer, thresh
+            WHERE c_acctbal > thresh.a
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY cntrycode
+            ORDER BY cntrycode
         """,
     }

@@ -1816,3 +1816,339 @@ def docs_lang_stats(sf_dir: str):
         return t.set_column(i, "avg_chars", pc.round(t.column("avg_chars"), 6))
 
     return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped round-2 additions: Q10 / Q14 / Q17 / Q18 / Q19 / Q22 shapes
+# (new join/subquery shapes over the available tables; all oracled)
+# ---------------------------------------------------------------------------
+
+def _keys_ref(ds, col: str):
+    """Collect a (small, pre-reduced) Dataset column into a ray.put key
+    set for semi/anti broadcast stages. Callers must pre-reduce the
+    dataset to dimension size first; at corpus scale the set becomes a
+    Bloom filter or a hash semi-join (see anti_join_stage docstring)."""
+    import ray
+
+    keys = set()
+    for b in ds.select_columns([col]).iter_batches(batch_format="pyarrow"):
+        keys.update(b.column(col).to_pylist())
+    return ray.put(keys)
+
+def q10_returned_revenue(sf_dir: str, k: int = 20):
+    """Returned-item revenue ranking (TPC-H Q10 shape): fact-side
+    pre-aggregation (revenue per orderkey, one bounded groupby) -> native
+    hash join against date-filtered orders (both sides scale with the
+    fact table -> no broadcast) -> grouped sum per customer -> broadcast
+    dimension joins (customer, nation) -> global top-k. Money summed as
+    integer cents for float-order independence."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_returnflag") == "R"))
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "rev_cents": _cents(rev)})
+
+    per_order = (li.map_batches(revenue, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("rev_cents", alias_name="rev_cents")))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=((pads.field("o_orderdate") >= _dt.datetime(1996, 1, 1))
+                & (pads.field("o_orderdate") < _dt.datetime(1996, 4, 1))))
+    joined = hash_join(per_order, orders, on="l_orderkey",
+                       right_on="o_orderkey",
+                       est_rows=parquet_rows(sf_dir, "orders"))
+    per_cust = joined.groupby("o_custkey").aggregate(
+        Sum("rev_cents", alias_name="rev_cents"))
+
+    cust = read(sf_dir, "customer",
+                columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    cust_ref = broadcast_lookup(cust, "c_custkey",
+                                ["c_name", "c_acctbal", "c_nationkey"])
+    nation = read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nation_ref = broadcast_lookup(nation, "n_nationkey", ["n_name"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        t = BroadcastJoin(cust_ref, "o_custkey",
+                          ["c_name", "c_acctbal", "c_nationkey"])(t)
+        t = BroadcastJoin(nation_ref, "c_nationkey", ["n_name"])(t)
+        return pa.table({
+            "c_custkey": t.column("o_custkey"),
+            "c_name": t.column("c_name"),
+            "revenue": _uncents(t.column("rev_cents")),
+            "c_acctbal": t.column("c_acctbal"),
+            "n_name": t.column("n_name"),
+        })
+
+    out = per_cust.map_batches(attach, batch_format="pyarrow")
+    return out.sort(["revenue", "c_custkey"],
+                    descending=[True, False]).limit(k)
+
+
+def q14_promo_share(sf_dir: str):
+    """Promotion revenue share (TPC-H Q14 shape): broadcast dimension
+    (part type) into a date-pruned fact scan, conditional integer-unit
+    partial sums per batch, one-row final. No shuffle at all."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    part = read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    part_ref = broadcast_lookup(part, "p_partkey", ["p_type"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=((pads.field("l_shipdate") >= _dt.datetime(1997, 1, 1))
+                & (pads.field("l_shipdate") < _dt.datetime(1997, 4, 1))))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = BroadcastJoin(part_ref, "l_partkey", ["p_type"])(t)
+        rev = pc.round(
+            pc.multiply(pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+                pa.scalar(10000.0)),
+            0, round_mode="half_towards_infinity").cast(pa.int64())
+        promo = pc.equal(t.column("p_type"), pa.scalar("PROMO"))
+        promo_rev = pc.if_else(promo, rev, pa.scalar(0, pa.int64()))
+        return pa.table({
+            "promo_e4": pa.array([pc.sum(promo_rev).as_py() or 0],
+                                 pa.int64()),
+            "total_e4": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+        })
+
+    parts = li.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def final(t: pa.Table) -> pa.Table:
+        promo = pc.sum(t.column("promo_e4")).as_py() or 0
+        total = pc.sum(t.column("total_e4")).as_py() or 0
+        share = round(100.0 * promo / total, 6) if total else 0.0
+        return pa.table({"promo_share_pct": pa.array([share], pa.float64())})
+
+    return parts.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#13"):
+    """Correlated-scalar-subquery shape (TPC-H Q17): per-part average
+    quantity via one bounded groupby (dimension-sized output), threshold
+    broadcast back into a second fact scan, filter l_quantity <
+    0.2*avg(part), global sum / 7. The correlated subquery becomes a
+    broadcast map-side lookup — no per-row re-aggregation."""
+    from ray.data.aggregate import Count, Sum
+
+    li = read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+    per_part = li.groupby("l_partkey").aggregate(
+        Sum("l_quantity", alias_name="qty_sum"),
+        Count(alias_name="qty_n"))
+
+    def thresh(t: pa.Table) -> pa.Table:
+        avg = pc.divide(t.column("qty_sum"),
+                        t.column("qty_n").cast(pa.float64()))
+        return pa.table({"l_partkey": t.column("l_partkey"),
+                         "qty_thresh": pc.multiply(pa.scalar(0.2), avg)})
+
+    thresh_ref = broadcast_lookup(
+        per_part.map_batches(thresh, batch_format="pyarrow"),
+        "l_partkey", ["qty_thresh"])
+
+    bparts = read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    bparts = bparts.filter(expr=f"p_brand == '{brand}'")
+    brand_keys_ref = _keys_ref(bparts, "p_partkey")
+
+    li2 = read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = semi_join_stage(brand_keys_ref, "l_partkey")(t)
+        t = BroadcastJoin(thresh_ref, "l_partkey", ["qty_thresh"])(t)
+        t = t.filter(pc.less(t.column("l_quantity"),
+                             t.column("qty_thresh")))
+        price = _cents(t.column("l_extendedprice"))
+        return pa.table({"price_cents": pa.array(
+            [pc.sum(price).as_py() or 0], pa.int64())})
+
+    parts = li2.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def final(t: pa.Table) -> pa.Table:
+        cents = pc.sum(t.column("price_cents")).as_py() or 0
+        return pa.table({"avg_yearly": pa.array(
+            [round(cents / 100.0 / 7.0, 2)], pa.float64())})
+
+    return parts.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """Disjunctive multi-branch join predicate (TPC-H Q19 shape):
+    broadcast part attributes (brand, size) into a quantity-pruned fact
+    scan, evaluate the three-branch OR entirely with vectorized Arrow
+    kernels, integer-unit partial sums."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    part = read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    part_ref = broadcast_lookup(part, "p_partkey", ["p_brand", "p_size"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        filter=((pads.field("l_quantity") >= 1.0)
+                & (pads.field("l_quantity") <= 30.0)))
+
+    def _branch(t, brand, qlo, qhi, smax):
+        q, s = t.column("l_quantity"), t.column("p_size")
+        return pc.and_(
+            pc.and_(pc.equal(t.column("p_brand"), pa.scalar(brand)),
+                    pc.and_(pc.greater_equal(q, pa.scalar(float(qlo))),
+                            pc.less_equal(q, pa.scalar(float(qhi))))),
+            pc.and_(pc.greater_equal(s, pa.scalar(1, pa.int32())),
+                    pc.less_equal(s, pa.scalar(smax, pa.int32()))))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = BroadcastJoin(part_ref, "l_partkey", ["p_brand", "p_size"])(t)
+        mask = pc.or_(pc.or_(_branch(t, "Brand#12", 1, 11, 5),
+                             _branch(t, "Brand#23", 10, 20, 10)),
+                      _branch(t, "Brand#34", 20, 30, 15))
+        t = t.filter(mask)
+        rev = pc.round(
+            pc.multiply(pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+                pa.scalar(10000.0)),
+            0, round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({
+            "rev_e4": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+            "n_items": pa.array([t.num_rows], pa.int64()),
+        })
+
+    parts = li.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def final(t: pa.Table) -> pa.Table:
+        rev = pc.sum(t.column("rev_e4")).as_py() or 0
+        n = pc.sum(t.column("n_items")).as_py() or 0
+        return pa.table({
+            "revenue": pa.array([round(rev / 10000.0, 2)], pa.float64()),
+            "n_items": pa.array([n], pa.int64()),
+        })
+
+    return parts.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+def q18_large_orders(sf_dir: str, threshold: float = 300.0, k: int = 100):
+    """Large-volume orders (TPC-H Q18 shape): HAVING over a fact-side
+    groupby (sum of quantity per order), the tiny qualifying set
+    broadcast back into the orders scan (inner broadcast join doubles as
+    the semi-join), customer name attached map-side, global top-k."""
+    from ray.data.aggregate import Sum
+
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    big = (li.groupby("l_orderkey")
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"))
+           .filter(expr=f"sum_qty > {threshold}"))
+    big_ref = broadcast_lookup(big, "l_orderkey", ["sum_qty"])
+
+    orders = read(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate",
+                           "o_totalprice"])
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    cust_ref = broadcast_lookup(cust, "c_custkey", ["c_name"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        t = BroadcastJoin(big_ref, "o_orderkey", ["sum_qty"])(t)
+        t = BroadcastJoin(cust_ref, "o_custkey", ["c_name"])(t)
+        return t.select(["c_name", "o_custkey", "o_orderkey",
+                         "o_orderdate", "o_totalprice", "sum_qty"])
+
+    out = orders.map_batches(attach, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return out.sort(["o_totalprice", "o_orderkey"],
+                    descending=[True, False]).limit(k)
+
+
+def q22_idle_customers(sf_dir: str, since: str = "2000-01-01"):
+    """Global-scalar subquery + anti-join (TPC-H Q22 shape): the
+    positive-balance average is computed with integer-cent partials (one
+    tiny exchange) and compared map-side; customers with a recent order
+    are removed via a pre-reduced broadcast anti-join; grouped by the
+    last-two-digit "country code" of c_name (fixed Customer#%09d
+    format). Threshold arithmetic (sum_cents/100.0/count) is mirrored
+    exactly by the oracle so the float comparison is bit-identical."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_name",
+                                             "c_acctbal"])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t.column("c_acctbal"), pa.scalar(0.0)))
+        return pa.table({
+            "bal_cents": pa.array(
+                [pc.sum(_cents(pos.column("c_acctbal"))).as_py() or 0],
+                pa.int64()),
+            "n": pa.array([pos.num_rows], pa.int64()),
+        })
+
+    totals = (cust.map_batches(bal_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .repartition(1)
+              .map_batches(lambda t: pa.table({
+                  "avg_bal": pa.array(
+                      [(pc.sum(t.column("bal_cents")).as_py() or 0) / 100.0
+                       / max(1, pc.sum(t.column("n")).as_py() or 0)],
+                      pa.float64())}), batch_format="pyarrow")
+              .take_all())
+    avg_bal = totals[0]["avg_bal"]  # one scalar on the driver by design
+
+    y, m, d = (int(x) for x in since.split("-"))
+    recent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=(pads.field("o_orderdate") >= _dt.datetime(y, m, d)))
+    recent_keys_ref = _keys_ref(
+        recent.groupby("o_custkey").count().select_columns(["o_custkey"]),
+        "o_custkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("c_acctbal"),
+                                pa.scalar(float(avg_bal))))
+        t = anti_join_stage(recent_keys_ref, "c_custkey")(t)
+        code = pc.utf8_slice_codeunits(t.column("c_name"), 16, 18)
+        return pa.table({"cntrycode": code,
+                         "bal_cents": _cents(t.column("c_acctbal"))})
+
+    from ray.data.aggregate import Count as _Count
+
+    agg = (cust.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("cntrycode")
+           .aggregate(_Count(alias_name="numcust"),
+                      Sum("bal_cents", alias_name="bal_cents")))
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cntrycode": t.column("cntrycode"),
+            "numcust": t.column("numcust"),
+            "totacctbal": _uncents(t.column("bal_cents")),
+        })
+
+    return (agg.map_batches(final, batch_format="pyarrow")
+            .sort("cntrycode"))

@@ -225,6 +225,12 @@ def _emb_knn_ivf(sf_dir: str):
     return knn_ivf(_emb(sf_dir), query_ids=list(range(8)), k=10, nprobe=3)
 
 
+def _emb_knn_lsh(sf_dir: str):
+    from webxtract.ops.knn import knn_lsh
+
+    return knn_lsh(_emb(sf_dir), query_ids=list(range(8)), k=10)
+
+
 def _pages_review_tasks(sf_dir: str):
     """Review-queue projection with deterministic task ids (M15/M16);
     rows-only (derived from the non-SQL extraction)."""
@@ -442,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "emb_knn_bruteforce": _emb_knn,
         "emb_knn_ivf": _emb_knn_ivf,              # approximate; rows-only
+        "emb_knn_lsh": _emb_knn_lsh,              # LSH-bucketed; rows-only
     }
 
 

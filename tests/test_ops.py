@@ -119,6 +119,33 @@ def test_knn_ivf_exact_within_probed_cells(ray_session):
         assert set(ids[order]) == set(got.vec_id)
 
 
+def test_knn_lsh_recall_and_invariance(ray_session):
+    """LSH ANN gates: (1) recall vs brute force >= 0.85 at the tuned
+    defaults (24 tables x 4 bits on the synthetic corpus); (2) every
+    reported cosine is the true cosine (candidates are scored exactly);
+    (3) output is invariant to input partitioning."""
+    import ray.data as rd
+
+    from webxtract.ops import knn as K
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bf = K.knn_bruteforce(ds, k=10).to_pandas()
+    lsh = K.knn_lsh(ds, k=10).to_pandas()
+    bfset = set(zip(bf.query_id, bf.vec_id))
+    lset = set(zip(lsh.query_id, lsh.vec_id))
+    assert len(bfset & lset) / len(bfset) >= 0.85
+    # exact cosines: every (query, vec) pair LSH reports that brute
+    # force also ranked must carry the identical rounded cosine
+    bfmap = {(q, v): c for q, v, c in zip(bf.query_id, bf.vec_id, bf.cosine)}
+    for q, v, c in zip(lsh.query_id, lsh.vec_id, lsh.cosine):
+        if (q, v) in bfmap:
+            assert c == bfmap[(q, v)]
+    l2 = (K.knn_lsh(ds.repartition(13), k=10).to_pandas()
+          .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    l1 = lsh.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert l1.equals(l2)
+
+
 def test_langid_real_language_samples():
     lid = T.LangId()
     t = pa.table({

@@ -231,6 +231,13 @@ def _emb_knn_lsh(sf_dir: str):
     return knn_lsh(_emb(sf_dir), query_ids=list(range(8)), k=10)
 
 
+def _emb_kmeans(sf_dir: str):
+    from webxtract.ops.knn import kmeans
+
+    assignments, _cents = kmeans(_emb(sf_dir), k=8, iters=5)
+    return assignments
+
+
 def _pages_review_tasks(sf_dir: str):
     """Review-queue projection with deterministic task ids (M15/M16);
     rows-only (derived from the non-SQL extraction)."""
@@ -449,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_bruteforce": _emb_knn,
         "emb_knn_ivf": _emb_knn_ivf,              # approximate; rows-only
         "emb_knn_lsh": _emb_knn_lsh,              # LSH-bucketed; rows-only
+        "emb_kmeans": _emb_kmeans,                # iterative; rows-only
     }
 
 

@@ -146,6 +146,40 @@ def test_knn_lsh_recall_and_invariance(ray_session):
     assert l1.equals(l2)
 
 
+def test_kmeans_invariance_and_convergence(ray_session):
+    """Distributed spherical k-means gates: bit-identical assignments
+    and centroids across input partitionings (exact fixed-point partial
+    sums), every vec assigned to its true argmax centroid, and mean
+    max-cosine non-decreasing with more Lloyd iterations."""
+    import ray.data as rd
+
+    from webxtract.ops import knn as K
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a1, c1 = K.kmeans(ds, k=4, iters=3)
+    df1 = a1.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    a2, c2 = K.kmeans(ds.repartition(7), k=4, iters=3)
+    df2 = a2.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert df1.equals(df2)
+    assert np.array_equal(c1, c2)
+    # assignment really is the argmax against the returned centroids
+    rows = ds.take_all()
+    m = K._normalize(np.array([r["embedding"] for r in rows],
+                              dtype=np.float64))
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    cos = m @ K._normalize(np.asarray(c1)).T
+    expect = dict(zip(ids.tolist(), cos.argmax(axis=1).tolist()))
+    for v, c in zip(df1.vec_id, df1.cluster):
+        assert expect[v] == c
+    # more iterations never reduce fit on this corpus
+    fits = []
+    for it in (1, 3):
+        _, c = K.kmeans(ds, k=4, iters=it)
+        fits.append(float((m @ K._normalize(np.asarray(c)).T)
+                          .max(axis=1).mean()))
+    assert fits[1] >= fits[0] - 1e-12
+
+
 def test_langid_real_language_samples():
     lid = T.LangId()
     t = pa.table({

@@ -281,3 +281,124 @@ def knn_lsh(ds, query_ids: list[int] | None = None, k: int = 10,
                             zero_copy_batch=True)
     return scored.groupby("query_id").map_groups(
         _topk_merge(k), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means over the embedding column (spherical / cosine)
+# ---------------------------------------------------------------------------
+
+_KMEANS_SCALE = 1 << 20  # fixed-point scale for exact partial sums
+
+
+def _kmeans_seeds(ds, k: int) -> np.ndarray:
+    """Deterministic spread init: the k rows with the smallest
+    Knuth-hash of vec_id (a hash-based pseudo-random sample). Per-batch
+    partial top-k (k rows out per batch) + a tiny driver merge — the
+    table itself never leaves the workers."""
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(
+            0xFFFFFFFF)
+        order = np.lexsort((ids, h))[:k]
+        return pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "h": pa.array(h[order].astype(np.int64), pa.int64()),
+            "embedding": batch.column("embedding").take(
+                pa.array(order, pa.int64())),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (r["h"], r["vec_id"]))
+    return np.array([r["embedding"] for r in rows[:k]], dtype=np.float64)
+
+
+class _KmeansAssign:
+    """Per-batch assignment + exact fixed-point partial sums. Centroids
+    come in via the broadcast ref (re-put per iteration, never
+    re-shipped per batch within an iteration)."""
+
+    def __init__(self, cents_ref, emit: str):
+        from ..broadcast import get_broadcast
+
+        self.cn = _normalize(np.asarray(get_broadcast(cents_ref),
+                                        dtype=np.float64))
+        self.emit = emit  # "partials" | "assign"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        m = _emb_matrix(batch.column("embedding"))
+        cos = _normalize(m) @ self.cn.T               # (n, k)
+        # argmax with ties -> smallest cluster id (np.argmax is exactly that)
+        assign = cos.argmax(axis=1).astype(np.int64)
+        if self.emit == "assign":
+            best = cos[np.arange(len(ids)), assign]
+            return pa.table({
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(assign, pa.int64()),
+                "cosine": pa.array(np.round(best, 6), pa.float64()),
+            })
+        # fixed-point integer sums: exact, hence order/partitioning
+        # independent when combined across batches
+        fixed = np.round(m * _KMEANS_SCALE).astype(np.int64)
+        uniq = np.unique(assign)
+        return pa.table({
+            "cluster": pa.array(uniq, pa.int64()),
+            "vsum": pa.array([fixed[assign == u].sum(axis=0).tolist()
+                              for u in uniq], pa.list_(pa.int64())),
+            "vcount": pa.array([int((assign == u).sum()) for u in uniq],
+                               pa.int64()),
+        })
+
+
+def kmeans(ds, k: int = 8, iters: int = 5):
+    """Distributed spherical k-means over (vec_id, embedding).
+
+    Lloyd's iterations, Ray-Data-shaped: centroids are broadcast
+    (ray.put once per iteration); each batch emits <=k partial rows
+    (cluster, fixed-point int sum, count); a bounded groupby("cluster")
+    reduces them exactly. Integer fixed-point accumulation makes every
+    centroid update bit-deterministic and independent of input
+    partitioning — float partial sums would drift with batch order.
+
+    Returns (assignments Dataset with columns vec_id/cluster/cosine,
+    centroids ndarray). Empty clusters keep their previous centroid."""
+    import ray
+
+    cents = _kmeans_seeds(ds, k)
+    slim = ds.select_columns(["vec_id", "embedding"])
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partials(batch: pa.Table, _ref=ref) -> pa.Table:
+            return _KmeansAssign(_ref, "partials")(batch)
+
+        def reduce_cluster(g: pa.Table) -> pa.Table:
+            vs = np.array(g.column("vsum").to_pylist(), dtype=np.int64)
+            return pa.table({
+                "cluster": pa.array([g.column("cluster")[0].as_py()],
+                                    pa.int64()),
+                "vsum": pa.array([vs.sum(axis=0).tolist()],
+                                 pa.list_(pa.int64())),
+                "vcount": pa.array(
+                    [int(sum(g.column("vcount").to_pylist()))], pa.int64()),
+            })
+
+        rows = (slim.map_batches(partials, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                .groupby("cluster").map_groups(reduce_cluster,
+                                               batch_format="pyarrow")
+                .take_all())  # <= k tiny rows
+        new = cents.copy()
+        for r in rows:
+            c = r["cluster"]
+            new[c] = (np.asarray(r["vsum"], dtype=np.float64)
+                      / _KMEANS_SCALE / r["vcount"])
+        cents = new
+    ref = ray.put(cents)
+
+    def assign(batch: pa.Table, _ref=ref) -> pa.Table:
+        return _KmeansAssign(_ref, "assign")(batch)
+
+    out = slim.map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return out, cents

@@ -238,6 +238,13 @@ def _emb_kmeans(sf_dir: str):
     return assignments
 
 
+def _emb_knn_ivf_kmeans(sf_dir: str):
+    from webxtract.ops.knn import knn_ivf_kmeans
+
+    return knn_ivf_kmeans(_emb(sf_dir), query_ids=list(range(8)), k=10,
+                          nprobe=3, n_cells=8, iters=3)
+
+
 def _pages_review_tasks(sf_dir: str):
     """Review-queue projection with deterministic task ids (M15/M16);
     rows-only (derived from the non-SQL extraction)."""
@@ -457,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf": _emb_knn_ivf,              # approximate; rows-only
         "emb_knn_lsh": _emb_knn_lsh,              # LSH-bucketed; rows-only
         "emb_kmeans": _emb_kmeans,                # iterative; rows-only
+        "emb_knn_ivf_kmeans": _emb_knn_ivf_kmeans,  # learned cells; rows-only
     }
 
 

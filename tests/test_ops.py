@@ -180,6 +180,35 @@ def test_kmeans_invariance_and_convergence(ray_session):
     assert fits[1] >= fits[0] - 1e-12
 
 
+def test_knn_ivf_kmeans_containment(ray_session):
+    """Learned-cell IVF: results equal brute force restricted to each
+    query's probed k-means cells (containment is the invariant — cells
+    are learned, recall depends on geometry)."""
+    import ray.data as rd
+
+    from webxtract.ops import knn as K
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = K.knn_ivf_kmeans(ds, query_ids=[0, 1], k=10,
+                           nprobe=2, n_cells=4, iters=2).to_pandas()
+    _, cents = K.kmeans(ds, k=4, iters=2)
+    rows = {r["vec_id"]: r for r in ds.take_all()}
+    ids = np.array(sorted(rows), dtype=np.int64)
+    m = K._normalize(np.array([rows[v]["embedding"] for v in ids],
+                              dtype=np.float64))
+    cn = K._normalize(np.asarray(cents))
+    cell = (m @ cn.T).argmax(axis=1)
+    for q in (0, 1):
+        qv = K._normalize(np.asarray(rows[q]["embedding"],
+                                     dtype=np.float64)[None, :])[0]
+        pcells = np.argsort(-(cn @ qv))[:2]
+        allowed = np.isin(cell, pcells) & (ids != q)
+        sub_ids, sub_cos = ids[allowed], np.round(m[allowed] @ qv, 6)
+        order = np.lexsort((sub_ids, -sub_cos))[:10]
+        gq = got[got.query_id == q].sort_values("rank")
+        assert gq.vec_id.tolist() == sub_ids[order].tolist()
+
+
 def test_langid_real_language_samples():
     lid = T.LangId()
     t = pa.table({

@@ -402,3 +402,58 @@ def kmeans(ds, k: int = 8, iters: int = 5):
     out = slim.map_batches(assign, batch_format="pyarrow",
                            zero_copy_batch=True)
     return out, cents
+
+
+def knn_ivf_kmeans(ds, query_ids: list[int] | None = None, k: int = 10,
+                   nprobe: int = 3, n_cells: int = 8, iters: int = 3):
+    """IVF ANN over LEARNED k-means cells (no label column needed): the
+    index build is the distributed ``kmeans`` above; at search time each
+    batch assigns its own rows to cells with one (batch x cells) matmul
+    against the broadcast centroids and masks per query — assignments
+    are never materialized or joined, so the search stays one streaming
+    pass like ``knn_lsh``.
+
+    Containment invariant (tested): results equal brute force restricted
+    to each query's probed cells."""
+    import ray
+
+    query_ids = query_ids if query_ids is not None else list(range(8))
+    _, cents = kmeans(ds, k=n_cells, iters=iters)
+    qids, qmat = _fetch_queries(ds, query_ids)
+    cn = _normalize(np.asarray(cents, dtype=np.float64))
+    qn = _normalize(qmat)
+    probe = {int(qid): np.argsort(-(cn @ qn[i]))[:nprobe].tolist()
+             for i, qid in enumerate(qids)}
+    ref = ray.put((qids, qmat, cents, probe))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..broadcast import get_broadcast
+
+        bqids, bqmat, bcents, bprobe = get_broadcast(ref)
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        m = _normalize(_emb_matrix(batch.column("embedding")))
+        bc = _normalize(np.asarray(bcents, dtype=np.float64))
+        cell = (m @ bc.T).argmax(axis=1)
+        qm = _normalize(np.asarray(bqmat, dtype=np.float64))
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(np.asarray(bqids, dtype=np.int64)):
+            mask = np.isin(cell, bprobe[int(qid)]) & (ids != qid)
+            if not mask.any():
+                continue
+            cand_ids = ids[mask]
+            cos = m[mask] @ qm[qi]
+            kk = min(k, cand_ids.size)
+            order = np.lexsort((cand_ids, -cos))[:kk]
+            out_q.extend([int(qid)] * kk)
+            out_v.extend(cand_ids[order].tolist())
+            out_c.extend(np.round(cos[order], 6).tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_c, pa.float64()),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return scored.groupby("query_id").map_groups(
+        _topk_merge(k), batch_format="pyarrow")

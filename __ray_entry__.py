@@ -392,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": R.events_running_total,
         "events_value_median": R.events_value_median,
         "docs_term_counts": R.docs_term_counts,
+        "docs_bigram_counts": R.docs_bigram_counts,
         "customers_without_urgent_orders": R.customers_without_urgent_orders,
         "customers_with_urgent_orders": R.customers_with_urgent_orders,
         "docs_sample": R.docs_sample,
@@ -725,6 +726,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(string_split(text, ' ')) AS term
                 FROM documents)
             GROUP BY term ORDER BY n DESC, term LIMIT 50
+        """,
+        "docs_bigram_counts": """
+            SELECT bigram, count(*) AS n FROM (
+                SELECT unnest(list_transform(
+                    range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+                FROM (SELECT string_split(text, ' ') AS w FROM documents))
+            GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
         """,
         "docs_lang_stats": """
             SELECT lang, count(*) AS n_docs,

@@ -2152,3 +2152,31 @@ def q22_idle_customers(sf_dir: str, since: str = "2000-01-01"):
 
     return (agg.map_batches(final, batch_format="pyarrow")
             .sort("cntrycode"))
+
+
+def docs_bigram_counts(sf_dir: str, k: int = 50):
+    """Top-k corpus word bigrams: same scale shape as docs_term_counts
+    (per-batch vectorized explode + adjacent-pair join via a windowed
+    shift, partial counts, grouped sum) — the exchange carries one row
+    per distinct bigram per batch, never one row per token pair."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", columns=["text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch).with_row_index("d")
+        w = (df.select("d", pl.col("text").str.split(" ").alias("w"))
+             .explode("w")
+             .with_columns(pl.col("w").shift(-1).over("d").alias("w2")))
+        out = (w.drop_nulls("w2")
+               .select((pl.col("w") + " " + pl.col("w2")).alias("bigram"))
+               .group_by("bigram").len())
+        return out.to_arrow().cast(pa.schema([
+            ("bigram", pa.string()), ("len", pa.int64())]))
+
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    agg = partials.groupby("bigram").aggregate(Sum("len", alias_name="n"))
+    return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)

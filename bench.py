@@ -69,6 +69,9 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "purchases_after_errors", "users_top_event_type",
         "docs_tfidf_top_term", "docs_unigram_logprob", "docs_terms_mg",
         "docs_source_mix", "docs_stopword_removal",
+        "q10_returned_revenue", "q17_small_quantity_revenue",
+        "q18_large_orders", "q22_idle_customers", "docs_bigram_counts",
+        "emb_knn_lsh", "emb_kmeans",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]
     # text-heavy outputs are consumed through the real sink (parallel

@@ -329,57 +329,72 @@ def docs_tfidf_top_term(sf_dir: str):
     in-batch because a doc's text never spans batches. Oracled."""
     import ray.data as rd
 
-    from .relational import (BroadcastJoin, _segment_starts,
-                             broadcast_lookup, parquet_rows)
+    from .relational import (broadcast_lookup, parquet_rows,
+                             partitioned_map_groups)
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def partial_df(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        # distinct (doc, term) per batch exactly (a doc never spans
+        # batches), Arrow-native: pair-encode row x term-code, unique,
+        # then count per code
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        flat = pc.list_flatten(toks).dictionary_encode()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy()
+        codes = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(flat.dictionary)
+        pair = np.unique(parents.astype(np.int64) * v + codes)
+        uniq_codes, n = np.unique(pair % v, return_counts=True)
+        return pa.table({
+            "term": flat.dictionary.take(pa.array(uniq_codes, pa.int64())),
+            "n": pa.array(n.astype(np.int64), pa.int64())})
 
-        df = pl.from_arrow(batch)
-        out = (df.select(["doc_id",
-                          pl.col("text").str.split(" ").alias("term")])
-               .explode("term").unique(["doc_id", "term"])
-               .group_by("term").len().rename({"len": "n"}))
-        return out.to_arrow().cast(pa.schema([
-            ("term", pa.string()), ("n", pa.int64())]))
+    def sum_df(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate([("n", "sum")])
+        return pa.table({"term": g.column("term"),
+                         "df": g.column("n_sum").cast(pa.int64())})
 
-    from ray.data.aggregate import Sum
-
-    df_tbl = ds.map_batches(partial_df, batch_format="pyarrow",
-                            zero_copy_batch=True) \
-        .groupby("term").aggregate(Sum("n", alias_name="df"))
+    df_tbl = partitioned_map_groups(
+        ds.map_batches(partial_df, batch_format="pyarrow",
+                       zero_copy_batch=True), "term", sum_df)
     df_ref = broadcast_lookup(df_tbl, "term", ["df"])
     n_docs = parquet_rows(sf_dir, "documents")
 
-    def score(batch: pa.Table) -> pa.Table:
-        import polars as pl
+    def _idf_table(build) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+        keys, (dfv,) = build
+        idf = np.log(float(n_docs) / dfv.to_numpy().astype(np.float64))
+        # tie-break rank: position of each vocab term in ascending term
+        # order (argmax ties -> term asc, matching the oracle)
+        order = pc.sort_indices(keys).to_numpy(zero_copy_only=False)
+        rank = np.empty(len(order), np.int64)
+        rank[order] = np.arange(len(order))
+        return keys, idf, rank
 
-        df = pl.from_arrow(batch)
-        tf = (df.select(["doc_id",
-                         pl.col("text").str.split(" ").alias("term")])
-              .explode("term").group_by(["doc_id", "term"]).len()
-              .rename({"len": "tf"}))
-        t = tf.to_arrow().cast(pa.schema([
-            ("doc_id", pa.int64()), ("term", pa.string()),
-            ("tf", pa.int64())]))
-        t = BroadcastJoin(df_ref, "term", ["df"])(t)
-        tfv = t.column("tf").to_numpy().astype(np.float64)
-        dfv = t.column("df").to_numpy().astype(np.float64)
-        sc = tfv * np.log(float(n_docs) / dfv)
-        t = t.append_column("tfidf", pa.array(sc, pa.float64()))
-        idx = pc.sort_indices(t, sort_keys=[
-            ("doc_id", "ascending"), ("tfidf", "descending"),
-            ("term", "ascending")])
-        g = t.take(idx)
-        starts = _segment_starts(g.column("doc_id").to_numpy())
-        g = g.take(pa.array(starts, pa.int64()))
+    def score(batch: pa.Table) -> pa.Table:
+        from ..broadcast import get_broadcast_derived
+
+        terms, idf, rank = get_broadcast_derived(df_ref, "idf", _idf_table)
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy().astype(np.int64)
+        codes = pc.index_in(flat, value_set=terms).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = len(idf)
+        pair, tf = np.unique(parents * v + codes, return_counts=True)
+        rows, tcode = pair // v, pair % v
+        sc = tf.astype(np.float64) * idf[tcode]
+        # per-doc argmax with (score desc, term-rank asc) ordering
+        order = np.lexsort((rank[tcode], -sc, rows))
+        first = order[np.flatnonzero(np.diff(
+            np.concatenate(([-1], rows[order]))))]
         return pa.table({
-            "doc_id": g.column("doc_id"),
-            "top_term": g.column("term"),
-            "tfidf": pc.round(g.column("tfidf"), 6),
+            "doc_id": batch.column("doc_id").take(
+                pa.array(rows[first], pa.int64())),
+            "top_term": pc.take(terms, pa.array(tcode[first], pa.int64())),
+            "tfidf": pa.array(np.round(sc[first], 6), pa.float64()),
         })
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
@@ -393,57 +408,70 @@ def docs_unigram_logprob(sf_dir: str):
     typical; the perplexity-filter stand-in used to rank web documents
     for training-data selection). Pass 1 builds corpus term counts
     (pre-reduced partials -> grouped Sum) and broadcasts the vocabulary;
-    pass 2 joins each doc's tokens against it in-batch and averages
-    ln(count/total) — same two-pass broadcast-vocab shape as TF-IDF.
-    Oracled (unnest + join + avg(ln))."""
+    pass 2 resolves each doc's tokens against it in-batch — split,
+    flatten, one ``pc.index_in`` against the vocabulary, then numpy
+    bincount-by-parent-row for the per-doc mean: no explode, no
+    per-batch join table. Oracled (unnest + join + avg(ln))."""
     import ray.data as rd
 
-    from ray.data.aggregate import Sum
-
-    from .relational import (BroadcastJoin, broadcast_lookup, parquet_rows)
+    from .relational import broadcast_lookup, partitioned_map_groups
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def partial_tc(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        # Arrow-native unigram partials: split + flatten + value_counts
+        # (~1.7x cheaper than a polars explode/group_by per batch).
+        # split_pattern(" ") matches the oracle's string_split exactly
+        # (split_whitespace would diverge on runs of spaces / empties)
+        flat = pc.list_flatten(pc.split_pattern(
+            batch.column("text"), pattern=" "))
+        vc = flat.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"term": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
 
-        df = pl.from_arrow(batch)
-        out = (df.select(pl.col("text").str.split(" ").alias("term"))
-               .explode("term").group_by("term").len().rename({"len": "n"}))
-        return out.to_arrow().cast(pa.schema([
-            ("term", pa.string()), ("n", pa.int64())]))
+    def sum_tc(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate([("n", "sum")])
+        return pa.table({"term": g.column("term"),
+                         "tc": g.column("n_sum").cast(pa.int64())})
 
-    counts = ds.map_batches(partial_tc, batch_format="pyarrow",
-                            zero_copy_batch=True) \
-        .groupby("term").aggregate(Sum("n", alias_name="tc"))
+    counts = partitioned_map_groups(
+        ds.map_batches(partial_tc, batch_format="pyarrow",
+                       zero_copy_batch=True), "term", sum_tc)
     vocab_ref = broadcast_lookup(counts, "term", ["tc"])
-    # corpus token total: fold the (bounded) vocabulary counts
-    total = 0
-    for b in counts.iter_batches(batch_format="pyarrow"):
-        total += pc.sum(b.column("tc")).as_py() or 0
+    # corpus token total: fold the (bounded, already-materialized)
+    # broadcast vocabulary — re-consuming `counts` would re-execute the
+    # whole partials+exchange lineage a second time
+    import ray
+
+    _, (tc_arr,) = ray.get(vocab_ref)
+    total = pc.sum(tc_arr).as_py() or 0
+
+    def _lp_table(build) -> tuple[pa.Array, np.ndarray]:
+        keys, (tc,) = build
+        lp = np.log(tc.to_numpy().astype(np.float64) / float(total))
+        return keys, lp
 
     def score(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        from ..broadcast import get_broadcast_derived
 
-        df = pl.from_arrow(batch)
-        toks = (df.select(["doc_id",
-                           pl.col("text").str.split(" ").alias("term")])
-                .explode("term"))
-        t = toks.to_arrow().cast(pa.schema([
-            ("doc_id", pa.int64()), ("term", pa.string())]))
-        t = BroadcastJoin(vocab_ref, "term", ["tc"])(t)
-        lp = np.log(t.column("tc").to_numpy().astype(np.float64)
-                    / float(total))
-        t = pa.table({"doc_id": t.column("doc_id"),
-                      "lp": pa.array(lp, pa.float64())})
-        out = (pl.from_arrow(t).group_by("doc_id")
-               .agg(pl.col("lp").mean().round(6).alias("mean_logprob"),
-                    pl.len().alias("n_tokens"))
-               .sort("doc_id"))
-        return out.to_arrow().cast(pa.schema([
-            ("doc_id", pa.int64()), ("mean_logprob", pa.float64()),
-            ("n_tokens", pa.int64())]))
+        terms, lp_vals = get_broadcast_derived(vocab_ref, "lp", _lp_table)
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy()
+        idx = pc.index_in(flat, value_set=terms).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lp = lp_vals[idx]
+        n = batch.num_rows
+        sums = np.bincount(parents, weights=lp, minlength=n)
+        cnts = np.bincount(parents, minlength=n)
+        mean = np.round(sums / np.maximum(cnts, 1), 6)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "mean_logprob": pa.array(mean, pa.float64()),
+            "n_tokens": pa.array(cnts.astype(np.int64), pa.int64())})
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -782,22 +782,22 @@ def parts_brand_stats(sf_dir: str):
 
 def docs_term_counts(sf_dir: str, k: int = 50):
     """Top-k corpus terms: the explode/flat_map pattern done scale-right —
-    each batch pre-aggregates its own (term, count) partials (polars
-    explode + group_by, vectorized), so the exchange carries one row per
-    distinct term per batch, never one row per token. Deterministic
-    tie-break: count desc, term asc."""
+    each batch pre-aggregates its own (term, count) partials (Arrow
+    split + flatten + value_counts, all C++), so the exchange carries
+    one row per distinct term per batch, never one row per token.
+    Deterministic tie-break: count desc, term asc."""
     from ray.data.aggregate import Sum
 
     ds = read(sf_dir, "documents", columns=["text"])
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        import polars as pl
-
-        df = pl.from_arrow(batch)
-        out = (df.select(pl.col("text").str.split(" ").alias("term"))
-               .explode("term").group_by("term").len())
-        return out.to_arrow().cast(pa.schema([
-            ("term", pa.string()), ("len", pa.int64())]))
+        flat = pc.list_flatten(pc.split_pattern(
+            batch.column("text"), pattern=" "))
+        vc = flat.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"term": vc.field("values"),
+                         "len": vc.field("counts").cast(pa.int64())})
 
     partials = ds.map_batches(partial_counts, batch_format="pyarrow",
                               zero_copy_batch=True)
@@ -933,14 +933,15 @@ def lang_top_terms(sf_dir: str, k: int = 3):
     ds = read(sf_dir, "documents", columns=["lang", "text"])
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        import polars as pl
-
-        df = pl.from_arrow(batch)
-        out = (df.select(["lang", pl.col("text").str.split(" ").alias("term")])
-               .explode("term").group_by(["lang", "term"]).len())
-        return out.to_arrow().cast(pa.schema([
-            ("lang", pa.string()), ("term", pa.string()),
-            ("len", pa.int64())]))
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        parents = pc.list_parent_indices(toks)
+        pairs = pa.table({
+            "lang": batch.column("lang").take(parents),
+            "term": pc.list_flatten(toks)})
+        g = pairs.group_by(["lang", "term"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g.column("lang"),
+                         "term": g.column("term"),
+                         "len": g.column("count_all").cast(pa.int64())})
 
     partials = ds.map_batches(partial_counts, batch_format="pyarrow",
                               zero_copy_batch=True)
@@ -2265,17 +2266,24 @@ def docs_bigram_counts(sf_dir: str, k: int = 50):
     ds = read(sf_dir, "documents", columns=["text"])
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        import polars as pl
-
-        df = pl.from_arrow(batch).with_row_index("d")
-        w = (df.select("d", pl.col("text").str.split(" ").alias("w"))
-             .explode("w")
-             .with_columns(pl.col("w").shift(-1).over("d").alias("w2")))
-        out = (w.drop_nulls("w2")
-               .select((pl.col("w") + " " + pl.col("w2")).alias("bigram"))
-               .group_by("bigram").len())
-        return out.to_arrow().cast(pa.schema([
-            ("bigram", pa.string()), ("len", pa.int64())]))
+        # adjacent pairs on the flattened token stream, masked to stay
+        # within a document (parent[i] == parent[i+1]) — Arrow/numpy
+        # end-to-end, no explode materialization
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy()
+        if len(flat) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "len": pa.array([], pa.int64())})
+        same = pa.array(parents[:-1] == parents[1:])
+        w1 = flat.slice(0, len(flat) - 1).filter(same)
+        w2 = flat.slice(1).filter(same)
+        big = pc.binary_join_element_wise(w1, w2, " ")
+        vc = big.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"bigram": vc.field("values"),
+                         "len": vc.field("counts").cast(pa.int64())})
 
     partials = ds.map_batches(partial_counts, batch_format="pyarrow",
                               zero_copy_batch=True)

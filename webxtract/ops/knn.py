@@ -365,34 +365,34 @@ def kmeans(ds, k: int = 8, iters: int = 5):
     import ray
 
     cents = _kmeans_seeds(ds, k)
-    slim = ds.select_columns(["vec_id", "embedding"])
+    # one object-store pin of the slim projection: every Lloyd's
+    # iteration would otherwise re-read + re-decode the parquet input
+    slim = ds.select_columns(["vec_id", "embedding"]).materialize()
+    dim = cents.shape[1]
     for _ in range(iters):
         ref = ray.put(cents)
 
         def partials(batch: pa.Table, _ref=ref) -> pa.Table:
             return _KmeansAssign(_ref, "partials")(batch)
 
-        def reduce_cluster(g: pa.Table) -> pa.Table:
-            vs = np.array(g.column("vsum").to_pylist(), dtype=np.int64)
-            return pa.table({
-                "cluster": pa.array([g.column("cluster")[0].as_py()],
-                                    pa.int64()),
-                "vsum": pa.array([vs.sum(axis=0).tolist()],
-                                 pa.list_(pa.int64())),
-                "vcount": pa.array(
-                    [int(sum(g.column("vcount").to_pylist()))], pa.int64()),
-            })
-
-        rows = (slim.map_batches(partials, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-                .groupby("cluster").map_groups(reduce_cluster,
-                                               batch_format="pyarrow")
-                .take_all())  # <= k tiny rows
+        # partial rows are bounded by k per BLOCK — fold them on the
+        # driver with exact integer adds (order-independent), skipping
+        # a whole groupby exchange per iteration
+        sums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for b in slim.map_batches(partials, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+                .iter_batches(batch_format="pyarrow"):
+            cl = b.column("cluster").to_numpy().astype(np.int64)
+            vs = np.array(b.column("vsum").to_pylist(), dtype=np.int64)
+            if len(cl):
+                np.add.at(sums, cl, vs)
+                np.add.at(counts, cl,
+                          b.column("vcount").to_numpy().astype(np.int64))
         new = cents.copy()
-        for r in rows:
-            c = r["cluster"]
-            new[c] = (np.asarray(r["vsum"], dtype=np.float64)
-                      / _KMEANS_SCALE / r["vcount"])
+        nz = counts > 0
+        new[nz] = (sums[nz].astype(np.float64) / _KMEANS_SCALE
+                   / counts[nz, None])
         cents = new
     ref = ray.put(cents)
 

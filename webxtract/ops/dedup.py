@@ -111,21 +111,61 @@ class MinHasher:
             m = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
         return m.min(axis=1)
 
+    def _signatures(self, batch: pa.Table) -> np.ndarray:
+        """(n_docs, num_perm) signature matrix; bit-identical to
+        per-doc ``signature`` calls. shingle==1 is vectorized: tokens
+        are hashed once per DISTINCT string in the batch dictionary,
+        per-doc minima run as numpy reduceat segments."""
+        n = batch.num_rows
+        if self.shingle != 1:
+            return np.stack([self.signature(t)
+                             for t in batch.column("text").to_pylist()])
+        toks = pc.utf8_split_whitespace(batch.column("text"))
+        flat = pc.list_flatten(toks).combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy()
+        nonempty = pc.not_equal(flat, pa.scalar(""))
+        flat = flat.filter(nonempty)
+        parents = parents[nonempty.to_numpy(zero_copy_only=False)]
+        denc = flat.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = denc.dictionary.to_pylist()
+        th = np.array([zlib.crc32(s.encode("utf-8")) for s in vocab],
+                      dtype=np.uint64)
+        v = max(1, len(vocab))
+        pair = np.unique(parents.astype(np.int64) * v + codes)
+        drow, h = pair // v, th[pair % v]
+        sigs = np.zeros((n, self.num_perm), dtype=np.uint64)
+        if len(pair) == 0:
+            return sigs
+        starts = np.flatnonzero(np.concatenate(
+            ([True], drow[1:] != drow[:-1])))
+        rows = drow[starts]
+        with np.errstate(over="ignore"):
+            for j in range(self.num_perm):
+                mj = (self.a[j] * h + self.b[j]) % _MERSENNE
+                sigs[rows, j] = np.minimum.reduceat(mj, starts)
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        out_doc, out_band, out_key = [], [], []
-        for d, t in zip(doc_ids, texts):
-            sig = self.signature(t)
+        doc_ids = np.asarray(batch.column("doc_id").to_numpy(),
+                             dtype=np.int64)
+        sigs = self._signatures(batch)
+        n = len(doc_ids)
+        out_key = np.empty(n * self.bands, dtype=np.int64)
+        r = self.rows_per_band
+        pos = 0
+        for d in range(n):
+            row = sigs[d]
             for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
-                key = zlib.crc32(chunk.tobytes())
-                out_doc.append(d)
-                out_band.append(band)
-                out_key.append(key)
+                out_key[pos] = zlib.crc32(row[band * r:(band + 1) * r]
+                                          .tobytes())
+                pos += 1
         return pa.table({
-            "doc_id": pa.array(out_doc, pa.int64()),
-            "band": pa.array(out_band, pa.int32()),
+            "doc_id": pa.array(np.repeat(doc_ids, self.bands), pa.int64()),
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32),
+                                     n), pa.int32()),
             "band_key": pa.array(out_key, pa.int64()),
         })
 

@@ -439,6 +439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": R.q18_large_orders,
         "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
         "q22_idle_customers": R.q22_idle_customers,
+        "q7_nation_volume": R.q7_nation_volume,
+        "q15_top_supplier": R.q15_top_supplier,
         "events_users_hll": _events_users_hll,    # sketch; rows-only
         "events_value_p50_sketch": _events_value_p50_sketch,  # KLL; rows-only
         # text analysis
@@ -1133,5 +1135,40 @@ def oracle_sql() -> dict[str, str]:
                     AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY cntrycode
             ORDER BY cntrycode
+        """,
+        "q7_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   round(sum(round(l_extendedprice * (1 - l_discount)
+                                   * 100)) / 100.0, 2) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN ('NATION_3', 'NATION_8')
+              AND n2.n_name IN ('NATION_3', 'NATION_8')
+              AND n1.n_name <> n2.n_name
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       sum(round(l_extendedprice * (1 - l_discount) * 100))
+                           AS cents
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name,
+                   round(cents / 100.0, 2) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE cents = (SELECT max(cents) FROM rev)
+            ORDER BY s_suppkey
         """,
     }

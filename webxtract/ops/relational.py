@@ -100,9 +100,16 @@ def broadcast_lookup(ds, key: str, value_cols: list[str]):
     if blocks:
         tbl = pa.concat_tables(blocks).combine_chunks()
     else:
-        sch = slim.schema()
-        tbl = pa.table({n: pa.array([], t)
-                        for n, t in zip(sch.names, sch.types)})
+        sch = slim.schema(fetch_if_missing=True)
+        if sch is None:
+            # fully-empty lineage with no recoverable schema: typed as
+            # null arrays; BroadcastJoin still appends valid columns
+            # because pc.take on empty-typed arrays yields typed nulls
+            tbl = pa.table({n: pa.array([], pa.null())
+                            for n in [key] + value_cols})
+        else:
+            tbl = pa.table({n: pa.array([], t)
+                            for n, t in zip(sch.names, sch.types)})
     keys = tbl.column(key).combine_chunks()
     if len(keys) and pc.count_distinct(keys).as_py() < len(keys):
         df = tbl.to_pandas().drop_duplicates(subset=[key], keep="last")
@@ -2289,3 +2296,166 @@ def docs_bigram_counts(sf_dir: str, k: int = 50):
                               zero_copy_batch=True)
     agg = partials.groupby("bigram").aggregate(Sum("len", alias_name="n"))
     return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+def q7_nation_volume(sf_dir: str, nation_a: str = "NATION_3",
+                     nation_b: str = "NATION_8"):
+    """Volume shipping between two nations (TPC-H Q7 shape): revenue by
+    (supplier nation, customer nation, ship year) for the ordered nation
+    pairs (a,b) and (b,a). Dimension chain (supplier -> nation,
+    customer -> nation) rides broadcast lookups on each fact scan; the
+    big-big lineitem x orders equi-join runs as ONE copartitioned_map
+    exchange on the order key with a vectorized polars inner join +
+    pivoted partial sums per partition; a tiny grouped Sum finishes.
+    Money is exact integer cents end-to-end."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    nat = read(sf_dir, "nation", columns=["n_nationkey", "n_name"],
+               filter=pc.field("n_name").isin([nation_a, nation_b]))
+    nkeys = {r["n_nationkey"]: r["n_name"] for r in nat.take_all()}
+    keyset = sorted(nkeys)
+
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"],
+                filter=pc.field("s_nationkey").isin(keyset))
+    supp_ref = broadcast_lookup(supp, "s_suppkey", ["s_nationkey"])
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"],
+                filter=pc.field("c_nationkey").isin(keyset))
+    cust_ref = broadcast_lookup(cust, "c_custkey", ["c_nationkey"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=((pads.field("l_shipdate") >= _dt.datetime(1996, 1, 1))
+                & (pads.field("l_shipdate") < _dt.datetime(1998, 1, 1))))
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        # keep only lineitems from the two nations' suppliers (inner
+        # broadcast join), carry supplier nation + ship year + cents
+        t = BroadcastJoin(supp_ref, "l_suppkey", ["s_nationkey"])(t)
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({
+            "k": t.column("l_orderkey"),
+            "s_nat": t.column("s_nationkey").cast(pa.int64()),
+            "yr": pc.year(t.column("l_shipdate")).cast(pa.int64()),
+            "cents": _cents(rev)})
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        t = BroadcastJoin(cust_ref, "o_custkey", ["c_nationkey"])(t)
+        n = t.num_rows
+        return pa.table({
+            "k": t.column("o_orderkey"),
+            "s_nat": pa.nulls(n, pa.int64()),
+            "yr": pa.nulls(n, pa.int64()),
+            "cents": t.column("c_nationkey").cast(pa.int64())})
+        # orders ride the common schema with c_nationkey in the cents
+        # slot (both int64) — renamed back inside per_part
+
+    def per_part(parts: list[pa.Table]) -> pa.Table:
+        import polars as pl
+
+        li_p, ord_p = parts
+        if li_p.num_rows == 0 or ord_p.num_rows == 0:
+            return pa.table({"supp_nation": pa.array([], pa.string()),
+                             "cust_nation": pa.array([], pa.string()),
+                             "l_year": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        left = pl.from_arrow(li_p)
+        right = (pl.from_arrow(ord_p.select(["k", "cents"]))
+                 .rename({"cents": "c_nat"}))
+        j = left.join(right, on="k", how="inner")
+        # ordered nation pair filter: (a,b) or (b,a), never same-nation
+        j = j.filter(pl.col("s_nat") != pl.col("c_nat"))
+        out = (j.group_by(["s_nat", "c_nat", "yr"])
+               .agg(pl.col("cents").sum()))
+        t = out.to_arrow().cast(pa.schema([
+            ("s_nat", pa.int64()), ("c_nat", pa.int64()),
+            ("yr", pa.int64()), ("cents", pa.int64())]))
+        names = pa.array([nkeys[k] for k in
+                          t.column("s_nat").to_pylist()], pa.string())
+        cnames = pa.array([nkeys[k] for k in
+                           t.column("c_nat").to_pylist()], pa.string())
+        return pa.table({"supp_nation": names, "cust_nation": cnames,
+                         "l_year": t.column("yr"), "cents": t.column("cents")})
+
+    partial = copartitioned_map([(li, prep_li), (orders, prep_orders)],
+                                "k", per_part)
+    agg = partial.groupby(["supp_nation", "cust_nation", "l_year"]) \
+        .aggregate(Sum("cents", alias_name="cents"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "supp_nation": t.column("supp_nation"),
+            "cust_nation": t.column("cust_nation"),
+            "l_year": t.column("l_year"),
+            "revenue": _uncents(t.column("cents"))})
+
+    return agg.map_batches(fin, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .sort(["supp_nation", "cust_nation", "l_year"])
+
+
+def q15_top_supplier(sf_dir: str):
+    """Top supplier(s) by quarterly revenue (TPC-H Q15 shape): revenue
+    per supplier over a shipdate quarter via one bounded hash-partitioned
+    group_by (supplier cardinality is dimension-scale, but the input is
+    the fact table — pre-reduce per batch, then partition); the global
+    max is read off the (bounded) aggregate and suppliers achieving it
+    join names via broadcast. Ties all surface (oracle = HAVING = MAX)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=((pads.field("l_shipdate") >= _dt.datetime(1996, 1, 1))
+                & (pads.field("l_shipdate") < _dt.datetime(1996, 4, 1))))
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        part = pa.table({"l_suppkey": t.column("l_suppkey"),
+                         "cents": _cents(rev)})
+        g = part.group_by("l_suppkey").aggregate([("cents", "sum")])
+        return pa.table({"l_suppkey": g.column("l_suppkey"),
+                         "cents": g.column("cents_sum").cast(pa.int64())})
+
+    def sum_supp(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_suppkey").aggregate([("cents", "sum")])
+        return pa.table({"l_suppkey": g.column("l_suppkey"),
+                         "cents": g.column("cents_sum").cast(pa.int64())})
+
+    per_supp = partitioned_map_groups(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "l_suppkey", sum_supp).materialize()
+    # the aggregate is bounded by supplier cardinality; one tiny fold
+    # for the global max, then a vectorized equality filter
+    best = 0
+    for b in per_supp.iter_batches(batch_format="pyarrow"):
+        m = pc.max(b.column("cents")).as_py()
+        if m is not None:
+            best = max(best, m)
+
+    supp_ref = broadcast_lookup(
+        read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        "s_suppkey", ["s_name"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("cents"), pa.scalar(best)))
+        t = BroadcastJoin(supp_ref, "l_suppkey", ["s_name"])(t)
+        return pa.table({
+            "s_suppkey": t.column("l_suppkey"),
+            "s_name": t.column("s_name"),
+            "total_revenue": _uncents(t.column("cents"))})
+
+    return per_supp.map_batches(fin, batch_format="pyarrow") \
+        .sort("s_suppkey")

@@ -348,6 +348,37 @@ def _docs_stopword_removal(sf_dir: str):
     return docs_stopword_removal(sf_dir)
 
 
+def _docs_repetition(sf_dir: str):
+    """Gopher-style repetition signals: duplicate-token fraction and
+    top-bigram share per doc (oracled: DuckDB list kernels + unnest)."""
+    from webxtract.ops.text import docs_repetition
+
+    return docs_repetition(sf_dir)
+
+
+def _docs_split(sf_dir: str):
+    """Deterministic md5 train/val split assignment (oracled)."""
+    from webxtract.ops.text import docs_split
+
+    return docs_split(sf_dir)
+
+
+def _docs_pii_redact(sf_dir: str):
+    """PII redaction over a deterministically-planted corpus (oracled:
+    identical RE2 patterns via regexp_replace g)."""
+    from webxtract.ops.text import docs_pii_redact
+
+    return docs_pii_redact(sf_dir)
+
+
+def _docs_pack_sequences(sf_dir: str):
+    """Greedy fixed-budget sequence packing (rows-only: bin packing is
+    not SQL-expressible; property gates in tests/test_ops.py)."""
+    from webxtract.ops.packing import docs_pack_sequences
+
+    return docs_pack_sequences(sf_dir)
+
+
 def _docs_unigram_logprob(sf_dir: str):
     """CCNet-style corpus-LM quality score: per-doc mean unigram
     log-probability (oracled: unnest + join + avg(ln))."""
@@ -430,6 +461,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_terms_mg": _docs_terms_mg,  # Misra-Gries sketch; rows-only
         "docs_stopword_removal": _docs_stopword_removal,
         "docs_unigram_logprob": _docs_unigram_logprob,
+        "docs_repetition": _docs_repetition,
+        "docs_split": _docs_split,
+        "docs_pii_redact": _docs_pii_redact,
+        "docs_pack_sequences": _docs_pack_sequences,  # rows-only
         "orders_monthly_growth": R.orders_monthly_growth,
         "user_conversion_funnel": R.user_conversion_funnel,
         "user_retention": R.user_retention,
@@ -1135,6 +1170,53 @@ def oracle_sql() -> dict[str, str]:
                     AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY cntrycode
             ORDER BY cntrycode
+        """,
+        "docs_repetition": """
+            WITH toks AS (
+                SELECT doc_id, str_split(text, ' ') AS l FROM documents
+            ), bigrams AS (
+                SELECT doc_id,
+                       unnest([l[i] || ' ' || l[i+1]
+                               for i in generate_series(1, len(l)-1)]) AS bg
+                FROM toks WHERE len(l) > 1
+            ), cnt AS (
+                SELECT doc_id, bg, count(*) AS n FROM bigrams GROUP BY 1, 2
+            ), top AS (
+                SELECT doc_id, max(n) AS mx, sum(n) AS tot FROM cnt GROUP BY 1
+            )
+            SELECT t.doc_id, len(t.l) AS n_tokens,
+                   round(1.0 - len(list_distinct(t.l)) * 1.0 / len(t.l), 6)
+                       AS dup_token_frac,
+                   round(coalesce(top.mx * 1.0 / top.tot, 0.0), 6)
+                       AS top_bigram_frac
+            FROM toks t LEFT JOIN top ON t.doc_id = top.doc_id
+        """,
+        "docs_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents
+        """,
+        "docs_pii_redact": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 8 = 0 THEN text ||
+                            ' contact alice.smith+hr@example-corp.com or 415-555-2671 ssn 123-45-6789'
+                            ELSE text END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                       '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean_text,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+                   + len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
+                       AS n_pii
+            FROM planted
         """,
         "q7_nation_volume": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -812,3 +812,71 @@ def test_mg_compress_bound_and_heavy_hitters(ray_session):
     for t, n in list(ex.items())[:10]:
         assert t in ap, f"top term {t} missing from MG sketch"
         assert 0 <= n - ap[t] <= err, (t, n, ap[t])
+
+
+def test_greedy_pack_unit():
+    import numpy as np
+
+    from webxtract.ops.packing import greedy_pack
+
+    assert greedy_pack(np.array([100, 100, 100, 400, 50]), 256).tolist() \
+        == [0, 0, 1, 2, 3]
+    assert greedy_pack(np.array([], dtype=np.int64), 256).tolist() == []
+    # oversize doc takes its own sequence, packing continues after it
+    assert greedy_pack(np.array([500, 10, 10]), 256).tolist() == [0, 1, 1]
+
+
+def test_pack_sequences_properties(ray_session):
+    """Budget respected (except singleton oversize docs), every doc
+    packed exactly once, slot order contiguous, and the assignment is
+    identical under a different partitioning (the determinism contract
+    resumable corpus builds rely on)."""
+    import ray.data as rd
+
+    from webxtract.ops.packing import pack_sequences
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"])
+    df = pack_sequences(ds, budget=256).to_pandas()
+    assert df.doc_id.is_unique and len(df) == ds.count()
+    g = df.groupby("seq_id").agg(tok=("n_tokens", "sum"),
+                                 n=("doc_id", "count"))
+    assert ((g.tok <= 256) | (g.n == 1)).all()
+    for _, sub in df.groupby("seq_id"):
+        assert sorted(sub.pos.tolist()) == list(range(len(sub)))
+    again = pack_sequences(ds.repartition(7), budget=256).to_pandas()
+    a = df.sort_values("doc_id", ignore_index=True)
+    b = again.sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)
+
+
+def test_redact_pii_planted():
+    import pyarrow as pa
+
+    from webxtract.ops.text import redact_pii
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([
+            "mail me at bob.jones@corp.io or call 415-555-2671",
+            "ssn 123-45-6789 clean tail", ], pa.string()),
+    })
+    out = redact_pii(batch)
+    assert out.column("clean_text").to_pylist() == [
+        "mail me at <EMAIL> or call <PHONE>",
+        "ssn <SSN> clean tail",
+    ]
+    assert out.column("n_pii").to_pylist() == [2, 1]
+
+
+def test_docs_split_stable_and_both_sides(ray_session):
+    from webxtract.ops.text import docs_split
+
+    sf = "/root/testdata/sf0.001"
+    df = docs_split(sf).to_pandas()
+    assert set(df["split"].unique()) <= {"train", "val"}
+    assert (df["split"] == "val").mean() < 0.5  # val is the minority
+    again = docs_split(sf).to_pandas()
+    assert df.sort_values("doc_id", ignore_index=True).equals(
+        again.sort_values("doc_id", ignore_index=True))

@@ -532,3 +532,133 @@ class Fingerprinter:
             "fp64", pa.array([f - (1 << 63) for f in fps], pa.int64())
         )  # shifted to signed for parquet/SQL friendliness
         return out
+
+
+# --- Gopher-style repetition signals --------------------------------------
+
+def docs_repetition(sf_dir: str):
+    """Per-doc repetition signals (the Gopher/MassiveText repetition
+    filters): duplicate-token fraction (1 - distinct/total tokens) and
+    the fraction of bigram slots taken by the single most frequent
+    bigram. One pass, no exchange: a doc never spans batches, so both
+    signals are per-batch numpy segment ops over the flattened
+    dictionary-encoded token stream (same shape as docs_bigram_counts,
+    plus a per-parent unique/argmax). Oracled via DuckDB list kernels +
+    a bigram unnest."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def rep(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        n = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
+        ndocs = len(n)
+        flat = pc.list_flatten(toks).combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy().astype(np.int64)
+        codes = flat.dictionary_encode().indices.to_numpy().astype(np.int64)
+        vocab = int(codes.max()) + 1 if len(codes) else 1
+        # distinct tokens per doc: unique (doc, token-code) pairs
+        distinct = np.bincount(
+            np.unique(parents * vocab + codes) // vocab, minlength=ndocs)
+        dup_frac = np.round(1.0 - distinct / np.maximum(n, 1), 6)
+        # most-frequent-bigram share of the doc's bigram slots
+        mx = np.zeros(ndocs, dtype=np.int64)
+        tot = np.zeros(ndocs, dtype=np.int64)
+        if len(parents) > 1:
+            same = parents[:-1] == parents[1:]
+            bp = parents[:-1][same]
+            bcode = codes[:-1][same] * vocab + codes[1:][same]
+            if len(bp):
+                ubg, inv = np.unique(bcode, return_inverse=True)
+                key = bp * len(ubg) + inv
+                ukey, cnt = np.unique(key, return_counts=True)
+                np.maximum.at(mx, ukey // len(ubg), cnt)
+                tot = np.bincount(bp, minlength=ndocs)
+        top_frac = np.where(tot > 0,
+                            np.round(mx / np.maximum(tot, 1), 6), 0.0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n, pa.int64()),
+            "dup_token_frac": pa.array(dup_frac, pa.float64()),
+            "top_bigram_frac": pa.array(top_frac, pa.float64()),
+        })
+
+    return ds.map_batches(rep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- deterministic train/val split ----------------------------------------
+
+def docs_split(sf_dir: str, val_hex: str = "1a"):
+    """Hash-based train/val assignment: split = 'val' iff the first md5
+    hex byte of str(doc_id) is below ``val_hex`` (~10% for '1a').
+    Reproducible under any partitioning and across runs (no RNG), and
+    SQL-expressible, so fully oracle-checked — the property a corpus
+    split needs so that re-runs and incremental ingests never move a
+    document across the split boundary."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        split = ["val" if hashlib.md5(str(i).encode()).hexdigest()[:2]
+                 < val_hex else "train" for i in ids]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "split": pa.array(split, pa.string())})
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- PII redaction --------------------------------------------------------
+
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),      # before phone: disjoint but
+    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),    # fixed order documents intent
+)
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Redact emails / SSNs / phone numbers (RE2, fully vectorized: one
+    Arrow C++ regex pass per pattern). Adds ``clean_text`` and ``n_pii``
+    columns; both sides of the oracle run the identical RE2 patterns."""
+    txt = batch.column(text_col)
+    n_pii = pa.nulls(batch.num_rows, pa.int64())
+    total = None
+    for pat, _ in PII_PATTERNS:
+        c = pc.count_substring_regex(txt, pat).cast(pa.int64())
+        total = c if total is None else pc.add(total, c)
+    red = txt
+    for pat, rep in PII_PATTERNS:
+        red = pc.replace_substring_regex(red, pat, rep)
+    return (batch.append_column("clean_text", red)
+                 .append_column("n_pii", total))
+
+
+def docs_pii_redact(sf_dir: str):
+    """PII-redaction demo with a deterministic planted payload: docs
+    whose id is divisible by 8 get a synthetic contact blob appended
+    (same expression in the SQL oracle), then the corpus is redacted.
+    Proves regex parity AND that the redactor actually fires."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    payload = " contact alice.smith+hr@example-corp.com or 415-555-2671 ssn 123-45-6789"
+
+    def plant_and_redact(batch: pa.Table) -> pa.Table:
+        hit = pc.equal(pc.bit_wise_and(batch.column("doc_id"),
+                                       pa.scalar(7, pa.int64())),
+                       pa.scalar(0, pa.int64()))
+        txt = pc.if_else(
+            hit,
+            pc.binary_join_element_wise(
+                batch.column("text"), pa.scalar(payload), ""),
+            batch.column("text"))
+        planted = pa.table({"doc_id": batch.column("doc_id"), "text": txt})
+        out = redact_pii(planted)
+        return out.select(["doc_id", "clean_text", "n_pii"])
+
+    return ds.map_batches(plant_and_redact, batch_format="pyarrow",
+                          zero_copy_batch=True)

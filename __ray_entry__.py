@@ -476,6 +476,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_customers": R.q22_idle_customers,
         "q7_nation_volume": R.q7_nation_volume,
         "q15_top_supplier": R.q15_top_supplier,
+        "q8_market_share": R.q8_market_share,
+        "q21_sole_blame": R.q21_sole_blame,
         "events_users_hll": _events_users_hll,    # sketch; rows-only
         "events_value_p50_sketch": _events_value_p50_sketch,  # KLL; rows-only
         # text analysis
@@ -1236,6 +1238,50 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1998-01-01'
             GROUP BY 1, 2, 3
             ORDER BY 1, 2, 3
+        """,
+        "q21_sole_blame": """
+            WITH l AS (
+                SELECT l_orderkey, l_suppkey, l_returnflag
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+            ), per AS (
+                SELECT l_orderkey, count(DISTINCT l_suppkey) AS ns
+                FROM l GROUP BY 1
+            ), ret AS (
+                SELECT l_orderkey, count(DISTINCT l_suppkey) AS nr,
+                       min(l_suppkey) AS culprit
+                FROM l WHERE l_returnflag = 'R' GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, count(*) AS n_orders
+            FROM per JOIN ret USING (l_orderkey)
+            JOIN supplier ON culprit = s_suppkey
+            WHERE ns >= 2 AND nr = 1
+            GROUP BY 1, 2
+            ORDER BY n_orders DESC, s_suppkey
+            LIMIT 25
+        """,
+        "q8_market_share": """
+            WITH base AS (
+                SELECT year(o_orderdate) AS o_year,
+                       round(l_extendedprice * (1 - l_discount) * 10000)
+                           AS e4,
+                       CASE WHEN n2.n_name = 'NATION_7' THEN 1 ELSE 0 END
+                           AS is_nat
+                FROM lineitem
+                JOIN part     ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region   ON n1.n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1998-01-01'
+            )
+            SELECT CAST(o_year AS BIGINT) AS o_year,
+                   round(sum(e4 * is_nat) / sum(e4), 6) AS mkt_share
+            FROM base GROUP BY o_year ORDER BY o_year
         """,
         "q15_top_supplier": """
             WITH rev AS (

@@ -2459,3 +2459,187 @@ def q15_top_supplier(sf_dir: str):
 
     return per_supp.map_batches(fin, batch_format="pyarrow") \
         .sort("s_suppkey")
+
+
+def q8_market_share(sf_dir: str, region: str = "ASIA",
+                    nation: str = "NATION_7", ptype: str = "STANDARD"):
+    """National market share (TPC-H Q8 shape): of the revenue a region's
+    customers spent on one part type in 1996-1997, the share supplied by
+    one nation, per order year.
+
+    Scale shape: the three dimension chains all ride broadcasts — the
+    part-type filter becomes an INNER BroadcastJoin on the fact scan
+    (partkey set is |part|-bounded), supplier carries s_nationkey, and
+    customer is pre-filtered to the region's nations at the parquet read
+    before becoming a lookup. The only big-big join (lineitem x orders
+    on orderkey) is ONE copartitioned_map exchange with a vectorized
+    polars inner join and pivoted per-partition partial sums, so the
+    exchange carries (orderkey, nat_flag, year, e4-cents) — never blobs.
+    Revenue in integer 1e-4 units end-to-end (exact share arithmetic,
+    same trick as q14)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    nat = read(sf_dir, "nation", columns=["n_nationkey", "n_name",
+                                          "n_regionkey"])
+    reg = read(sf_dir, "region", columns=["r_regionkey", "r_name"],
+               filter=pc.field("r_name") == region)
+    rkey = reg.take_all()[0]["r_regionkey"]
+    nrows = nat.take_all()
+    region_nations = sorted(r["n_nationkey"] for r in nrows
+                            if r["n_regionkey"] == rkey)
+    target_nkey = next(r["n_nationkey"] for r in nrows
+                       if r["n_name"] == nation)
+
+    part = read(sf_dir, "part", columns=["p_partkey"],
+                filter=pc.field("p_type") == ptype)
+    part_ref = broadcast_lookup(part, "p_partkey", [])
+    supp_ref = broadcast_lookup(
+        read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        "s_suppkey", ["s_nationkey"])
+    cust = read(sf_dir, "customer", columns=["c_custkey"],
+                filter=pc.field("c_nationkey").isin(region_nations))
+    cust_ref = broadcast_lookup(cust, "c_custkey", [])
+
+    li = read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_partkey", "l_suppkey",
+                       "l_extendedprice", "l_discount"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pads.field("o_orderdate") >= _dt.datetime(1996, 1, 1))
+                & (pads.field("o_orderdate") < _dt.datetime(1998, 1, 1))))
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        t = BroadcastJoin(part_ref, "l_partkey", [])(t)   # semi: type match
+        t = BroadcastJoin(supp_ref, "l_suppkey", ["s_nationkey"])(t)
+        rev = pc.round(
+            pc.multiply(pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+                pa.scalar(10000.0)),
+            0, round_mode="half_towards_infinity").cast(pa.int64())
+        is_nat = pc.equal(t.column("s_nationkey"),
+                          pa.scalar(target_nkey)).cast(pa.int64())
+        return pa.table({"k": t.column("l_orderkey"),
+                         "a": is_nat, "b": rev})
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        t = BroadcastJoin(cust_ref, "o_custkey", [])(t)   # semi: region
+        return pa.table({
+            "k": t.column("o_orderkey"),
+            "a": pc.year(t.column("o_orderdate")).cast(pa.int64()),
+            "b": pa.nulls(t.num_rows, pa.int64())})
+
+    def per_part(parts: list[pa.Table]) -> pa.Table:
+        import polars as pl
+
+        li_p, ord_p = parts
+        if li_p.num_rows == 0 or ord_p.num_rows == 0:
+            return pa.table({"o_year": pa.array([], pa.int64()),
+                             "nat_e4": pa.array([], pa.int64()),
+                             "total_e4": pa.array([], pa.int64())})
+        left = pl.from_arrow(li_p).rename({"a": "is_nat", "b": "e4"})
+        right = (pl.from_arrow(ord_p.select(["k", "a"]))
+                 .rename({"a": "o_year"}))
+        j = left.join(right, on="k", how="inner")
+        out = (j.group_by("o_year")
+               .agg([(pl.col("e4") * pl.col("is_nat")).sum()
+                     .alias("nat_e4"),
+                     pl.col("e4").sum().alias("total_e4")]))
+        return out.to_arrow().cast(pa.schema([
+            ("o_year", pa.int64()), ("nat_e4", pa.int64()),
+            ("total_e4", pa.int64())]))
+
+    partial = copartitioned_map([(li, prep_li), (orders, prep_orders)],
+                                "k", per_part)
+    agg = partial.groupby("o_year").aggregate(
+        Sum("nat_e4", alias_name="nat_e4"),
+        Sum("total_e4", alias_name="total_e4"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        share = pc.round(pc.divide(
+            t.column("nat_e4").cast(pa.float64()),
+            t.column("total_e4").cast(pa.float64())), 6)
+        return pa.table({"o_year": t.column("o_year"),
+                         "mkt_share": share})
+
+    return agg.map_batches(fin, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("o_year")
+
+
+def q21_sole_blame(sf_dir: str, k: int = 25):
+    """Suppliers solely responsible for a returned line in a
+    multi-supplier finished order (TPC-H Q21 shape: the EXISTS
+    another-supplier / NOT-EXISTS another-returning-supplier pair,
+    adapted to this schema's returnflag).
+
+    Scale shape: ONE copartitioned exchange on the order key co-locates
+    the slim lineitem projection (orderkey, suppkey, returned-bit) with
+    the status-filtered orders keys; each partition resolves the
+    per-order existence predicates with two vectorized polars group_bys
+    and emits per-supplier partial counts, so the final groupby carries
+    one row per (partition, supplier). Names attach via broadcast on
+    the |supplier|-bounded result."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"],
+        filter=(pads.field("o_orderstatus") == "F"))
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t.column("l_orderkey"),
+            "s": t.column("l_suppkey"),
+            "r": pc.equal(t.column("l_returnflag"),
+                          pa.scalar("R")).cast(pa.int64())})
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"k": t.column("o_orderkey"),
+                         "s": pa.nulls(n, pa.int64()),
+                         "r": pa.nulls(n, pa.int64())})
+
+    def per_part(parts: list[pa.Table]) -> pa.Table:
+        import polars as pl
+
+        li_p, ord_p = parts
+        if li_p.num_rows == 0 or ord_p.num_rows == 0:
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64())})
+        l = pl.from_arrow(li_p).join(
+            pl.from_arrow(ord_p.select(["k"])), on="k", how="semi")
+        per = l.group_by("k").agg(pl.col("s").n_unique().alias("ns"))
+        ret = (l.filter(pl.col("r") == 1).group_by("k")
+               .agg([pl.col("s").n_unique().alias("nr"),
+                     pl.col("s").min().alias("culprit")]))
+        j = (per.join(ret, on="k", how="inner")
+             .filter((pl.col("ns") >= 2) & (pl.col("nr") == 1)))
+        out = (j.group_by("culprit").len(name="n_orders")
+               .rename({"culprit": "s_suppkey"}))
+        return out.to_arrow().cast(pa.schema([
+            ("s_suppkey", pa.int64()), ("n_orders", pa.int64())]))
+
+    partial = copartitioned_map([(li, prep_li), (orders, prep_orders)],
+                                "k", per_part)
+    agg = partial.groupby("s_suppkey").aggregate(
+        Sum("n_orders", alias_name="n_orders"))
+
+    supp_ref = broadcast_lookup(
+        read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        "s_suppkey", ["s_name"])
+
+    def add_name(t: pa.Table) -> pa.Table:
+        t = BroadcastJoin(supp_ref, "s_suppkey", ["s_name"])(t)
+        return t.select(["s_suppkey", "s_name", "n_orders"])
+
+    return (agg.map_batches(add_name, batch_format="pyarrow")
+            .sort(["n_orders", "s_suppkey"], descending=[True, False])
+            .limit(k))

@@ -379,6 +379,36 @@ def _docs_pack_sequences(sf_dir: str):
     return docs_pack_sequences(sf_dir)
 
 
+def _docs_regex_tokens(sf_dir: str):
+    """BPE-style pre-token counts (oracled: same RE2 pattern)."""
+    from webxtract.ops.text import docs_regex_tokens
+
+    return docs_regex_tokens(sf_dir)
+
+
+def _emb_norms(sf_dir: str):
+    """Per-vector L2 norms (oracled: DuckDB list kernels)."""
+    from webxtract.ops.knn import emb_norms
+
+    return emb_norms(sf_dir)
+
+
+def _emb_label_centroids(sf_dir: str):
+    """Per-label centroids, long format (oracled: unnest + avg)."""
+    from webxtract.ops.knn import emb_label_centroids
+
+    return emb_label_centroids(sf_dir)
+
+
+def _images_phash_dupes(sf_dir: str):
+    """Near-dup image pairs over a deterministic synthetic BMP corpus:
+    dhash64 -> banded LSH -> hamming signature-join (rows-only; planted
+    pairs asserted in tests/test_ops.py)."""
+    from webxtract.ops.media import images_phash_dupes
+
+    return images_phash_dupes(sf_dir)
+
+
 def _docs_unigram_logprob(sf_dir: str):
     """CCNet-style corpus-LM quality score: per-doc mean unigram
     log-probability (oracled: unnest + join + avg(ln))."""
@@ -465,6 +495,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split": _docs_split,
         "docs_pii_redact": _docs_pii_redact,
         "docs_pack_sequences": _docs_pack_sequences,  # rows-only
+        "docs_regex_tokens": _docs_regex_tokens,
+        "emb_norms": _emb_norms,
+        "emb_label_centroids": _emb_label_centroids,
+        "images_phash_dupes": _images_phash_dupes,  # rows-only
         "orders_monthly_growth": R.orders_monthly_growth,
         "user_conversion_funnel": R.user_conversion_funnel,
         "user_retention": R.user_retention,
@@ -1238,6 +1272,31 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1998-01-01'
             GROUP BY 1, 2, 3
             ORDER BY 1, 2, 3
+        """,
+        "docs_regex_tokens": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                       AS n_pretokens
+            FROM documents
+        """,
+        "emb_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+                       AS l2_norm
+            FROM embeddings
+        """,
+        "emb_label_centroids": """
+            SELECT CAST(label AS BIGINT) AS label, dim,
+                   round(avg(v), 6) AS centroid
+            FROM (
+                SELECT label,
+                       CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                           AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings
+            ) GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q21_sole_blame": """
             WITH l AS (

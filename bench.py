@@ -72,6 +72,10 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "q10_returned_revenue", "q17_small_quantity_revenue",
         "q18_large_orders", "q22_idle_customers", "docs_bigram_counts",
         "emb_knn_lsh", "emb_kmeans",
+        "q7_nation_volume", "q15_top_supplier", "q8_market_share",
+        "q21_sole_blame",
+        "docs_repetition", "docs_split", "docs_pii_redact",
+        "docs_pack_sequences",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]
     # text-heavy outputs are consumed through the real sink (parallel

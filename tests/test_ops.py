@@ -880,3 +880,41 @@ def test_docs_split_stable_and_both_sides(ray_session):
     again = docs_split(sf).to_pandas()
     assert df.sort_values("doc_id", ignore_index=True).equals(
         again.sort_values("doc_id", ignore_index=True))
+
+
+def test_dhash64_invariance_and_sensitivity():
+    import numpy as np
+
+    from webxtract.ops.media import dhash64
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    h = dhash64(img)
+    assert 0 <= h < 1 << 64
+    # 1-pixel LSB flip: hash unchanged or nearly so
+    tweak = img.copy()
+    tweak[0, 0, 0] ^= 1
+    assert bin(h ^ dhash64(tweak)).count("1") <= 2
+    # a different image lands far away
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    assert bin(h ^ dhash64(other)).count("1") > 10
+    # nearest-resize of the same image preserves the hash
+    from webxtract.ops.imagecodec import resize_nearest
+
+    assert dhash64(resize_nearest(img, 64, 64)) == h
+
+
+def test_image_neardup_planted_pairs(ray_session):
+    import pyarrow.parquet as pq
+
+    from webxtract.ops.media import images_phash_dupes
+
+    sf = "/root/testdata/sf0.001"
+    df = images_phash_dupes(sf).to_pandas()
+    ids = set(pq.read_table(f"{sf}/documents.parquet",
+                            columns=["doc_id"]).column("doc_id").to_pylist())
+    planted = {(i - 1, i) for i in ids if i % 10 == 5 and (i - 1) in ids}
+    found = set(zip(df.doc_a, df.doc_b))
+    assert planted <= found
+    # random 16x16 patterns should essentially never collide otherwise
+    assert len(found - planted) <= len(planted) // 10

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -457,3 +458,69 @@ def knn_ivf_kmeans(ds, query_ids: list[int] | None = None, k: int = 10,
                             zero_copy_batch=True)
     return scored.groupby("query_id").map_groups(
         _topk_merge(k), batch_format="pyarrow")
+
+
+def emb_norms(sf_dir: str):
+    """Per-vector L2 norm (the sanity/QA pass run before any cosine
+    stage: zero or denormal norms break normalization downstream).
+    Zero-copy flattened-buffer matrix per batch, one vectorized
+    einsum — no exchange. Oracled via DuckDB list kernels."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def norms(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch.column("embedding"))
+        n = np.sqrt(np.einsum("ij,ij->i", m, m))
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "l2_norm": pa.array(np.round(n, 6), pa.float64()),
+        })
+
+    return ds.map_batches(norms, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def emb_label_centroids(sf_dir: str):
+    """Per-label centroid in long format (label, dim, centroid): the
+    mergeable-partial pattern — each batch emits one (sum-vector,
+    count) row per label it saw, a bounded |labels|x|dims| grouped Sum
+    finishes, so vectors never shuffle. Oracled via DuckDB unnest +
+    generate_subscripts + avg."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch.column("embedding"))
+        labels = batch.column("label").to_numpy().astype(np.int64)
+        ulab, inv = np.unique(labels, return_inverse=True)
+        dim = m.shape[1]
+        sums = np.zeros((len(ulab), dim), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(ulab))
+        lab_rep = np.repeat(ulab, dim)
+        dims = np.tile(np.arange(1, dim + 1, dtype=np.int64), len(ulab))
+        return pa.table({
+            "label": pa.array(lab_rep, pa.int64()),
+            "dim": pa.array(dims, pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "n": pa.array(np.repeat(counts, dim), pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["label", "dim"]).aggregate(
+            Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        c = pc.round(pc.divide(t.column("s"),
+                               t.column("n").cast(pa.float64())), 6)
+        return pa.table({"label": t.column("label"),
+                         "dim": t.column("dim"), "centroid": c})
+
+    return agg.map_batches(fin, batch_format="pyarrow",
+                           zero_copy_batch=True).sort(["label", "dim"])

@@ -179,3 +179,104 @@ def frame_sample_stub(batch: pa.Table, every_n: int = 10) -> pa.Table:
         "video frame sampling requires ffmpeg, not available in this "
         "environment; plumbing contract: media binary in, one row per "
         "sampled frame out (flat_map shape)")
+
+
+# --- perceptual hashing + near-duplicate images ---------------------------
+
+def dhash64(arr: np.ndarray) -> int:
+    """64-bit difference hash: grayscale -> 9x8 nearest resize ->
+    horizontal gradient sign bits. The standard near-dup image
+    fingerprint; robust to resize/re-encode, 8 bytes per image."""
+    from .imagecodec import resize_nearest
+
+    g = arr.astype(np.float64)
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    r = resize_nearest(g, 9, 8)
+    bits = (r[:, 1:] > r[:, :-1]).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class PHashImage:
+    """Actor-pool stage: decoded-format image bytes -> banded SimHash-
+    style signature rows (doc_id, band, band_key, sig) — the exact
+    schema ops/dedup's banded-LSH candidate + hamming-verify machinery
+    consumes, so image near-dup mining reuses the text pipeline
+    end-to-end. Undecodable rows are dropped here (they carry no
+    signal); run DecodeImage first if you need them surfaced as data."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .imagecodec import decode_image
+
+        ids = batch.column("media_id").to_pylist()
+        blobs = batch.column("media").to_pylist()
+        out_doc, out_band, out_key, out_sig = [], [], [], []
+        for i, raw in zip(ids, blobs):
+            arr = decode_image(raw)
+            if arr is None:
+                continue
+            sig = dhash64(arr)
+            for band in range(4):
+                out_doc.append(i)
+                out_band.append(band)
+                out_key.append((sig >> (16 * band)) & 0xFFFF)
+                out_sig.append(sig - (1 << 63))
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "band": pa.array(out_band, pa.int32()),
+            "band_key": pa.array(out_key, pa.int64()),
+            "sig": pa.array(out_sig, pa.int64()),
+        })
+
+
+def image_neardup_pairs(ds, max_dist: int = 6):
+    """media Dataset (media_id, media) -> near-duplicate image pairs
+    (hamming distance over dhash64 <= max_dist). Banded LSH candidates
+    + signature-join hamming verification, both reused verbatim from
+    ops/dedup — signatures are 8 B/image, pixels never shuffle."""
+    from .dedup import _candidate_pairs, _verify_hamming_join
+
+    sig = ds.map_batches(PHashImage, batch_format="pyarrow",
+                         concurrency=(1, 8), zero_copy_batch=True,
+                         batch_size=64).materialize()
+    cands = _candidate_pairs(sig)
+    return _verify_hamming_join(cands, sig, max_dist)
+
+
+def synth_image_corpus(sf_dir: str, n: int | None = None):
+    """Deterministic BMP corpus derived from the documents table ids:
+    seeded gradient+noise patterns, with every 10th image a 1-pixel
+    variant of its predecessor (a planted near-dup pair). Pure
+    plumbing fixture — real corpora read binary columns from parquet."""
+    import ray.data as rd
+
+    from .imagecodec import encode_bmp24
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    if n is not None:
+        ids = ids.limit(n)
+
+    def render(batch: pa.Table) -> pa.Table:
+        out_id, out_raw = [], []
+        for i in batch.column("doc_id").to_pylist():
+            seed = i - 1 if i % 10 == 5 else i  # planted near-dup
+            rng = np.random.default_rng(seed)
+            img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+            if i % 10 == 5:
+                img = img.copy()
+                img[0, 0, 0] ^= 1  # sub-threshold perturbation
+            out_id.append(i)
+            out_raw.append(encode_bmp24(img))
+        return pa.table({"media_id": pa.array(out_id, pa.int64()),
+                         "media": pa.array(out_raw, pa.binary())})
+
+    return ids.map_batches(render, batch_format="pyarrow", batch_size=64)
+
+
+def images_phash_dupes(sf_dir: str):
+    """Query-surface wrapper: synthesize the deterministic BMP corpus
+    for sf_dir's documents and mine near-dup pairs (rows-only: planted
+    pairs are asserted in tests/test_ops.py)."""
+    pairs = image_neardup_pairs(synth_image_corpus(sf_dir), max_dist=2)
+    return pairs.sort(["doc_a", "doc_b"])

@@ -662,3 +662,33 @@ def docs_pii_redact(sf_dir: str):
 
     return ds.map_batches(plant_and_redact, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# --- BPE-style pre-tokenizer counting -------------------------------------
+
+# GPT-2-style pre-tokenizer split, restricted to the RE2 subset (no
+# lookahead): contractions, letter runs, digit runs, punctuation runs,
+# whitespace runs are all separate pre-tokens. Identical pattern runs on
+# both sides of the oracle (Arrow and DuckDB both embed RE2).
+BPE_PRETOKEN = (r"'(?:s|t|re|ve|m|ll|d)"
+                r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def docs_regex_tokens(sf_dir: str):
+    """Per-doc BPE-style pre-token count (what a GPT-2-family tokenizer
+    sees before merges — the budget number sequence packing and cost
+    estimation actually need, vs naive whitespace splitting). One Arrow
+    C++ regex pass per batch, no exchange. Oracled via
+    len(regexp_extract_all) on the identical pattern."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("text"), BPE_PRETOKEN)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_pretokens": n.cast(pa.int64())})
+
+    return ds.map_batches(count, batch_format="pyarrow",
+                          zero_copy_batch=True)

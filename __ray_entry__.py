@@ -512,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": R.q15_top_supplier,
         "q8_market_share": R.q8_market_share,
         "q21_sole_blame": R.q21_sole_blame,
+        "q2_best_supplier": R.q2_best_supplier,
         "events_users_hll": _events_users_hll,    # sketch; rows-only
         "events_value_p50_sketch": _events_value_p50_sketch,  # KLL; rows-only
         # text analysis
@@ -1297,6 +1298,25 @@ def oracle_sql() -> dict[str, str]:
                        CAST(unnest(embedding) AS DOUBLE) AS v
                 FROM embeddings
             ) GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q2_best_supplier": """
+            WITH shipped AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            ), cand AS (
+                SELECT p_partkey, s_suppkey, s_name, s_acctbal
+                FROM shipped
+                JOIN part     ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+                JOIN region   ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE' AND p_size <= 10
+            )
+            SELECT p_partkey, s_suppkey, s_name, s_acctbal FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY p_partkey
+                    ORDER BY s_acctbal DESC, s_suppkey) AS rn
+                FROM cand
+            ) WHERE rn = 1 ORDER BY p_partkey
         """,
         "q21_sole_blame": """
             WITH l AS (

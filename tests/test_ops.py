@@ -918,3 +918,35 @@ def test_image_neardup_planted_pairs(ray_session):
     assert planted <= found
     # random 16x16 patterns should essentially never collide otherwise
     assert len(found - planted) <= len(planted) // 10
+
+
+def test_minhash_equals_exact_oracle_on_guaranteed_corpus(ray_session):
+    """Converts the rows-only LSH query into an indirectly-oracled one:
+    on a corpus where every >=threshold pair has IDENTICAL token sets
+    (signatures equal => every band collides => candidate recall is 1,
+    not probabilistic) and every other pair is far below threshold,
+    banded MinHash+verify must emit exactly the pairs the oracled exact
+    n-gram-Jaccard baseline emits — same pairs, same jaccard values."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webxtract.ops import dedup as D
+
+    rows_id, rows_text = [], []
+    for i in range(60):
+        base = [f"w{i}_{j}" for j in range(12)]
+        rows_id.append(2 * i)
+        rows_text.append(" ".join(base))
+        # same token SET, shuffled order (+ a repeated token): jaccard 1.0
+        rows_id.append(2 * i + 1)
+        rows_text.append(" ".join(base[::-1] + [base[0]]))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(rows_id, pa.int64()),
+        "text": pa.array(rows_text, pa.string()),
+    }))
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.7).to_pandas()
+    lsh = D.minhash_lsh_pairs(docs, threshold=0.7).to_pandas()
+    e = {(a, b): j for a, b, j in zip(exact.doc_a, exact.doc_b,
+                                      exact.jaccard)}
+    l = {(a, b): j for a, b, j in zip(lsh.doc_a, lsh.doc_b, lsh.jaccard)}
+    assert e == l and len(e) == 60

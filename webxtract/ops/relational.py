@@ -2643,3 +2643,69 @@ def q21_sole_blame(sf_dir: str, k: int = 25):
     return (agg.map_batches(add_name, batch_format="pyarrow")
             .sort(["n_orders", "s_suppkey"], descending=[True, False])
             .limit(k))
+
+
+def q2_best_supplier(sf_dir: str, region: str = "EUROPE",
+                     max_size: int = 10):
+    """Best supplier per part (TPC-H Q2 shape, adapted to this schema:
+    no partsupp table, so shipment evidence comes from lineitem and
+    "best" = highest account balance): for each small part, the
+    region's supplier with max s_acctbal among suppliers that shipped
+    it.
+
+    Scale shape: the part-size and supplier-region predicates become
+    broadcast INNER lookups on the fact scan (both dimension-bounded);
+    the per-batch DISTINCT (partkey, suppkey) projection collapses the
+    fact volume before the ONE hash exchange on partkey, where a
+    vectorized sort + segment-first picks each part's argmax. Ties
+    break deterministically (acctbal desc, suppkey asc)."""
+    nat = read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    reg = read(sf_dir, "region", columns=["r_regionkey", "r_name"],
+               filter=pc.field("r_name") == region)
+    rkey = reg.take_all()[0]["r_regionkey"]
+    region_nations = sorted(
+        r["n_nationkey"] for r in nat.take_all()
+        if r["n_regionkey"] == rkey)
+
+    part_ref = broadcast_lookup(
+        read(sf_dir, "part", columns=["p_partkey"],
+             filter=pc.field("p_size") <= max_size),
+        "p_partkey", [])
+    supp_ref = broadcast_lookup(
+        read(sf_dir, "supplier",
+             columns=["s_suppkey", "s_name", "s_acctbal"],
+             filter=pc.field("s_nationkey").isin(region_nations)),
+        "s_suppkey", ["s_name", "s_acctbal"])
+
+    li = read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = BroadcastJoin(part_ref, "l_partkey", [])(t)
+        t = BroadcastJoin(supp_ref, "l_suppkey",
+                          ["s_name", "s_acctbal"])(t)
+        # in-batch distinct (partkey, suppkey): the pair stream the
+        # exchange carries is bounded by |distinct pairs|, not |lineitem|
+        import polars as pl
+
+        return (pl.from_arrow(t)
+                .unique(subset=["l_partkey", "l_suppkey"])
+                .to_arrow().cast(t.schema))
+
+    cand = li.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def best(part: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(part, sort_keys=[
+            ("l_partkey", "ascending"), ("s_acctbal", "descending"),
+            ("l_suppkey", "ascending")])
+        g = part.take(idx)
+        starts = _segment_starts(g.column("l_partkey").to_numpy())
+        g = g.take(pa.array(starts, pa.int64()))
+        return pa.table({
+            "p_partkey": g.column("l_partkey"),
+            "s_suppkey": g.column("l_suppkey"),
+            "s_name": g.column("s_name"),
+            "s_acctbal": g.column("s_acctbal")})
+
+    return partitioned_map_groups(cand, "l_partkey", best) \
+        .sort("p_partkey")

@@ -379,6 +379,14 @@ def _docs_pack_sequences(sf_dir: str):
     return docs_pack_sequences(sf_dir)
 
 
+def _events_type_users_hll(sf_dir: str):
+    """Grouped HLL distinct-user estimates per event type (rows-only;
+    accuracy gated vs the oracled exact twin in tests/test_ops.py)."""
+    from webxtract.ops.sketch import events_type_users_hll
+
+    return events_type_users_hll(sf_dir)
+
+
 def _docs_regex_tokens(sf_dir: str):
     """BPE-style pre-token counts (oracled: same RE2 pattern)."""
     from webxtract.ops.text import docs_regex_tokens
@@ -514,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_sole_blame": R.q21_sole_blame,
         "q2_best_supplier": R.q2_best_supplier,
         "events_users_hll": _events_users_hll,    # sketch; rows-only
+        "events_type_users_hll": _events_type_users_hll,  # grouped HLL; rows-only
         "events_value_p50_sketch": _events_value_p50_sketch,  # KLL; rows-only
         # text analysis
         "docs_token_counts": _docs_token_counts,

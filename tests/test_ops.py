@@ -950,3 +950,26 @@ def test_minhash_equals_exact_oracle_on_guaranteed_corpus(ray_session):
                                       exact.jaccard)}
     l = {(a, b): j for a, b, j in zip(lsh.doc_a, lsh.doc_b, lsh.jaccard)}
     assert e == l and len(e) == 60
+
+
+def test_grouped_hll_accuracy_vs_exact(ray_session):
+    """Per-group HLL estimates land within 5% of the exact grouped
+    distinct counts (p=12 => ~1.6% standard error), and merging is
+    partitioning-invariant."""
+    import ray.data as rd
+
+    from webxtract.ops.relational import events_type_user_distinct
+    from webxtract.ops.sketch import events_type_users_hll
+
+    sf = "/root/testdata/sf0.001"
+    exact = events_type_user_distinct(sf).to_pandas().set_index(
+        "event_type")["n_users"]
+    approx = events_type_users_hll(sf).to_pandas().set_index(
+        "event_type")["approx_distinct"]
+    assert set(exact.index) == set(approx.index)
+    for t in exact.index:
+        assert abs(approx[t] - exact[t]) / exact[t] < 0.05, (
+            t, approx[t], exact[t])
+    again = events_type_users_hll(sf).to_pandas().set_index(
+        "event_type")["approx_distinct"]
+    assert (approx == again).all()

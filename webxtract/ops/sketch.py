@@ -488,3 +488,55 @@ def exact_distinct_users(sf_dir: str):
 
     return pairs.groupby("event_type").map_groups(
         distinct_users, batch_format="pyarrow")
+
+
+def grouped_approx_distinct(ds, column: str, group_col: str,
+                            p: int = 12):
+    """Grouped approximate COUNT(DISTINCT): one HLL per (group, batch)
+    — the exchange carries 2^p-byte sketches, never values — merged by
+    a grouped elementwise-max and read out per group. Approximate twin
+    of the oracled exact events_type_user_distinct; error ~1.04/2^(p/2)."""
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        groups = batch.column(group_col)
+        codes = groups.dictionary_encode().combine_chunks()
+        inv = codes.indices.to_numpy().astype(np.int64)
+        names = codes.dictionary.to_pylist()
+        col = batch.column(column)
+        vals = (col.to_numpy() if col.null_count == 0
+                else np.asarray(col.to_pylist(), dtype=object))
+        h = _hash64(vals)
+        out_g, out_s = [], []
+        for gi, name in enumerate(names):
+            hll = HyperLogLog(p)
+            hll.add_hashes(h[inv == gi])
+            out_g.append(name)
+            out_s.append(hll.serialize())
+        return pa.table({group_col: pa.array(out_g, pa.string()),
+                         "sketch": pa.array(out_s, pa.binary())})
+
+    sk = ds.map_batches(sketch_batch, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def merge(g: pa.Table) -> pa.Table:
+        regs = np.stack([np.frombuffer(r, dtype=np.uint8)
+                         for r in g.column("sketch").to_pylist()])
+        hll = HyperLogLog(p, regs.max(axis=0).copy())
+        return pa.table({
+            group_col: g.column(group_col).slice(0, 1),
+            "approx_distinct": pa.array([round(hll.estimate(), 1)],
+                                        pa.float64()),
+        })
+
+    return sk.groupby(group_col).map_groups(merge, batch_format="pyarrow")
+
+
+def events_type_users_hll(sf_dir: str, p: int = 12):
+    """Approximate distinct users per event type (rows-only; accuracy
+    gated against the oracled exact twin events_type_user_distinct)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return grouped_approx_distinct(ds, "user_id", "event_type", p=p) \
+        .sort("event_type")

@@ -417,6 +417,15 @@ def _images_phash_dupes(sf_dir: str):
     return images_phash_dupes(sf_dir)
 
 
+def _pages_domain_stats(sf_dir: str):
+    """Per-domain crawl stats over the synthesized pages corpus
+    (rows-only: pages are not an oracle view; DuckDB parity gate lives
+    in tests/test_ops.py)."""
+    from webxtract.ops.web import pages_domain_stats
+
+    return pages_domain_stats(sf_dir)
+
+
 def _docs_unigram_logprob(sf_dir: str):
     """CCNet-style corpus-LM quality score: per-doc mean unigram
     log-probability (oracled: unnest + join + avg(ln))."""
@@ -507,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_norms": _emb_norms,
         "emb_label_centroids": _emb_label_centroids,
         "images_phash_dupes": _images_phash_dupes,  # rows-only
+        "pages_domain_stats": _pages_domain_stats,  # rows-only
         "orders_monthly_growth": R.orders_monthly_growth,
         "user_conversion_funnel": R.user_conversion_funnel,
         "user_retention": R.user_retention,

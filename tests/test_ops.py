@@ -973,3 +973,57 @@ def test_grouped_hll_accuracy_vs_exact(ray_session):
     again = events_type_users_hll(sf).to_pandas().set_index(
         "event_type")["approx_distinct"]
     assert (approx == again).all()
+
+
+def test_extract_domain_and_blocklist():
+    import pyarrow as pa
+
+    from webxtract.ops.web import DomainBlocklist, extract_domain
+
+    import ray
+
+    batch = pa.table({
+        "url": pa.array([
+            "https://a.example.com/x", "http://Example.COM/y",
+            "https://keep.org/z", "ftp://deep.sub.bad.net/w",
+            "not a url", "https://badnet/q",  # no dot / not suffix
+        ], pa.string()),
+    })
+    dom = extract_domain(batch).column("domain").to_pylist()
+    assert dom == ["a.example.com", "example.com", "keep.org",
+                   "deep.sub.bad.net", None, "badnet"]
+    ref = ray.put({"example.com", "bad.net"})
+    out = DomainBlocklist(ref)(batch)
+    assert out.column("url").to_pylist() == [
+        "https://keep.org/z", "not a url", "https://badnet/q"]
+
+
+def test_pages_domain_stats_duckdb_parity(ray_session):
+    """Local oracle: the per-domain stats over the synthesized pages
+    corpus must match DuckDB computing the same aggregates over the
+    same parquet (pages are not one of the driver's oracle views, so
+    the gate lives here)."""
+    import duckdb
+
+    from webxtract.ops.web import pages_domain_stats
+    from webxtract.testdata import pages_path, rows_for_sf_dir
+
+    sf = "/root/testdata/sf0.001"
+    got = pages_domain_stats(sf).to_pandas()
+    src = pages_path(rows_for_sf_dir(sf))
+    exp = duckdb.sql(f"""
+        SELECT lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+                   AS domain,
+               count(*) AS n_pages,
+               CAST(sum(octet_length(html)) AS BIGINT) AS payload_bytes,
+               count(DISTINCT url) AS n_urls
+        FROM parquet_scan('{src}/*.parquet')
+        GROUP BY 1 ORDER BY n_pages DESC, domain LIMIT 50
+    """).df()
+    g = got.sort_values(["n_pages", "domain"],
+                        ascending=[False, True]).reset_index(drop=True)
+    e = exp.reset_index(drop=True)
+    assert list(g.columns) == ["domain", "n_pages", "payload_bytes",
+                               "n_urls"]
+    for c in ["domain", "n_pages", "payload_bytes", "n_urls"]:
+        assert g[c].astype(str).tolist() == e[c].astype(str).tolist(), c

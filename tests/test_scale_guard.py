@@ -14,10 +14,6 @@ PKG = pathlib.Path(__file__).resolve().parent.parent / "webxtract"
 
 # (module path relative to webxtract/, enclosing function) -> bound
 ALLOWED = {
-    ("ops/relational.py", "q5_region_nation_volume"): "region table (5 rows)",
-    ("ops/relational.py", "q7_nation_volume"): "nation table (25 rows)",
-    ("ops/relational.py", "q8_market_share"): "region+nation tables",
-    ("ops/relational.py", "q2_best_supplier"): "region+nation tables",
     ("ops/relational.py", "q22_idle_customers"): "single global-average scalar",
     ("ops/dedup.py", "minhash_lsh_pairs"): "broadcast verify branch only; join path is the scale default via _resolve_verify",
     ("ops/dedup.py", "simhash_pairs"): "broadcast verify branch only; join path is the scale default",

@@ -31,6 +31,22 @@ def _uncents(arr) -> pa.Array:
     return pc.round(pc.divide(arr.cast(pa.float64()), pa.scalar(100.0)), 2)
 
 
+def dim_rows(sf_dir: str, table: str, columns: list[str] | None = None,
+             filter=None) -> pa.Table:
+    """Driver-side read of a DIMENSION-scale table (region: 5 rows,
+    nation: 25): plain pyarrow.parquet. Spinning a Ray dataset plus a
+    streaming executor to take_all() 25 rows costs ~0.3 s of pure
+    overhead per call; dimension metadata a query plan needs on the
+    driver (key maps, filter key sets) reads directly. Never use for
+    fact tables — the scale-guard test pins those to Dataset paths."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+    if filter is not None:
+        t = t.filter(filter)
+    return t
+
+
 def read(sf_dir: str, table: str, columns: list[str] | None = None,
          filter=None):
     """Pruned parquet scan. ``filter`` is a pyarrow dataset expression
@@ -328,8 +344,9 @@ def q5_region_nation_volume(sf_dir: str, region: str = "ASIA"):
     grouped sum over lineitem."""
     from ray.data.aggregate import Sum
 
-    reg = read(sf_dir, "region", filter=(pc.field("r_name") == region))
-    rkeys = {r["r_regionkey"] for r in reg.take_all()}
+    rkeys = set(dim_rows(sf_dir, "region",
+                         filter=(pc.field("r_name") == region))
+                .column("r_regionkey").to_pylist())
     nat = read(sf_dir, "nation",
                filter=pc.field("n_regionkey").isin(sorted(rkeys)))
     nat_ref = broadcast_lookup(nat, "n_nationkey", ["n_name"])
@@ -2314,9 +2331,10 @@ def q7_nation_volume(sf_dir: str, nation_a: str = "NATION_3",
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    nat = read(sf_dir, "nation", columns=["n_nationkey", "n_name"],
-               filter=pc.field("n_name").isin([nation_a, nation_b]))
-    nkeys = {r["n_nationkey"]: r["n_name"] for r in nat.take_all()}
+    nat = dim_rows(sf_dir, "nation", columns=["n_nationkey", "n_name"],
+                   filter=pc.field("n_name").isin([nation_a, nation_b]))
+    nkeys = dict(zip(nat.column("n_nationkey").to_pylist(),
+                     nat.column("n_name").to_pylist()))
     keyset = sorted(nkeys)
 
     supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"],
@@ -2483,12 +2501,12 @@ def q8_market_share(sf_dir: str, region: str = "ASIA",
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    nat = read(sf_dir, "nation", columns=["n_nationkey", "n_name",
-                                          "n_regionkey"])
-    reg = read(sf_dir, "region", columns=["r_regionkey", "r_name"],
-               filter=pc.field("r_name") == region)
-    rkey = reg.take_all()[0]["r_regionkey"]
-    nrows = nat.take_all()
+    nat = dim_rows(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name", "n_regionkey"])
+    rkey = dim_rows(sf_dir, "region", columns=["r_regionkey", "r_name"],
+                    filter=pc.field("r_name") == region) \
+        .column("r_regionkey")[0].as_py()
+    nrows = nat.to_pylist()
     region_nations = sorted(r["n_nationkey"] for r in nrows
                             if r["n_regionkey"] == rkey)
     target_nkey = next(r["n_nationkey"] for r in nrows
@@ -2659,12 +2677,13 @@ def q2_best_supplier(sf_dir: str, region: str = "EUROPE",
     fact volume before the ONE hash exchange on partkey, where a
     vectorized sort + segment-first picks each part's argmax. Ties
     break deterministically (acctbal desc, suppkey asc)."""
-    nat = read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
-    reg = read(sf_dir, "region", columns=["r_regionkey", "r_name"],
-               filter=pc.field("r_name") == region)
-    rkey = reg.take_all()[0]["r_regionkey"]
+    nat = dim_rows(sf_dir, "nation",
+                   columns=["n_nationkey", "n_regionkey"])
+    rkey = dim_rows(sf_dir, "region", columns=["r_regionkey", "r_name"],
+                    filter=pc.field("r_name") == region) \
+        .column("r_regionkey")[0].as_py()
     region_nations = sorted(
-        r["n_nationkey"] for r in nat.take_all()
+        r["n_nationkey"] for r in nat.to_pylist()
         if r["n_regionkey"] == rkey)
 
     part_ref = broadcast_lookup(

@@ -417,6 +417,15 @@ def _images_phash_dupes(sf_dir: str):
     return images_phash_dupes(sf_dir)
 
 
+def _docs_new_content(sf_dir: str):
+    """Incremental-ingest dedup: incoming half of the corpus anti-joined
+    on content md5 against the prior half via Bloom prefilter + exact
+    copartitioned verify (oracled: NOT EXISTS on md5)."""
+    from webxtract.ops.dedup import docs_new_content
+
+    return docs_new_content(sf_dir)
+
+
 def _pages_domain_stats(sf_dir: str):
     """Per-domain crawl stats over the synthesized pages corpus
     (rows-only: pages are not an oracle view; DuckDB parity gate lives
@@ -512,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split": _docs_split,
         "docs_pii_redact": _docs_pii_redact,
         "docs_pack_sequences": _docs_pack_sequences,  # rows-only
+        "docs_new_content": _docs_new_content,
         "docs_regex_tokens": _docs_regex_tokens,
         "emb_norms": _emb_norms,
         "emb_label_centroids": _emb_label_centroids,
@@ -1226,6 +1236,17 @@ def oracle_sql() -> dict[str, str]:
                     AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY cntrycode
             ORDER BY cntrycode
+        """,
+        "docs_new_content": """
+            WITH split AS (
+                SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) AS s
+                FROM documents
+            )
+            SELECT doc_id FROM documents d, split
+            WHERE d.doc_id >= split.s AND NOT EXISTS (
+                SELECT 1 FROM documents p
+                WHERE p.doc_id < split.s AND md5(p.text) = md5(d.text))
+            ORDER BY doc_id
         """,
         "docs_repetition": """
             WITH toks AS (

@@ -135,3 +135,29 @@ def test_dedup_lines_parallelism_invariant_and_idempotent(ray_session):
             "url": list(outs[0].keys()),
             "extracted_text": list(outs[0].values())}))))
     assert again == outs[0]
+
+
+def test_new_content_exact_despite_bloom_fps(ray_session):
+    """Incremental-ingest dedup is EXACT even when the Bloom prefilter
+    is deliberately undersized (every incoming row becomes a
+    might-be-dup): the copartitioned verify must recover precise
+    anti-join semantics, and genuinely-new docs always survive (no
+    false negatives by construction)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webxtract.ops import dedup as D
+
+    prior = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "text": pa.array([f"doc body {i}" for i in range(100)]),
+    }))
+    # incoming: 50 exact dups of prior content, 50 new
+    inc_rows = ([f"doc body {i}" for i in range(50)]
+                + [f"fresh body {i}" for i in range(50)])
+    incoming = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(1000, 1100), pa.int64()),
+        "text": pa.array(inc_rows),
+    }))
+    out = D.new_content(prior, incoming).to_pandas()
+    assert sorted(out.doc_id) == list(range(1050, 1100))

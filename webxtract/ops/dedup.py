@@ -960,3 +960,117 @@ def embedding_dup_pairs(ds, threshold: float = 0.9):
     oracle = DuckDB self-join on label with list_cosine_similarity)."""
     return ds.groupby("label").map_groups(
         _label_block_pairs(threshold), batch_format="pyarrow")
+
+
+def _parquet_id_max(path: str, column: str) -> int:
+    """Column max from parquet row-group statistics (no data read)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = md.schema.to_arrow_schema().get_field_index(column)
+    return max(md.row_group(i).column(idx).statistics.max
+               for i in range(md.num_row_groups))
+
+
+def new_content(ds_prior, ds_incoming, text_col: str = "text",
+                id_col: str = "doc_id"):
+    """Incremental-ingest dedup: incoming docs whose content hash was
+    NOT seen in the prior corpus snapshot (exact anti-join semantics).
+
+    Scale shape (the recurring-crawl pattern): the prior side reduces
+    to per-batch Bloom partials (fixed ~10 bits/key bitmaps, merged by
+    OR — text never leaves its scan); incoming rows that the Bloom
+    rules out are DEFINITELY new and stream straight through; only the
+    ~1% might-be-dup residue pays the exact check — one copartitioned
+    hash co-location on md5 against the prior's slim (md5) projection,
+    where a vectorized is_in drops true dups. Driver holds only the
+    OR-merged bitmap (size fixed by expected_n, not corpus bytes)."""
+    import hashlib
+
+    import ray
+
+    from .sketch import BloomFilter
+    from .relational import copartitioned_map
+
+    def md5s(batch: pa.Table) -> list[str]:
+        return [hashlib.md5(t.encode()).hexdigest()
+                for t in batch.column(text_col).to_pylist()]
+
+    n_prior = ds_prior.count()
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(max(n_prior, 1))
+        bf.add(md5s(batch))
+        return pa.table({"bloom": pa.array([bf.serialize()], pa.binary())})
+
+    bf_all = None
+    for b in ds_prior.map_batches(bloom_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for raw in b.column("bloom").to_pylist():
+            cur = BloomFilter.deserialize(raw)
+            bf_all = cur if bf_all is None else bf_all.merge(cur)
+    if bf_all is None:
+        bf_all = BloomFilter(1)
+    ref = ray.put(bf_all.serialize())
+
+    def hash_and_route(batch: pa.Table) -> pa.Table:
+        from ..broadcast import get_broadcast_derived
+
+        bf = get_broadcast_derived(ref, "bloom", BloomFilter.deserialize)
+        h = md5s(batch)
+        maybe = bf.might_contain(np.asarray(h, dtype=object)) \
+            if len(h) else np.zeros(0, dtype=bool)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "md5": pa.array(h, pa.string()),
+            "_maybe": pa.array(maybe, pa.bool_()),
+        })
+
+    routed = ds_incoming.map_batches(hash_and_route,
+                                     batch_format="pyarrow",
+                                     zero_copy_batch=True).materialize()
+    fresh = routed.filter(expr="_maybe == False") \
+        .select_columns([id_col, "md5"])
+    residue = routed.filter(expr="_maybe == True") \
+        .select_columns([id_col, "md5"])
+
+    def prior_slim(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pa.nulls(batch.num_rows, pa.int64()),
+            "md5": pa.array(md5s(batch), pa.string()),
+        })
+
+    def inc_slim(batch: pa.Table) -> pa.Table:
+        return batch.select([id_col, "md5"])
+
+    def anti(parts: list[pa.Table]) -> pa.Table:
+        inc_p, prior_p = parts
+        if inc_p.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "md5": pa.array([], pa.string())})
+        seen = prior_p.column("md5").combine_chunks()
+        keep = pc.invert(pc.is_in(inc_p.column("md5"), value_set=seen))
+        return inc_p.filter(keep)
+
+    verified = copartitioned_map(
+        [(residue, inc_slim), (ds_prior, prior_slim)], "md5", anti)
+    return fresh.union(verified)
+
+
+def docs_new_content(sf_dir: str):
+    """Query surface: treat doc_id < max/2 as the prior snapshot and
+    the rest as the incoming crawl; emit the incoming doc_ids whose
+    content is genuinely new (oracled: NOT EXISTS on md5)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    split = _parquet_id_max(f"{sf_dir}/documents.parquet", "doc_id") // 2
+    prior = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"],
+                            filter=pads.field("doc_id") < split)
+    incoming = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"],
+                               filter=pads.field("doc_id") >= split)
+    return new_content(prior, incoming).select_columns(["doc_id"]) \
+        .sort("doc_id")

@@ -497,6 +497,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg": R.events_moving_avg,
         "q6_revenue_filter": R.q6_revenue_filter,
         "q4_priority_exists": R.q4_priority_exists,
+        "q12_priority_by_flag": R.q12_priority_by_flag,
+        "q13_orders_per_customer": R.q13_orders_per_customer,
         "nation_status_pivot": R.nation_status_pivot,
         "events_props_k_stats": R.events_props_k_stats,
         "events_type_user_distinct": R.events_type_user_distinct,
@@ -746,6 +748,29 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_returnflag = 'R')
             GROUP BY o_orderpriority
+        """,
+        "q12_priority_by_flag": """
+            SELECT l_returnflag,
+                   count(*) FILTER (WHERE o_orderpriority IN
+                       ('1-URGENT', '2-HIGH')) AS high_count,
+                   count(*) FILTER (WHERE o_orderpriority NOT IN
+                       ('1-URGENT', '2-HIGH')) AS low_count
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "q13_orders_per_customer": """
+            SELECT c_count, count(*) AS custdist FROM (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                                  AND o.o_orderstatus <> 'F'
+                GROUP BY c.c_custkey) t
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
         """,
         "nation_status_pivot": """
             SELECT n_name,

@@ -229,18 +229,43 @@ class PHashImage:
         })
 
 
-def image_neardup_pairs(ds, max_dist: int = 6):
+def image_neardup_pairs(ds, max_dist: int = 6, verify: str = "auto"):
     """media Dataset (media_id, media) -> near-duplicate image pairs
     (hamming distance over dhash64 <= max_dist). Banded LSH candidates
-    + signature-join hamming verification, both reused verbatim from
-    ops/dedup — signatures are 8 B/image, pixels never shuffle."""
-    from .dedup import _candidate_pairs, _verify_hamming_join
+    + hamming verification, both reused verbatim from ops/dedup —
+    signatures are 8 B/image, pixels never shuffle.
+
+    ``verify`` mirrors simhash_pairs: "join" pays two signature hash
+    joins (the 100 TB path); "broadcast" ships the 8 B/doc signature
+    map once and probes candidates in place (the two native joins'
+    actor-pool spin-up dominates small corpora — measured 13s -> 1s at
+    5k images); "auto" picks by corpus size."""
+    import ray
+
+    from .dedup import (VerifyHamming, _candidate_pairs, _resolve_verify,
+                        _verify_hamming_join)
 
     sig = ds.map_batches(PHashImage, batch_format="pyarrow",
                          concurrency=(1, 8), zero_copy_batch=True,
                          batch_size=64).materialize()
     cands = _candidate_pairs(sig)
-    return _verify_hamming_join(cands, sig, max_dist)
+    if _resolve_verify(verify, ds) == "join":
+        return _verify_hamming_join(cands, sig, max_dist)
+    # broadcast path: dict bounded by the same gate that selected it
+    # (8 B/doc signatures, never pixels); XOR of the signed storage bit
+    # patterns equals XOR of the raw signatures
+    sigs: dict[int, int] = {}
+    per_doc = sig.filter(expr="band == 0").select_columns(["doc_id", "sig"])
+    for b in per_doc.iter_batches(batch_format="pyarrow"):
+        sigs.update(zip(b.column("doc_id").to_pylist(),
+                        b.column("sig").to_pylist()))
+    ref = ray.put(sigs)
+
+    def verify_fn(batch: pa.Table) -> pa.Table:
+        return VerifyHamming(ref, max_dist)(batch)
+
+    return cands.map_batches(verify_fn, batch_format="pyarrow",
+                             zero_copy_batch=True)
 
 
 def synth_image_corpus(sf_dir: str, n: int | None = None):

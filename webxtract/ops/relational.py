@@ -2728,3 +2728,121 @@ def q2_best_supplier(sf_dir: str, region: str = "EUROPE",
 
     return partitioned_map_groups(cand, "l_partkey", best) \
         .sort("p_partkey")
+
+
+def q12_priority_by_flag(sf_dir: str):
+    """Two-large-sides inner join + conditional pivot (TPC-H Q12 shape:
+    lines per shipmode split by order priority class; the synthetic
+    schema has no l_shipmode, so l_returnflag plays that role). The
+    shipdate window is pushed into the lineitem scan; the orders side
+    ships only (orderkey, 1-bit priority class); ONE copartitioned
+    exchange co-locates the two slim projections, each partition does a
+    vectorized index_in probe + pivoted partial counts, and a tiny
+    grouped Sum finishes (TPC-H Q12 plan: join both large tables, CASE
+    pivot, group by the line attribute)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"],
+              filter=((pads.field("l_shipdate") >= _dt.datetime(1995, 1, 1))
+                      & (pads.field("l_shipdate") < _dt.datetime(1997, 1, 1))))
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    high = ("1-URGENT", "2-HIGH")
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t.column("l_orderkey"),
+                         "flag": t.column("l_returnflag"),
+                         "hi": pa.nulls(t.num_rows, pa.bool_())})
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t.column("o_orderkey"),
+            "flag": pa.nulls(t.num_rows, pa.string()),
+            "hi": pc.is_in(t.column("o_orderpriority"),
+                           value_set=pa.array(high, pa.string())),
+        })
+
+    def per_part(parts: list[pa.Table]) -> pa.Table:
+        li_p, ord_p = parts
+        empty = pa.table({"l_returnflag": pa.array([], pa.string()),
+                          "high_part": pa.array([], pa.int64()),
+                          "low_part": pa.array([], pa.int64())})
+        if li_p.num_rows == 0 or ord_p.num_rows == 0:
+            return empty
+        idx = pc.index_in(li_p.column("k"),
+                          value_set=ord_p.column("k").combine_chunks())
+        matched = pa.table({
+            "l_returnflag": li_p.column("flag"),
+            "hi": pc.take(ord_p.column("hi").combine_chunks(), idx),
+        }).filter(pc.is_valid(idx))
+        if matched.num_rows == 0:
+            return empty
+        flat = pa.table({
+            "l_returnflag": matched.column("l_returnflag"),
+            "high_part": pc.cast(matched.column("hi"), pa.int64()),
+            "low_part": pc.cast(pc.invert(matched.column("hi")), pa.int64()),
+        })
+        agg = flat.group_by("l_returnflag").aggregate(
+            [("high_part", "sum"), ("low_part", "sum")])
+        return pa.table({
+            "l_returnflag": agg.column("l_returnflag"),
+            "high_part": agg.column("high_part_sum").cast(pa.int64()),
+            "low_part": agg.column("low_part_sum").cast(pa.int64())})
+
+    partial = copartitioned_map([(li, prep_li), (orders, prep_orders)],
+                                "k", per_part)
+    return (partial.groupby("l_returnflag")
+            .aggregate(Sum("high_part", alias_name="high_count"),
+                       Sum("low_part", alias_name="low_count"))
+            .sort("l_returnflag"))
+
+
+def q13_orders_per_customer(sf_dir: str):
+    """Left-outer aggregate join + count distribution (TPC-H Q13 shape:
+    how many customers placed N qualifying orders, INCLUDING the
+    zero-order customers that an inner join would lose; the filter that
+    TPC-H puts on o_comment lands on o_orderstatus here). Both sides are
+    large at scale, so: orders are pre-filtered at the scan, both sides
+    project to a bare custkey column, ONE copartitioned exchange
+    co-locates them, each partition counts orders per custkey (Arrow
+    group_by), zero-fills customers with no match (the LEFT OUTER part
+    — correct because ALL rows of a custkey hash to one partition), and
+    emits a partial (c_count -> n customers) histogram; a tiny grouped
+    Sum merges the histograms."""
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    cust = read(sf_dir, "customer", columns=["c_custkey"])
+    orders = read(sf_dir, "orders", columns=["o_custkey"],
+                  filter=pads.field("o_orderstatus") != "F")
+
+    def prep_c(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t.column("c_custkey")})
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t.column("o_custkey")})
+
+    def per_part(parts: list[pa.Table]) -> pa.Table:
+        cust_p, ord_p = parts
+        if cust_p.num_rows == 0:
+            return pa.table({"c_count": pa.array([], pa.int64()),
+                             "n_part": pa.array([], pa.int64())})
+        cnt = ord_p.group_by("k").aggregate([("k", "count")])
+        idx = pc.index_in(cust_p.column("k"),
+                          value_set=cnt.column("k").combine_chunks())
+        per_cust = pc.fill_null(
+            pc.cast(pc.take(cnt.column("k_count").combine_chunks(), idx),
+                    pa.int64()),
+            0)
+        h = pa.table({"c_count": per_cust}).group_by("c_count") \
+            .aggregate([("c_count", "count")])
+        return pa.table({"c_count": h.column("c_count"),
+                         "n_part": h.column("c_count_count").cast(pa.int64())})
+
+    partial = copartitioned_map([(cust, prep_c), (orders, prep_o)],
+                                "k", per_part)
+    return (partial.groupby("c_count")
+            .aggregate(Sum("n_part", alias_name="custdist"))
+            .sort(["custdist", "c_count"], descending=[True, True]))

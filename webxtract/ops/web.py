@@ -12,6 +12,7 @@ per batch with ``pc.is_in`` on the extracted registrable suffix.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -34,57 +35,88 @@ def domain_stats(ds, url_col: str = "url", size_col: str | None = "html",
     """pages Dataset -> per-domain crawl stats: page count, distinct
     urls, total payload bytes; top-k domains by page count.
 
-    Scale shape: per-batch Arrow group_by partials (one row per domain
-    per batch — the exchange is |domains|-bounded, html bytes never
-    shuffle), grouped Sum finals, then a distinct-url count over a slim
-    (domain, url) projection pre-deduped in-batch."""
+    Single-pass scale shape: payload bytes are measured in-batch and the
+    blob column dropped immediately (html bytes never shuffle); each
+    batch pre-reduces to one (domain, url) row carrying (page-count,
+    payload) partial sums; ONE bounded hash-partition exchange on url
+    co-locates every occurrence of a url, so the per-partition distinct
+    is globally exact and n_pages / payload / n_urls all roll up per
+    domain in that same partition pass; the per-domain partials (at
+    most num_parts rows per domain, 4 slim columns) are folded with one
+    Arrow group_by on the driver when small (the k-means-partials
+    pattern — saves a grouped-Sum + Sort all-to-all pair), falling back
+    to the grouped-Sum exchange when the domain count is web-scale.
+    (Replaces the original two-branch plan — double read of the corpus
+    + two string-key groupby exchanges — measured 30.7s -> see bench at
+    600k pages.)"""
     from ray.data.aggregate import Sum
 
-    def partial(t: pa.Table) -> pa.Table:
+    from .relational import partitioned_map_groups
+
+    def slim_partial(t: pa.Table) -> pa.Table:
         t = extract_domain(t, url_col)
         cols = {"domain": t.column("domain"),
-                "n": pa.array([1] * t.num_rows, pa.int64())}
-        if size_col is not None:
-            cols["payload"] = pc.binary_length(
-                t.column(size_col)).cast(pa.int64())
-        g = pa.table(cols).group_by("domain").aggregate(
-            [("n", "sum")] + ([("payload", "sum")] if size_col else []))
-        out = {"domain": g.column("domain"),
-               "n_pages": g.column("n_sum")}
-        if size_col is not None:
-            out["payload_bytes"] = g.column("payload_sum")
-        return pa.table(out)
+                "url": t.column(url_col),
+                "n": pa.array(np.ones(t.num_rows, np.int64))}
+        cols["payload"] = (
+            pc.binary_length(t.column(size_col)).cast(pa.int64())
+            if size_col is not None
+            else pa.nulls(t.num_rows, pa.int64()))
+        g = pa.table(cols).group_by(["domain", "url"]).aggregate(
+            [("n", "sum"), ("payload", "sum")])
+        return pa.table({"domain": g.column("domain"),
+                         "url": g.column("url"),
+                         "n": g.column("n_sum"),
+                         "payload": g.column("payload_sum")})
 
-    agg_spec = [Sum("n_pages", alias_name="n_pages")]
-    if size_col is not None:
-        agg_spec.append(Sum("payload_bytes", alias_name="payload_bytes"))
-    per_dom = ds.map_batches(partial, batch_format="pyarrow",
-                             zero_copy_batch=True) \
-        .groupby("domain").aggregate(*agg_spec)
+    def part_rollup(part: pa.Table) -> pa.Table:
+        # every occurrence of a url hashes to this partition, so the
+        # within-partition distinct IS the global distinct for these urls
+        d = part.group_by(["domain", "url"]).aggregate(
+            [("n", "sum"), ("payload", "sum")])
+        g = pa.table({"domain": d.column("domain"),
+                      "n": d.column("n_sum"),
+                      "payload": d.column("payload_sum"),
+                      "u": pa.array(np.ones(d.num_rows, np.int64))}) \
+            .group_by("domain").aggregate(
+                [("n", "sum"), ("payload", "sum"), ("u", "sum")])
+        return pa.table({"domain": g.column("domain"),
+                         "n_pages": g.column("n_sum").cast(pa.int64()),
+                         "payload_bytes": g.column("payload_sum"),
+                         "n_urls": g.column("u_sum").cast(pa.int64())})
 
-    def url_partial(t: pa.Table) -> pa.Table:
-        t = extract_domain(t, url_col)
-        slim = pa.table({"domain": t.column("domain"),
-                         "url": t.column(url_col)})
-        # in-batch distinct before the exchange
-        return slim.group_by(["domain", "url"]).aggregate([])
+    parts = partitioned_map_groups(
+        ds.map_batches(slim_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "url", part_rollup).materialize()  # bounded: num_parts x |domains|
 
-    from ray.data.aggregate import Count
+    if parts.count() <= 2_000_000:
+        tbls = list(parts.iter_batches(batch_format="pyarrow")) or [
+            pa.table({"domain": pa.array([], pa.string()),
+                      "n_pages": pa.array([], pa.int64()),
+                      "payload_bytes": pa.array([], pa.int64()),
+                      "n_urls": pa.array([], pa.int64())})]
+        g = pa.concat_tables(tbls).group_by("domain").aggregate(
+            [("n_pages", "sum"), ("payload_bytes", "sum"),
+             ("n_urls", "sum")])
+        g = pa.table({"domain": g.column("domain"),
+                      "n_pages": g.column("n_pages_sum").cast(pa.int64()),
+                      "payload_bytes": g.column("payload_bytes_sum"),
+                      "n_urls": g.column("n_urls_sum").cast(pa.int64())})
+        idx = pc.sort_indices(g, sort_keys=[("n_pages", "descending"),
+                                            ("domain", "ascending")])
+        import ray.data as rd
 
-    distinct_urls = ds.map_batches(url_partial, batch_format="pyarrow",
-                                   zero_copy_batch=True) \
-        .groupby(["domain", "url"]).aggregate(Count(alias_name="_c")) \
-        .groupby("domain").aggregate(Count(alias_name="n_urls"))
-
-    from .relational import BroadcastJoin, broadcast_lookup
-
-    urls_ref = broadcast_lookup(distinct_urls, "domain", ["n_urls"])
-
-    def attach(t: pa.Table) -> pa.Table:
-        return BroadcastJoin(urls_ref, "domain", ["n_urls"])(t)
-
-    return per_dom.map_batches(attach, batch_format="pyarrow") \
-        .sort(["n_pages", "domain"], descending=[True, False]).limit(k)
+        out = rd.from_arrow(g.take(idx[:k]))
+    else:
+        out = parts.groupby("domain") \
+            .aggregate(Sum("n_pages", alias_name="n_pages"),
+                       Sum("payload_bytes", alias_name="payload_bytes"),
+                       Sum("n_urls", alias_name="n_urls")) \
+            .sort(["n_pages", "domain"], descending=[True, False]).limit(k)
+    if size_col is None:
+        out = out.drop_columns(["payload_bytes"])
+    return out
 
 
 class DomainBlocklist:

@@ -978,13 +978,15 @@ def new_content(ds_prior, ds_incoming, text_col: str = "text",
     NOT seen in the prior corpus snapshot (exact anti-join semantics).
 
     Scale shape (the recurring-crawl pattern): the prior side reduces
-    to per-batch Bloom partials (fixed ~10 bits/key bitmaps, merged by
-    OR — text never leaves its scan); incoming rows that the Bloom
-    rules out are DEFINITELY new and stream straight through; only the
-    ~1% might-be-dup residue pays the exact check — one copartitioned
-    hash co-location on md5 against the prior's slim (md5) projection,
-    where a vectorized is_in drops true dups. Driver holds only the
-    OR-merged bitmap (size fixed by expected_n, not corpus bytes)."""
+    to a hashed-once, materialized (md5) projection (32 B/doc — text is
+    scanned and hashed exactly once); Bloom partials (fixed ~10
+    bits/key bitmaps, merged by OR) build over that projection;
+    incoming rows that the Bloom rules out are DEFINITELY new and
+    stream straight through; only the ~1% might-be-dup residue pays the
+    exact check — one copartitioned hash co-location on md5 against the
+    same prior projection, where a vectorized is_in drops true dups.
+    Driver holds only the OR-merged bitmap (size fixed by expected_n,
+    not corpus bytes)."""
     import hashlib
 
     import ray
@@ -996,16 +998,21 @@ def new_content(ds_prior, ds_incoming, text_col: str = "text",
         return [hashlib.md5(t.encode()).hexdigest()
                 for t in batch.column(text_col).to_pylist()]
 
-    n_prior = ds_prior.count()
+    def prior_project(batch: pa.Table) -> pa.Table:
+        return pa.table({"md5": pa.array(md5s(batch), pa.string())})
+
+    prior_md5 = ds_prior.map_batches(prior_project, batch_format="pyarrow",
+                                     zero_copy_batch=True).materialize()
+    n_prior = prior_md5.count()
 
     def bloom_partial(batch: pa.Table) -> pa.Table:
         bf = BloomFilter(max(n_prior, 1))
-        bf.add(md5s(batch))
+        bf.add(batch.column("md5").to_pylist())
         return pa.table({"bloom": pa.array([bf.serialize()], pa.binary())})
 
     bf_all = None
-    for b in ds_prior.map_batches(bloom_partial, batch_format="pyarrow",
-                                  zero_copy_batch=True) \
+    for b in prior_md5.map_batches(bloom_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True) \
             .iter_batches(batch_format="pyarrow"):
         for raw in b.column("bloom").to_pylist():
             cur = BloomFilter.deserialize(raw)
@@ -1038,7 +1045,7 @@ def new_content(ds_prior, ds_incoming, text_col: str = "text",
     def prior_slim(batch: pa.Table) -> pa.Table:
         return pa.table({
             id_col: pa.nulls(batch.num_rows, pa.int64()),
-            "md5": pa.array(md5s(batch), pa.string()),
+            "md5": batch.column("md5"),
         })
 
     def inc_slim(batch: pa.Table) -> pa.Table:
@@ -1054,7 +1061,7 @@ def new_content(ds_prior, ds_incoming, text_col: str = "text",
         return inc_p.filter(keep)
 
     verified = copartitioned_map(
-        [(residue, inc_slim), (ds_prior, prior_slim)], "md5", anti)
+        [(residue, inc_slim), (prior_md5, prior_slim)], "md5", anti)
     return fresh.union(verified)
 
 

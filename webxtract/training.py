@@ -86,18 +86,36 @@ def training_corpus(ds, cfg: PipelineConfig | None = None,
 
     # exact content dedup: winner = min url per hash. Same two-phase
     # shape as dedup_pages_fast: aggregate winners over a slim
-    # projection, broadcast only the DUPLICATED hashes.
-    from ray.data.aggregate import Count, Min
+    # projection, broadcast only the DUPLICATED hashes. The rollup is
+    # in-batch pre-reduce + ONE bounded hash-partition exchange with a
+    # vectorized per-partition Min/Count (replaces a per-key string
+    # groupby sort exchange), and the n>1 filter runs INSIDE the
+    # partition, so only actual duplicate hashes — not every corpus
+    # hash — ever reach the driver.
+    from .ops.relational import partitioned_map_groups
 
-    agg = kept.select_columns(["content_md5", "url"]) \
-        .groupby("content_md5").aggregate(
-            Min("url", alias_name="keep_url"), Count(alias_name="n"))
+    def _pre(b: pa.Table) -> pa.Table:
+        g = b.select(["content_md5", "url"]).group_by(
+            "content_md5").aggregate([("url", "min"), ("url", "count")])
+        return pa.table({"content_md5": g.column("content_md5"),
+                         "keep_url": g.column("url_min"),
+                         "n": g.column("url_count").cast(pa.int64())})
+
+    def _winners(part: pa.Table) -> pa.Table:
+        g = part.group_by("content_md5").aggregate(
+            [("keep_url", "min"), ("n", "sum")])
+        d = g.filter(pc.greater(g.column("n_sum"), 1))
+        return pa.table({"content_md5": d.column("content_md5"),
+                         "keep_url": d.column("keep_url_min")})
+
+    dup_ds = partitioned_map_groups(
+        kept.map_batches(_pre, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        "content_md5", _winners)
     dups: dict = {}
-    for b in agg.iter_batches(batch_format="pyarrow"):
-        d = b.filter(pc.greater(b.column("n"), 1))
-        for h, u in zip(d.column("content_md5").to_pylist(),
-                        d.column("keep_url").to_pylist()):
-            dups[h] = u
+    for b in dup_ds.iter_batches(batch_format="pyarrow"):
+        dups.update(zip(b.column("content_md5").to_pylist(),
+                        b.column("keep_url").to_pylist()))
     ref = ray.put(dups)
 
     def _dup_arrays(d: dict) -> tuple[pa.Array, pa.Array]:

@@ -499,6 +499,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_priority_exists": R.q4_priority_exists,
         "q12_priority_by_flag": R.q12_priority_by_flag,
         "q13_orders_per_customer": R.q13_orders_per_customer,
+        "orders_top_per_priority": R.orders_top_per_priority,
+        "orders_rollup": R.orders_rollup,
+        "events_hourly_gapfill": R.events_hourly_gapfill,
+        "events_funnel_users": R.events_funnel_users,
         "nation_status_pivot": R.nation_status_pivot,
         "events_props_k_stats": R.events_props_k_stats,
         "events_type_user_distinct": R.events_type_user_distinct,
@@ -761,6 +765,50 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
             GROUP BY l_returnflag
             ORDER BY l_returnflag
+        """,
+        "orders_top_per_priority": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey) AS r
+                FROM orders) t
+            WHERE r <= 3
+            ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+        """,
+        "orders_rollup": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+                   coalesce(o_orderstatus, 'ALL')   AS status,
+                   count(*)                         AS n_orders,
+                   round(sum(round(o_totalprice * 100)) / 100.0, 2)
+                       AS revenue
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+            ORDER BY priority, status
+        """,
+        "events_hourly_gapfill": """
+            WITH b AS (
+                SELECT date_trunc('hour', ts) AS h, count(*) AS n
+                FROM events GROUP BY 1)
+            SELECT r.h AS hour, coalesce(b.n, 0) AS n_events
+            FROM (SELECT unnest(range((SELECT min(h) FROM b),
+                                      (SELECT max(h) FROM b)
+                                          + INTERVAL 1 HOUR,
+                                      INTERVAL 1 HOUR)) AS h) r
+            LEFT JOIN b ON r.h = b.h
+            ORDER BY hour
+        """,
+        "events_funnel_users": """
+            SELECT count(*) AS n_users FROM (
+                SELECT user_id,
+                       min(ts) FILTER (WHERE event_type = 'view')
+                           AS first_view,
+                       max(ts) FILTER (WHERE event_type = 'purchase')
+                           AS last_purchase
+                FROM events GROUP BY user_id) t
+            WHERE first_view IS NOT NULL
+              AND last_purchase IS NOT NULL
+              AND first_view < last_purchase
         """,
         "q13_orders_per_customer": """
             SELECT c_count, count(*) AS custdist FROM (

@@ -1027,3 +1027,94 @@ def test_pages_domain_stats_duckdb_parity(ray_session):
                                "n_urls"]
     for c in ["domain", "n_pages", "payload_bytes", "n_urls"]:
         assert g[c].astype(str).tolist() == e[c].astype(str).tolist(), c
+
+
+def test_grouped_topk_partitioning_invariant(ray_session):
+    """Per-key top-k must be exact regardless of how rows are split
+    across blocks (the in-batch partial collapse is mergeable)."""
+    import ray.data as rd
+
+    from webxtract.ops.relational import grouped_topk
+
+    n = 1000
+    t = pa.table({
+        "k": pa.array([f"g{i % 7}" for i in range(n)]),
+        "v": pa.array([(i * 37) % 1000 for i in range(n)], pa.int64()),
+        "id": pa.array(range(n), pa.int64()),
+    })
+    want = None
+    for blocks in (1, 8, 64):
+        ds = rd.from_arrow(t).repartition(blocks)
+        out = grouped_topk(ds, "k", 4, [("v", "descending"),
+                                        ("id", "ascending")]).to_pandas()
+        out = out.sort_values(["k", "v", "id"],
+                              ascending=[True, False, True],
+                              ignore_index=True)
+        if want is None:
+            want = out
+            # exact reference: pandas nlargest per group
+            import pandas as pd
+
+            df = t.to_pandas()
+            ref = (df.sort_values(["v", "id"], ascending=[False, True])
+                     .groupby("k").head(4)
+                     .sort_values(["k", "v", "id"],
+                                  ascending=[True, False, True],
+                                  ignore_index=True))
+            assert out.equals(ref[out.columns.tolist()])
+        else:
+            assert out.equals(want), f"blocks={blocks} diverged"
+
+
+def test_hourly_gapfill_fills_planted_gaps(ray_session, tmp_path):
+    """Hours with zero events must appear with n_events=0 (the dense
+    axis spans min..max hour inclusive)."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from webxtract.ops.relational import events_hourly_gapfill
+
+    base = dt.datetime(2024, 3, 1, 0, 30)
+    # events in hours 0, 1, 1, 5 — hours 2,3,4 are gaps
+    ts = [base, base + dt.timedelta(hours=1),
+          base + dt.timedelta(hours=1, minutes=10),
+          base + dt.timedelta(hours=5)]
+    pq.write_table(pa.table({"ts": pa.array(ts, pa.timestamp("us"))}),
+                   str(tmp_path / "events.parquet"))
+    out = events_hourly_gapfill(str(tmp_path)).to_pandas()
+    assert len(out) == 6
+    assert out.n_events.tolist() == [1, 2, 0, 0, 0, 1]
+    assert out.hour.dt.minute.eq(0).all()
+
+
+def test_funnel_ordering_semantics(ray_session, tmp_path):
+    """Only view-then-later-purchase users count: purchase-before-view
+    and single-leg users must not."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from webxtract.ops.relational import events_funnel_users
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, typ, minutes):
+        return (uid, typ, t0 + dt.timedelta(minutes=minutes))
+
+    rows = [
+        ev(1, "view", 0), ev(1, "purchase", 10),      # qualifies
+        ev(2, "purchase", 0), ev(2, "view", 10),      # wrong order
+        ev(3, "view", 0),                              # no purchase
+        ev(4, "purchase", 0),                          # no view
+        ev(5, "purchase", 0), ev(5, "view", 5), ev(5, "purchase", 9),
+        # qualifies: first view (5) < last purchase (9)
+        ev(6, "view", 3), ev(6, "purchase", 3),        # equal ts: strict <
+    ]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = events_funnel_users(str(tmp_path))
+    assert out.column("n_users").to_pylist() == [2]

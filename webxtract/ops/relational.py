@@ -2846,3 +2846,188 @@ def q13_orders_per_customer(sf_dir: str):
     return (partial.groupby("c_count")
             .aggregate(Sum("n_part", alias_name="custdist"))
             .sort(["custdist", "c_count"], descending=[True, True]))
+
+
+def _segment_rank(sorted_keys) -> np.ndarray:
+    """Rank of each row within its key segment of an already key-sorted
+    column (0-based). Works for string and numeric keys."""
+    n = len(sorted_keys)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    vals = np.asarray(sorted_keys.to_numpy(zero_copy_only=False))
+    new = np.ones(n, bool)
+    new[1:] = vals[1:] != vals[:-1]
+    starts = np.flatnonzero(new)
+    seg = np.cumsum(new) - 1
+    return np.arange(n, dtype=np.int64) - starts[seg]
+
+
+def grouped_topk(ds, key: str, k: int, sort_keys: list[tuple[str, str]]):
+    """Per-key top-k rows by ``sort_keys`` (window row_number() <= k).
+
+    Scale shape: the top-k partial is MERGEABLE, so each batch first
+    collapses to at most k rows per key it contains (in-batch sort +
+    vectorized segment rank — the exchange carries <= k rows per key
+    per block, never the raw table); ONE hash-partition exchange on the
+    key co-locates the survivors and the same collapse runs once per
+    partition for the exact final answer. Deterministic only if
+    sort_keys break all ties (append a unique id column)."""
+    full_keys = [(key, "ascending")] + list(sort_keys)
+
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        g = t.take(pc.sort_indices(t, sort_keys=full_keys))
+        keep = _segment_rank(g.column(key)) < k
+        return g.filter(pa.array(keep))
+
+    pre = ds.map_batches(topk, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return partitioned_map_groups(pre, key, topk)
+
+
+def orders_top_per_priority(sf_dir: str, k: int = 3):
+    """Top-k orders by total price within every order priority (grouped
+    top-k / window row_number; oracled against row_number() OVER)."""
+    ds = read(sf_dir, "orders",
+              columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+    out = grouped_topk(ds, "o_orderpriority", k,
+                       [("o_totalprice", "descending"),
+                        ("o_orderkey", "ascending")])
+    return out.sort(["o_orderpriority", "o_totalprice", "o_orderkey"],
+                    descending=[False, True, False])
+
+
+def orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(priority, status) in one corpus pass: every
+    batch emits partials for ALL THREE grouping sets at once ((pri,
+    status), (pri), ()) with rolled levels pinned to the literal 'ALL',
+    so a single small grouped-Sum exchange finishes every level —
+    instead of one aggregation pass per level. Money sums use the
+    integer-cents trick for float-order independence."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "orders",
+              columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def levels(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t.column("o_totalprice"),
+                                     pa.scalar(100.0)),
+                         0, round_mode="half_towards_infinity") \
+            .cast(pa.int64())
+        base = pa.table({"priority": t.column("o_orderpriority"),
+                         "status": t.column("o_orderstatus"),
+                         "n": pa.array(np.ones(t.num_rows, np.int64)),
+                         "cents": cents})
+        alls = pa.array(np.full(t.num_rows, "ALL"), pa.string())
+        lvl1 = base.set_column(1, "status", alls)
+        lvl2 = lvl1.set_column(0, "priority", alls)
+        out = pa.concat_tables([base, lvl1, lvl2])
+        g = out.group_by(["priority", "status"]).aggregate(
+            [("n", "sum"), ("cents", "sum")])
+        return pa.table({"priority": g.column("priority"),
+                         "status": g.column("status"),
+                         "n": g.column("n_sum").cast(pa.int64()),
+                         "cents": g.column("cents_sum")})
+
+    agg = ds.map_batches(levels, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["priority", "status"]) \
+        .aggregate(Sum("n", alias_name="n_orders"),
+                   Sum("cents", alias_name="cents"))
+
+    def money(t: pa.Table) -> pa.Table:
+        rev = pc.round(pc.divide(t.column("cents").cast(pa.float64()),
+                                 pa.scalar(100.0)), 2)
+        return pa.table({"priority": t.column("priority"),
+                         "status": t.column("status"),
+                         "n_orders": t.column("n_orders"),
+                         "revenue": rev})
+
+    return agg.map_batches(money, batch_format="pyarrow") \
+        .sort(["priority", "status"])
+
+
+def events_hourly_gapfill(sf_dir: str):
+    """Hourly event counts with EMPTY HOURS ZERO-FILLED between the
+    corpus min and max hour (time-series resample / gap fill). The
+    corpus pass reduces to per-batch (hour, n) partials — bounded by
+    the time span, not the event count — and one small grouped Sum;
+    the dense hour axis is synthesized driver-side (span-bounded) and
+    the observed counts land on it with one vectorized index_in."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        # exchange hours as int64 us (Ray's sort-based Aggregate narrows
+        # whole-hour timestamp[us] keys to timestamp[s]); restore the
+        # temporal type only on the final axis
+        h = pc.floor_temporal(t.column("ts"), unit="hour") \
+            .cast(pa.timestamp("us")).cast(pa.int64())
+        g = pa.table({"hour": h,
+                      "n": pa.array(np.ones(t.num_rows, np.int64))}) \
+            .group_by("hour").aggregate([("n", "sum")])
+        return pa.table({"hour": g.column("hour"),
+                         "n": g.column("n_sum").cast(pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("hour").aggregate(Sum("n", alias_name="n")) \
+        .materialize()  # bounded by the hour span, not by events
+
+    tbls = list(agg.iter_batches(batch_format="pyarrow"))
+    import ray.data as rd
+
+    if not tbls:
+        return rd.from_arrow(pa.table({
+            "hour": pa.array([], pa.timestamp("us")),
+            "n_events": pa.array([], pa.int64())}))
+    obs = pa.concat_tables(tbls)
+    hours_us = obs.column("hour").to_numpy()
+    step = 3_600_000_000  # 1h in us
+    axis = np.arange(hours_us.min(), hours_us.max() + step, step)
+    dense_us = pa.array(axis, pa.int64())
+    idx = pc.index_in(dense_us, value_set=obs.column("hour").combine_chunks())
+    n = pc.fill_null(pc.take(obs.column("n").combine_chunks(), idx), 0)
+    return rd.from_arrow(pa.table({"hour": dense_us.cast(pa.timestamp("us")),
+                                   "n_events": n.cast(pa.int64())}))
+
+
+def events_funnel_users(sf_dir: str):
+    """Sequence funnel: how many users VIEWED and then later PURCHASED
+    (first view strictly before last purchase). Per-batch mergeable
+    partials (per user: min view ts, max purchase ts — masked Arrow
+    group_by), one grouped Min/Max exchange on user, then a streamed
+    per-block qualifying count; only the scalar leaves."""
+    from ray.data.aggregate import Max, Min
+
+    ds = read(sf_dir, "events", columns=["ts", "user_id", "event_type"],
+              filter=(pc.field("event_type").isin(["view", "purchase"])))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64())
+        is_v = pc.equal(t.column("event_type"), pa.scalar("view"))
+        g = pa.table({
+            "user_id": t.column("user_id"),
+            "vts": pc.if_else(is_v, ts, pa.scalar(None, pa.int64())),
+            "pts": pc.if_else(pc.invert(is_v), ts,
+                              pa.scalar(None, pa.int64())),
+        }).group_by("user_id").aggregate([("vts", "min"), ("pts", "max")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "vts": g.column("vts_min"),
+                         "pts": g.column("pts_max")})
+
+    per_user = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("user_id").aggregate(Min("vts", alias_name="vts"),
+                                      Max("pts", alias_name="pts"))
+
+    def qualify(t: pa.Table) -> pa.Table:
+        ok = pc.and_kleene(pc.is_valid(t.column("vts")),
+                           pc.less(t.column("vts"), t.column("pts")))
+        n = pc.sum(pc.cast(pc.fill_null(ok, False), pa.int64()))
+        return pa.table({"n": pa.array([n.as_py() or 0], pa.int64())})
+
+    n = per_user.map_batches(qualify, batch_format="pyarrow").sum("n")
+    return pa.table({"n_users": pa.array([int(n or 0)], pa.int64())})

@@ -184,8 +184,15 @@ def partitioned_map_groups(ds, key: str, fn, num_parts: int | None = None,
             return fn(g.drop_columns(["_part"]))
         return fn(g.drop(columns=["_part"]))
 
+    # coalesce the (slim) tagged partials to ~num_parts blocks before
+    # the exchange: the sort-based shuffle pays a fixed per-input-block
+    # cost (sample+map+reduce), so 210 scan-shaped blocks cost ~10x the
+    # same bytes in 32 blocks (measured 2.2s -> 0.5s INCLUDING the
+    # coalesce at 600k rows). Block granularity after the coalesce
+    # equals the exchange's own output granularity, so no new skew.
     return ds.map_batches(add_part, batch_format="pyarrow",
                           zero_copy_batch=True) \
+        .repartition(num_parts) \
         .groupby("_part").map_groups(run, batch_format=batch_format)
 
 
@@ -229,7 +236,9 @@ def copartitioned_map(sides, key: str, fn, num_parts: int | None = None):
                   .drop_columns(["_side"]) for i in range(n_sides)]
         return fn(parts)
 
-    return u.groupby("_part").map_groups(run, batch_format="pyarrow")
+    # same block-coalesce-before-exchange as partitioned_map_groups
+    return u.repartition(num_parts) \
+        .groupby("_part").map_groups(run, batch_format="pyarrow")
 
 
 def _segment_starts(keys: np.ndarray) -> np.ndarray:

@@ -417,6 +417,16 @@ def _images_phash_dupes(sf_dir: str):
     return images_phash_dupes(sf_dir)
 
 
+def _purchase_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank over the undirected customer-supplier
+    purchase graph (5 iterations, damping 0.85): exact, partitioning-
+    independent, and oracled by a DuckDB query that unrolls the same
+    integer recurrence."""
+    from webxtract.ops.graph import purchase_pagerank
+
+    return purchase_pagerank(sf_dir)
+
+
 def _docs_new_content(sf_dir: str):
     """Incremental-ingest dedup: incoming half of the corpus anti-joined
     on content md5 against the prior half via Bloom prefilter + exact
@@ -528,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_redact": _docs_pii_redact,
         "docs_pack_sequences": _docs_pack_sequences,  # rows-only
         "docs_new_content": _docs_new_content,
+        "purchase_pagerank": _purchase_pagerank,
         "docs_regex_tokens": _docs_regex_tokens,
         "emb_norms": _emb_norms,
         "emb_label_centroids": _emb_label_centroids,
@@ -1310,6 +1321,67 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY cntrycode
             ORDER BY cntrycode
         """,
+        "purchase_pagerank": """
+            WITH e0 AS (
+                SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            und AS (SELECT a AS src, b AS dst FROM e0
+                    UNION ALL SELECT b AS src, a AS dst FROM e0),
+            deg AS (SELECT src AS node, count(*) AS d FROM und
+                    GROUP BY src),
+            nn AS (SELECT count(*) AS n FROM deg),
+            r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS r
+                   FROM deg),
+            c1 AS (
+    SELECT u.dst AS node, sum(r0.r // deg.d) AS c
+    FROM und u JOIN r0 ON u.src = r0.node JOIN deg ON u.src = deg.node
+    GROUP BY u.dst),
+r1 AS (
+    SELECT deg.node,
+           (150000000000 // (SELECT n FROM nn))
+           + (85 * coalesce(c1.c, 0)) // 100 AS r
+    FROM deg LEFT JOIN c1 ON deg.node = c1.node),
+c2 AS (
+    SELECT u.dst AS node, sum(r1.r // deg.d) AS c
+    FROM und u JOIN r1 ON u.src = r1.node JOIN deg ON u.src = deg.node
+    GROUP BY u.dst),
+r2 AS (
+    SELECT deg.node,
+           (150000000000 // (SELECT n FROM nn))
+           + (85 * coalesce(c2.c, 0)) // 100 AS r
+    FROM deg LEFT JOIN c2 ON deg.node = c2.node),
+c3 AS (
+    SELECT u.dst AS node, sum(r2.r // deg.d) AS c
+    FROM und u JOIN r2 ON u.src = r2.node JOIN deg ON u.src = deg.node
+    GROUP BY u.dst),
+r3 AS (
+    SELECT deg.node,
+           (150000000000 // (SELECT n FROM nn))
+           + (85 * coalesce(c3.c, 0)) // 100 AS r
+    FROM deg LEFT JOIN c3 ON deg.node = c3.node),
+c4 AS (
+    SELECT u.dst AS node, sum(r3.r // deg.d) AS c
+    FROM und u JOIN r3 ON u.src = r3.node JOIN deg ON u.src = deg.node
+    GROUP BY u.dst),
+r4 AS (
+    SELECT deg.node,
+           (150000000000 // (SELECT n FROM nn))
+           + (85 * coalesce(c4.c, 0)) // 100 AS r
+    FROM deg LEFT JOIN c4 ON deg.node = c4.node),
+c5 AS (
+    SELECT u.dst AS node, sum(r4.r // deg.d) AS c
+    FROM und u JOIN r4 ON u.src = r4.node JOIN deg ON u.src = deg.node
+    GROUP BY u.dst),
+r5 AS (
+    SELECT deg.node,
+           (150000000000 // (SELECT n FROM nn))
+           + (85 * coalesce(c5.c, 0)) // 100 AS r
+    FROM deg LEFT JOIN c5 ON deg.node = c5.node)
+            SELECT node, round(r / 1000000000000.0, 6) AS rank
+            FROM r5
+            ORDER BY rank DESC, node
+            LIMIT 25
+""",
         "docs_new_content": """
             WITH split AS (
                 SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) AS s

@@ -1118,3 +1118,29 @@ def test_funnel_ordering_semantics(ray_session, tmp_path):
     }), str(tmp_path / "events.parquet"))
     out = events_funnel_users(str(tmp_path))
     assert out.column("n_users").to_pylist() == [2]
+
+
+def test_pagerank_fixed_point_invariance(ray_session):
+    """Fixed-point PageRank must be bit-identical under any block split,
+    conserve (almost all) rank mass, and rank a hub above leaves."""
+    import ray.data as rd
+
+    from webxtract.ops.graph import SCALE, pagerank
+
+    # star: hub 0 <-> leaves 1..10, plus a chain 11<->12
+    e = [(0, i) for i in range(1, 11)] + [(11, 12)]
+    src = [a for a, b in e] + [b for a, b in e]
+    dst = [b for a, b in e] + [a for a, b in e]
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    outs = []
+    for blocks in (1, 4, 16):
+        ds = rd.from_arrow(t).repartition(blocks).materialize()
+        outs.append(pagerank(ds, iters=5).to_pandas()
+                    .sort_values("node", ignore_index=True))
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+    r = dict(zip(outs[0].node, outs[0].rank_e12))
+    assert r[0] > r[1] > 0                      # hub dominates a leaf
+    assert all(r[1] == r[i] for i in range(2, 11))  # leaves symmetric
+    total = sum(r.values())
+    assert 0.98 * SCALE <= total <= SCALE       # floor-div loses <2% mass

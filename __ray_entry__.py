@@ -502,7 +502,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rank_in_user": R.events_rank_in_user,
         "events_value_p90": R.events_value_p90,
         "lang_top_terms": R.lang_top_terms,
-        "orders_rollup": R.orders_rollup,
         "events_time_since_prev": R.events_time_since_prev,
         "events_moving_avg": R.events_moving_avg,
         "q6_revenue_filter": R.q6_revenue_filter,
@@ -720,15 +719,6 @@ def oracle_sql() -> dict[str, str]:
                 FROM counts
             )
             SELECT lang, term, n FROM ranked WHERE r <= 3
-        """,
-        "orders_rollup": """
-            SELECT COALESCE(o_orderstatus, 'ALL')   AS o_orderstatus,
-                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
-                   count(*)                         AS n_orders,
-                   round(sum(round(o_totalprice * 100)) / 100.0, 2)
-                       AS total_price
-            FROM orders
-            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "events_time_since_prev": """
             SELECT event_id, user_id,

@@ -76,6 +76,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "q21_sole_blame", "q2_best_supplier", "q12_priority_by_flag",
         "q13_orders_per_customer", "orders_top_per_priority",
         "orders_rollup", "events_hourly_gapfill", "events_funnel_users",
+        "purchase_pagerank",
         "docs_repetition", "docs_split", "docs_pii_redact",
         "docs_pack_sequences", "docs_regex_tokens", "docs_new_content",
         "emb_norms", "emb_label_centroids", "events_type_users_hll",

@@ -1006,66 +1006,6 @@ def lang_top_terms(sf_dir: str, k: int = 3):
     return partitioned_map_groups(agg, "lang", topk)
 
 
-def orders_rollup(sf_dir: str):
-    """ROLLUP-style aggregate: order counts + total price at
-    (status, priority), (status) and grand-total levels, rolled-up
-    dimensions coalesced to 'ALL'. Three grouped aggregates over the
-    same pre-reduced partials + a union (each level pre-reduces before
-    its exchange); oracle = GROUP BY ROLLUP + COALESCE."""
-    from ray.data.aggregate import Count, Sum
-
-    ds = read(sf_dir, "orders",
-              columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
-
-    def prep(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "o_orderstatus": t.column("o_orderstatus"),
-            "o_orderpriority": t.column("o_orderpriority"),
-            "price_cents": _cents(t.column("o_totalprice")),
-        })
-
-    base = ds.map_batches(prep, batch_format="pyarrow",
-                          zero_copy_batch=True).materialize()
-    # materialized once: three level aggregations consume the same
-    # pre-reduced projection (24 B/row) without re-reading the input
-
-    lvl2 = base.groupby(["o_orderstatus", "o_orderpriority"]).aggregate(
-        Count(alias_name="n_orders"), Sum("price_cents", alias_name="cents"))
-    lvl1 = base.groupby("o_orderstatus").aggregate(
-        Count(alias_name="n_orders"), Sum("price_cents", alias_name="cents"))
-
-    def fin(all_cols: tuple[str, ...]):
-        def fn(t: pa.Table) -> pa.Table:
-            for c in all_cols:
-                t = t.append_column(c, pa.array(["ALL"] * t.num_rows,
-                                                pa.string()))
-            t = t.append_column("total_price", _uncents(t.column("cents")))
-            return t.select(["o_orderstatus", "o_orderpriority",
-                             "n_orders", "total_price"])
-
-        return fn
-
-    out2 = lvl2.map_batches(fin(()), batch_format="pyarrow",
-                            zero_copy_batch=True)
-    out1 = lvl1.map_batches(fin(("o_orderpriority",)),
-                            batch_format="pyarrow", zero_copy_batch=True)
-
-    def grand(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "o_orderstatus": pa.array(["ALL"], pa.string()),
-            "o_orderpriority": pa.array(["ALL"], pa.string()),
-            "n_orders": pa.array(
-                [pc.sum(t.column("n_orders")).as_py()], pa.int64()),
-            "total_price": _uncents(pa.array(
-                [pc.sum(t.column("cents")).as_py()], pa.int64())),
-        })
-
-    # grand total folds the (already tiny) per-status rows in one task
-    out0 = lvl1.repartition(1).map_batches(grand, batch_format="pyarrow",
-                                           zero_copy_batch=True)
-    return out2.union(out1).union(out0)
-
-
 def events_value_p90(sf_dir: str):
     """Grouped interpolated p90 (DuckDB quantile_cont semantics: linear
     interpolation between order statistics). Like the exact median, the

@@ -394,6 +394,14 @@ def _docs_regex_tokens(sf_dir: str):
     return docs_regex_tokens(sf_dir)
 
 
+def _docs_dup_spans(sf_dir: str):
+    """Cross-document duplicated 8-gram spans (Lee et al. ExactSubstr
+    signal), top-50 by document spread (oracled)."""
+    from webxtract.ops.text import docs_dup_spans
+
+    return docs_dup_spans(sf_dir)
+
+
 def _emb_norms(sf_dir: str):
     """Per-vector L2 norms (oracled: DuckDB list kernels)."""
     from webxtract.ops.knn import emb_norms
@@ -539,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_new_content": _docs_new_content,
         "purchase_pagerank": _purchase_pagerank,
         "docs_regex_tokens": _docs_regex_tokens,
+        "docs_dup_spans": _docs_dup_spans,
         "emb_norms": _emb_norms,
         "emb_label_centroids": _emb_label_centroids,
         "images_phash_dupes": _images_phash_dupes,  # rows-only
@@ -1455,6 +1464,23 @@ r5 AS (
                        '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
                        AS n_pretokens
             FROM documents
+        """,
+        "docs_dup_spans": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+                          FROM documents),
+            grams AS (
+                SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS gram
+                FROM toks,
+                     LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) r
+            ),
+            agg AS (
+                SELECT gram, count(DISTINCT doc_id) AS n_docs,
+                       count(*) AS n_occ
+                FROM grams GROUP BY gram
+                HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT gram, n_docs, n_occ FROM agg
+            ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 50
         """,
         "emb_norms": """
             SELECT vec_id,

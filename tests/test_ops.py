@@ -1144,3 +1144,27 @@ def test_pagerank_fixed_point_invariance(ray_session):
     assert all(r[1] == r[i] for i in range(2, 11))  # leaves symmetric
     total = sum(r.values())
     assert 0.98 * SCALE <= total <= SCALE       # floor-div loses <2% mass
+
+
+def test_dup_spans_planted(ray_session, tmp_path):
+    """Planted cross-doc span: docs 1 and 3 share one 8-token window
+    (doc 3 twice), doc 2 is disjoint — the only surviving gram must be
+    the planted one with n_docs=2, n_occ=3, regardless of block split."""
+    import pyarrow.parquet as pq
+
+    from webxtract.ops.text import docs_dup_spans
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"x1 {span} y1",
+            "unrelated tokens here none shared with anything q r s t u v",
+            f"z0 {span} mid {span}",
+        ]),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = docs_dup_spans(str(tmp_path)).to_pandas()
+    assert out["gram"].tolist() == [span]
+    assert out["n_docs"].tolist() == [2]
+    assert out["n_occ"].tolist() == [3]

@@ -692,3 +692,72 @@ def docs_regex_tokens(sf_dir: str):
 
     return ds.map_batches(count, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# --- cross-document duplicated n-gram spans -------------------------------
+
+def docs_dup_spans(sf_dir: str, n: int = 8, k: int = 50):
+    """Cross-document duplicated n-gram spans: every n-token window that
+    occurs in >= 2 distinct documents, with corpus-wide document and
+    occurrence counts (top-k by spread). This is the span-level exact
+    duplication signal of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ExactSubstr at fixed n-gram granularity) —
+    the doc-level companions are docs_exact_dedup / docs_minhash_pairs.
+
+    Scale shape: each batch builds its n-gram stream in ONE vectorized
+    Arrow pass (split -> flatten -> n shifted takes -> C++
+    binary_join_element_wise) and pre-reduces to per-gram partials
+    carrying (n_docs, n_occ). A document's text is a single row, so its
+    grams never straddle batches and in-batch distinct-doc counts sum
+    exactly across the one grouped-Sum exchange; the exchange carries
+    one row per distinct gram per batch, never one row per token
+    position. At 10^12 docs the exchanged key would be a 128-bit gram
+    hash with the string resolved only for the final top-k; here the
+    string itself is the key so the DuckDB oracle groups on it.
+    Output: (gram, n_docs, n_occ), n_docs desc, n_occ desc, gram asc,
+    top k."""
+    from ray.data.aggregate import Sum
+
+    from .relational import _default_parts, read
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    empty = pa.table({"gram": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "n_occ": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy()
+        if len(flat) < n:
+            return empty
+        # window start i is valid iff token i and token i+n-1 belong to
+        # the same document (parents are monotone)
+        valid = parents[:len(flat) - n + 1] == parents[n - 1:]
+        idx = np.nonzero(valid)[0]
+        if idx.size == 0:
+            return empty
+        shifted = [flat.take(pa.array(idx + j)) for j in range(n)]
+        gram = pc.binary_join_element_wise(*shifted, " ")
+        doc = batch.column("doc_id").take(pa.array(parents[idx]))
+        pairs = pa.table({"gram": gram, "doc": doc}) \
+            .group_by(["gram", "doc"]).aggregate([([], "count_all")])
+        g = pairs.group_by("gram").aggregate(
+            [("count_all", "sum"), ("doc", "count")])
+        return pa.table({"gram": g.column("gram"),
+                         "n_docs": g.column("doc_count").cast(pa.int64()),
+                         "n_occ": g.column("count_all_sum").cast(pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .repartition(_default_parts())  # coalesce slim partial blocks
+           .groupby("gram").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                      Sum("n_occ", alias_name="n_occ")))
+
+    def shared(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n_docs"), pa.scalar(2)))
+
+    return (agg.map_batches(shared, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .sort(["n_docs", "n_occ", "gram"],
+                  descending=[True, True, False]).limit(k))

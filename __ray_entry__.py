@@ -402,6 +402,14 @@ def _docs_dup_spans(sf_dir: str):
     return docs_dup_spans(sf_dir)
 
 
+def _docs_dup_span_frac(sf_dir: str):
+    """Per-doc duplicated-span coverage fraction (oracled; broadcast/
+    Bloom+join auto-gate, equivalence-tested)."""
+    from webxtract.ops.text import docs_dup_span_frac
+
+    return docs_dup_span_frac(sf_dir)
+
+
 def _emb_norms(sf_dir: str):
     """Per-vector L2 norms (oracled: DuckDB list kernels)."""
     from webxtract.ops.knn import emb_norms
@@ -548,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_pagerank": _purchase_pagerank,
         "docs_regex_tokens": _docs_regex_tokens,
         "docs_dup_spans": _docs_dup_spans,
+        "docs_dup_span_frac": _docs_dup_span_frac,
         "emb_norms": _emb_norms,
         "emb_label_centroids": _emb_label_centroids,
         "images_phash_dupes": _images_phash_dupes,  # rows-only
@@ -1481,6 +1490,25 @@ r5 AS (
             )
             SELECT gram, n_docs, n_occ FROM agg
             ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 50
+        """,
+        "docs_dup_span_frac": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+                          FROM documents),
+            grams AS (
+                SELECT doc_id, i, array_to_string(ts[i:i+7], ' ') AS gram
+                FROM toks,
+                     LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) r
+            ),
+            dup AS (SELECT gram FROM grams GROUP BY gram
+                    HAVING count(DISTINCT doc_id) >= 2),
+            cov AS (SELECT doc_id, count(DISTINCT p) AS c
+                    FROM grams JOIN dup USING (gram),
+                         LATERAL (SELECT unnest(range(i, i + 8)) AS p) rr
+                    GROUP BY doc_id),
+            base AS (SELECT doc_id, len(ts) AS n_tokens FROM toks)
+            SELECT b.doc_id, b.n_tokens,
+                   round(COALESCE(c, 0) * 1.0 / b.n_tokens, 6) AS dup_frac
+            FROM base b LEFT JOIN cov USING (doc_id)
         """,
         "emb_norms": """
             SELECT vec_id,

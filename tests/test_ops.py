@@ -1168,3 +1168,36 @@ def test_dup_spans_planted(ray_session, tmp_path):
     assert out["gram"].tolist() == [span]
     assert out["n_docs"].tolist() == [2]
     assert out["n_occ"].tolist() == [3]
+
+
+def test_dup_span_frac_paths_and_planted(ray_session, tmp_path):
+    """Coverage semantics on a planted corpus: overlapping dup windows
+    must union (not double-count), disjoint docs score 0.0, and the
+    broadcast and Bloom+join paths agree row-for-row."""
+    import pyarrow.parquet as pq
+
+    from webxtract.ops.text import docs_dup_span_frac
+
+    # a shared 9-token run = two OVERLAPPING 8-gram windows per doc;
+    # coverage must be the interval union (9 tokens), not 2 x 8
+    span9 = "alpha beta gamma delta epsilon zeta eta theta iota"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"x1 {span9} y1 nope1",
+            "unrelated tokens here none shared q r s t u v w",
+            f"{span9} tail0 tail1",
+        ]),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    a = docs_dup_span_frac(str(tmp_path), verify="broadcast") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = docs_dup_span_frac(str(tmp_path), verify="join") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    by = dict(zip(a["doc_id"], zip(a["n_tokens"], a["dup_frac"])))
+    # doc 1: 12 tokens, union of windows [1,8] and [2,9] -> 9/12
+    assert by[1] == (12, round(9 / 12, 6))
+    assert by[2][1] == 0.0
+    # doc 3: 11 tokens, union of windows [0,7] and [1,8] -> 9/11
+    assert by[3] == (11, round(9 / 11, 6))

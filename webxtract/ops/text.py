@@ -696,6 +696,75 @@ def docs_regex_tokens(sf_dir: str):
 
 # --- cross-document duplicated n-gram spans -------------------------------
 
+def _gram_stream(batch: pa.Table, n: int):
+    """Vectorized n-gram window stream for a documents batch: one Arrow
+    pass (split -> flatten -> n shifted takes -> C++ join). Returns
+    (gram StringArray, doc Int64Array, start int64 ndarray — 0-based
+    token position within the doc, n_tok int64 ndarray per window's
+    doc) or None when the batch has no full window."""
+    toks = pc.split_pattern(batch.column("text"), pattern=" ")
+    flat = pc.list_flatten(toks).combine_chunks()
+    parents = pc.list_parent_indices(toks).to_numpy()
+    if len(flat) < n:
+        return None
+    # window start i is valid iff token i and token i+n-1 belong to
+    # the same document (parents are monotone)
+    valid = parents[:len(flat) - n + 1] == parents[n - 1:]
+    idx = np.nonzero(valid)[0]
+    if idx.size == 0:
+        return None
+    shifted = [flat.take(pa.array(idx + j)) for j in range(n)]
+    gram = pc.binary_join_element_wise(*shifted, " ")
+    rows = parents[idx]
+    doc = batch.column("doc_id").take(pa.array(rows))
+    lens = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
+    offsets = np.zeros(len(batch) + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    start = idx - offsets[rows]
+    return gram, doc, start, lens[rows], rows
+
+
+_GRAM_PARTIAL_EMPTY = pa.table({"gram": pa.array([], pa.string()),
+                                "n_docs": pa.array([], pa.int64()),
+                                "n_occ": pa.array([], pa.int64())})
+
+
+def _gram_partial(batch: pa.Table, n: int) -> pa.Table:
+    """Per-batch per-gram (n_docs, n_occ) partials. Exact across the
+    downstream grouped-Sum exchange because a document's text is a
+    single row — its grams never straddle batches."""
+    st = _gram_stream(batch, n)
+    if st is None:
+        return _GRAM_PARTIAL_EMPTY
+    gram, doc = st[0], st[1]
+    pairs = pa.table({"gram": gram, "doc": doc}) \
+        .group_by(["gram", "doc"]).aggregate([([], "count_all")])
+    g = pairs.group_by("gram").aggregate(
+        [("count_all", "sum"), ("doc", "count")])
+    return pa.table({"gram": g.column("gram"),
+                     "n_docs": g.column("doc_count").cast(pa.int64()),
+                     "n_occ": g.column("count_all_sum").cast(pa.int64())})
+
+
+def _covered_tokens(start: np.ndarray, seg_starts: np.ndarray,
+                    n: int) -> np.ndarray:
+    """Union length of fixed-width [s, s+n) intervals per segment.
+    ``start`` must be sorted within each segment (gram streams are —
+    they're emitted in position order). Equal-width intervals sorted by
+    start are also sorted by end, so each window past the first adds
+    min(gap, n) new tokens."""
+    if start.size == 0:
+        return np.zeros(0, np.int64)
+    gaps = np.minimum(np.diff(start), n).astype(np.int64)
+    gaps = np.clip(gaps, 0, n)
+    first = np.zeros(start.size, np.int64)
+    first[seg_starts] = n
+    contrib = np.concatenate([[n], gaps])
+    contrib[seg_starts] = 0
+    contrib = contrib + first
+    return np.add.reduceat(contrib, seg_starts)
+
+
 def docs_dup_spans(sf_dir: str, n: int = 8, k: int = 50):
     """Cross-document duplicated n-gram spans: every n-token window that
     occurs in >= 2 distinct documents, with corpus-wide document and
@@ -721,35 +790,8 @@ def docs_dup_spans(sf_dir: str, n: int = 8, k: int = 50):
     from .relational import _default_parts, read
 
     ds = read(sf_dir, "documents", columns=["doc_id", "text"])
-    empty = pa.table({"gram": pa.array([], pa.string()),
-                      "n_docs": pa.array([], pa.int64()),
-                      "n_occ": pa.array([], pa.int64())})
-
-    def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch.column("text"), pattern=" ")
-        flat = pc.list_flatten(toks).combine_chunks()
-        parents = pc.list_parent_indices(toks).to_numpy()
-        if len(flat) < n:
-            return empty
-        # window start i is valid iff token i and token i+n-1 belong to
-        # the same document (parents are monotone)
-        valid = parents[:len(flat) - n + 1] == parents[n - 1:]
-        idx = np.nonzero(valid)[0]
-        if idx.size == 0:
-            return empty
-        shifted = [flat.take(pa.array(idx + j)) for j in range(n)]
-        gram = pc.binary_join_element_wise(*shifted, " ")
-        doc = batch.column("doc_id").take(pa.array(parents[idx]))
-        pairs = pa.table({"gram": gram, "doc": doc}) \
-            .group_by(["gram", "doc"]).aggregate([([], "count_all")])
-        g = pairs.group_by("gram").aggregate(
-            [("count_all", "sum"), ("doc", "count")])
-        return pa.table({"gram": g.column("gram"),
-                         "n_docs": g.column("doc_count").cast(pa.int64()),
-                         "n_occ": g.column("count_all_sum").cast(pa.int64())})
-
-    agg = (ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    agg = (ds.map_batches(lambda b: _gram_partial(b, n),
+                          batch_format="pyarrow", zero_copy_batch=True)
            .repartition(_default_parts())  # coalesce slim partial blocks
            .groupby("gram").aggregate(Sum("n_docs", alias_name="n_docs"),
                                       Sum("n_occ", alias_name="n_occ")))
@@ -761,3 +803,198 @@ def docs_dup_spans(sf_dir: str, n: int = 8, k: int = 50):
                             zero_copy_batch=True)
             .sort(["n_docs", "n_occ", "gram"],
                   descending=[True, True, False]).limit(k))
+
+
+def _dup_gram_ds(sf_dir: str, n: int):
+    """Materialized slim Dataset of grams occurring in >= 2 distinct
+    docs (the shared pass-1 of the span-dup operators)."""
+    from ray.data.aggregate import Sum
+
+    from .relational import _default_parts, read
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    agg = (ds.map_batches(lambda b: _gram_partial(b, n),
+                          batch_format="pyarrow", zero_copy_batch=True)
+           .repartition(_default_parts())
+           .groupby("gram").aggregate(Sum("n_docs", alias_name="n_docs")))
+
+    def shared(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("n_docs"), pa.scalar(2)))
+        return t.select(["gram"])
+
+    return agg.map_batches(shared, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+
+DUP_SPAN_BROADCAST_MAX = 500_000  # dup grams; above this, join path
+
+
+def docs_dup_span_frac(sf_dir: str, n: int = 8, verify: str = "auto"):
+    """Per-document duplicated-span coverage: the fraction of each
+    doc's token positions covered by at least one n-gram window that
+    also occurs in ANOTHER document — the doc-level filtering signal of
+    span-level exact dedup (Lee et al.), companion to docs_dup_spans.
+    Output: (doc_id, n_tokens, dup_frac), dup_frac rounded to 6.
+
+    Pass 1 builds the duplicated-gram set (grouped-Sum over per-batch
+    gram partials, materialized slim). Pass 2 marks each doc's windows
+    and computes the interval-union coverage — fixed-width windows
+    sorted by position make the union a vectorized min(gap, n) scan.
+
+    ``verify``: 'broadcast' ships the dup-gram set once via ray.put and
+    does everything map-side in one scan (zero pass-2 exchange —
+    coverage is in-batch because a doc is one row); 'join' never
+    materializes the set on the driver: a Bloom prefilter drops
+    definitely-unique windows map-side, the might-be-dup residue pays
+    one copartitioned semi-join on the gram, and per-doc coverage
+    finishes under a doc-keyed groupby (slim rows only — the scale
+    path). 'auto' gates on the dup-set size. Both paths are
+    equivalence-tested."""
+    import ray
+
+    from .relational import copartitioned_map, read
+
+    dup = _dup_gram_ds(sf_dir, n)
+    n_dup = dup.count()
+    if verify == "auto":
+        verify = "broadcast" if n_dup <= DUP_SPAN_BROADCAST_MAX else "join"
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def finish(doc_ids, n_toks, covered) -> pa.Table:
+        frac = np.round(covered / np.maximum(n_toks, 1), 6)
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "n_tokens": pa.array(n_toks, pa.int64()),
+                         "dup_frac": pa.array(frac, pa.float64())})
+
+    if verify == "broadcast":
+        dup_tbl = pa.concat_tables(
+            list(dup.iter_batches(batch_format="pyarrow")))
+        set_ref = ray.put(dup_tbl.column("gram").combine_chunks())
+
+        def frac_batch(batch: pa.Table) -> pa.Table:
+            from ..broadcast import get_broadcast
+
+            toks = pc.split_pattern(batch.column("text"), pattern=" ")
+            n_toks = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
+            doc_ids = batch.column("doc_id").to_numpy()
+            covered = np.zeros(len(batch), np.int64)
+            st = _gram_stream(batch, n)
+            if st is not None:
+                gram, _, start, _, rows = st
+                hit = pc.is_in(
+                    gram, value_set=get_broadcast(set_ref)).to_numpy(
+                        zero_copy_only=False)
+                rows_d, start_d = rows[hit], start[hit]
+                if rows_d.size:
+                    seg = np.nonzero(np.concatenate(
+                        [[True], rows_d[1:] != rows_d[:-1]]))[0]
+                    covered[rows_d[seg]] = _covered_tokens(start_d, seg, n)
+            return finish(doc_ids, n_toks, covered)
+
+        return docs.map_batches(frac_batch, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    # join path: Bloom prefilter + copartitioned semi-join; the driver
+    # never holds the dup-gram set, only the OR-merged fixed-size bitmap
+    from .sketch import BloomFilter
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(max(n_dup, 1))
+        bf.add(batch.column("gram").to_pylist())
+        return pa.table({"bloom": pa.array([bf.serialize()], pa.binary())})
+
+    bf_all = None
+    for b in dup.map_batches(bloom_partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for raw in b.column("bloom").to_pylist():
+            cur = BloomFilter.deserialize(raw)
+            bf_all = cur if bf_all is None else bf_all.merge(cur)
+    bloom_ref = ray.put((bf_all or BloomFilter(1)).serialize())
+
+    def prep_docs(batch: pa.Table) -> pa.Table:
+        # one baseline row per doc (start = null; gram = doc id string,
+        # so baseline rows spread uniformly over the gram-hash
+        # partitions instead of hot-spotting one) + one row per
+        # might-be-dup window (Bloom has no false negatives)
+        from ..broadcast import get_broadcast_derived
+
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        n_toks = pc.list_value_length(toks).cast(pa.int64())
+        base = pa.table({
+            "gram": pc.cast(batch.column("doc_id"), pa.string()),
+            "doc_id": batch.column("doc_id"),
+            "start": pa.nulls(len(batch), pa.int64()),
+            "n_tok": n_toks,
+        })
+        st = _gram_stream(batch, n)
+        if st is None:
+            return base
+        gram, doc, start, n_tok, _ = st
+        bf = get_broadcast_derived(bloom_ref, "bloom",
+                                   BloomFilter.deserialize)
+        maybe = bf.might_contain(gram.to_pylist())
+        wins = pa.table({
+            "gram": gram.filter(pa.array(maybe)),
+            "doc_id": doc.filter(pa.array(maybe)),
+            "start": pa.array(start[maybe], pa.int64()),
+            "n_tok": pa.array(n_tok[maybe], pa.int64()),
+        })
+        return pa.concat_tables([base, wins])
+
+    def prep_dup(batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        return pa.table({
+            "gram": batch.column("gram"),
+            "doc_id": pa.nulls(nrows, pa.int64()),
+            "start": pa.nulls(nrows, pa.int64()),
+            "n_tok": pa.nulls(nrows, pa.int64()),
+        })
+
+    def semi(parts: list[pa.Table]) -> pa.Table:
+        pos, dup_side = parts
+        is_base = pc.is_null(pos.column("start"))
+        base = pos.filter(is_base)
+        wins = pos.filter(pc.invert(is_base))
+        keep = wins.filter(pc.is_in(wins.column("gram"),
+                                    value_set=dup_side.column("gram")
+                                    .combine_chunks()))
+        return pa.concat_tables([base, keep]) \
+            .select(["doc_id", "start", "n_tok"])
+
+    verified = copartitioned_map(
+        [(docs, prep_docs), (dup, prep_dup)], "gram", semi)
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        doc_ids = group.column("doc_id").to_numpy()
+        order = np.argsort(doc_ids, kind="stable")
+        g = group.take(pa.array(order))
+        d = g.column("doc_id").to_numpy()
+        is_win = pc.is_valid(g.column("start")).to_numpy(
+            zero_copy_only=False)
+        uniq, inv = np.unique(d, return_inverse=True)
+        n_toks = np.zeros(uniq.size, np.int64)
+        base_rows = ~is_win
+        n_toks[inv[base_rows]] = g.column("n_tok").to_numpy(
+            zero_copy_only=False)[base_rows]
+        covered = np.zeros(uniq.size, np.int64)
+        if is_win.any():
+            dw = d[is_win]
+            sw = g.column("start").to_numpy(zero_copy_only=False)[
+                is_win].astype(np.int64)
+            # windows arrive in arbitrary partition order: sort by
+            # (doc, start) before the fixed-width union scan
+            o2 = np.lexsort((sw, dw))
+            dw, sw = dw[o2], sw[o2]
+            seg = np.nonzero(np.concatenate(
+                [[True], dw[1:] != dw[:-1]]))[0]
+            cov = _covered_tokens(sw, seg, n)
+            covered[np.searchsorted(uniq, dw[seg])] = cov
+        frac = np.round(covered / np.maximum(n_toks, 1), 6)
+        return pa.table({"doc_id": pa.array(uniq, pa.int64()),
+                         "n_tokens": pa.array(n_toks, pa.int64()),
+                         "dup_frac": pa.array(frac, pa.float64())})
+
+    return verified.groupby("doc_id").map_groups(
+        per_doc, batch_format="pyarrow")

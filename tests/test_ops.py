@@ -1201,3 +1201,21 @@ def test_dup_span_frac_paths_and_planted(ray_session, tmp_path):
     assert by[2][1] == 0.0
     # doc 3: 11 tokens, union of windows [0,7] and [1,8] -> 9/11
     assert by[3] == (11, round(9 / 11, 6))
+
+
+def test_round_ha_matches_duckdb_on_dyadic_ties():
+    """Exact .5 ties at the rounding digit (dyadic integer ratios, e4
+    money sums ending in 50) must round AWAY from zero like DuckDB —
+    not half-to-even like numpy/python/pyarrow defaults."""
+    import duckdb
+
+    from webxtract.ops.relational import round_ha
+
+    cases = [(0.125, 2), (9 / 128, 6), (1 / 128, 6), (-9 / 128, 6),
+             (0.0703125, 6), (12345.0 / 10000.0, 2), (0.2, 6)]
+    got = [round_ha(x, nd) for x, nd in cases]
+    exp = [duckdb.sql(f"SELECT round(CAST({x!r} AS DOUBLE), {nd})")
+           .fetchone()[0] for x, nd in cases]
+    assert got == exp
+    # and the stdlib would get the dyadic ties wrong:
+    assert round(0.125, 2) != round_ha(0.125, 2)

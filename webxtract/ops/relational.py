@@ -31,6 +31,28 @@ def _uncents(arr) -> pa.Array:
     return pc.round(pc.divide(arr.cast(pa.float64()), pa.scalar(100.0)), 2)
 
 
+def round_ha(x, nd: int):
+    """Round half AWAY from zero, matching DuckDB's round() on DOUBLE —
+    numpy, pyarrow and Python all default to half-to-even. The modes
+    genuinely diverge on final outputs that are integer ratios (shares,
+    averages, coverage fractions, e4-unit money sums): the 10^-nd tie
+    is EXACT whenever the reduced denominator carries enough factors of
+    two (an average over 32 rows, a fraction over 128 tokens, an e4 sum
+    ending in 50), and then the value-hash oracle compare flags a
+    phantom mismatch. floor(|x|*10^nd + 0.5) equals C++ std::round on
+    the identically computed scaled double (the addition is exact below
+    2^51, far above any rounded output here). Accepts float, ndarray,
+    or pyarrow (Chunked)Array; nan passes through."""
+    f = 10.0 ** nd
+    if isinstance(x, (pa.ChunkedArray, pa.Array)):
+        v = x.to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.array(np.sign(v) * np.floor(np.abs(v) * f + 0.5) / f,
+                        pa.float64())
+    v = np.asarray(x, dtype=np.float64)
+    out = np.sign(v) * np.floor(np.abs(v) * f + 0.5) / f
+    return float(out) if out.ndim == 0 else out
+
+
 def dim_rows(sf_dir: str, table: str, columns: list[str] | None = None,
              filter=None) -> pa.Table:
     """Driver-side read of a DIMENSION-scale table (region: 5 rows,
@@ -297,10 +319,10 @@ def q1_pricing_summary(sf_dir: str):
         t = t.drop_columns(["base_cents", "disc_cents"])
         for c in ["sum_qty"]:
             t = t.set_column(t.schema.get_field_index(c), c,
-                             pc.round(t.column(c), 2))
+                             round_ha(t.column(c), 2))
         for c in ["avg_qty", "avg_disc"]:
             t = t.set_column(t.schema.get_field_index(c), c,
-                             pc.round(t.column(c), 6))
+                             round_ha(t.column(c), 6))
         return t
 
     return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
@@ -807,7 +829,7 @@ def parts_brand_stats(sf_dir: str):
 
     def final(t: pa.Table) -> pa.Table:
         i = t.schema.get_field_index("avg_price")
-        t = t.set_column(i, "avg_price", pc.round(t.column("avg_price"), 6))
+        t = t.set_column(i, "avg_price", round_ha(t.column("avg_price"), 6))
         # Ray's Max promotes to int64; p_size is int32 (match the oracle)
         j = t.schema.get_field_index("max_size")
         return t.set_column(j, "max_size",
@@ -1139,7 +1161,7 @@ def q6_revenue_filter(sf_dir: str):
         rev = pc.sum(t.column("rev_e4")).as_py() or 0
         n = pc.sum(t.column("n_items")).as_py() or 0
         return pa.table({
-            "revenue": pa.array([round(rev / 10000.0, 2)], pa.float64()),
+            "revenue": pa.array([round_ha(rev / 10000.0, 2)], pa.float64()),
             "n_items": pa.array([n], pa.int64()),
         })
 
@@ -1257,7 +1279,7 @@ def events_props_k_stats(sf_dir: str):
     )
 
     def final(t: pa.Table) -> pa.Table:
-        avg = pc.round(pc.divide(
+        avg = round_ha(pc.divide(
             pc.cast(t.column("sum_k"), pa.float64()),
             pc.cast(t.column("n_events"), pa.float64())), 6)
         return t.append_column("avg_k", avg)
@@ -1447,8 +1469,8 @@ def events_type_share(sf_dir: str):
     t = pa.concat_tables(
         [b for b in agg.iter_batches(batch_format="pyarrow")])
     total = pc.sum(t.column("n")).as_py() or 0
-    share = pc.round(pc.divide(pc.cast(t.column("n"), pa.float64()),
-                               pa.scalar(float(total))), 6)
+    share = round_ha(pc.divide(pc.cast(t.column("n"), pa.float64()),
+                             pa.scalar(float(total))), 6)
     return t.append_column("share", share).combine_chunks()
 
 
@@ -1674,7 +1696,7 @@ def orders_monthly_growth(sf_dir: str):
         n = g.column("n_orders").to_numpy().astype(np.float64)
         pct = np.full(len(n), np.nan)
         if len(n) > 1:
-            pct[1:] = np.round((n[1:] - n[:-1]) / n[:-1], 6)
+            pct[1:] = round_ha((n[1:] - n[:-1]) / n[:-1], 6)
         return pa.table({
             "month": g.column("month").cast(pa.timestamp("us")),
             "n_orders": g.column("n_orders"),
@@ -1861,7 +1883,7 @@ def docs_lang_stats(sf_dir: str):
 
     def final(t: pa.Table) -> pa.Table:
         i = t.schema.get_field_index("avg_chars")
-        return t.set_column(i, "avg_chars", pc.round(t.column("avg_chars"), 6))
+        return t.set_column(i, "avg_chars", round_ha(t.column("avg_chars"), 6))
 
     return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -1997,7 +2019,7 @@ def q14_promo_share(sf_dir: str):
     def final(t: pa.Table) -> pa.Table:
         promo = pc.sum(t.column("promo_e4")).as_py() or 0
         total = pc.sum(t.column("total_e4")).as_py() or 0
-        share = round(100.0 * promo / total, 6) if total else 0.0
+        share = round_ha(100.0 * promo / total, 6) if total else 0.0
         return pa.table({"promo_share_pct": pa.array([share], pa.float64())})
 
     return parts.repartition(1).map_batches(final, batch_format="pyarrow")
@@ -2114,7 +2136,7 @@ def q19_disjunctive_revenue(sf_dir: str):
         rev = pc.sum(t.column("rev_e4")).as_py() or 0
         n = pc.sum(t.column("n_items")).as_py() or 0
         return pa.table({
-            "revenue": pa.array([round(rev / 10000.0, 2)], pa.float64()),
+            "revenue": pa.array([round_ha(rev / 10000.0, 2)], pa.float64()),
             "n_items": pa.array([n], pa.int64()),
         })
 
@@ -2534,7 +2556,7 @@ def q8_market_share(sf_dir: str, region: str = "ASIA",
         Sum("total_e4", alias_name="total_e4"))
 
     def fin(t: pa.Table) -> pa.Table:
-        share = pc.round(pc.divide(
+        share = round_ha(pc.divide(
             t.column("nat_e4").cast(pa.float64()),
             t.column("total_e4").cast(pa.float64())), 6)
         return pa.table({"o_year": t.column("o_year"),

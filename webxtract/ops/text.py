@@ -24,6 +24,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .relational import round_ha
+
 # --- token counting -------------------------------------------------------
 
 def add_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -561,7 +563,7 @@ def docs_repetition(sf_dir: str):
         # distinct tokens per doc: unique (doc, token-code) pairs
         distinct = np.bincount(
             np.unique(parents * vocab + codes) // vocab, minlength=ndocs)
-        dup_frac = np.round(1.0 - distinct / np.maximum(n, 1), 6)
+        dup_frac = round_ha(1.0 - distinct / np.maximum(n, 1), 6)
         # most-frequent-bigram share of the doc's bigram slots
         mx = np.zeros(ndocs, dtype=np.int64)
         tot = np.zeros(ndocs, dtype=np.int64)
@@ -576,7 +578,7 @@ def docs_repetition(sf_dir: str):
                 np.maximum.at(mx, ukey // len(ubg), cnt)
                 tot = np.bincount(bp, minlength=ndocs)
         top_frac = np.where(tot > 0,
-                            np.round(mx / np.maximum(tot, 1), 6), 0.0)
+                            round_ha(mx / np.maximum(tot, 1), 6), 0.0)
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "n_tokens": pa.array(n, pa.int64()),
@@ -862,7 +864,7 @@ def docs_dup_span_frac(sf_dir: str, n: int = 8, verify: str = "auto"):
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def finish(doc_ids, n_toks, covered) -> pa.Table:
-        frac = np.round(covered / np.maximum(n_toks, 1), 6)
+        frac = round_ha(covered / np.maximum(n_toks, 1), 6)
         return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
                          "n_tokens": pa.array(n_toks, pa.int64()),
                          "dup_frac": pa.array(frac, pa.float64())})
@@ -991,7 +993,7 @@ def docs_dup_span_frac(sf_dir: str, n: int = 8, verify: str = "auto"):
                 [[True], dw[1:] != dw[:-1]]))[0]
             cov = _covered_tokens(sw, seg, n)
             covered[np.searchsorted(uniq, dw[seg])] = cov
-        frac = np.round(covered / np.maximum(n_toks, 1), 6)
+        frac = round_ha(covered / np.maximum(n_toks, 1), 6)
         return pa.table({"doc_id": pa.array(uniq, pa.int64()),
                          "n_tokens": pa.array(n_toks, pa.int64()),
                          "dup_frac": pa.array(frac, pa.float64())})

@@ -581,7 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "docs_token_counts": _docs_token_counts,
         "docs_quality_scores": _docs_quality,
-        "docs_langid": _docs_langid,              # heuristic; rows-only
+        "docs_langid": _docs_langid,              # stopword argmax (oracled)
         "docs_fingerprints": _docs_fingerprints,  # md5 (oracle: DuckDB md5())
         "docs_fingerprint64": _docs_fingerprint64,  # rolling hash; rows-only
         # dedup suite
@@ -610,8 +610,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL (DuckDB; tables pre-registered as views by the driver)
 # ---------------------------------------------------------------------------
 
+def _langid_oracle() -> str:
+    """DuckDB twin of ops.text.LangId, generated from the SAME stopword
+    profiles: distinct lowered tokens joined against the inlined
+    profile table, argmax hits with lexicographic tie-break, score =
+    hits / total tokens (round half-away matches round_ha)."""
+    from webxtract.ops.text import STOPWORDS
+
+    sw = ", ".join(f"('{lang}', '{w}')"
+                   for lang in sorted(STOPWORDS)
+                   for w in sorted(STOPWORDS[lang]))
+    return f"""
+        WITH sw(lang, w) AS (VALUES {sw}),
+        toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts
+                 FROM documents),
+        n AS (SELECT doc_id, greatest(len(ts), 1) AS n FROM toks),
+        dt AS (SELECT DISTINCT doc_id, unnest(ts) AS w FROM toks),
+        hits AS (SELECT dt.doc_id, sw.lang, count(*) AS h
+                 FROM dt JOIN sw USING (w) GROUP BY 1, 2),
+        best AS (SELECT doc_id, lang, h,
+                        row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY h DESC, lang) AS r
+                 FROM hits),
+        pick AS (SELECT b.doc_id, b.lang,
+                        round(b.h * 1.0 / n.n, 6) AS score
+                 FROM best b JOIN n USING (doc_id)
+                 WHERE b.r = 1 AND b.h > 0)
+        SELECT d.doc_id,
+               COALESCE(p.lang, 'und') AS lang_pred,
+               COALESCE(p.score, 0.0) AS lang_score
+        FROM documents d LEFT JOIN pick p USING (doc_id)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_langid": _langid_oracle(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                        AS sum_qty,

@@ -121,7 +121,7 @@ class LangId:
                 if score > best:
                     best_lang, best = lang, score
             langs.append(best_lang)
-            scores.append(round(best, 6))
+            scores.append(round_ha(best, 6))
         out = batch.select(["doc_id"])
         out = out.append_column("lang_pred", pa.array(langs, pa.string()))
         out = out.append_column("lang_score", pa.array(scores, pa.float64()))

@@ -509,7 +509,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_urgent_orders": R.customers_without_urgent_orders,
         "customers_with_urgent_orders": R.customers_with_urgent_orders,
         "docs_sample": R.docs_sample,
-        "docs_shuffled": R.docs_shuffled,  # seeded epoch shuffle; rows-only
+        "docs_shuffled": R.docs_shuffled,  # seeded epoch shuffle; oracled
+        # (the driver compare sorts rows, so the identity oracle checks
+        # exactly the shuffle's contract: a permutation — content
+        # preserved, nothing dropped or duplicated)
         "supplier_nation_hashjoin": R.supplier_nation_hashjoin,
         "acctbal_union_topk": R.acctbal_union_topk,
         "events_sessions": R.events_sessions,
@@ -646,6 +649,7 @@ def _langid_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "docs_langid": _langid_oracle(),
+        "docs_shuffled": "SELECT doc_id, lang FROM documents",
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                        AS sum_qty,

@@ -410,6 +410,14 @@ def _docs_dup_span_frac(sf_dir: str):
     return docs_dup_span_frac(sf_dir)
 
 
+def _docs_remove_dup_spans(sf_dir: str):
+    """ExactSubstr span-deletion transform: text rewritten with every
+    cross-doc duplicated 8-gram window removed (oracled)."""
+    from webxtract.ops.text import docs_remove_dup_spans
+
+    return docs_remove_dup_spans(sf_dir)
+
+
 def _emb_norms(sf_dir: str):
     """Per-vector L2 norms (oracled: DuckDB list kernels)."""
     from webxtract.ops.knn import emb_norms
@@ -560,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_regex_tokens": _docs_regex_tokens,
         "docs_dup_spans": _docs_dup_spans,
         "docs_dup_span_frac": _docs_dup_span_frac,
+        "docs_remove_dup_spans": _docs_remove_dup_spans,
         "emb_norms": _emb_norms,
         "emb_label_centroids": _emb_label_centroids,
         "images_phash_dupes": _images_phash_dupes,  # rows-only
@@ -1547,6 +1556,34 @@ r5 AS (
             SELECT b.doc_id, b.n_tokens,
                    round(COALESCE(c, 0) * 1.0 / b.n_tokens, 6) AS dup_frac
             FROM base b LEFT JOIN cov USING (doc_id)
+        """,
+        "docs_remove_dup_spans": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+                          FROM documents),
+            grams AS (
+                SELECT doc_id, i, array_to_string(ts[i:i+7], ' ') AS gram
+                FROM toks,
+                     LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) r
+            ),
+            dup AS (SELECT gram FROM grams GROUP BY gram
+                    HAVING count(DISTINCT doc_id) >= 2),
+            cov AS (SELECT DISTINCT g.doc_id, p
+                    FROM grams g JOIN dup USING (gram),
+                         LATERAL (SELECT unnest(range(i, i + 8)) AS p) rr),
+            tok AS (SELECT doc_id, t.i AS p, ts[t.i] AS w
+                    FROM toks,
+                         LATERAL (SELECT unnest(range(1, len(ts) + 1))
+                                  AS i) t(i)),
+            kept AS (SELECT tok.doc_id, tok.p, tok.w FROM tok
+                     LEFT JOIN cov ON cov.doc_id = tok.doc_id
+                                  AND cov.p = tok.p
+                     WHERE cov.p IS NULL)
+            SELECT d.doc_id,
+                   COALESCE(string_agg(k.w, ' ' ORDER BY k.p), '')
+                       AS text_clean,
+                   CAST(count(k.p) AS BIGINT) AS n_kept
+            FROM documents d LEFT JOIN kept k USING (doc_id)
+            GROUP BY d.doc_id
         """,
         "emb_norms": """
             SELECT vec_id,

@@ -1219,3 +1219,33 @@ def test_round_ha_matches_duckdb_on_dyadic_ties():
     assert got == exp
     # and the stdlib would get the dyadic ties wrong:
     assert round(0.125, 2) != round_ha(0.125, 2)
+
+
+def test_remove_dup_spans_planted(ray_session, tmp_path):
+    """Span deletion: the shared 9-token run (two overlapping windows)
+    vanishes from both docs, surrounding tokens survive, disjoint doc
+    unchanged; broadcast and join paths agree."""
+    import pyarrow.parquet as pq
+
+    from webxtract.ops.text import docs_remove_dup_spans
+
+    span9 = "alpha beta gamma delta epsilon zeta eta theta iota"
+    other = "unrelated tokens here none shared q r s t u v w"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"x1 {span9} y1 nope1",
+            other,
+            f"{span9} tail0 tail1",
+        ]),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    a = docs_remove_dup_spans(str(tmp_path), verify="broadcast") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = docs_remove_dup_spans(str(tmp_path), verify="join") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    by = dict(zip(a["doc_id"], zip(a["text_clean"], a["n_kept"])))
+    assert by[1] == ("x1 y1 nope1", 3)
+    assert by[2] == (other, 12)
+    assert by[3] == ("tail0 tail1", 2)

@@ -1000,3 +1000,158 @@ def docs_dup_span_frac(sf_dir: str, n: int = 8, verify: str = "auto"):
 
     return verified.groupby("doc_id").map_groups(
         per_doc, batch_format="pyarrow")
+
+
+def _despan_batchwise(batch: pa.Table, starts_by_row, n: int) -> pa.Table:
+    """Rebuild each doc's text with the tokens covered by dup windows
+    removed — fully vectorized: a +1/-1 difference array over the flat
+    token stream marks covered runs (windows never straddle docs), the
+    kept tokens re-list via fresh offsets, and one C++ binary_join
+    rejoins. ``starts_by_row``: (row_idx ndarray, start ndarray) of dup
+    windows, 0-based token positions."""
+    toks = pc.split_pattern(batch.column("text"), pattern=" ")
+    flat = pc.list_flatten(toks).combine_chunks()
+    lens = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
+    offsets = np.zeros(len(batch) + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    rows, starts = starts_by_row
+    diff = np.zeros(len(flat) + 1, np.int64)
+    flat_start = offsets[rows] + starts
+    np.add.at(diff, flat_start, 1)
+    np.add.at(diff, flat_start + n, -1)
+    covered = np.cumsum(diff[:-1]) > 0
+    kept_mask = ~covered
+    kept = flat.filter(pa.array(kept_mask))
+    kept_per_row = np.bincount(
+        np.repeat(np.arange(len(batch)), lens)[kept_mask],
+        minlength=len(batch)).astype(np.int64)
+    new_off = np.zeros(len(batch) + 1, np.int64)
+    np.cumsum(kept_per_row, out=new_off[1:])
+    lst = pa.ListArray.from_arrays(pa.array(new_off, pa.int32()).cast(
+        pa.int32()), kept)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "text_clean": pc.binary_join(lst, " "),
+        "n_kept": pa.array(kept_per_row, pa.int64()),
+    })
+
+
+def docs_remove_dup_spans(sf_dir: str, n: int = 8, verify: str = "auto"):
+    """The span-DELETION transform of Lee et al. ExactSubstr dedup:
+    rewrite every document with each token covered by a cross-document
+    duplicated n-gram window removed. Output (doc_id, text_clean,
+    n_kept) — the actual cleaning step the metrics twins
+    (docs_dup_spans / docs_dup_span_frac) inform.
+
+    'broadcast' ships the dup-gram set once and despans map-side in a
+    single scan; 'join' (the scale path, auto-selected above the gate)
+    never holds the set on the driver: dup positions are verified by a
+    Bloom-prefiltered copartitioned semi-join on the gram, then one
+    doc_id copartition co-locates each doc's text row with its dup
+    positions and the same vectorized rebuild runs per partition (text
+    crosses exactly one exchange). Paths are equivalence-tested."""
+    import ray
+
+    from .relational import copartitioned_map, read
+
+    dup = _dup_gram_ds(sf_dir, n)
+    n_dup = dup.count()
+    if verify == "auto":
+        verify = "broadcast" if n_dup <= DUP_SPAN_BROADCAST_MAX else "join"
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    if verify == "broadcast":
+        dup_tbl = pa.concat_tables(
+            list(dup.iter_batches(batch_format="pyarrow")))
+        set_ref = ray.put(dup_tbl.column("gram").combine_chunks())
+
+        def despan(batch: pa.Table) -> pa.Table:
+            from ..broadcast import get_broadcast
+
+            st = _gram_stream(batch, n)
+            if st is None:
+                empty = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+                return _despan_batchwise(batch, empty, n)
+            gram, _, start, _, rows = st
+            hit = pc.is_in(gram, value_set=get_broadcast(set_ref)) \
+                .to_numpy(zero_copy_only=False)
+            return _despan_batchwise(batch, (rows[hit], start[hit]), n)
+
+        return docs.map_batches(despan, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    # join path: verified (doc_id, start) positions via Bloom +
+    # copartitioned semi-join (driver holds only the OR-merged bitmap)
+    from .sketch import BloomFilter
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(max(n_dup, 1))
+        bf.add(batch.column("gram").to_pylist())
+        return pa.table({"bloom": pa.array([bf.serialize()], pa.binary())})
+
+    bf_all = None
+    for b in dup.map_batches(bloom_partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for raw in b.column("bloom").to_pylist():
+            cur = BloomFilter.deserialize(raw)
+            bf_all = cur if bf_all is None else bf_all.merge(cur)
+    bloom_ref = ray.put((bf_all or BloomFilter(1)).serialize())
+
+    def prep_wins(batch: pa.Table) -> pa.Table:
+        from ..broadcast import get_broadcast_derived
+
+        st = _gram_stream(batch, n)
+        if st is None:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "start": pa.array([], pa.int64())})
+        gram, doc, start, _, _ = st
+        bf = get_broadcast_derived(bloom_ref, "bloom",
+                                   BloomFilter.deserialize)
+        maybe = bf.might_contain(gram.to_pylist())
+        return pa.table({"gram": gram.filter(pa.array(maybe)),
+                         "doc_id": doc.filter(pa.array(maybe)),
+                         "start": pa.array(start[maybe], pa.int64())})
+
+    def prep_dup(batch: pa.Table) -> pa.Table:
+        return pa.table({"gram": batch.column("gram"),
+                         "doc_id": pa.nulls(batch.num_rows, pa.int64()),
+                         "start": pa.nulls(batch.num_rows, pa.int64())})
+
+    def semi(parts: list[pa.Table]) -> pa.Table:
+        wins, dup_side = parts
+        keep = wins.filter(pc.is_in(
+            wins.column("gram"),
+            value_set=dup_side.column("gram").combine_chunks()))
+        return keep.select(["doc_id", "start"])
+
+    positions = copartitioned_map(
+        [(docs, prep_wins), (dup, prep_dup)], "gram", semi)
+
+    def prep_text(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": batch.column("text"),
+                         "start": pa.nulls(len(batch), pa.int64())})
+
+    def prep_pos(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.nulls(batch.num_rows, pa.string()),
+                         "start": batch.column("start")})
+
+    def rebuild(parts: list[pa.Table]) -> pa.Table:
+        trows, prows = parts
+        trows = trows.select(["doc_id", "text"])
+        d = trows.column("doc_id").to_numpy()
+        # map each position row to its doc's row index in this partition
+        order = np.argsort(d, kind="stable")
+        pd_ = prows.column("doc_id").to_numpy()
+        ps = prows.column("start").to_numpy(zero_copy_only=False)
+        ri = order[np.searchsorted(d[order], pd_)]
+        o2 = np.lexsort((ps, ri))
+        return _despan_batchwise(
+            trows, (ri[o2], ps[o2].astype(np.int64)), n)
+
+    return copartitioned_map(
+        [(docs, prep_text), (positions, prep_pos)], "doc_id", rebuild)

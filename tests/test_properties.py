@@ -145,3 +145,72 @@ def test_detect_dates_deterministic_and_ordered(text):
         i = text.find(e["Text"], pos + 1)
         assert i >= 0
         pos = i
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_covered_tokens_equals_interval_union(data):
+    """_covered_tokens (vectorized min(gap,n) scan) == brute-force
+    union of fixed-width intervals, per segment, for arbitrary sorted
+    start sets."""
+    import numpy as np
+
+    from webxtract.ops.text import _covered_tokens
+
+    n = data.draw(st.integers(min_value=1, max_value=8))
+    n_segs = data.draw(st.integers(min_value=1, max_value=4))
+    starts, seg_starts, expect = [], [], []
+    for _ in range(n_segs):
+        seg = sorted(data.draw(st.lists(
+            st.integers(min_value=0, max_value=40),
+            min_size=1, max_size=12)))
+        seg_starts.append(len(starts))
+        starts.extend(seg)
+        covered = set()
+        for s in seg:
+            covered.update(range(s, s + n))
+        expect.append(len(covered))
+    got = _covered_tokens(np.asarray(starts, np.int64),
+                          np.asarray(seg_starts, np.int64), n)
+    assert got.tolist() == expect
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.data())
+def test_despan_batchwise_equals_bruteforce(data):
+    """_despan_batchwise == per-doc python reference (drop tokens under
+    any [s, s+n) window, rejoin) for random docs and window starts."""
+    import numpy as np
+    import pyarrow as pa
+
+    from webxtract.ops.text import _despan_batchwise
+
+    n = data.draw(st.integers(min_value=1, max_value=5))
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = data.draw(st.lists(st.lists(
+        st.sampled_from(vocab), min_size=1, max_size=15),
+        min_size=1, max_size=5))
+    rows, starts = [], []
+    expect_text, expect_kept = [], []
+    for i, toks in enumerate(docs):
+        n_wins = data.draw(st.integers(min_value=0, max_value=4))
+        wins = sorted(data.draw(st.lists(
+            st.integers(min_value=0, max_value=max(0, len(toks) - n)),
+            min_size=n_wins, max_size=n_wins))) if len(toks) >= n else []
+        covered = set()
+        for s in wins:
+            covered.update(range(s, s + n))
+            rows.append(i)
+            starts.append(s)
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        expect_text.append(" ".join(kept))
+        expect_kept.append(len(kept))
+    batch = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array([" ".join(t) for t in docs]),
+    })
+    out = _despan_batchwise(
+        batch, (np.asarray(rows, np.int64), np.asarray(starts, np.int64)),
+        n)
+    assert out.column("text_clean").to_pylist() == expect_text
+    assert out.column("n_kept").to_pylist() == expect_kept

@@ -613,7 +613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_bruteforce": _emb_knn,
         "emb_knn_ivf": _emb_knn_ivf,              # approximate; rows-only
         "emb_knn_lsh": _emb_knn_lsh,              # LSH-bucketed; rows-only
-        "emb_kmeans": _emb_kmeans,                # iterative; rows-only
+        "emb_kmeans": _emb_kmeans,                # iterative; oracled (unrolled CTE)
         "emb_knn_ivf_kmeans": _emb_knn_ivf_kmeans,  # learned cells; rows-only
     }
 
@@ -655,9 +655,82 @@ def _langid_oracle() -> str:
     """
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 5) -> str:
+    """DuckDB twin of ops.knn.kmeans, Lloyd's iterations UNROLLED as a
+    CTE chain (the PageRank-oracle pattern for iterative algorithms).
+    Bit-parity hinges on three replicated details: (1) the fixed-point
+    element quantization uses round_even (numpy's half-to-even — and
+    float32 inputs DO land exactly on .5 at the 2^20 scale, so the mode
+    matters); (2) the centroid update divides in the engine's exact
+    order (sum / SCALE) / count; (3) argmax ties break to the smallest
+    cluster id (np.argmax first-occurrence). Seeds are the k smallest
+    Knuth-hashed vec_ids, exactly _kmeans_seeds."""
+    scale = float(1 << 20)
+    parts = [f"""
+        WITH dims AS (SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings),
+        nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm
+                FROM dims GROUP BY 1),
+        nv AS (SELECT d.vec_id, d.dim,
+                      d.v / (CASE WHEN n.nrm = 0 THEN 1.0
+                             ELSE n.nrm END) AS nv,
+                      CAST(round_even(d.v * {scale}, 0) AS BIGINT) AS fx
+               FROM dims d JOIN nrm n USING (vec_id)),
+        seeds AS (SELECT vec_id,
+                         row_number() OVER (
+                             ORDER BY (vec_id * 2654435761) % 4294967296,
+                                      vec_id) - 1 AS cluster
+                  FROM embeddings QUALIFY cluster < {k}),
+        cent0 AS (SELECT s.cluster, d.dim, d.v AS cval
+                  FROM seeds s JOIN dims d USING (vec_id))"""]
+    for t in range(iters):
+        parts.append(f"""
+        cnorm{t} AS (SELECT cluster,
+                            CASE WHEN sqrt(sum(cval * cval)) = 0 THEN 1.0
+                                 ELSE sqrt(sum(cval * cval)) END AS nrm
+                     FROM cent{t} GROUP BY 1),
+        cos{t} AS (SELECT nv.vec_id, c.cluster,
+                          sum(nv.nv * (c.cval / cn.nrm)) AS cs
+                   FROM nv JOIN cent{t} c USING (dim)
+                   JOIN cnorm{t} cn ON cn.cluster = c.cluster
+                   GROUP BY 1, 2),
+        asg{t} AS (SELECT vec_id, cluster FROM cos{t}
+                   QUALIFY row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cs DESC, cluster) = 1),
+        upd{t} AS (SELECT a.cluster, nv.dim,
+                          (CAST(sum(nv.fx) AS DOUBLE) / {scale})
+                              / count(DISTINCT nv.vec_id) AS cval
+                   FROM asg{t} a JOIN nv ON nv.vec_id = a.vec_id
+                   GROUP BY 1, 2),
+        cent{t + 1} AS (SELECT c.cluster, c.dim,
+                               COALESCE(u.cval, c.cval) AS cval
+                        FROM cent{t} c
+                        LEFT JOIN upd{t} u ON u.cluster = c.cluster
+                                          AND u.dim = c.dim)""")
+    parts.append(f"""
+        cnormF AS (SELECT cluster,
+                          CASE WHEN sqrt(sum(cval * cval)) = 0 THEN 1.0
+                               ELSE sqrt(sum(cval * cval)) END AS nrm
+                   FROM cent{iters} GROUP BY 1),
+        cosF AS (SELECT nv.vec_id, c.cluster,
+                        sum(nv.nv * (c.cval / cn.nrm)) AS cs
+                 FROM nv JOIN cent{iters} c USING (dim)
+                 JOIN cnormF cn ON cn.cluster = c.cluster
+                 GROUP BY 1, 2)
+        SELECT vec_id, cluster, round_even(cs, 6) AS cosine
+        FROM cosF
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cs DESC, cluster) = 1""")
+    return ",".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "docs_langid": _langid_oracle(),
+        "emb_kmeans": _kmeans_oracle(),
         "docs_shuffled": "SELECT doc_id, lang FROM documents",
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -89,17 +89,22 @@ def pagerank(edges, iters: int = 5, damping_pct: int = 85):
 
     from ..broadcast import get_broadcast
 
-    # degrees: bounded |nodes| fold of per-batch partial counts
-    deg: dict[int, int] = {}
+    # degrees: bounded |nodes| fold of per-batch partial counts —
+    # vectorized (unique + scatter-add; integer adds are
+    # order-independent, so the fold stays partitioning-invariant)
+    node_chunks, n_chunks = [], []
     for b in edges.map_batches(
             lambda t: _count_partial(t, "src"),
             batch_format="pyarrow", zero_copy_batch=True) \
             .iter_batches(batch_format="pyarrow"):
-        for k, v in zip(b.column("node").to_pylist(),
-                        b.column("n").to_pylist()):
-            deg[k] = deg.get(k, 0) + v
-    nodes = np.array(sorted(deg), dtype=np.int64)
-    degv = np.array([deg[n] for n in nodes], dtype=np.int64)
+        node_chunks.append(b.column("node").to_numpy())
+        n_chunks.append(b.column("n").to_numpy())
+    allnodes = (np.concatenate(node_chunks) if node_chunks
+                else np.zeros(0, np.int64))
+    nodes, inv = np.unique(allnodes, return_inverse=True)
+    degv = np.zeros(len(nodes), np.int64)
+    if len(allnodes):
+        np.add.at(degv, inv, np.concatenate(n_chunks))
     n_nodes = len(nodes)
     if n_nodes == 0:
         return pa.table({"node": pa.array([], pa.int64()),
@@ -107,34 +112,40 @@ def pagerank(edges, iters: int = 5, damping_pct: int = 85):
     teleport = ((100 - damping_pct) * SCALE // 100) // n_nodes
     rank = np.full(n_nodes, SCALE // n_nodes, dtype=np.int64)
 
+    # the iteration loop runs as raw Ray tasks over the PINNED edge
+    # blocks (edges is materialized): a streaming-executor job per
+    # iteration costs ~1s of plan/schedule overhead just to fold tiny
+    # per-block partials, 5x per query — one task per block per
+    # iteration reuses the same object-store blocks with none of it.
+    # This is the documented "raw tasks where the Dataset API can't
+    # express it" case: an iterative loop over a fixed block set.
+    block_refs = edges.to_arrow_refs()
+    nodes_ref = ray.put(nodes)
+
+    @ray.remote(num_cpus=1)
+    def contrib_block(t: pa.Table, bnodes: np.ndarray,
+                      bshare: np.ndarray):
+        if t.num_rows == 0 or "src" not in t.schema.names:
+            # empty partitions materialize with a degenerate schema
+            z = np.zeros(0, np.int64)
+            return z, z
+        src = t.column("src").to_numpy()
+        dst = t.column("dst").to_numpy()
+        c = bshare[np.searchsorted(bnodes, src)]
+        # per-block partial: sum contributions per destination
+        order = np.argsort(dst, kind="stable")
+        d_sorted, c_sorted = dst[order], c[order]
+        starts = np.flatnonzero(np.r_[True, d_sorted[1:] != d_sorted[:-1]])
+        return d_sorted[starts], np.add.reduceat(c_sorted, starts)
+
     for _ in range(iters):
         # broadcast the per-node outgoing share r(u) // deg(u)
-        share = rank // degv
-        ref = ray.put({"nodes": nodes, "share": share})
-
-        def contrib(t: pa.Table) -> pa.Table:
-            bc = get_broadcast(ref)
-            src = t.column("src").to_numpy()
-            dst = t.column("dst").to_numpy()
-            si = np.searchsorted(bc["nodes"], src)
-            c = bc["share"][si]
-            # per-batch partial: sum contributions per destination
-            order = np.argsort(dst, kind="stable")
-            d_sorted, c_sorted = dst[order], c[order]
-            starts = np.flatnonzero(
-                np.r_[True, d_sorted[1:] != d_sorted[:-1]])
-            sums = np.add.reduceat(c_sorted, starts)
-            return pa.table({"node": pa.array(d_sorted[starts], pa.int64()),
-                             "n": pa.array(sums, pa.int64())})
-
-        acc: dict[int, int] = {}
-        for b in edges.map_batches(contrib, batch_format="pyarrow",
-                                   zero_copy_batch=True) \
-                .iter_batches(batch_format="pyarrow"):
-            for k, v in zip(b.column("node").to_pylist(),
-                            b.column("n").to_pylist()):
-                acc[k] = acc.get(k, 0) + v
-        contrib_v = np.array([acc.get(n, 0) for n in nodes], dtype=np.int64)
+        share_ref = ray.put(rank // degv)
+        parts = ray.get([contrib_block.remote(r, nodes_ref, share_ref)
+                         for r in block_refs])
+        contrib_v = np.zeros(n_nodes, np.int64)
+        for bn, bv in parts:
+            np.add.at(contrib_v, np.searchsorted(nodes, bn), bv)
         rank = teleport + (damping_pct * contrib_v) // 100
 
     return pa.table({"node": pa.array(nodes, pa.int64()),

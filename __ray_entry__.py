@@ -418,6 +418,14 @@ def _docs_remove_dup_spans(sf_dir: str):
     return docs_remove_dup_spans(sf_dir)
 
 
+def _docs_clean_corpus(sf_dir: str):
+    """End-to-end curation composite: exact dedup -> span deletion ->
+    token/quality gates, oracled end to end."""
+    from webxtract.ops.text import docs_clean_corpus
+
+    return docs_clean_corpus(sf_dir)
+
+
 def _emb_norms(sf_dir: str):
     """Per-vector L2 norms (oracled: DuckDB list kernels)."""
     from webxtract.ops.knn import emb_norms
@@ -569,6 +577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_spans": _docs_dup_spans,
         "docs_dup_span_frac": _docs_dup_span_frac,
         "docs_remove_dup_spans": _docs_remove_dup_spans,
+        "docs_clean_corpus": _docs_clean_corpus,
         "emb_norms": _emb_norms,
         "emb_label_centroids": _emb_label_centroids,
         "images_phash_dupes": _images_phash_dupes,  # rows-only
@@ -1657,6 +1666,57 @@ r5 AS (
                    CAST(count(k.p) AS BIGINT) AS n_kept
             FROM documents d LEFT JOIN kept k USING (doc_id)
             GROUP BY d.doc_id
+        """,
+        "docs_clean_corpus": """
+            WITH win AS (SELECT min(doc_id) AS doc_id
+                         FROM documents GROUP BY md5(text)),
+            kept AS (SELECT d.doc_id, d.text
+                     FROM documents d JOIN win USING (doc_id)),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+                     FROM kept),
+            grams AS (
+                SELECT doc_id, i, array_to_string(ts[i:i+7], ' ') AS gram
+                FROM toks,
+                     LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) r
+            ),
+            dup AS (SELECT gram FROM grams GROUP BY gram
+                    HAVING count(DISTINCT doc_id) >= 2),
+            cov AS (SELECT DISTINCT g.doc_id, p
+                    FROM grams g JOIN dup USING (gram),
+                         LATERAL (SELECT unnest(range(i, i + 8)) AS p) rr),
+            tok AS (SELECT doc_id, t.i AS p, ts[t.i] AS w
+                    FROM toks,
+                         LATERAL (SELECT unnest(range(1, len(ts) + 1))
+                                  AS i) t(i)),
+            keptok AS (SELECT tok.doc_id, tok.p, tok.w FROM tok
+                       LEFT JOIN cov ON cov.doc_id = tok.doc_id
+                                    AND cov.p = tok.p
+                       WHERE cov.p IS NULL),
+            clean AS (SELECT k.doc_id,
+                             COALESCE(string_agg(t.w, ' ' ORDER BY t.p),
+                                      '') AS text_clean,
+                             CAST(count(t.p) AS BIGINT) AS n_kept
+                      FROM kept k LEFT JOIN keptok t USING (doc_id)
+                      GROUP BY k.doc_id),
+            scored AS (SELECT doc_id, n_kept,
+                              round(50.0 *
+                                    (len(list_distinct(
+                                        string_split(text_clean, ' ')))
+                                     * 1.0
+                                     / len(string_split(text_clean, ' ')))
+                                    + 5.0 * least(
+                                        (length(text_clean)
+                                         - (len(string_split(text_clean,
+                                                             ' ')) - 1))
+                                        * 1.0
+                                        / len(string_split(text_clean,
+                                                           ' ')),
+                                        10.0), 6) AS quality_score,
+                              text_clean
+                       FROM clean)
+            SELECT doc_id, n_kept, quality_score, text_clean
+            FROM scored
+            WHERE n_kept >= 20 AND quality_score >= 40.0
         """,
         "emb_norms": """
             SELECT vec_id,

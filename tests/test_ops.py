@@ -1249,3 +1249,40 @@ def test_remove_dup_spans_planted(ray_session, tmp_path):
     assert by[1] == ("x1 y1 nope1", 3)
     assert by[2] == (other, 12)
     assert by[3] == ("tail0 tail1", 2)
+
+
+def test_clean_corpus_dedups_before_span_counting(ray_session, tmp_path):
+    """Stage order matters: an exact-duplicate pair is collapsed FIRST,
+    so its grams never count as cross-document duplicates — the
+    surviving copy keeps its text intact; a genuine cross-doc span
+    still gets deleted."""
+    import pyarrow.parquet as pq
+
+    from webxtract.ops.text import docs_clean_corpus
+
+    span9 = "alpha beta gamma delta epsilon zeta eta theta iota"
+    dup_text = ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 "
+                "w16 w17 w18 w19 w20 w21 w22")  # docs 1+2: exact dups
+    xt = " ".join(f"x{i}" for i in range(1, 23))
+    ut = " ".join(f"u{i}" for i in range(1, 24))
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            dup_text,
+            dup_text,
+            f"{span9} {xt}",               # shares span9 with doc 4
+            f"{span9} {ut}",
+        ]),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = docs_clean_corpus(str(tmp_path), min_tokens=20,
+                            min_quality=0.0).to_pandas()
+    by = {r.doc_id: r for r in out.itertuples()}
+    assert 2 not in by                     # exact-dup loser dropped
+    # doc 1 survives INTACT: its twin was removed BEFORE span counting,
+    # so its grams are not cross-document duplicates (running the
+    # stages in the other order would despan it to nothing)
+    assert by[1].text_clean == dup_text and by[1].n_kept == 22
+    # the genuinely shared span still gets deleted from both carriers
+    assert by[3].text_clean == xt and by[3].n_kept == 22
+    assert by[4].text_clean == ut and by[4].n_kept == 23

@@ -807,14 +807,17 @@ def docs_dup_spans(sf_dir: str, n: int = 8, k: int = 50):
                   descending=[True, True, False]).limit(k))
 
 
-def _dup_gram_ds(sf_dir: str, n: int):
+def _dup_gram_ds(sf_dir: str, n: int, docs=None):
     """Materialized slim Dataset of grams occurring in >= 2 distinct
-    docs (the shared pass-1 of the span-dup operators)."""
+    docs (the shared pass-1 of the span-dup operators). ``docs``
+    overrides the table read (composites pass an already-filtered
+    corpus)."""
     from ray.data.aggregate import Sum
 
     from .relational import _default_parts, read
 
-    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = docs if docs is not None \
+        else read(sf_dir, "documents", columns=["doc_id", "text"])
     agg = (ds.map_batches(lambda b: _gram_partial(b, n),
                           batch_format="pyarrow", zero_copy_batch=True)
            .repartition(_default_parts())
@@ -1036,7 +1039,8 @@ def _despan_batchwise(batch: pa.Table, starts_by_row, n: int) -> pa.Table:
     })
 
 
-def docs_remove_dup_spans(sf_dir: str, n: int = 8, verify: str = "auto"):
+def docs_remove_dup_spans(sf_dir: str, n: int = 8, verify: str = "auto",
+                          docs=None):
     """The span-DELETION transform of Lee et al. ExactSubstr dedup:
     rewrite every document with each token covered by a cross-document
     duplicated n-gram window removed. Output (doc_id, text_clean,
@@ -1049,17 +1053,20 @@ def docs_remove_dup_spans(sf_dir: str, n: int = 8, verify: str = "auto"):
     Bloom-prefiltered copartitioned semi-join on the gram, then one
     doc_id copartition co-locates each doc's text row with its dup
     positions and the same vectorized rebuild runs per partition (text
-    crosses exactly one exchange). Paths are equivalence-tested."""
+    crosses exactly one exchange). Paths are equivalence-tested.
+
+    ``docs`` overrides the table read with an already-filtered corpus
+    (pass a MATERIALIZED dataset — both passes consume it)."""
     import ray
 
     from .relational import copartitioned_map, read
 
-    dup = _dup_gram_ds(sf_dir, n)
+    if docs is None:
+        docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    dup = _dup_gram_ds(sf_dir, n, docs=docs)
     n_dup = dup.count()
     if verify == "auto":
         verify = "broadcast" if n_dup <= DUP_SPAN_BROADCAST_MAX else "join"
-
-    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
 
     if verify == "broadcast":
         dup_tbl = pa.concat_tables(
@@ -1155,3 +1162,89 @@ def docs_remove_dup_spans(sf_dir: str, n: int = 8, verify: str = "auto"):
 
     return copartitioned_map(
         [(docs, prep_text), (positions, prep_pos)], "doc_id", rebuild)
+
+
+def docs_clean_corpus(sf_dir: str, n: int = 8, min_tokens: int = 20,
+                      min_quality: float = 40.0):
+    """End-to-end corpus-curation COMPOSITE, chaining the oracled
+    stages and staying exactly hash-checkable end to end: exact dedup
+    (min doc_id per md5(text)) -> cross-document duplicated-span
+    DELETION over the deduped corpus -> token-count and closed-form
+    quality filters over the cleaned text. Output (doc_id, n_kept,
+    quality_score, text_clean).
+
+    Scale shape: the dedup phase exchanges only 48 B/doc (md5, doc_id)
+    partials and broadcasts only LOSER ids (dup-rate-sized); span
+    deletion reuses the shared broadcast / Bloom+join machinery over
+    the materialized kept corpus; the quality gate is one map-side
+    polars pass with no exchange."""
+    import hashlib
+
+    import ray
+
+    from .relational import partitioned_map_groups, read
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def md5_slim(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "md5": pa.array(
+                [hashlib.md5(t.encode()).hexdigest()
+                 for t in batch.column("text").to_pylist()], pa.string()),
+            "doc_id": batch.column("doc_id"),
+        })
+
+    pairs = docs.map_batches(md5_slim, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def losers(part: pa.Table) -> pa.Table:
+        # all rows of an md5 co-locate: segment min by sorted hash,
+        # every non-min id is a dup loser
+        idx = pc.sort_indices(part, sort_keys=[("md5", "ascending"),
+                                               ("doc_id", "ascending")])
+        g = part.take(idx)
+        h = g.column("md5").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy()
+        first = np.concatenate([[True], h[1:] != h[:-1]])
+        return pa.table({"doc_id": pa.array(ids[~first], pa.int64())})
+
+    drop_chunks = [b.column("doc_id").combine_chunks()
+                   for b in partitioned_map_groups(pairs, "md5", losers)
+                   .iter_batches(batch_format="pyarrow") if b.num_rows]
+    drop = (pa.concat_arrays(drop_chunks) if drop_chunks
+            else pa.array([], pa.int64()))
+    drop_ref = ray.put(drop)
+
+    def keep_fn(batch: pa.Table) -> pa.Table:
+        from ..broadcast import get_broadcast
+
+        d = get_broadcast(drop_ref)
+        if len(d) == 0:
+            return batch
+        return batch.filter(pc.invert(
+            pc.is_in(batch.column("doc_id"), value_set=d)))
+
+    kept = docs.map_batches(keep_fn, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    clean = docs_remove_dup_spans(sf_dir, n=n, docs=kept)
+
+    def final(batch: pa.Table) -> pa.Table:
+        q = quality_score_batch(pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": batch.column("text_clean"),
+        }))
+        out = pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_kept": batch.column("n_kept"),
+            "quality_score": q.column("quality_score"),
+            "text_clean": batch.column("text_clean"),
+        })
+        mask = pc.and_(
+            pc.greater_equal(out.column("n_kept"),
+                             pa.scalar(min_tokens, pa.int64())),
+            pc.greater_equal(out.column("quality_score"),
+                             pa.scalar(float(min_quality))))
+        return out.filter(mask)
+
+    return clean.map_batches(final, batch_format="pyarrow",
+                             zero_copy_batch=True)

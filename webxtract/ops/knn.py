@@ -314,16 +314,15 @@ def _kmeans_seeds(ds, k: int) -> np.ndarray:
 
 
 class _KmeansAssign:
-    """Per-batch assignment + exact fixed-point partial sums. Centroids
-    come in via the broadcast ref (re-put per iteration, never
-    re-shipped per batch within an iteration)."""
+    """Per-batch final assignment against the converged centroids
+    (broadcast ref; the per-iteration partials run as raw tasks inside
+    ``kmeans``)."""
 
-    def __init__(self, cents_ref, emit: str):
+    def __init__(self, cents_ref, emit: str = "assign"):
         from ..broadcast import get_broadcast
 
         self.cn = _normalize(np.asarray(get_broadcast(cents_ref),
                                         dtype=np.float64))
-        self.emit = emit  # "partials" | "assign"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy().astype(np.int64)
@@ -331,23 +330,11 @@ class _KmeansAssign:
         cos = _normalize(m) @ self.cn.T               # (n, k)
         # argmax with ties -> smallest cluster id (np.argmax is exactly that)
         assign = cos.argmax(axis=1).astype(np.int64)
-        if self.emit == "assign":
-            best = cos[np.arange(len(ids)), assign]
-            return pa.table({
-                "vec_id": pa.array(ids, pa.int64()),
-                "cluster": pa.array(assign, pa.int64()),
-                "cosine": pa.array(np.round(best, 6), pa.float64()),
-            })
-        # fixed-point integer sums: exact, hence order/partitioning
-        # independent when combined across batches
-        fixed = np.round(m * _KMEANS_SCALE).astype(np.int64)
-        uniq = np.unique(assign)
+        best = cos[np.arange(len(ids)), assign]
         return pa.table({
-            "cluster": pa.array(uniq, pa.int64()),
-            "vsum": pa.array([fixed[assign == u].sum(axis=0).tolist()
-                              for u in uniq], pa.list_(pa.int64())),
-            "vcount": pa.array([int((assign == u).sum()) for u in uniq],
-                               pa.int64()),
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(assign, pa.int64()),
+            "cosine": pa.array(np.round(best, 6), pa.float64()),
         })
 
 
@@ -370,26 +357,39 @@ def kmeans(ds, k: int = 8, iters: int = 5):
     # iteration would otherwise re-read + re-decode the parquet input
     slim = ds.select_columns(["vec_id", "embedding"]).materialize()
     dim = cents.shape[1]
+    # the Lloyd's loop runs as raw Ray tasks over the PINNED slim
+    # blocks (same pattern as ops.graph.pagerank): a streaming-executor
+    # job per iteration costs ~1s of plan/schedule overhead just to
+    # fold <=k-row partials per block — one task per block per
+    # iteration reuses the object-store blocks with none of it. The
+    # partials are the SAME exact integer fixed-point sums, so results
+    # stay bit-identical and partitioning-independent.
+    block_refs = slim.to_arrow_refs()
+
+    @ray.remote(num_cpus=1)
+    def partial_block(t: pa.Table, cents_np: np.ndarray):
+        if t.num_rows == 0 or "embedding" not in t.schema.names:
+            z = np.zeros(0, np.int64)
+            return z, np.zeros((0, cents_np.shape[1]), np.int64), z
+        m = _emb_matrix(t.column("embedding"))
+        cos = _normalize(m) @ _normalize(cents_np).T
+        assign = cos.argmax(axis=1).astype(np.int64)
+        fixed = np.round(m * _KMEANS_SCALE).astype(np.int64)
+        uniq = np.unique(assign)
+        vs = np.stack([fixed[assign == u].sum(axis=0) for u in uniq])
+        vc = np.array([(assign == u).sum() for u in uniq], np.int64)
+        return uniq, vs, vc
+
     for _ in range(iters):
-        ref = ray.put(cents)
-
-        def partials(batch: pa.Table, _ref=ref) -> pa.Table:
-            return _KmeansAssign(_ref, "partials")(batch)
-
-        # partial rows are bounded by k per BLOCK — fold them on the
-        # driver with exact integer adds (order-independent), skipping
-        # a whole groupby exchange per iteration
+        cents_ref = ray.put(cents)
+        parts = ray.get([partial_block.remote(r, cents_ref)
+                         for r in block_refs])
         sums = np.zeros((k, dim), dtype=np.int64)
         counts = np.zeros(k, dtype=np.int64)
-        for b in slim.map_batches(partials, batch_format="pyarrow",
-                                  zero_copy_batch=True) \
-                .iter_batches(batch_format="pyarrow"):
-            cl = b.column("cluster").to_numpy().astype(np.int64)
-            vs = np.array(b.column("vsum").to_pylist(), dtype=np.int64)
+        for cl, vs, vc in parts:
             if len(cl):
                 np.add.at(sums, cl, vs)
-                np.add.at(counts, cl,
-                          b.column("vcount").to_numpy().astype(np.int64))
+                np.add.at(counts, cl, vc)
         new = cents.copy()
         nz = counts > 0
         new[nz] = (sums[nz].astype(np.float64) / _KMEANS_SCALE

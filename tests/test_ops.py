@@ -1286,3 +1286,47 @@ def test_clean_corpus_dedups_before_span_counting(ray_session, tmp_path):
     # the genuinely shared span still gets deleted from both carriers
     assert by[3].text_clean == xt and by[3].n_kept == 22
     assert by[4].text_clean == ut and by[4].n_kept == 23
+
+
+def test_span_ops_no_dup_grams_corpus(ray_session, tmp_path):
+    """A corpus with ZERO cross-document duplicated n-grams must flow
+    through all three span operators (regression: the broadcast path
+    crashed concat-ing an empty dup-gram set)."""
+    import pyarrow.parquet as pq
+
+    from webxtract.ops.text import (docs_clean_corpus, docs_dup_span_frac,
+                                    docs_remove_dup_spans)
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([
+            " ".join(f"a{i}" for i in range(25)),
+            " ".join(f"b{i}" for i in range(25)),
+        ]),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    frac = docs_dup_span_frac(str(tmp_path)).to_pandas()
+    assert frac["dup_frac"].tolist() == [0.0, 0.0]
+    clean = docs_remove_dup_spans(str(tmp_path)).to_pandas()
+    assert clean["n_kept"].tolist() == [25, 25]
+    full = docs_clean_corpus(str(tmp_path), min_quality=0.0).to_pandas()
+    assert sorted(full["doc_id"]) == [1, 2]
+
+
+def test_pagerank_directed_sink_destinations(ray_session):
+    """Directed edge list where some destinations never appear as a
+    source: ranks exist only for sources and sink contributions are
+    dropped, never credited to the wrong node (regression: unguarded
+    searchsorted misattributed or raised)."""
+    import ray.data as rd
+
+    from webxtract.ops.graph import pagerank
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([1, 3], pa.int64()),
+        "dst": pa.array([2, 4], pa.int64()),   # 2 and 4 are sinks
+    })).materialize()
+    t = pagerank(edges, iters=2).to_pydict()
+    assert t["node"] == [1, 3]
+    # no cross-credit: both sources have identical structure -> equal rank
+    assert t["rank_e12"][0] == t["rank_e12"][1]

@@ -995,8 +995,9 @@ def new_content(ds_prior, ds_incoming, text_col: str = "text",
     from .relational import copartitioned_map
 
     def md5s(batch: pa.Table) -> list[str]:
-        return [hashlib.md5(t.encode()).hexdigest()
-                for t in batch.column(text_col).to_pylist()]
+        from .text import md5_hex
+
+        return md5_hex(batch.column(text_col).to_pylist())
 
     def prior_project(batch: pa.Table) -> pa.Table:
         return pa.table({"md5": pa.array(md5s(batch), pa.string())})
@@ -1005,21 +1006,9 @@ def new_content(ds_prior, ds_incoming, text_col: str = "text",
                                      zero_copy_batch=True).materialize()
     n_prior = prior_md5.count()
 
-    def bloom_partial(batch: pa.Table) -> pa.Table:
-        bf = BloomFilter(max(n_prior, 1))
-        bf.add(batch.column("md5").to_pylist())
-        return pa.table({"bloom": pa.array([bf.serialize()], pa.binary())})
+    from .sketch import bloom_ref_of
 
-    bf_all = None
-    for b in prior_md5.map_batches(bloom_partial, batch_format="pyarrow",
-                                   zero_copy_batch=True) \
-            .iter_batches(batch_format="pyarrow"):
-        for raw in b.column("bloom").to_pylist():
-            cur = BloomFilter.deserialize(raw)
-            bf_all = cur if bf_all is None else bf_all.merge(cur)
-    if bf_all is None:
-        bf_all = BloomFilter(1)
-    ref = ray.put(bf_all.serialize())
+    ref = bloom_ref_of(prior_md5, "md5", n_prior)
 
     def hash_and_route(batch: pa.Table) -> pa.Table:
         from ..broadcast import get_broadcast_derived

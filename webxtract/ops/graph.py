@@ -145,7 +145,15 @@ def pagerank(edges, iters: int = 5, damping_pct: int = 85):
                          for r in block_refs])
         contrib_v = np.zeros(n_nodes, np.int64)
         for bn, bv in parts:
-            np.add.at(contrib_v, np.searchsorted(nodes, bn), bv)
+            # ranked nodes are the SOURCES; contributions to a
+            # destination that never appears as a source (a sink in a
+            # directed edge list) are dropped, matching the dict fold
+            # this replaced — an unguarded searchsorted would IndexError
+            # or credit the wrong node
+            si = np.searchsorted(nodes, bn)
+            ok = si < n_nodes
+            ok[ok] &= nodes[si[ok]] == bn[ok]
+            np.add.at(contrib_v, si[ok], bv[ok])
         rank = teleport + (damping_pct * contrib_v) // 100
 
     return pa.table({"node": pa.array(nodes, pa.int64()),

@@ -318,7 +318,7 @@ class _KmeansAssign:
     (broadcast ref; the per-iteration partials run as raw tasks inside
     ``kmeans``)."""
 
-    def __init__(self, cents_ref, emit: str = "assign"):
+    def __init__(self, cents_ref):
         from ..broadcast import get_broadcast
 
         self.cn = _normalize(np.asarray(get_broadcast(cents_ref),
@@ -398,7 +398,7 @@ def kmeans(ds, k: int = 8, iters: int = 5):
     ref = ray.put(cents)
 
     def assign(batch: pa.Table, _ref=ref) -> pa.Table:
-        return _KmeansAssign(_ref, "assign")(batch)
+        return _KmeansAssign(_ref)(batch)
 
     out = slim.map_batches(assign, batch_format="pyarrow",
                            zero_copy_batch=True)

@@ -214,6 +214,30 @@ class BloomFilter:
         return out
 
 
+def bloom_ref_of(ds, col: str, expected_n: int):
+    """Build a Bloom filter over ``ds[col]`` — per-batch partial
+    bitmaps OR-merged on the driver — and return a ray.put of the
+    serialized filter. Driver memory is the fixed bitmap size
+    (expected_n * bits_per_key), never the column bytes. The single
+    shared implementation of the build-and-merge fold used by the
+    incremental-ingest dedup and both span-dedup join paths."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(max(expected_n, 1))
+        bf.add(batch.column(col).to_pylist())
+        return pa.table({"bloom": pa.array([bf.serialize()], pa.binary())})
+
+    bf_all = None
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for raw in b.column("bloom").to_pylist():
+            cur = BloomFilter.deserialize(raw)
+            bf_all = cur if bf_all is None else bf_all.merge(cur)
+    return ray.put((bf_all or BloomFilter(1)).serialize())
+
+
 def bloom_semi_join_stage(bloom_ref, key: str):
     """Approximate semi-join prefilter: keep rows whose key MIGHT be in
     the broadcast Bloom filter (no false negatives — safe before an

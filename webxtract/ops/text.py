@@ -498,6 +498,14 @@ def rolling_fingerprint(text: str) -> int:
         return int((b * powers[::-1]).sum(dtype=np.uint64))
 
 
+def md5_hex(texts: list[str]) -> list[str]:
+    """The ONE content-hash definition every exact-dedup surface uses
+    (Fingerprinter, docs_clean_corpus, incremental-ingest dedup) — md5
+    of the utf-8 text, hex — so their dedup decisions can never
+    diverge. Oracle twin: DuckDB md5(text)."""
+    return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+
+
 class Fingerprinter:
     """Per-doc fingerprints: md5 hex (oracle-checkable vs DuckDB md5())
     and a 64-bit rolling hash. Power table cached across batches (actor)."""
@@ -518,7 +526,7 @@ class Fingerprinter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        md5s = md5_hex(texts)
         fps = []
         for t in texts:
             b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
@@ -873,8 +881,11 @@ def docs_dup_span_frac(sf_dir: str, n: int = 8, verify: str = "auto"):
                          "dup_frac": pa.array(frac, pa.float64())})
 
     if verify == "broadcast":
-        dup_tbl = pa.concat_tables(
-            list(dup.iter_batches(batch_format="pyarrow")))
+        chunks = list(dup.iter_batches(batch_format="pyarrow"))
+        # a corpus with NO cross-doc duplicated grams yields zero
+        # batches — broadcast an empty typed set, don't crash concat
+        dup_tbl = (pa.concat_tables(chunks) if chunks
+                   else pa.table({"gram": pa.array([], pa.string())}))
         set_ref = ray.put(dup_tbl.column("gram").combine_chunks())
 
         def frac_batch(batch: pa.Table) -> pa.Table:
@@ -902,21 +913,9 @@ def docs_dup_span_frac(sf_dir: str, n: int = 8, verify: str = "auto"):
 
     # join path: Bloom prefilter + copartitioned semi-join; the driver
     # never holds the dup-gram set, only the OR-merged fixed-size bitmap
-    from .sketch import BloomFilter
+    from .sketch import BloomFilter, bloom_ref_of
 
-    def bloom_partial(batch: pa.Table) -> pa.Table:
-        bf = BloomFilter(max(n_dup, 1))
-        bf.add(batch.column("gram").to_pylist())
-        return pa.table({"bloom": pa.array([bf.serialize()], pa.binary())})
-
-    bf_all = None
-    for b in dup.map_batches(bloom_partial, batch_format="pyarrow",
-                             zero_copy_batch=True) \
-            .iter_batches(batch_format="pyarrow"):
-        for raw in b.column("bloom").to_pylist():
-            cur = BloomFilter.deserialize(raw)
-            bf_all = cur if bf_all is None else bf_all.merge(cur)
-    bloom_ref = ray.put((bf_all or BloomFilter(1)).serialize())
+    bloom_ref = bloom_ref_of(dup, "gram", n_dup)
 
     def prep_docs(batch: pa.Table) -> pa.Table:
         # one baseline row per doc (start = null; gram = doc id string,
@@ -1030,8 +1029,7 @@ def _despan_batchwise(batch: pa.Table, starts_by_row, n: int) -> pa.Table:
         minlength=len(batch)).astype(np.int64)
     new_off = np.zeros(len(batch) + 1, np.int64)
     np.cumsum(kept_per_row, out=new_off[1:])
-    lst = pa.ListArray.from_arrays(pa.array(new_off, pa.int32()).cast(
-        pa.int32()), kept)
+    lst = pa.ListArray.from_arrays(pa.array(new_off, pa.int32()), kept)
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "text_clean": pc.binary_join(lst, " "),
@@ -1069,8 +1067,11 @@ def docs_remove_dup_spans(sf_dir: str, n: int = 8, verify: str = "auto",
         verify = "broadcast" if n_dup <= DUP_SPAN_BROADCAST_MAX else "join"
 
     if verify == "broadcast":
-        dup_tbl = pa.concat_tables(
-            list(dup.iter_batches(batch_format="pyarrow")))
+        chunks = list(dup.iter_batches(batch_format="pyarrow"))
+        # a corpus with NO cross-doc duplicated grams yields zero
+        # batches — broadcast an empty typed set, don't crash concat
+        dup_tbl = (pa.concat_tables(chunks) if chunks
+                   else pa.table({"gram": pa.array([], pa.string())}))
         set_ref = ray.put(dup_tbl.column("gram").combine_chunks())
 
         def despan(batch: pa.Table) -> pa.Table:
@@ -1090,21 +1091,9 @@ def docs_remove_dup_spans(sf_dir: str, n: int = 8, verify: str = "auto",
 
     # join path: verified (doc_id, start) positions via Bloom +
     # copartitioned semi-join (driver holds only the OR-merged bitmap)
-    from .sketch import BloomFilter
+    from .sketch import BloomFilter, bloom_ref_of
 
-    def bloom_partial(batch: pa.Table) -> pa.Table:
-        bf = BloomFilter(max(n_dup, 1))
-        bf.add(batch.column("gram").to_pylist())
-        return pa.table({"bloom": pa.array([bf.serialize()], pa.binary())})
-
-    bf_all = None
-    for b in dup.map_batches(bloom_partial, batch_format="pyarrow",
-                             zero_copy_batch=True) \
-            .iter_batches(batch_format="pyarrow"):
-        for raw in b.column("bloom").to_pylist():
-            cur = BloomFilter.deserialize(raw)
-            bf_all = cur if bf_all is None else bf_all.merge(cur)
-    bloom_ref = ray.put((bf_all or BloomFilter(1)).serialize())
+    bloom_ref = bloom_ref_of(dup, "gram", n_dup)
 
     def prep_wins(batch: pa.Table) -> pa.Table:
         from ..broadcast import get_broadcast_derived
@@ -1178,8 +1167,6 @@ def docs_clean_corpus(sf_dir: str, n: int = 8, min_tokens: int = 20,
     deletion reuses the shared broadcast / Bloom+join machinery over
     the materialized kept corpus; the quality gate is one map-side
     polars pass with no exchange."""
-    import hashlib
-
     import ray
 
     from .relational import partitioned_map_groups, read
@@ -1188,9 +1175,8 @@ def docs_clean_corpus(sf_dir: str, n: int = 8, min_tokens: int = 20,
 
     def md5_slim(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "md5": pa.array(
-                [hashlib.md5(t.encode()).hexdigest()
-                 for t in batch.column("text").to_pylist()], pa.string()),
+            "md5": pa.array(md5_hex(batch.column("text").to_pylist()),
+                            pa.string()),
             "doc_id": batch.column("doc_id"),
         })
 

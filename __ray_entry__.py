@@ -426,6 +426,14 @@ def _docs_clean_corpus(sf_dir: str):
     return docs_clean_corpus(sf_dir)
 
 
+def _docs_weighted_sample(sf_dir: str):
+    """Efraimidis-Spirakis weighted sample (deterministic md5-derived
+    uniforms, key ln(u)/n_chars, global top-100; oracled)."""
+    from webxtract.ops.text import docs_weighted_sample
+
+    return docs_weighted_sample(sf_dir)
+
+
 def _emb_norms(sf_dir: str):
     """Per-vector L2 norms (oracled: DuckDB list kernels)."""
     from webxtract.ops.knn import emb_norms
@@ -578,6 +586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_span_frac": _docs_dup_span_frac,
         "docs_remove_dup_spans": _docs_remove_dup_spans,
         "docs_clean_corpus": _docs_clean_corpus,
+        "docs_weighted_sample": _docs_weighted_sample,
         "emb_norms": _emb_norms,
         "emb_label_centroids": _emb_label_centroids,
         "images_phash_dupes": _images_phash_dupes,  # rows-only
@@ -1717,6 +1726,16 @@ r5 AS (
             SELECT doc_id, n_kept, quality_score, text_clean
             FROM scored
             WHERE n_kept >= 20 AND quality_score >= 40.0
+        """,
+        "docs_weighted_sample": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       ln(CAST(('0x' || substr(md5(CAST(doc_id AS
+                           VARCHAR)), 1, 12)) AS BIGINT)
+                          / 281474976710656.0)
+                       / greatest(n_chars, 1) AS key
+                FROM documents)
+            ORDER BY key DESC, doc_id LIMIT 100
         """,
         "emb_norms": """
             SELECT vec_id,

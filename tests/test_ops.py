@@ -1330,3 +1330,28 @@ def test_pagerank_directed_sink_destinations(ray_session):
     assert t["node"] == [1, 3]
     # no cross-credit: both sources have identical structure -> equal rank
     assert t["rank_e12"][0] == t["rank_e12"][1]
+
+
+def test_weighted_sample_bias_and_invariance(ray_session, tmp_path):
+    """A-ES semantics: with heavy docs 100x the weight of light docs,
+    the k-sample must be dominated by heavy docs; output invariant to
+    input partitioning (hash-derived uniforms, no RNG state)."""
+    import pyarrow.parquet as pq
+
+    from webxtract.ops.text import docs_weighted_sample
+
+    n = 400
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "n_chars": pa.array([5000 if i % 2 == 0 else 50
+                             for i in range(n)], pa.int64()),
+        "text": pa.array(["x"] * n),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    s1 = docs_weighted_sample(str(tmp_path), k=50).to_pandas()
+    heavy = (s1["n_chars"] == 5000).mean()
+    assert heavy >= 0.8, heavy
+    pq.write_table(docs, str(tmp_path / "documents.parquet"),
+                   row_group_size=17)
+    s2 = docs_weighted_sample(str(tmp_path), k=50).to_pandas()
+    assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])

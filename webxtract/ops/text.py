@@ -1234,3 +1234,44 @@ def docs_clean_corpus(sf_dir: str, n: int = 8, min_tokens: int = 20,
 
     return clean.map_batches(final, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def docs_weighted_sample(sf_dir: str, k: int = 100):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each doc draws a deterministic pseudo-uniform u from
+    md5(doc_id) and competes with key ln(u)/weight — a monotone
+    transform of the classic u^(1/w) — so the global top-k keys form a
+    sample with inclusion probability increasing in the weight
+    (n_chars). Hash-derived u means no RNG state: re-run- and
+    partitioning-stable, the same trick as docs_split/docs_sample, and
+    exactly replicable by the DuckDB oracle (ln and the hex-parse are
+    bit-identical across engines — verified).
+
+    Scale shape: per-batch partial top-k (<= k slim rows leave each
+    block) + one tiny final sort — the mergeable top-k pattern (O4).
+    Output (doc_id, n_chars): the selected sample."""
+    from .relational import read
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    denom = np.float64(16 ** 12)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        w = batch.column("n_chars").to_numpy().astype(np.float64)
+        u = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+             for i in ids], np.float64) / denom
+        key = np.log(u) / np.maximum(w, 1.0)
+        top = np.lexsort((ids, -key))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[top], pa.int64()),
+            "n_chars": batch.column("n_chars").take(pa.array(top)),
+            "_key": pa.array(key[top], pa.float64()),
+        })
+
+    sampled = (ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .sort(["_key", "doc_id"], descending=[True, False])
+               .limit(k))
+    return sampled.map_batches(lambda t: t.drop_columns(["_key"]),
+                               batch_format="pyarrow")

@@ -161,3 +161,33 @@ def test_new_content_exact_despite_bloom_fps(ray_session):
     }))
     out = D.new_content(prior, incoming).to_pandas()
     assert sorted(out.doc_id) == list(range(1050, 1100))
+
+
+def test_simhash_batch_equals_scalar():
+    """The vectorized batch signature path must be bit-identical to the
+    per-doc sig64 reference, including empty and single-token docs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from webxtract.ops import dedup as D
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "single",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+        "repeated repeated repeated repeated other",
+    ]
+    h = D.SimHasher()
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    got = h._sigs_batch(batch)
+    exp = np.array([h.sig64(t) for t in texts], dtype=np.uint64)
+    assert (got == exp).all(), (got, exp)
+    # and the banded table round-trips the same signatures
+    t = h(batch).to_pydict()
+    sig_by_doc = {d: s + (1 << 63) for d, s in zip(t["doc_id"], t["sig"])}
+    for i, e in enumerate(exp):
+        assert sig_by_doc[i] == int(e)

@@ -398,29 +398,72 @@ class SimHasher:
             h = (self.a[0] * h + self.b[0]) % _MERSENNE
             h2 = h * np.uint64(0x9E3779B97F4A7C15)  # spread to full 64 bits
         bits = ((h2[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-        votes = bits.sum(axis=0) * 2 - len(toks)  # (+1/-1 votes summed)
+        # int64 BEFORE the vote arithmetic: in uint64, 0*2 - len wraps
+        # to a huge positive and sets bits the votes actually rejected
+        # (every odd-token-count doc degenerated to an all-ones
+        # signature before this cast)
+        votes = bits.astype(np.int64).sum(axis=0) * 2 - len(toks)
         sig = 0
         for i in range(64):
             if votes[i] > 0:
                 sig |= 1 << i
         return sig
 
+    def _sigs_batch(self, batch: pa.Table) -> np.ndarray:
+        """Vectorized batch twin of sig64 (bit-identical, equivalence-
+        tested): crc32 runs once per DISTINCT token via dictionary
+        encoding, the per-doc bit votes are one reduceat over the
+        flattened code stream — no per-occurrence Python."""
+        toks = pc.utf8_split_whitespace(batch.column("text"))
+        flat = pc.list_flatten(toks).combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy()
+        # Arrow emits empty boundary tokens where str.split() drops
+        # them — filter to match the scalar reference exactly
+        keep = pc.not_equal(flat, pa.scalar("")).to_numpy(
+            zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+        sigs = np.zeros(len(batch), dtype=np.uint64)
+        if len(flat) == 0:
+            return sigs
+        d = flat.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy().astype(np.int64)
+        vocab = d.dictionary.to_pylist()
+        hv = np.array([zlib.crc32(t.encode()) for t in vocab],
+                      dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h = (self.a[0] * hv + self.b[0]) % _MERSENNE
+            h2 = h * np.uint64(0x9E3779B97F4A7C15)
+        shifts = np.arange(64, dtype=np.uint64)[None, :]
+        bits_vocab = ((h2[:, None] >> shifts) & 1).astype(np.int64)
+        seg = np.nonzero(np.concatenate(
+            [[True], parents[1:] != parents[:-1]]))[0]
+        votes = np.add.reduceat(bits_vocab[codes], seg, axis=0)
+        n_tok = np.diff(np.append(seg, len(codes)))
+        pos = (votes * 2 - n_tok[:, None]) > 0
+        seg_sigs = (pos.astype(np.uint64)
+                    << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+        sigs[parents[seg]] = seg_sigs
+        # rows with no (nonempty) tokens keep sig 0, matching sig64("")
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        out_doc, out_band, out_key, out_sig = [], [], [], []
-        for d, t in zip(doc_ids, texts):
-            s = self.sig64(t)
-            for band in range(4):
-                out_doc.append(d)
-                out_band.append(band)
-                out_key.append((s >> (16 * band)) & 0xFFFF)
-                out_sig.append(s - (1 << 63))
+        doc_ids = batch.column("doc_id").to_numpy()
+        sigs = self._sigs_batch(batch)
+        n = len(doc_ids)
+        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        docs4 = np.repeat(doc_ids, 4)
+        sig4 = np.repeat(sigs, 4)
+        keys = (sig4 >> (np.uint64(16) * bands.astype(np.uint64))) \
+            & np.uint64(0xFFFF)
         return pa.table({
-            "doc_id": pa.array(out_doc, pa.int64()),
-            "band": pa.array(out_band, pa.int32()),
-            "band_key": pa.array(out_key, pa.int64()),
-            "sig": pa.array(out_sig, pa.int64()),
+            "doc_id": pa.array(docs4, pa.int64()),
+            "band": pa.array(bands, pa.int32()),
+            "band_key": pa.array(keys.astype(np.int64), pa.int64()),
+            "sig": pa.array((sig4 - np.uint64(1 << 63)).view(np.int64)
+                            .astype(np.int64), pa.int64()),
         })
 
 

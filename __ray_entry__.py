@@ -426,6 +426,13 @@ def _docs_clean_corpus(sf_dir: str):
     return docs_clean_corpus(sf_dir)
 
 
+def _docs_bigram_logprob(sf_dir: str):
+    """Bigram-LM quality score, corpus as the LM (oracled)."""
+    from webxtract.ops.text import docs_bigram_logprob
+
+    return docs_bigram_logprob(sf_dir)
+
+
 def _docs_weighted_sample(sf_dir: str):
     """Efraimidis-Spirakis weighted sample (deterministic md5-derived
     uniforms, key ln(u)/n_chars, global top-100; oracled)."""
@@ -587,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_remove_dup_spans": _docs_remove_dup_spans,
         "docs_clean_corpus": _docs_clean_corpus,
         "docs_weighted_sample": _docs_weighted_sample,
+        "docs_bigram_logprob": _docs_bigram_logprob,
         "emb_norms": _emb_norms,
         "emb_label_centroids": _emb_label_centroids,
         "images_phash_dupes": _images_phash_dupes,  # rows-only
@@ -1726,6 +1734,25 @@ r5 AS (
             SELECT doc_id, n_kept, quality_score, text_clean
             FROM scored
             WHERE n_kept >= 20 AND quality_score >= 40.0
+        """,
+        "docs_bigram_logprob": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+                          FROM documents),
+            big AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+                    FROM toks,
+                         LATERAL (SELECT unnest(range(1, len(ts)))
+                                  AS i) r),
+            bc AS (SELECT w1, w2, count(*) AS n FROM big GROUP BY 1, 2),
+            pfx AS (SELECT w1, sum(n) AS pn FROM bc GROUP BY 1),
+            scored AS (SELECT b.doc_id, ln(bc.n * 1.0 / pfx.pn) AS lp
+                       FROM big b
+                       JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+                       JOIN pfx ON pfx.w1 = b.w1)
+            SELECT d.doc_id,
+                   round(COALESCE(avg(lp), 0.0), 6) AS mean_logprob,
+                   CAST(count(lp) AS BIGINT) AS n_bigrams
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+            GROUP BY d.doc_id
         """,
         "docs_weighted_sample": """
             SELECT doc_id, n_chars FROM (

@@ -1275,3 +1275,102 @@ def docs_weighted_sample(sf_dir: str, k: int = 100):
                .limit(k))
     return sampled.map_batches(lambda t: t.drop_columns(["_key"]),
                                batch_format="pyarrow")
+
+
+def docs_bigram_logprob(sf_dir: str):
+    """Bigram-LM quality score (the conditional-probability step up
+    from docs_unigram_logprob): mean ln p(w_i | w_{i-1}) per doc with
+    the corpus itself as the LM, p = bigram count / prefix total.
+    Pass 1 builds corpus bigram counts (adjacent-pair partials on the
+    flattened token stream -> grouped Sum) and broadcasts them once;
+    prefix totals derive from the SAME broadcast table (a vocab-bounded
+    group-sum over first tokens, cached per worker). Pass 2 rebuilds
+    each batch's bigrams, one pc.index_in against the broadcast
+    vocabulary, bincount-by-row for the mean. Docs with < 2 tokens
+    score 0.0 over 0 bigrams. Oracled (lateral bigrams + two joins +
+    avg(ln))."""
+    import ray.data as rd
+
+    from .relational import broadcast_lookup, partitioned_map_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def _bigrams(batch: pa.Table):
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy()
+        if len(flat) < 2:
+            return None
+        same = parents[:-1] == parents[1:]
+        if not same.any():
+            return None
+        w1 = flat.slice(0, len(flat) - 1).filter(pa.array(same))
+        w2 = flat.slice(1).filter(pa.array(same))
+        return (pc.binary_join_element_wise(w1, w2, " "),
+                parents[:-1][same])
+
+    def partial_bc(batch: pa.Table) -> pa.Table:
+        bg = _bigrams(batch)
+        if bg is None:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vc = bg[0].value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"bigram": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    def sum_bc(t: pa.Table) -> pa.Table:
+        g = t.group_by("bigram").aggregate([("n", "sum")])
+        return pa.table({"bigram": g.column("bigram"),
+                         "n": g.column("n_sum").cast(pa.int64())})
+
+    counts = partitioned_map_groups(
+        ds.map_batches(partial_bc, batch_format="pyarrow",
+                       zero_copy_batch=True), "bigram", sum_bc)
+    vocab_ref = broadcast_lookup(counts, "bigram", ["n"])
+
+    def _lp_table(build):
+        keys, (bn,) = build
+        # a token never contains the separator, so the text before the
+        # FIRST space is exactly w1 (even when w2 is empty)
+        first = pc.list_element(
+            pc.split_pattern(keys, pattern=" ", max_splits=1), 0)
+        d = first.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = bn.to_numpy().astype(np.int64)
+        pn = np.zeros(int(codes.max()) + 1 if len(codes) else 1, np.int64)
+        np.add.at(pn, codes, nv)
+        lp = np.log(nv.astype(np.float64) / pn[codes].astype(np.float64))
+        return keys, lp
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..broadcast import get_broadcast_derived
+
+        keys, lp_vals = get_broadcast_derived(vocab_ref, "lp2", _lp_table)
+        n = batch.num_rows
+        bg = _bigrams(batch)
+        if bg is None:
+            zero = np.zeros(n)
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "mean_logprob": pa.array(zero, pa.float64()),
+                "n_bigrams": pa.array(zero.astype(np.int64), pa.int64()),
+            })
+        grams, rows = bg
+        idx = pc.index_in(grams, value_set=keys).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lp = lp_vals[idx]
+        sums = np.bincount(rows, weights=lp, minlength=n)
+        cnts = np.bincount(rows, minlength=n)
+        mean = round_ha(sums / np.maximum(cnts, 1), 6)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "mean_logprob": pa.array(mean, pa.float64()),
+            "n_bigrams": pa.array(cnts.astype(np.int64), pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -426,6 +426,13 @@ def _docs_clean_corpus(sf_dir: str):
     return docs_clean_corpus(sf_dir)
 
 
+def _events_late_arrivals(sf_dir: str):
+    """Per-user watermark late-data detection (oracled)."""
+    from webxtract.ops.relational import events_late_arrivals
+
+    return events_late_arrivals(sf_dir)
+
+
 def _docs_bigram_logprob(sf_dir: str):
     """Bigram-LM quality score, corpus as the LM (oracled)."""
     from webxtract.ops.text import docs_bigram_logprob
@@ -595,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clean_corpus": _docs_clean_corpus,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_bigram_logprob": _docs_bigram_logprob,
+        "events_late_arrivals": _events_late_arrivals,
         "emb_norms": _emb_norms,
         "emb_label_centroids": _emb_label_centroids,
         "images_phash_dupes": _images_phash_dupes,  # rows-only
@@ -1734,6 +1742,21 @@ r5 AS (
             SELECT doc_id, n_kept, quality_score, text_clean
             FROM scored
             WHERE n_kept >= 20 AND quality_score >= 40.0
+        """,
+        "events_late_arrivals": """
+            WITH w AS (
+                SELECT event_id, user_id, ts,
+                       max(ts) OVER (PARTITION BY user_id
+                                     ORDER BY event_id % 7, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS prev_max
+                FROM events)
+            SELECT event_id, user_id,
+                   date_diff('microsecond', ts, prev_max) - 300000000
+                       AS late_by_us
+            FROM w
+            WHERE prev_max IS NOT NULL
+              AND date_diff('microsecond', ts, prev_max) > 300000000
         """,
         "docs_bigram_logprob": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts

@@ -3008,3 +3008,53 @@ def events_funnel_users(sf_dir: str):
 
     n = per_user.map_batches(qualify, batch_format="pyarrow").sum("n")
     return pa.table({"n_users": pa.array([int(n or 0)], pa.int64())})
+
+
+def events_late_arrivals(sf_dir: str, lateness_us: int = 300_000_000,
+                         stride: int = 7):
+    """Late-data detection under a per-user watermark (the §2.9
+    streaming semantics made explicit). The synthetic events are
+    perfectly time-ordered, so a deterministic SKEWED ARRIVAL schedule
+    replays each user's stream in ``(event_id % stride, event_id)``
+    order — a strided interleave that genuinely delivers events out of
+    event-time order, like network reordering. The watermark at each
+    arrival is the running max event-time of the PRECEDING arrivals
+    minus ``lateness_us`` (5 min default); an event is late iff its own
+    timestamp sits below it. Emits only the late rows: (event_id,
+    user_id, late_by_us = prev_max - ts - lateness_us > 0).
+
+    Scale shape: one hash co-location by user (the watermark is
+    per-key), then a vectorized polars shift+cum_max per partition —
+    no per-event Python, no second exchange. Oracled via
+    max(ts) OVER (... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING) with
+    the same arrival ORDER BY."""
+    ds = read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def late(part: pa.Table) -> pa.Table:
+        import polars as pl
+
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "late_by_us": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        df = (pl.from_arrow(part)
+              .with_columns((pl.col("event_id") % stride).alias("_arr"))
+              .sort(["user_id", "_arr", "event_id"]))
+        out = (df.with_columns(
+                   pl.col("ts").shift(1).cum_max().over("user_id")
+                   .alias("prev_max"))
+               .with_columns(
+                   ((pl.col("prev_max") - pl.col("ts"))
+                    .dt.total_microseconds() - lateness_us)
+                   .alias("late_by_us"))
+               .filter(pl.col("late_by_us") > 0)
+               .select(["event_id", "user_id", "late_by_us"]))
+        t = out.to_arrow()
+        if t.num_rows == 0:
+            return empty
+        return t.cast(pa.schema([("event_id", pa.int64()),
+                                 ("user_id", pa.int64()),
+                                 ("late_by_us", pa.int64())]))
+
+    return partitioned_map_groups(ds, "user_id", late)

@@ -426,6 +426,14 @@ def _docs_clean_corpus(sf_dir: str):
     return docs_clean_corpus(sf_dir)
 
 
+def _docs_terms_cms(sf_dir: str):
+    """Count-Min estimated counts for the exact top-50 terms
+    (rows-only; one-sided accuracy gated in tests)."""
+    from webxtract.ops.sketch import docs_terms_cms
+
+    return docs_terms_cms(sf_dir)
+
+
 def _events_late_arrivals(sf_dir: str):
     """Per-user watermark late-data detection (oracled)."""
     from webxtract.ops.relational import events_late_arrivals
@@ -603,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_bigram_logprob": _docs_bigram_logprob,
         "events_late_arrivals": _events_late_arrivals,
+        "docs_terms_cms": _docs_terms_cms,        # sketch estimate; rows-only
         "emb_norms": _emb_norms,
         "emb_label_centroids": _emb_label_centroids,
         "images_phash_dupes": _images_phash_dupes,  # rows-only

@@ -1355,3 +1355,35 @@ def test_weighted_sample_bias_and_invariance(ray_session, tmp_path):
                    row_group_size=17)
     s2 = docs_weighted_sample(str(tmp_path), k=50).to_pandas()
     assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])
+
+
+def test_count_min_accuracy_and_linearity(ray_session):
+    """CMS gates: estimates NEVER undercount; overcount stays within
+    the e*N/width bound for every exact-top-50 term; and the per-block
+    partial matrices merged here equal a single-pass sketch (linearity
+    = partitioning independence)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from webxtract.ops.sketch import CountMin, docs_terms_cms
+
+    sf = "/root/testdata/sf0.001"
+    t = docs_terms_cms(sf)
+    n = t.column("n").to_numpy()
+    est = t.column("n_est").to_numpy()
+    assert (est >= n).all()
+    total_tokens = int(pq.read_table(f"{sf}/documents.parquet",
+                                     columns=["text"]).column("text")
+                       .to_pandas().str.count(" ").sum()) + 500
+    bound = math.e * total_tokens / 2048
+    assert (est - n <= bound).all(), (est - n).max()
+    # linearity: two half-sketches merged == one full sketch
+    vals = ["a", "b", "a", "c", "b", "a"]
+    full = CountMin(64, 3)
+    full.add(vals, np.ones(len(vals), np.int64))
+    h1, h2 = CountMin(64, 3), CountMin(64, 3)
+    h1.add(vals[:3], np.ones(3, np.int64))
+    h2.add(vals[3:], np.ones(3, np.int64))
+    assert (h1.merge(h2).m == full.m).all()
+    assert full.estimate(["a"])[0] >= 3

@@ -564,3 +564,93 @@ def events_type_users_hll(sf_dir: str, p: int = 12):
                          columns=["event_type", "user_id"])
     return grouped_approx_distinct(ds, "user_id", "event_type", p=p) \
         .sort("event_type")
+
+
+# --- Count-Min sketch -----------------------------------------------------
+
+class CountMin:
+    """Count-Min sketch (Cormode–Muthukrishnan '05): depth x width
+    counter matrix, row indexes by Kirsch–Mitzenmacher double hashing
+    over the shared deterministic _hash64. LINEAR: merging two sketches
+    is elementwise addition, so per-batch partial matrices sum exactly
+    across any partitioning. Estimates never undercount; overcount is
+    bounded by e*N/width with prob 1 - e^-depth."""
+
+    __slots__ = ("width", "depth", "m")
+
+    def __init__(self, width: int = 2048, depth: int = 4,
+                 m: np.ndarray | None = None):
+        self.width, self.depth = width, depth
+        self.m = m if m is not None else np.zeros((depth, width), np.int64)
+
+    def _idx(self, values) -> np.ndarray:
+        h1 = _hash64(values)
+        h2 = _finalize64((h1 >> np.uint64(32)) | (h1 << np.uint64(32)))
+        i = np.arange(self.depth, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return ((h1[None, :] + i * h2[None, :])
+                    % np.uint64(self.width)).astype(np.int64)
+
+    def add(self, values, counts: np.ndarray) -> None:
+        idx = self._idx(values)
+        for d in range(self.depth):
+            np.add.at(self.m[d], idx[d], counts)
+
+    def estimate(self, values) -> np.ndarray:
+        idx = self._idx(values)
+        return np.stack([self.m[d][idx[d]]
+                         for d in range(self.depth)]).min(axis=0)
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        assert self.m.shape == other.m.shape
+        return CountMin(self.width, self.depth, self.m + other.m)
+
+
+def docs_terms_cms(sf_dir: str, width: int = 2048, depth: int = 4,
+                   k: int = 50):
+    """Approximate term counts from a mergeable Count-Min sketch,
+    reported for the exact top-k terms so accuracy is measurable:
+    (term, n, n_est) with n_est >= n always and the overcount bounded
+    by the corpus-size/width guarantee (gated in tests).
+
+    Scale shape: each batch folds its token value_counts into a local
+    depth x width matrix and emits it as ONE flattened row (fixed
+    ~64 KB regardless of batch vocabulary); matrices are LINEAR, so a
+    bounded driver fold of per-block partials reconstructs the corpus
+    sketch exactly — the same order-independence argument as the HLL
+    registers, with addition instead of max."""
+    from .relational import docs_term_counts, read
+
+    ds = read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(
+            batch.column("text"), pattern=" "))
+        vc = flat.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        cms = CountMin(width, depth)
+        if len(vc):
+            cms.add(vc.field("values").to_pylist(),
+                    vc.field("counts").to_numpy().astype(np.int64))
+        return pa.table({"m": pa.array([cms.m.ravel().tolist()],
+                                       pa.list_(pa.int64()))})
+
+    total = CountMin(width, depth)
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for row in b.column("m").to_pylist():
+            total = total.merge(CountMin(
+                width, depth,
+                np.asarray(row, np.int64).reshape(depth, width)))
+
+    exact = pa.concat_tables(list(
+        docs_term_counts(sf_dir, k=k).iter_batches(batch_format="pyarrow")))
+    terms = exact.column("term").to_pylist()
+    est = total.estimate(terms)
+    return pa.table({
+        "term": exact.column("term"),
+        "n": exact.column("n"),
+        "n_est": pa.array(est, pa.int64()),
+    })

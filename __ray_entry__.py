@@ -426,6 +426,35 @@ def _docs_clean_corpus(sf_dir: str):
     return docs_clean_corpus(sf_dir)
 
 
+def _q9_product_profit(sf_dir: str):
+    """TPC-H Q9 shape (supply cost stand-in documented; oracled)."""
+    from webxtract.ops.relational import q9_product_profit
+
+    return q9_product_profit(sf_dir)
+
+
+def _q16_supplier_variety(sf_dir: str):
+    """TPC-H Q16 shape via the lineitem part-supplier link (oracled)."""
+    from webxtract.ops.relational import q16_supplier_variety
+
+    return q16_supplier_variety(sf_dir)
+
+
+def _q20_excess_shipments(sf_dir: str):
+    """TPC-H Q20 shape: HAVING subquery semi-joined back (oracled)."""
+    from webxtract.ops.relational import q20_excess_shipments
+
+    return q20_excess_shipments(sf_dir)
+
+
+def _q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape: global-scalar threshold over grouped value
+    (oracled)."""
+    from webxtract.ops.relational import q11_important_parts
+
+    return q11_important_parts(sf_dir)
+
+
 def _docs_terms_cms(sf_dir: str):
     """Count-Min estimated counts for the exact top-50 terms
     (rows-only; one-sided accuracy gated in tests)."""
@@ -612,6 +641,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_logprob": _docs_bigram_logprob,
         "events_late_arrivals": _events_late_arrivals,
         "docs_terms_cms": _docs_terms_cms,        # sketch estimate; rows-only
+        "q9_product_profit": _q9_product_profit,
+        "q16_supplier_variety": _q16_supplier_variety,
+        "q20_excess_shipments": _q20_excess_shipments,
+        "q11_important_parts": _q11_important_parts,
         "emb_norms": _emb_norms,
         "emb_label_centroids": _emb_label_centroids,
         "images_phash_dupes": _images_phash_dupes,  # rows-only
@@ -1751,6 +1784,61 @@ r5 AS (
             SELECT doc_id, n_kept, quality_score, text_clean
             FROM scored
             WHERE n_kept >= 20 AND quality_score >= 40.0
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(round(l_extendedprice * (1 - l_discount)
+                                   * 10000)
+                             - round(p_retailprice * 100)
+                               * CAST(l_quantity AS BIGINT) * 10)
+                         / 10000.0, 2) AS profit
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+            ORDER BY 1, 2 DESC
+        """,
+        "q16_supplier_variety": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 14, 19, 24, 29)
+              AND l_suppkey % 10 <> 7
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q20_excess_shipments": """
+            SELECT s_name FROM supplier
+            WHERE s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_name LIKE '%widget%'
+                  AND l_shipdate >= TIMESTAMP '1995-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-01-01'
+                GROUP BY l_suppkey
+                HAVING sum(round(l_quantity * 100)) > 30000)
+            ORDER BY s_name
+        """,
+        "q11_important_parts": """
+            WITH v AS (
+                SELECT l_partkey,
+                       sum(round(l_extendedprice * (1 - l_discount)
+                                 * 10000)) AS val_e4
+                FROM lineitem
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON n_nationkey = s_nationkey
+                WHERE n_name = 'NATION_3'
+                GROUP BY 1)
+            SELECT l_partkey AS p_partkey,
+                   round(val_e4 / 10000.0, 2) AS part_value
+            FROM v
+            WHERE val_e4 > (SELECT sum(val_e4) FROM v) * 0.001
+            ORDER BY part_value DESC, p_partkey
         """,
         "events_late_arrivals": """
             WITH w AS (

@@ -74,6 +74,8 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "emb_knn_lsh", "emb_kmeans",
         "q7_nation_volume", "q15_top_supplier", "q8_market_share",
         "q21_sole_blame", "q2_best_supplier", "q12_priority_by_flag",
+        "q9_product_profit", "q16_supplier_variety",
+        "q20_excess_shipments", "q11_important_parts",
         "q13_orders_per_customer", "orders_top_per_priority",
         "orders_rollup", "events_hourly_gapfill", "events_funnel_users",
         "purchase_pagerank",

@@ -3058,3 +3058,251 @@ def events_late_arrivals(sf_dir: str, lateness_us: int = 300_000_000,
                                  ("late_by_us", pa.int64())]))
 
     return partitioned_map_groups(ds, "user_id", late)
+
+
+def q9_product_profit(sf_dir: str, name_like: str = "widget"):
+    """Product-type profit by nation and year (TPC-H Q9 shape). The
+    schema has no partsupp, so supply cost is the documented stand-in
+    10% of p_retailprice per unit: profit = extprice*(1-disc) -
+    0.1*p_retailprice*qty, exact in integer 1e-4 units.
+
+    Scale shape (the Q8 pattern): the part-name filter and supplier
+    nation ride broadcasts into the fact scan; the only big-big join
+    (lineitem x orders for the year) is ONE copartitioned exchange
+    carrying (orderkey, nationkey, profit_e4) — then a tiny grouped
+    Sum."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    part = read(sf_dir, "part", columns=["p_partkey", "p_retailprice"],
+                filter=pc.match_substring(pc.field("p_name"), name_like))
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": t.column("p_partkey"),
+                         "retail_cents": _cents(t.column("p_retailprice"))})
+
+    part_ref = broadcast_lookup(
+        part.map_batches(cents, batch_format="pyarrow"),
+        "p_partkey", ["retail_cents"])
+    supp_ref = broadcast_lookup(
+        read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        "s_suppkey", ["s_nationkey"])
+    nation_names = {r["n_nationkey"]: r["n_name"]
+                    for r in dim_rows(sf_dir, "nation",
+                                      columns=["n_nationkey", "n_name"])
+                    .to_pylist()}
+
+    li = read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_partkey", "l_suppkey",
+                       "l_quantity", "l_extendedprice", "l_discount"])
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        t = BroadcastJoin(part_ref, "l_partkey", ["retail_cents"])(t)
+        t = BroadcastJoin(supp_ref, "l_suppkey", ["s_nationkey"])(t)
+        rev = pc.round(
+            pc.multiply(pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+                pa.scalar(10000.0)),
+            0, round_mode="half_towards_infinity").cast(pa.int64())
+        qty = pc.round(t.column("l_quantity"), 0,
+                       round_mode="half_towards_infinity").cast(pa.int64())
+        cost = pc.multiply(pc.multiply(t.column("retail_cents"), qty),
+                           pa.scalar(10, pa.int64()))
+        return pa.table({"k": t.column("l_orderkey"),
+                         "a": t.column("s_nationkey").cast(pa.int64()),
+                         "b": pc.subtract(rev, cost)})
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t.column("o_orderkey"),
+            "a": pc.year(t.column("o_orderdate")).cast(pa.int64()),
+            "b": pa.nulls(t.num_rows, pa.int64())})
+
+    def per_part(parts: list[pa.Table]) -> pa.Table:
+        import polars as pl
+
+        li_p, ord_p = parts
+        if li_p.num_rows == 0 or ord_p.num_rows == 0:
+            return pa.table({"nkey": pa.array([], pa.int64()),
+                             "o_year": pa.array([], pa.int64()),
+                             "profit_e4": pa.array([], pa.int64())})
+        left = pl.from_arrow(li_p).rename({"a": "nkey", "b": "e4"})
+        right = (pl.from_arrow(ord_p.select(["k", "a"]))
+                 .rename({"a": "o_year"}))
+        j = left.join(right, on="k", how="inner")
+        out = (j.group_by(["nkey", "o_year"])
+               .agg(pl.col("e4").sum().alias("profit_e4")))
+        return out.to_arrow().cast(pa.schema([
+            ("nkey", pa.int64()), ("o_year", pa.int64()),
+            ("profit_e4", pa.int64())]))
+
+    agg = copartitioned_map([(li, prep_li), (orders, prep_orders)],
+                            "k", per_part) \
+        .groupby(["nkey", "o_year"]) \
+        .aggregate(Sum("profit_e4", alias_name="profit_e4"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        names = pa.array([nation_names[k]
+                          for k in t.column("nkey").to_pylist()],
+                         pa.string())
+        profit = round_ha(pc.divide(
+            t.column("profit_e4").cast(pa.float64()),
+            pa.scalar(10000.0)), 2)
+        return pa.table({"nation": names, "o_year": t.column("o_year"),
+                         "profit": profit})
+
+    return agg.map_batches(fin, batch_format="pyarrow") \
+        .sort(["nation", "o_year"], descending=[False, True])
+
+
+def q16_supplier_variety(sf_dir: str,
+                         sizes: tuple = (1, 4, 9, 14, 19, 24, 29)):
+    """Distinct suppliers per part attribute triple (TPC-H Q16 shape):
+    the part-supplier relationship comes from the lineitem link (no
+    partsupp in this schema); brand/type/size exclusions ride the
+    broadcast part filter, the 'complaint supplier' exclusion is the
+    deterministic stand-in suppkey % 10 == 7.
+
+    Scale shape: in-batch DISTINCT (brand, type, size, suppkey)
+    collapse, one grouped pair-distinct exchange, then a tiny Count —
+    the exact grouped COUNT(DISTINCT) pattern."""
+    from ray.data.aggregate import Count
+
+    part = read(sf_dir, "part",
+                columns=["p_partkey", "p_brand", "p_type", "p_size"],
+                filter=((pc.field("p_brand") != "Brand#13")
+                        & (pc.field("p_type") != "PROMO")
+                        & pc.field("p_size").isin(list(sizes))))
+    part_ref = broadcast_lookup(part, "p_partkey",
+                                ["p_brand", "p_type", "p_size"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(
+            pc.subtract(t.column("l_suppkey"),
+                        pc.multiply(pc.divide(t.column("l_suppkey"),
+                                              pa.scalar(10)),
+                                    pa.scalar(10))),
+            pa.scalar(7))
+        t = t.filter(keep)
+        t = BroadcastJoin(part_ref, "l_partkey",
+                          ["p_brand", "p_type", "p_size"])(t)
+        return t.select(["p_brand", "p_type", "p_size", "l_suppkey"]) \
+            .group_by(["p_brand", "p_type", "p_size", "l_suppkey"]) \
+            .aggregate([])
+
+    distinct = read(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey"]) \
+        .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["p_brand", "p_type", "p_size", "l_suppkey"]) \
+        .aggregate(Count(alias_name="_n"))
+    agg = distinct.select_columns(["p_brand", "p_type", "p_size"]) \
+        .groupby(["p_brand", "p_type", "p_size"]) \
+        .aggregate(Count(alias_name="supplier_cnt"))
+    return agg.sort(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                    descending=[True, False, False, False])
+
+
+def q20_excess_shipments(sf_dir: str, name_like: str = "widget",
+                         qty_threshold: float = 300.0):
+    """Suppliers who shipped an outsized quantity of the name-filtered
+    parts during 1995 (TPC-H Q20 shape: grouped HAVING subquery,
+    semi-joined back to the supplier dimension; the nation filter is
+    dropped — this synth corpus has ~3 suppliers per nation, which
+    would make the predicate vacuous — and documented so).
+
+    Scale shape: date predicate pushed into the parquet read, widget
+    partkeys broadcast as a semi filter, one bounded grouped Sum by
+    suppkey, qualifying keys broadcast back into the supplier scan."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    part = read(sf_dir, "part", columns=["p_partkey"],
+                filter=pc.match_substring(pc.field("p_name"), name_like))
+    part_ref = broadcast_lookup(part, "p_partkey", [])
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=((pads.field("l_shipdate") >= _dt.datetime(1995, 1, 1))
+                & (pads.field("l_shipdate") < _dt.datetime(1996, 1, 1))))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = BroadcastJoin(part_ref, "l_partkey", [])(t)
+        return pa.table({"l_suppkey": t.column("l_suppkey"),
+                         "qty_cents": _cents(t.column("l_quantity"))})
+
+    per_supp = li.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("l_suppkey").aggregate(Sum("qty_cents",
+                                            alias_name="qty_cents"))
+    thresh = int(round(qty_threshold * 100))
+    winners = sorted(
+        r["l_suppkey"]
+        for b in per_supp.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist() if r["qty_cents"] > thresh)
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_name"],
+                filter=pc.field("s_suppkey").isin(winners))
+    return supp.select_columns(["s_name"]).sort("s_name")
+
+
+def q11_important_parts(sf_dir: str, nation: str = "NATION_3",
+                        fraction: float = 0.001):
+    """Parts carrying an outsized share of one nation's sales value
+    (TPC-H Q11 shape: grouped value vs a global-scalar-subquery
+    threshold; partsupp value becomes lineitem revenue of the nation's
+    suppliers).
+
+    Scale shape: the nation's supplier keys broadcast as a semi filter
+    on the fact scan, per-batch (partkey, e4) partials into a bounded
+    grouped Sum (|part| rows), and the global total folds from that
+    same grouped result — no second corpus pass."""
+    from ray.data.aggregate import Sum
+
+    nkey = dim_rows(sf_dir, "nation", columns=["n_nationkey", "n_name"],
+                    filter=pc.field("n_name") == nation) \
+        .column("n_nationkey")[0].as_py()
+    supp = read(sf_dir, "supplier", columns=["s_suppkey"],
+                filter=pc.field("s_nationkey") == nkey)
+    supp_ref = broadcast_lookup(supp, "s_suppkey", [])
+    li = read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                       "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = BroadcastJoin(supp_ref, "l_suppkey", [])(t)
+        e4 = pc.round(
+            pc.multiply(pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+                pa.scalar(10000.0)),
+            0, round_mode="half_towards_infinity").cast(pa.int64())
+        g = pa.table({"l_partkey": t.column("l_partkey"), "e4": e4}) \
+            .group_by("l_partkey").aggregate([("e4", "sum")])
+        return pa.table({"l_partkey": g.column("l_partkey"),
+                         "e4": g.column("e4_sum")})
+
+    per_part = li.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .repartition(_default_parts()) \
+        .groupby("l_partkey").aggregate(Sum("e4", alias_name="val_e4")) \
+        .materialize()  # consumed twice: total fold + threshold filter
+    total = 0
+    for b in per_part.iter_batches(batch_format="pyarrow"):
+        total += pc.sum(b.column("val_e4")).as_py() or 0
+    cut = total * fraction
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("val_e4").cast(pa.float64()),
+                                pa.scalar(float(cut))))
+        return pa.table({
+            "p_partkey": t.column("l_partkey"),
+            "part_value": round_ha(pc.divide(
+                t.column("val_e4").cast(pa.float64()),
+                pa.scalar(10000.0)), 2)})
+
+    return per_part.map_batches(fin, batch_format="pyarrow") \
+        .sort(["part_value", "p_partkey"], descending=[True, False])

@@ -301,6 +301,18 @@ def _pages_line_dedup(sf_dir: str):
     return dedup_lines(res)
 
 
+def _docs_line_dedup(sf_dir: str):
+    """The SAME dedup_lines operator as pages_line_dedup, pointed at the
+    documents table so the line-dedup semantics are DuckDB-oracled
+    (hash-checked): winner = min (id, zero-padded line idx) string key,
+    non-winner occurrences of any duplicated line stripped everywhere,
+    fully-stripped docs keep ''."""
+    from webxtract.ops.dedup import dedup_lines
+
+    return dedup_lines(_docs(sf_dir, ["doc_id", "text"]),
+                       text_col="text", id_col="doc_id")
+
+
 def _docs_contaminated(sf_dir: str):
     """Benchmark decontamination: docs containing any eval-set snippet
     (Aho-Corasick broadcast probe; oracle: EXISTS + contains)."""
@@ -558,15 +570,106 @@ def _pages_training_corpus(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Registry order is deliberate: the driver's CORRECTNESS gate
+    verifies the FIRST 50 entries, so each round rotates
+    not-yet-driver-checked oracled queries to the front and already
+    driver-green entries to the back (round 2 checked what is now the
+    tail; round 3 fronts the 50 oracled queries that only had local
+    pytest-oracle green)."""
     from webxtract.ops import relational as R
 
     return {
-        # flagship extraction pipelines (rows-only; golden-tested)
+        # --- round-3 driver window: oracled, driver-unchecked as of r2 ---
+        # TPC-H query shapes
+        "q2_best_supplier": R.q2_best_supplier,
+        "q7_nation_volume": R.q7_nation_volume,
+        "q8_market_share": R.q8_market_share,
+        "q9_product_profit": _q9_product_profit,
+        "q10_returned_revenue": R.q10_returned_revenue,
+        "q11_important_parts": _q11_important_parts,
+        "q14_promo_share": R.q14_promo_share,
+        "q15_top_supplier": R.q15_top_supplier,
+        "q16_supplier_variety": _q16_supplier_variety,
+        "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
+        "q18_large_orders": R.q18_large_orders,
+        "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
+        "q20_excess_shipments": _q20_excess_shipments,
+        "q21_sole_blame": R.q21_sole_blame,
+        "q22_idle_customers": R.q22_idle_customers,
+        # iterative algorithms (unrolled-CTE oracles)
+        "purchase_pagerank": _purchase_pagerank,
+        "emb_kmeans": _emb_kmeans,
+        # span dedup suite (ExactSubstr)
+        "docs_dup_spans": _docs_dup_spans,
+        "docs_dup_span_frac": _docs_dup_span_frac,
+        "docs_remove_dup_spans": _docs_remove_dup_spans,
+        "docs_clean_corpus": _docs_clean_corpus,
+        # dedup / clustering (oracled members)
+        "docs_jaccard_clusters": _docs_jaccard_clusters,
+        "docs_jaccard_canonical": _docs_jaccard_canonical,
+        "docs_exact_dedup": _docs_exact_dedup,
+        "docs_ngram_jaccard": _docs_ngram_jaccard,
+        "emb_dup_pairs": _emb_dup_pairs,
+        # watermark late-data
+        "events_late_arrivals": _events_late_arrivals,
+        # relational/window shapes
+        "purchases_after_errors": R.purchases_after_errors,
+        "users_top_event_type": R.users_top_event_type,
+        "nation_top_supplier": R.nation_top_supplier,
+        "nation_balance_fulljoin": R.nation_balance_fulljoin,
+        "supplier_balance_zscore": R.supplier_balance_zscore,
+        "orders_monthly_growth": R.orders_monthly_growth,
+        "user_conversion_funnel": R.user_conversion_funnel,
+        "user_retention": R.user_retention,
+        # text analysis (oracled members)
+        "docs_tfidf_top_term": _docs_tfidf_top_term,
+        "docs_unigram_logprob": _docs_unigram_logprob,
+        "docs_bigram_logprob": _docs_bigram_logprob,
+        "docs_repetition": _docs_repetition,
+        "docs_split": _docs_split,
+        "docs_pii_redact": _docs_pii_redact,
+        "docs_new_content": _docs_new_content,
+        "docs_weighted_sample": _docs_weighted_sample,
+        "docs_source_mix": _docs_source_mix,
+        # embeddings
+        "emb_norms": _emb_norms,
+        "emb_label_centroids": _emb_label_centroids,
+        "emb_knn_bruteforce": _emb_knn,
+        "docs_langid": _docs_langid,
+        # newly oracled this round (were rows-only)
+        "docs_line_dedup": _docs_line_dedup,
+        "docs_pack_sequences": _docs_pack_sequences,
+        # --- oracled, not yet driver-checked: next rotation window ---
+        "docs_stopword_removal": _docs_stopword_removal,
+        "docs_regex_tokens": _docs_regex_tokens,
+        "docs_token_counts": _docs_token_counts,
+        "docs_quality_scores": _docs_quality,
+        "docs_fingerprints": _docs_fingerprints,  # md5 (oracle: DuckDB md5())
+        # --- rows-only (sketches/approximate; pytest accuracy gates) ---
+        "docs_terms_mg": _docs_terms_mg,          # Misra-Gries sketch
+        "docs_terms_cms": _docs_terms_cms,        # Count-Min estimate
+        "images_phash_dupes": _images_phash_dupes,
+        "pages_domain_stats": _pages_domain_stats,
+        "events_users_hll": _events_users_hll,
+        "events_type_users_hll": _events_type_users_hll,
+        "events_value_p50_sketch": _events_value_p50_sketch,  # KLL
+        "docs_fingerprint64": _docs_fingerprint64,  # rolling hash
+        "docs_minhash_pairs": _docs_minhash_pairs,
+        "docs_simhash_pairs": _docs_simhash_pairs,
+        "docs_dedup_clusters": _docs_dedup_clusters,
+        "pages_line_dedup": _pages_line_dedup,  # CCNet line dedup over
+        # extracted pages (input not SQL-visible; docs_line_dedup is the
+        # hash-checked twin of the same operator)
+        "docs_minhash_pairs_joinverify": _docs_minhash_pairs_joinverify,
+        "docs_dedup_clusters_dist": _docs_dedup_clusters_dist,
+        "emb_knn_ivf": _emb_knn_ivf,
+        "emb_knn_lsh": _emb_knn_lsh,
+        "emb_knn_ivf_kmeans": _emb_knn_ivf_kmeans,
+        # --- driver-green in CORRECTNESS_r02.json (rotated to the back) ---
         "pages_extract": _pages_extract,
         "pages_final": _pages_final,
         "pages_review_tasks": _pages_review_tasks,
         "pages_training_corpus": _pages_training_corpus,
-        # relational operators (all oracle-checked)
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_segment_revenue": R.q3_segment_revenue,
         "q5_region_nation_volume": R.q5_region_nation_volume,
@@ -616,81 +719,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_disc_tax": R.lineitem_corr_disc_tax,
         "docs_contaminated": _docs_contaminated,
         "docs_stratified_sample": _docs_stratified_sample,
-        "purchases_after_errors": R.purchases_after_errors,
-        "users_top_event_type": R.users_top_event_type,
-        "nation_top_supplier": R.nation_top_supplier,
-        "nation_balance_fulljoin": R.nation_balance_fulljoin,
-        "docs_source_mix": _docs_source_mix,
-        "supplier_balance_zscore": R.supplier_balance_zscore,
-        "docs_tfidf_top_term": _docs_tfidf_top_term,
-        "docs_terms_mg": _docs_terms_mg,  # Misra-Gries sketch; rows-only
-        "docs_stopword_removal": _docs_stopword_removal,
-        "docs_unigram_logprob": _docs_unigram_logprob,
-        "docs_repetition": _docs_repetition,
-        "docs_split": _docs_split,
-        "docs_pii_redact": _docs_pii_redact,
-        "docs_pack_sequences": _docs_pack_sequences,  # rows-only
-        "docs_new_content": _docs_new_content,
-        "purchase_pagerank": _purchase_pagerank,
-        "docs_regex_tokens": _docs_regex_tokens,
-        "docs_dup_spans": _docs_dup_spans,
-        "docs_dup_span_frac": _docs_dup_span_frac,
-        "docs_remove_dup_spans": _docs_remove_dup_spans,
-        "docs_clean_corpus": _docs_clean_corpus,
-        "docs_weighted_sample": _docs_weighted_sample,
-        "docs_bigram_logprob": _docs_bigram_logprob,
-        "events_late_arrivals": _events_late_arrivals,
-        "docs_terms_cms": _docs_terms_cms,        # sketch estimate; rows-only
-        "q9_product_profit": _q9_product_profit,
-        "q16_supplier_variety": _q16_supplier_variety,
-        "q20_excess_shipments": _q20_excess_shipments,
-        "q11_important_parts": _q11_important_parts,
-        "emb_norms": _emb_norms,
-        "emb_label_centroids": _emb_label_centroids,
-        "images_phash_dupes": _images_phash_dupes,  # rows-only
-        "pages_domain_stats": _pages_domain_stats,  # rows-only
-        "orders_monthly_growth": R.orders_monthly_growth,
-        "user_conversion_funnel": R.user_conversion_funnel,
-        "user_retention": R.user_retention,
-        "q10_returned_revenue": R.q10_returned_revenue,
-        "q14_promo_share": R.q14_promo_share,
-        "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
-        "q18_large_orders": R.q18_large_orders,
-        "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
-        "q22_idle_customers": R.q22_idle_customers,
-        "q7_nation_volume": R.q7_nation_volume,
-        "q15_top_supplier": R.q15_top_supplier,
-        "q8_market_share": R.q8_market_share,
-        "q21_sole_blame": R.q21_sole_blame,
-        "q2_best_supplier": R.q2_best_supplier,
-        "events_users_hll": _events_users_hll,    # sketch; rows-only
-        "events_type_users_hll": _events_type_users_hll,  # grouped HLL; rows-only
-        "events_value_p50_sketch": _events_value_p50_sketch,  # KLL; rows-only
-        # text analysis
-        "docs_token_counts": _docs_token_counts,
-        "docs_quality_scores": _docs_quality,
-        "docs_langid": _docs_langid,              # stopword argmax (oracled)
-        "docs_fingerprints": _docs_fingerprints,  # md5 (oracle: DuckDB md5())
-        "docs_fingerprint64": _docs_fingerprint64,  # rolling hash; rows-only
-        # dedup suite
-        "docs_exact_dedup": _docs_exact_dedup,
-        "docs_ngram_jaccard": _docs_ngram_jaccard,
-        "docs_minhash_pairs": _docs_minhash_pairs,  # sketch; rows-only
-        "docs_simhash_pairs": _docs_simhash_pairs,  # sketch; rows-only
-        "docs_dedup_clusters": _docs_dedup_clusters,  # rows-only
-        "docs_jaccard_clusters": _docs_jaccard_clusters,  # CC oracled
-        "docs_jaccard_canonical": _docs_jaccard_canonical,
-        "pages_line_dedup": _pages_line_dedup,  # CCNet line dedup; rows-only
-        # scale-path twins (same rows as their siblings; pytest-gated)
-        "docs_minhash_pairs_joinverify": _docs_minhash_pairs_joinverify,
-        "docs_dedup_clusters_dist": _docs_dedup_clusters_dist,
-        "emb_dup_pairs": _emb_dup_pairs,
-        # similarity search
-        "emb_knn_bruteforce": _emb_knn,
-        "emb_knn_ivf": _emb_knn_ivf,              # approximate; rows-only
-        "emb_knn_lsh": _emb_knn_lsh,              # LSH-bucketed; rows-only
-        "emb_kmeans": _emb_kmeans,                # iterative; oracled (unrolled CTE)
-        "emb_knn_ivf_kmeans": _emb_knn_ivf_kmeans,  # learned cells; rows-only
     }
 
 
@@ -1980,5 +2008,72 @@ r5 AS (
             FROM rev JOIN supplier ON l_suppkey = s_suppkey
             WHERE cents = (SELECT max(cents) FROM rev)
             ORDER BY s_suppkey
+        """,
+        # dedup_lines twin: split on \n, winner per duplicated line is
+        # the min (id, zfill(idx,8)) string key (exactly the engine's
+        # polars concat_str key), docs with every line stripped keep ''.
+        "docs_line_dedup": """
+            WITH ls AS (
+                SELECT doc_id, string_split(text, chr(10)) AS arr
+                FROM documents),
+            ex AS (
+                SELECT doc_id,
+                       unnest(arr) AS l,
+                       CAST(generate_subscripts(arr, 1) AS BIGINT) - 1 AS i
+                FROM ls),
+            k AS (
+                SELECT doc_id, l, i,
+                       doc_id::VARCHAR || chr(0)
+                           || lpad(i::VARCHAR, 8, '0') AS key
+                FROM ex),
+            agg AS (SELECT l, min(key) AS win, count(*) AS n
+                    FROM k GROUP BY 1),
+            keep AS (
+                SELECT k.doc_id, k.i, k.l
+                FROM k JOIN agg USING (l)
+                WHERE agg.n = 1 OR agg.win = k.key)
+            SELECT d.doc_id, COALESCE(j.t, '') AS text
+            FROM documents d
+            LEFT JOIN (SELECT doc_id,
+                              string_agg(l, chr(10) ORDER BY i) AS t
+                       FROM keep GROUP BY 1) j USING (doc_id)
+        """,
+        # pack_sequences twin: greedy first-fit per shard (doc_id % 64)
+        # in doc_id order, unrolled as a recursive CTE that advances all
+        # shards one row per step. A doc joins the open sequence iff
+        # fill + n_tokens <= budget; the first doc of a sequence always
+        # joins (oversize doc => its own sequence) — exactly
+        # packing.greedy_pack's searchsorted recurrence. budget=256,
+        # token count = single-space split length (split_pattern twin).
+        "docs_pack_sequences": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, doc_id % 64 AS shard,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM documents),
+            ord AS (
+                SELECT doc_id, shard, n_tokens,
+                       row_number() OVER (PARTITION BY shard
+                                          ORDER BY doc_id) AS rn
+                FROM toks),
+            pack AS (
+                SELECT shard, rn, doc_id, n_tokens,
+                       CAST(0 AS BIGINT) AS seq,
+                       CAST(0 AS BIGINT) AS pos,
+                       n_tokens AS fill
+                FROM ord WHERE rn = 1
+                UNION ALL
+                SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+                       CASE WHEN p.fill + o.n_tokens <= 256
+                            THEN p.seq ELSE p.seq + 1 END,
+                       CASE WHEN p.fill + o.n_tokens <= 256
+                            THEN p.pos + 1 ELSE CAST(0 AS BIGINT) END,
+                       CASE WHEN p.fill + o.n_tokens <= 256
+                            THEN p.fill + o.n_tokens ELSE o.n_tokens END
+                FROM pack p
+                JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
+            SELECT doc_id, shard, (shard << 32) | seq AS seq_id,
+                   n_tokens, pos
+            FROM pack
         """,
     }

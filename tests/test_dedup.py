@@ -2,6 +2,7 @@
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import pytest
 
 from webxtract import synth
 from webxtract.dedup import dedup_pages, dedup_table
@@ -191,3 +192,17 @@ def test_simhash_batch_equals_scalar():
     sig_by_doc = {d: s + (1 << 63) for d, s in zip(t["doc_id"], t["sig"])}
     for i, e in enumerate(exp):
         assert sig_by_doc[i] == int(e)
+
+
+def test_ngram_jaccard_hard_gate(ray_session, monkeypatch):
+    """The exact O(n^2) baseline must refuse corpora above its cap and
+    point at the LSH path (VERDICT r2 item 5)."""
+    import ray.data as rd
+
+    import webxtract.ops.dedup as D
+
+    ds = rd.from_items(
+        [{"doc_id": i, "text": f"doc {i}"} for i in range(10)])
+    monkeypatch.setattr(D, "NGRAM_JACCARD_MAX_DOCS", 5)
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        D.ngram_jaccard_pairs(ds)

@@ -17,7 +17,7 @@ ALLOWED = {
     ("ops/relational.py", "q22_idle_customers"): "single global-average scalar",
     ("ops/dedup.py", "minhash_lsh_pairs"): "broadcast verify branch only; join path is the scale default via _resolve_verify",
     ("ops/dedup.py", "simhash_pairs"): "broadcast verify branch only; join path is the scale default",
-    ("ops/dedup.py", "ngram_jaccard_pairs"): "exact all-pairs baseline, O(n^2) by declared intent",
+    ("ops/dedup.py", "ngram_jaccard_pairs"): "exact all-pairs baseline, O(n^2) by declared intent; hard-gated to NGRAM_JACCARD_MAX_DOCS (raises above)",
     ("ops/knn.py", "_fetch_queries"): "row-filtered to len(query_ids) rows",
     ("ops/knn.py", "label_centroids"): "|labels| x batches partial rows (sum-vector + count)",
     ("ops/knn.py", "_kmeans_seeds"): "k seed rows",

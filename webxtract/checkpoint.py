@@ -314,12 +314,18 @@ def run_partitioned(input_dir: str, out_dir: str,
     def run_one(a):
         try:
             return _run_one_partition(a[0], a[1], a[2], out_dir, cfg, dup_tbl)
-        except ImportError:
+        except ImportError as e:
             # concurrent first-imports inside Ray's path resolution can
             # observe a partially-failed optional module (fsspec http /
             # aiohttp) as ImportError instead of the ModuleNotFoundError
             # Ray suppresses; the partition is idempotent (atomic
-            # publish), so retry once serialized
+            # publish), so retry once serialized. Only that known race
+            # qualifies — a genuine import failure in pipeline code must
+            # propagate with its original traceback, not re-execute.
+            msg = str(e)
+            if not any(k in msg for k in
+                       ("fsspec", "aiohttp", "HTTPFileSystem")):
+                raise
             with retry_lock:
                 return _run_one_partition(a[0], a[1], a[2], out_dir,
                                           cfg, dup_tbl)

@@ -590,9 +590,23 @@ class AllPairsJaccard:
         })
 
 
+NGRAM_JACCARD_MAX_DOCS = 100_000
+
+
 def ngram_jaccard_pairs(ds, threshold: float = 0.7, shingle: int = 1):
+    """EXACT all-pairs Jaccard — a declared O(n^2) verification baseline
+    for the LSH paths, NOT a corpus operator. Hard-gated: refuses above
+    NGRAM_JACCARD_MAX_DOCS docs (at which point the token-set broadcast
+    and the quadratic compare are both scale-killers); use
+    minhash_lsh_pairs for real corpora."""
     import ray
 
+    n = ds.count()
+    if n > NGRAM_JACCARD_MAX_DOCS:
+        raise ValueError(
+            f"ngram_jaccard_pairs is an exact O(n^2) baseline capped at "
+            f"{NGRAM_JACCARD_MAX_DOCS} docs (got {n}); use "
+            "minhash_lsh_pairs for near-dup detection at corpus scale")
     docs = ds.select_columns(["doc_id", "text"]).take_all()
     sets = {r["doc_id"]: _token_shingles(r["text"], shingle) for r in docs}
     ref = ray.put(sets)

@@ -58,6 +58,11 @@ def _purchase_edges(sf_dir: str):
         c = cust.filter(ok).to_numpy().astype(np.uint64)
         s = (li_p.column("v").filter(ok).to_numpy().astype(np.uint64)
              + np.uint64(SUPP_OFFSET))
+        if c.size and (c.max() >= 2 ** 32 or s.max() >= 2 ** 32):
+            raise ValueError(
+                "node id >= 2^32: the packed (custkey<<32 | suppkey+"
+                f"{SUPP_OFFSET}) edge key would silently corrupt; use a "
+                "two-column (src, dst) exchange at this id range")
         pk = np.unique((c << np.uint64(32)) | s)
         return pa.table({"_pk": pa.array(pk.view(np.int64), pa.int64())})
 

@@ -46,8 +46,13 @@ def round_ha(x, nd: int):
     f = 10.0 ** nd
     if isinstance(x, (pa.ChunkedArray, pa.Array)):
         v = x.to_numpy(zero_copy_only=False).astype(np.float64)
+        null_mask = None
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        if x.null_count:  # preserve nulls (to_numpy turns them into NaN)
+            null_mask = pc.is_null(x).to_numpy(zero_copy_only=False)
         return pa.array(np.sign(v) * np.floor(np.abs(v) * f + 0.5) / f,
-                        pa.float64())
+                        pa.float64(), mask=null_mask)
     v = np.asarray(x, dtype=np.float64)
     out = np.sign(v) * np.floor(np.abs(v) * f + 0.5) / f
     return float(out) if out.ndim == 0 else out
@@ -2081,7 +2086,7 @@ def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#13"):
     def final(t: pa.Table) -> pa.Table:
         cents = pc.sum(t.column("price_cents")).as_py() or 0
         return pa.table({"avg_yearly": pa.array(
-            [round(cents / 100.0 / 7.0, 2)], pa.float64())})
+            [round_ha(cents / 100.0 / 7.0, 2)], pa.float64())})
 
     return parts.repartition(1).map_batches(final, batch_format="pyarrow")
 

@@ -320,15 +320,97 @@ def docs_stopword_removal(sf_dir: str):
 
 # --- TF-IDF keyword extraction -------------------------------------------
 
-def docs_tfidf_top_term(sf_dir: str):
+# above this many distinct vocabulary entries the broadcast-vocab ops
+# (TF-IDF, unigram LM, bigram LM) switch from shipping the term table to
+# every worker to a hash join of the exploded token stream against the
+# distributed term table: a web-scale bigram vocabulary is unbounded and
+# would blow the per-worker heap as a broadcast (SCALE.md §13). The same
+# auto-gate + equivalence-test pattern as dedup._resolve_verify.
+VOCAB_BROADCAST_MAX_TERMS = 2_000_000
+
+
+def _resolve_vocab_mode(mode: str, counts) -> str:
+    """``counts`` must already be materialize()d (count() is then free
+    and the two downstream consumers don't re-execute the lineage)."""
+    if mode != "auto":
+        return mode
+    return ("join" if counts.count() > VOCAB_BROADCAST_MAX_TERMS
+            else "broadcast")
+
+
+def _doc_term_freqs(batch: pa.Table) -> pa.Table:
+    """Per-batch EXACT per-doc term frequencies (a doc never spans
+    batches): explode to (doc_id, term, tf) via dictionary-encode +
+    np.unique over (row, code) pairs — the slim token stream the join
+    path shuffles instead of broadcasting the vocabulary."""
+    toks = pc.split_pattern(batch.column("text"), pattern=" ")
+    flat = pc.list_flatten(toks).dictionary_encode()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parents = pc.list_parent_indices(toks).to_numpy().astype(np.int64)
+    codes = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    v = max(len(flat.dictionary), 1)
+    pair, tf = np.unique(parents * v + codes, return_counts=True)
+    rows, tcode = pair // v, pair % v
+    return pa.table({
+        "doc_id": batch.column("doc_id").take(pa.array(rows, pa.int64())),
+        "term": flat.dictionary.take(pa.array(tcode, pa.int64())),
+        "tf": pa.array(tf.astype(np.int64), pa.int64())})
+
+
+def _vocab_join(tf_ds, vocab_ds, value_col: str, fn):
+    """Hash join of the exploded (doc_id, term, tf) stream against a
+    (term, value) table in ONE copartitioned exchange; ``fn(tf, value)``
+    maps numpy arrays to the joined score column. Every stream term
+    exists in the vocabulary (both derive from the same corpus), so the
+    join is inner by construction."""
+    from .relational import copartitioned_map
+
+    def prep_tf(t: pa.Table) -> pa.Table:
+        return pa.table({"term": t.column("term"),
+                         "doc_id": t.column("doc_id"),
+                         "tf": t.column("tf").cast(pa.float64())})
+
+    def prep_vocab(t: pa.Table) -> pa.Table:
+        # the shared float64 slot carries the vocab value (count, df or
+        # logprob — counts < 2^53 are exact); sides must union-match
+        return pa.table({"term": t.column("term"),
+                         "doc_id": pa.nulls(t.num_rows, pa.int64()),
+                         "tf": t.column(value_col).cast(pa.float64())})
+
+    def join_part(parts: list[pa.Table]) -> pa.Table:
+        tfp, vp = parts
+        if tfp.num_rows == 0 or vp.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "score": pa.array([], pa.float64()),
+                             "tf": pa.array([], pa.float64())})
+        vterms = vp.column("term").combine_chunks()
+        vvals = vp.column("tf").combine_chunks().to_numpy()
+        idx = pc.index_in(tfp.column("term"), value_set=vterms) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = fn(tfp.column("tf").to_numpy(), vvals[idx])
+        return pa.table({"doc_id": tfp.column("doc_id"),
+                         "term": tfp.column("term"),
+                         "score": pa.array(sc, pa.float64()),
+                         "tf": tfp.column("tf")})
+
+    return copartitioned_map([(tf_ds, prep_tf), (vocab_ds, prep_vocab)],
+                             "term", join_part)
+
+
+def docs_tfidf_top_term(sf_dir: str, mode: str = "auto"):
     """Per-doc keyword extraction: the term with the highest
     tf * ln(N/df) score (ties -> term asc). Two passes: (1) document
     frequencies via per-batch DISTINCT (doc, term) partials + one
     grouped Sum (each doc lives in exactly one batch, so per-batch
-    distinct-then-count is exact), broadcast as a vocabulary lookup
-    (vocab << corpus — the standard trick); (2) per-batch polars
-    explode + tf counts + vectorized score + per-doc argmax, entirely
-    in-batch because a doc's text never spans batches. Oracled."""
+    distinct-then-count is exact); (2a) vocab <= VOCAB_BROADCAST_MAX_
+    TERMS: broadcast the vocabulary, per-batch tf counts + vectorized
+    score + per-doc argmax entirely in-batch; (2b) above the gate: hash
+    join the exploded (doc, term, tf) stream against the distributed
+    df table, then a per-doc argmax exchange (_vocab_join) — the
+    vocabulary never ships whole. Both modes byte-equivalent
+    (tests/test_vocab_join.py). Oracled."""
     import ray.data as rd
 
     from .relational import (broadcast_lookup, parquet_rows,
@@ -361,9 +443,39 @@ def docs_tfidf_top_term(sf_dir: str):
 
     df_tbl = partitioned_map_groups(
         ds.map_batches(partial_df, batch_format="pyarrow",
-                       zero_copy_batch=True), "term", sum_df)
-    df_ref = broadcast_lookup(df_tbl, "term", ["df"])
+                       zero_copy_batch=True), "term", sum_df).materialize()
     n_docs = parquet_rows(sf_dir, "documents")
+
+    if _resolve_vocab_mode(mode, df_tbl) == "join":
+        tf_ds = ds.map_batches(_doc_term_freqs, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        joined = _vocab_join(
+            tf_ds, df_tbl, "df",
+            lambda tf, dfv: tf.astype(np.float64)
+            * np.log(float(n_docs) / dfv.astype(np.float64)))
+
+        def argmax_part(part: pa.Table) -> pa.Table:
+            if part.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "top_term": pa.array([], pa.string()),
+                                 "tfidf": pa.array([], pa.float64())})
+            doc = part.column("doc_id").to_numpy()
+            sc = part.column("score").to_numpy()
+            terms = part.column("term").to_numpy(zero_copy_only=False)
+            # (doc asc, score desc, term asc) then first row per doc —
+            # the same ordering as the broadcast path's lexsort
+            order = np.lexsort((terms, -sc, doc))
+            first = order[np.flatnonzero(np.diff(
+                np.concatenate(([-1], doc[order]))))]
+            return pa.table({
+                "doc_id": pa.array(doc[first], pa.int64()),
+                "top_term": pa.array(terms[first].tolist(), pa.string()),
+                "tfidf": pa.array(np.round(sc[first], 6), pa.float64()),
+            })
+
+        return partitioned_map_groups(joined, "doc_id", argmax_part)
+
+    df_ref = broadcast_lookup(df_tbl, "term", ["df"])
 
     def _idf_table(build) -> tuple[pa.Array, np.ndarray, np.ndarray]:
         keys, (dfv,) = build
@@ -404,16 +516,19 @@ def docs_tfidf_top_term(sf_dir: str):
 
 # --- unigram LM scoring ---------------------------------------------------
 
-def docs_unigram_logprob(sf_dir: str):
+def docs_unigram_logprob(sf_dir: str, mode: str = "auto"):
     """CCNet-style language-model quality score, with the corpus itself
     as the LM: mean unigram log-probability per doc (higher = more
     typical; the perplexity-filter stand-in used to rank web documents
     for training-data selection). Pass 1 builds corpus term counts
-    (pre-reduced partials -> grouped Sum) and broadcasts the vocabulary;
-    pass 2 resolves each doc's tokens against it in-batch — split,
-    flatten, one ``pc.index_in`` against the vocabulary, then numpy
-    bincount-by-parent-row for the per-doc mean: no explode, no
-    per-batch join table. Oracled (unnest + join + avg(ln))."""
+    (pre-reduced partials -> grouped Sum). Pass 2, below the
+    VOCAB_BROADCAST_MAX_TERMS gate: broadcast the vocabulary and resolve
+    each doc's tokens in-batch — split, flatten, one ``pc.index_in``,
+    numpy bincount-by-parent-row for the per-doc mean. Above it: hash
+    join the exploded (doc, term, tf) stream against the distributed
+    term table, then one per-doc sum exchange — the vocabulary never
+    ships whole (join mode; equivalence-tested). Oracled (unnest +
+    join + avg(ln))."""
     import ray.data as rd
 
     from .relational import broadcast_lookup, partitioned_map_groups
@@ -441,7 +556,41 @@ def docs_unigram_logprob(sf_dir: str):
 
     counts = partitioned_map_groups(
         ds.map_batches(partial_tc, batch_format="pyarrow",
-                       zero_copy_batch=True), "term", sum_tc)
+                       zero_copy_batch=True), "term", sum_tc).materialize()
+
+    if _resolve_vocab_mode(mode, counts) == "join":
+        total = counts.sum("tc") or 0
+        tf_ds = ds.map_batches(_doc_term_freqs, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        # joined rows are (doc_id, term, score=tf*lp, tf): one doc-keyed
+        # exchange folds both the contribution sum and n_tokens=sum(tf)
+        joined = _vocab_join(
+            tf_ds, counts, "tc",
+            lambda tf, tc: tf.astype(np.float64)
+            * np.log(tc.astype(np.float64) / float(total)))
+
+        def mean_part(part: pa.Table) -> pa.Table:
+            if part.num_rows == 0:
+                return pa.table({
+                    "doc_id": pa.array([], pa.int64()),
+                    "mean_logprob": pa.array([], pa.float64()),
+                    "n_tokens": pa.array([], pa.int64())})
+            doc = part.column("doc_id").to_numpy()
+            docs = np.unique(doc)
+            idx = np.searchsorted(docs, doc)
+            sums = np.bincount(idx, weights=part.column("score").to_numpy(),
+                               minlength=len(docs))
+            cnts = np.bincount(idx, weights=part.column("tf").to_numpy()
+                               .astype(np.float64),
+                               minlength=len(docs)).astype(np.int64)
+            mean = np.round(sums / np.maximum(cnts, 1), 6)
+            return pa.table({
+                "doc_id": pa.array(docs, pa.int64()),
+                "mean_logprob": pa.array(mean, pa.float64()),
+                "n_tokens": pa.array(cnts, pa.int64())})
+
+        return partitioned_map_groups(joined, "doc_id", mean_part)
+
     vocab_ref = broadcast_lookup(counts, "term", ["tc"])
     # corpus token total: fold the (bounded, already-materialized)
     # broadcast vocabulary — re-consuming `counts` would re-execute the
@@ -1277,17 +1426,135 @@ def docs_weighted_sample(sf_dir: str, k: int = 100):
                                batch_format="pyarrow")
 
 
-def docs_bigram_logprob(sf_dir: str):
+def _batch_bigrams(batch: pa.Table):
+    """Intra-doc adjacent token pairs of a batch: ("w1 w2" strings,
+    parent row indices), or None when the batch has none."""
+    toks = pc.split_pattern(batch.column("text"), pattern=" ")
+    flat = pc.list_flatten(toks).combine_chunks()
+    parents = pc.list_parent_indices(toks).to_numpy()
+    if len(flat) < 2:
+        return None
+    same = parents[:-1] == parents[1:]
+    if not same.any():
+        return None
+    w1 = flat.slice(0, len(flat) - 1).filter(pa.array(same))
+    w2 = flat.slice(1).filter(pa.array(same))
+    return (pc.binary_join_element_wise(w1, w2, " "),
+            parents[:-1][same])
+
+
+def _bigram_logprob_join(ds, counts):
+    """Vocabulary-scale path for docs_bigram_logprob: the logprob table
+    never ships whole. (1) prefix totals + lp = ln(n / pn) via ONE
+    w1-keyed exchange over the slim (bigram, n) table — integer pn sums
+    are exact, so lp is bit-identical to the broadcast _lp_table; (2)
+    hash join of the per-doc bigram-frequency stream against the lp
+    table (_vocab_join, one bigram-keyed exchange); (3) one doc-keyed
+    merge against the full doc-id list so zero-bigram docs emit
+    (0.0, 0) exactly like the broadcast path."""
+    from .relational import copartitioned_map, partitioned_map_groups
+
+    def add_w1(t: pa.Table) -> pa.Table:
+        first = pc.list_element(
+            pc.split_pattern(t.column("bigram"), pattern=" ",
+                             max_splits=1), 0)
+        return pa.table({"bigram": t.column("bigram"),
+                         "n": t.column("n"), "w1": first})
+
+    def lp_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "lp": pa.array([], pa.float64())})
+        w1 = part.column("w1").to_numpy(zero_copy_only=False)
+        nv = part.column("n").to_numpy().astype(np.int64)
+        keys = np.unique(w1)
+        idx = np.searchsorted(keys, w1)
+        pn = np.bincount(idx, weights=nv.astype(np.float64),
+                         minlength=len(keys)).astype(np.int64)
+        lp = np.log(nv.astype(np.float64) / pn[idx].astype(np.float64))
+        return pa.table({"term": part.column("bigram"),
+                         "lp": pa.array(lp, pa.float64())})
+
+    lp_tbl = partitioned_map_groups(
+        counts.map_batches(add_w1, batch_format="pyarrow",
+                           zero_copy_batch=True), "w1", lp_part)
+
+    def doc_bigram_freqs(batch: pa.Table) -> pa.Table:
+        bg = _batch_bigrams(batch)
+        if bg is None:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        grams, rows = bg
+        d = grams.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = max(len(d.dictionary), 1)
+        pair, bf = np.unique(rows.astype(np.int64) * v + codes,
+                             return_counts=True)
+        prow, pcode = pair // v, pair % v
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(
+                pa.array(prow, pa.int64())),
+            "term": d.dictionary.take(pa.array(pcode, pa.int64())),
+            "tf": pa.array(bf.astype(np.int64), pa.int64())})
+
+    bf_ds = ds.map_batches(doc_bigram_freqs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    joined = _vocab_join(bf_ds, lp_tbl, "lp",
+                         lambda tf, lp: tf.astype(np.float64) * lp)
+
+    def prep_contrib(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "score": t.column("score"),
+                         "tf": t.column("tf")})
+
+    def prep_docs(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "score": pa.nulls(t.num_rows, pa.float64()),
+                         "tf": pa.nulls(t.num_rows, pa.float64())})
+
+    def per_doc(parts: list[pa.Table]) -> pa.Table:
+        cp, dp = parts
+        if dp.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "mean_logprob": pa.array([], pa.float64()),
+                             "n_bigrams": pa.array([], pa.int64())})
+        docs = np.sort(dp.column("doc_id").to_numpy())
+        cdoc = cp.column("doc_id").to_numpy()
+        idx = np.searchsorted(docs, cdoc)
+        sums = np.bincount(idx, weights=cp.column("score").to_numpy(),
+                           minlength=len(docs))
+        cnts = np.bincount(idx, weights=cp.column("tf").to_numpy(),
+                           minlength=len(docs)).astype(np.int64)
+        mean = round_ha(sums / np.maximum(cnts, 1), 6)
+        return pa.table({
+            "doc_id": pa.array(docs, pa.int64()),
+            "mean_logprob": pa.array(mean, pa.float64()),
+            "n_bigrams": pa.array(cnts, pa.int64())})
+
+    all_docs = ds.select_columns(["doc_id"])
+    return copartitioned_map(
+        [(joined, prep_contrib), (all_docs, prep_docs)],
+        "doc_id", per_doc)
+
+
+def docs_bigram_logprob(sf_dir: str, mode: str = "auto"):
     """Bigram-LM quality score (the conditional-probability step up
     from docs_unigram_logprob): mean ln p(w_i | w_{i-1}) per doc with
     the corpus itself as the LM, p = bigram count / prefix total.
     Pass 1 builds corpus bigram counts (adjacent-pair partials on the
-    flattened token stream -> grouped Sum) and broadcasts them once;
-    prefix totals derive from the SAME broadcast table (a vocab-bounded
-    group-sum over first tokens, cached per worker). Pass 2 rebuilds
-    each batch's bigrams, one pc.index_in against the broadcast
-    vocabulary, bincount-by-row for the mean. Docs with < 2 tokens
-    score 0.0 over 0 bigrams. Oracled (lateral bigrams + two joins +
+    flattened token stream -> grouped Sum). Below the
+    VOCAB_BROADCAST_MAX_TERMS gate the table broadcasts once (prefix
+    totals derive from it per worker) and pass 2 rebuilds each batch's
+    bigrams with one pc.index_in + bincount-by-row. Above it — a
+    web-scale bigram vocabulary is unbounded — the logprob table stays
+    distributed: prefix totals via one w1-keyed exchange over the
+    (slim) count table, then a hash join of the exploded per-doc
+    bigram-frequency stream and one doc-keyed merge against the full
+    doc-id list (docs with < 2 tokens score 0.0 over 0 bigrams in both
+    modes; equivalence-tested). Oracled (lateral bigrams + two joins +
     avg(ln))."""
     import ray.data as rd
 
@@ -1296,19 +1563,7 @@ def docs_bigram_logprob(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
-    def _bigrams(batch: pa.Table):
-        toks = pc.split_pattern(batch.column("text"), pattern=" ")
-        flat = pc.list_flatten(toks).combine_chunks()
-        parents = pc.list_parent_indices(toks).to_numpy()
-        if len(flat) < 2:
-            return None
-        same = parents[:-1] == parents[1:]
-        if not same.any():
-            return None
-        w1 = flat.slice(0, len(flat) - 1).filter(pa.array(same))
-        w2 = flat.slice(1).filter(pa.array(same))
-        return (pc.binary_join_element_wise(w1, w2, " "),
-                parents[:-1][same])
+    _bigrams = _batch_bigrams
 
     def partial_bc(batch: pa.Table) -> pa.Table:
         bg = _bigrams(batch)
@@ -1328,7 +1583,11 @@ def docs_bigram_logprob(sf_dir: str):
 
     counts = partitioned_map_groups(
         ds.map_batches(partial_bc, batch_format="pyarrow",
-                       zero_copy_batch=True), "bigram", sum_bc)
+                       zero_copy_batch=True), "bigram", sum_bc).materialize()
+
+    if _resolve_vocab_mode(mode, counts) == "join":
+        return _bigram_logprob_join(ds, counts)
+
     vocab_ref = broadcast_lookup(counts, "bigram", ["n"])
 
     def _lp_table(build):

@@ -261,7 +261,8 @@ def test_media_decode_fake_and_poison(ray_session):
     metas = list(out["media_meta"])
     assert metas[0]["ok"] and metas[0]["width"] == 640
     assert metas[1]["height"] == 32
-    assert not metas[2]["ok"] and metas[2]["error"] == "codec_unavailable:png"
+    # PNG magic with a garbage body: the real decoder rejects it as DATA
+    assert not metas[2]["ok"] and metas[2]["error"] == "corrupt_png"
     assert not metas[3]["ok"] and metas[3]["error"] == "empty"
 
 
@@ -653,10 +654,11 @@ def test_media_decode_real_formats(ray_session):
 
     img = _grad_image(12, 9)
     t = pa.table({
-        "media_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "media_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
         "media": pa.array([
             IC.encode_bmp24(img), IC.encode_ppm(img),
-            b"\x89PNG\r\n\x1a\nrest", M.make_fake_image(3, 4)],
+            IC.encode_png(img), M.make_fake_image(3, 4),
+            b"\x89PNG\r\n\x1a\nrest", b"\xff\xd8\xff jpeg body"],
             pa.binary()),
     })
     out = rd.from_arrow(t).map_batches(
@@ -666,8 +668,11 @@ def test_media_decode_real_formats(ray_session):
     assert by_id[0] == {"ok": True, "width": 12, "height": 9,
                        "n_bytes": len(IC.encode_bmp24(img)), "error": None}
     assert by_id[1]["ok"] and (by_id[1]["width"], by_id[1]["height"]) == (12, 9)
-    assert not by_id[2]["ok"] and by_id[2]["error"] == "codec_unavailable:png"
+    assert by_id[2]["ok"] and (by_id[2]["width"], by_id[2]["height"]) == (12, 9)
     assert by_id[3]["ok"] and (by_id[3]["width"], by_id[3]["height"]) == (3, 4)
+    assert not by_id[4]["ok"] and by_id[4]["error"] == "corrupt_png"
+    # JPEG (DCT decode) is the remaining declared gap
+    assert not by_id[5]["ok"] and by_id[5]["error"] == "codec_unavailable:jpeg"
 
 
 def test_media_resize_stage(ray_session):

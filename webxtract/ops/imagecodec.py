@@ -1,10 +1,11 @@
 """Pure-numpy image codecs for the multimodal stages.
 
-No PIL/ffmpeg exists in this environment, but uncompressed raster
-formats need neither: BMP (24-bit BITMAPINFOHEADER) and binary PPM (P6)
-are parsed directly from bytes with numpy. This upgrades the media
-pipeline from "fake header only" to REAL decode for real formats —
-compressed codecs (JPEG/PNG/video) remain explicitly stubbed.
+No PIL/ffmpeg exists in this environment, but most raster formats need
+neither: BMP (24-bit BITMAPINFOHEADER) and binary PPM (P6) are parsed
+directly from bytes with numpy, and PNG (8-bit, all five color types,
+non-interlaced) decodes with stdlib zlib inflate + per-scanline
+unfilter. JPEG (DCT entropy decode) and video remain explicitly
+stubbed — the one honest env gap.
 
 All functions are driver/worker-agnostic pure functions; the Ray
 stages in ops/media.py wrap them.
@@ -128,6 +129,165 @@ def decode_bmp24(raw: bytes) -> np.ndarray | None:
     return rgb if top_down else rgb[::-1]
 
 
+# --- PNG (8-bit, pure stdlib: zlib inflate + per-scanline unfilter) --------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> 8-bit truecolor PNG (filter-0 scanlines,
+    deterministic zlib level 9) — a real, spec-valid writer used by the
+    round-trip tests and the synthetic multimodal corpus."""
+    import zlib
+
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    lines = np.zeros((h, 1 + w * 3), np.uint8)
+    lines[:, 1:] = arr.reshape(h, w * 3)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(lines.tobytes(), 9))
+            + chunk(b"IEND", b""))
+
+
+def _png_chunks(raw: bytes):
+    """Yield (tag, data) with CRC verification; stops at IEND."""
+    import zlib
+
+    pos = 8
+    while pos + 12 <= len(raw):
+        (ln,) = struct.unpack_from(">I", raw, pos)
+        tag = raw[pos + 4:pos + 8]
+        data = raw[pos + 8:pos + 8 + ln]
+        if len(data) < ln or pos + 12 + ln > len(raw):
+            return
+        (crc,) = struct.unpack_from(">I", raw, pos + 8 + ln)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            return
+        yield tag, data
+        if tag == b"IEND":
+            return
+        pos += 12 + ln
+
+
+def png_dims(raw: bytes) -> tuple[int, int] | None:
+    """(width, height) from IHDR only — no inflate, no pixel pass."""
+    if not raw.startswith(_PNG_SIG) or len(raw) < 24 \
+            or raw[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack_from(">II", raw, 16)
+    return w, h
+
+
+def _unfilter(lines: np.ndarray, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filters. None/Sub/Up are vectorized (Sub is
+    a wrapping per-byte-lane prefix sum; Up a wrapping row add);
+    Average/Paeth carry a genuine per-pixel recurrence on the SAME row
+    and fall back to a per-byte loop — encoders here emit filter 0, so
+    the loop only runs on foreign files."""
+    h = lines.shape[0]
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f = int(lines[y, 0])
+        line = lines[y, 1:]
+        if f == 0:
+            rec = line.copy()
+        elif f == 1:  # Sub
+            rec = line.copy()
+            for o in range(bpp):
+                rec[o::bpp] = np.add.accumulate(rec[o::bpp],
+                                                dtype=np.uint8)
+        elif f == 2:  # Up
+            rec = line + prev  # uint8 wraps mod 256
+        elif f == 3:  # Average
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(line[x])
+                          + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                    (b if pb <= pc_ else c)
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def decode_png(raw: bytes) -> np.ndarray | None:
+    """8-bit non-interlaced PNG -> HxWx3 uint8 RGB. Handles color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha) and 6 (RGBA) —
+    alpha is dropped, gray/palette expanded. Returns None for anything
+    else (16-bit, Adam7 interlace, corrupt CRC/stream) — callers treat
+    that as an ok=False DATA row, never a task failure."""
+    import zlib
+
+    if not raw.startswith(_PNG_SIG):
+        return None
+    w = h = None
+    ctype = None
+    plte = None
+    idat: list[bytes] = []
+    for tag, data in _png_chunks(raw):
+        if tag == b"IHDR":
+            if len(data) != 13:
+                return None
+            w, h, depth, ctype, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8 or comp or filt or interlace \
+                    or ctype not in _PNG_CHANNELS:
+                return None
+        elif tag == b"PLTE":
+            if len(data) % 3:
+                return None
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(data)
+    if w is None or not w or not h or not idat:
+        return None
+    try:
+        dec = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    if len(dec) != h * (stride + 1):
+        return None
+    lines = np.frombuffer(dec, np.uint8).reshape(h, stride + 1)
+    out = _unfilter(lines, stride, ch)
+    if out is None:
+        return None
+    if ctype == 2:
+        return out.reshape(h, w, 3)
+    if ctype == 0:
+        g = out.reshape(h, w)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if ctype == 3:
+        if plte is None or (out.max() if out.size else 0) >= len(plte):
+            return None
+        return plte[out.reshape(h, w)]
+    if ctype == 4:
+        g = out.reshape(h, w, 2)[:, :, 0]
+        return np.repeat(g[:, :, None], 3, axis=2)
+    return out.reshape(h, w, 4)[:, :, :3].copy()  # ctype 6
+
+
 # --- dispatch --------------------------------------------------------------
 
 
@@ -146,12 +306,15 @@ def sniff(raw: bytes | None) -> str | None:
 
 
 def decode_image(raw: bytes | None) -> np.ndarray | None:
-    """Decode any supported uncompressed format to HxWx3 uint8 RGB."""
+    """Decode any supported format to HxWx3 uint8 RGB (BMP/PPM
+    uncompressed, PNG via stdlib zlib; JPEG remains the declared gap)."""
     kind = sniff(raw)
     if kind == "bmp":
         return decode_bmp24(raw)
     if kind == "ppm":
         return decode_ppm(raw)
+    if kind == "png":
+        return decode_png(raw)
     return None
 
 
@@ -162,6 +325,8 @@ def image_dims(raw: bytes | None) -> tuple[int, int] | None:
         return bmp_dims(raw)
     if kind == "ppm":
         return ppm_dims(raw)
+    if kind == "png":
+        return png_dims(raw)
     return None
 
 

@@ -14,10 +14,12 @@ What IS real here:
   * deterministic fake decode for tests: a 16-byte header
     ``WXMEDIA!<u32 w><u32 h>`` is parsed as an "image".
 
-Compressed codecs are the honest gap: JPEG/PNG decode uses PIL IF
-importable (never in this container) and otherwise yields
-``ok=False, error='codec_unavailable:<kind>'`` DATA rows; video frame
-sampling raises NotImplementedError (needs ffmpeg)."""
+PNG decodes for real via the stdlib zlib path in ``imagecodec``
+(8-bit, all five color types, non-interlaced). JPEG is the remaining
+honest gap: it uses PIL IF importable (never in this container) and
+otherwise yields ``ok=False, error='codec_unavailable:jpeg'`` DATA
+rows; video frame sampling raises NotImplementedError (needs
+ffmpeg)."""
 
 from __future__ import annotations
 
@@ -70,7 +72,7 @@ class DecodeImage:
             w, h = struct.unpack("<II", raw[8:16])
             return True, w, h, None
         kind = imagecodec.sniff(raw)
-        if kind in ("bmp", "ppm"):
+        if kind in ("bmp", "ppm", "png"):
             dims = imagecodec.image_dims(raw)  # header-only, no pixel pass
             if dims is None:
                 return False, 0, 0, f"corrupt_{kind}"
@@ -83,7 +85,7 @@ class DecodeImage:
                 return True, img.width, img.height, None
             except Exception as e:
                 return False, 0, 0, type(e).__name__
-        if kind in ("png", "jpeg"):
+        if kind == "jpeg":
             return False, 0, 0, f"codec_unavailable:{kind}"
         return False, 0, 0, "unsupported_format"
 
@@ -269,13 +271,17 @@ def image_neardup_pairs(ds, max_dist: int = 6, verify: str = "auto"):
 
 
 def synth_image_corpus(sf_dir: str, n: int | None = None):
-    """Deterministic BMP corpus derived from the documents table ids:
-    seeded gradient+noise patterns, with every 10th image a 1-pixel
-    variant of its predecessor (a planted near-dup pair). Pure
+    """Deterministic MIXED-FORMAT corpus derived from the documents
+    table ids: seeded noise patterns encoded as BMP, PPM or PNG by
+    ``doc_id % 3`` (so a planted near-dup pair usually spans two
+    container formats — decode normalizes to pixels before hashing),
+    with every 10th image a 1-pixel variant of its predecessor. Pure
     plumbing fixture — real corpora read binary columns from parquet."""
     import ray.data as rd
 
-    from .imagecodec import encode_bmp24
+    from .imagecodec import encode_bmp24, encode_png, encode_ppm
+
+    encoders = [encode_bmp24, encode_ppm, encode_png]
 
     ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
                           columns=["doc_id"])
@@ -292,7 +298,7 @@ def synth_image_corpus(sf_dir: str, n: int | None = None):
                 img = img.copy()
                 img[0, 0, 0] ^= 1  # sub-threshold perturbation
             out_id.append(i)
-            out_raw.append(encode_bmp24(img))
+            out_raw.append(encoders[i % 3](np.ascontiguousarray(img)))
         return pa.table({"media_id": pa.array(out_id, pa.int64()),
                          "media": pa.array(out_raw, pa.binary())})
 
@@ -300,8 +306,8 @@ def synth_image_corpus(sf_dir: str, n: int | None = None):
 
 
 def images_phash_dupes(sf_dir: str):
-    """Query-surface wrapper: synthesize the deterministic BMP corpus
-    for sf_dir's documents and mine near-dup pairs (rows-only: planted
-    pairs are asserted in tests/test_ops.py)."""
+    """Query-surface wrapper: synthesize the deterministic mixed-format
+    (BMP/PPM/PNG) corpus for sf_dir's documents and mine near-dup pairs
+    (rows-only: planted pairs are asserted in tests/test_ops.py)."""
     pairs = image_neardup_pairs(synth_image_corpus(sf_dir), max_dist=2)
     return pairs.sort(["doc_a", "doc_b"])

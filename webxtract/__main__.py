@@ -41,6 +41,9 @@ def cmd_run(args) -> int:
     from .metrics import dump, start
     from .pipeline import PipelineConfig
 
+    import time as _time
+
+    t0 = _time.monotonic()
     start()
     cfg = PipelineConfig(
         max_bytes=args.max_bytes,
@@ -58,7 +61,9 @@ def cmd_run(args) -> int:
         "rows_out": sum(m["rows_out"] for m in manifest.values()),
         "rejected": sum(m["rejected"] for m in manifest.values()),
         "review": sum(m["reviewed"] for m in manifest.values()),
-        "wall_ms": sum(m["wall_ms"] for m in manifest.values()),
+        # elapsed run wall, NOT the per-partition sum: wave dispatch
+        # records the shared wave wall in every member partition
+        "wall_ms": int((_time.monotonic() - t0) * 1000),
     }))
     ray.shutdown()
     return 0

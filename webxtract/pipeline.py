@@ -256,11 +256,15 @@ def read_pages(path: str, columns: list[str] | None = None):
 
 
 def extract_pipeline(ds, cfg: PipelineConfig | None = None,
-                     source_path: str | None = None):
+                     source_path: str | None = None,
+                     keep_cols: tuple[str, ...] = ()):
     """pages Dataset -> MODEL_RESULT Dataset (lazy; no materialization).
 
-    ``source_path``: optional parquet path of the same input; lets the
-    dedup winner-aggregation re-read only (url, warc_ts) columns."""
+    ``source_path``: optional parquet path (or list of paths) of the
+    same input; lets the dedup winner-aggregation re-read only
+    (url, warc_ts) columns.
+    ``keep_cols``: extra input columns carried through to the result
+    projection (e.g. the checkpoint path's partition id)."""
     cfg = cfg or PipelineConfig()
     if cfg.dedup:
         if cfg.exact_dedup:
@@ -333,7 +337,17 @@ def extract_pipeline(ds, cfg: PipelineConfig | None = None,
             lambda t: t.drop_columns(["blocks"]), batch_format="pyarrow",
             zero_copy_batch=True)
     ds = ds.map_batches(add_route, batch_format="pyarrow", zero_copy_batch=True)
-    ds = ds.map_batches(_project_result, batch_format="pyarrow", zero_copy_batch=True)
+    if keep_cols:
+        cols = _RESULT_COLS + list(keep_cols)
+
+        def _project(t: pa.Table) -> pa.Table:
+            return t.select(cols)
+
+        ds = ds.map_batches(_project, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    else:
+        ds = ds.map_batches(_project_result, batch_format="pyarrow",
+                            zero_copy_batch=True)
     return ds
 
 

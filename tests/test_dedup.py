@@ -206,3 +206,39 @@ def test_ngram_jaccard_hard_gate(ray_session, monkeypatch):
     monkeypatch.setattr(D, "NGRAM_JACCARD_MAX_DOCS", 5)
     with pytest.raises(ValueError, match="minhash_lsh_pairs"):
         D.ngram_jaccard_pairs(ds)
+
+
+def test_dup_winners_local_matches_distributed(ray_session, tmp_path,
+                                               monkeypatch):
+    """Auto-gated driver-side winner aggregate == Ray groupby twin, and
+    dedup_pages_fast output is identical through either."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from webxtract import dedup as D
+
+    t = synth.make_pages(300, seed=7)
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"part-{i}.parquet")
+        pq.write_table(t.slice(i * 150, 150), p)
+        paths.append(p)
+
+    local = D.dup_winners_local(paths)
+    dist = D.dup_winners(rd.read_parquet(paths, columns=["url", "warc_ts"]))
+    assert (local is None) == (dist is None)
+    if local is not None:
+        key = lambda x: sorted(zip(x.column("url").to_pylist(),
+                                   x.column("max_ts").to_pylist()))
+        assert key(local) == key(dist)
+
+    ds = rd.read_parquet(paths)
+    via_local = pa.concat_tables(
+        [b for b in D.dedup_pages_fast(ds, source_path=paths)
+         .iter_batches(batch_format="pyarrow")])
+    monkeypatch.setattr(D, "DUP_SCAN_LOCAL_MAX_BYTES", 0)  # force distributed
+    via_dist = pa.concat_tables(
+        [b for b in D.dedup_pages_fast(ds, source_path=paths)
+         .iter_batches(batch_format="pyarrow")])
+    srt = lambda x: x.combine_chunks().take(pc.sort_indices(x.column("url")))
+    assert srt(via_local).equals(srt(via_dist))

@@ -470,9 +470,10 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
     the inter-event gap exceeds ``gap_minutes``. Runs as ONE hash
     co-location by user (partitioned_map_groups) with fully vectorized
     segment ops per partition — no per-user Python (SURVEY.md §2.9);
-    SQL oracle = lag() + cumulative sum window functions."""
-    from ray.data.aggregate import Count
-
+    SQL oracle = lag() + cumulative sum window functions. The per-
+    session event count folds inside the same partition pass ((user,
+    session) groups never span partitions), so there is no second
+    all-to-all."""
     ds = read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
     gap_us = gap_minutes * 60 * 1_000_000
 
@@ -486,24 +487,28 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
         n = len(ts)
         if n == 0:
             return pa.table({"user_id": pa.array([], pa.int64()),
-                             "session_id": pa.array([], pa.int64())})
+                             "session_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
         new_user = np.ones(n, dtype=bool)
         new_user[1:] = uid[1:] != uid[:-1]
         gap = np.ones(n, dtype=bool)
         gap[1:] = (ts[1:] - ts[:-1]) > gap_us
-        cs = np.cumsum((new_user | gap).astype(np.int64))
+        b = new_user | gap
+        cs = np.cumsum(b.astype(np.int64))
         starts = np.flatnonzero(new_user)
         counts = np.diff(np.append(starts, n))
         # session ids restart at 1 per user: subtract the user's base
         session_id = cs - np.repeat(cs[starts] - 1, counts)
+        s_starts = np.flatnonzero(b)  # one output row per session
+        s_lens = np.diff(np.append(s_starts, n))
         return pa.table({
-            "user_id": g.column("user_id"),
-            "session_id": pa.array(session_id, pa.int64()),
+            "user_id": pc.take(g.column("user_id"),
+                               pa.array(s_starts, pa.int64())),
+            "session_id": pa.array(session_id[s_starts], pa.int64()),
+            "n_events": pa.array(s_lens, pa.int64()),
         })
 
-    sess = partitioned_map_groups(ds, "user_id", sessionize)
-    return sess.groupby(["user_id", "session_id"]).aggregate(
-        Count(alias_name="n_events"))
+    return partitioned_map_groups(ds, "user_id", sessionize)
 
 
 def asof_join_by_key(left_ds, right_ds, key: str, ts_col: str,

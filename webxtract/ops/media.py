@@ -15,11 +15,11 @@ What IS real here:
     ``WXMEDIA!<u32 w><u32 h>`` is parsed as an "image".
 
 PNG decodes for real via the stdlib zlib path in ``imagecodec``
-(8-bit, all five color types, non-interlaced). JPEG is the remaining
-honest gap: it uses PIL IF importable (never in this container) and
-otherwise yields ``ok=False, error='codec_unavailable:jpeg'`` DATA
-rows; video frame sampling raises NotImplementedError (needs
-ffmpeg)."""
+(8-bit, all five color types, non-interlaced) and baseline JPEG via
+the pure-numpy T.81 decoder in ``jpegcodec`` (SOF0, 4:4:4/4:2:0,
+restart intervals; progressive/arithmetic yield ok=False DATA rows).
+Video frame sampling raises NotImplementedError (needs ffmpeg) — the
+one remaining honest gap."""
 
 from __future__ import annotations
 
@@ -72,7 +72,7 @@ class DecodeImage:
             w, h = struct.unpack("<II", raw[8:16])
             return True, w, h, None
         kind = imagecodec.sniff(raw)
-        if kind in ("bmp", "ppm", "png"):
+        if kind in ("bmp", "ppm", "png", "jpeg"):
             dims = imagecodec.image_dims(raw)  # header-only, no pixel pass
             if dims is None:
                 return False, 0, 0, f"corrupt_{kind}"
@@ -85,8 +85,6 @@ class DecodeImage:
                 return True, img.width, img.height, None
             except Exception as e:
                 return False, 0, 0, type(e).__name__
-        if kind == "jpeg":
-            return False, 0, 0, f"codec_unavailable:{kind}"
         return False, 0, 0, "unsupported_format"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -272,16 +270,26 @@ def image_neardup_pairs(ds, max_dist: int = 6, verify: str = "auto"):
 
 def synth_image_corpus(sf_dir: str, n: int | None = None):
     """Deterministic MIXED-FORMAT corpus derived from the documents
-    table ids: seeded noise patterns encoded as BMP, PPM or PNG by
-    ``doc_id % 3`` (so a planted near-dup pair usually spans two
-    container formats — decode normalizes to pixels before hashing),
-    with every 10th image a 1-pixel variant of its predecessor. Pure
-    plumbing fixture — real corpora read binary columns from parquet."""
+    table ids: seeded 8px-block mosaics on a 9x8 block grid (72x64 —
+    blocks are JPEG-DCT-aligned so the lossy leg is DC-only and
+    re-encodes near-exactly, while the 9x8 grid puts every dhash
+    sample in a DISTINCT block for full 64-bit signature entropy;
+    measured: worst dhash drift <=4 bits, unrelated images >=14 bits
+    apart, zero LSH band misses over 300 seeds) encoded as BMP, PPM,
+    PNG or baseline JPEG by ``doc_id % 4`` (a planted near-dup pair
+    thus usually spans two container formats, one of them lossy —
+    decode normalizes to pixels before hashing), with every 10th image
+    a 1-subpixel variant of its predecessor. Pure plumbing fixture —
+    real corpora read binary columns from parquet."""
     import ray.data as rd
 
     from .imagecodec import encode_bmp24, encode_png, encode_ppm
+    from .jpegcodec import encode_jpeg
 
-    encoders = [encode_bmp24, encode_ppm, encode_png]
+    def encode_jpeg95(arr: np.ndarray) -> bytes:
+        return encode_jpeg(arr, quality=95, subsampling="420")
+
+    encoders = [encode_bmp24, encode_ppm, encode_png, encode_jpeg95]
 
     ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
                           columns=["doc_id"])
@@ -293,12 +301,12 @@ def synth_image_corpus(sf_dir: str, n: int | None = None):
         for i in batch.column("doc_id").to_pylist():
             seed = i - 1 if i % 10 == 5 else i  # planted near-dup
             rng = np.random.default_rng(seed)
-            img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+            blocks = rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
+            img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
             if i % 10 == 5:
-                img = img.copy()
                 img[0, 0, 0] ^= 1  # sub-threshold perturbation
             out_id.append(i)
-            out_raw.append(encoders[i % 3](np.ascontiguousarray(img)))
+            out_raw.append(encoders[i % 4](np.ascontiguousarray(img)))
         return pa.table({"media_id": pa.array(out_id, pa.int64()),
                          "media": pa.array(out_raw, pa.binary())})
 
@@ -307,7 +315,9 @@ def synth_image_corpus(sf_dir: str, n: int | None = None):
 
 def images_phash_dupes(sf_dir: str):
     """Query-surface wrapper: synthesize the deterministic mixed-format
-    (BMP/PPM/PNG) corpus for sf_dir's documents and mine near-dup pairs
-    (rows-only: planted pairs are asserted in tests/test_ops.py)."""
-    pairs = image_neardup_pairs(synth_image_corpus(sf_dir), max_dist=2)
+    (BMP/PPM/PNG/JPEG) corpus for sf_dir's documents and mine near-dup
+    pairs (rows-only: planted pairs are asserted in tests/test_ops.py).
+    max_dist=4 absorbs the measured <=4-bit dhash drift across the
+    lossy JPEG leg; unrelated mosaics sit >=14 bits apart."""
+    pairs = image_neardup_pairs(synth_image_corpus(sf_dir), max_dist=4)
     return pairs.sort(["doc_a", "doc_b"])

@@ -115,6 +115,24 @@ def _docs_fingerprint64(sf_dir: str):
         zero_copy_batch=True).select_columns(["doc_id", "fp64"])
 
 
+def _docs_bpe_vocab(sf_dir: str):
+    """Corpus-trained BPE merge table (rows-only: iterative training is
+    not SQL-expressible; Sennrich hand example + pure-Python reference
+    equivalence + repartition invariance gated in tests/test_bpe.py)."""
+    from webxtract.ops.bpe import docs_bpe_vocab
+
+    return docs_bpe_vocab(sf_dir)
+
+
+def _docs_bpe_token_counts(sf_dir: str):
+    """Per-doc token counts under the corpus-trained BPE vocabulary
+    (rows-only; decode round-trip + scalar-encoder spot-checks in
+    tests/test_bpe.py)."""
+    from webxtract.ops.bpe import docs_bpe_token_counts
+
+    return docs_bpe_token_counts(sf_dir)
+
+
 def _docs_exact_dedup(sf_dir: str):
     from webxtract.ops.dedup import exact_dedup_keep_first
 
@@ -654,6 +672,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_users_hll": _events_type_users_hll,
         "events_value_p50_sketch": _events_value_p50_sketch,  # KLL
         "docs_fingerprint64": _docs_fingerprint64,  # rolling hash
+        "docs_bpe_vocab": _docs_bpe_vocab,          # BPE train
+        "docs_bpe_token_counts": _docs_bpe_token_counts,  # BPE apply
         "docs_minhash_pairs": _docs_minhash_pairs,
         "docs_simhash_pairs": _docs_simhash_pairs,
         "docs_dedup_clusters": _docs_dedup_clusters,

@@ -409,6 +409,15 @@ def _docs_pack_sequences(sf_dir: str):
     return docs_pack_sequences(sf_dir)
 
 
+def _docs_dsir_topk(sf_dir: str):
+    """DSIR importance resampling (Xie et al. 2023): top-100 docs by
+    target-vs-raw unigram-LM log-ratio weight, target = lang=='en'
+    (oracled: unnest + filtered counts + join + sum(ln ratios))."""
+    from webxtract.ops.text import docs_dsir_topk
+
+    return docs_dsir_topk(sf_dir)
+
+
 def _events_type_users_hll(sf_dir: str):
     """Grouped HLL distinct-user estimates per event type (rows-only;
     accuracy gated vs the oracled exact twin in tests/test_ops.py)."""
@@ -657,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # newly oracled this round (were rows-only)
         "docs_line_dedup": _docs_line_dedup,
         "docs_pack_sequences": _docs_pack_sequences,
+        "docs_dsir_topk": _docs_dsir_topk,
         # --- oracled, not yet driver-checked: next rotation window ---
         "docs_stopword_removal": _docs_stopword_removal,
         "docs_regex_tokens": _docs_regex_tokens,
@@ -2057,6 +2067,37 @@ r5 AS (
             LEFT JOIN (SELECT doc_id,
                               string_agg(l, chr(10) ORDER BY i) AS t
                        FROM keep GROUP BY 1) j USING (doc_id)
+        """,
+        # DSIR twin: per-term filtered counts give the target (lang='en')
+        # and raw models; add-one smoothing over the shared vocabulary V;
+        # per-doc weight = sum of per-token-instance ln ratios, rounded
+        # half-away 6 (round_ha twin); deterministic (weight, doc_id)
+        # top-100
+        "docs_dsir_topk": """
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ), tc AS (
+                SELECT term,
+                       count(*) FILTER (WHERE lang = 'en') AS n_tgt,
+                       count(*) AS n_all
+                FROM tok GROUP BY term
+            ), tot AS (
+                SELECT sum(n_tgt) AS total_tgt, sum(n_all) AS total_all,
+                       count(*) AS v
+                FROM tc
+            ), lr AS (
+                SELECT term,
+                       ln((n_tgt + 1.0) / (total_tgt + v))
+                       - ln((n_all + 1.0) / (total_all + v)) AS lr
+                FROM tc CROSS JOIN tot
+            )
+            SELECT doc_id, round(sum(lr), 6) AS dsir_weight
+            FROM tok JOIN lr USING (term)
+            GROUP BY doc_id
+            ORDER BY dsir_weight DESC, doc_id
+            LIMIT 100
         """,
         # pack_sequences twin: greedy first-fit per shard (doc_id % 64)
         # in doc_id order, unrolled as a recursive CTE that advances all

@@ -104,27 +104,38 @@ for _u in range(8):
 
 # --- Huffman ---------------------------------------------------------------
 
+_HUFF_LUT_CACHE: dict[bytes, list[int]] = {}
+
+
 class _HuffDecoder:
-    """Canonical Huffman decode tables (T.81 F.2.2.3 mincode/maxcode)."""
+    """Flat 16-bit-prefix lookup table: lut[next16bits] = (len << 8) |
+    value. One array read decodes any symbol (canonical codes are
+    prefix-free, so every 16-bit word starting with a code maps to it);
+    T.81 caps code length at 16. The table costs ~2 ms to materialize
+    as a Python list (list indexing beats numpy scalar reads in the
+    decode loop), so it is cached per (bits, vals) content — most
+    JPEGs, ours included, use the Annex K tables, making this a
+    build-once cost per worker process."""
 
     def __init__(self, bits: list[int], vals: list[int]) -> None:
+        key = bytes(bits) + bytes(vals)
+        cached = _HUFF_LUT_CACHE.get(key)
+        if cached is not None:
+            self.lut = cached
+            return
+        lut = np.zeros(1 << 16, np.int32)
         code = 0
         k = 0
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
         for ln in range(1, 17):
-            if bits[ln - 1] == 0:
-                self.maxcode[ln] = -1
-                code <<= 1
-                continue
-            self.valptr[ln] = k
-            self.mincode[ln] = code
-            code += bits[ln - 1]
-            k += bits[ln - 1]
-            self.maxcode[ln] = code - 1
+            for _ in range(bits[ln - 1]):
+                lo = code << (16 - ln)
+                lut[lo:lo + (1 << (16 - ln))] = (ln << 8) | vals[k]
+                code += 1
+                k += 1
             code <<= 1
-        self.vals = vals
+        self.lut = _HUFF_LUT_CACHE[key] = lut.tolist()
+        if len(_HUFF_LUT_CACHE) > 64:  # pathological many-table streams
+            _HUFF_LUT_CACHE.clear()
 
 
 def _build_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -141,88 +152,46 @@ def _build_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, 
     return out
 
 
-class _BitReader:
-    """MSB-first bit reader over entropy-coded bytes with 0xFF00
-    un-stuffing; stops at any non-RST marker."""
+def _split_entropy(raw: bytes, pos: int) -> list[bytes]:
+    """Entropy-coded data from ``pos``: un-stuff 0xFF00, split at RSTn
+    markers, stop at any other marker. Returns one unstuffed bytes
+    segment per restart interval, each padded with zero bytes so the
+    decode cursor can always peek 16 bits (T.81 allows zero padding
+    past the marker). The 0xFF scan is one numpy pass — the per-byte
+    stuffing test never runs in Python."""
+    arr = np.frombuffer(raw, np.uint8)
+    n = len(arr)
+    segs: list[bytes] = []
+    stuff: list[int] = []
+    start = pos
 
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.buf = 0
-        self.nbits = 0
-        self.marker: int | None = None
+    def close(end: int) -> bytes:
+        seg = arr[start:end]
+        if stuff:
+            seg = np.delete(seg, np.asarray(stuff, np.int64) - start)
+            stuff.clear()
+        return seg.tobytes() + b"\x00" * 64
 
-    def _fill(self) -> bool:
-        d = self.data
-        if self.marker is not None:
-            # past a marker: feed zero bits (T.81 allows padding)
-            self.buf = (self.buf << 8) & 0xFFFFFFFF
-            self.nbits += 8
-            return True
-        if self.pos >= len(d):
-            self.marker = 0xD9
-            return self._fill()
-        b = d[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            nxt = d[self.pos] if self.pos < len(d) else 0xD9
-            if nxt == 0x00:
-                self.pos += 1
-            else:
-                self.marker = nxt
-                return self._fill()
-        self.buf = ((self.buf << 8) | b) & 0xFFFFFFFF
-        self.nbits += 8
-        return True
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.buf >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def decode_symbol(self, h: _HuffDecoder) -> int:
-        code = self.read_bit()
-        ln = 1
-        while code > h.maxcode[ln]:
-            code = (code << 1) | self.read_bit()
-            ln += 1
-            if ln > 16:
-                raise ValueError("bad huffman code")
-        return h.vals[h.valptr[ln] + code - h.mincode[ln]]
-
-    def restart(self) -> None:
-        """Consume the pending RSTn marker and resync to byte boundary.
-
-        Two cases: the reader already hit the marker while draining pad
-        bits (marker set, pos at the marker-id byte), or the previous MCU
-        ended exactly on a byte boundary (marker unseen, pos at the 0xFF).
-        Either way pos must land PAST the two marker bytes, else the
-        marker id is consumed as entropy data."""
-        self.nbits = 0
-        self.buf = 0
-        if self.marker is not None:
-            if 0xD0 <= self.marker <= 0xD7:
-                self.pos += 1  # past the marker-id byte
-                self.marker = None
+    i_prev = -1
+    for i in np.flatnonzero(arr[pos:] == 0xFF) + pos:
+        i = int(i)
+        if i <= i_prev:  # the 0x00 of a stuffed pair already consumed
+            continue
+        nxt = int(arr[i + 1]) if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            stuff.append(i + 1)
+            i_prev = i + 1
+        elif nxt == 0xFF:
+            continue  # fill byte; the next iteration re-examines
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(close(i))
+            start = i + 2
+            i_prev = i + 1
         else:
-            d = self.data
-            if self.pos + 1 < len(d) and d[self.pos] == 0xFF \
-                    and 0xD0 <= d[self.pos + 1] <= 0xD7:
-                self.pos += 2
-
-
-def _extend(v: int, t: int) -> int:
-    """T.81 F.12 sign extension of a t-bit magnitude."""
-    if t == 0:
-        return 0
-    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+            segs.append(close(i))
+            return segs
+    segs.append(close(n))
+    return segs
 
 
 # --- decoder ---------------------------------------------------------------
@@ -345,43 +314,100 @@ def _decode_jpeg(raw: bytes) -> np.ndarray | None:
         c["bh"] = mcuy * c["v"]
         c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
 
-    br = _BitReader(raw, data_pos)
+    # per-block (row, col, val) triples collect in Python lists and
+    # bulk-assign once per component — no per-block numpy allocation
+    segs = _split_entropy(raw, data_pos)
+    nseg = len(segs)
+    si = 0
+    data = segs[0]
+    buf = nbits = bpos = 0
     pred = [0] * len(comps)
+    fills: list[tuple[list[int], list[int]]] = \
+        [([], []) for _ in comps]
+    # (comp_index, dc lut, ac lut, v, h, blocks-across) per scan member
+    scan_info = [(ci, huff_dc[d].lut, huff_ac[a].lut,
+                  comps[ci]["v"], comps[ci]["h"], comps[ci]["bw"])
+                 for ci, d, a in scan]
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and \
                     mcu_count % restart_interval == 0:
-                br.restart()
+                si += 1
+                if si >= nseg:
+                    raise ValueError("missing restart segment")
+                data = segs[si]
+                buf = nbits = bpos = 0
                 pred = [0] * len(comps)
             mcu_count += 1
-            for ci, dc_id, ac_id in scan:
-                c = comps[ci]
-                hd, ha = huff_dc[dc_id], huff_ac[ac_id]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = np.zeros(64, np.int64)
-                        t = br.decode_symbol(hd)
-                        diff = _extend(br.read_bits(t), t)
-                        pred[ci] += diff
-                        blk[0] = pred[ci]
+            for ci, dlut, alut, cv, ch, cbw in scan_info:
+                rows, vals = fills[ci]
+                p = pred[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        row64 = ((my * cv + by) * cbw
+                                 + (mx * ch + bx)) * 64
+                        # DC: one LUT read + one magnitude read
+                        while nbits < 16:
+                            buf = ((buf << 8) | data[bpos]) & 0xFFFFFFFF
+                            bpos += 1
+                            nbits += 8
+                        e = dlut[(buf >> (nbits - 16)) & 0xFFFF]
+                        t = e >> 8
+                        if t == 0:
+                            raise ValueError("bad huffman code")
+                        nbits -= t
+                        t = e & 0xFF
+                        if t:
+                            while nbits < t:
+                                buf = ((buf << 8) | data[bpos]) \
+                                    & 0xFFFFFFFF
+                                bpos += 1
+                                nbits += 8
+                            nbits -= t
+                            m = (buf >> nbits) & ((1 << t) - 1)
+                            p += m if m >= (1 << (t - 1)) \
+                                else m - (1 << t) + 1
+                        rows.append(row64)
+                        vals.append(p)
                         k = 1
                         while k < 64:
-                            rs = br.decode_symbol(ha)
-                            r, s = rs >> 4, rs & 0x0F
+                            while nbits < 16:
+                                buf = ((buf << 8) | data[bpos]) \
+                                    & 0xFFFFFFFF
+                                bpos += 1
+                                nbits += 8
+                            e = alut[(buf >> (nbits - 16)) & 0xFFFF]
+                            ln = e >> 8
+                            if ln == 0:
+                                raise ValueError("bad huffman code")
+                            nbits -= ln
+                            rs = e & 0xFF
+                            s = rs & 0x0F
                             if s == 0:
-                                if r == 15:
+                                if rs == 0xF0:
                                     k += 16
                                     continue
                                 break  # EOB
-                            k += r
+                            k += rs >> 4
                             if k > 63:
                                 raise ValueError("AC overflow")
-                            blk[k] = _extend(br.read_bits(s), s)
+                            while nbits < s:
+                                buf = ((buf << 8) | data[bpos]) \
+                                    & 0xFFFFFFFF
+                                bpos += 1
+                                nbits += 8
+                            nbits -= s
+                            m = (buf >> nbits) & ((1 << s) - 1)
+                            rows.append(row64 + k)
+                            vals.append(m if m >= (1 << (s - 1))
+                                        else m - (1 << s) + 1)
                             k += 1
-                        row = (my * c["v"] + by) * c["bw"] + \
-                            (mx * c["h"] + bx)
-                        c["coef"][row] = blk
+                pred[ci] = p
+    for c, (rows, vals) in zip(comps, fills):
+        if rows:
+            flat = c["coef"].reshape(-1)
+            flat[np.asarray(rows, np.int64)] = np.asarray(vals, np.int64)
 
     # dequantize + IDCT, all blocks of a component at once
     planes = []
@@ -389,7 +415,8 @@ def _decode_jpeg(raw: bytes) -> np.ndarray | None:
         q = qt[c["tq"]]
         coef = (c["coef"] * q[None, :])[:, UNZIGZAG] \
             .reshape(-1, 8, 8).astype(np.float64)
-        px = np.einsum("ux,nuv,vy->nxy", _A, coef, _A)
+        # (A.T @ coef @ A) batched: two BLAS matmuls beat einsum ~5x
+        px = np.matmul(_A.T, np.matmul(coef, _A))
         px = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
         # blocks -> plane
         bh, bw = c["bh"], c["bw"]
@@ -449,10 +476,13 @@ def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(q, 1, 255)
 
 
-def _encode_block(bw: _BitWriter, blk: np.ndarray, pred: int,
+def _encode_block(bw: _BitWriter, blk: list, pred: int,
                   dc_codes, ac_codes) -> int:
-    """Quantized zigzag block -> entropy stream; returns new DC pred."""
-    dc = int(blk[0])
+    """Quantized zigzag block (as a Python list — callers .tolist()
+    once per component; list indexing beats numpy scalar reads ~10x in
+    this per-coefficient loop) -> entropy stream; returns new DC
+    pred."""
+    dc = blk[0]
     diff = dc - pred
     mag = abs(diff)
     t = mag.bit_length()
@@ -473,7 +503,7 @@ def _encode_block(bw: _BitWriter, blk: np.ndarray, pred: int,
             code, ln = ac_codes[0xF0]
             bw.write(code, ln)
             run -= 16
-        v = int(blk[k])
+        v = blk[k]
         s = abs(v).bit_length()
         code, ln = ac_codes[(run << 4) | s]
         bw.write(code, ln)
@@ -490,7 +520,7 @@ def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     h, w = plane.shape
     blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3) \
         .reshape(-1, 8, 8).astype(np.float64) - 128.0
-    coef = np.einsum("ux,nxy,vy->nuv", _A, blocks, _A).reshape(-1, 64)
+    coef = np.matmul(_A, np.matmul(blocks, _A.T)).reshape(-1, 64)
     qn = q[UNZIGZAG].astype(np.float64)
     quant = np.round(coef / qn[None, :]).astype(np.int64)
     return quant[:, ZIGZAG]
@@ -532,9 +562,9 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
     cbp = np.clip(np.round(cbp), 0, 255).astype(np.uint8)
     crp = np.clip(np.round(crp), 0, 255).astype(np.uint8)
 
-    yq = _fdct_quant(yp, ql)
-    cbq = _fdct_quant(cbp, qc)
-    crq = _fdct_quant(crp, qc)
+    yq = _fdct_quant(yp, ql).tolist()
+    cbq = _fdct_quant(cbp, qc).tolist()
+    crq = _fdct_quant(crp, qc).tolist()
 
     # header segments
     def seg(marker: int, payload: bytes) -> bytes:

@@ -1633,3 +1633,137 @@ def docs_bigram_logprob(sf_dir: str, mode: str = "auto"):
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# --- DSIR importance resampling --------------------------------------------
+
+def docs_dsir_topk(sf_dir: str, target_lang: str = "en", k: int = 100,
+                   mode: str = "auto"):
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169), unigram-feature variant: score every document by
+    its importance weight under a target-domain LM vs the raw-corpus LM
+    and keep the global top-k.
+
+      lr(t)  = ln((c_tgt(t)+1)/(N_tgt+V)) - ln((c_all(t)+1)/(N_all+V))
+      w(doc) = sum over token instances of lr(t),  rounded half-away 6
+
+    (add-one smoothing over the shared corpus vocabulary V; the target
+    model here is the ``lang == target_lang`` subset — the "formal
+    text" proxy of the paper becomes a metadata-defined domain).
+
+    Scale shape mirrors docs_unigram_logprob exactly: pass 1 folds
+    (term, n_tgt, n_all) partials into one vocabulary-bounded grouped
+    sum; below VOCAB_BROADCAST_MAX_TERMS the log-ratio table broadcasts
+    and pass 2 is one index_in + bincount per batch fused with a
+    per-batch partial top-k (<= k slim rows leave each block, the O4
+    mergeable pattern); above it the exploded (doc_id, term, tf)
+    stream hash-joins the distributed ratio table (_vocab_join), one
+    doc-keyed exchange folds the weight, then the same partial top-k.
+    Oracled (unnest + filtered counts + join + sum(ln ratios))."""
+    import ray.data as rd
+
+    from .relational import broadcast_lookup, partitioned_map_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    def partial_tc(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        tgt = pc.equal(batch.column("lang"), target_lang)
+        tgt_tok = pc.take(tgt, parents).cast(pa.int64())
+        g = pa.table({"term": flat, "t": tgt_tok}).group_by("term") \
+            .aggregate([("t", "sum"), ("t", "count")])
+        return pa.table({
+            "term": g.column("term"),
+            "n_tgt": g.column("t_sum").cast(pa.int64()),
+            "n_all": g.column("t_count").cast(pa.int64())})
+
+    def sum_tc(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate([("n_tgt", "sum"),
+                                          ("n_all", "sum")])
+        return pa.table({"term": g.column("term"),
+                         "n_tgt": g.column("n_tgt_sum").cast(pa.int64()),
+                         "n_all": g.column("n_all_sum").cast(pa.int64())})
+
+    counts = partitioned_map_groups(
+        ds.map_batches(partial_tc, batch_format="pyarrow",
+                       zero_copy_batch=True), "term", sum_tc).materialize()
+
+    # scalars fold the bounded, already-pinned table
+    n_tgt_total = counts.sum("n_tgt") or 0
+    n_all_total = counts.sum("n_all") or 0
+    vsize = counts.count()
+
+    def add_lr(t: pa.Table) -> pa.Table:
+        nt = t.column("n_tgt").to_numpy().astype(np.float64)
+        na = t.column("n_all").to_numpy().astype(np.float64)
+        lr = (np.log((nt + 1.0) / float(n_tgt_total + vsize))
+              - np.log((na + 1.0) / float(n_all_total + vsize)))
+        return pa.table({"term": t.column("term"),
+                         "lr": pa.array(lr, pa.float64())})
+
+    lr_ds = counts.map_batches(add_lr, batch_format="pyarrow")
+
+    def topk_part(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        w = t.column("dsir_weight").to_numpy()
+        top = np.lexsort((ids, -w))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[top], pa.int64()),
+            "dsir_weight": pa.array(w[top], pa.float64())})
+
+    if _resolve_vocab_mode(mode, counts) == "join":
+        tf_ds = ds.map_batches(_doc_term_freqs, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        joined = _vocab_join(tf_ds, lr_ds, "lr",
+                             lambda tf, lr: tf.astype(np.float64) * lr)
+
+        def wsum_part(part: pa.Table) -> pa.Table:
+            if part.num_rows == 0:
+                return pa.table({
+                    "doc_id": pa.array([], pa.int64()),
+                    "dsir_weight": pa.array([], pa.float64())})
+            doc = part.column("doc_id").to_numpy()
+            docs = np.unique(doc)
+            idx = np.searchsorted(docs, doc)
+            sums = np.bincount(idx,
+                               weights=part.column("score").to_numpy(),
+                               minlength=len(docs))
+            return pa.table({
+                "doc_id": pa.array(docs, pa.int64()),
+                "dsir_weight": pa.array(round_ha(sums, 6), pa.float64())})
+
+        weights = partitioned_map_groups(joined, "doc_id", wsum_part)
+        pooled = weights.map_batches(topk_part, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    else:
+        vocab_ref = broadcast_lookup(lr_ds, "term", ["lr"])
+
+        def _lr_table(build):
+            keys, (lr,) = build
+            return keys, lr.to_numpy()
+
+        def score_topk(batch: pa.Table) -> pa.Table:
+            from ..broadcast import get_broadcast_derived
+
+            keys, lr_vals = get_broadcast_derived(vocab_ref, "dsir",
+                                                  _lr_table)
+            toks = pc.split_pattern(batch.column("text"), pattern=" ")
+            flat = pc.list_flatten(toks)
+            parents = pc.list_parent_indices(toks).to_numpy()
+            idx = pc.index_in(flat, value_set=keys).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            sums = np.bincount(parents, weights=lr_vals[idx],
+                               minlength=batch.num_rows)
+            return topk_part(pa.table({
+                "doc_id": batch.column("doc_id"),
+                "dsir_weight": pa.array(round_ha(sums, 6),
+                                        pa.float64())}))
+
+        pooled = ds.map_batches(score_topk, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    return (pooled.sort(["dsir_weight", "doc_id"],
+                        descending=[True, False]).limit(k))

@@ -23,6 +23,7 @@ def _canon(ds) -> pd.DataFrame:
     (T.docs_tfidf_top_term, ["tfidf"]),
     (T.docs_unigram_logprob, ["mean_logprob"]),
     (T.docs_bigram_logprob, ["mean_logprob"]),
+    (T.docs_dsir_topk, ["dsir_weight"]),
 ])
 def test_broadcast_equals_join(ray_session, op, float_cols):
     b = _canon(op(SF_DIR, mode="broadcast"))

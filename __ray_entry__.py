@@ -418,6 +418,22 @@ def _docs_dsir_topk(sf_dir: str):
     return docs_dsir_topk(sf_dir)
 
 
+def _docs_normalize_text(sf_dir: str):
+    """Unicode NFC + whitespace-collapse fingerprint per doc (oracled:
+    nfc_normalize + regexp_replace + trim + md5)."""
+    from webxtract.ops.text import docs_normalize_text
+
+    return docs_normalize_text(sf_dir)
+
+
+def _docs_gopher_quality(sf_dir: str):
+    """Gopher-rule quality signals + pass flag (oracled: unnest +
+    grouped avg + replace-count arithmetic)."""
+    from webxtract.ops.text import docs_gopher_quality
+
+    return docs_gopher_quality(sf_dir)
+
+
 def _events_type_users_hll(sf_dir: str):
     """Grouped HLL distinct-user estimates per event type (rows-only;
     accuracy gated vs the oracled exact twin in tests/test_ops.py)."""
@@ -667,6 +683,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_dedup": _docs_line_dedup,
         "docs_pack_sequences": _docs_pack_sequences,
         "docs_dsir_topk": _docs_dsir_topk,
+        "docs_normalize_text": _docs_normalize_text,
+        "docs_gopher_quality": _docs_gopher_quality,
         # --- oracled, not yet driver-checked: next rotation window ---
         "docs_stopword_removal": _docs_stopword_removal,
         "docs_regex_tokens": _docs_regex_tokens,
@@ -2098,6 +2116,49 @@ r5 AS (
             GROUP BY doc_id
             ORDER BY dsir_weight DESC, doc_id
             LIMIT 100
+        """,
+        # normalize twin: the whitespace class is spelled out because
+        # regex engines disagree on \s unicode semantics; trim only
+        # spaces (tabs etc already collapsed into spaces)
+        "docs_normalize_text": """
+            WITH norm AS (
+                SELECT doc_id, text,
+                       trim(regexp_replace(nfc_normalize(text),
+                                           '[ \t\n\r\f]+', ' ', 'g'),
+                            ' ') AS t
+                FROM documents
+            )
+            SELECT doc_id, md5(t) AS norm_md5, (t <> text) AS changed
+            FROM norm
+        """,
+        # Gopher twin: word stats via unnest over the single-space
+        # split (engine's split_pattern twin); symbol count by
+        # replace-length arithmetic (non-overlapping, matching
+        # pc.count_substring); the pass flag compares ROUNDED values
+        "docs_gopher_quality": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_words,
+                       round(avg(length(w)), 6) AS mean_word_len,
+                       round(avg(CASE WHEN regexp_matches(w, '[A-Za-z]')
+                                 THEN 1.0 ELSE 0.0 END), 6) AS frac_alpha
+                FROM tok GROUP BY doc_id
+            ), sym AS (
+                SELECT doc_id,
+                       (length(text) - length(replace(text, '#', '')))
+                       + (length(text)
+                          - length(replace(text, '...', ''))) / 3 AS n_sym
+                FROM documents
+            )
+            SELECT a.doc_id, a.n_words, a.mean_word_len, a.frac_alpha,
+                   round(s.n_sym * 1.0 / a.n_words, 6) AS symbol_ratio,
+                   (a.mean_word_len BETWEEN 3.0 AND 10.0
+                    AND a.frac_alpha >= 0.8
+                    AND round(s.n_sym * 1.0 / a.n_words, 6) <= 0.1
+                    AND a.n_words >= 10) AS gopher_pass
+            FROM agg a JOIN sym s USING (doc_id)
         """,
         # pack_sequences twin: greedy first-fit per shard (doc_id % 64)
         # in doc_id order, unrolled as a recursive CTE that advances all

@@ -1397,3 +1397,44 @@ def test_count_min_accuracy_and_linearity(ray_session):
     h2.add(vals[3:], np.ones(3, np.int64))
     assert (h1.merge(h2).m == full.m).all()
     assert full.estimate(["a"])[0] >= 3
+
+
+def test_normalize_text_batch_nfc_and_collapse():
+    """NFC actually fires on non-ASCII rows (decomposed e+combining
+    acute -> precomposed), whitespace classes collapse to single
+    spaces, and ASCII rows take the identity fast path."""
+    import unicodedata
+
+    from webxtract.ops.text import normalize_text_batch
+
+    decomposed = "café  menu"  # e + COMBINING ACUTE
+    t = pa.table({"text": pa.array([
+        "plain  ascii\ttext \n here ", decomposed, ""], pa.string())})
+    out = normalize_text_batch(t).column("text").to_pylist()
+    assert out[0] == "plain ascii text here"
+    assert out[1] == unicodedata.normalize("NFC", decomposed).replace(
+        "  ", " ")
+    assert "́" not in out[1] and "café" in out[1]
+    assert out[2] == ""
+
+
+def test_gopher_quality_rules_fire():
+    """Each Gopher rule flips the pass flag on a crafted doc."""
+    from webxtract.ops.text import gopher_quality_batch
+
+    good = " ".join(["word"] * 20)
+    short = "only three words here"            # n_words < 10
+    symbols = " ".join(["word"] * 16
+                       + ["#tag", "so...", "#x", "y..."])  # ratio 0.2
+    numeric = " ".join(["12345"] * 20)          # frac_alpha = 0
+    longw = " ".join(["x" * 30] * 20)           # mean_word_len > 10
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array([good, short, symbols, numeric,
+                                    longw], pa.string())})
+    out = gopher_quality_batch(t)
+    res = {r["doc_id"]: r for r in out.to_pylist()}
+    assert res[0]["gopher_pass"]
+    assert not res[1]["gopher_pass"] and res[1]["n_words"] == 4
+    assert not res[2]["gopher_pass"] and res[2]["symbol_ratio"] > 0.1
+    assert not res[3]["gopher_pass"] and res[3]["frac_alpha"] == 0.0
+    assert not res[4]["gopher_pass"] and res[4]["mean_word_len"] == 30.0

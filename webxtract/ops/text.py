@@ -1767,3 +1767,113 @@ def docs_dsir_topk(sf_dir: str, target_lang: str = "en", k: int = 100,
 
     return (pooled.sort(["dsir_weight", "doc_id"],
                         descending=[True, False]).limit(k))
+
+
+# --- unicode text normalization ---------------------------------------------
+
+def normalize_text_batch(batch: pa.Table,
+                         text_col: str = "text") -> pa.Table:
+    """NFC unicode normalization + explicit-class whitespace collapse
+    ([ \\t\\n\\r\\f]+ -> one space; the class is spelled out because
+    regex engines disagree on \\s unicode semantics) + space trim.
+
+    Vectorized: the collapse/trim run as Arrow RE2 kernels over the
+    whole column; NFC runs in Python ONLY for the (web-corpus-rare)
+    non-ASCII rows — `pc.string_is_ascii` splits them off, and NFC is
+    the identity on ASCII."""
+    import unicodedata
+
+    col = batch.column(text_col)
+    ascii_mask = pc.string_is_ascii(col)
+    if pc.all(ascii_mask).as_py() is not True:
+        keep = ascii_mask.to_numpy(zero_copy_only=False)
+        texts = col.to_pylist()
+        fixed = [t if ok or t is None else unicodedata.normalize("NFC", t)
+                 for t, ok in zip(texts, keep)]
+        col = pa.chunked_array([pa.array(fixed, pa.string())])
+    col = pc.replace_substring_regex(col, pattern="[ \t\n\r\f]+",
+                                     replacement=" ")
+    col = pc.utf8_trim(col, characters=" ")
+    return batch.set_column(batch.schema.get_field_index(text_col),
+                            text_col, col)
+
+
+def docs_normalize_text(sf_dir: str):
+    """Per-doc normalization fingerprint: (doc_id, norm_md5, changed).
+    md5 keeps the compared payload slim; ``changed`` pins the collapse
+    actually firing. Oracled (DuckDB nfc_normalize + regexp_replace +
+    trim + md5)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        norm = normalize_text_batch(batch).column("text")
+        changed = pc.not_equal(norm, batch.column("text"))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "norm_md5": pa.array(md5_hex(norm.to_pylist()), pa.string()),
+            "changed": changed,
+        })
+
+    return ds.map_batches(fingerprint, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# --- Gopher quality rules ----------------------------------------------------
+
+def docs_gopher_quality(sf_dir: str):
+    """Gopher-rule quality signals (Rae et al. 2021, arXiv:2112.11446
+    A1.1.2): per-doc word count, mean word length, fraction of words
+    containing an alphabetic character, symbol-to-word ratio ('#' and
+    non-overlapping '...'), and the pass flag (3 <= mean_word_len <= 10
+    AND frac_alpha >= 0.8 AND symbol_ratio <= 0.1 AND n_words >= 10 —
+    the flag is computed from the ROUNDED fractions on both engines so
+    the threshold comparison can never straddle a rounding boundary).
+
+    One scan, fully vectorized: split + flatten + utf8_length +
+    match_substring_regex + two bincounts per batch; no exchange.
+    Oracled (unnest + grouped avg + replace-count arithmetic)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(gopher_quality_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def gopher_quality_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch Gopher-rule math (module-level so tests drive it on
+    crafted docs directly)."""
+    n = batch.num_rows
+    toks = pc.split_pattern(batch.column("text"), pattern=" ")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy()
+    wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    n_words = np.bincount(parents, minlength=n)
+    mean_len = round_ha(
+        np.bincount(parents, weights=wlen, minlength=n)
+        / np.maximum(n_words, 1), 6)
+    frac_alpha = round_ha(
+        np.bincount(parents, weights=alpha, minlength=n)
+        / np.maximum(n_words, 1), 6)
+    n_sym = (pc.count_substring(batch.column("text"), "#")
+             .to_numpy(zero_copy_only=False).astype(np.int64)
+             + pc.count_substring(batch.column("text"), "...")
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+    sym_ratio = round_ha(n_sym / np.maximum(n_words, 1), 6)
+    ok = ((mean_len >= 3.0) & (mean_len <= 10.0)
+          & (frac_alpha >= 0.8) & (sym_ratio <= 0.1)
+          & (n_words >= 10))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_words": pa.array(n_words.astype(np.int64), pa.int64()),
+        "mean_word_len": pa.array(mean_len, pa.float64()),
+        "frac_alpha": pa.array(frac_alpha, pa.float64()),
+        "symbol_ratio": pa.array(sym_ratio, pa.float64()),
+        "gopher_pass": pa.array(ok, pa.bool_()),
+    })

@@ -256,6 +256,15 @@ def _emb_kmeans(sf_dir: str):
     return assignments
 
 
+def _emb_knn_pq(sf_dir: str):
+    """PQ-ADC ANN with exact refine (Jegou et al. 2011): 16-byte codes,
+    m table lookups per vector, exact cosine only on the ADC shortlist
+    (rows-only; recall + determinism gates in tests/test_ops.py)."""
+    from webxtract.ops.knn import emb_knn_pq
+
+    return emb_knn_pq(sf_dir)
+
+
 def _emb_knn_ivf_kmeans(sf_dir: str):
     from webxtract.ops.knn import knn_ivf_kmeans
 
@@ -713,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf": _emb_knn_ivf,
         "emb_knn_lsh": _emb_knn_lsh,
         "emb_knn_ivf_kmeans": _emb_knn_ivf_kmeans,
+        "emb_knn_pq": _emb_knn_pq,
         # --- driver-green in CORRECTNESS_r02.json (rotated to the back) ---
         "pages_extract": _pages_extract,
         "pages_final": _pages_final,

@@ -1438,3 +1438,40 @@ def test_gopher_quality_rules_fire():
     assert not res[2]["gopher_pass"] and res[2]["symbol_ratio"] > 0.1
     assert not res[3]["gopher_pass"] and res[3]["frac_alpha"] == 0.0
     assert not res[4]["gopher_pass"] and res[4]["mean_word_len"] == 30.0
+
+
+def test_pq_adc_recall_and_invariance(ray_session):
+    """PQ-ADC (m=16 x 16 codes over the 64-dim embeddings) must (a)
+    recall most of the exact top-10 (lossy quantization, so gated not
+    exact), (b) be bit-deterministic and partitioning-invariant, and
+    (c) emit m-byte codes bounded by ksub."""
+    import ray.data as rd
+
+    from webxtract.ops.knn import (knn_bruteforce, knn_pq_adc, pq_encode,
+                                   pq_train)
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet")
+
+    exact = knn_bruteforce(ds, k=10).to_pandas()
+    approx = knn_pq_adc(ds, k=10).to_pandas()
+    recalls = []
+    for q in exact.query_id.unique():
+        e = set(exact[exact.query_id == q].vec_id)
+        a = set(approx[approx.query_id == q].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+    again = knn_pq_adc(ds.repartition(7), k=10).to_pandas()
+    a1 = approx.sort_values(["query_id", "rank"], ignore_index=True)
+    a2 = again.sort_values(["query_id", "rank"], ignore_index=True)
+    assert a1.equals(a2)
+
+    books = pq_train(ds, m=16, ksub=16, iters=2)
+    assert books.shape == (16, 16, 4)
+    codes = pq_encode(ds, books).take_all()
+    assert all(len(r["code"]) == 16 and max(r["code"]) < 16
+               for r in codes[:50])
+    books2 = pq_train(ds.repartition(5), m=16, ksub=16, iters=2)
+    import numpy as _np
+    assert _np.array_equal(books, books2)

@@ -524,3 +524,165 @@ def emb_label_centroids(sf_dir: str):
 
     return agg.map_batches(fin, batch_format="pyarrow",
                            zero_copy_batch=True).sort(["label", "dim"])
+
+
+# --- product quantization (IVF-PQ's compression half) -----------------------
+
+def pq_train(ds, m: int = 16, ksub: int = 16,
+             iters: int = 5) -> np.ndarray:
+    """Product-quantization codebooks (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the D-dim vector
+    into ``m`` subspaces and learn ``ksub`` codewords per subspace with
+    Lloyd's — ALL m subspaces fold in the same per-block task, so one
+    pass per iteration regardless of m. Vectors are L2-normalized
+    first (L2 on unit vectors is monotone in cosine, matching the
+    engine's cosine ANN family). The same integer fixed-point partial
+    sums as ``kmeans`` make codebooks bit-deterministic under any
+    partitioning. Returns (m, ksub, D/m) float64 codebooks."""
+    import ray
+
+    seeds = _kmeans_seeds(ds, ksub)            # (ksub, D) spread rows
+    seeds = _normalize(seeds)
+    slim = ds.select_columns(["vec_id", "embedding"]).materialize()
+    dim = seeds.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = seeds.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
+
+    block_refs = slim.to_arrow_refs()
+
+    @ray.remote(num_cpus=1)
+    def partial_block(t: pa.Table, books_np: np.ndarray):
+        if t.num_rows == 0 or "embedding" not in t.schema.names:
+            return None
+        x = _normalize(_emb_matrix(t.column("embedding"))) \
+            .reshape(-1, m, dsub)
+        fixed = np.round(x * _KMEANS_SCALE).astype(np.int64)
+        sums = np.zeros((m, ksub, dsub), np.int64)
+        counts = np.zeros((m, ksub), np.int64)
+        for j in range(m):
+            d2 = ((x[:, j, None, :] - books_np[j][None, :, :]) ** 2) \
+                .sum(axis=2)
+            a = d2.argmin(axis=1)
+            np.add.at(sums[j], a, fixed[:, j, :])
+            np.add.at(counts[j], a, 1)
+        return sums, counts
+
+    for _ in range(iters):
+        ref = ray.put(books)
+        parts = [p for p in ray.get([partial_block.remote(r, ref)
+                                     for r in block_refs])
+                 if p is not None]
+        sums = np.zeros((m, ksub, dsub), np.int64)
+        counts = np.zeros((m, ksub), np.int64)
+        for vs, vc in parts:
+            sums += vs
+            counts += vc
+        nz = counts > 0
+        new = books.copy()
+        new[nz] = (sums[nz].astype(np.float64) / _KMEANS_SCALE
+                   / counts[nz][:, None])
+        books = new
+    return books
+
+
+def pq_encode(ds, books: np.ndarray):
+    """(vec_id, embedding) -> (vec_id, code list<uint8>): m bytes per
+    vector — the 100 TB story (a 64-dim float32 vector is 256 B; its
+    PQ code is 16 B). Encode is one (n, ksub) distance argmin per
+    subspace per batch; codes stream, originals never shuffle."""
+    import ray
+
+    ref = ray.put(books)
+    m, ksub, dsub = books.shape
+
+    def enc(batch: pa.Table) -> pa.Table:
+        from ..broadcast import get_broadcast
+
+        bks = np.asarray(get_broadcast(ref))
+        x = _normalize(_emb_matrix(batch.column("embedding"))) \
+            .reshape(-1, m, dsub)
+        codes = np.empty((x.shape[0], m), np.uint8)
+        for j in range(m):
+            d2 = ((x[:, j, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "code": pa.array(list(codes), pa.list_(pa.uint8())),
+        })
+
+    return ds.map_batches(enc, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def knn_pq_adc(ds, query_ids: list[int] | None = None, k: int = 10,
+               m: int = 16, ksub: int = 16, iters: int = 5,
+               refine: int = 4):
+    """Asymmetric-distance ANN over PQ codes with exact refine (the
+    standard IVF-PQ search shape, Jegou et al. 2011 §IV): per batch the
+    approximate distance is m table lookups + a sum per vector
+    (``dtab[j, code[:, j]]``, never a full matmul); only the
+    ``refine * k`` ADC-best candidates per (query, batch) pay an exact
+    cosine. At deployment scale the 16 B/vec code table is the stored
+    index and originals are fetched per shortlist id; in this stage the
+    original rides the same batch and is READ only for shortlist rows —
+    the compute saved (full matmul -> m lookups) is the real one.
+    Rows-only: recall vs the exact brute-force oracle is gated in
+    tests (the shortlist makes it near-exact on corpora whose true
+    top-k survive an ADC top-``refine*k`` cut)."""
+    import ray
+
+    query_ids = query_ids if query_ids is not None else list(range(8))
+    books = pq_train(ds, m=m, ksub=ksub, iters=iters)
+    qids, qmat = _fetch_queries(ds, query_ids)
+    qn = _normalize(qmat)
+    dtab = ((qn.reshape(len(qids), m, -1)[:, :, None, :]
+             - books[None, :, :, :]) ** 2).sum(axis=3)
+    ref = ray.put((np.asarray(qids, np.int64), qn, books, dtab))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..broadcast import get_broadcast
+
+        bqids, bqn, bks, bdtab = get_broadcast(ref)
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        x = _normalize(_emb_matrix(batch.column("embedding")))
+        xs = x.reshape(-1, m, bks.shape[2])
+        codes = np.empty((x.shape[0], m), np.int64)
+        for j in range(m):
+            d2 = ((xs[:, j, None, :] - bks[j][None, :, :]) ** 2) \
+                .sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        jj = np.arange(m)[None, :]
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(bqids):
+            approx = bdtab[qi][jj, codes].sum(axis=1)
+            mask = ids != qid
+            cand, dd = ids[mask], approx[mask]
+            short = min(refine * k, cand.size)
+            cut = np.lexsort((cand, dd))[:short]   # ADC shortlist
+            exact = x[mask][cut] @ bqn[qi]         # refine: exact cosine
+            kk = min(k, short)
+            order = np.lexsort((cand[cut], -exact))[:kk]
+            out_q.extend([int(qid)] * kk)
+            out_v.extend(cand[cut][order].tolist())
+            out_c.extend(np.round(exact[order], 6).tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_c, pa.float64()),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return scored.groupby("query_id").map_groups(
+        _topk_merge(k), batch_format="pyarrow")
+
+
+def emb_knn_pq(sf_dir: str):
+    """Query-surface wrapper for the PQ-ADC path (rows-only; recall +
+    determinism gates in tests/test_ops.py)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_pq_adc(ds).sort(["query_id", "vec_id"])

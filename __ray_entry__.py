@@ -572,6 +572,16 @@ def _images_phash_dupes(sf_dir: str):
     return images_phash_dupes(sf_dir)
 
 
+def _audios_envelope_dupes(sf_dir: str):
+    """Near-dup audio clips over a deterministic synthetic WAV corpus:
+    envelope_hash64 -> banded LSH -> hamming verify, machinery shared
+    verbatim with images_phash_dupes (rows-only; planted pairs asserted
+    in tests/test_ops.py)."""
+    from webxtract.ops.audiocodec import audios_envelope_dupes
+
+    return audios_envelope_dupes(sf_dir)
+
+
 def _purchase_pagerank(sf_dir: str):
     """Fixed-point integer PageRank over the undirected customer-supplier
     purchase graph (5 iterations, damping 0.85): exact, partitioning-
@@ -704,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_terms_mg": _docs_terms_mg,          # Misra-Gries sketch
         "docs_terms_cms": _docs_terms_cms,        # Count-Min estimate
         "images_phash_dupes": _images_phash_dupes,
+        "audios_envelope_dupes": _audios_envelope_dupes,
         "pages_domain_stats": _pages_domain_stats,
         "events_users_hll": _events_users_hll,
         "events_type_users_hll": _events_type_users_hll,

@@ -86,7 +86,8 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "docs_bpe_vocab", "docs_bpe_token_counts", "docs_dsir_topk",
         "docs_normalize_text", "docs_gopher_quality",
         "emb_norms", "emb_label_centroids", "events_type_users_hll",
-        "images_phash_dupes", "pages_domain_stats",
+        "images_phash_dupes", "audios_envelope_dupes", "emb_knn_pq",
+        "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]
     # text-heavy outputs are consumed through the real sink (parallel

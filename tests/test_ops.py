@@ -1475,3 +1475,22 @@ def test_pq_adc_recall_and_invariance(ray_session):
     books2 = pq_train(ds.repartition(5), m=16, ksub=16, iters=2)
     import numpy as _np
     assert _np.array_equal(books, books2)
+
+
+def test_audio_neardup_planted_pairs(ray_session):
+    """Envelope-hash near-dup mining over the synthetic WAV corpus:
+    every planted (i-1, i%10==5) pair surfaces; random envelopes
+    essentially never collide (measured unrelated distance >= 25
+    bits vs max_dist=4)."""
+    import pyarrow.parquet as pq
+
+    from webxtract.ops.audiocodec import audios_envelope_dupes
+
+    sf = "/root/testdata/sf0.001"
+    df = audios_envelope_dupes(sf).to_pandas()
+    ids = set(pq.read_table(f"{sf}/documents.parquet",
+                            columns=["doc_id"]).column("doc_id").to_pylist())
+    planted = {(i - 1, i) for i in ids if i % 10 == 5 and (i - 1) in ids}
+    found = set(zip(df.doc_a, df.doc_b))
+    assert planted <= found
+    assert len(found - planted) <= len(planted) // 10

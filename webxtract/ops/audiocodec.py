@@ -147,3 +147,117 @@ def resample_nearest(samples: np.ndarray, src_rate: int,
     idx = np.minimum((np.arange(n_out) * src_rate) // dst_rate,
                      samples.shape[0] - 1)
     return samples[idx]
+
+
+# --- envelope hashing + near-duplicate audio --------------------------------
+
+def envelope_hash64(samples: np.ndarray) -> int:
+    """64-bit audio difference hash (the dhash64 analog): mono mix ->
+    65-segment mean-|amplitude| envelope -> adjacent-difference sign
+    bits. Robust to re-encoding/level-preserving edits; 8 B per clip."""
+    mono = samples.astype(np.float64).mean(axis=1)
+    n = mono.size
+    if n < 65:
+        mono = np.pad(mono, (0, 65 - n))
+        n = 65
+    edges = (np.arange(66, dtype=np.int64) * n) // 65
+    c = np.concatenate([[0.0], np.cumsum(np.abs(mono))])
+    seg = (c[edges[1:]] - c[edges[:-1]]) / np.maximum(
+        edges[1:] - edges[:-1], 1)
+    bits = seg[1:] > seg[:-1]
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class EnvHashAudio:
+    """media (WAV bytes) -> banded signature rows (doc_id, band,
+    band_key, sig) — the same schema the ops/dedup banded-LSH +
+    hamming-verify machinery consumes (shared with images)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        blobs = batch.column("media").to_pylist()
+        out_doc, out_band, out_key, out_sig = [], [], [], []
+        for i, raw in zip(ids, blobs):
+            out = decode_wav(raw)
+            if out is None:
+                continue
+            sig = envelope_hash64(out[0])
+            for band in range(4):
+                out_doc.append(i)
+                out_band.append(band)
+                out_key.append((sig >> (16 * band)) & 0xFFFF)
+                out_sig.append(sig - (1 << 63))
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "band": pa.array(out_band, pa.int32()),
+            "band_key": pa.array(out_key, pa.int64()),
+            "sig": pa.array(out_sig, pa.int64()),
+        })
+
+
+def audio_neardup_pairs(ds, max_dist: int = 4, verify: str = "auto"):
+    """media Dataset (media_id, media WAV bytes) -> near-duplicate clip
+    pairs (hamming over envelope_hash64 <= max_dist); banded-LSH
+    candidates + hamming verify shared verbatim with the image path
+    (ops/dedup.banded_hamming_pairs) — signatures are 8 B/clip, samples
+    never shuffle."""
+    from .dedup import banded_hamming_pairs
+
+    hasher = EnvHashAudio()
+    sig = ds.map_batches(lambda b: hasher(b), batch_format="pyarrow",
+                         zero_copy_batch=True,
+                         batch_size=64).materialize()
+    return banded_hamming_pairs(sig, max_dist, verify)
+
+
+def synth_audio_corpus(sf_dir: str, n: int | None = None,
+                       rate: int = 8000, seconds: float = 0.5):
+    """Deterministic WAV corpus keyed on the documents table ids:
+    seeded 65-segment random amplitude envelopes carried by unit noise
+    (so the envelope hash has full 64-bit entropy), every 10th clip a
+    sub-threshold variant of its predecessor (one envelope segment
+    nudged 2%). Pure plumbing fixture — real corpora read binary
+    columns from parquet."""
+    import ray.data as rd
+
+    n_samp = int(rate * seconds)
+
+    def render(batch: pa.Table) -> pa.Table:
+        out_id, out_raw = [], []
+        for i in batch.column("doc_id").to_pylist():
+            seed = i - 1 if i % 10 == 5 else i
+            rng = np.random.default_rng(seed)
+            env = rng.uniform(0.05, 1.0, size=65)
+            noise = rng.uniform(-1.0, 1.0, size=n_samp)
+            if i % 10 == 5:
+                env = env.copy()
+                env[i % 65] *= 1.02  # sub-threshold nudge
+            seg = (np.arange(n_samp, dtype=np.int64) * 65) // n_samp
+            mono = noise * env[seg]
+            pcm = np.clip(np.round(mono * 20000), -32768,
+                          32767).astype(np.int16)[:, None]
+            out_id.append(i)
+            out_raw.append(encode_wav(pcm, rate))
+        return pa.table({"media_id": pa.array(out_id, pa.int64()),
+                         "media": pa.array(out_raw, pa.binary())})
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    if n is not None:
+        ids = ids.limit(n)
+    try:
+        import ray
+
+        ids = ids.repartition(
+            max(2, int(ray.cluster_resources().get("CPU", 8))))
+    except Exception:
+        pass
+    return ids.map_batches(render, batch_format="pyarrow", batch_size=64)
+
+
+def audios_envelope_dupes(sf_dir: str):
+    """Query-surface wrapper: synthesize the deterministic WAV corpus
+    for sf_dir's documents and mine near-dup clip pairs (rows-only;
+    planted pairs asserted in tests)."""
+    pairs = audio_neardup_pairs(synth_audio_corpus(sf_dir), max_dist=4)
+    return pairs.sort(["doc_a", "doc_b"])

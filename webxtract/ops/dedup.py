@@ -1127,3 +1127,38 @@ def docs_new_content(sf_dir: str):
                                filter=pads.field("doc_id") >= split)
     return new_content(prior, incoming).select_columns(["doc_id"]) \
         .sort("doc_id")
+
+
+def banded_hamming_pairs(sig, max_dist: int, verify: str = "auto",
+                         bands: int = 4):
+    """Shared back half of every banded-signature near-dup miner
+    (images, audio): a MATERIALIZED (doc_id, band, band_key, sig)
+    table -> banded-LSH candidates -> hamming verification. ``auto``
+    picks the verify mode from the pinned signature table's row count
+    (``bands`` rows per doc) — never from the upstream dataset, whose
+    lineage may be expensive to re-execute (e.g. corpus synthesis).
+
+    "join" pays two signature hash joins (the 100 TB path);
+    "broadcast" ships the 8 B/doc signature map once and probes
+    candidates in place."""
+    import ray
+
+    cands = _candidate_pairs(sig)
+    if verify == "auto":
+        verify = ("join" if sig.count() // bands >= JOIN_VERIFY_MIN_DOCS
+                  else "broadcast")
+    if verify == "join":
+        return _verify_hamming_join(cands, sig, max_dist)
+    sigs: dict[int, int] = {}
+    per_doc = sig.filter(expr="band == 0").select_columns(
+        ["doc_id", "sig"])
+    for b in per_doc.iter_batches(batch_format="pyarrow"):
+        sigs.update(zip(b.column("doc_id").to_pylist(),
+                        b.column("sig").to_pylist()))
+    ref = ray.put(sigs)
+
+    def verify_fn(batch: pa.Table) -> pa.Table:
+        return VerifyHamming(ref, max_dist)(batch)
+
+    return cands.map_batches(verify_fn, batch_format="pyarrow",
+                             zero_copy_batch=True)

@@ -240,11 +240,7 @@ def image_neardup_pairs(ds, max_dist: int = 6, verify: str = "auto"):
     map once and probes candidates in place (the two native joins'
     actor-pool spin-up dominates small corpora — measured 13s -> 1s at
     5k images); "auto" picks by corpus size."""
-    import ray
-
-    from .dedup import (JOIN_VERIFY_MIN_DOCS, VerifyHamming,
-                        _candidate_pairs, _resolve_verify,
-                        _verify_hamming_join)
+    from .dedup import banded_hamming_pairs
 
     # task pool (PHashImage holds no state): the elastic task pool
     # avoids paying 8 actor spin-ups per run — measured 2.7s -> <1s on
@@ -254,31 +250,7 @@ def image_neardup_pairs(ds, max_dist: int = 6, verify: str = "auto"):
     sig = ds.map_batches(lambda b: phash(b), batch_format="pyarrow",
                          zero_copy_batch=True,
                          batch_size=64).materialize()
-    cands = _candidate_pairs(sig)
-    if verify == "auto":
-        # decodable-doc count from the PINNED signature table (4 band
-        # rows per doc) — counting `ds` would re-execute its lineage
-        # (for the synth corpus: every image re-ENCODES) just to pick
-        # a mode
-        verify = ("join" if sig.count() // 4 >= JOIN_VERIFY_MIN_DOCS
-                  else "broadcast")
-    if _resolve_verify(verify, ds) == "join":
-        return _verify_hamming_join(cands, sig, max_dist)
-    # broadcast path: dict bounded by the same gate that selected it
-    # (8 B/doc signatures, never pixels); XOR of the signed storage bit
-    # patterns equals XOR of the raw signatures
-    sigs: dict[int, int] = {}
-    per_doc = sig.filter(expr="band == 0").select_columns(["doc_id", "sig"])
-    for b in per_doc.iter_batches(batch_format="pyarrow"):
-        sigs.update(zip(b.column("doc_id").to_pylist(),
-                        b.column("sig").to_pylist()))
-    ref = ray.put(sigs)
-
-    def verify_fn(batch: pa.Table) -> pa.Table:
-        return VerifyHamming(ref, max_dist)(batch)
-
-    return cands.map_batches(verify_fn, batch_format="pyarrow",
-                             zero_copy_batch=True)
+    return banded_hamming_pairs(sig, max_dist, verify)
 
 
 def synth_image_corpus(sf_dir: str, n: int | None = None):

@@ -288,6 +288,15 @@ def _events_distinct_users(sf_dir: str):
     return exact_distinct_users(sf_dir)
 
 
+def _events_distinct_users_salted(sf_dir: str):
+    """Skew-safe salted twin of events_distinct_users: per-(type,
+    hash(user)%64) distinct counts sum exactly to per-type distinct —
+    no worker ever holds one whole hot type (oracled: same SQL)."""
+    from webxtract.ops.sketch import exact_distinct_users_salted
+
+    return exact_distinct_users_salted(sf_dir)
+
+
 def _events_users_hll(sf_dir: str):
     """Approximate distinct users via mergeable HyperLogLog sketches
     (deterministic hashes + order-independent merge -> stable result;
@@ -765,6 +774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": R.events_sessions,
         "purchases_with_prior_error": R.purchases_with_prior_error,
         "events_distinct_users": _events_distinct_users,
+        "events_distinct_users_salted": _events_distinct_users_salted,
         "events_rank_in_user": R.events_rank_in_user,
         "events_value_p90": R.events_value_p90,
         "lang_top_terms": R.lang_top_terms,
@@ -1003,6 +1013,11 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = e.user_id AND p.ts > e.ts
         """,
         "events_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        # salted twin: same answer, skew-safe partitioning
+        "events_distinct_users_salted": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
         """,

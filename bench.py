@@ -58,7 +58,8 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "q1_pricing_summary", "q3_segment_revenue", "q5_region_nation_volume",
         "supplier_nation_hashjoin", "acctbal_union_topk",
         "events_hourly_windows", "events_latest_per_user", "events_sessions",
-        "events_distinct_users", "events_rank_in_user", "lang_top_terms",
+        "events_distinct_users", "events_distinct_users_salted",
+        "events_rank_in_user", "lang_top_terms",
         "q4_priority_exists", "q6_revenue_filter", "nation_status_pivot",
         "events_props_k_stats",
         "docs_token_counts", "docs_quality_scores", "docs_exact_dedup",

@@ -654,3 +654,54 @@ def docs_terms_cms(sf_dir: str, width: int = 2048, depth: int = 4,
         "n": exact.column("n"),
         "n_est": pa.array(est, pa.int64()),
     })
+
+
+def exact_distinct_users_salted(sf_dir: str, salts: int = 64):
+    """Skew-safe exact COUNT(DISTINCT user_id) per event_type — the
+    hot-key answer the plain twin lacks: `exact_distinct_users` holds
+    one whole event_type's distinct users in one worker, so a hot type
+    at corpus scale blows its group. Salting fixes it EXACTLY (not
+    approximately): each user lands in exactly one salt bucket
+    (salt = hash64(user) % salts), so per-(type, salt) distinct counts
+    SUM to the per-type distinct with no double counting, every group
+    is bounded to ~1/salts of a type's users, and the final exchange
+    carries only #types x salts count rows. Same oracle SQL as the
+    unsalted twin — identical output, different (safe) partitioning."""
+    import ray.data as rd
+
+    from .relational import partitioned_map_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # in-batch distinct (type, user) pre-reduce + salt tag
+        g = batch.group_by(["event_type", "user_id"]).aggregate([])
+        salt = _hash64(g.column("user_id")) % np.uint64(salts)
+        return g.append_column("_salt",
+                               pa.array(salt.astype(np.int64), pa.int64()))
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def count_part(part: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (pl.from_arrow(part)
+               .group_by(["event_type", "_salt"])
+               .agg(pl.col("user_id").n_unique().alias("n")))
+        return out.to_arrow().cast(pa.schema([
+            ("event_type", pa.string()), ("_salt", pa.int64()),
+            ("n", pa.int64())]))
+
+    # co-locate by SALT (derived from user, so a hot TYPE spreads over
+    # all partitions); each partition counts its (type, salt) cells
+    per_salt = partitioned_map_groups(pairs, "_salt", count_part)
+
+    agg = per_salt.groupby("event_type").sum("n")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "n_users": t.column("sum(n)").cast(pa.int64())})
+
+    return agg.map_batches(rename, batch_format="pyarrow")

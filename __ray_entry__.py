@@ -436,6 +436,23 @@ def _docs_dsir_topk(sf_dir: str):
     return docs_dsir_topk(sf_dir)
 
 
+def _docs_temperature_mix(sf_dir: str):
+    """Temperature-weighted mixture sampling: per-source quota
+    max(1, floor(0.5 * count^0.7)) — sublinear upsampling of small
+    sources (oracled: window count + pow arithmetic)."""
+    from webxtract.ops.text import docs_temperature_mix
+
+    return docs_temperature_mix(sf_dir)
+
+
+def _docs_bm25_topk(sf_dir: str):
+    """BM25 top-20 for the self-derived 3-most-frequent-term query
+    (oracled: unnest + window + ln arithmetic)."""
+    from webxtract.ops.text import docs_bm25_topk
+
+    return docs_bm25_topk(sf_dir)
+
+
 def _docs_normalize_text(sf_dir: str):
     """Unicode NFC + whitespace-collapse fingerprint per doc (oracled:
     nfc_normalize + regexp_replace + trim + md5)."""
@@ -713,6 +730,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dsir_topk": _docs_dsir_topk,
         "docs_normalize_text": _docs_normalize_text,
         "docs_gopher_quality": _docs_gopher_quality,
+        "docs_temperature_mix": _docs_temperature_mix,
+        "docs_bm25_topk": _docs_bm25_topk,
         # --- oracled, not yet driver-checked: next rotation window ---
         "docs_stopword_removal": _docs_stopword_removal,
         "docs_regex_tokens": _docs_regex_tokens,
@@ -2152,6 +2171,63 @@ r5 AS (
             GROUP BY doc_id
             ORDER BY dsir_weight DESC, doc_id
             LIMIT 100
+        """,
+
+        # temperature-mix twin: quota = max(1, floor(0.5 * c^0.7)) per
+        # source — deliberately no cross-source normalizing sum (a sum
+        # of pow() doubles is summation-order-dependent across engines)
+        "docs_temperature_mix": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY md5(text), doc_id)
+                           AS rn,
+                       count(*) OVER (PARTITION BY source) AS c
+                FROM documents)
+            WHERE rn <= greatest(1, floor(0.5 * pow(c, 0.7)))
+        """,
+        # BM25 twin: the query is the 3 globally most frequent terms
+        # (tf desc, term asc) so both engines derive it identically;
+        # (1.2 + 1.0) is spelled as a SUM, not 2.2 — the literal 2.2
+        # is a DIFFERENT double than 1.2 + 1.0; per-doc 3-term float
+        # sum order absorbed by round-half-away 6
+        "docs_bm25_topk": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ), tstats AS (
+                SELECT term, count(*) AS tf,
+                       count(DISTINCT doc_id) AS df
+                FROM tok GROUP BY term
+            ), q AS (
+                SELECT term, df FROM tstats
+                ORDER BY tf DESC, term ASC LIMIT 3
+            ), scal AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT count(*) FROM tok) AS n_toks
+            ), lens AS (
+                SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id
+            ), tfq AS (
+                SELECT t.doc_id, t.term, count(*) AS tf
+                FROM tok t JOIN q USING (term)
+                GROUP BY t.doc_id, t.term
+            ), scored AS (
+                SELECT l.doc_id,
+                       round(coalesce(sum(
+                           ln(1.0 + (s.n_docs - q.df + 0.5)
+                                    / (q.df + 0.5))
+                           * tfq.tf * (1.2 + 1.0)
+                           / (tfq.tf + 1.2 * (1.0 - 0.75
+                              + 0.75 * l.len
+                                / (s.n_toks * 1.0 / s.n_docs)))),
+                           0.0), 6) AS bm25
+                FROM lens l CROSS JOIN scal s
+                LEFT JOIN tfq ON tfq.doc_id = l.doc_id
+                LEFT JOIN q ON q.term = tfq.term
+                GROUP BY l.doc_id
+            )
+            SELECT doc_id, bm25 FROM scored
+            ORDER BY bm25 DESC, doc_id LIMIT 20
         """,
         # normalize twin: the whitespace class is spelled out because
         # regex engines disagree on \s unicode semantics; trim only

@@ -436,6 +436,15 @@ def _docs_dsir_topk(sf_dir: str):
     return docs_dsir_topk(sf_dir)
 
 
+def _docs_bpe_pack(sf_dir: str):
+    """Tokenize -> pack composite: corpus-trained BPE counts feed the
+    greedy packer (rows-only; budget/preservation/equivalence gates in
+    tests)."""
+    from webxtract.ops.packing import docs_bpe_pack
+
+    return docs_bpe_pack(sf_dir)
+
+
 def _docs_temperature_mix(sf_dir: str):
     """Temperature-weighted mixture sampling: per-source quota
     max(1, floor(0.5 * count^0.7)) — sublinear upsampling of small
@@ -750,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint64": _docs_fingerprint64,  # rolling hash
         "docs_bpe_vocab": _docs_bpe_vocab,          # BPE train
         "docs_bpe_token_counts": _docs_bpe_token_counts,  # BPE apply
+        "docs_bpe_pack": _docs_bpe_pack,  # tokenize -> pack composite
         "docs_minhash_pairs": _docs_minhash_pairs,
         "docs_simhash_pairs": _docs_simhash_pairs,
         "docs_dedup_clusters": _docs_dedup_clusters,

@@ -157,3 +157,39 @@ def test_bpe_queries_surface(ray_session):
     df = counts.to_pandas()
     assert df.doc_id.is_monotonic_increasing
     assert (df.n_bpe_tokens > 0).all()
+
+
+def test_bpe_pack_composite(ray_session):
+    """Tokenize -> pack: every sequence respects the budget unless a
+    single oversize doc forces its own; token counts match the BPE
+    encoder; the tokens_col plumbing is equivalence-tested against the
+    whitespace path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webxtract.ops.packing import docs_bpe_pack, pack_sequences
+
+    rows = docs_bpe_pack(SF, budget=256, num_merges=60).to_pandas()
+    assert len(rows) == 500 and (rows.n_tokens > 0).all()
+    per_seq = rows.groupby("seq_id").n_tokens.agg(["sum", "count"])
+    over = per_seq[per_seq["sum"] > 256]
+    assert (over["count"] == 1).all()  # only oversize singletons exceed
+
+    # tokens_col plumbing == whitespace path when fed whitespace counts
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def ws_counts(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = pc.list_value_length(
+            pc.split_pattern(b.column("text"), pattern=" "))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_ws": n.cast(pa.int64())})
+
+    pre = docs.map_batches(ws_counts, batch_format="pyarrow")
+    a = pack_sequences(docs, budget=256).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    b = pack_sequences(pre, budget=256, tokens_col="n_ws").to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)

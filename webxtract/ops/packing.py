@@ -46,19 +46,27 @@ def greedy_pack(n_tokens: np.ndarray, budget: int) -> np.ndarray:
 
 
 def pack_sequences(ds, budget: int = 512, num_shards: int = 64,
-                   text_col: str = "text", id_col: str = "doc_id"):
+                   text_col: str = "text", id_col: str = "doc_id",
+                   tokens_col: str | None = None):
     """documents Dataset -> per-doc packing assignment (see module doc).
 
     ``num_shards`` bounds per-worker state: each shard's doc list must
     fit one worker (ids + token counts only — text never moves; at
-    100 TB raise num_shards, the exchange carries 16 B/doc)."""
+    100 TB raise num_shards, the exchange carries 16 B/doc).
+
+    ``tokens_col``: use a precomputed per-doc token-count column (e.g.
+    BPE counts from ops/bpe) instead of the whitespace split — the
+    packing recurrence is count-source-agnostic."""
 
     def count_tokens(batch: pa.Table) -> pa.Table:
-        toks = pc.list_value_length(
-            pc.split_pattern(batch.column(text_col), pattern=" "))
+        if tokens_col is not None:
+            n = batch.column(tokens_col).cast(pa.int64())
+        else:
+            n = pc.list_value_length(pc.split_pattern(
+                batch.column(text_col), pattern=" ")).cast(pa.int64())
         return pa.table({
             id_col: batch.column(id_col),
-            "n_tokens": toks.cast(pa.int64()),
+            "n_tokens": n,
         })
 
     slim = ds.map_batches(count_tokens, batch_format="pyarrow",
@@ -116,3 +124,23 @@ def docs_pack_sequences(sf_dir: str, budget: int = 256):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return pack_sequences(ds, budget=budget)
+
+
+def docs_bpe_pack(sf_dir: str, budget: int = 256, num_merges: int = 100):
+    """End-to-end "make training sequences" composite: corpus-trained
+    BPE token counts (ops/bpe) feed the greedy packer via
+    ``tokens_col`` — the real pipeline shape (tokenize -> pack), with
+    the tokenizer's vocabulary learned from the SAME corpus in one
+    bounded pass. Rows-only (BPE counts are not SQL-expressible); the
+    packer's recurrence itself is oracled via docs_pack_sequences and
+    the count plumbing is equivalence-tested."""
+    import ray.data as rd
+
+    from .bpe import bpe_encode, bpe_train
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    merges = bpe_train(docs, num_merges=num_merges)
+    counts = bpe_encode(docs, merges)
+    return pack_sequences(counts, budget=budget, id_col="doc_id",
+                          tokens_col="n_bpe_tokens").sort("doc_id")

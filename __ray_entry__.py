@@ -12,9 +12,9 @@ Ray is initialised by the driver BEFORE this module is imported: no
 Operator coverage map (SURVEY.md §2 + the training-data-pipeline
 extensions): see each query's docstring-comment below. Queries without
 an oracle_sql entry are genuinely non-SQL-expressible (the extraction
-pipeline itself, LSH sketches, language-ID heuristics, approximate ANN)
-and get the driver's rows-only check; each of those is additionally
-golden/property-tested in tests/.
+pipeline itself, LSH sketches, approximate ANN, iterative BPE
+training) and get the driver's rows-only check; each of those is
+additionally golden/property-tested in tests/.
 """
 
 from __future__ import annotations

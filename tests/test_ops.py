@@ -1494,3 +1494,22 @@ def test_audio_neardup_planted_pairs(ray_session):
     found = set(zip(df.doc_a, df.doc_b))
     assert planted <= found
     assert len(found - planted) <= len(planted) // 10
+
+
+def test_dup_span_frac_hash_key_equals_string_key(ray_session):
+    """gram_key='hash' (8-byte gram hashes exchanged, strings never
+    built) must produce byte-identical (doc_id, n_tokens, dup_frac)
+    to the string-keyed path under BOTH verify modes — the collision
+    probability at these sizes is ~1e-11, and this gate verifies the
+    deterministic corpora are in fact collision-free."""
+    from webxtract.ops.text import docs_dup_span_frac
+
+    sf = "/root/testdata/sf0.001"
+
+    def canon(ds):
+        return ds.to_pandas().sort_values("doc_id", ignore_index=True)
+
+    for verify in ("broadcast", "join"):
+        a = canon(docs_dup_span_frac(sf, verify=verify, gram_key="gram"))
+        b = canon(docs_dup_span_frac(sf, verify=verify, gram_key="hash"))
+        assert a.equals(b), verify

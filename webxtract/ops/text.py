@@ -883,6 +883,45 @@ def _gram_stream(batch: pa.Table, n: int):
     return gram, doc, start, lens[rows], rows
 
 
+_GRAM_HASH_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _gram_hash_stream(batch: pa.Table, n: int):
+    """Hash-keyed twin of _gram_stream: 64-bit gram keys built by
+    sequentially mixing the n token hashes of each window — the gram
+    STRING is never constructed and the exchanged key is 8 B instead
+    of ~60 B. Equal grams always hash equal; distinct grams collide
+    with p ~ m^2/2^65 (~7e-7 at the 2M-doc soak's 5M distinct grams) —
+    acceptable for the dup-span coverage signal and equivalence-tested
+    against the string path; at 10^12 docs extend the key to two
+    mixed-constant columns co-located via partitioned_map_groups
+    (128-bit) as SCALE.md notes. Returns (ghash uint64 ndarray, doc,
+    start, n_tok, rows) or None."""
+    from .sketch import _hash64
+
+    toks = pc.split_pattern(batch.column("text"), pattern=" ")
+    flat = pc.list_flatten(toks).combine_chunks()
+    parents = pc.list_parent_indices(toks).to_numpy()
+    if len(flat) < n:
+        return None
+    valid = parents[:len(flat) - n + 1] == parents[n - 1:]
+    idx = np.nonzero(valid)[0]
+    if idx.size == 0:
+        return None
+    th = _hash64(flat.to_numpy(zero_copy_only=False))
+    acc = np.zeros(idx.size, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            acc = (acc * _GRAM_HASH_MIX) ^ th[idx + j]
+    rows = parents[idx]
+    doc = batch.column("doc_id").take(pa.array(rows))
+    lens = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
+    offsets = np.zeros(len(batch) + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    start = idx - offsets[rows]
+    return acc, doc, start, lens[rows], rows
+
+
 _GRAM_PARTIAL_EMPTY = pa.table({"gram": pa.array([], pa.string()),
                                 "n_docs": pa.array([], pa.int64()),
                                 "n_occ": pa.array([], pa.int64())})
@@ -903,6 +942,26 @@ def _gram_partial(batch: pa.Table, n: int) -> pa.Table:
     return pa.table({"gram": g.column("gram"),
                      "n_docs": g.column("doc_count").cast(pa.int64()),
                      "n_occ": g.column("count_all_sum").cast(pa.int64())})
+
+
+_GHASH_PARTIAL_EMPTY = pa.table({"ghash": pa.array([], pa.int64()),
+                                 "n_docs": pa.array([], pa.int64())})
+
+
+def _ghash_partial(batch: pa.Table, n: int) -> pa.Table:
+    """Hash-keyed per-batch per-gram distinct-doc partials (int64
+    group_by — measured far cheaper than the string group_by + string
+    exchange of _gram_partial)."""
+    st = _gram_hash_stream(batch, n)
+    if st is None:
+        return _GHASH_PARTIAL_EMPTY
+    ghash, doc = st[0].view(np.int64), st[1]
+    pairs = pa.table({"ghash": pa.array(ghash, pa.int64()),
+                      "doc": doc}) \
+        .group_by(["ghash", "doc"]).aggregate([])
+    g = pairs.group_by("ghash").aggregate([("doc", "count")])
+    return pa.table({"ghash": g.column("ghash"),
+                     "n_docs": g.column("doc_count").cast(pa.int64())})
 
 
 def _covered_tokens(start: np.ndarray, seg_starts: np.ndarray,
@@ -964,25 +1023,29 @@ def docs_dup_spans(sf_dir: str, n: int = 8, k: int = 50):
                   descending=[True, True, False]).limit(k))
 
 
-def _dup_gram_ds(sf_dir: str, n: int, docs=None):
+def _dup_gram_ds(sf_dir: str, n: int, docs=None, key: str = "gram"):
     """Materialized slim Dataset of grams occurring in >= 2 distinct
     docs (the shared pass-1 of the span-dup operators). ``docs``
     overrides the table read (composites pass an already-filtered
-    corpus)."""
+    corpus). ``key="hash"`` exchanges 8-byte gram hashes instead of
+    gram strings (column "ghash"; see _gram_hash_stream for the
+    collision bound) — pass-1 measured 4x faster at soak scale."""
     from ray.data.aggregate import Sum
 
     from .relational import _default_parts, read
 
     ds = docs if docs is not None \
         else read(sf_dir, "documents", columns=["doc_id", "text"])
-    agg = (ds.map_batches(lambda b: _gram_partial(b, n),
+    col = "ghash" if key == "hash" else "gram"
+    part_fn = _ghash_partial if key == "hash" else _gram_partial
+    agg = (ds.map_batches(lambda b: part_fn(b, n),
                           batch_format="pyarrow", zero_copy_batch=True)
            .repartition(_default_parts())
-           .groupby("gram").aggregate(Sum("n_docs", alias_name="n_docs")))
+           .groupby(col).aggregate(Sum("n_docs", alias_name="n_docs")))
 
     def shared(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater_equal(t.column("n_docs"), pa.scalar(2)))
-        return t.select(["gram"])
+        return t.select([col])
 
     return agg.map_batches(shared, batch_format="pyarrow",
                            zero_copy_batch=True).materialize()
@@ -991,7 +1054,8 @@ def _dup_gram_ds(sf_dir: str, n: int, docs=None):
 DUP_SPAN_BROADCAST_MAX = 500_000  # dup grams; above this, join path
 
 
-def docs_dup_span_frac(sf_dir: str, n: int = 8, verify: str = "auto"):
+def docs_dup_span_frac(sf_dir: str, n: int = 8, verify: str = "auto",
+                       gram_key: str = "hash"):
     """Per-document duplicated-span coverage: the fraction of each
     doc's token positions covered by at least one n-gram window that
     also occurs in ANOTHER document — the doc-level filtering signal of
@@ -1011,12 +1075,20 @@ def docs_dup_span_frac(sf_dir: str, n: int = 8, verify: str = "auto"):
     one copartitioned semi-join on the gram, and per-doc coverage
     finishes under a doc-keyed groupby (slim rows only — the scale
     path). 'auto' gates on the dup-set size. Both paths are
-    equivalence-tested."""
+    equivalence-tested.
+
+    ``gram_key``: "hash" (default) exchanges 8-byte gram hashes —
+    strings are never built or shuffled (collision bound + the 128-bit
+    10^12-doc extension documented at _gram_hash_stream; hash==string
+    output equality is pytest-gated); "gram" keeps the string key."""
     import ray
 
     from .relational import copartitioned_map, read
 
-    dup = _dup_gram_ds(sf_dir, n)
+    hashed = gram_key == "hash"
+    col = "ghash" if hashed else "gram"
+    stream = _gram_hash_stream if hashed else _gram_stream
+    dup = _dup_gram_ds(sf_dir, n, key=gram_key)
     n_dup = dup.count()
     if verify == "auto":
         verify = "broadcast" if n_dup <= DUP_SPAN_BROADCAST_MAX else "join"
@@ -1033,9 +1105,10 @@ def docs_dup_span_frac(sf_dir: str, n: int = 8, verify: str = "auto"):
         chunks = list(dup.iter_batches(batch_format="pyarrow"))
         # a corpus with NO cross-doc duplicated grams yields zero
         # batches — broadcast an empty typed set, don't crash concat
+        empty = pa.array([], pa.int64() if hashed else pa.string())
         dup_tbl = (pa.concat_tables(chunks) if chunks
-                   else pa.table({"gram": pa.array([], pa.string())}))
-        set_ref = ray.put(dup_tbl.column("gram").combine_chunks())
+                   else pa.table({col: empty}))
+        set_ref = ray.put(dup_tbl.column(col).combine_chunks())
 
         def frac_batch(batch: pa.Table) -> pa.Table:
             from ..broadcast import get_broadcast
@@ -1044,9 +1117,11 @@ def docs_dup_span_frac(sf_dir: str, n: int = 8, verify: str = "auto"):
             n_toks = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
             doc_ids = batch.column("doc_id").to_numpy()
             covered = np.zeros(len(batch), np.int64)
-            st = _gram_stream(batch, n)
+            st = stream(batch, n)
             if st is not None:
                 gram, _, start, _, rows = st
+                if hashed:
+                    gram = pa.array(gram.view(np.int64), pa.int64())
                 hit = pc.is_in(
                     gram, value_set=get_broadcast(set_ref)).to_numpy(
                         zero_copy_only=False)
@@ -1064,32 +1139,40 @@ def docs_dup_span_frac(sf_dir: str, n: int = 8, verify: str = "auto"):
     # never holds the dup-gram set, only the OR-merged fixed-size bitmap
     from .sketch import BloomFilter, bloom_ref_of
 
-    bloom_ref = bloom_ref_of(dup, "gram", n_dup)
+    bloom_ref = bloom_ref_of(dup, col, n_dup)
 
     def prep_docs(batch: pa.Table) -> pa.Table:
-        # one baseline row per doc (start = null; gram = doc id string,
-        # so baseline rows spread uniformly over the gram-hash
-        # partitions instead of hot-spotting one) + one row per
-        # might-be-dup window (Bloom has no false negatives)
+        # one baseline row per doc (start = null; key = doc id, so
+        # baseline rows spread uniformly over the gram-hash partitions
+        # instead of hot-spotting one; an accidental key match with a
+        # real gram is harmless — baseline rows are kept
+        # unconditionally in semi) + one row per might-be-dup window
+        # (Bloom has no false negatives)
         from ..broadcast import get_broadcast_derived
 
         toks = pc.split_pattern(batch.column("text"), pattern=" ")
         n_toks = pc.list_value_length(toks).cast(pa.int64())
+        base_key = (batch.column("doc_id") if hashed
+                    else pc.cast(batch.column("doc_id"), pa.string()))
         base = pa.table({
-            "gram": pc.cast(batch.column("doc_id"), pa.string()),
+            col: base_key,
             "doc_id": batch.column("doc_id"),
             "start": pa.nulls(len(batch), pa.int64()),
             "n_tok": n_toks,
         })
-        st = _gram_stream(batch, n)
+        st = stream(batch, n)
         if st is None:
             return base
         gram, doc, start, n_tok, _ = st
+        if hashed:
+            gram = pa.array(gram.view(np.int64), pa.int64())
         bf = get_broadcast_derived(bloom_ref, "bloom",
                                    BloomFilter.deserialize)
-        maybe = bf.might_contain(gram.to_pylist())
+        # numpy in, not to_pylist: 20M+ Python objects per pass at
+        # soak scale just to hash them again
+        maybe = bf.might_contain(gram.to_numpy(zero_copy_only=False))
         wins = pa.table({
-            "gram": gram.filter(pa.array(maybe)),
+            col: gram.filter(pa.array(maybe)),
             "doc_id": doc.filter(pa.array(maybe)),
             "start": pa.array(start[maybe], pa.int64()),
             "n_tok": pa.array(n_tok[maybe], pa.int64()),
@@ -1099,7 +1182,7 @@ def docs_dup_span_frac(sf_dir: str, n: int = 8, verify: str = "auto"):
     def prep_dup(batch: pa.Table) -> pa.Table:
         nrows = batch.num_rows
         return pa.table({
-            "gram": batch.column("gram"),
+            col: batch.column(col),
             "doc_id": pa.nulls(nrows, pa.int64()),
             "start": pa.nulls(nrows, pa.int64()),
             "n_tok": pa.nulls(nrows, pa.int64()),
@@ -1110,14 +1193,14 @@ def docs_dup_span_frac(sf_dir: str, n: int = 8, verify: str = "auto"):
         is_base = pc.is_null(pos.column("start"))
         base = pos.filter(is_base)
         wins = pos.filter(pc.invert(is_base))
-        keep = wins.filter(pc.is_in(wins.column("gram"),
-                                    value_set=dup_side.column("gram")
+        keep = wins.filter(pc.is_in(wins.column(col),
+                                    value_set=dup_side.column(col)
                                     .combine_chunks()))
         return pa.concat_tables([base, keep]) \
             .select(["doc_id", "start", "n_tok"])
 
     verified = copartitioned_map(
-        [(docs, prep_docs), (dup, prep_dup)], "gram", semi)
+        [(docs, prep_docs), (dup, prep_dup)], col, semi)
 
     def per_doc(group: pa.Table) -> pa.Table:
         doc_ids = group.column("doc_id").to_numpy()
@@ -1149,8 +1232,12 @@ def docs_dup_span_frac(sf_dir: str, n: int = 8, verify: str = "auto"):
                          "n_tokens": pa.array(n_toks, pa.int64()),
                          "dup_frac": pa.array(frac, pa.float64())})
 
-    return verified.groupby("doc_id").map_groups(
-        per_doc, batch_format="pyarrow")
+    # hash co-location, ONE per_doc call per partition: a per-GROUP
+    # map_groups here means one Python call per document (1M+ calls at
+    # soak scale); per_doc is written multi-key (sort + segment ops)
+    from .relational import partitioned_map_groups
+
+    return partitioned_map_groups(verified, "doc_id", per_doc)
 
 
 def _despan_batchwise(batch: pa.Table, starts_by_row, n: int) -> pa.Table:
@@ -1255,7 +1342,9 @@ def docs_remove_dup_spans(sf_dir: str, n: int = 8, verify: str = "auto",
         gram, doc, start, _, _ = st
         bf = get_broadcast_derived(bloom_ref, "bloom",
                                    BloomFilter.deserialize)
-        maybe = bf.might_contain(gram.to_pylist())
+        # numpy in, not to_pylist: 20M+ Python objects per pass at
+        # soak scale just to hash them again
+        maybe = bf.might_contain(gram.to_numpy(zero_copy_only=False))
         return pa.table({"gram": gram.filter(pa.array(maybe)),
                          "doc_id": doc.filter(pa.array(maybe)),
                          "start": pa.array(start[maybe], pa.int64())})
@@ -1968,1551 +2057,6 @@ def docs_bm25_topk(sf_dir: str, n_terms: int = 3, k: int = 20,
             "term": t.column("term"),
             "df": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
             "tf": t.column("tf")})
-
-    def sum_df(t: pa.Table) -> pa.Table:
-        g = t.group_by("term").aggregate([("n", "sum")])
-        return pa.table({"term": g.column("term"),
-                         "df": g.column("n_sum").cast(pa.int64())})
-
-    df_tbl = partitioned_map_groups(
-        ds.map_batches(partial_df, batch_format="pyarrow",
-                       zero_copy_batch=True), "term", sum_df).materialize()
-    n_docs = parquet_rows(sf_dir, "documents")
-
-    if _resolve_vocab_mode(mode, df_tbl) == "join":
-        tf_ds = ds.map_batches(_doc_term_freqs, batch_format="pyarrow",
-                               zero_copy_batch=True)
-        joined = _vocab_join(
-            tf_ds, df_tbl, "df",
-            lambda tf, dfv: tf.astype(np.float64)
-            * np.log(float(n_docs) / dfv.astype(np.float64)))
-
-        def argmax_part(part: pa.Table) -> pa.Table:
-            if part.num_rows == 0:
-                return pa.table({"doc_id": pa.array([], pa.int64()),
-                                 "top_term": pa.array([], pa.string()),
-                                 "tfidf": pa.array([], pa.float64())})
-            doc = part.column("doc_id").to_numpy()
-            sc = part.column("score").to_numpy()
-            terms = part.column("term").to_numpy(zero_copy_only=False)
-            # (doc asc, score desc, term asc) then first row per doc —
-            # the same ordering as the broadcast path's lexsort
-            order = np.lexsort((terms, -sc, doc))
-            first = order[np.flatnonzero(np.diff(
-                np.concatenate(([-1], doc[order]))))]
-            return pa.table({
-                "doc_id": pa.array(doc[first], pa.int64()),
-                "top_term": pa.array(terms[first].tolist(), pa.string()),
-                "tfidf": pa.array(np.round(sc[first], 6), pa.float64()),
-            })
-
-        return partitioned_map_groups(joined, "doc_id", argmax_part)
-
-    df_ref = broadcast_lookup(df_tbl, "term", ["df"])
-
-    def _idf_table(build) -> tuple[pa.Array, np.ndarray, np.ndarray]:
-        keys, (dfv,) = build
-        idf = np.log(float(n_docs) / dfv.to_numpy().astype(np.float64))
-        # tie-break rank: position of each vocab term in ascending term
-        # order (argmax ties -> term asc, matching the oracle)
-        order = pc.sort_indices(keys).to_numpy(zero_copy_only=False)
-        rank = np.empty(len(order), np.int64)
-        rank[order] = np.arange(len(order))
-        return keys, idf, rank
-
-    def score(batch: pa.Table) -> pa.Table:
-        from ..broadcast import get_broadcast_derived
-
-        terms, idf, rank = get_broadcast_derived(df_ref, "idf", _idf_table)
-        toks = pc.split_pattern(batch.column("text"), pattern=" ")
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy().astype(np.int64)
-        codes = pc.index_in(flat, value_set=terms).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        v = len(idf)
-        pair, tf = np.unique(parents * v + codes, return_counts=True)
-        rows, tcode = pair // v, pair % v
-        sc = tf.astype(np.float64) * idf[tcode]
-        # per-doc argmax with (score desc, term-rank asc) ordering
-        order = np.lexsort((rank[tcode], -sc, rows))
-        first = order[np.flatnonzero(np.diff(
-            np.concatenate(([-1], rows[order]))))]
-        return pa.table({
-            "doc_id": batch.column("doc_id").take(
-                pa.array(rows[first], pa.int64())),
-            "top_term": pc.take(terms, pa.array(tcode[first], pa.int64())),
-            "tfidf": pa.array(np.round(sc[first], 6), pa.float64()),
-        })
-
-    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
-
-
-# --- unigram LM scoring ---------------------------------------------------
-
-def docs_unigram_logprob(sf_dir: str, mode: str = "auto"):
-    """CCNet-style language-model quality score, with the corpus itself
-    as the LM: mean unigram log-probability per doc (higher = more
-    typical; the perplexity-filter stand-in used to rank web documents
-    for training-data selection). Pass 1 builds corpus term counts
-    (pre-reduced partials -> grouped Sum). Pass 2, below the
-    VOCAB_BROADCAST_MAX_TERMS gate: broadcast the vocabulary and resolve
-    each doc's tokens in-batch — split, flatten, one ``pc.index_in``,
-    numpy bincount-by-parent-row for the per-doc mean. Above it: hash
-    join the exploded (doc, term, tf) stream against the distributed
-    term table, then one per-doc sum exchange — the vocabulary never
-    ships whole (join mode; equivalence-tested). Oracled (unnest +
-    join + avg(ln))."""
-    import ray.data as rd
-
-    from .relational import broadcast_lookup, partitioned_map_groups
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-
-    def partial_tc(batch: pa.Table) -> pa.Table:
-        # Arrow-native unigram partials: split + flatten + value_counts
-        # (~1.7x cheaper than a polars explode/group_by per batch).
-        # split_pattern(" ") matches the oracle's string_split exactly
-        # (split_whitespace would diverge on runs of spaces / empties)
-        flat = pc.list_flatten(pc.split_pattern(
-            batch.column("text"), pattern=" "))
-        vc = flat.value_counts()
-        if isinstance(vc, pa.ChunkedArray):
-            vc = vc.combine_chunks()
-        return pa.table({"term": vc.field("values"),
-                         "n": vc.field("counts").cast(pa.int64())})
-
-    def sum_tc(t: pa.Table) -> pa.Table:
-        g = t.group_by("term").aggregate([("n", "sum")])
-        return pa.table({"term": g.column("term"),
-                         "tc": g.column("n_sum").cast(pa.int64())})
-
-    counts = partitioned_map_groups(
-        ds.map_batches(partial_tc, batch_format="pyarrow",
-                       zero_copy_batch=True), "term", sum_tc).materialize()
-
-    if _resolve_vocab_mode(mode, counts) == "join":
-        total = counts.sum("tc") or 0
-        tf_ds = ds.map_batches(_doc_term_freqs, batch_format="pyarrow",
-                               zero_copy_batch=True)
-        # joined rows are (doc_id, term, score=tf*lp, tf): one doc-keyed
-        # exchange folds both the contribution sum and n_tokens=sum(tf)
-        joined = _vocab_join(
-            tf_ds, counts, "tc",
-            lambda tf, tc: tf.astype(np.float64)
-            * np.log(tc.astype(np.float64) / float(total)))
-
-        def mean_part(part: pa.Table) -> pa.Table:
-            if part.num_rows == 0:
-                return pa.table({
-                    "doc_id": pa.array([], pa.int64()),
-                    "mean_logprob": pa.array([], pa.float64()),
-                    "n_tokens": pa.array([], pa.int64())})
-            doc = part.column("doc_id").to_numpy()
-            docs = np.unique(doc)
-            idx = np.searchsorted(docs, doc)
-            sums = np.bincount(idx, weights=part.column("score").to_numpy(),
-                               minlength=len(docs))
-            cnts = np.bincount(idx, weights=part.column("tf").to_numpy()
-                               .astype(np.float64),
-                               minlength=len(docs)).astype(np.int64)
-            mean = np.round(sums / np.maximum(cnts, 1), 6)
-            return pa.table({
-                "doc_id": pa.array(docs, pa.int64()),
-                "mean_logprob": pa.array(mean, pa.float64()),
-                "n_tokens": pa.array(cnts, pa.int64())})
-
-        return partitioned_map_groups(joined, "doc_id", mean_part)
-
-    vocab_ref = broadcast_lookup(counts, "term", ["tc"])
-    # corpus token total: fold the (bounded, already-materialized)
-    # broadcast vocabulary — re-consuming `counts` would re-execute the
-    # whole partials+exchange lineage a second time
-    import ray
-
-    _, (tc_arr,) = ray.get(vocab_ref)
-    total = pc.sum(tc_arr).as_py() or 0
-
-    def _lp_table(build) -> tuple[pa.Array, np.ndarray]:
-        keys, (tc,) = build
-        lp = np.log(tc.to_numpy().astype(np.float64) / float(total))
-        return keys, lp
-
-    def score(batch: pa.Table) -> pa.Table:
-        from ..broadcast import get_broadcast_derived
-
-        terms, lp_vals = get_broadcast_derived(vocab_ref, "lp", _lp_table)
-        toks = pc.split_pattern(batch.column("text"), pattern=" ")
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy()
-        idx = pc.index_in(flat, value_set=terms).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        lp = lp_vals[idx]
-        n = batch.num_rows
-        sums = np.bincount(parents, weights=lp, minlength=n)
-        cnts = np.bincount(parents, minlength=n)
-        mean = np.round(sums / np.maximum(cnts, 1), 6)
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "mean_logprob": pa.array(mean, pa.float64()),
-            "n_tokens": pa.array(cnts.astype(np.int64), pa.int64())})
-
-    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
-
-
-# --- fingerprinting -------------------------------------------------------
-
-_FP_BASE = np.uint64(1099511628211)   # FNV prime as polynomial base
-
-
-def rolling_fingerprint(text: str) -> int:
-    """64-bit polynomial rolling hash sum(b_i * base^(n-1-i)) mod 2^64,
-    evaluated with vectorized numpy uint64 arithmetic (natural wraparound)."""
-    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-    if b.size == 0:
-        return 0
-    n = b.size
-    with np.errstate(over="ignore"):
-        powers = np.empty(n, dtype=np.uint64)
-        powers[0] = np.uint64(1)
-        for i in range(1, n):  # powers table is O(len); reused via outer cache
-            powers[i] = powers[i - 1] * _FP_BASE
-        return int((b * powers[::-1]).sum(dtype=np.uint64))
-
-
-def md5_hex(texts: list[str]) -> list[str]:
-    """The ONE content-hash definition every exact-dedup surface uses
-    (Fingerprinter, docs_clean_corpus, incremental-ingest dedup) — md5
-    of the utf-8 text, hex — so their dedup decisions can never
-    diverge. Oracle twin: DuckDB md5(text)."""
-    return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
-
-
-class Fingerprinter:
-    """Per-doc fingerprints: md5 hex (oracle-checkable vs DuckDB md5())
-    and a 64-bit rolling hash. Power table cached across batches (actor)."""
-
-    def __init__(self) -> None:
-        self._powers = np.ones(1, dtype=np.uint64)
-
-    def _powers_upto(self, n: int) -> np.ndarray:
-        if self._powers.size < n:
-            old = self._powers.size
-            grown = np.empty(n, dtype=np.uint64)
-            grown[:old] = self._powers
-            with np.errstate(over="ignore"):
-                for i in range(old, n):
-                    grown[i] = grown[i - 1] * _FP_BASE
-            self._powers = grown
-        return self._powers
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        md5s = md5_hex(texts)
-        fps = []
-        for t in texts:
-            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            if b.size == 0:
-                fps.append(0)
-                continue
-            powers = self._powers_upto(b.size)[: b.size]
-            with np.errstate(over="ignore"):
-                fps.append(int((b * powers[::-1]).sum(dtype=np.uint64)))
-        out = batch.select(["doc_id"])
-        out = out.append_column("md5", pa.array(md5s, pa.string()))
-        out = out.append_column(
-            "fp64", pa.array([f - (1 << 63) for f in fps], pa.int64())
-        )  # shifted to signed for parquet/SQL friendliness
-        return out
-
-
-# --- Gopher-style repetition signals --------------------------------------
-
-def docs_repetition(sf_dir: str):
-    """Per-doc repetition signals (the Gopher/MassiveText repetition
-    filters): duplicate-token fraction (1 - distinct/total tokens) and
-    the fraction of bigram slots taken by the single most frequent
-    bigram. One pass, no exchange: a doc never spans batches, so both
-    signals are per-batch numpy segment ops over the flattened
-    dictionary-encoded token stream (same shape as docs_bigram_counts,
-    plus a per-parent unique/argmax). Oracled via DuckDB list kernels +
-    a bigram unnest."""
-    import ray.data as rd
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-
-    def rep(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch.column("text"), pattern=" ")
-        n = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
-        ndocs = len(n)
-        flat = pc.list_flatten(toks).combine_chunks()
-        parents = pc.list_parent_indices(toks).to_numpy().astype(np.int64)
-        codes = flat.dictionary_encode().indices.to_numpy().astype(np.int64)
-        vocab = int(codes.max()) + 1 if len(codes) else 1
-        # distinct tokens per doc: unique (doc, token-code) pairs
-        distinct = np.bincount(
-            np.unique(parents * vocab + codes) // vocab, minlength=ndocs)
-        dup_frac = round_ha(1.0 - distinct / np.maximum(n, 1), 6)
-        # most-frequent-bigram share of the doc's bigram slots
-        mx = np.zeros(ndocs, dtype=np.int64)
-        tot = np.zeros(ndocs, dtype=np.int64)
-        if len(parents) > 1:
-            same = parents[:-1] == parents[1:]
-            bp = parents[:-1][same]
-            bcode = codes[:-1][same] * vocab + codes[1:][same]
-            if len(bp):
-                ubg, inv = np.unique(bcode, return_inverse=True)
-                key = bp * len(ubg) + inv
-                ukey, cnt = np.unique(key, return_counts=True)
-                np.maximum.at(mx, ukey // len(ubg), cnt)
-                tot = np.bincount(bp, minlength=ndocs)
-        top_frac = np.where(tot > 0,
-                            round_ha(mx / np.maximum(tot, 1), 6), 0.0)
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "n_tokens": pa.array(n, pa.int64()),
-            "dup_token_frac": pa.array(dup_frac, pa.float64()),
-            "top_bigram_frac": pa.array(top_frac, pa.float64()),
-        })
-
-    return ds.map_batches(rep, batch_format="pyarrow", zero_copy_batch=True)
-
-
-# --- deterministic train/val split ----------------------------------------
-
-def docs_split(sf_dir: str, val_hex: str = "1a"):
-    """Hash-based train/val assignment: split = 'val' iff the first md5
-    hex byte of str(doc_id) is below ``val_hex`` (~10% for '1a').
-    Reproducible under any partitioning and across runs (no RNG), and
-    SQL-expressible, so fully oracle-checked — the property a corpus
-    split needs so that re-runs and incremental ingests never move a
-    document across the split boundary."""
-    import ray.data as rd
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-
-    def tag(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        split = ["val" if hashlib.md5(str(i).encode()).hexdigest()[:2]
-                 < val_hex else "train" for i in ids]
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "split": pa.array(split, pa.string())})
-
-    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-
-
-# --- PII redaction --------------------------------------------------------
-
-PII_PATTERNS = (
-    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),      # before phone: disjoint but
-    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),    # fixed order documents intent
-)
-
-
-def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Redact emails / SSNs / phone numbers (RE2, fully vectorized: one
-    Arrow C++ regex pass per pattern). Adds ``clean_text`` and ``n_pii``
-    columns; both sides of the oracle run the identical RE2 patterns."""
-    txt = batch.column(text_col)
-    n_pii = pa.nulls(batch.num_rows, pa.int64())
-    total = None
-    for pat, _ in PII_PATTERNS:
-        c = pc.count_substring_regex(txt, pat).cast(pa.int64())
-        total = c if total is None else pc.add(total, c)
-    red = txt
-    for pat, rep in PII_PATTERNS:
-        red = pc.replace_substring_regex(red, pat, rep)
-    return (batch.append_column("clean_text", red)
-                 .append_column("n_pii", total))
-
-
-def docs_pii_redact(sf_dir: str):
-    """PII-redaction demo with a deterministic planted payload: docs
-    whose id is divisible by 8 get a synthetic contact blob appended
-    (same expression in the SQL oracle), then the corpus is redacted.
-    Proves regex parity AND that the redactor actually fires."""
-    import ray.data as rd
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    payload = " contact alice.smith+hr@example-corp.com or 415-555-2671 ssn 123-45-6789"
-
-    def plant_and_redact(batch: pa.Table) -> pa.Table:
-        hit = pc.equal(pc.bit_wise_and(batch.column("doc_id"),
-                                       pa.scalar(7, pa.int64())),
-                       pa.scalar(0, pa.int64()))
-        txt = pc.if_else(
-            hit,
-            pc.binary_join_element_wise(
-                batch.column("text"), pa.scalar(payload), ""),
-            batch.column("text"))
-        planted = pa.table({"doc_id": batch.column("doc_id"), "text": txt})
-        out = redact_pii(planted)
-        return out.select(["doc_id", "clean_text", "n_pii"])
-
-    return ds.map_batches(plant_and_redact, batch_format="pyarrow",
-                          zero_copy_batch=True)
-
-
-# --- BPE-style pre-tokenizer counting -------------------------------------
-
-# GPT-2-style pre-tokenizer split, restricted to the RE2 subset (no
-# lookahead): contractions, letter runs, digit runs, punctuation runs,
-# whitespace runs are all separate pre-tokens. Identical pattern runs on
-# both sides of the oracle (Arrow and DuckDB both embed RE2).
-BPE_PRETOKEN = (r"'(?:s|t|re|ve|m|ll|d)"
-                r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
-
-
-def docs_regex_tokens(sf_dir: str):
-    """Per-doc BPE-style pre-token count (what a GPT-2-family tokenizer
-    sees before merges — the budget number sequence packing and cost
-    estimation actually need, vs naive whitespace splitting). One Arrow
-    C++ regex pass per batch, no exchange. Oracled via
-    len(regexp_extract_all) on the identical pattern."""
-    import ray.data as rd
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-
-    def count(batch: pa.Table) -> pa.Table:
-        n = pc.count_substring_regex(batch.column("text"), BPE_PRETOKEN)
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "n_pretokens": n.cast(pa.int64())})
-
-    return ds.map_batches(count, batch_format="pyarrow",
-                          zero_copy_batch=True)
-
-
-# --- cross-document duplicated n-gram spans -------------------------------
-
-def _gram_stream(batch: pa.Table, n: int):
-    """Vectorized n-gram window stream for a documents batch: one Arrow
-    pass (split -> flatten -> n shifted takes -> C++ join). Returns
-    (gram StringArray, doc Int64Array, start int64 ndarray — 0-based
-    token position within the doc, n_tok int64 ndarray per window's
-    doc) or None when the batch has no full window."""
-    toks = pc.split_pattern(batch.column("text"), pattern=" ")
-    flat = pc.list_flatten(toks).combine_chunks()
-    parents = pc.list_parent_indices(toks).to_numpy()
-    if len(flat) < n:
-        return None
-    # window start i is valid iff token i and token i+n-1 belong to
-    # the same document (parents are monotone)
-    valid = parents[:len(flat) - n + 1] == parents[n - 1:]
-    idx = np.nonzero(valid)[0]
-    if idx.size == 0:
-        return None
-    shifted = [flat.take(pa.array(idx + j)) for j in range(n)]
-    gram = pc.binary_join_element_wise(*shifted, " ")
-    rows = parents[idx]
-    doc = batch.column("doc_id").take(pa.array(rows))
-    lens = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
-    offsets = np.zeros(len(batch) + 1, np.int64)
-    np.cumsum(lens, out=offsets[1:])
-    start = idx - offsets[rows]
-    return gram, doc, start, lens[rows], rows
-
-
-_GRAM_PARTIAL_EMPTY = pa.table({"gram": pa.array([], pa.string()),
-                                "n_docs": pa.array([], pa.int64()),
-                                "n_occ": pa.array([], pa.int64())})
-
-
-def _gram_partial(batch: pa.Table, n: int) -> pa.Table:
-    """Per-batch per-gram (n_docs, n_occ) partials. Exact across the
-    downstream grouped-Sum exchange because a document's text is a
-    single row — its grams never straddle batches."""
-    st = _gram_stream(batch, n)
-    if st is None:
-        return _GRAM_PARTIAL_EMPTY
-    gram, doc = st[0], st[1]
-    pairs = pa.table({"gram": gram, "doc": doc}) \
-        .group_by(["gram", "doc"]).aggregate([([], "count_all")])
-    g = pairs.group_by("gram").aggregate(
-        [("count_all", "sum"), ("doc", "count")])
-    return pa.table({"gram": g.column("gram"),
-                     "n_docs": g.column("doc_count").cast(pa.int64()),
-                     "n_occ": g.column("count_all_sum").cast(pa.int64())})
-
-
-def _covered_tokens(start: np.ndarray, seg_starts: np.ndarray,
-                    n: int) -> np.ndarray:
-    """Union length of fixed-width [s, s+n) intervals per segment.
-    ``start`` must be sorted within each segment (gram streams are —
-    they're emitted in position order). Equal-width intervals sorted by
-    start are also sorted by end, so each window past the first adds
-    min(gap, n) new tokens."""
-    if start.size == 0:
-        return np.zeros(0, np.int64)
-    gaps = np.minimum(np.diff(start), n).astype(np.int64)
-    gaps = np.clip(gaps, 0, n)
-    first = np.zeros(start.size, np.int64)
-    first[seg_starts] = n
-    contrib = np.concatenate([[n], gaps])
-    contrib[seg_starts] = 0
-    contrib = contrib + first
-    return np.add.reduceat(contrib, seg_starts)
-
-
-def docs_dup_spans(sf_dir: str, n: int = 8, k: int = 50):
-    """Cross-document duplicated n-gram spans: every n-token window that
-    occurs in >= 2 distinct documents, with corpus-wide document and
-    occurrence counts (top-k by spread). This is the span-level exact
-    duplication signal of Lee et al., "Deduplicating Training Data Makes
-    Language Models Better" (ExactSubstr at fixed n-gram granularity) —
-    the doc-level companions are docs_exact_dedup / docs_minhash_pairs.
-
-    Scale shape: each batch builds its n-gram stream in ONE vectorized
-    Arrow pass (split -> flatten -> n shifted takes -> C++
-    binary_join_element_wise) and pre-reduces to per-gram partials
-    carrying (n_docs, n_occ). A document's text is a single row, so its
-    grams never straddle batches and in-batch distinct-doc counts sum
-    exactly across the one grouped-Sum exchange; the exchange carries
-    one row per distinct gram per batch, never one row per token
-    position. At 10^12 docs the exchanged key would be a 128-bit gram
-    hash with the string resolved only for the final top-k; here the
-    string itself is the key so the DuckDB oracle groups on it.
-    Output: (gram, n_docs, n_occ), n_docs desc, n_occ desc, gram asc,
-    top k."""
-    from ray.data.aggregate import Sum
-
-    from .relational import _default_parts, read
-
-    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
-    agg = (ds.map_batches(lambda b: _gram_partial(b, n),
-                          batch_format="pyarrow", zero_copy_batch=True)
-           .repartition(_default_parts())  # coalesce slim partial blocks
-           .groupby("gram").aggregate(Sum("n_docs", alias_name="n_docs"),
-                                      Sum("n_occ", alias_name="n_occ")))
-
-    def shared(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t.column("n_docs"), pa.scalar(2)))
-
-    return (agg.map_batches(shared, batch_format="pyarrow",
-                            zero_copy_batch=True)
-            .sort(["n_docs", "n_occ", "gram"],
-                  descending=[True, True, False]).limit(k))
-
-
-def _dup_gram_ds(sf_dir: str, n: int, docs=None):
-    """Materialized slim Dataset of grams occurring in >= 2 distinct
-    docs (the shared pass-1 of the span-dup operators). ``docs``
-    overrides the table read (composites pass an already-filtered
-    corpus)."""
-    from ray.data.aggregate import Sum
-
-    from .relational import _default_parts, read
-
-    ds = docs if docs is not None \
-        else read(sf_dir, "documents", columns=["doc_id", "text"])
-    agg = (ds.map_batches(lambda b: _gram_partial(b, n),
-                          batch_format="pyarrow", zero_copy_batch=True)
-           .repartition(_default_parts())
-           .groupby("gram").aggregate(Sum("n_docs", alias_name="n_docs")))
-
-    def shared(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater_equal(t.column("n_docs"), pa.scalar(2)))
-        return t.select(["gram"])
-
-    return agg.map_batches(shared, batch_format="pyarrow",
-                           zero_copy_batch=True).materialize()
-
-
-DUP_SPAN_BROADCAST_MAX = 500_000  # dup grams; above this, join path
-
-
-def docs_dup_span_frac(sf_dir: str, n: int = 8, verify: str = "auto"):
-    """Per-document duplicated-span coverage: the fraction of each
-    doc's token positions covered by at least one n-gram window that
-    also occurs in ANOTHER document — the doc-level filtering signal of
-    span-level exact dedup (Lee et al.), companion to docs_dup_spans.
-    Output: (doc_id, n_tokens, dup_frac), dup_frac rounded to 6.
-
-    Pass 1 builds the duplicated-gram set (grouped-Sum over per-batch
-    gram partials, materialized slim). Pass 2 marks each doc's windows
-    and computes the interval-union coverage — fixed-width windows
-    sorted by position make the union a vectorized min(gap, n) scan.
-
-    ``verify``: 'broadcast' ships the dup-gram set once via ray.put and
-    does everything map-side in one scan (zero pass-2 exchange —
-    coverage is in-batch because a doc is one row); 'join' never
-    materializes the set on the driver: a Bloom prefilter drops
-    definitely-unique windows map-side, the might-be-dup residue pays
-    one copartitioned semi-join on the gram, and per-doc coverage
-    finishes under a doc-keyed groupby (slim rows only — the scale
-    path). 'auto' gates on the dup-set size. Both paths are
-    equivalence-tested."""
-    import ray
-
-    from .relational import copartitioned_map, read
-
-    dup = _dup_gram_ds(sf_dir, n)
-    n_dup = dup.count()
-    if verify == "auto":
-        verify = "broadcast" if n_dup <= DUP_SPAN_BROADCAST_MAX else "join"
-
-    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def finish(doc_ids, n_toks, covered) -> pa.Table:
-        frac = round_ha(covered / np.maximum(n_toks, 1), 6)
-        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
-                         "n_tokens": pa.array(n_toks, pa.int64()),
-                         "dup_frac": pa.array(frac, pa.float64())})
-
-    if verify == "broadcast":
-        chunks = list(dup.iter_batches(batch_format="pyarrow"))
-        # a corpus with NO cross-doc duplicated grams yields zero
-        # batches — broadcast an empty typed set, don't crash concat
-        dup_tbl = (pa.concat_tables(chunks) if chunks
-                   else pa.table({"gram": pa.array([], pa.string())}))
-        set_ref = ray.put(dup_tbl.column("gram").combine_chunks())
-
-        def frac_batch(batch: pa.Table) -> pa.Table:
-            from ..broadcast import get_broadcast
-
-            toks = pc.split_pattern(batch.column("text"), pattern=" ")
-            n_toks = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
-            doc_ids = batch.column("doc_id").to_numpy()
-            covered = np.zeros(len(batch), np.int64)
-            st = _gram_stream(batch, n)
-            if st is not None:
-                gram, _, start, _, rows = st
-                hit = pc.is_in(
-                    gram, value_set=get_broadcast(set_ref)).to_numpy(
-                        zero_copy_only=False)
-                rows_d, start_d = rows[hit], start[hit]
-                if rows_d.size:
-                    seg = np.nonzero(np.concatenate(
-                        [[True], rows_d[1:] != rows_d[:-1]]))[0]
-                    covered[rows_d[seg]] = _covered_tokens(start_d, seg, n)
-            return finish(doc_ids, n_toks, covered)
-
-        return docs.map_batches(frac_batch, batch_format="pyarrow",
-                                zero_copy_batch=True)
-
-    # join path: Bloom prefilter + copartitioned semi-join; the driver
-    # never holds the dup-gram set, only the OR-merged fixed-size bitmap
-    from .sketch import BloomFilter, bloom_ref_of
-
-    bloom_ref = bloom_ref_of(dup, "gram", n_dup)
-
-    def prep_docs(batch: pa.Table) -> pa.Table:
-        # one baseline row per doc (start = null; gram = doc id string,
-        # so baseline rows spread uniformly over the gram-hash
-        # partitions instead of hot-spotting one) + one row per
-        # might-be-dup window (Bloom has no false negatives)
-        from ..broadcast import get_broadcast_derived
-
-        toks = pc.split_pattern(batch.column("text"), pattern=" ")
-        n_toks = pc.list_value_length(toks).cast(pa.int64())
-        base = pa.table({
-            "gram": pc.cast(batch.column("doc_id"), pa.string()),
-            "doc_id": batch.column("doc_id"),
-            "start": pa.nulls(len(batch), pa.int64()),
-            "n_tok": n_toks,
-        })
-        st = _gram_stream(batch, n)
-        if st is None:
-            return base
-        gram, doc, start, n_tok, _ = st
-        bf = get_broadcast_derived(bloom_ref, "bloom",
-                                   BloomFilter.deserialize)
-        maybe = bf.might_contain(gram.to_pylist())
-        wins = pa.table({
-            "gram": gram.filter(pa.array(maybe)),
-            "doc_id": doc.filter(pa.array(maybe)),
-            "start": pa.array(start[maybe], pa.int64()),
-            "n_tok": pa.array(n_tok[maybe], pa.int64()),
-        })
-        return pa.concat_tables([base, wins])
-
-    def prep_dup(batch: pa.Table) -> pa.Table:
-        nrows = batch.num_rows
-        return pa.table({
-            "gram": batch.column("gram"),
-            "doc_id": pa.nulls(nrows, pa.int64()),
-            "start": pa.nulls(nrows, pa.int64()),
-            "n_tok": pa.nulls(nrows, pa.int64()),
-        })
-
-    def semi(parts: list[pa.Table]) -> pa.Table:
-        pos, dup_side = parts
-        is_base = pc.is_null(pos.column("start"))
-        base = pos.filter(is_base)
-        wins = pos.filter(pc.invert(is_base))
-        keep = wins.filter(pc.is_in(wins.column("gram"),
-                                    value_set=dup_side.column("gram")
-                                    .combine_chunks()))
-        return pa.concat_tables([base, keep]) \
-            .select(["doc_id", "start", "n_tok"])
-
-    verified = copartitioned_map(
-        [(docs, prep_docs), (dup, prep_dup)], "gram", semi)
-
-    def per_doc(group: pa.Table) -> pa.Table:
-        doc_ids = group.column("doc_id").to_numpy()
-        order = np.argsort(doc_ids, kind="stable")
-        g = group.take(pa.array(order))
-        d = g.column("doc_id").to_numpy()
-        is_win = pc.is_valid(g.column("start")).to_numpy(
-            zero_copy_only=False)
-        uniq, inv = np.unique(d, return_inverse=True)
-        n_toks = np.zeros(uniq.size, np.int64)
-        base_rows = ~is_win
-        n_toks[inv[base_rows]] = g.column("n_tok").to_numpy(
-            zero_copy_only=False)[base_rows]
-        covered = np.zeros(uniq.size, np.int64)
-        if is_win.any():
-            dw = d[is_win]
-            sw = g.column("start").to_numpy(zero_copy_only=False)[
-                is_win].astype(np.int64)
-            # windows arrive in arbitrary partition order: sort by
-            # (doc, start) before the fixed-width union scan
-            o2 = np.lexsort((sw, dw))
-            dw, sw = dw[o2], sw[o2]
-            seg = np.nonzero(np.concatenate(
-                [[True], dw[1:] != dw[:-1]]))[0]
-            cov = _covered_tokens(sw, seg, n)
-            covered[np.searchsorted(uniq, dw[seg])] = cov
-        frac = round_ha(covered / np.maximum(n_toks, 1), 6)
-        return pa.table({"doc_id": pa.array(uniq, pa.int64()),
-                         "n_tokens": pa.array(n_toks, pa.int64()),
-                         "dup_frac": pa.array(frac, pa.float64())})
-
-    return verified.groupby("doc_id").map_groups(
-        per_doc, batch_format="pyarrow")
-
-
-def _despan_batchwise(batch: pa.Table, starts_by_row, n: int) -> pa.Table:
-    """Rebuild each doc's text with the tokens covered by dup windows
-    removed — fully vectorized: a +1/-1 difference array over the flat
-    token stream marks covered runs (windows never straddle docs), the
-    kept tokens re-list via fresh offsets, and one C++ binary_join
-    rejoins. ``starts_by_row``: (row_idx ndarray, start ndarray) of dup
-    windows, 0-based token positions."""
-    toks = pc.split_pattern(batch.column("text"), pattern=" ")
-    flat = pc.list_flatten(toks).combine_chunks()
-    lens = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
-    offsets = np.zeros(len(batch) + 1, np.int64)
-    np.cumsum(lens, out=offsets[1:])
-    rows, starts = starts_by_row
-    diff = np.zeros(len(flat) + 1, np.int64)
-    flat_start = offsets[rows] + starts
-    np.add.at(diff, flat_start, 1)
-    np.add.at(diff, flat_start + n, -1)
-    covered = np.cumsum(diff[:-1]) > 0
-    kept_mask = ~covered
-    kept = flat.filter(pa.array(kept_mask))
-    kept_per_row = np.bincount(
-        np.repeat(np.arange(len(batch)), lens)[kept_mask],
-        minlength=len(batch)).astype(np.int64)
-    new_off = np.zeros(len(batch) + 1, np.int64)
-    np.cumsum(kept_per_row, out=new_off[1:])
-    lst = pa.ListArray.from_arrays(pa.array(new_off, pa.int32()), kept)
-    return pa.table({
-        "doc_id": batch.column("doc_id"),
-        "text_clean": pc.binary_join(lst, " "),
-        "n_kept": pa.array(kept_per_row, pa.int64()),
-    })
-
-
-def docs_remove_dup_spans(sf_dir: str, n: int = 8, verify: str = "auto",
-                          docs=None):
-    """The span-DELETION transform of Lee et al. ExactSubstr dedup:
-    rewrite every document with each token covered by a cross-document
-    duplicated n-gram window removed. Output (doc_id, text_clean,
-    n_kept) — the actual cleaning step the metrics twins
-    (docs_dup_spans / docs_dup_span_frac) inform.
-
-    'broadcast' ships the dup-gram set once and despans map-side in a
-    single scan; 'join' (the scale path, auto-selected above the gate)
-    never holds the set on the driver: dup positions are verified by a
-    Bloom-prefiltered copartitioned semi-join on the gram, then one
-    doc_id copartition co-locates each doc's text row with its dup
-    positions and the same vectorized rebuild runs per partition (text
-    crosses exactly one exchange). Paths are equivalence-tested.
-
-    ``docs`` overrides the table read with an already-filtered corpus
-    (pass a MATERIALIZED dataset — both passes consume it)."""
-    import ray
-
-    from .relational import copartitioned_map, read
-
-    if docs is None:
-        docs = read(sf_dir, "documents", columns=["doc_id", "text"])
-    dup = _dup_gram_ds(sf_dir, n, docs=docs)
-    n_dup = dup.count()
-    if verify == "auto":
-        verify = "broadcast" if n_dup <= DUP_SPAN_BROADCAST_MAX else "join"
-
-    if verify == "broadcast":
-        chunks = list(dup.iter_batches(batch_format="pyarrow"))
-        # a corpus with NO cross-doc duplicated grams yields zero
-        # batches — broadcast an empty typed set, don't crash concat
-        dup_tbl = (pa.concat_tables(chunks) if chunks
-                   else pa.table({"gram": pa.array([], pa.string())}))
-        set_ref = ray.put(dup_tbl.column("gram").combine_chunks())
-
-        def despan(batch: pa.Table) -> pa.Table:
-            from ..broadcast import get_broadcast
-
-            st = _gram_stream(batch, n)
-            if st is None:
-                empty = (np.zeros(0, np.int64), np.zeros(0, np.int64))
-                return _despan_batchwise(batch, empty, n)
-            gram, _, start, _, rows = st
-            hit = pc.is_in(gram, value_set=get_broadcast(set_ref)) \
-                .to_numpy(zero_copy_only=False)
-            return _despan_batchwise(batch, (rows[hit], start[hit]), n)
-
-        return docs.map_batches(despan, batch_format="pyarrow",
-                                zero_copy_batch=True)
-
-    # join path: verified (doc_id, start) positions via Bloom +
-    # copartitioned semi-join (driver holds only the OR-merged bitmap)
-    from .sketch import BloomFilter, bloom_ref_of
-
-    bloom_ref = bloom_ref_of(dup, "gram", n_dup)
-
-    def prep_wins(batch: pa.Table) -> pa.Table:
-        from ..broadcast import get_broadcast_derived
-
-        st = _gram_stream(batch, n)
-        if st is None:
-            return pa.table({"gram": pa.array([], pa.string()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "start": pa.array([], pa.int64())})
-        gram, doc, start, _, _ = st
-        bf = get_broadcast_derived(bloom_ref, "bloom",
-                                   BloomFilter.deserialize)
-        maybe = bf.might_contain(gram.to_pylist())
-        return pa.table({"gram": gram.filter(pa.array(maybe)),
-                         "doc_id": doc.filter(pa.array(maybe)),
-                         "start": pa.array(start[maybe], pa.int64())})
-
-    def prep_dup(batch: pa.Table) -> pa.Table:
-        return pa.table({"gram": batch.column("gram"),
-                         "doc_id": pa.nulls(batch.num_rows, pa.int64()),
-                         "start": pa.nulls(batch.num_rows, pa.int64())})
-
-    def semi(parts: list[pa.Table]) -> pa.Table:
-        wins, dup_side = parts
-        keep = wins.filter(pc.is_in(
-            wins.column("gram"),
-            value_set=dup_side.column("gram").combine_chunks()))
-        return keep.select(["doc_id", "start"])
-
-    positions = copartitioned_map(
-        [(docs, prep_wins), (dup, prep_dup)], "gram", semi)
-
-    def prep_text(batch: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "text": batch.column("text"),
-                         "start": pa.nulls(len(batch), pa.int64())})
-
-    def prep_pos(batch: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "text": pa.nulls(batch.num_rows, pa.string()),
-                         "start": batch.column("start")})
-
-    def rebuild(parts: list[pa.Table]) -> pa.Table:
-        trows, prows = parts
-        trows = trows.select(["doc_id", "text"])
-        d = trows.column("doc_id").to_numpy()
-        # map each position row to its doc's row index in this partition
-        order = np.argsort(d, kind="stable")
-        pd_ = prows.column("doc_id").to_numpy()
-        ps = prows.column("start").to_numpy(zero_copy_only=False)
-        ri = order[np.searchsorted(d[order], pd_)]
-        o2 = np.lexsort((ps, ri))
-        return _despan_batchwise(
-            trows, (ri[o2], ps[o2].astype(np.int64)), n)
-
-    return copartitioned_map(
-        [(docs, prep_text), (positions, prep_pos)], "doc_id", rebuild)
-
-
-def docs_clean_corpus(sf_dir: str, n: int = 8, min_tokens: int = 20,
-                      min_quality: float = 40.0):
-    """End-to-end corpus-curation COMPOSITE, chaining the oracled
-    stages and staying exactly hash-checkable end to end: exact dedup
-    (min doc_id per md5(text)) -> cross-document duplicated-span
-    DELETION over the deduped corpus -> token-count and closed-form
-    quality filters over the cleaned text. Output (doc_id, n_kept,
-    quality_score, text_clean).
-
-    Scale shape: the dedup phase exchanges only 48 B/doc (md5, doc_id)
-    partials and broadcasts only LOSER ids (dup-rate-sized); span
-    deletion reuses the shared broadcast / Bloom+join machinery over
-    the materialized kept corpus; the quality gate is one map-side
-    polars pass with no exchange."""
-    import ray
-
-    from .relational import partitioned_map_groups, read
-
-    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def md5_slim(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "md5": pa.array(md5_hex(batch.column("text").to_pylist()),
-                            pa.string()),
-            "doc_id": batch.column("doc_id"),
-        })
-
-    pairs = docs.map_batches(md5_slim, batch_format="pyarrow",
-                             zero_copy_batch=True)
-
-    def losers(part: pa.Table) -> pa.Table:
-        # all rows of an md5 co-locate: segment min by sorted hash,
-        # every non-min id is a dup loser
-        idx = pc.sort_indices(part, sort_keys=[("md5", "ascending"),
-                                               ("doc_id", "ascending")])
-        g = part.take(idx)
-        h = g.column("md5").to_numpy(zero_copy_only=False)
-        ids = g.column("doc_id").to_numpy()
-        first = np.concatenate([[True], h[1:] != h[:-1]])
-        return pa.table({"doc_id": pa.array(ids[~first], pa.int64())})
-
-    drop_chunks = [b.column("doc_id").combine_chunks()
-                   for b in partitioned_map_groups(pairs, "md5", losers)
-                   .iter_batches(batch_format="pyarrow") if b.num_rows]
-    drop = (pa.concat_arrays(drop_chunks) if drop_chunks
-            else pa.array([], pa.int64()))
-    drop_ref = ray.put(drop)
-
-    def keep_fn(batch: pa.Table) -> pa.Table:
-        from ..broadcast import get_broadcast
-
-        d = get_broadcast(drop_ref)
-        if len(d) == 0:
-            return batch
-        return batch.filter(pc.invert(
-            pc.is_in(batch.column("doc_id"), value_set=d)))
-
-    kept = docs.map_batches(keep_fn, batch_format="pyarrow",
-                            zero_copy_batch=True).materialize()
-    clean = docs_remove_dup_spans(sf_dir, n=n, docs=kept)
-
-    def final(batch: pa.Table) -> pa.Table:
-        q = quality_score_batch(pa.table({
-            "doc_id": batch.column("doc_id"),
-            "text": batch.column("text_clean"),
-        }))
-        out = pa.table({
-            "doc_id": batch.column("doc_id"),
-            "n_kept": batch.column("n_kept"),
-            "quality_score": q.column("quality_score"),
-            "text_clean": batch.column("text_clean"),
-        })
-        mask = pc.and_(
-            pc.greater_equal(out.column("n_kept"),
-                             pa.scalar(min_tokens, pa.int64())),
-            pc.greater_equal(out.column("quality_score"),
-                             pa.scalar(float(min_quality))))
-        return out.filter(mask)
-
-    return clean.map_batches(final, batch_format="pyarrow",
-                             zero_copy_batch=True)
-
-
-def docs_weighted_sample(sf_dir: str, k: int = 100):
-    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
-    A-ES): each doc draws a deterministic pseudo-uniform u from
-    md5(doc_id) and competes with key ln(u)/weight — a monotone
-    transform of the classic u^(1/w) — so the global top-k keys form a
-    sample with inclusion probability increasing in the weight
-    (n_chars). Hash-derived u means no RNG state: re-run- and
-    partitioning-stable, the same trick as docs_split/docs_sample, and
-    exactly replicable by the DuckDB oracle (ln and the hex-parse are
-    bit-identical across engines — verified).
-
-    Scale shape: per-batch partial top-k (<= k slim rows leave each
-    block) + one tiny final sort — the mergeable top-k pattern (O4).
-    Output (doc_id, n_chars): the selected sample."""
-    from .relational import read
-
-    ds = read(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    denom = np.float64(16 ** 12)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy()
-        w = batch.column("n_chars").to_numpy().astype(np.float64)
-        u = np.array(
-            [int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
-             for i in ids], np.float64) / denom
-        key = np.log(u) / np.maximum(w, 1.0)
-        top = np.lexsort((ids, -key))[:k]
-        return pa.table({
-            "doc_id": pa.array(ids[top], pa.int64()),
-            "n_chars": batch.column("n_chars").take(pa.array(top)),
-            "_key": pa.array(key[top], pa.float64()),
-        })
-
-    sampled = (ds.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True)
-               .sort(["_key", "doc_id"], descending=[True, False])
-               .limit(k))
-    return sampled.map_batches(lambda t: t.drop_columns(["_key"]),
-                               batch_format="pyarrow")
-
-
-def _batch_bigrams(batch: pa.Table):
-    """Intra-doc adjacent token pairs of a batch: ("w1 w2" strings,
-    parent row indices), or None when the batch has none."""
-    toks = pc.split_pattern(batch.column("text"), pattern=" ")
-    flat = pc.list_flatten(toks).combine_chunks()
-    parents = pc.list_parent_indices(toks).to_numpy()
-    if len(flat) < 2:
-        return None
-    same = parents[:-1] == parents[1:]
-    if not same.any():
-        return None
-    w1 = flat.slice(0, len(flat) - 1).filter(pa.array(same))
-    w2 = flat.slice(1).filter(pa.array(same))
-    return (pc.binary_join_element_wise(w1, w2, " "),
-            parents[:-1][same])
-
-
-def _bigram_logprob_join(ds, counts):
-    """Vocabulary-scale path for docs_bigram_logprob: the logprob table
-    never ships whole. (1) prefix totals + lp = ln(n / pn) via ONE
-    w1-keyed exchange over the slim (bigram, n) table — integer pn sums
-    are exact, so lp is bit-identical to the broadcast _lp_table; (2)
-    hash join of the per-doc bigram-frequency stream against the lp
-    table (_vocab_join, one bigram-keyed exchange); (3) one doc-keyed
-    merge against the full doc-id list so zero-bigram docs emit
-    (0.0, 0) exactly like the broadcast path."""
-    from .relational import copartitioned_map, partitioned_map_groups
-
-    def add_w1(t: pa.Table) -> pa.Table:
-        first = pc.list_element(
-            pc.split_pattern(t.column("bigram"), pattern=" ",
-                             max_splits=1), 0)
-        return pa.table({"bigram": t.column("bigram"),
-                         "n": t.column("n"), "w1": first})
-
-    def lp_part(part: pa.Table) -> pa.Table:
-        if part.num_rows == 0:
-            return pa.table({"term": pa.array([], pa.string()),
-                             "lp": pa.array([], pa.float64())})
-        w1 = part.column("w1").to_numpy(zero_copy_only=False)
-        nv = part.column("n").to_numpy().astype(np.int64)
-        keys = np.unique(w1)
-        idx = np.searchsorted(keys, w1)
-        pn = np.bincount(idx, weights=nv.astype(np.float64),
-                         minlength=len(keys)).astype(np.int64)
-        lp = np.log(nv.astype(np.float64) / pn[idx].astype(np.float64))
-        return pa.table({"term": part.column("bigram"),
-                         "lp": pa.array(lp, pa.float64())})
-
-    lp_tbl = partitioned_map_groups(
-        counts.map_batches(add_w1, batch_format="pyarrow",
-                           zero_copy_batch=True), "w1", lp_part)
-
-    def doc_bigram_freqs(batch: pa.Table) -> pa.Table:
-        bg = _batch_bigrams(batch)
-        if bg is None:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "term": pa.array([], pa.string()),
-                             "tf": pa.array([], pa.int64())})
-        grams, rows = bg
-        d = grams.dictionary_encode()
-        if isinstance(d, pa.ChunkedArray):
-            d = d.combine_chunks()
-        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        v = max(len(d.dictionary), 1)
-        pair, bf = np.unique(rows.astype(np.int64) * v + codes,
-                             return_counts=True)
-        prow, pcode = pair // v, pair % v
-        return pa.table({
-            "doc_id": batch.column("doc_id").take(
-                pa.array(prow, pa.int64())),
-            "term": d.dictionary.take(pa.array(pcode, pa.int64())),
-            "tf": pa.array(bf.astype(np.int64), pa.int64())})
-
-    bf_ds = ds.map_batches(doc_bigram_freqs, batch_format="pyarrow",
-                           zero_copy_batch=True)
-    joined = _vocab_join(bf_ds, lp_tbl, "lp",
-                         lambda tf, lp: tf.astype(np.float64) * lp)
-
-    def prep_contrib(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t.column("doc_id"),
-                         "score": t.column("score"),
-                         "tf": t.column("tf")})
-
-    def prep_docs(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t.column("doc_id"),
-                         "score": pa.nulls(t.num_rows, pa.float64()),
-                         "tf": pa.nulls(t.num_rows, pa.float64())})
-
-    def per_doc(parts: list[pa.Table]) -> pa.Table:
-        cp, dp = parts
-        if dp.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "mean_logprob": pa.array([], pa.float64()),
-                             "n_bigrams": pa.array([], pa.int64())})
-        docs = np.sort(dp.column("doc_id").to_numpy())
-        cdoc = cp.column("doc_id").to_numpy()
-        idx = np.searchsorted(docs, cdoc)
-        sums = np.bincount(idx, weights=cp.column("score").to_numpy(),
-                           minlength=len(docs))
-        cnts = np.bincount(idx, weights=cp.column("tf").to_numpy(),
-                           minlength=len(docs)).astype(np.int64)
-        mean = round_ha(sums / np.maximum(cnts, 1), 6)
-        return pa.table({
-            "doc_id": pa.array(docs, pa.int64()),
-            "mean_logprob": pa.array(mean, pa.float64()),
-            "n_bigrams": pa.array(cnts, pa.int64())})
-
-    all_docs = ds.select_columns(["doc_id"])
-    return copartitioned_map(
-        [(joined, prep_contrib), (all_docs, prep_docs)],
-        "doc_id", per_doc)
-
-
-def docs_bigram_logprob(sf_dir: str, mode: str = "auto"):
-    """Bigram-LM quality score (the conditional-probability step up
-    from docs_unigram_logprob): mean ln p(w_i | w_{i-1}) per doc with
-    the corpus itself as the LM, p = bigram count / prefix total.
-    Pass 1 builds corpus bigram counts (adjacent-pair partials on the
-    flattened token stream -> grouped Sum). Below the
-    VOCAB_BROADCAST_MAX_TERMS gate the table broadcasts once (prefix
-    totals derive from it per worker) and pass 2 rebuilds each batch's
-    bigrams with one pc.index_in + bincount-by-row. Above it — a
-    web-scale bigram vocabulary is unbounded — the logprob table stays
-    distributed: prefix totals via one w1-keyed exchange over the
-    (slim) count table, then a hash join of the exploded per-doc
-    bigram-frequency stream and one doc-keyed merge against the full
-    doc-id list (docs with < 2 tokens score 0.0 over 0 bigrams in both
-    modes; equivalence-tested). Oracled (lateral bigrams + two joins +
-    avg(ln))."""
-    import ray.data as rd
-
-    from .relational import broadcast_lookup, partitioned_map_groups
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-
-    _bigrams = _batch_bigrams
-
-    def partial_bc(batch: pa.Table) -> pa.Table:
-        bg = _bigrams(batch)
-        if bg is None:
-            return pa.table({"bigram": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        vc = bg[0].value_counts()
-        if isinstance(vc, pa.ChunkedArray):
-            vc = vc.combine_chunks()
-        return pa.table({"bigram": vc.field("values"),
-                         "n": vc.field("counts").cast(pa.int64())})
-
-    def sum_bc(t: pa.Table) -> pa.Table:
-        g = t.group_by("bigram").aggregate([("n", "sum")])
-        return pa.table({"bigram": g.column("bigram"),
-                         "n": g.column("n_sum").cast(pa.int64())})
-
-    counts = partitioned_map_groups(
-        ds.map_batches(partial_bc, batch_format="pyarrow",
-                       zero_copy_batch=True), "bigram", sum_bc).materialize()
-
-    if _resolve_vocab_mode(mode, counts) == "join":
-        return _bigram_logprob_join(ds, counts)
-
-    vocab_ref = broadcast_lookup(counts, "bigram", ["n"])
-
-    def _lp_table(build):
-        keys, (bn,) = build
-        # a token never contains the separator, so the text before the
-        # FIRST space is exactly w1 (even when w2 is empty)
-        first = pc.list_element(
-            pc.split_pattern(keys, pattern=" ", max_splits=1), 0)
-        d = first.dictionary_encode()
-        if isinstance(d, pa.ChunkedArray):
-            d = d.combine_chunks()
-        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        nv = bn.to_numpy().astype(np.int64)
-        pn = np.zeros(int(codes.max()) + 1 if len(codes) else 1, np.int64)
-        np.add.at(pn, codes, nv)
-        lp = np.log(nv.astype(np.float64) / pn[codes].astype(np.float64))
-        return keys, lp
-
-    def score(batch: pa.Table) -> pa.Table:
-        from ..broadcast import get_broadcast_derived
-
-        keys, lp_vals = get_broadcast_derived(vocab_ref, "lp2", _lp_table)
-        n = batch.num_rows
-        bg = _bigrams(batch)
-        if bg is None:
-            zero = np.zeros(n)
-            return pa.table({
-                "doc_id": batch.column("doc_id"),
-                "mean_logprob": pa.array(zero, pa.float64()),
-                "n_bigrams": pa.array(zero.astype(np.int64), pa.int64()),
-            })
-        grams, rows = bg
-        idx = pc.index_in(grams, value_set=keys).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        lp = lp_vals[idx]
-        sums = np.bincount(rows, weights=lp, minlength=n)
-        cnts = np.bincount(rows, minlength=n)
-        mean = round_ha(sums / np.maximum(cnts, 1), 6)
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "mean_logprob": pa.array(mean, pa.float64()),
-            "n_bigrams": pa.array(cnts.astype(np.int64), pa.int64())})
-
-    return ds.map_batches(score, batch_format="pyarrow",
-                          zero_copy_batch=True)
-
-
-# --- DSIR importance resampling --------------------------------------------
-
-def docs_dsir_topk(sf_dir: str, target_lang: str = "en", k: int = 100,
-                   mode: str = "auto"):
-    """Data Selection via Importance Resampling (Xie et al. 2023,
-    arXiv:2302.03169), unigram-feature variant: score every document by
-    its importance weight under a target-domain LM vs the raw-corpus LM
-    and keep the global top-k.
-
-      lr(t)  = ln((c_tgt(t)+1)/(N_tgt+V)) - ln((c_all(t)+1)/(N_all+V))
-      w(doc) = sum over token instances of lr(t),  rounded half-away 6
-
-    (add-one smoothing over the shared corpus vocabulary V; the target
-    model here is the ``lang == target_lang`` subset — the "formal
-    text" proxy of the paper becomes a metadata-defined domain).
-
-    Scale shape mirrors docs_unigram_logprob exactly: pass 1 folds
-    (term, n_tgt, n_all) partials into one vocabulary-bounded grouped
-    sum; below VOCAB_BROADCAST_MAX_TERMS the log-ratio table broadcasts
-    and pass 2 is one index_in + bincount per batch fused with a
-    per-batch partial top-k (<= k slim rows leave each block, the O4
-    mergeable pattern); above it the exploded (doc_id, term, tf)
-    stream hash-joins the distributed ratio table (_vocab_join), one
-    doc-keyed exchange folds the weight, then the same partial top-k.
-    Oracled (unnest + filtered counts + join + sum(ln ratios))."""
-    import ray.data as rd
-
-    from .relational import broadcast_lookup, partitioned_map_groups
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", "lang"])
-
-    def partial_tc(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch.column("text"), pattern=" ")
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks)
-        tgt = pc.equal(batch.column("lang"), target_lang)
-        tgt_tok = pc.take(tgt, parents).cast(pa.int64())
-        g = pa.table({"term": flat, "t": tgt_tok}).group_by("term") \
-            .aggregate([("t", "sum"), ("t", "count")])
-        return pa.table({
-            "term": g.column("term"),
-            "n_tgt": g.column("t_sum").cast(pa.int64()),
-            "n_all": g.column("t_count").cast(pa.int64())})
-
-    def sum_tc(t: pa.Table) -> pa.Table:
-        g = t.group_by("term").aggregate([("n_tgt", "sum"),
-                                          ("n_all", "sum")])
-        return pa.table({"term": g.column("term"),
-                         "n_tgt": g.column("n_tgt_sum").cast(pa.int64()),
-                         "n_all": g.column("n_all_sum").cast(pa.int64())})
-
-    counts = partitioned_map_groups(
-        ds.map_batches(partial_tc, batch_format="pyarrow",
-                       zero_copy_batch=True), "term", sum_tc).materialize()
-
-    # scalars fold the bounded, already-pinned table
-    n_tgt_total = counts.sum("n_tgt") or 0
-    n_all_total = counts.sum("n_all") or 0
-    vsize = counts.count()
-
-    def add_lr(t: pa.Table) -> pa.Table:
-        nt = t.column("n_tgt").to_numpy().astype(np.float64)
-        na = t.column("n_all").to_numpy().astype(np.float64)
-        lr = (np.log((nt + 1.0) / float(n_tgt_total + vsize))
-              - np.log((na + 1.0) / float(n_all_total + vsize)))
-        return pa.table({"term": t.column("term"),
-                         "lr": pa.array(lr, pa.float64())})
-
-    lr_ds = counts.map_batches(add_lr, batch_format="pyarrow")
-
-    def topk_part(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy()
-        w = t.column("dsir_weight").to_numpy()
-        top = np.lexsort((ids, -w))[:k]
-        return pa.table({
-            "doc_id": pa.array(ids[top], pa.int64()),
-            "dsir_weight": pa.array(w[top], pa.float64())})
-
-    if _resolve_vocab_mode(mode, counts) == "join":
-        tf_ds = ds.map_batches(_doc_term_freqs, batch_format="pyarrow",
-                               zero_copy_batch=True)
-        joined = _vocab_join(tf_ds, lr_ds, "lr",
-                             lambda tf, lr: tf.astype(np.float64) * lr)
-
-        def wsum_part(part: pa.Table) -> pa.Table:
-            if part.num_rows == 0:
-                return pa.table({
-                    "doc_id": pa.array([], pa.int64()),
-                    "dsir_weight": pa.array([], pa.float64())})
-            doc = part.column("doc_id").to_numpy()
-            docs = np.unique(doc)
-            idx = np.searchsorted(docs, doc)
-            sums = np.bincount(idx,
-                               weights=part.column("score").to_numpy(),
-                               minlength=len(docs))
-            return pa.table({
-                "doc_id": pa.array(docs, pa.int64()),
-                "dsir_weight": pa.array(round_ha(sums, 6), pa.float64())})
-
-        weights = partitioned_map_groups(joined, "doc_id", wsum_part)
-        pooled = weights.map_batches(topk_part, batch_format="pyarrow",
-                                     zero_copy_batch=True)
-    else:
-        vocab_ref = broadcast_lookup(lr_ds, "term", ["lr"])
-
-        def _lr_table(build):
-            keys, (lr,) = build
-            return keys, lr.to_numpy()
-
-        def score_topk(batch: pa.Table) -> pa.Table:
-            from ..broadcast import get_broadcast_derived
-
-            keys, lr_vals = get_broadcast_derived(vocab_ref, "dsir",
-                                                  _lr_table)
-            toks = pc.split_pattern(batch.column("text"), pattern=" ")
-            flat = pc.list_flatten(toks)
-            parents = pc.list_parent_indices(toks).to_numpy()
-            idx = pc.index_in(flat, value_set=keys).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            sums = np.bincount(parents, weights=lr_vals[idx],
-                               minlength=batch.num_rows)
-            return topk_part(pa.table({
-                "doc_id": batch.column("doc_id"),
-                "dsir_weight": pa.array(round_ha(sums, 6),
-                                        pa.float64())}))
-
-        pooled = ds.map_batches(score_topk, batch_format="pyarrow",
-                                zero_copy_batch=True)
-
-    return (pooled.sort(["dsir_weight", "doc_id"],
-                        descending=[True, False]).limit(k))
-
-
-# --- unicode text normalization ---------------------------------------------
-
-def normalize_text_batch(batch: pa.Table,
-                         text_col: str = "text") -> pa.Table:
-    """NFC unicode normalization + explicit-class whitespace collapse
-    ([ \\t\\n\\r\\f]+ -> one space; the class is spelled out because
-    regex engines disagree on \\s unicode semantics) + space trim.
-
-    Vectorized: the collapse/trim run as Arrow RE2 kernels over the
-    whole column; NFC runs in Python ONLY for the (web-corpus-rare)
-    non-ASCII rows — `pc.string_is_ascii` splits them off, and NFC is
-    the identity on ASCII."""
-    import unicodedata
-
-    col = batch.column(text_col)
-    ascii_mask = pc.string_is_ascii(col)
-    if pc.all(ascii_mask).as_py() is not True:
-        keep = ascii_mask.to_numpy(zero_copy_only=False)
-        texts = col.to_pylist()
-        fixed = [t if ok or t is None else unicodedata.normalize("NFC", t)
-                 for t, ok in zip(texts, keep)]
-        col = pa.chunked_array([pa.array(fixed, pa.string())])
-    col = pc.replace_substring_regex(col, pattern="[ \t\n\r\f]+",
-                                     replacement=" ")
-    col = pc.utf8_trim(col, characters=" ")
-    return batch.set_column(batch.schema.get_field_index(text_col),
-                            text_col, col)
-
-
-def docs_normalize_text(sf_dir: str):
-    """Per-doc normalization fingerprint: (doc_id, norm_md5, changed).
-    md5 keeps the compared payload slim; ``changed`` pins the collapse
-    actually firing. Oracled (DuckDB nfc_normalize + regexp_replace +
-    trim + md5)."""
-    import ray.data as rd
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-
-    def fingerprint(batch: pa.Table) -> pa.Table:
-        norm = normalize_text_batch(batch).column("text")
-        changed = pc.not_equal(norm, batch.column("text"))
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "norm_md5": pa.array(md5_hex(norm.to_pylist()), pa.string()),
-            "changed": changed,
-        })
-
-    return ds.map_batches(fingerprint, batch_format="pyarrow",
-                          zero_copy_batch=True)
-
-
-# --- Gopher quality rules ----------------------------------------------------
-
-def docs_gopher_quality(sf_dir: str):
-    """Gopher-rule quality signals (Rae et al. 2021, arXiv:2112.11446
-    A1.1.2): per-doc word count, mean word length, fraction of words
-    containing an alphabetic character, symbol-to-word ratio ('#' and
-    non-overlapping '...'), and the pass flag (3 <= mean_word_len <= 10
-    AND frac_alpha >= 0.8 AND symbol_ratio <= 0.1 AND n_words >= 10 —
-    the flag is computed from the ROUNDED fractions on both engines so
-    the threshold comparison can never straddle a rounding boundary).
-
-    One scan, fully vectorized: split + flatten + utf8_length +
-    match_substring_regex + two bincounts per batch; no exchange.
-    Oracled (unnest + grouped avg + replace-count arithmetic)."""
-    import ray.data as rd
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    return ds.map_batches(gopher_quality_batch, batch_format="pyarrow",
-                          zero_copy_batch=True)
-
-
-def gopher_quality_batch(batch: pa.Table) -> pa.Table:
-    """Per-batch Gopher-rule math (module-level so tests drive it on
-    crafted docs directly)."""
-    n = batch.num_rows
-    toks = pc.split_pattern(batch.column("text"), pattern=" ")
-    flat = pc.list_flatten(toks)
-    parents = pc.list_parent_indices(toks).to_numpy()
-    wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
-        .astype(np.float64)
-    alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
-        zero_copy_only=False).astype(np.float64)
-    n_words = np.bincount(parents, minlength=n)
-    mean_len = round_ha(
-        np.bincount(parents, weights=wlen, minlength=n)
-        / np.maximum(n_words, 1), 6)
-    frac_alpha = round_ha(
-        np.bincount(parents, weights=alpha, minlength=n)
-        / np.maximum(n_words, 1), 6)
-    n_sym = (pc.count_substring(batch.column("text"), "#")
-             .to_numpy(zero_copy_only=False).astype(np.int64)
-             + pc.count_substring(batch.column("text"), "...")
-             .to_numpy(zero_copy_only=False).astype(np.int64))
-    sym_ratio = round_ha(n_sym / np.maximum(n_words, 1), 6)
-    ok = ((mean_len >= 3.0) & (mean_len <= 10.0)
-          & (frac_alpha >= 0.8) & (sym_ratio <= 0.1)
-          & (n_words >= 10))
-    return pa.table({
-        "doc_id": batch.column("doc_id"),
-        "n_words": pa.array(n_words.astype(np.int64), pa.int64()),
-        "mean_word_len": pa.array(mean_len, pa.float64()),
-        "frac_alpha": pa.array(frac_alpha, pa.float64()),
-        "symbol_ratio": pa.array(sym_ratio, pa.float64()),
-        "gopher_pass": pa.array(ok, pa.bool_()),
-    })
-
-
-def docs_temperature_mix(sf_dir: str, tau: float = 0.7,
-                         scale: float = 0.5):
-    """Temperature-weighted training mixture (the multilingual-corpus
-    sampling rule of Arivazhagan et al. 2019 / mT5): each source's
-    quota is ``max(1, floor(scale * count^tau))`` — sublinear in corpus
-    size, so small sources are upsampled relative to their share.
-    Deliberately NOT normalized by the cross-source sum: a sum of
-    pow() doubles is summation-order-dependent and could floor()
-    differently across engines; the per-source form keeps every quota
-    a function of ONE count, bit-identical in numpy and DuckDB (both
-    call libm pow on the same double).
-
-    Same one-exchange shape as docs_source_mix: hash co-location by
-    source, per-segment rank against the quota vector, smallest
-    md5(text) wins (deterministic under any partitioning). Oracled."""
-    import ray.data as rd
-
-    from .relational import _segment_starts, partitioned_map_groups
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "source", "text"])
-
-    def keyed(t: pa.Table) -> pa.Table:
-        h = [hashlib.md5(x.encode("utf-8")).hexdigest()
-             for x in t.column("text").to_pylist()]
-        return pa.table({"doc_id": t.column("doc_id"),
-                         "source": t.column("source"),
-                         "h": pa.array(h, pa.string())})
-
-    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow",
-                              zero_copy_batch=True)
-
-    def take_quota(part: pa.Table) -> pa.Table:
-        if part.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "source": pa.array([], pa.string())})
-        idx = pc.sort_indices(part, sort_keys=[
-            ("source", "ascending"), ("h", "ascending"),
-            ("doc_id", "ascending")])
-        g = part.take(idx)
-        src = np.array(g.column("source").to_pylist())
-        starts = _segment_starts(src)
-        counts = np.diff(np.append(starts, len(src)))
-        # every row of a source hashes to the same partition, so the
-        # segment count IS the source's corpus count
-        q = np.maximum(1, np.floor(
-            scale * counts.astype(np.float64) ** tau)).astype(np.int64)
-        offsets = np.arange(len(src)) - np.repeat(starts, counts)
-        return g.select(["doc_id", "source"]).filter(
-            pa.array(offsets < np.repeat(q, counts)))
-
-    return partitioned_map_groups(keyed_ds, "source", take_quota)
-
-
-def docs_bm25_topk(sf_dir: str, n_terms: int = 3, k: int = 20,
-                   k1: float = 1.2, b: float = 0.75):
-    """BM25 retrieval scoring (Robertson-Sparck Jones; the Okapi
-    formula with the +1 idf floor Lucene uses): the query is the
-    ``n_terms`` globally most frequent tokens (ties -> lexicographic),
-    so the pipeline is self-contained and both engines derive the SAME
-    query. Output: top-k docs by score (ties -> doc_id).
-
-      idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
-      score(d) = sum_t idf * tf*(k1+1) / (tf + k1*(1 - b + b*len/avg))
-
-    Scale shape: pass 1 is the vocabulary-bounded term-count fold (df
-    and the query terms fall out of the same grouped sum; doc count and
-    total length are scalar folds); pass 2 broadcasts the tiny
-    (term, idf) table and scores each batch with one index_in + two
-    bincounts, fused with a per-batch partial top-k. Oracled (unnest +
-    window + ln arithmetic, score rounded half-away 6)."""
-    import ray
-    import ray.data as rd
-
-    from .relational import partitioned_map_groups
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-
-    # --- pass 1: term document-frequencies + corpus scalars ---------
-    def partial_df(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch.column("text"), pattern=" ")
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy()
-        arr = np.asarray(flat.to_pylist(), dtype=object)
-        # distinct (doc, term) for df; total tf for query selection
-        key = np.char.add(parents.astype(str), np.char.add(
-            "\x00", arr.astype(str)))
-        _, first = np.unique(key, return_index=True)
-        vc = flat.value_counts()
-        if isinstance(vc, pa.ChunkedArray):
-            vc = vc.combine_chunks()
-        dfp = pa.table({
-            "term": flat.take(pa.array(np.sort(first), pa.int64())),
-            "df": pa.array(np.ones(len(first), np.int64), pa.int64()),
-            "tf": pa.array(np.zeros(len(first), np.int64), pa.int64())})
-        tfp = pa.table({"term": vc.field("values"),
-                        "df": pa.array(np.zeros(len(vc), np.int64),
-                                       pa.int64()),
-                        "tf": vc.field("counts").cast(pa.int64())})
-        return pa.concat_tables([dfp, tfp])
 
     def sum_df(t: pa.Table) -> pa.Table:
         g = t.group_by("term").aggregate([("df", "sum"), ("tf", "sum")])

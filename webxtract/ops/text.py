@@ -908,7 +908,13 @@ def _gram_hash_stream(batch: pa.Table, n: int):
     idx = np.nonzero(valid)[0]
     if idx.size == 0:
         return None
-    th = _hash64(flat.to_numpy(zero_copy_only=False))
+    # hash DISTINCT tokens once (Zipf: the dictionary is ~100x smaller
+    # than the stream) and scatter via the dictionary codes
+    flat_d = flat.dictionary_encode()
+    if isinstance(flat_d, pa.ChunkedArray):
+        flat_d = flat_d.combine_chunks()
+    codes = flat_d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    th = _hash64(flat_d.dictionary.to_numpy(zero_copy_only=False))[codes]
     acc = np.zeros(idx.size, np.uint64)
     with np.errstate(over="ignore"):
         for j in range(n):
@@ -1036,16 +1042,42 @@ def _dup_gram_ds(sf_dir: str, n: int, docs=None, key: str = "gram"):
 
     ds = docs if docs is not None \
         else read(sf_dir, "documents", columns=["doc_id", "text"])
-    col = "ghash" if key == "hash" else "gram"
-    part_fn = _ghash_partial if key == "hash" else _gram_partial
-    agg = (ds.map_batches(lambda b: part_fn(b, n),
+    if key == "hash":
+        # almost every gram is unique, so a per-KEY groupby aggregates
+        # ~0 rows away while paying per-group machinery for millions of
+        # groups (measured 29 s of a 33 s pass at 200k docs). The
+        # partitioned fold sorts each partition's int64 keys once and
+        # reduceats — same exchange volume, vectorized reduction.
+        from .relational import partitioned_map_groups
+
+        parts = ds.map_batches(lambda b: _ghash_partial(b, n),
+                               batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+        def fold(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"ghash": pa.array([], pa.int64())})
+            g = t.column("ghash").to_numpy()
+            nd = t.column("n_docs").to_numpy()
+            order = np.argsort(g, kind="stable")
+            g, nd = g[order], nd[order]
+            seg = np.nonzero(np.concatenate([[True],
+                                             g[1:] != g[:-1]]))[0]
+            sums = np.add.reduceat(nd, seg)
+            keep = sums >= 2
+            return pa.table({"ghash": pa.array(g[seg][keep],
+                                               pa.int64())})
+
+        return partitioned_map_groups(parts, "ghash", fold).materialize()
+
+    agg = (ds.map_batches(lambda b: _gram_partial(b, n),
                           batch_format="pyarrow", zero_copy_batch=True)
            .repartition(_default_parts())
-           .groupby(col).aggregate(Sum("n_docs", alias_name="n_docs")))
+           .groupby("gram").aggregate(Sum("n_docs", alias_name="n_docs")))
 
     def shared(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater_equal(t.column("n_docs"), pa.scalar(2)))
-        return t.select([col])
+        return t.select(["gram"])
 
     return agg.map_batches(shared, batch_format="pyarrow",
                            zero_copy_batch=True).materialize()

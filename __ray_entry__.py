@@ -256,6 +256,15 @@ def _emb_kmeans(sf_dir: str):
     return assignments
 
 
+def _emb_semdedup(sf_dir: str):
+    # threshold 0.3 for the same reason as emb_dup_pairs: the synthetic
+    # embeddings hold no true near-dups at a realistic 0.9, and 0.3
+    # exercises non-trivial removal within the learned clusters.
+    from webxtract.ops.knn import semdedup
+
+    return semdedup(_emb(sf_dir), k=8, iters=5, threshold=0.3)
+
+
 def _emb_knn_pq(sf_dir: str):
     """PQ-ADC ANN with exact refine (Jegou et al. 2011): 16-byte codes,
     m table lookups per vector, exact cosine only on the ADC shortlist
@@ -696,6 +705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative algorithms (unrolled-CTE oracles)
         "purchase_pagerank": _purchase_pagerank,
         "emb_kmeans": _emb_kmeans,
+        "emb_semdedup": _emb_semdedup,
         # span dedup suite (ExactSubstr)
         "docs_dup_spans": _docs_dup_spans,
         "docs_dup_span_frac": _docs_dup_span_frac,
@@ -931,18 +941,45 @@ def _kmeans_oracle(k: int = 8, iters: int = 5) -> str:
                         sum(nv.nv * (c.cval / cn.nrm)) AS cs
                  FROM nv JOIN cent{iters} c USING (dim)
                  JOIN cnormF cn ON cn.cluster = c.cluster
-                 GROUP BY 1, 2)
+                 GROUP BY 1, 2)""")
+    return ",".join(parts) + """
         SELECT vec_id, cluster, round_even(cs, 6) AS cosine
         FROM cosF
         QUALIFY row_number() OVER (PARTITION BY vec_id
-                                   ORDER BY cs DESC, cluster) = 1""")
-    return ",".join(parts)
+                                   ORDER BY cs DESC, cluster) = 1"""
+
+
+def _semdedup_oracle(k: int = 8, iters: int = 5,
+                     threshold: float = 0.3) -> str:
+    """DuckDB twin of ops.knn.semdedup: the kmeans CTE chain gives the
+    final assignments (asgF — bit-parity per _kmeans_oracle), then a
+    row survives iff NO lower-vec_id member of its cluster has
+    round(cosine, 6) >= threshold. The NOT EXISTS ranges over ALL
+    lower-id members (kept or removed) — the same rule the engine's
+    triangular scan applies, so the kept sets are identical."""
+    chain = _kmeans_oracle(k, iters)
+    chain = chain[:chain.index("\n        SELECT vec_id, cluster,")]
+    return chain + f""",
+        asgF AS (SELECT vec_id, cluster FROM cosF
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cs DESC, cluster) = 1)
+        SELECT a.vec_id, a.cluster
+        FROM asgF a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM asgF b
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+              AND round(list_cosine_similarity(
+                      ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]),
+                  6) >= {threshold})"""
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "docs_langid": _langid_oracle(),
         "emb_kmeans": _kmeans_oracle(),
+        "emb_semdedup": _semdedup_oracle(),
         "docs_shuffled": "SELECT doc_id, lang FROM documents",
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -1513,3 +1513,56 @@ def test_dup_span_frac_hash_key_equals_string_key(ray_session):
         a = canon(docs_dup_span_frac(sf, verify=verify, gram_key="gram"))
         b = canon(docs_dup_span_frac(sf, verify=verify, gram_key="hash"))
         assert a.equals(b), verify
+
+
+def test_semdedup_reference_and_invariance(ray_session):
+    """SemDeDup gates: (1) the kept set equals a brute-force reference
+    applying the paper's rule (within each final k-means cluster, drop
+    any vector whose 6-dp cosine to ANY lower-vec_id member reaches the
+    threshold); (2) kept set is invariant to input partitioning;
+    (3) planted exact twins: the higher-id copy is always removed."""
+    import ray.data as rd
+
+    from webxtract.ops import knn as K
+
+    base = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in base.take_all()}
+    # plant exact twins of vecs 0..4 at fresh high ids
+    hi = max(rows) + 1
+    twins = {hi + i: rows[i] for i in range(5)}
+    allrows = {**rows, **twins}
+    ids = np.array(sorted(allrows), dtype=np.int64)
+    emb = [allrows[v].astype(np.float32).tolist() for v in ids]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(emb, pa.list_(pa.float32())),
+    }))
+
+    kept = (K.semdedup(ds, k=4, iters=3, threshold=0.3).to_pandas()
+            .sort_values("vec_id").reset_index(drop=True))
+
+    # reference: same kmeans assignments, triangular scan per cluster
+    asg, _ = K.kmeans(ds, k=4, iters=3)
+    adf = asg.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    m = K._normalize(np.array([allrows[v] for v in adf.vec_id],
+                              dtype=np.float64))
+    expect = []
+    for cl in sorted(adf.cluster.unique()):
+        idx = np.nonzero((adf.cluster == cl).to_numpy())[0]
+        for pos, i in enumerate(idx):
+            cos = np.round(m[idx[:pos]] @ m[i], 6)
+            if pos == 0 or not (cos >= 0.3).any():
+                expect.append((int(adf.vec_id[i]), int(cl)))
+    expect.sort()
+    got = list(zip(kept.vec_id.astype(int), kept.cluster.astype(int)))
+    assert got == expect
+
+    # planted twins: each exact copy shares its original's cluster and
+    # threshold 0.3 < 1.0, so every twin must be removed
+    assert not (kept.vec_id >= hi).any()
+
+    # partitioning invariance
+    kept2 = (K.semdedup(ds.repartition(7), k=4, iters=3, threshold=0.3)
+             .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert kept.equals(kept2)

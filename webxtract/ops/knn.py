@@ -405,6 +405,84 @@ def kmeans(ds, k: int = 8, iters: int = 5):
     return out, cents
 
 
+def semdedup(ds, k: int = 8, iters: int = 5, threshold: float = 0.3):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
+    semantic dedup = k-means over the embedding column, then within each
+    cluster drop every vector whose cosine to ANY lower-vec_id cluster
+    member is >= threshold, keeping one canonical representative per
+    epsilon-ball. The paper keeps a centroid-distance extremum; min
+    vec_id is the deterministic, engine-independent winner here (and a
+    removed member still suppresses its own higher-id neighbours — the
+    same all-lower-members rule the SQL oracle's NOT EXISTS expresses,
+    so both engines compute the identical set).
+
+    Scale shape: the index build is the distributed ``kmeans`` above
+    (centroids broadcast per iteration, exact fixed-point partials);
+    the pairwise pass runs inside ``partitioned_map_groups("cluster")``
+    — per-worker cost is bounded by CLUSTER size, never corpus size.
+    At real scale pick k ~ N / (1k..4k) so clusters stay small (the
+    paper uses 50k clusters for LAION-440M); the per-cluster compare is
+    a chunked triangular matmul (O(m^2) work, O(m * chunk) memory).
+    The embedding column rides the one cluster exchange; at 10^12 rows
+    carry (vec_id, cluster) only and re-attach vectors with a
+    copartitioned join instead.
+
+    Returns the KEPT rows as (vec_id, cluster).
+    """
+    import ray
+
+    from .relational import partitioned_map_groups
+
+    _, cents = kmeans(ds, k=k, iters=iters)
+    ref = ray.put(cents)
+    slim = ds.select_columns(["vec_id", "embedding"])
+
+    def assign(batch: pa.Table, _ref=ref) -> pa.Table:
+        from ..broadcast import get_broadcast
+
+        cn = _normalize(np.asarray(get_broadcast(_ref), dtype=np.float64))
+        m = _emb_matrix(batch.column("embedding"))
+        a = (_normalize(m) @ cn.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("cluster", pa.array(a, pa.int64()))
+
+    assigned = slim.map_batches(assign, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cluster": pa.array([], pa.int64())})
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        cl = t.column("cluster").to_numpy().astype(np.int64)
+        order = np.lexsort((ids, cl))
+        ids, cl = ids[order], cl[order]
+        m = _normalize(_emb_matrix(t.column("embedding")))[order]
+        dup = np.zeros(len(ids), bool)
+        bounds = np.append(
+            np.nonzero(np.concatenate([[True], cl[1:] != cl[:-1]]))[0],
+            len(cl))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            n = e - s
+            if n < 2:
+                continue
+            sub = m[s:e]
+            # chunk rows so the cosine block stays ~32 MB regardless of m
+            step = max(1, 4_000_000 // n)
+            for c0 in range(1, n, step):
+                c1 = min(c0 + step, n)
+                cos = np.round(sub[c0:c1] @ sub[:c1].T, 6)
+                # mask j >= i (only strictly-lower ids count)
+                cos[np.arange(c1)[None, :]
+                    >= np.arange(c0, c1)[:, None]] = -2.0
+                dup[s + c0:s + c1] = (cos >= threshold).any(axis=1)
+        keep = ~dup
+        return pa.table({"vec_id": pa.array(ids[keep], pa.int64()),
+                         "cluster": pa.array(cl[keep], pa.int64())})
+
+    return partitioned_map_groups(assigned, "cluster", per_part)
+
+
 def knn_ivf_kmeans(ds, query_ids: list[int] | None = None, k: int = 10,
                    nprobe: int = 3, n_cells: int = 8, iters: int = 3):
     """IVF ANN over LEARNED k-means cells (no label column needed): the

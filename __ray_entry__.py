@@ -626,6 +626,27 @@ def _audios_envelope_dupes(sf_dir: str):
     return audios_envelope_dupes(sf_dir)
 
 
+def _videos_frame_sample(sf_dir: str):
+    """Real MJPEG frame sampling (oracled): deterministic concatenated-
+    JPEG videos -> marker-walk container split -> SOF0 header dims, one
+    row per every-2nd frame. The DuckDB twin computes the planted frame
+    counts/dims in closed form from doc_id, so parity proves the
+    byte-level plumbing."""
+    from webxtract.ops.media import videos_frame_sample
+
+    return videos_frame_sample(sf_dir)
+
+
+def _videos_mjpeg_dupes(sf_dir: str):
+    """Near-dup videos by frame-level perceptual matching: sampled
+    frames -> dhash64 -> banded LSH + hamming (frame keys) -> per-pair
+    distinct-matched-frame fold vs sampled counts (rows-only; planted
+    pairs asserted in tests/test_ops.py)."""
+    from webxtract.ops.media import videos_mjpeg_dupes
+
+    return videos_mjpeg_dupes(sf_dir)
+
+
 def _purchase_pagerank(sf_dir: str):
     """Fixed-point integer PageRank over the undirected customer-supplier
     purchase graph (5 iterations, damping 0.85): exact, partitioning-
@@ -762,6 +783,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_terms_cms": _docs_terms_cms,        # Count-Min estimate
         "images_phash_dupes": _images_phash_dupes,
         "audios_envelope_dupes": _audios_envelope_dupes,
+        "videos_frame_sample": _videos_frame_sample,
+        "videos_mjpeg_dupes": _videos_mjpeg_dupes,
         "pages_domain_stats": _pages_domain_stats,
         "events_users_hll": _events_users_hll,
         "events_type_users_hll": _events_type_users_hll,
@@ -980,6 +1003,19 @@ def oracle_sql() -> dict[str, str]:
         "docs_langid": _langid_oracle(),
         "emb_kmeans": _kmeans_oracle(),
         "emb_semdedup": _semdedup_oracle(),
+        # closed-form planted truth for the REAL MJPEG plumbing: the Ray
+        # side encodes, marker-splits and header-parses actual JPEG
+        # bytes; the oracle recomputes counts/dims from doc_id
+        # (synth_video_corpus: nf = 4 + seed % 5, dup drops one frame)
+        "videos_frame_sample": """
+            WITH v AS (
+                SELECT doc_id AS media_id,
+                       CASE WHEN doc_id % 10 = 5 THEN 3 + (doc_id - 1) % 5
+                            ELSE 4 + doc_id % 5 END AS n_frames
+                FROM documents)
+            SELECT media_id, unnest(range(0, n_frames, 2)) AS frame_idx,
+                   n_frames, 72 AS width, 64 AS height
+            FROM v""",
         "docs_shuffled": "SELECT doc_id, lang FROM documents",
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

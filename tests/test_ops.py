@@ -1566,3 +1566,75 @@ def test_semdedup_reference_and_invariance(ray_session):
     kept2 = (K.semdedup(ds.repartition(7), k=4, iters=3, threshold=0.3)
              .to_pandas().sort_values("vec_id").reset_index(drop=True))
     assert kept.equals(kept2)
+
+
+def test_split_mjpeg_marker_walk():
+    """MJPEG splitter gates: exact frame segmentation on clean streams,
+    robustness to an EOI byte-pair INSIDE a COM marker segment (a naive
+    FFD9 scan would split there; the marker walk must not), truncated
+    final frames dropped as data, and empty/None handled."""
+    from webxtract.ops.jpegcodec import decode_jpeg, encode_jpeg
+    from webxtract.ops.media import encode_mjpeg, split_mjpeg
+
+    rng = np.random.default_rng(11)
+    blocks = rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
+    frames = [np.ascontiguousarray(
+        np.repeat(np.repeat(np.roll(blocks, -k, axis=1), 8, 0), 8, 1))
+        for k in range(4)]
+    raw = encode_mjpeg(frames)
+    parts = split_mjpeg(raw)
+    assert len(parts) == 4
+    for k, p in enumerate(parts):
+        arr = decode_jpeg(p)
+        assert arr is not None and arr.shape == (64, 72, 3)
+
+    # plant FFD9 inside a COM segment of frame 0: inject right after SOI
+    jpg = encode_jpeg(frames[0])
+    com = b"\xff\xfe\x00\x06\xff\xd9\xff\xd8"  # len 6: 4 payload bytes
+    poisoned = jpg[:2] + com + jpg[2:]
+    got = split_mjpeg(poisoned + jpg)
+    assert len(got) == 2
+    assert decode_jpeg(got[1]) is not None
+    # naive scan would have cut frame 0 at the planted EOI
+    assert len(got[0]) == len(poisoned)
+
+    assert split_mjpeg(raw[:-3]) == parts[:-1]  # truncated tail dropped
+    assert split_mjpeg(b"") == [] and split_mjpeg(None) == []
+    # inter-frame padding skipped
+    assert len(split_mjpeg(parts[0] + b"\x00" * 7 + parts[1])) == 2
+
+
+def test_video_neardup_planted_and_join_equivalence(ray_session):
+    """Video near-dup gates over the deterministic MJPEG corpus: the
+    mined pairs are exactly the planted (i-1, i) re-encodes for
+    i % 10 == 5, the broadcast and join count-attachment paths agree,
+    and sampled-frame rows carry real SOF0 dims."""
+    import pyarrow.parquet as pq
+
+    from webxtract.ops.media import (sample_mjpeg_frames,
+                                     synth_video_corpus,
+                                     video_neardup_pairs)
+
+    sf = "/root/testdata/sf0.001"
+    ids = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id"]).column("doc_id").to_pylist()
+    expect = sorted((i - 1, i) for i in ids
+                    if i % 10 == 5 and (i - 1) in ids)
+
+    corpus = synth_video_corpus(sf)
+    frames = sample_mjpeg_frames(corpus, every_n=2).to_pandas()
+    assert (frames.width == 72).all() and (frames.height == 64).all()
+    assert (frames.frame_idx % 2 == 0).all()
+
+    results = {}
+    for verify in ("broadcast", "join"):
+        df = (video_neardup_pairs(synth_video_corpus(sf), every_n=2,
+                                  max_dist=4, min_overlap=0.5,
+                                  verify=verify).to_pandas()
+              .sort_values(["video_a", "video_b"])
+              .reset_index(drop=True))
+        got = sorted(zip(df.video_a.astype(int), df.video_b.astype(int)))
+        assert got == expect, verify
+        assert (df.overlap >= 0.5).all()
+        results[verify] = df[["video_a", "video_b", "matched"]]
+    assert results["broadcast"].equals(results["join"])

@@ -18,8 +18,13 @@ PNG decodes for real via the stdlib zlib path in ``imagecodec``
 (8-bit, all five color types, non-interlaced) and baseline JPEG via
 the pure-numpy T.81 decoder in ``jpegcodec`` (SOF0, 4:4:4/4:2:0,
 restart intervals; progressive/arithmetic yield ok=False DATA rows).
-Video frame sampling raises NotImplementedError (needs ffmpeg) — the
-one remaining honest gap."""
+Video: raw MJPEG streams (concatenated baseline JPEGs — the AVI
+'MJPG' / IP-camera payload format) split, sample and decode for REAL
+via a JPEG-marker walk + the T.81 codec (``split_mjpeg``,
+``sample_mjpeg_frames``, frame-level perceptual near-dup mining in
+``video_neardup_pairs``); containerized formats (mp4/mkv/webm) still
+raise NotImplementedError (need ffmpeg) — the one remaining honest
+gap."""
 
 from __future__ import annotations
 
@@ -173,12 +178,280 @@ class ExtractImageFeatures:
 
 
 def frame_sample_stub(batch: pa.Table, every_n: int = 10) -> pa.Table:
-    """Video frame-sampling stub: real frame decode needs ffmpeg (absent);
-    raises to make the gap explicit rather than silently fake."""
+    """Video frame-sampling stub for CONTAINER formats (mp4/mkv/webm):
+    real demux needs ffmpeg (absent); raises to make that gap explicit
+    rather than silently fake. Raw MJPEG streams (concatenated baseline
+    JPEGs — the AVI 'MJPG'/IP-camera payload format) decode for REAL
+    via split_mjpeg + the in-repo T.81 codec below."""
     raise NotImplementedError(
-        "video frame sampling requires ffmpeg, not available in this "
-        "environment; plumbing contract: media binary in, one row per "
-        "sampled frame out (flat_map shape)")
+        "containerized video (mp4/mkv/webm) requires ffmpeg, not "
+        "available in this environment; plumbing contract: media binary "
+        "in, one row per sampled frame out (flat_map shape). Raw MJPEG "
+        "is supported — see sample_mjpeg_frames.")
+
+
+# --- video: raw MJPEG streams (concatenated baseline JPEGs) ----------------
+
+
+def encode_mjpeg(frames: list[np.ndarray], quality: int = 95,
+                 subsampling: str = "444") -> bytes:
+    """Encode frames as a raw MJPEG stream: back-to-back baseline JFIF
+    images, the payload format of AVI 'MJPG' tracks and multipart IP
+    cameras (public format; each frame is self-contained T.81)."""
+    from .jpegcodec import encode_jpeg
+
+    return b"".join(encode_jpeg(f, quality=quality,
+                                subsampling=subsampling) for f in frames)
+
+
+def split_mjpeg(raw: bytes | None) -> list[bytes]:
+    """Exact frame segmentation of a raw MJPEG stream by walking the
+    JPEG marker structure (not a naive byte scan): marker segments are
+    skipped by their length fields — so FFD9 inside a COM/EXIF payload
+    can't split a frame — and in entropy-coded data every 0xFF is
+    either stuffed (FF00), a restart marker (FFD0-D7), or a real
+    marker, so the EOI that ends each frame is unambiguous. Trailing
+    garbage / truncated frames are dropped (data, not failures)."""
+    if not raw:
+        return []
+    frames: list[bytes] = []
+    n = len(raw)
+    i = 0
+    while i < n - 1:
+        if raw[i] != 0xFF or raw[i + 1] != 0xD8:
+            i += 1  # seek next SOI (skips inter-frame padding)
+            continue
+        start = i
+        i += 2
+        end = None
+        while i < n - 1:
+            if raw[i] != 0xFF:
+                i += 1  # entropy-coded byte
+                continue
+            m = raw[i + 1]
+            if m == 0xD9:  # EOI
+                end = i + 2
+                break
+            if m == 0x00 or 0xD0 <= m <= 0xD7:  # stuffing / RSTn
+                i += 2
+            elif m == 0xFF:  # fill byte before a marker
+                i += 1
+            elif m == 0x01:  # TEM, standalone
+                i += 2
+            else:  # marker segment with a 2-byte length
+                if i + 3 >= n:
+                    break
+                i += 2 + ((raw[i + 2] << 8) | raw[i + 3])
+        if end is None:
+            break  # truncated final frame: drop
+        frames.append(raw[start:end])
+        i = end
+    return frames
+
+
+_MAX_FRAMES = 1024  # frame-key packing: media_id * 1024 + frame_idx
+
+
+def _pack_frame_key(media_id: int, frame_idx: int) -> int:
+    if media_id >= (1 << 52) or media_id < 0:
+        raise ValueError(f"media_id {media_id} overflows frame-key "
+                         "packing (needs < 2^52)")
+    if frame_idx >= _MAX_FRAMES:
+        raise ValueError(f"frame_idx {frame_idx} >= {_MAX_FRAMES}")
+    return media_id * _MAX_FRAMES + frame_idx
+
+
+class SampleMJPEGFrames:
+    """Flat-shape stage: one MJPEG video row in -> one row per sampled
+    frame out (``frame_idx % every_n == 0``). Frame bytes stay JPEG
+    (downstream stages decode only what they need); width/height come
+    from the real SOF0 header of each sampled frame (jpeg_dims), and
+    undecodable/empty streams yield zero rows. Stateless — run in the
+    elastic task pool like PHashImage; batch_size small (blob rows)."""
+
+    def __init__(self, every_n: int = 1):
+        if every_n < 1:
+            raise ValueError("every_n must be >= 1")
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .jpegcodec import jpeg_dims
+
+        ids = batch.column("media_id").to_pylist()
+        blobs = batch.column("media").to_pylist()
+        o_id, o_idx, o_n, o_raw, o_w, o_h = [], [], [], [], [], []
+        for mid, raw in zip(ids, blobs):
+            frames = split_mjpeg(raw)
+            for k in range(0, len(frames), self.every_n):
+                dims = jpeg_dims(frames[k])
+                w, h = dims if dims else (-1, -1)
+                o_id.append(mid)
+                o_idx.append(k)
+                o_n.append(len(frames))
+                o_raw.append(frames[k])
+                o_w.append(w)
+                o_h.append(h)
+        return pa.table({
+            "media_id": pa.array(o_id, pa.int64()),
+            "frame_idx": pa.array(o_idx, pa.int64()),
+            "n_frames": pa.array(o_n, pa.int64()),
+            "media": pa.array(o_raw, pa.binary()),
+            "width": pa.array(o_w, pa.int32()),
+            "height": pa.array(o_h, pa.int32()),
+        })
+
+
+def sample_mjpeg_frames(ds, every_n: int = 1, batch_size: int = 16):
+    """media Dataset (media_id, media=MJPEG bytes) -> one row per
+    sampled frame (media_id, frame_idx, n_frames, media, width,
+    height). Task-pool map_batches: SampleMJPEGFrames holds no state."""
+    stage = SampleMJPEGFrames(every_n)
+    return ds.map_batches(lambda b: stage(b), batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)
+
+
+def video_neardup_pairs(ds, every_n: int = 2, max_dist: int = 4,
+                        min_overlap: float = 0.5, verify: str = "auto"):
+    """MJPEG video Dataset -> near-duplicate VIDEO pairs via frame-level
+    perceptual matching: sample every ``every_n``-th frame, dhash each
+    sampled frame, mine near-dup FRAME pairs with the shared banded-LSH
+    + hamming machinery (frame keys = media_id*1024 + frame_idx), then
+    fold frame matches to video pairs — a pair survives when the count
+    of DISTINCT matched frames of the lower video reaches
+    ``min_overlap`` x the smaller side's sampled-frame count. Pixels
+    never shuffle: only 8 B/frame signatures and the tiny pair lists.
+
+    Output: (video_a, video_b, matched, overlap) with video_a <
+    video_b (inherited from the candidate pairs' key order, since the
+    frame-key packing is monotone in media_id).
+
+    ``verify`` gates the per-video sampled-count attachment exactly
+    like the signature machinery: "broadcast" ships the counts dict
+    (8 B/video) once; "join" pays two hash joins on video id (the
+    100 TB path, counts never on the driver); "auto" picks by corpus
+    size (JOIN_VERIFY_MIN_DOCS)."""
+    import ray
+
+    from .dedup import JOIN_VERIFY_MIN_DOCS, banded_hamming_pairs
+    from .relational import partitioned_map_groups
+
+    frames = sample_mjpeg_frames(ds, every_n=every_n)
+
+    def to_sig_input(t: pa.Table) -> pa.Table:
+        keys = [_pack_frame_key(m, f) for m, f in
+                zip(t.column("media_id").to_pylist(),
+                    t.column("frame_idx").to_pylist())]
+        return pa.table({"media_id": pa.array(keys, pa.int64()),
+                         "media": t.column("media")})
+
+    phash = PHashImage()
+    sig = frames.map_batches(
+        lambda b: phash(to_sig_input(b)), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=64).materialize()
+    fpairs = banded_hamming_pairs(sig, max_dist, verify="auto")
+
+    # sampled-frame counts per video (one int per video)
+    counts = (frames.select_columns(["media_id"])
+              .groupby("media_id").count())
+
+    def unpack(t: pa.Table) -> pa.Table:
+        # frame-key pairs -> (video_a, video_b, frame_a); the fold must
+        # co-locate by VIDEO (all frame matches of a pair in one
+        # partition), so the video ids become columns before the
+        # exchange — partitioning on the raw frame key would split a
+        # pair's matches and undercount `matched` per partition
+        va = t.column("doc_a").to_numpy() // _MAX_FRAMES
+        fa = t.column("doc_a").to_numpy() % _MAX_FRAMES
+        vb = t.column("doc_b").to_numpy() // _MAX_FRAMES
+        keep = va != vb
+        return pa.table({
+            "video_a": pa.array(va[keep], pa.int64()),
+            "video_b": pa.array(vb[keep], pa.int64()),
+            "frame_a": pa.array(fa[keep], pa.int64()),
+        })
+
+    vids = fpairs.map_batches(unpack, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def fold(t: pa.Table) -> pa.Table:
+        # distinct matched lower-video frames per (video_a, video_b)
+        if t.num_rows == 0:
+            return pa.table({"video_a": pa.array([], pa.int64()),
+                             "video_b": pa.array([], pa.int64()),
+                             "matched": pa.array([], pa.int64())})
+        trip = np.unique(np.stack([t.column("video_a").to_numpy(),
+                                   t.column("video_b").to_numpy(),
+                                   t.column("frame_a").to_numpy()],
+                                  axis=1), axis=0)
+        pair, matched = np.unique(trip[:, :2], axis=0,
+                                  return_counts=True)
+        return pa.table({"video_a": pa.array(pair[:, 0], pa.int64()),
+                         "video_b": pa.array(pair[:, 1], pa.int64()),
+                         "matched": pa.array(matched, pa.int64())})
+
+    agg = partitioned_map_groups(vids, "video_a", fold)
+
+    n_videos = counts.count()
+    if verify == "auto":
+        verify = "join" if n_videos >= JOIN_VERIFY_MIN_DOCS else "broadcast"
+
+    if verify == "join":
+        from .dedup import _num_partitions
+
+        nparts = _num_partitions()
+        ca = counts.rename_columns({"media_id": "video_a",
+                                    "count()": "_n_a"})
+        cb = counts.rename_columns({"media_id": "video_b",
+                                    "count()": "_n_b"})
+        j = agg.join(ca, join_type="inner", num_partitions=nparts,
+                     on=("video_a",))
+        j = j.join(cb, join_type="inner", num_partitions=nparts,
+                   on=("video_b",))
+
+        def finish(t: pa.Table) -> pa.Table:
+            m = t.column("matched").to_numpy().astype(np.float64)
+            lo = np.minimum(t.column("_n_a").to_numpy(),
+                            t.column("_n_b").to_numpy())
+            ov = m / np.maximum(lo, 1)
+            keep = pa.array(ov >= min_overlap)
+            return pa.table({
+                "video_a": t.column("video_a").filter(keep),
+                "video_b": t.column("video_b").filter(keep),
+                "matched": t.column("matched").filter(keep),
+                "overlap": pa.array(np.round(ov, 6), pa.float64())
+                .filter(keep),
+            })
+
+        return j.map_batches(finish, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    cmap: dict[int, int] = {}
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        cmap.update(zip(b.column("media_id").to_pylist(),
+                        b.column("count()").to_pylist()))
+    ref = ray.put(cmap)
+
+    def finish_bc(t: pa.Table, _ref=ref) -> pa.Table:
+        from ..broadcast import get_broadcast
+
+        cm = get_broadcast(_ref)
+        m = t.column("matched").to_numpy().astype(np.float64)
+        lo = np.array([min(cm.get(a, 0), cm.get(b, 0)) for a, b in
+                       zip(t.column("video_a").to_pylist(),
+                           t.column("video_b").to_pylist())],
+                      dtype=np.float64)
+        ov = m / np.maximum(lo, 1)
+        keep = pa.array(ov >= min_overlap)
+        return pa.table({
+            "video_a": t.column("video_a").filter(keep),
+            "video_b": t.column("video_b").filter(keep),
+            "matched": t.column("matched").filter(keep),
+            "overlap": pa.array(np.round(ov, 6), pa.float64())
+            .filter(keep),
+        })
+
+    return agg.map_batches(finish_bc, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 # --- perceptual hashing + near-duplicate images ---------------------------
@@ -317,3 +590,81 @@ def images_phash_dupes(sf_dir: str):
     lossy JPEG leg; unrelated mosaics sit >=14 bits apart."""
     pairs = image_neardup_pairs(synth_image_corpus(sf_dir), max_dist=4)
     return pairs.sort(["doc_a", "doc_b"])
+
+
+def synth_video_corpus(sf_dir: str, n: int | None = None,
+                       quality: int = 95):
+    """Deterministic MJPEG corpus derived from the documents table ids:
+    video ``doc_id`` has ``4 + seed % 5`` frames (seed = doc_id), each
+    frame a seeded 8px-block mosaic on the same JPEG-DCT-aligned 9x8
+    grid as synth_image_corpus, frame k the base mosaic rolled k blocks
+    horizontally (distinct per-frame content, identical under
+    re-encode). Every 10th video (doc_id % 10 == 5) is a planted
+    near-dup of its predecessor: same seed, the LAST frame dropped, and
+    a 1-subpixel perturbation per frame — so its closed-form frame
+    count is ``4 + (doc_id - 1) % 5 - 1`` and every surviving frame
+    dhash drifts <=4 bits from the original's (same measured bound as
+    the image corpus; both legs pass through the identical encoder).
+    Pure plumbing fixture — real corpora read binary columns from
+    parquet."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    if n is not None:
+        ids = ids.limit(n)
+    try:
+        import ray
+
+        ids = ids.repartition(
+            max(2, int(ray.cluster_resources().get("CPU", 8))))
+    except Exception:
+        pass
+
+    def render(batch: pa.Table) -> pa.Table:
+        out_id, out_raw = [], []
+        for i in batch.column("doc_id").to_pylist():
+            dup = i % 10 == 5
+            seed = i - 1 if dup else i
+            rng = np.random.default_rng(seed + (1 << 40))  # video family
+            blocks = rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
+            nf = 4 + seed % 5 - (1 if dup else 0)
+            frames = []
+            for k in range(nf):
+                img = np.repeat(np.repeat(np.roll(blocks, -k, axis=1),
+                                          8, axis=0), 8, axis=1)
+                if dup:
+                    img = img.copy()
+                    img[0, 0, 0] ^= 1  # sub-threshold perturbation
+                frames.append(np.ascontiguousarray(img))
+            out_id.append(i)
+            out_raw.append(encode_mjpeg(frames, quality=quality))
+        return pa.table({"media_id": pa.array(out_id, pa.int64()),
+                         "media": pa.array(out_raw, pa.binary())})
+
+    return ids.map_batches(render, batch_format="pyarrow", batch_size=32)
+
+
+def videos_frame_sample(sf_dir: str):
+    """Query-surface wrapper, ORACLED: synthesize the deterministic
+    MJPEG corpus, sample every 2nd frame through the REAL container
+    split + SOF0 header parse, and report (media_id, frame_idx,
+    n_frames, width, height) per sampled frame. The DuckDB twin
+    computes the same rows in closed form from doc_id (frame counts
+    and the 72x64 dims are planted), so parity proves the byte-level
+    encode -> split -> header-decode plumbing end to end."""
+    frames = sample_mjpeg_frames(synth_video_corpus(sf_dir), every_n=2)
+    return frames.select_columns(
+        ["media_id", "frame_idx", "n_frames", "width", "height"])
+
+
+def videos_mjpeg_dupes(sf_dir: str):
+    """Query-surface wrapper: frame-level perceptual video near-dup
+    mining over the synthetic MJPEG corpus (rows-only: the planted
+    pairs (i-1, i) for i % 10 == 5 are asserted in tests/test_ops.py).
+    max_dist=4 absorbs the per-frame dhash drift of the planted
+    1-subpixel perturbation; min_overlap=0.5 tolerates the dropped
+    final frame."""
+    pairs = video_neardup_pairs(synth_video_corpus(sf_dir), every_n=2,
+                                max_dist=4, min_overlap=0.5)
+    return pairs.sort(["video_a", "video_b"])

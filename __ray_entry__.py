@@ -346,6 +346,40 @@ def _pages_line_dedup(sf_dir: str):
     return dedup_lines(res)
 
 
+def _docs_c4_clean(sf_dir: str):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): lines kept only
+    when they end in terminal punctuation, have >= 5 words and lack
+    'javascript'; pages kept with >= 3 kept lines and no 'lorem ipsum'
+    / '{'. Runs over deterministic multi-line pages synthesized in
+    closed form from (doc_id, line idx) so the DuckDB oracle rebuilds
+    the identical pages with string_split + string_agg; every rule
+    bites (sf0.001: 409/500 docs survive)."""
+    from webxtract.ops.text import docs_c4_clean
+
+    return docs_c4_clean(sf_dir)
+
+
+def _pages_c4_clean(sf_dir: str):
+    """The SAME c4_clean_batch stage pointed at the REAL multi-line
+    extraction output (one stats row per page: n_lines / n_kept /
+    c4_pass) — rows-only: reports how hard C4 would prune the real
+    corpus (sf0.001: 350/1000 pages pass — most receipt lines lack
+    terminal punctuation; rule semantics are oracled via docs_c4_clean
+    and unit-gated in tests/test_ops.py)."""
+    from webxtract import pipeline
+    from webxtract.ops.text import c4_clean_batch
+    from webxtract.testdata import pages_dataset, rows_for_sf_dir
+
+    ds = pages_dataset(sf_rows=rows_for_sf_dir(sf_dir))
+    res = pipeline.extract_pipeline(ds).select_columns(
+        ["url", "extracted_text"])
+    return res.map_batches(
+        lambda b: c4_clean_batch(b, id_col="url",
+                                 text_col="extracted_text")
+        .select(["url", "n_lines", "n_kept", "c4_pass"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _docs_line_dedup(sf_dir: str):
     """The SAME dedup_lines operator as pages_line_dedup, pointed at the
     documents table so the line-dedup semantics are DuckDB-oracled
@@ -756,6 +790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": _docs_repetition,
         "docs_split": _docs_split,
         "docs_pii_redact": _docs_pii_redact,
+        "docs_c4_clean": _docs_c4_clean,          # C4 rules (oracled)
         "docs_new_content": _docs_new_content,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_source_mix": _docs_source_mix,
@@ -796,6 +831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": _docs_minhash_pairs,
         "docs_simhash_pairs": _docs_simhash_pairs,
         "docs_dedup_clusters": _docs_dedup_clusters,
+        "pages_c4_clean": _pages_c4_clean,      # C4 stats, real pages
         "pages_line_dedup": _pages_line_dedup,  # CCNet line dedup over
         # extracted pages (input not SQL-visible; docs_line_dedup is the
         # hash-checked twin of the same operator)
@@ -1836,6 +1872,59 @@ r5 AS (
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
                         THEN 'val' ELSE 'train' END AS split
             FROM documents
+        """,
+        # C4 cleaning: the oracle REBUILDS the deterministic multi-line
+        # pages (5-token lines + closed-form suffix/poison plants from
+        # (doc_id, line idx) — see text._c4_synth_pages) and applies the
+        # same line/page rules, so parity pins the full rule chain:
+        # terminal-punct regex, word-count floor, javascript drop,
+        # >=3-kept-lines page gate, lorem-ipsum/brace page poison, and
+        # the kept-line newline join (via md5).
+        "docs_c4_clean": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1) AS i
+                FROM documents),
+            lines0 AS (
+                SELECT doc_id, (i - 1) // 5 AS li,
+                       string_agg(tok, ' ' ORDER BY i) AS line,
+                       count(*) AS nw
+                FROM toks GROUP BY doc_id, (i - 1) // 5),
+            lines1 AS (
+                SELECT doc_id, li,
+                       line || CASE WHEN (doc_id + li) % 11 = 4
+                                    THEN ' javascript' ELSE '' END
+                            || CASE WHEN (doc_id + li) % 3 <> 2
+                                    THEN '.' ELSE '' END AS line,
+                       nw + CASE WHEN (doc_id + li) % 11 = 4
+                                 THEN 1 ELSE 0 END AS nw
+                FROM lines0),
+            nl AS (SELECT doc_id, max(li) + 1 AS n0 FROM lines1
+                   GROUP BY doc_id),
+            extra AS (
+                SELECT doc_id, n0 AS li, 'lorem ipsum.' AS line, 2 AS nw
+                FROM nl WHERE doc_id % 53 = 13
+                UNION ALL
+                SELECT doc_id,
+                       n0 + CASE WHEN doc_id % 53 = 13 THEN 1 ELSE 0 END,
+                       '{ }.', 2
+                FROM nl WHERE doc_id % 47 = 11),
+            alllines AS (SELECT * FROM lines1 UNION ALL SELECT * FROM extra),
+            flags AS (
+                SELECT doc_id, li, line, nw,
+                       (regexp_matches(line, '[.!?"]$') AND nw >= 5
+                        AND NOT contains(lower(line), 'javascript')) AS kept
+                FROM alllines),
+            agg AS (
+                SELECT doc_id, count(*) AS n_lines,
+                       count(*) FILTER (WHERE kept) AS n_kept,
+                       md5(string_agg(line, chr(10) ORDER BY li)
+                           FILTER (WHERE kept)) AS clean_md5,
+                       bool_or(contains(lower(line), 'lorem ipsum')) AS lor,
+                       bool_or(contains(line, '{')) AS brc
+                FROM flags GROUP BY doc_id)
+            SELECT doc_id, n_lines, n_kept, clean_md5
+            FROM agg WHERE n_kept >= 3 AND NOT lor AND NOT brc
         """,
         "docs_pii_redact": r"""
             WITH planted AS (

@@ -1638,3 +1638,57 @@ def test_video_neardup_planted_and_join_equivalence(ray_session):
         assert (df.overlap >= 0.5).all()
         results[verify] = df[["video_a", "video_b", "matched"]]
     assert results["broadcast"].equals(results["join"])
+
+
+def test_c4_clean_rules():
+    """Each C4 rule (Raffel et al. 2020 §2.2) bites independently on a
+    crafted page set: terminal-punctuation line filter, 5-word floor,
+    javascript line drop, >=3-kept-lines page gate, lorem-ipsum /
+    curly-brace page poison, badwords param, and the kept-line join."""
+    import pyarrow as pa
+
+    from webxtract.ops.text import c4_clean_batch
+
+    good = "one two three four five."
+    pages = pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "text": pa.array([
+            # 0: clean page, 3 kept + 3 dropped (punct / words / js)
+            "\n".join([good, "a b c d e!", 'f g h i j"',
+                       "no terminal punct here at all",
+                       "four words only here.",
+                       "click here to enable JavaScript now."]),
+            # 1: only 2 kept lines -> page dropped
+            "\n".join([good, good.replace(".", "?"), "short line."]),
+            # 2: lorem ipsum poison (case-insensitive) despite 3 kept
+            "\n".join([good, good, good, "Lorem Ipsum dolor sit amet."]),
+            # 3: curly-brace poison despite 3 kept
+            "\n".join([good, good, good, "function f() { return 1; }"]),
+            # 4: exactly 3 kept, clean -> kept
+            "\n".join([good, good, good]),
+            # 5: badword poison (only when passed)
+            "\n".join([good, good, good, "badword ruins this page."]),
+            # 6: empty text
+            "",
+            # 7: question-mark terminal counts
+            "\n".join(["does this line have five words?"] * 3),
+        ]),
+    })
+    out = c4_clean_batch(pages)
+    assert out.column("doc_id").to_pylist() == list(range(8))
+    got = {r["doc_id"]: r for r in out.to_pylist()}
+    assert got[0]["n_lines"] == 6 and got[0]["n_kept"] == 3
+    assert got[0]["c4_pass"] is True
+    assert got[0]["clean_text"] == "\n".join(
+        [good, "a b c d e!", 'f g h i j"'])
+    assert got[1]["n_kept"] == 2 and got[1]["c4_pass"] is False
+    assert got[2]["n_kept"] == 4 and got[2]["c4_pass"] is False  # lorem
+    assert got[3]["c4_pass"] is False                            # brace
+    assert got[4]["c4_pass"] is True and got[4]["n_kept"] == 3
+    assert got[5]["c4_pass"] is True  # badwords default empty
+    out_bw = c4_clean_batch(pages, badwords=("BadWord",))
+    assert out_bw.to_pylist()[5]["c4_pass"] is False
+    assert out_bw.to_pylist()[4]["c4_pass"] is True
+    assert got[6]["n_kept"] == 0 and got[6]["c4_pass"] is False
+    assert got[6]["clean_text"] == ""
+    assert got[7]["c4_pass"] is True and got[7]["n_kept"] == 3

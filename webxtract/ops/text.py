@@ -2000,6 +2000,142 @@ def gopher_quality_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+# --- C4 line-level cleaning (Raffel et al. 2020) ----------------------------
+
+_C4_TERMINAL_RE = '[.!?"]$'
+
+
+def c4_clean_batch(batch: pa.Table, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   badwords: tuple[str, ...] = ()) -> pa.Table:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2, arXiv:1910.10683)
+    over newline-separated page text, fully vectorized (split/flatten
+    + Arrow RE2 kernels + bincount folds; no exchange — embarrassingly
+    parallel, so it composes into any corpus pipeline for free):
+
+      line kept <=> ends in terminal punctuation (. ! ? ") AND has
+                    >= 5 words (space-separated segments, the
+                    string_split semantics shared with the oracle)
+                    AND does not contain 'javascript'
+                    (case-insensitive)
+      page pass <=> >= 3 kept lines AND the RAW page text contains
+                    neither 'lorem ipsum' nor '{' nor any ``badwords``
+                    entry (case-insensitive; the published pipeline
+                    uses an external blocklist — pass your own, the
+                    default is empty)
+
+    Output: one row per page — (id, n_lines, n_kept, c4_pass,
+    clean_text = kept lines joined by newline; empty when none kept).
+    Callers filter on c4_pass for the cleaning semantics or keep all
+    rows as a quality-stats surface."""
+    n = batch.num_rows
+    text = batch.column(text_col)
+    lines = pc.split_pattern(text, pattern="\n")
+    flat = pc.list_flatten(lines).combine_chunks()
+    parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    n_words = pc.add(pc.count_substring(flat, " "), 1)
+    kept = pc.and_(pc.match_substring_regex(flat, _C4_TERMINAL_RE),
+                   pc.greater_equal(n_words, 5))
+    kept = pc.and_(kept, pc.invert(
+        pc.match_substring(flat, "javascript", ignore_case=True)))
+    kept_np = kept.to_numpy(zero_copy_only=False)
+    n_lines = np.bincount(parents, minlength=n).astype(np.int64)
+    n_kept = np.bincount(parents[kept_np], minlength=n).astype(np.int64)
+
+    poison = pc.or_(
+        pc.match_substring(text, "lorem ipsum", ignore_case=True),
+        pc.match_substring(text, "{"))
+    for w in badwords:
+        poison = pc.or_(poison, pc.match_substring(text, w,
+                                                   ignore_case=True))
+    c4_pass = (n_kept >= 3) & ~poison.to_numpy(zero_copy_only=False)
+
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_kept, out=offsets[1:])
+    kept_flat = flat.filter(kept)
+    if isinstance(kept_flat, pa.ChunkedArray):
+        kept_flat = kept_flat.combine_chunks()
+    kept_list = pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()), kept_flat)
+    clean = pc.binary_join(kept_list, "\n")
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "n_kept": pa.array(n_kept, pa.int64()),
+        "c4_pass": pa.array(c4_pass, pa.bool_()),
+        "clean_text": clean,
+    })
+
+
+def _c4_synth_pages(batch: pa.Table) -> pa.Table:
+    """Deterministic multi-line page synthesis from the single-line
+    documents text, closed-form in (doc_id, line index) so the DuckDB
+    oracle reconstructs the IDENTICAL pages in SQL: tokens grouped 5
+    per line; line ``li`` gets ' javascript' appended when
+    (doc_id+li) % 11 == 4 and a terminal '.' when (doc_id+li) % 3 != 2;
+    doc_id % 53 == 13 appends a final 'lorem ipsum.' line and
+    doc_id % 47 == 11 a '{ }.' line (page-level poison). Every C4 rule
+    bites on this corpus (sf0.001: 409/500 docs survive)."""
+    n = batch.num_rows
+    doc_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    toks = pc.split_pattern(batch.column("text"), pattern=" ")
+    flat = pc.list_flatten(toks).combine_chunks()
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    counts = np.bincount(parents, minlength=n)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = np.arange(parents.size, dtype=np.int64) - starts[parents]
+    bounds = np.flatnonzero(within % 5 == 0)
+    line_list = pa.LargeListArray.from_arrays(
+        pa.array(np.append(bounds, parents.size), pa.int64()), flat)
+    base = pc.binary_join(line_list, " ")
+    line_doc = parents[bounds]
+    li = within[bounds] // 5
+    key = doc_np[line_doc] + li
+    line_txt = pc.binary_join_element_wise(
+        base,
+        pa.array(np.where(key % 11 == 4, " javascript", "")),
+        pa.array(np.where(key % 3 != 2, ".", "")),
+        "")
+    per_doc = np.bincount(line_doc, minlength=n)
+    page_list = pa.LargeListArray.from_arrays(
+        pa.array(np.concatenate(([0], np.cumsum(per_doc))), pa.int64()),
+        line_txt.combine_chunks()
+        if isinstance(line_txt, pa.ChunkedArray) else line_txt)
+    page = pc.binary_join_element_wise(
+        pc.binary_join(page_list, "\n"),
+        pa.array(np.where(doc_np % 53 == 13, "\nlorem ipsum.", "")),
+        pa.array(np.where(doc_np % 47 == 11, "\n{ }.", "")),
+        "")
+    return pa.table({"doc_id": batch.column("doc_id"), "text": page})
+
+
+def docs_c4_clean(sf_dir: str):
+    """C4-cleaned documents corpus over the deterministic synthetic
+    multi-line pages: (doc_id, n_lines, n_kept, clean_md5) for pages
+    that pass — md5 keeps the compared payload slim while pinning the
+    exact kept-line join. Oracled (DuckDB rebuilds the pages with
+    string_split + string_agg and applies the same rules)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = c4_clean_batch(_c4_synth_pages(batch))
+        keep = out.column("c4_pass")
+        out = out.filter(keep)
+        return pa.table({
+            "doc_id": out.column("doc_id"),
+            "n_lines": out.column("n_lines"),
+            "n_kept": out.column("n_kept"),
+            "clean_md5": pa.array(
+                md5_hex(out.column("clean_text").to_pylist()), pa.string()),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def docs_temperature_mix(sf_dir: str, tau: float = 0.7,
                          scale: float = 0.5):
     """Temperature-weighted training mixture (the multilingual-corpus

@@ -1692,3 +1692,50 @@ def test_c4_clean_rules():
     assert got[6]["n_kept"] == 0 and got[6]["c4_pass"] is False
     assert got[6]["clean_text"] == ""
     assert got[7]["c4_pass"] is True and got[7]["n_kept"] == 3
+
+
+def test_nb_quality_learns_and_modes_agree(ray_session):
+    """NB classifier gates: train accuracy comfortably beats the
+    majority-class baseline (the planted rule is genuinely recovered
+    from bag-of-words evidence), broadcast and join modes produce
+    IDENTICAL integer scores, and the output is invariant to input
+    partitioning (the fixed-point discipline)."""
+    import ray.data as rd
+
+    from webxtract.ops.text import docs_nb_quality
+
+    sf = "/root/testdata/sf0.001"
+    out = {}
+    for mode in ("broadcast", "join"):
+        df = (docs_nb_quality(sf, mode=mode).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+        acc = (df.pred == df.label).mean()
+        base = max((df.label == 1).mean(), (df.label == -1).mean())
+        assert acc > base + 0.15, (mode, acc, base)
+        assert df.score.dtype == "int64"
+        out[mode] = df
+    assert out["broadcast"].equals(out["join"])
+
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n_docs = docs.count()
+    assert len(out["broadcast"]) == n_docs
+
+
+def test_ccnet_buckets_thirds(ray_session):
+    """CCNet bucketing gates: every doc bucketed, SQL-NTILE sizes
+    (first total%3 buckets one larger), and head really is the
+    higher-logprob slice."""
+    from webxtract.ops.text import docs_ccnet_buckets
+
+    df = (docs_ccnet_buckets("/root/testdata/sf0.001").to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    total = len(df)
+    sizes = df.bucket.value_counts().to_dict()
+    q, r = divmod(total, 3)
+    expect = sorted([q + 1] * r + [q] * (3 - r), reverse=True)
+    assert sorted(sizes.values(), reverse=True) == expect
+    assert df[df.bucket == "head"].mean_logprob.min() >= \
+        df[df.bucket == "middle"].mean_logprob.max() - 1e-9
+    assert df[df.bucket == "middle"].mean_logprob.min() >= \
+        df[df.bucket == "tail"].mean_logprob.max() - 1e-9

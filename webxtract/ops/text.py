@@ -627,6 +627,231 @@ def docs_unigram_logprob(sf_dir: str, mode: str = "auto"):
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_NB_SCALE = 1_000_000  # micro-nat fixed point for NB log-ratio weights
+
+
+def _nb_labels(batch: pa.Table) -> np.ndarray:
+    """Planted lexical-preference label, closed-form in the text so the
+    oracle recomputes it: y = +1 iff count('data') > count('spark')
+    (token equality, not substring). The synthetic corpus carries no
+    organic quality signal, so the training target is planted — the
+    classifier must RECOVER the rule from hashed-free bag-of-words
+    evidence (93% train accuracy vs the 64% majority baseline at
+    sf0.001)."""
+    n = batch.num_rows
+    toks = pc.split_pattern(batch.column("text"), pattern=" ")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    cd = np.bincount(parents[pc.equal(flat, "data").to_numpy(
+        zero_copy_only=False)], minlength=n)
+    cs = np.bincount(parents[pc.equal(flat, "spark").to_numpy(
+        zero_copy_only=False)], minlength=n)
+    return np.where(cd > cs, 1, -1).astype(np.int64)
+
+
+def docs_nb_quality(sf_dir: str, mode: str = "auto"):
+    """Supervised quality classifier: multinomial Naive Bayes with
+    Laplace smoothing (the one-pass analog of the linear quality
+    filters used to select web training data, e.g. the GPT-3/WebText
+    logistic classifier) — trained and applied distributed, with
+    INTEGER micro-nat weights so every score is bit-deterministic and
+    partitioning-independent (the same fixed-point discipline as
+    kmeans/PageRank):
+
+      lr(t)  = round(ln((n_t+ +1)(N- +V) / ((n_t- +1)(N+ +V))) * 1e6)
+      score  = sum over token occurrences of lr(term) + prior,
+               prior = round(ln(d+ / d-) * 1e6);  pred = score > 0
+
+    Train = ONE counting pass: per-batch (term, n_pos, n_neg) partials
+    -> grouped sum (vocabulary-bounded exchange, the docs_unigram
+    shape) + a tiny (d+, d-) scalar fold. Inference below the
+    VOCAB_BROADCAST_MAX_TERMS gate broadcasts the weight table and
+    scores each batch with one index_in + int64 np.add.at (exact);
+    above it, the exploded (doc, term, tf) stream hash-joins the
+    distributed weight table and one doc-keyed exchange folds score
+    AND label (float64 products are exact below 2^53; |score| here is
+    bounded by tokens_per_doc * ln(corpus_tokens) * 1e6 ~ 6.5e13 for a
+    1M-token doc over 10^12 tokens). Labels are the planted
+    closed-form rule (see _nb_labels). Output: (doc_id, label, score,
+    pred). Oracled (unnest + conditional-agg CTE, bit-exact integer
+    scores); broadcast==join equivalence-gated."""
+    import ray
+    import ray.data as rd
+
+    from .relational import (broadcast_lookup, partitioned_map_groups)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = _nb_labels(batch)
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        flat = pc.list_flatten(toks).dictionary_encode()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        codes = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = max(len(flat.dictionary), 1)
+        pos = y[parents] > 0
+        return pa.table({
+            "term": flat.dictionary.take(pa.array(
+                np.arange(nv, dtype=np.int64))),
+            "n_pos": pa.array(np.bincount(codes[pos], minlength=nv)
+                              .astype(np.int64), pa.int64()),
+            "n_neg": pa.array(np.bincount(codes[~pos], minlength=nv)
+                              .astype(np.int64), pa.int64()),
+        })
+
+    def sum_terms(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate([("n_pos", "sum"),
+                                          ("n_neg", "sum")])
+        return pa.table({"term": g.column("term"),
+                         "n_pos": g.column("n_pos_sum").cast(pa.int64()),
+                         "n_neg": g.column("n_neg_sum").cast(pa.int64())})
+
+    terms = partitioned_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), "term",
+        sum_terms).materialize()
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        y = _nb_labels(batch)
+        return pa.table({"dp": pa.array([int((y > 0).sum())], pa.int64()),
+                         "dn": pa.array([int((y < 0).sum())], pa.int64())})
+
+    dcounts = ds.map_batches(doc_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    dp = dcounts.sum("dp")
+    dn = dcounts.sum("dn")
+    v_size = terms.count()
+    n_pos_tot = terms.sum("n_pos") or 0
+    n_neg_tot = terms.sum("n_neg") or 0
+    prior = int(np.round(np.log(dp / dn) * _NB_SCALE))
+
+    def _lr(n_pos: np.ndarray, n_neg: np.ndarray) -> np.ndarray:
+        num = (n_pos.astype(np.float64) + 1) * (n_neg_tot + v_size)
+        den = (n_neg.astype(np.float64) + 1) * (n_pos_tot + v_size)
+        return np.round(np.log(num / den) * _NB_SCALE).astype(np.int64)
+
+    if _resolve_vocab_mode(mode, terms) == "join":
+        w_ds = terms.map_batches(
+            lambda t: pa.table({
+                "term": t.column("term"),
+                "lr": pa.array(_lr(t.column("n_pos").to_numpy(),
+                                   t.column("n_neg").to_numpy()),
+                               pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        tf_ds = ds.map_batches(_doc_term_freqs, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        joined = _vocab_join(tf_ds, w_ds, "lr",
+                             lambda tf, lr: tf * lr)
+
+        def nb_fold(part: pa.Table) -> pa.Table:
+            if part.num_rows == 0:
+                return pa.table({
+                    "doc_id": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                    "pred": pa.array([], pa.int64())})
+            doc = part.column("doc_id").to_numpy()
+            docs = np.unique(doc)
+            idx = np.searchsorted(docs, doc)
+            # tf*lr products and their per-doc sums are integers below
+            # 2^53: float64 bincount is exact, int64 cast is lossless
+            score = np.bincount(
+                idx, weights=part.column("score").to_numpy(),
+                minlength=len(docs)).astype(np.int64) + prior
+            tf = part.column("tf").to_numpy()
+            is_d = pc.equal(part.column("term"), "data").to_numpy(
+                zero_copy_only=False)
+            is_s = pc.equal(part.column("term"), "spark").to_numpy(
+                zero_copy_only=False)
+            cd = np.bincount(idx, weights=tf * is_d, minlength=len(docs))
+            cs = np.bincount(idx, weights=tf * is_s, minlength=len(docs))
+            label = np.where(cd > cs, 1, -1).astype(np.int64)
+            return pa.table({
+                "doc_id": pa.array(docs, pa.int64()),
+                "label": pa.array(label, pa.int64()),
+                "score": pa.array(score, pa.int64()),
+                "pred": pa.array(np.where(score > 0, 1, -1)
+                                 .astype(np.int64), pa.int64())})
+
+        return partitioned_map_groups(joined, "doc_id", nb_fold)
+
+    vocab_ref = broadcast_lookup(terms, "term", ["n_pos", "n_neg"])
+
+    def _w_table(build) -> tuple[pa.Array, np.ndarray]:
+        keys, (n_pos, n_neg) = build
+        return keys, _lr(n_pos.to_numpy(), n_neg.to_numpy())
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..broadcast import get_broadcast_derived
+
+        keys, lr_vals = get_broadcast_derived(vocab_ref, "nb_lr",
+                                              _w_table)
+        y = _nb_labels(batch)
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        idx = pc.index_in(flat, value_set=keys).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sums = np.full(batch.num_rows, prior, dtype=np.int64)
+        np.add.at(sums, parents, lr_vals[idx])
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "label": pa.array(y, pa.int64()),
+            "score": pa.array(sums, pa.int64()),
+            "pred": pa.array(np.where(sums > 0, 1, -1).astype(np.int64),
+                             pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def docs_ccnet_buckets(sf_dir: str, n_buckets: int = 3):
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.4): rank every document by language-model
+    quality and split the corpus into equal thirds — 'head' = the
+    most-typical third, used as the premium training slice. The LM
+    score is the corpus-unigram mean log-prob shared with
+    docs_unigram_logprob (its perplexity stand-in; already
+    hash-oracled), ranked DESC with doc_id as the total-order
+    tie-break, bucketed with SQL NTILE semantics via
+    global_row_number (sorted blocks never leave the object store;
+    the driver sees one count per block). Output: (doc_id,
+    mean_logprob, bucket). Oracled (same unnest+join+avg(ln) CTE +
+    NTILE(3) window)."""
+    from .relational import global_row_number, parquet_rows
+
+    labels = ["head", "middle", "tail"] if n_buckets == 3 else [
+        f"b{i+1}" for i in range(n_buckets)]
+    scores = docs_unigram_logprob(sf_dir)
+    rn = global_row_number(scores, ["mean_logprob", "doc_id"],
+                           descending=[True, False], rn_col="rn")
+    total = parquet_rows(sf_dir, "documents")
+    q, r = divmod(total, n_buckets)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        rnv = t.column("rn").to_numpy()
+        if q == 0:
+            tile = np.minimum(rnv, n_buckets)
+        else:
+            big = r * (q + 1)
+            tile = np.where(rnv <= big, (rnv - 1) // (q + 1) + 1,
+                            r + (rnv - big - 1) // max(q, 1) + 1)
+        lab = pa.array(np.asarray(labels)[tile.astype(np.int64) - 1])
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "mean_logprob": t.column("mean_logprob"),
+            "bucket": lab,
+        })
+
+    return rn.map_batches(bucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 # --- fingerprinting -------------------------------------------------------
 
 _FP_BASE = np.uint64(1099511628211)   # FNV prime as polynomial base

@@ -346,6 +346,16 @@ def _pages_line_dedup(sf_dir: str):
     return dedup_lines(res)
 
 
+def _docs_inverted_index(sf_dir: str):
+    """Retrieval-index build: one term-keyed exchange of (doc, term,
+    tf), vectorized per-partition fold -> exact df / tf_total + the
+    first-10 sorted posting ids per term (bounded output; a real index
+    spills full postings to partitioned parquet from the same fold)."""
+    from webxtract.ops.text import docs_inverted_index
+
+    return docs_inverted_index(sf_dir)
+
+
 def _docs_nb_quality(sf_dir: str):
     """Supervised quality classifier: one-pass multinomial Naive Bayes
     with integer micro-nat weights (bit-deterministic, the kmeans
@@ -702,6 +712,17 @@ def _videos_mjpeg_dupes(sf_dir: str):
     return videos_mjpeg_dupes(sf_dir)
 
 
+def _parts_triangles(sf_dir: str):
+    """Exact triangle count of the co-order part graph (parts linked
+    when they share an order): bitset-adjacency popcount below the
+    node/edge gates, degree-oriented wedge-generation + one
+    copartitioned wedge-vs-edge match above (the 100 TB shape);
+    bitset == join equivalence pytest-gated."""
+    from webxtract.ops.graph import triangle_count
+
+    return triangle_count(sf_dir)
+
+
 def _purchase_pagerank(sf_dir: str):
     """Fixed-point integer PageRank over the undirected customer-supplier
     purchase graph (5 iterations, damping 0.85): exact, partitioning-
@@ -814,6 +835,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_c4_clean": _docs_c4_clean,          # C4 rules (oracled)
         "docs_ccnet_buckets": _docs_ccnet_buckets,  # head/middle/tail
         "docs_nb_quality": _docs_nb_quality,        # NB classifier
+        "docs_inverted_index": _docs_inverted_index,
+        "parts_triangles": _parts_triangles,        # graph triangles
         "docs_new_content": _docs_new_content,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_source_mix": _docs_source_mix,
@@ -1895,6 +1918,34 @@ r5 AS (
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
                         THEN 'val' ELSE 'train' END AS split
             FROM documents
+        """,
+        "parts_triangles": """
+            WITH e AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey)
+            SELECT
+                (SELECT count(DISTINCT s) FROM
+                    (SELECT u AS s FROM e UNION SELECT v FROM e))
+                    AS n_nodes,
+                (SELECT count(*) FROM e) AS n_edges,
+                (SELECT count(*) FROM e x
+                    JOIN e y ON x.v = y.u
+                    JOIN e z ON z.u = x.u AND z.v = y.v) AS n_triangles
+        """,
+        "docs_inverted_index": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM tok GROUP BY doc_id, term)
+            SELECT term, count(*) AS df, sum(tf) AS tf_total,
+                   array_to_string(
+                       (list(doc_id ORDER BY doc_id))[1:10], ',')
+                       AS postings_head
+            FROM tf GROUP BY term
         """,
         # Naive Bayes quality classifier: bit-exact integer micro-nat
         # scores (round(ln(ratio)*1e6) per term, integer occurrence

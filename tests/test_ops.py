@@ -1739,3 +1739,33 @@ def test_ccnet_buckets_thirds(ray_session):
         df[df.bucket == "middle"].mean_logprob.max() - 1e-9
     assert df[df.bucket == "middle"].mean_logprob.min() >= \
         df[df.bucket == "tail"].mean_logprob.max() - 1e-9
+
+
+def test_triangle_count_paths_agree(ray_session):
+    """Triangle-count gates: bitset and join paths produce identical
+    exact counts (the DuckDB truth is pinned by the parity test), the
+    bitset gate raises when forced beyond its bounds, and results are
+    invariant to partitioning (both paths fold integers)."""
+    import pytest
+
+    import webxtract.ops.graph as G
+
+    sf = "/root/testdata/sf0.001"
+    out = {}
+    for mode in ("bitset", "join"):
+        df = G.triangle_count(sf, verify=mode).to_pandas()
+        out[mode] = (int(df.n_nodes[0]), int(df.n_edges[0]),
+                     int(df.n_triangles[0]))
+    assert out["bitset"] == out["join"]
+    assert out["bitset"] == (200, 8899, 125968)  # DuckDB triple-join truth
+
+    orig = G.TRI_BITSET_MAX_NODES
+    try:
+        G.TRI_BITSET_MAX_NODES = 10
+        with pytest.raises(ValueError, match="gated"):
+            G.triangle_count(sf, verify="bitset")
+        # auto falls back to join under the tightened gate
+        df = G.triangle_count(sf, verify="auto").to_pandas()
+        assert int(df.n_triangles[0]) == 125968
+    finally:
+        G.TRI_BITSET_MAX_NODES = orig

@@ -627,6 +627,60 @@ def docs_unigram_logprob(sf_dir: str, mode: str = "auto"):
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def docs_inverted_index(sf_dir: str, head: int = 10):
+    """Inverted-index construction (the retrieval-engine build step):
+    one term-keyed exchange of the exploded (doc_id, term, tf) stream
+    (the same slim shape the join-mode TF-IDF shuffles), then a
+    vectorized per-partition fold — lexsort by (term, doc), boundary
+    scan, reduceat — emitting per term: exact document frequency,
+    exact total term count, and the FIRST ``head`` doc ids of the
+    sorted posting list as ``postings_head``. The cap is the honest
+    scale answer: a stopword's full posting list is corpus-sized, so
+    the materialized index row stays bounded while df/tf_total remain
+    exact (a real index would spill the full postings per term to
+    partitioned parquet from the same fold). Output: (term, df,
+    tf_total, postings_head). Oracled (DuckDB list(ORDER BY)[1:head]
+    + string_agg)."""
+    import ray.data as rd
+
+    from .relational import partitioned_map_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    tf_ds = ds.map_batches(_doc_term_freqs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "tf_total": pa.array([], pa.int64()),
+                "postings_head": pa.array([], pa.string())})
+        enc = part.column("term").dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = part.column("doc_id").to_numpy()
+        tf = part.column("tf").to_numpy()
+        order = np.lexsort((doc, codes))
+        codes_s, doc_s, tf_s = codes[order], doc[order], tf[order]
+        bounds = np.flatnonzero(np.diff(codes_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(codes_s)]))
+        heads = [",".join(map(str, doc_s[s:min(s + head, e)]))
+                 for s, e in zip(starts, ends)]  # one join per TERM
+        return pa.table({
+            "term": enc.dictionary.take(pa.array(codes_s[starts],
+                                                 pa.int64())),
+            "df": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            "tf_total": pa.array(np.add.reduceat(tf_s, starts)
+                                 .astype(np.int64), pa.int64()),
+            "postings_head": pa.array(heads, pa.string())})
+
+    return partitioned_map_groups(tf_ds, "term", fold)
+
+
 _NB_SCALE = 1_000_000  # micro-nat fixed point for NB log-ratio weights
 
 

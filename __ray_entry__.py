@@ -712,6 +712,17 @@ def _videos_mjpeg_dupes(sf_dir: str):
     return videos_mjpeg_dupes(sf_dir)
 
 
+def _parts_kcore(sf_dir: str):
+    """k-core (k=65) of the co-order part graph by synchronized
+    peeling: per round one |nodes|-bounded degree fold + broadcast
+    survivor filter over the pinned packed edges; fixed 6-round budget
+    unrolled identically by the DuckDB oracle (the k-core fixpoint is
+    unique, so early-stop == full unroll)."""
+    from webxtract.ops.graph import kcore
+
+    return kcore(sf_dir)
+
+
 def _parts_triangles(sf_dir: str):
     """Exact triangle count of the co-order part graph (parts linked
     when they share an order): bitset-adjacency popcount below the
@@ -837,6 +848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_nb_quality": _docs_nb_quality,        # NB classifier
         "docs_inverted_index": _docs_inverted_index,
         "parts_triangles": _parts_triangles,        # graph triangles
+        "parts_kcore": _parts_kcore,                # k-core peeling
         "docs_new_content": _docs_new_content,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_source_mix": _docs_source_mix,
@@ -980,6 +992,37 @@ def _langid_oracle() -> str:
                COALESCE(p.score, 0.0) AS lang_score
         FROM documents d LEFT JOIN pick p USING (doc_id)
     """
+
+
+def _kcore_oracle(k: int = 65, rounds: int = 6) -> str:
+    """DuckDB twin of ops.graph.kcore: the synchronized peeling rounds
+    UNROLLED as a CTE chain (the kmeans/PageRank-oracle pattern).
+    Each round recomputes degrees over the surviving edge set and
+    keeps nodes with deg >= k; the k-core is the unique fixpoint, so
+    extra rounds past convergence are no-ops and the fixed unroll
+    equals the Ray side's early-stopped loop."""
+    parts = ["""e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey)"""]
+    for r in range(rounds):
+        parts.append(f"""d{r} AS MATERIALIZED (
+        SELECT s AS node, count(*) AS deg
+        FROM (SELECT u AS s FROM e{r} UNION ALL SELECT v FROM e{r})
+        GROUP BY s)""")
+        parts.append(f"""n{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k})""")
+        parts.append(f"""e{r + 1} AS MATERIALIZED (
+        SELECT u, v FROM e{r}
+        WHERE u IN (SELECT node FROM n{r})
+          AND v IN (SELECT node FROM n{r}))""")
+    parts.append(f"""dF AS MATERIALIZED (
+        SELECT s AS node, count(*) AS deg
+        FROM (SELECT u AS s FROM e{rounds} UNION ALL
+              SELECT v FROM e{rounds})
+        GROUP BY s)""")
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT node, deg FROM dF")
 
 
 def _kmeans_oracle(k: int = 8, iters: int = 5) -> str:
@@ -1919,6 +1962,7 @@ r5 AS (
                         THEN 'val' ELSE 'train' END AS split
             FROM documents
         """,
+        "parts_kcore": _kcore_oracle(),
         "parts_triangles": """
             WITH e AS (
                 SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

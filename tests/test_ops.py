@@ -1769,3 +1769,22 @@ def test_triangle_count_paths_agree(ray_session):
         assert int(df.n_triangles[0]) == 125968
     finally:
         G.TRI_BITSET_MAX_NODES = orig
+
+
+def test_kcore_peeling(ray_session):
+    """k-core gates: the planted k=65 core matches the closed-form
+    prototype counts, a k above the max degree empties the core, the
+    k-core property holds (every member's in-core degree >= k), and
+    the rounds budget raise fires when peeling can't converge."""
+    import pytest
+
+    from webxtract.ops.graph import kcore
+
+    sf = "/root/testdata/sf0.001"
+    df = kcore(sf).to_pandas()
+    assert len(df) == 188  # numpy peeling prototype truth
+    assert (df.deg >= 65).all()
+
+    assert len(kcore(sf, k=10_000).to_pandas()) == 0
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(sf, k=75, rounds=2)  # needs 4 rounds to empty

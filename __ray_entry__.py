@@ -712,6 +712,18 @@ def _videos_mjpeg_dupes(sf_dir: str):
     return videos_mjpeg_dupes(sf_dir)
 
 
+def _parts_fuzzy_match(sf_dir: str):
+    """Fuzzy record linkage (SymSpell deletion-neighborhood join + a
+    vectorized O(L) lev<=1 verifier, never a DP table): deterministic
+    one-edit dirty names matched back to unique canonicals by argmin
+    (distance, id). The oracle replays it as all-pairs levenshtein +
+    a window argmin — exact, including the distance-0 cross-matches a
+    deleted key digit can create."""
+    from webxtract.ops.fuzzy import parts_fuzzy_match
+
+    return parts_fuzzy_match(sf_dir)
+
+
 def _parts_kcore(sf_dir: str):
     """k-core (k=65) of the co-order part graph by synchronized
     peeling: per round one |nodes|-bounded degree fold + broadcast
@@ -849,6 +861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_inverted_index": _docs_inverted_index,
         "parts_triangles": _parts_triangles,        # graph triangles
         "parts_kcore": _parts_kcore,                # k-core peeling
+        "parts_fuzzy_match": _parts_fuzzy_match,    # edit-dist linkage
         "docs_new_content": _docs_new_content,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_source_mix": _docs_source_mix,
@@ -1961,6 +1974,37 @@ r5 AS (
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
                         THEN 'val' ELSE 'train' END AS split
             FROM documents
+        """,
+        # fuzzy linkage: the oracle is the ALL-PAIRS levenshtein argmin
+        # the distributed path must reproduce without the n^2 scan
+        "parts_fuzzy_match": """
+            WITH canon AS (
+                SELECT p_partkey, p_name || ' #' || p_partkey AS cname
+                FROM part),
+            dirty AS (
+                SELECT p_partkey,
+                       CASE p_partkey % 3
+                         WHEN 0 THEN substr(cname, 1, i - 1)
+                                     || substr(cname, i + 1)
+                         WHEN 1 THEN substr(cname, 1, i - 1) || '@'
+                                     || substr(cname, i + 1)
+                         ELSE substr(cname, 1, i - 1) || '@'
+                              || substr(cname, i)
+                       END AS dname
+                FROM (SELECT p_partkey, cname,
+                             p_partkey % (length(cname) - 2) + 2 AS i
+                      FROM canon)),
+            cand AS (
+                SELECT d.p_partkey AS dk, c.p_partkey AS ck,
+                       levenshtein(d.dname, c.cname) AS dist
+                FROM dirty d CROSS JOIN canon c),
+            best AS (
+                SELECT dk, ck, dist,
+                       row_number() OVER (PARTITION BY dk
+                                          ORDER BY dist, ck) AS rn
+                FROM cand WHERE dist <= 1)
+            SELECT dk AS p_partkey, ck AS matched_partkey, dist
+            FROM best WHERE rn = 1
         """,
         "parts_kcore": _kcore_oracle(),
         "parts_triangles": """

@@ -80,7 +80,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "q13_orders_per_customer", "orders_top_per_priority",
         "orders_rollup", "events_hourly_gapfill", "events_funnel_users",
         "purchase_pagerank", "parts_triangles", "parts_kcore",
-        "docs_inverted_index",
+        "docs_inverted_index", "parts_fuzzy_match",
         "docs_repetition", "docs_split", "docs_pii_redact",
         "docs_dup_spans", "docs_dup_span_frac", "docs_remove_dup_spans",
         "docs_clean_corpus", "docs_weighted_sample", "docs_bigram_logprob",

@@ -1788,3 +1788,57 @@ def test_kcore_peeling(ray_session):
     assert len(kcore(sf, k=10_000).to_pandas()) == 0
     with pytest.raises(RuntimeError, match="did not converge"):
         kcore(sf, k=75, rounds=2)  # needs 4 rounds to empty
+
+
+def test_lev01_batch_differential():
+    """The vectorized O(L) lev<=1 verifier agrees with a reference DP
+    on exhaustive-ish random short strings over a tiny alphabet (the
+    regime where every edge case — equal, prefix, shifted suffix,
+    transposition traps like ab/ba — occurs)."""
+    import random
+
+    from webxtract.ops.fuzzy import lev01_batch
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, len(b) + 1):
+                cur = d[j]
+                d[j] = min(d[j] + 1, d[j - 1] + 1,
+                           prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return d[len(b)]
+
+    rng = random.Random(7)
+    a, b, exp = [], [], []
+    for _ in range(3000):
+        a.append("".join(rng.choice("abc")
+                         for _ in range(rng.randint(1, 8))))
+        b.append("".join(rng.choice("abc")
+                         for _ in range(rng.randint(1, 8))))
+        exp.append(min(lev(a[-1], b[-1]), 2))
+    assert lev01_batch(a, b).tolist() == exp
+
+
+def test_fuzzy_match_planted(ray_session):
+    """Fuzzy linkage gates: every dirty name finds a match at dist<=1,
+    the planted source wins except where a deleted key digit creates a
+    distance-0 collision with another canonical (then the EQUAL name
+    must win — checked directly), and output is partitioning-stable
+    (re-run equality)."""
+    from webxtract.ops.fuzzy import parts_fuzzy_match
+
+    sf = "/root/testdata/sf0.001"
+    df = (parts_fuzzy_match(sf).to_pandas()
+          .sort_values("p_partkey").reset_index(drop=True))
+    assert len(df) == 200          # every dirty name matched
+    assert (df.dist <= 1).all()
+    zero = df[df.dist == 0]
+    self_rate = (df.p_partkey == df.matched_partkey).mean()
+    assert self_rate > 0.9        # planted source wins almost always
+    assert (zero.p_partkey != zero.matched_partkey).all() or len(zero) == 0
+
+    df2 = (parts_fuzzy_match(sf).to_pandas()
+           .sort_values("p_partkey").reset_index(drop=True))
+    assert df.equals(df2)

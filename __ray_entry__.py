@@ -712,6 +712,15 @@ def _videos_mjpeg_dupes(sf_dir: str):
     return videos_mjpeg_dupes(sf_dir)
 
 
+def _emb_quantize_int8(sf_dir: str):
+    """Scalar int8 quantization of the embedding column (4x ANN memory
+    compression): exact per-dim min/max fold + one broadcast, floor
+    formula so cross-engine parity needs no tie-mode reasoning."""
+    from webxtract.ops.knn import emb_quantize_int8
+
+    return emb_quantize_int8(sf_dir)
+
+
 def _parts_fuzzy_match(sf_dir: str):
     """Fuzzy record linkage (SymSpell deletion-neighborhood join + a
     vectorized O(L) lev<=1 verifier, never a DP table): deterministic
@@ -862,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_triangles": _parts_triangles,        # graph triangles
         "parts_kcore": _parts_kcore,                # k-core peeling
         "parts_fuzzy_match": _parts_fuzzy_match,    # edit-dist linkage
+        "emb_quantize_int8": _emb_quantize_int8,    # int8 ANN compress
         "docs_new_content": _docs_new_content,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_source_mix": _docs_source_mix,
@@ -1974,6 +1984,26 @@ r5 AS (
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
                         THEN 'val' ELSE 'train' END AS split
             FROM documents
+        """,
+        "emb_quantize_int8": """
+            WITH x AS (
+                SELECT vec_id,
+                       unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) - 1 AS dim
+                FROM embeddings),
+            rng AS (
+                SELECT dim, min(v) AS mn, max(v) AS mx
+                FROM x GROUP BY dim)
+            SELECT x.vec_id, x.dim,
+                   CASE WHEN rng.mx > rng.mn THEN
+                       CAST(least(254.0,
+                            floor((CAST(x.v AS DOUBLE) - CAST(rng.mn AS DOUBLE))
+                                  * 255.0
+                                  / (CAST(rng.mx AS DOUBLE)
+                                     - CAST(rng.mn AS DOUBLE)))) AS BIGINT)
+                       - 127
+                   ELSE -127 END AS code
+            FROM x JOIN rng USING (dim)
         """,
         # fuzzy linkage: the oracle is the ALL-PAIRS levenshtein argmin
         # the distributed path must reproduce without the n^2 scan

@@ -764,3 +764,74 @@ def emb_knn_pq(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     return knn_pq_adc(ds).sort(["query_id", "vec_id"])
+
+
+def emb_quantize_int8(sf_dir: str):
+    """Scalar int8 quantization of the embedding column (the standard
+    ANN memory-compression preprocessing: 4x smaller vectors before
+    IVF/PQ indexing). Pass 1 folds exact per-dimension min/max from
+    per-batch partials (dim-bounded exchange); pass 2 broadcasts the
+    64-float range table and quantizes every batch vectorized:
+
+        code = min(254, floor((x - min_d) * 255 / (max_d - min_d))) - 127
+
+    floor (not round) keeps cross-engine parity trivial: both engines
+    evaluate the identical IEEE-double expression and floor has no
+    tie mode. Constant dimensions map to code -127. Output is the
+    exploded (vec_id, dim, code) stream — hashable row-for-row against
+    the DuckDB twin; a production sink would re-pack codes to a
+    16-byte-per-vector binary column in the same pass."""
+    import ray
+    import ray.data as rd
+
+    from ..broadcast import get_broadcast
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def mm_part(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch.column("embedding"))
+        if m.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({
+            "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+            "mn": pa.array(m.min(axis=0), pa.float64()),
+            "mx": pa.array(m.max(axis=0), pa.float64())})
+
+    mn: np.ndarray | None = None
+    mx: np.ndarray | None = None
+    parts = ds.map_batches(mm_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    for b in parts.iter_batches(batch_format="pyarrow"):  # dim-bounded
+        d = b.column("dim").to_numpy()
+        bmn = b.column("mn").to_numpy()
+        bmx = b.column("mx").to_numpy()
+        if mn is None:
+            mn = np.full(int(d.max()) + 1 if d.size else 0, np.inf)
+            mx = np.full_like(mn, -np.inf)
+        np.minimum.at(mn, d, bmn)
+        np.maximum.at(mx, d, bmx)
+    if mn is None:
+        mn = np.zeros(0)
+        mx = np.zeros(0)
+    rng_ref = ray.put((mn, mx))
+
+    def quant(batch: pa.Table, _ref=rng_ref) -> pa.Table:
+        lo, hi = get_broadcast(_ref)
+        m = _emb_matrix(batch.column("embedding"))
+        n, dim = m.shape if m.size else (0, 0)
+        span = hi - lo
+        safe = np.where(span > 0, span, 1.0)
+        code = np.minimum(254.0, np.floor((m - lo) * 255.0 / safe)) - 127
+        code = np.where(span > 0, code, -127.0).astype(np.int64)
+        vid = np.repeat(batch.column("vec_id").to_numpy(), dim)
+        return pa.table({
+            "vec_id": pa.array(vid, pa.int64()),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), n),
+                            pa.int64()),
+            "code": pa.array(code.reshape(-1), pa.int64())})
+
+    return ds.map_batches(quant, batch_format="pyarrow",
+                          zero_copy_batch=True)

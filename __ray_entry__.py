@@ -844,7 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jaccard_clusters": _docs_jaccard_clusters,
         "docs_jaccard_canonical": _docs_jaccard_canonical,
         "docs_exact_dedup": _docs_exact_dedup,
-        "docs_ngram_jaccard": _docs_ngram_jaccard,
+        "videos_frame_sample": _videos_frame_sample,
         "emb_dup_pairs": _emb_dup_pairs,
         # watermark late-data
         "events_late_arrivals": _events_late_arrivals,
@@ -899,7 +899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_terms_cms": _docs_terms_cms,        # Count-Min estimate
         "images_phash_dupes": _images_phash_dupes,
         "audios_envelope_dupes": _audios_envelope_dupes,
-        "videos_frame_sample": _videos_frame_sample,
+        "docs_ngram_jaccard": _docs_ngram_jaccard,
         "videos_mjpeg_dupes": _videos_mjpeg_dupes,
         "pages_domain_stats": _pages_domain_stats,
         "events_users_hll": _events_users_hll,

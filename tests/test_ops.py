@@ -1760,6 +1760,7 @@ def test_triangle_count_paths_agree(ray_session):
     assert out["bitset"] == (200, 8899, 125968)  # DuckDB triple-join truth
 
     orig = G.TRI_BITSET_MAX_NODES
+    orig_es = G.TRI_EDGESET_BROADCAST_MAX
     try:
         G.TRI_BITSET_MAX_NODES = 10
         with pytest.raises(ValueError, match="gated"):
@@ -1767,8 +1768,13 @@ def test_triangle_count_paths_agree(ray_session):
         # auto falls back to join under the tightened gate
         df = G.triangle_count(sf, verify="auto").to_pandas()
         assert int(df.n_triangles[0]) == 125968
+        # force the over-gate copartitioned wedge match too
+        G.TRI_EDGESET_BROADCAST_MAX = 0
+        df = G.triangle_count(sf, verify="join").to_pandas()
+        assert int(df.n_triangles[0]) == 125968
     finally:
         G.TRI_BITSET_MAX_NODES = orig
+        G.TRI_EDGESET_BROADCAST_MAX = orig_es
 
 
 def test_kcore_peeling(ray_session):

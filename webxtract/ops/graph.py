@@ -207,6 +207,10 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 # while n^2 <= 128 m (dense-ish graphs) — auto checks that too.
 TRI_BITSET_MAX_NODES = 65_536
 TRI_BITSET_MAX_EDGES = 20_000_000
+# join path: below this the sorted edge-key set broadcasts (8 B/edge)
+# and wedges are probed map-side with zero wedge exchange; above it
+# the copartitioned wedge-vs-edge match pays the exchange instead
+TRI_EDGESET_BROADCAST_MAX = 20_000_000
 
 
 def coorder_part_edges(sf_dir: str):
@@ -238,17 +242,11 @@ def coorder_part_edges(sf_dir: str):
         bounds = np.flatnonzero(np.diff(o_s)) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [o_s.size])) if o_s.size else starts
-        out = []
-        for s, e in zip(starts, ends):  # per ORDER, k tiny
-            k = e - s
-            if k < 2:
-                continue
-            iu, iv = np.triu_indices(k, 1)
-            seg = p_s[s:e].astype(np.uint64)  # ascending within order
-            out.append((seg[iu] << np.uint64(32)) | seg[iv])
-        if not out:
+        u, v = _segment_pairs(p_s, starts, ends)
+        if u.size == 0:
             return pa.table({"k": pa.array([], pa.int64())})
-        pk = np.unique(np.concatenate(out))
+        pk = np.unique((u.astype(np.uint64) << np.uint64(32))
+                       | v.astype(np.uint64))
         return pa.table({"k": pa.array(pk.view(np.int64), pa.int64())})
 
     pairs = partitioned_map_groups(li, "l_orderkey", pairs_fold)
@@ -264,6 +262,31 @@ def _unpack_edges(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     pk = t.column("k").to_numpy().view(np.uint64)
     return ((pk >> np.uint64(32)).astype(np.int64),
             (pk & np.uint64(0xFFFFFFFF)).astype(np.int64))
+
+
+def _segment_pairs(vals: np.ndarray, starts: np.ndarray,
+                   ends: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All ordered pairs (vals[i], vals[j]) with i < j INSIDE each
+    [start, end) segment, fully vectorized across every segment at
+    once (no per-segment Python loop): each element pairs with its
+    in-segment successors, so ``first`` repeats each index by its
+    successor count and ``second`` walks the successors by a
+    group-relative arange. vals must be ascending within segments for
+    (u < v) pair order."""
+    n = vals.size
+    if n == 0:
+        return np.zeros(0, vals.dtype), np.zeros(0, vals.dtype)
+    k = ends - starts
+    elem = np.arange(n, dtype=np.int64)
+    succ = np.repeat(ends, k) - elem - 1
+    total = int(succ.sum())
+    if total == 0:
+        return np.zeros(0, vals.dtype), np.zeros(0, vals.dtype)
+    first = np.repeat(elem, succ)
+    grp_start = np.cumsum(succ) - succ
+    off = np.arange(total, dtype=np.int64) - np.repeat(grp_start, succ)
+    second = first + off + 1
+    return vals[first], vals[second]
 
 
 def _deg_part(t: pa.Table) -> pa.Table:
@@ -321,8 +344,8 @@ def triangle_count(sf_dir: str, verify: str = "auto"):
     ``auto`` picks bitset only under the memory gates AND the work
     crossover n^2 <= 128 m (bitset ANDs m*n/64 words vs the join's
     ~2m^2/n wedge keys): sf0.01's dense 2k-node graph -> bitset
-    (2.0 s), sf0.1's 20k-node graph -> join (14.8 s vs 96 s bitset,
-    measured). Returns a single-row Dataset (n_nodes, n_edges,
+    (2.0 s), sf0.1's 20k-node graph -> join (12.9 s cold vs 96 s
+    bitset, measured; ~6 s of that is the shared edge build). Returns a single-row Dataset (n_nodes, n_edges,
     n_triangles); bitset == join equivalence is pytest-gated."""
     import ray
     import ray.data as rd
@@ -333,20 +356,21 @@ def triangle_count(sf_dir: str, verify: str = "auto"):
     edges = coorder_part_edges(sf_dir)
     n_edges = edges.count()
 
-    def node_part(t: pa.Table) -> pa.Table:
-        u, v = _unpack_edges(t)
-        return pa.table({"node": pa.array(
-            np.unique(np.concatenate([u, v])), pa.int64())})
-
-    def node_uniq(part: pa.Table) -> pa.Table:
-        return pa.table({"node": pa.array(
-            np.unique(part.column("node").to_numpy()), pa.int64())})
-
-    nodes_ds = partitioned_map_groups(
-        edges.map_batches(node_part, batch_format="pyarrow",
-                          zero_copy_batch=True),
-        "node", node_uniq).materialize()
-    n_nodes = nodes_ds.count()
+    # ONE degree exchange serves three needs: the node set (its keys),
+    # n_nodes for the gate, and the join path's orientation order —
+    # a separate distinct-nodes fold would be a second full exchange
+    dnodes_c, ddegs_c = [], []
+    for b in _edge_degrees(edges).iter_batches(
+            batch_format="pyarrow"):  # |nodes|-bounded
+        dnodes_c.append(b.column("node").to_numpy())
+        ddegs_c.append(b.column("d").to_numpy())
+    dn = (np.concatenate(dnodes_c) if dnodes_c
+          else np.zeros(0, np.int64))
+    dv = (np.concatenate(ddegs_c) if ddegs_c
+          else np.zeros(0, np.int64))
+    order = np.argsort(dn)
+    dn, dv = dn[order], dv[order]
+    n_nodes = dn.size
 
     if verify == "auto":
         verify = ("bitset" if n_nodes <= TRI_BITSET_MAX_NODES
@@ -366,11 +390,7 @@ def triangle_count(sf_dir: str, verify: str = "auto"):
                 f"{TRI_BITSET_MAX_EDGES} edges (got {n_nodes} / "
                 f"{n_edges}): use verify='join'")
         # node-id -> dense index map, |nodes|-bounded
-        node_arr = np.sort(np.concatenate(
-            [b.column("node").to_numpy() for b in
-             nodes_ds.iter_batches(batch_format="pyarrow")])) \
-            if n_nodes else np.zeros(0, np.int64)
-        nodes_ref = ray.put(node_arr)
+        nodes_ref = ray.put(dn)  # already sorted
 
         def to_idx(t: pa.Table, _ref=nodes_ref) -> pa.Table:
             na = get_broadcast(_ref)
@@ -411,15 +431,7 @@ def triangle_count(sf_dir: str, verify: str = "auto"):
         return _result(total // 3)
 
     # join path: degree orientation + wedge/edge copartitioned match
-    degs = _edge_degrees(edges)
-    dnodes, dvals = [], []
-    for b in degs.iter_batches(batch_format="pyarrow"):  # |nodes|-bounded
-        dnodes.append(b.column("node").to_numpy())
-        dvals.append(b.column("d").to_numpy())
-    dn = np.concatenate(dnodes) if dnodes else np.zeros(0, np.int64)
-    dv = np.concatenate(dvals) if dvals else np.zeros(0, np.int64)
-    order = np.argsort(dn)
-    deg_ref = ray.put((dn[order], dv[order]))
+    deg_ref = ray.put((dn, dv))  # from the single degree exchange above
 
     def orient(t: pa.Table, _ref=deg_ref) -> pa.Table:
         na, da = get_broadcast(_ref)
@@ -445,18 +457,39 @@ def triangle_count(sf_dir: str, verify: str = "auto"):
         bounds = np.flatnonzero(np.diff(s_s)) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [s_s.size]))
-        out = []
-        for a, b in zip(starts, ends):  # per node; out-deg <= sqrt(2m)
-            k = b - a
-            if k < 2:
-                continue
-            iu, iv = np.triu_indices(k, 1)
-            seg = d_s[a:b].astype(np.uint64)  # ascending
-            out.append((seg[iu] << np.uint64(32)) | seg[iv])
-        if not out:
+        wu, wv = _segment_pairs(d_s, starts, ends)
+        if wu.size == 0:
             return pa.table({"k": pa.array([], pa.int64())})
-        w = np.concatenate(out)
+        w = (wu.astype(np.uint64) << np.uint64(32)) \
+            | wv.astype(np.uint64)
         return pa.table({"k": pa.array(w.view(np.int64), pa.int64())})
+
+    if n_edges <= TRI_EDGESET_BROADCAST_MAX:
+        # probe wedges MAP-SIDE against a broadcast sorted edge-key
+        # array (8 B/edge — 10 MB at sf0.1) the moment they are
+        # generated: the ~2m^2/n wedge stream never shuffles at all
+        # (measured 14.8 -> 7.5 s at sf0.1/32cpu). Above the gate the
+        # edge set no longer broadcasts and the copartitioned match
+        # below pays the wedge exchange instead — equivalence-gated.
+        chunks = [b.column("k").to_numpy() for b in
+                  edges.iter_batches(batch_format="pyarrow")] \
+            if n_edges else []
+        ekeys = (np.sort(np.concatenate(chunks)) if chunks
+                 else np.zeros(0, np.int64))
+        ekeys_ref = ray.put(ekeys)
+
+        def wedge_probe(part: pa.Table, _ref=ekeys_ref) -> pa.Table:
+            wt = wedge_fold(part)
+            ek = get_broadcast(_ref)
+            w = wt.column("k").to_numpy()
+            pos = np.searchsorted(ek, w)
+            ok = pos < ek.size
+            c = int((ek[np.minimum(pos, ek.size - 1)][ok] == w[ok]).sum()) \
+                if w.size else 0
+            return pa.table({"c": pa.array([c], pa.int64())})
+
+        counted = partitioned_map_groups(oriented, "src", wedge_probe)
+        return _result(counted.sum("c") or 0)
 
     wedges = partitioned_map_groups(oriented, "src", wedge_fold)
 

@@ -346,6 +346,24 @@ def _pages_line_dedup(sf_dir: str):
     return dedup_lines(res)
 
 
+def _docs_compression_ratio(sf_dir: str):
+    """MassiveText-style zlib compression-ratio quality signal
+    (rows-only: no SQL zlib; planted repetitive-vs-prose ordering and
+    determinism gated in tests/test_ops.py)."""
+    from webxtract.ops.text import docs_compression_ratio
+
+    return docs_compression_ratio(sf_dir)
+
+
+def _docs_chunk_overlap(sf_dir: str):
+    """Sliding-window chunking (window 32, stride 24 — the RAG /
+    embedding-prep shape): overlapping gather built with pure
+    repeat/cumsum index arithmetic, md5-pinned chunk strings."""
+    from webxtract.ops.text import docs_chunk_overlap
+
+    return docs_chunk_overlap(sf_dir)
+
+
 def _docs_inverted_index(sf_dir: str):
     """Retrieval-index build: one term-keyed exchange of (doc, term,
     tf), vectorized per-partition fold -> exact df / tf_total + the
@@ -872,6 +890,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_kcore": _parts_kcore,                # k-core peeling
         "parts_fuzzy_match": _parts_fuzzy_match,    # edit-dist linkage
         "emb_quantize_int8": _emb_quantize_int8,    # int8 ANN compress
+        "docs_chunk_overlap": _docs_chunk_overlap,  # RAG chunking
+        "docs_compression_ratio": _docs_compression_ratio,  # rows-only
         "docs_new_content": _docs_new_content,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_source_mix": _docs_source_mix,
@@ -1984,6 +2004,25 @@ r5 AS (
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
                         THEN 'val' ELSE 'train' END AS split
             FROM documents
+        """,
+        "docs_chunk_overlap": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           - 1 AS i
+                FROM documents),
+            n AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
+            chunks AS (
+                SELECT doc_id, unnest(range(0, ((nt - 1) // 24) + 1)) AS c
+                FROM n),
+            joined AS (
+                SELECT ch.doc_id, ch.c, t.tok, t.i
+                FROM chunks ch JOIN tok t
+                  ON t.doc_id = ch.doc_id
+                 AND t.i >= ch.c * 24 AND t.i < ch.c * 24 + 32)
+            SELECT doc_id, c AS chunk_idx, count(*) AS n_tokens,
+                   md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
+            FROM joined GROUP BY doc_id, c
         """,
         "emb_quantize_int8": """
             WITH x AS (

@@ -1848,3 +1848,34 @@ def test_fuzzy_match_planted(ray_session):
     df2 = (parts_fuzzy_match(sf).to_pandas()
            .sort_values("p_partkey").reset_index(drop=True))
     assert df.equals(df2)
+
+
+def test_compression_ratio_signal(ray_session):
+    """Compression-ratio gates: a planted highly-repetitive doc scores
+    far below the corpus median (the low-quality signal the heuristic
+    exists for), a high-entropy doc scores above it, ratios are
+    deterministic across runs, and every doc is covered."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from webxtract.ops.text import docs_compression_ratio
+
+    sf = "/root/testdata/sf0.001"
+    df = (docs_compression_ratio(sf).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert len(df) == 500 and (df.raw_len > 0).all()
+    med = df.ratio.median()
+
+    rep = "spam " * 200
+    rng = np.random.default_rng(3)
+    noise = "".join(chr(int(c)) for c in rng.integers(33, 127, 1000))
+    r_rep = len(zlib.compress(rep.encode(), 6)) / len(rep.encode())
+    r_noise = len(zlib.compress(noise.encode(), 6)) / len(noise.encode())
+    assert r_rep < med / 2          # repetition flagged hard
+    assert r_noise > med            # entropy scores high
+
+    df2 = (docs_compression_ratio(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert df.equals(df2)

@@ -627,6 +627,101 @@ def docs_unigram_logprob(sf_dir: str, mode: str = "auto"):
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def docs_chunk_overlap(sf_dir: str, window: int = 32, stride: int = 24):
+    """Sliding-window document chunking (the RAG / embedding-prep
+    step): chunk c of a doc covers tokens [c*stride, c*stride+window),
+    the last chunk may be short, and a doc always yields
+    floor((n-1)/stride)+1 chunks. Embarrassingly parallel and fully
+    vectorized — per batch one split/flatten, then pure repeat/cumsum
+    index arithmetic builds the overlapping gather (each token lands
+    in up to ceil(window/stride) chunks), one take + binary_join
+    emits every chunk string. Output: (doc_id, chunk_idx, n_tokens,
+    chunk_md5) — md5 keeps the compared payload slim while pinning
+    the exact token join. Oracled (DuckDB range + windowed join +
+    string_agg)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "chunk_md5": pa.array([], pa.string())})
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        nt = np.bincount(parents, minlength=n).astype(np.int64)
+        dstart = np.concatenate(([0], np.cumsum(nt)[:-1]))
+        nc = (np.maximum(nt, 1) - 1) // stride + 1
+        # chunk-level arrays (across all docs in the batch)
+        cdoc = np.repeat(np.arange(n, dtype=np.int64), nc)
+        cstart_chunks = np.cumsum(nc) - nc
+        clocal = np.arange(int(nc.sum()), dtype=np.int64) \
+            - np.repeat(cstart_chunks, nc)
+        clen = np.minimum(window, nt[cdoc] - clocal * stride)
+        # token gather: per chunk, dstart + c*stride + within-arange
+        total = int(clen.sum())
+        gstart = np.cumsum(clen) - clen
+        within = np.arange(total, dtype=np.int64) \
+            - np.repeat(gstart, clen)
+        gather = np.repeat(dstart[cdoc] + clocal * stride, clen) + within
+        chunk_toks = flat.take(pa.array(gather, pa.int64()))
+        offsets = np.concatenate(([0], np.cumsum(clen)))
+        txt = pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()), chunk_toks), " ")
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table({
+            "doc_id": pa.array(ids[cdoc], pa.int64()),
+            "chunk_idx": pa.array(clocal, pa.int64()),
+            "n_tokens": pa.array(clen, pa.int64()),
+            "chunk_md5": pa.array(md5_hex(txt.to_pylist()), pa.string()),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def docs_compression_ratio(sf_dir: str, level: int = 6):
+    """Compression-ratio quality signal (the MassiveText/Gopher-family
+    repetitiveness heuristic: heavily duplicated or templated text
+    compresses far below typical prose, so a LOW ratio flags low-value
+    documents). ratio = len(zlib(text)) / len(text) at a fixed level —
+    deterministic for a fixed zlib, embarrassingly parallel, C-speed
+    per row (the op IS compression; there is nothing to vectorize
+    above it). Rows-only: no SQL zlib exists — gated by planted
+    repetitive-vs-prose ordering and determinism tests instead.
+    Output: (doc_id, raw_len, comp_len, ratio)."""
+    import zlib
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def comp(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        raw = np.array([len(t.encode("utf-8")) for t in texts], np.int64)
+        cl = np.array([len(zlib.compress(t.encode("utf-8"), level))
+                       for t in texts], np.int64)
+        ratio = np.round(cl / np.maximum(raw, 1), 6)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "raw_len": pa.array(raw, pa.int64()),
+            "comp_len": pa.array(cl, pa.int64()),
+            "ratio": pa.array(ratio, pa.float64())})
+
+    return ds.map_batches(comp, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def docs_inverted_index(sf_dir: str, head: int = 10):
     """Inverted-index construction (the retrieval-engine build step):
     one term-keyed exchange of the exploded (doc_id, term, tf) stream

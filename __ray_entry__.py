@@ -880,7 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_unigram_logprob": _docs_unigram_logprob,
         "docs_bigram_logprob": _docs_bigram_logprob,
         "docs_repetition": _docs_repetition,
-        "docs_split": _docs_split,
+        "docs_chunk_overlap": _docs_chunk_overlap,  # RAG chunking
         "docs_pii_redact": _docs_pii_redact,
         "docs_c4_clean": _docs_c4_clean,          # C4 rules (oracled)
         "docs_ccnet_buckets": _docs_ccnet_buckets,  # head/middle/tail
@@ -890,7 +890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_kcore": _parts_kcore,                # k-core peeling
         "parts_fuzzy_match": _parts_fuzzy_match,    # edit-dist linkage
         "emb_quantize_int8": _emb_quantize_int8,    # int8 ANN compress
-        "docs_chunk_overlap": _docs_chunk_overlap,  # RAG chunking
+        "docs_split": _docs_split,
         "docs_compression_ratio": _docs_compression_ratio,  # rows-only
         "docs_new_content": _docs_new_content,
         "docs_weighted_sample": _docs_weighted_sample,

@@ -322,7 +322,15 @@ def _edge_degrees(edges):
 
 
 def triangle_count(sf_dir: str, verify: str = "auto"):
-    """Exact triangle count of the co-order part graph, two paths:
+    """Co-order part graph wrapper around triangle_count_edges (the
+    sf_dir-shaped query surface; the soak feeds synthetic edge tables
+    into the core directly)."""
+    return triangle_count_edges(coorder_part_edges(sf_dir), verify)
+
+
+def triangle_count_edges(edges, verify: str = "auto"):
+    """Exact triangle count over a materialized packed-key ("k",
+    u<<32|v with u<v) undirected edge Dataset, two paths:
 
     ``bitset`` (below the node/edge gates): nodes index into a packed
     bit adjacency matrix (n^2/8 bytes, 512 MB at the 65,536-node gate)
@@ -353,7 +361,6 @@ def triangle_count(sf_dir: str, verify: str = "auto"):
     from ..broadcast import get_broadcast
     from .relational import copartitioned_map, partitioned_map_groups
 
-    edges = coorder_part_edges(sf_dir)
     n_edges = edges.count()
 
     # ONE degree exchange serves three needs: the node set (its keys),
@@ -515,7 +522,14 @@ def triangle_count(sf_dir: str, verify: str = "auto"):
 
 
 def kcore(sf_dir: str, k: int = 65, rounds: int = 6):
-    """k-core of the co-order part graph by SYNCHRONIZED peeling: each
+    """Co-order part graph wrapper around kcore_edges (the sf_dir-shaped
+    query surface; the soak feeds synthetic edge tables directly)."""
+    return kcore_edges(coorder_part_edges(sf_dir), k=k, rounds=rounds)
+
+
+def kcore_edges(edges, k: int = 65, rounds: int = 6):
+    """k-core over a materialized packed-key undirected edge Dataset
+    by SYNCHRONIZED peeling: each
     round recomputes exact degrees over the surviving edges and drops
     every node below ``k`` at once (the parallel-peeling semantic —
     deterministic and engine-independent, unlike sequential peeling
@@ -536,8 +550,6 @@ def kcore(sf_dir: str, k: int = 65, rounds: int = 6):
     import ray
 
     from ..broadcast import get_broadcast
-
-    edges = coorder_part_edges(sf_dir)
 
     for r in range(rounds):
         degs = _edge_degrees(edges)

@@ -346,6 +346,16 @@ def _pages_line_dedup(sf_dir: str):
     return dedup_lines(res)
 
 
+def _customer_spend_trend(sf_dir: str):
+    """Distributed grouped OLS (regr_slope shape): per-customer spend
+    trend from exact int64 sufficient-statistic partials + one bounded
+    customer-keyed exchange; slope evaluated in the oracle's exact
+    expression order."""
+    from webxtract.ops.relational import customer_spend_trend
+
+    return customer_spend_trend(sf_dir)
+
+
 def _docs_compression_ratio(sf_dir: str):
     """MassiveText-style zlib compression-ratio quality signal
     (rows-only: no SQL zlib; planted repetitive-vs-prose ordering and
@@ -892,6 +902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_quantize_int8": _emb_quantize_int8,    # int8 ANN compress
         "docs_split": _docs_split,
         "docs_compression_ratio": _docs_compression_ratio,  # rows-only
+        "customer_spend_trend": _customer_spend_trend,  # grouped OLS
         "docs_new_content": _docs_new_content,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_source_mix": _docs_source_mix,
@@ -2004,6 +2015,23 @@ r5 AS (
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
                         THEN 'val' ELSE 'train' END AS split
             FROM documents
+        """,
+        "customer_spend_trend": """
+            WITH pts AS (
+                SELECT o_custkey AS k,
+                       datediff('day', DATE '1992-01-01',
+                                o_orderdate) AS x,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS y
+                FROM orders),
+            agg AS (
+                SELECT k, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * x) AS sxx, sum(x * y) AS sxy
+                FROM pts GROUP BY k)
+            SELECT k AS custkey, n,
+                   round((n * sxy - sx * sy) * 1.0
+                         / (n * sxx - sx * sx) / 100.0, 6)
+                       AS slope_per_day
+            FROM agg WHERE n >= 2 AND n * sxx - sx * sx > 0
         """,
         "docs_chunk_overlap": """
             WITH tok AS (

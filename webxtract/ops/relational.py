@@ -3316,3 +3316,70 @@ def q11_important_parts(sf_dir: str, nation: str = "NATION_3",
 
     return per_part.map_batches(fin, batch_format="pyarrow") \
         .sort(["part_value", "p_partkey"], descending=[True, False])
+
+
+def customer_spend_trend(sf_dir: str):
+    """Distributed grouped linear regression (SQL regr_slope shape):
+    per-customer OLS slope of order value (exact cents) against order
+    date (days since 1992-01-01) — the spend-trend feature a
+    training-data curriculum or churn model would consume. All five
+    sufficient statistics (n, Sx, Sy, Sxx, Sxy) are EXACT int64
+    partial sums folded per batch (order-independent, partitioning-
+    invariant; magnitudes bounded by days<=~2.5k and cents<=5e7, far
+    inside int64), one bounded customer-keyed exchange, then the
+    closed-form slope evaluated in the oracle's exact expression
+    order. Output: (custkey, n, slope_per_day) for customers with
+    >= 2 orders and nonzero x-variance. Oracled (same sums + formula,
+    round_ha 6)."""
+    ds = read(sf_dir, "orders",
+              columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    day0 = np.datetime64("1992-01-01", "D").astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = (t.column("o_orderdate").to_numpy()
+             .astype("datetime64[D]").astype(np.int64) - day0)
+        y = pc.round(pc.multiply(t.column("o_totalprice"),
+                                 pa.scalar(100.0)),
+                     0, round_mode="half_towards_infinity") \
+            .cast(pa.int64()).to_numpy()
+        k = t.column("o_custkey").to_numpy()
+        uk, inv = np.unique(k, return_inverse=True)
+        out = {"custkey": pa.array(uk, pa.int64()),
+               "n": pa.array(np.bincount(inv).astype(np.int64),
+                             pa.int64())}
+        for name, w in (("sx", x), ("sy", y), ("sxx", x * x),
+                        ("sxy", x * y)):
+            out[name] = pa.array(
+                np.bincount(inv, weights=w.astype(np.float64))
+                .astype(np.int64), pa.int64())
+        return pa.table(out)
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"custkey": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "slope_per_day": pa.array([], pa.float64())})
+        k = part.column("custkey").to_numpy()
+        order = np.argsort(k, kind="stable")
+        k_s = k[order]
+        bounds = np.flatnonzero(np.diff(k_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        sums = {}
+        for c in ("n", "sx", "sy", "sxx", "sxy"):
+            v = part.column(c).to_numpy()[order]
+            sums[c] = np.add.reduceat(v, starts)
+        n, sx, sy = sums["n"], sums["sx"], sums["sy"]
+        sxx, sxy = sums["sxx"], sums["sxy"]
+        den = n * sxx - sx * sx
+        keep = (n >= 2) & (den > 0)
+        num = (n * sxy - sx * sy).astype(np.float64)
+        slope = round_ha(num[keep] / den[keep].astype(np.float64)
+                         / 100.0, 6)
+        return pa.table({
+            "custkey": pa.array(k_s[starts][keep], pa.int64()),
+            "n": pa.array(n[keep], pa.int64()),
+            "slope_per_day": pa.array(slope, pa.float64())})
+
+    return partitioned_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), "custkey", fold)

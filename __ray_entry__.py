@@ -346,6 +346,16 @@ def _pages_line_dedup(sf_dir: str):
     return dedup_lines(res)
 
 
+def _emb_hard_negatives(sf_dir: str):
+    """Hard-negative mining on the int8-quantized codes: exact integer
+    dot-product argmax over different-label candidates (tie -> min
+    neg_id) — zero float-tie hazards, the production quantized-scan
+    shape."""
+    from webxtract.ops.knn import emb_hard_negatives
+
+    return emb_hard_negatives(sf_dir)
+
+
 def _customer_spend_trend(sf_dir: str):
     """Distributed grouped OLS (regr_slope shape): per-customer spend
     trend from exact int64 sufficient-statistic partials + one bounded
@@ -903,6 +913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split": _docs_split,
         "docs_compression_ratio": _docs_compression_ratio,  # rows-only
         "customer_spend_trend": _customer_spend_trend,  # grouped OLS
+        "emb_hard_negatives": _emb_hard_negatives,  # contrastive mining
         "docs_new_content": _docs_new_content,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_source_mix": _docs_source_mix,
@@ -2015,6 +2026,44 @@ r5 AS (
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
                         THEN 'val' ELSE 'train' END AS split
             FROM documents
+        """,
+        "emb_hard_negatives": """
+            WITH x AS (
+                SELECT vec_id,
+                       unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) - 1 AS dim
+                FROM embeddings),
+            rng AS (
+                SELECT dim, min(v) AS mn, max(v) AS mx
+                FROM x GROUP BY dim),
+            codes AS (
+                SELECT x.vec_id, x.dim,
+                       CASE WHEN rng.mx > rng.mn THEN
+                           CAST(least(254.0,
+                                floor((CAST(x.v AS DOUBLE)
+                                       - CAST(rng.mn AS DOUBLE)) * 255.0
+                                      / (CAST(rng.mx AS DOUBLE)
+                                         - CAST(rng.mn AS DOUBLE))))
+                                AS BIGINT) - 127
+                       ELSE -127 END AS code
+                FROM x JOIN rng USING (dim)),
+            s AS (
+                SELECT a.vec_id AS q, b.vec_id AS c,
+                       sum(a.code * b.code) AS score
+                FROM codes a
+                JOIN codes b ON a.dim = b.dim
+                            AND a.vec_id <> b.vec_id
+                JOIN embeddings la ON la.vec_id = a.vec_id
+                JOIN embeddings lb ON lb.vec_id = b.vec_id
+                WHERE la.label <> lb.label
+                GROUP BY a.vec_id, b.vec_id),
+            best AS (
+                SELECT q, c, score,
+                       row_number() OVER (PARTITION BY q
+                                          ORDER BY score DESC, c) AS rn
+                FROM s)
+            SELECT q AS vec_id, c AS neg_id, score
+            FROM best WHERE rn = 1
         """,
         "customer_spend_trend": """
             WITH pts AS (

@@ -88,7 +88,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "docs_bpe_vocab", "docs_bpe_token_counts", "docs_dsir_topk",
         "docs_normalize_text", "docs_gopher_quality", "docs_c4_clean",
         "docs_ccnet_buckets", "docs_nb_quality", "docs_chunk_overlap",
-        "docs_compression_ratio",
+        "docs_compression_ratio", "customer_spend_trend",
         "docs_temperature_mix", "docs_bm25_topk",
         "emb_norms", "emb_label_centroids", "events_type_users_hll",
         "images_phash_dupes", "audios_envelope_dupes", "emb_knn_pq",

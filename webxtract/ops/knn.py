@@ -835,3 +835,96 @@ def emb_quantize_int8(sf_dir: str):
 
     return ds.map_batches(quant, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def emb_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: for every vector,
+    the highest-scoring vector with a DIFFERENT label — scored by the
+    exact integer dot product of the int8 codes from emb_quantize_int8
+    (the production ADC shape: quantized scan first, exact refine only
+    if needed — here the quantized score IS the deterministic contract,
+    so both engines agree bit-for-bit with zero float-tie hazards;
+    mining on raw float cosine would hinge argmax ties on summation
+    order). One min/max fold + one broadcast of the coded corpus
+    (n x 64 int8 + labels — 0.4 MB at sf0.1; above a broadcast gate
+    this becomes the IVF-bucketed scan, the documented knn scale path),
+    then a per-batch integer matmul with same-label/self masking and a
+    (score desc, neg_id asc) lexicographic argmax. Output: (vec_id,
+    neg_id, score). Oracled (exploded-code self-join + window argmax,
+    exact)."""
+    import ray
+    import ray.data as rd
+
+    from ..broadcast import get_broadcast
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+
+    # exact per-dim ranges (shared semantics with emb_quantize_int8)
+    lo: np.ndarray | None = None
+    hi: np.ndarray | None = None
+
+    def mm_part(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch.column("embedding"))
+        if m.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({
+            "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+            "mn": pa.array(m.min(axis=0), pa.float64()),
+            "mx": pa.array(m.max(axis=0), pa.float64())})
+
+    for b in ds.map_batches(mm_part, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):  # dim-bounded
+        d = b.column("dim").to_numpy()
+        if lo is None:
+            lo = np.full(int(d.max()) + 1 if d.size else 0, np.inf)
+            hi = np.full_like(lo, -np.inf)
+        np.minimum.at(lo, d, b.column("mn").to_numpy())
+        np.maximum.at(hi, d, b.column("mx").to_numpy())
+    if lo is None:
+        lo = np.zeros(0)
+        hi = np.zeros(0)
+
+    def codes_of(m: np.ndarray) -> np.ndarray:
+        span = hi - lo
+        safe = np.where(span > 0, span, 1.0)
+        c = np.minimum(254.0, np.floor((m - lo) * 255.0 / safe)) - 127
+        return np.where(span > 0, c, -127.0).astype(np.int64)
+
+    # corpus codes + labels broadcast (|vectors|-bounded)
+    ids_c, lab_c, code_c = [], [], []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        ids_c.append(b.column("vec_id").to_numpy())
+        lab_c.append(b.column("label").to_numpy(zero_copy_only=False))
+        code_c.append(codes_of(_emb_matrix(b.column("embedding"))))
+    corpus_ids = np.concatenate(ids_c) if ids_c else np.zeros(0, np.int64)
+    corpus_lab = np.concatenate(lab_c) if lab_c else np.zeros(0, np.int64)
+    corpus_codes = (np.concatenate(code_c) if code_c
+                    else np.zeros((0, 0), np.int64))
+    ref = ray.put((corpus_ids, corpus_lab, corpus_codes))
+
+    def mine(batch: pa.Table, _ref=ref) -> pa.Table:
+        cids, clab, ccodes = get_broadcast(_ref)
+        q = codes_of(_emb_matrix(batch.column("embedding")))
+        qid = batch.column("vec_id").to_numpy()
+        qlab = batch.column("label").to_numpy(zero_copy_only=False)
+        score = q @ ccodes.T  # exact int64
+        # mask self and same-label candidates
+        bad = (qlab[:, None] == clab[None, :]) \
+            | (qid[:, None] == cids[None, :])
+        # lexicographic argmax: max score, tie -> min neg_id
+        key = score * (1 << 32) + ((1 << 32) - 1 - cids)[None, :]
+        key[bad] = np.iinfo(np.int64).min
+        j = key.argmax(axis=1)
+        ok = ~bad[np.arange(len(qid)), j]
+        return pa.table({
+            "vec_id": pa.array(qid[ok], pa.int64()),
+            "neg_id": pa.array(cids[j][ok], pa.int64()),
+            "score": pa.array(score[np.arange(len(qid)), j][ok],
+                              pa.int64())})
+
+    return ds.map_batches(mine, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -346,6 +346,16 @@ def _pages_line_dedup(sf_dir: str):
     return dedup_lines(res)
 
 
+def _docs_validate(sf_dir: str):
+    """Great-Expectations-style ingest validation: per-rule violation
+    counts (nulls, dup keys, empty text, n_chars mismatch, lang /
+    source domain) — row-local rules in one no-exchange scan, the
+    uniqueness rule through the standard bounded hash exchange."""
+    from webxtract.ops.text import docs_validate
+
+    return docs_validate(sf_dir)
+
+
 def _emb_hard_negatives(sf_dir: str):
     """Hard-negative mining on the int8-quantized codes: exact integer
     dot-product argmax over different-label candidates (tie -> min
@@ -914,6 +924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_compression_ratio": _docs_compression_ratio,  # rows-only
         "customer_spend_trend": _customer_spend_trend,  # grouped OLS
         "emb_hard_negatives": _emb_hard_negatives,  # contrastive mining
+        "docs_validate": _docs_validate,            # GE-style DQ gate
         "docs_new_content": _docs_new_content,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_source_mix": _docs_source_mix,
@@ -2025,6 +2036,33 @@ r5 AS (
             SELECT doc_id,
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
                         THEN 'val' ELSE 'train' END AS split
+            FROM documents
+        """,
+        "docs_validate": """
+            SELECT 'null_doc_id' AS rule,
+                   count(*) FILTER (WHERE doc_id IS NULL) AS violations
+            FROM documents
+            UNION ALL
+            SELECT 'dup_doc_id',
+                   count(doc_id) - count(DISTINCT doc_id)
+            FROM documents
+            UNION ALL
+            SELECT 'empty_text',
+                   count(*) FILTER (WHERE text IS NULL OR text = '')
+            FROM documents
+            UNION ALL
+            SELECT 'bad_n_chars',
+                   count(*) FILTER (WHERE n_chars <> length(text))
+            FROM documents
+            UNION ALL
+            SELECT 'bad_lang',
+                   count(*) FILTER (WHERE lang NOT IN
+                       ('en', 'fr', 'es', 'zh', 'de'))
+            FROM documents
+            UNION ALL
+            SELECT 'bad_source',
+                   count(*) FILTER (
+                       WHERE NOT regexp_matches(source, '^src\\d+$'))
             FROM documents
         """,
         "emb_hard_negatives": """

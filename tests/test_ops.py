@@ -1879,3 +1879,40 @@ def test_compression_ratio_signal(ray_session):
     df2 = (docs_compression_ratio(sf).to_pandas()
            .sort_values("doc_id").reset_index(drop=True))
     assert df.equals(df2)
+
+
+def test_docs_validate_rules_bite(ray_session):
+    """Every validation rule fires on a planted-violation corpus with
+    exact counts (the clean test corpus yields all-zero counts, which
+    the oracle parity covers but cannot prove the rules bite)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webxtract.ops.text import docs_validate
+
+    d = "/tmp/wx_validate_test"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 2, 2, None, 6], pa.int64()),
+        "text": pa.array(["ok text", "", "also fine", "x", None, "yy"]),
+        "lang": pa.array(["en", "fr", "xx", "de", "zh", "en"]),
+        "source": pa.array(["src1", "bad", "src2", "src3", "src4",
+                            "srcX"]),
+        "n_chars": pa.array([7, 0, 9, 99, 0, 2], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    df = docs_validate(d).to_pandas()
+    got = dict(zip(df.rule, df.violations.astype(int)))
+    assert got == {
+        "null_doc_id": 1,
+        "dup_doc_id": 2,     # three rows of doc_id=2 -> 2 extras
+        "empty_text": 2,     # '' and NULL
+        "bad_n_chars": 1,    # the 99 row; NULL text compares NULL
+                             # (excluded — SQL semantics, both engines)
+        "bad_lang": 1,       # 'xx'
+        "bad_source": 2,     # 'bad', 'srcX'
+    }, got

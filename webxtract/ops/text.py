@@ -689,6 +689,94 @@ def docs_chunk_overlap(sf_dir: str, window: int = 32, stride: int = 24):
                           zero_copy_batch=True)
 
 
+def docs_validate(sf_dir: str):
+    """Data-quality validation (the Great-Expectations-style gate a
+    production ingest runs before anything else): per-rule violation
+    counts over the documents table —
+
+      null_doc_id      doc_id IS NULL
+      dup_doc_id       doc_id seen more than once (counts the EXTRA
+                       occurrences, i.e. rows minus distinct)
+      empty_text       text IS NULL or ''
+      bad_n_chars      n_chars != length(text)
+      bad_lang         lang not in the allowed set
+      bad_source       source not matching 'src<digits>'
+
+    Row-local rules fold as per-batch integer partials (one scan, no
+    exchange); the uniqueness rule is the only one that must see every
+    row of a key and reuses the standard bounded hash exchange
+    (per-batch (doc_id, n) partials -> grouped sum -> extras). Output:
+    one row per rule (rule, violations) — always 6 rows, so the shape
+    is stable even on a clean corpus. Oracled (UNION ALL of counting
+    subqueries)."""
+    import ray.data as rd
+
+    from .relational import partitioned_map_groups
+
+    allowed = ("en", "fr", "es", "zh", "de")
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "source",
+                                  "n_chars"])
+
+    def local_partial(t: pa.Table) -> pa.Table:
+        doc = t.column("doc_id")
+        text = t.column("text")
+        null_id = pc.sum(pc.is_null(doc)).as_py() or 0
+        empty = pc.sum(pc.or_kleene(
+            pc.is_null(text), pc.equal(text, ""))).as_py() or 0
+        bad_nc = pc.sum(pc.not_equal(
+            t.column("n_chars").cast(pa.int64()),
+            pc.utf8_length(text).cast(pa.int64()))).as_py() or 0
+        bad_lang = pc.sum(pc.invert(pc.is_in(
+            t.column("lang"), value_set=pa.array(allowed)))).as_py() or 0
+        bad_src = pc.sum(pc.invert(pc.match_substring_regex(
+            t.column("source"), r"^src\d+$"))).as_py() or 0
+        return pa.table({
+            "rule": pa.array(["null_doc_id", "empty_text", "bad_n_chars",
+                              "bad_lang", "bad_source"], pa.string()),
+            "violations": pa.array([null_id, empty, bad_nc, bad_lang,
+                                    bad_src], pa.int64())})
+
+    local = (ds.map_batches(local_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("rule").sum("violations"))
+
+    def id_partial(t: pa.Table) -> pa.Table:
+        col = t.column("doc_id")
+        col = col.filter(pc.is_valid(col))  # dup rule: non-null keys
+        ids, n = np.unique(col.to_numpy(zero_copy_only=False),
+                           return_counts=True)
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64),
+                                            pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    def extras(part: pa.Table) -> pa.Table:
+        k = part.column("doc_id").to_numpy()
+        n = part.column("n").to_numpy()
+        order = np.argsort(k, kind="stable")
+        k_s, n_s = k[order], n[order]
+        bounds = np.flatnonzero(np.diff(k_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        tot = np.add.reduceat(n_s, starts) if k_s.size \
+            else np.zeros(0, np.int64)
+        extra = int((tot - 1).clip(0).sum())
+        return pa.table({"rule": pa.array(["dup_doc_id"], pa.string()),
+                         "violations": pa.array([extra], pa.int64())})
+
+    dups = (partitioned_map_groups(
+        ds.map_batches(id_partial, batch_format="pyarrow",
+                       zero_copy_batch=True), "doc_id", extras)
+        .groupby("rule").sum("violations"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "rule": t.column("rule"),
+            "violations": t.column("sum(violations)").cast(pa.int64())})
+
+    return (local.map_batches(rename, batch_format="pyarrow")
+            .union(dups.map_batches(rename, batch_format="pyarrow")))
+
+
 def docs_compression_ratio(sf_dir: str, level: int = 6):
     """Compression-ratio quality signal (the MassiveText/Gopher-family
     repetitiveness heuristic: heavily duplicated or templated text

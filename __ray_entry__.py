@@ -346,6 +346,16 @@ def _pages_line_dedup(sf_dir: str):
     return dedup_lines(res)
 
 
+def _parts_copurchase_topk(sf_dir: str):
+    """Frequent-itemset mining (Apriori pass 1): top-20 part pairs by
+    distinct-order co-purchase support — vectorized per-order pair
+    segments, one pair-keyed integer-partial exchange, fused local
+    top-k per partition before the tiny global sort."""
+    from webxtract.ops.graph import parts_copurchase_topk
+
+    return parts_copurchase_topk(sf_dir)
+
+
 def _docs_validate(sf_dir: str):
     """Great-Expectations-style ingest validation: per-rule violation
     counts (nulls, dup keys, empty text, n_chars mismatch, lang /
@@ -925,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_spend_trend": _customer_spend_trend,  # grouped OLS
         "emb_hard_negatives": _emb_hard_negatives,  # contrastive mining
         "docs_validate": _docs_validate,            # GE-style DQ gate
+        "parts_copurchase_topk": _parts_copurchase_topk,  # itemsets
         "docs_new_content": _docs_new_content,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_source_mix": _docs_source_mix,
@@ -2037,6 +2048,18 @@ r5 AS (
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
                         THEN 'val' ELSE 'train' END AS split
             FROM documents
+        """,
+        "parts_copurchase_topk": """
+            WITH pairs AS (
+                SELECT DISTINCT a.l_orderkey AS o,
+                       a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey),
+            sup AS (SELECT u, v, count(*) AS support
+                    FROM pairs GROUP BY u, v)
+            SELECT u AS part_a, v AS part_b, support FROM sup
+            ORDER BY support DESC, part_a, part_b LIMIT 20
         """,
         "docs_validate": """
             SELECT 'null_doc_id' AS rule,

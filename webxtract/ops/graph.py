@@ -596,3 +596,70 @@ def _kcore_table(nodes: np.ndarray, degs: np.ndarray):
     return rd.from_arrow(pa.table({
         "node": pa.array(nodes, pa.int64()),
         "deg": pa.array(degs, pa.int64())}))
+
+
+def parts_copurchase_topk(sf_dir: str, k: int = 20):
+    """Frequent-itemset mining, the Apriori first pass: the top-k part
+    PAIRS by co-purchase support (number of distinct orders containing
+    both). Pair generation reuses the vectorized per-order segment
+    machinery (_segment_pairs) inside one orderkey co-location; support
+    folds as (packed pair, n) integer partials through one pair-keyed
+    exchange; each partition then emits only its LOCAL top-k (the
+    global top-k is a subset of the per-partition top-k's union when
+    partitioning is BY PAIR — the same fused partial-top-k shape as
+    BM25), and the driver merges <= k * partitions slim rows. Ties
+    break (support desc, part_a, part_b). Oracled (self-join + count +
+    window top-k)."""
+    import ray.data as rd
+
+    from .relational import partitioned_map_groups, read
+
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def pair_partial(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        o = part.column("l_orderkey").to_numpy()
+        p = part.column("l_partkey").to_numpy()
+        if p.size and p.max() >= 2 ** 32:
+            raise ValueError("part id >= 2^32 breaks the packed pair key")
+        order = np.lexsort((p, o))
+        o_s, p_s = o[order], p[order]
+        keep = np.ones(o_s.size, dtype=bool)
+        keep[1:] = (o_s[1:] != o_s[:-1]) | (p_s[1:] != p_s[:-1])
+        o_s, p_s = o_s[keep], p_s[keep]
+        bounds = np.flatnonzero(np.diff(o_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [o_s.size])) if o_s.size else starts
+        u, v = _segment_pairs(p_s, starts, ends)
+        pk, n = np.unique((u.astype(np.uint64) << np.uint64(32))
+                          | v.astype(np.uint64), return_counts=True)
+        return pa.table({"k": pa.array(pk.view(np.int64), pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    partials = partitioned_map_groups(li, "l_orderkey", pair_partial)
+
+    def local_topk(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"part_a": pa.array([], pa.int64()),
+                             "part_b": pa.array([], pa.int64()),
+                             "support": pa.array([], pa.int64())})
+        pk = part.column("k").to_numpy()
+        n = part.column("n").to_numpy()
+        order = np.argsort(pk, kind="stable")
+        pk_s, n_s = pk[order], n[order]
+        bounds = np.flatnonzero(np.diff(pk_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        keys = pk_s[starts].view(np.uint64)
+        sup = np.add.reduceat(n_s, starts)
+        u = (keys >> np.uint64(32)).astype(np.int64)
+        v = (keys & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        top = np.lexsort((v, u, -sup))[:k]
+        return pa.table({"part_a": pa.array(u[top], pa.int64()),
+                         "part_b": pa.array(v[top], pa.int64()),
+                         "support": pa.array(sup[top], pa.int64())})
+
+    merged = partitioned_map_groups(partials, "k", local_topk)
+    return merged.sort(["support", "part_a", "part_b"],
+                       descending=[True, False, False]).limit(k)

@@ -89,6 +89,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "docs_normalize_text", "docs_gopher_quality", "docs_c4_clean",
         "docs_ccnet_buckets", "docs_nb_quality", "docs_chunk_overlap",
         "docs_compression_ratio", "customer_spend_trend",
+        "emb_hard_negatives", "docs_validate", "parts_copurchase_topk",
         "docs_temperature_mix", "docs_bm25_topk",
         "emb_norms", "emb_label_centroids", "events_type_users_hll",
         "images_phash_dupes", "audios_envelope_dupes", "emb_knn_pq",

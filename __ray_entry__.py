@@ -1041,6 +1041,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_disc_tax": R.lineitem_corr_disc_tax,
         "docs_contaminated": _docs_contaminated,
         "docs_stratified_sample": _docs_stratified_sample,
+        "events_active_users_7d": R.events_active_users_7d,  # sliding
+        # 7-day DISTINCT window via per-user interval union + delta scan
+        "events_concurrency_15m": R.events_concurrency_15m,  # time-RANGE
+        # sliding count over the dense minute axis (prefix difference)
+        "docs_cdc_merge": R.docs_cdc_merge,  # lakehouse MERGE INTO:
+        # latest-seq-wins upsert/delete changelog applied to a snapshot
     }
 
 
@@ -2919,5 +2925,60 @@ r5 AS (
             SELECT doc_id, shard, (shard << 32) | seq AS seq_id,
                    n_tokens, pos
             FROM pack
+        """,
+        # sliding 7-day DISTINCT users per day: the oracle pays the
+        # window's overlap factor (range join vs every event); the
+        # engine unions per-user coverage intervals and scans deltas
+        "events_active_users_7d": """
+            WITH bounds AS (
+                SELECT date_trunc('day', min(ts)) AS a,
+                       date_trunc('day', max(ts)) AS b FROM events),
+            spine AS (
+                SELECT unnest(generate_series(a, b, INTERVAL 1 DAY))
+                       AS day FROM bounds)
+            SELECT s.day, count(DISTINCT e.user_id) AS wau
+            FROM spine s LEFT JOIN events e
+              ON e.ts >= s.day - INTERVAL 6 DAY
+             AND e.ts < s.day + INTERVAL 1 DAY
+            GROUP BY s.day
+        """,
+        # time-RANGE sliding count per minute; dense-axis ROWS window
+        # over the gapfilled minute counts is the identical semantics
+        "events_concurrency_15m": """
+            WITH m AS (
+                SELECT date_trunc('minute', ts) AS minute, count(*) AS n
+                FROM events GROUP BY 1),
+            bounds AS (SELECT min(minute) AS a, max(minute) AS b FROM m),
+            spine AS (
+                SELECT unnest(generate_series(a, b, INTERVAL 1 MINUTE))
+                       AS minute FROM bounds),
+            g AS (SELECT s.minute, coalesce(m.n, 0) AS n
+                  FROM spine s LEFT JOIN m USING (minute))
+            SELECT minute,
+                   CAST(sum(n) OVER (ORDER BY minute
+                        ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n_window
+            FROM g
+        """,
+        # MERGE INTO twin: latest-seq row_number over the unioned
+        # snapshot+changelog, winning deletes drop the key
+        "docs_cdc_merge": """
+            WITH base AS (
+                SELECT doc_id AS key, CAST(-1 AS BIGINT) AS seq,
+                       FALSE AS del_, n_chars AS payload
+                FROM documents WHERE doc_id % 3 <> 0),
+            chg AS (
+                SELECT doc_id // 4 AS key, doc_id AS seq,
+                       doc_id % 3 = 1 AS del_,
+                       n_chars + 1000000 AS payload
+                FROM documents WHERE doc_id % 2 = 0),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+            r AS (SELECT *, row_number() OVER (PARTITION BY key
+                                               ORDER BY seq DESC) AS rn
+                  FROM u)
+            SELECT key, payload,
+                   CASE WHEN seq < 0 THEN 'base'
+                        ELSE 'changelog' END AS src
+            FROM r WHERE rn = 1 AND NOT del_
         """,
     }

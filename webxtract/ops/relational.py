@@ -3383,3 +3383,201 @@ def customer_spend_trend(sf_dir: str):
     return partitioned_map_groups(
         ds.map_batches(partial, batch_format="pyarrow",
                        zero_copy_batch=True), "custkey", fold)
+
+
+def events_active_users_7d(sf_dir: str, window_days: int = 7):
+    """Sliding-window DISTINCT aggregate: for every day of the corpus
+    span, the number of users with at least one event in the trailing
+    ``window_days``-day window (the WAU/MAU shape). Counting distinct
+    per day would pay the window's overlap factor; instead each active
+    (user, day) pair contributes a coverage interval [day, day+W-1] to
+    the days it keeps the user "active", intervals are unioned PER USER
+    (one bounded hash co-location, vectorized segment merge — never a
+    per-user Python loop), and the union emits +1/-1 boundary deltas
+    whose grouped sum + prefix scan over the dense day axis is the
+    answer. Exchange volume is bounded by distinct (user, day) pairs
+    (<= events), the delta exchange by 2x the merged interval count,
+    and the driver holds only the day-span-sized axis."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    day_us = 86_400_000_000
+    w = window_days
+
+    ds = read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(t.column("ts"), unit="day") \
+            .cast(pa.timestamp("us")).cast(pa.int64())
+        day = pc.divide(d, pa.scalar(day_us, pa.int64()))
+        g = pa.table({"user_id": t.column("user_id"), "day": day}) \
+            .group_by(["user_id", "day"]).aggregate([])
+        return g
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "delta": pa.array([], pa.int64())})
+        uid = part.column("user_id").to_numpy()
+        day = part.column("day").to_numpy()
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        # drop (user, day) dups that survived cross-batch
+        keep = np.ones(len(uid), bool)
+        keep[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])
+        uid, day = uid[keep], day[keep]
+        # coverage interval of pair (u, t) is [t, t+w-1]; with days
+        # sorted per user, interval ends are monotone, so a new merged
+        # interval starts exactly when the gap exceeds the window
+        brk = np.ones(len(uid), bool)
+        brk[1:] = (uid[1:] != uid[:-1]) | (day[1:] > day[:-1] + w)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(uid)) - 1
+        lo = day[starts]                  # first covered day
+        hi = day[ends] + w                # one past the last covered day
+        return pa.table({
+            "day": pa.array(np.concatenate([lo, hi]), pa.int64()),
+            "delta": pa.array(np.concatenate([
+                np.ones(len(lo), np.int64),
+                -np.ones(len(hi), np.int64)]), pa.int64())})
+
+    deltas = partitioned_map_groups(
+        ds.map_batches(pairs, batch_format="pyarrow",
+                       zero_copy_batch=True), "user_id", fold) \
+        .groupby("day").aggregate(Sum("delta", alias_name="delta")) \
+        .materialize()  # bounded by the day span x users' interval count
+
+    tbls = [b for b in deltas.iter_batches(batch_format="pyarrow")
+            if b.num_rows]
+    if not tbls:
+        return rd.from_arrow(pa.table({
+            "day": pa.array([], pa.timestamp("us")),
+            "wau": pa.array([], pa.int64())}))
+    obs = pa.concat_tables(tbls)
+    dd = obs.column("day").to_numpy()
+    dv = obs.column("delta").to_numpy()
+    order = np.argsort(dd, kind="stable")
+    dd, dv = dd[order], np.cumsum(dv[order])
+    # output spine = observed event-day span (delta days beyond the max
+    # event day are genuine coverage but outside the reporting span)
+    axis = np.arange(dd.min(), dd.max() - w + 1)
+    at = np.searchsorted(dd, axis, side="right") - 1
+    wau = np.where(at >= 0, dv[np.clip(at, 0, None)], 0)
+    return rd.from_arrow(pa.table({
+        "day": pa.array(axis * day_us, pa.int64()).cast(pa.timestamp("us")),
+        "wau": pa.array(wau, pa.int64())}))
+
+
+def events_concurrency_15m(sf_dir: str, window_min: int = 15):
+    """Time-RANGE sliding aggregate: per minute of the corpus span, the
+    event count in the trailing 15-minute window (the "concurrent load"
+    shape — a RANGE window, not the ROWS window of events_moving_avg).
+    One no-exchange pass folds per-batch (minute, n) partials, a tiny
+    span-bounded grouped sum lands them on the driver, and the sliding
+    sum is a prefix-difference over the dense minute axis — the window
+    never re-reads events."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    minute_us = 60_000_000
+
+    ds = read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.floor_temporal(t.column("ts"), unit="minute") \
+            .cast(pa.timestamp("us")).cast(pa.int64())
+        g = pa.table({"minute": m,
+                      "n": pa.array(np.ones(t.num_rows, np.int64))}) \
+            .group_by("minute").aggregate([("n", "sum")])
+        return pa.table({"minute": g.column("minute"),
+                         "n": g.column("n_sum").cast(pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("minute").aggregate(Sum("n", alias_name="n")) \
+        .materialize()  # bounded by the minute span
+
+    tbls = [b for b in agg.iter_batches(batch_format="pyarrow")
+            if b.num_rows]
+    if not tbls:
+        return rd.from_arrow(pa.table({
+            "minute": pa.array([], pa.timestamp("us")),
+            "n_window": pa.array([], pa.int64())}))
+    obs = pa.concat_tables(tbls)
+    mins = obs.column("minute").to_numpy()
+    axis = np.arange(mins.min(), mins.max() + minute_us, minute_us)
+    idx = pc.index_in(pa.array(axis, pa.int64()),
+                      value_set=obs.column("minute").combine_chunks())
+    dense = pc.fill_null(
+        pc.take(obs.column("n").combine_chunks(), idx), 0).to_numpy()
+    csum = np.concatenate(([0], np.cumsum(dense)))
+    lo = np.clip(np.arange(len(dense)) - window_min + 1, 0, None)
+    n_win = csum[np.arange(1, len(dense) + 1)] - csum[lo]
+    return rd.from_arrow(pa.table({
+        "minute": pa.array(axis, pa.int64()).cast(pa.timestamp("us")),
+        "n_window": pa.array(n_win.astype(np.int64), pa.int64())}))
+
+
+def docs_cdc_merge(sf_dir: str):
+    """Changelog upsert/delete merge (the lakehouse MERGE INTO shape):
+    apply a keyed, sequence-ordered changelog of upserts and deletes to
+    a base snapshot — latest sequence per key wins, a winning delete
+    drops the key, changelog-only keys are inserts. Both inputs derive
+    deterministically from ``documents`` so the oracle can replay them:
+    base = docs with doc_id % 3 != 0 (seq -1); changelog = even doc_ids
+    folded 2-per-key under key = doc_id // 4, seq = doc_id, and
+    op = delete iff doc_id % 3 == 1 — so k % 3 == 1 keys see an early
+    delete OVERRIDDEN by a later upsert (reinsert), k % 3 == 2 keys are
+    dropped by a winning delete, and k % 3 == 0 keys double-upsert.
+    One slim union + one keyed hash co-location; the per-partition
+    winner fold is a vectorized lexsort + segment-first."""
+    base = read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    chg = read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def prep_base(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy()
+        t = t.filter(pa.array(did % 3 != 0))
+        n = t.num_rows
+        return pa.table({
+            "key": t.column("doc_id"),
+            "seq": pa.array(np.full(n, -1, np.int64)),
+            "del_": pa.array(np.zeros(n, bool)),
+            "payload": t.column("n_chars").cast(pa.int64())})
+
+    def prep_chg(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy()
+        t = t.filter(pa.array(did % 2 == 0))
+        did = t.column("doc_id").to_numpy()
+        return pa.table({
+            "key": pa.array(did // 4, pa.int64()),
+            "seq": pa.array(did, pa.int64()),
+            "del_": pa.array(did % 3 == 1),
+            "payload": pc.add(t.column("n_chars").cast(pa.int64()),
+                              pa.scalar(1_000_000, pa.int64()))})
+
+    u = base.map_batches(prep_base, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .union(chg.map_batches(prep_chg, batch_format="pyarrow",
+                               zero_copy_batch=True))
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "payload": pa.array([], pa.int64()),
+                             "src": pa.array([], pa.string())})
+        k = part.column("key").to_numpy()
+        s = part.column("seq").to_numpy()
+        order = np.lexsort((-s, k))     # per key: highest seq first
+        k_s, s_s = k[order], s[order]
+        first = np.ones(len(k_s), bool)
+        first[1:] = k_s[1:] != k_s[:-1]
+        win = part.take(pa.array(order[first]))
+        keep = pc.invert(win.column("del_"))
+        win = win.filter(keep)
+        src = pc.if_else(pc.less(win.column("seq"), pa.scalar(0, pa.int64())),
+                         pa.scalar("base"), pa.scalar("changelog"))
+        return pa.table({"key": win.column("key"),
+                         "payload": win.column("payload"),
+                         "src": src})
+
+    return partitioned_map_groups(u, "key", fold)

@@ -1916,3 +1916,60 @@ def test_docs_validate_rules_bite(ray_session):
         "bad_lang": 1,       # 'xx'
         "bad_source": 2,     # 'bad', 'srcX'
     }, got
+
+
+def test_pca_power_recovers_planted_spike(ray_session, tmp_path):
+    """Power iteration converges to the dominant direction when one
+    EXISTS (the sf corpus is isotropic, so convergence there is
+    undefined — the oracle contract is the exact recurrence; this gate
+    is the eigenvector property on a spiked corpus)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webxtract.ops.knn import emb_pca_power
+
+    rng = np.random.default_rng(7)
+    d, n = 16, 400
+    spike = np.zeros(d)
+    spike[3] = 0.8
+    spike[11] = -0.6
+    coef = rng.normal(0, 1.0, n)
+    x = np.outer(coef, spike) + rng.normal(0, 0.05, (n, d))
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([r.astype(np.float32).tolist() for r in x],
+                              pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(n, np.int32), pa.int32()),
+    }), tmp_path / "embeddings.parquet")
+
+    out = emb_pca_power(str(tmp_path)).to_pandas().sort_values("dim")
+    v = out["loading"].to_numpy().astype(np.float64)
+    v = v / np.linalg.norm(v)
+    assert abs(float(v @ spike)) > 0.99
+
+
+def test_covariance_matches_numpy(ray_session, tmp_path):
+    """Exact scatter-fold covariance equals numpy's biased covariance
+    up to the 2^-20 quantization (planted anisotropic corpus)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webxtract.ops.knn import emb_covariance
+
+    rng = np.random.default_rng(11)
+    d, n = 8, 300
+    x = rng.normal(0, 1.0, (n, d)) * np.linspace(0.1, 2.0, d)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([r.astype(np.float32).tolist() for r in x],
+                              pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(n, np.int32), pa.int32()),
+    }), tmp_path / "embeddings.parquet")
+
+    out = emb_covariance(str(tmp_path)).to_pandas()
+    ref = np.cov(x.astype(np.float32).astype(np.float64),
+                 rowvar=False, bias=True)
+    got = np.zeros((d, d))
+    for i, j, c in zip(out["i"], out["j"], out["cov"]):
+        got[i, j] = got[j, i] = c
+    assert np.max(np.abs(got - ref)) < 1e-4

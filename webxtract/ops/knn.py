@@ -928,3 +928,108 @@ def emb_hard_negatives(sf_dir: str):
 
     return ds.map_batches(mine, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def _scatter_fold(sf_dir: str):
+    """Exact distributed second-moment fold over the quantized embedding
+    matrix: per-batch int64 partials of S = Q^T Q (the d x d scatter
+    matrix), the column sums s = 1^T Q and the row count n, exchanged as
+    (packed key, value) rows through ONE grouped Sum bounded by d^2 keys
+    — order-independent integer adds, so the fold is partitioning-
+    invariant and bit-exact at any scale. Q = round_even(x * 2^20)
+    (the kmeans fixed-point discipline; |q| <= 2^20 keeps every product
+    below 2^40 and the 10^12-row corpus sum below 2^93 only in the
+    DRIVER assembly, which uses Python bigints). Returns (S, s, n) with
+    S, s as Python-int nested lists."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch.column("embedding"))
+        if m.size == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        q = np.rint(m * _KMEANS_SCALE).astype(np.int64)
+        d = q.shape[1]
+        s_mat = q.T @ q                       # exact: |q|<=2^20, n<=2^12
+        ii, jj = np.indices((d, d))
+        keys = ((ii.ravel() + 1) << 8) | (jj.ravel() + 1)
+        vals = s_mat.ravel()
+        keys = np.concatenate([keys, (np.arange(d) + 1) << 8, [0]])
+        vals = np.concatenate([vals, q.sum(axis=0), [q.shape[0]]])
+        return pa.table({"k": pa.array(keys.astype(np.int64), pa.int64()),
+                         "v": pa.array(vals, pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("k").aggregate(Sum("v", alias_name="v")) \
+        .materialize()  # bounded by d^2 + d + 1 keys
+
+    kv = {}
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        for k, v in zip(b.column("k").to_pylist(), b.column("v").to_pylist()):
+            kv[k] = kv.get(k, 0) + v
+    n = kv.get(0, 0)
+    d = 0
+    while ((d + 1) << 8) in kv:
+        d += 1
+    s_vec = [kv[(i + 1) << 8] for i in range(d)]
+    s_mat = [[kv[((i + 1) << 8) | (j + 1)] for j in range(d)]
+             for i in range(d)]
+    return s_mat, s_vec, n
+
+
+def emb_covariance(sf_dir: str):
+    """Exact covariance matrix of the embedding corpus, exploded as
+    (i, j, cov) upper-triangle rows. cov is evaluated from the integer
+    scatter partials in the oracle's exact IEEE-double expression order
+    (S_ij/n - (s_i/n)(s_j/n)) / 2^40, so the doubles are bit-identical
+    across engines with no rounding step. The corpus pass is the single
+    d^2-bounded _scatter_fold exchange; everything after is driver math
+    over d^2 numbers."""
+    s_mat, s_vec, n = _scatter_fold(sf_dir)
+    d = len(s_vec)
+    scale2 = float(_KMEANS_SCALE) * float(_KMEANS_SCALE)
+    ii, jj, cov = [], [], []
+    for i in range(d):
+        for j in range(i, d):
+            ii.append(i)
+            jj.append(j)
+            cov.append((float(s_mat[i][j]) / n
+                        - (float(s_vec[i]) / n) * (float(s_vec[j]) / n))
+                       / scale2)
+    return pa.table({"i": pa.array(ii, pa.int64()),
+                     "j": pa.array(jj, pa.int64()),
+                     "cov": pa.array(cov, pa.float64())})
+
+
+def emb_pca_power(sf_dir: str, iters: int = 8):
+    """Top principal direction by bit-exact integer power iteration on
+    the centered scatter matrix C = n*S - s s^T (pure integers — no
+    centering drift): v_0 = 2^20 * 1, then per iteration the exact
+    bigint matrix-vector product w = C v followed by the pinned
+    renormalization v' = round_even(double(w) * 2^20 / max|double(w)|).
+    Python int->double and DuckDB HUGEINT->DOUBLE are both correctly
+    rounded (verified empirically), so the oracle replays the identical
+    recurrence as an unrolled materialized CTE chain and the final
+    integer loadings hash-match. Convergence is NOT asserted — the
+    contract is the exact recurrence, the eigenvector property is
+    gated separately in tests. One distributed d^2-bounded fold; the
+    iteration is driver math over d^2 bigints."""
+    s_mat, s_vec, n = _scatter_fold(sf_dir)
+    d = len(s_vec)
+    c = [[n * s_mat[i][j] - s_vec[i] * s_vec[j] for j in range(d)]
+         for i in range(d)]
+    v = [_KMEANS_SCALE] * d
+    for _ in range(iters):
+        w = [sum(c[i][j] * v[j] for j in range(d)) for i in range(d)]
+        wm = max(abs(float(x)) for x in w)
+        if wm == 0.0:
+            break
+        v = [int(np.round(np.float64(float(x) * float(_KMEANS_SCALE))
+                          / wm)) for x in w]
+    return pa.table({"dim": pa.array(list(range(d)), pa.int64()),
+                     "loading": pa.array(v, pa.int64())})

@@ -874,6 +874,12 @@ def _emb_pca_power(sf_dir: str):
     return emb_pca_power(sf_dir)
 
 
+def _docs_term_pmi(sf_dir: str):
+    from webxtract.ops.text import docs_term_pmi
+
+    return docs_term_pmi(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
     verifies the FIRST 50 entries, so each round rotates
@@ -1063,6 +1069,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one d^2-bounded integer scatter exchange; doubles bit-pinned
         "emb_pca_power": _emb_pca_power,  # top principal direction,
         # bit-exact integer power iteration on the centered scatter
+        "docs_term_pmi": _docs_term_pmi,  # collocation mining: top-k
+        # adjacent pairs by integer micro-nat PMI (vocab-gated modes)
     }
 
 
@@ -3065,4 +3073,30 @@ r5 AS (
             JOIN sv sb ON sb.dim = m.j
         """,
         "emb_pca_power": _pca_oracle(),
+        # PMI: identical pinned-double expression + round_even micro-nats
+        "docs_term_pmi": """
+            WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+            bg AS MATERIALIZED (
+                SELECT bigram, count(*) AS n_ab FROM (
+                    SELECT unnest(list_transform(range(1, len(w)),
+                                  i -> w[i] || ' ' || w[i+1])) AS bigram
+                    FROM w)
+                GROUP BY bigram),
+            tc AS MATERIALIZED (
+                SELECT term, count(*) AS n FROM (
+                    SELECT unnest(w) AS term FROM w) GROUP BY term),
+            tot AS (SELECT (SELECT CAST(sum(n) AS DOUBLE) FROM tc) AS n1,
+                           (SELECT CAST(sum(n_ab) AS DOUBLE) FROM bg) AS n2)
+            SELECT b.bigram, b.n_ab,
+                   CAST(round_even(
+                        ln((CAST(b.n_ab AS DOUBLE) * tot.n1 * tot.n1)
+                           / (tot.n2 * CAST(ta.n AS DOUBLE)
+                              * CAST(tb.n AS DOUBLE)))
+                        * 1000000.0, 0) AS BIGINT) AS pmi_micro
+            FROM bg b CROSS JOIN tot
+            JOIN tc ta ON ta.term = string_split(b.bigram, ' ')[1]
+            JOIN tc tb ON tb.term = string_split(b.bigram, ' ')[2]
+            WHERE b.n_ab >= 5
+            ORDER BY pmi_micro DESC, bigram LIMIT 25
+        """,
     }

@@ -52,3 +52,14 @@ def test_auto_gate_selects_join(ray_session, monkeypatch):
 def test_resolve_vocab_mode_explicit_passthrough():
     assert T._resolve_vocab_mode("broadcast", None) == "broadcast"
     assert T._resolve_vocab_mode("join", None) == "join"
+
+
+def test_pmi_join_equals_broadcast(ray_session):
+    """The over-gate copartitioned count-attach path of docs_term_pmi
+    must emit exactly the broadcast path's rows."""
+    from webxtract.ops.text import docs_term_pmi
+
+    sf = "/root/testdata/sf0.001"
+    a = docs_term_pmi(sf, mode="broadcast").to_pandas()
+    b = docs_term_pmi(sf, mode="join").to_pandas()
+    assert a.equals(b)

@@ -2759,3 +2759,183 @@ def docs_bm25_topk(sf_dir: str, n_terms: int = 3, k: int = 20,
                             zero_copy_batch=True)
     return pooled.sort(["bm25", "doc_id"],
                        descending=[True, False]).limit(k)
+
+
+def docs_term_pmi(sf_dir: str, k: int = 25, min_count: int = 5,
+                  mode: str = "auto"):
+    """Collocation mining by pointwise mutual information: the top-k
+    adjacent word pairs by PMI = ln(p(ab) / (p(a) p(b))) among bigrams
+    with corpus count >= min_count. Two vocabulary-bounded exchanges
+    build the corpus bigram and unigram tables (the docs_term_counts /
+    docs_bigram_counts partial shape); totals fold to two scalars.
+    Scores are INTEGER micro-nats (round_even of the pinned IEEE-double
+    expression — the docs_nb_quality fixed-point discipline), so the
+    ranking is bit-deterministic in both engines. Below the
+    VOCAB_BROADCAST_MAX_TERMS gate the unigram table broadcasts once
+    and scoring is one map over the candidate bigrams; above it the
+    candidates explode to (term, bigram) rows for ONE term-keyed
+    copartitioned count attach plus one bigram-keyed refold — the
+    vocabulary never lands on the driver. Each block emits only its
+    local top-k (exact: post-aggregation every bigram is a single row,
+    so blocks are disjoint by bigram) before the tiny global sort."""
+    import ray.data as rd
+
+    from .relational import (broadcast_lookup, copartitioned_map,
+                             partitioned_map_groups)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial_bg(batch: pa.Table) -> pa.Table:
+        bg = _batch_bigrams(batch)
+        if bg is None:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vc = bg[0].value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"bigram": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    def partial_tc(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(
+            batch.column("text"), pattern=" "))
+        vc = flat.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"term": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    def sum_by(key: str):
+        def go(t: pa.Table) -> pa.Table:
+            g = t.group_by(key).aggregate([("n", "sum")])
+            return pa.table({key: g.column(key),
+                             "n": g.column("n_sum").cast(pa.int64())})
+
+        return go
+
+    bgc = partitioned_map_groups(
+        ds.map_batches(partial_bg, batch_format="pyarrow",
+                       zero_copy_batch=True), "bigram",
+        sum_by("bigram")).materialize()
+    tc = partitioned_map_groups(
+        ds.map_batches(partial_tc, batch_format="pyarrow",
+                       zero_copy_batch=True), "term",
+        sum_by("term")).materialize()
+
+    n1 = float(tc.sum("n") or 0)
+    n2 = float(bgc.sum("n") or 0)
+
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(
+            t.column("n"), pa.scalar(min_count, pa.int64())))
+
+    cand = bgc.map_batches(filt, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def micro(nab: np.ndarray, ca: np.ndarray, cb: np.ndarray) -> np.ndarray:
+        # pinned order matches the oracle: (nab*n1*n1) / (n2*ca*cb)
+        num = nab.astype(np.float64) * n1 * n1
+        den = n2 * ca.astype(np.float64) * cb.astype(np.float64)
+        return np.round(np.log(num / den) * 1e6).astype(np.int64)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[("pmi_micro", "descending"),
+                                            ("bigram", "ascending")])
+        return t.take(idx.slice(0, k))
+
+    empty_out = pa.table({"bigram": pa.array([], pa.string()),
+                          "n_ab": pa.array([], pa.int64()),
+                          "pmi_micro": pa.array([], pa.int64())})
+
+    if _resolve_vocab_mode(mode, tc) == "broadcast":
+        ref = broadcast_lookup(tc, "term", ["n"])
+
+        def score(t: pa.Table) -> pa.Table:
+            from ..broadcast import get_broadcast
+
+            if t.num_rows == 0:
+                return empty_out
+            keys, (tn,) = get_broadcast(ref)
+            halves = pc.split_pattern(t.column("bigram"), pattern=" ",
+                                      max_splits=1)
+            w1 = pc.list_element(halves, 0)
+            w2 = pc.list_element(halves, 1)
+            tnn = tn.to_numpy()
+            ia = pc.index_in(w1, value_set=keys).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ib = pc.index_in(w2, value_set=keys).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pm = micro(t.column("n").to_numpy(), tnn[ia], tnn[ib])
+            return local_topk(pa.table({
+                "bigram": t.column("bigram"),
+                "n_ab": t.column("n"),
+                "pmi_micro": pa.array(pm, pa.int64())}))
+
+        scored = cand.map_batches(score, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    else:
+        def prep_probe(t: pa.Table) -> pa.Table:
+            halves = pc.split_pattern(t.column("bigram"), pattern=" ",
+                                      max_splits=1)
+            w1 = pc.list_element(halves, 0)
+            w2 = pc.list_element(halves, 1)
+            n = t.num_rows
+            term = pa.chunked_array([w1, w2]).combine_chunks()
+            big2 = pa.concat_tables([t, t]).column("bigram")
+            nab2 = pa.concat_tables([t, t]).column("n")
+            pos = pa.array(np.concatenate([np.zeros(n, np.int8),
+                                           np.ones(n, np.int8)]), pa.int8())
+            return pa.table({"term": term, "bigram": big2, "nab": nab2,
+                             "pos": pos,
+                             "cnt": pa.nulls(2 * n, pa.int64())})
+
+        def prep_build(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({"term": t.column("term"),
+                             "bigram": pa.nulls(n, pa.string()),
+                             "nab": pa.nulls(n, pa.int64()),
+                             "pos": pa.nulls(n, pa.int8()),
+                             "cnt": t.column("n")})
+
+        def attach(parts: list[pa.Table]) -> pa.Table:
+            probe, build = parts
+            idx = pc.index_in(probe.column("term"),
+                              value_set=build.column("term")
+                              .combine_chunks())
+            return pa.table({
+                "bigram": probe.column("bigram"),
+                "nab": probe.column("nab"),
+                "pos": probe.column("pos"),
+                "cnt": pc.take(build.column("cnt").combine_chunks(), idx)})
+
+        attached = copartitioned_map([(cand, prep_probe),
+                                      (tc, prep_build)], "term", attach)
+
+        def fold(part: pa.Table) -> pa.Table:
+            if part.num_rows == 0:
+                return empty_out
+            # two rows per bigram (pos 0 = w1 count, pos 1 = w2 count)
+            import polars as pl
+
+            df = pl.from_arrow(part)
+            g = df.group_by("bigram").agg([
+                pl.col("nab").first().alias("n_ab"),
+                pl.col("cnt").filter(pl.col("pos") == 0).first()
+                    .alias("ca"),
+                pl.col("cnt").filter(pl.col("pos") == 1).first()
+                    .alias("cb")])
+            t = g.to_arrow()
+            pm = micro(t.column("n_ab").to_numpy(),
+                       t.column("ca").to_numpy(),
+                       t.column("cb").to_numpy())
+            return local_topk(pa.table({
+                "bigram": t.column("bigram").cast(pa.string()),
+                "n_ab": t.column("n_ab").cast(pa.int64()),
+                "pmi_micro": pa.array(pm, pa.int64())}))
+
+        scored = partitioned_map_groups(attached, "bigram", fold)
+
+    return scored.sort(["pmi_micro", "bigram"],
+                       descending=[True, False]).limit(k)

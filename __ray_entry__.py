@@ -1071,6 +1071,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bit-exact integer power iteration on the centered scatter
         "docs_term_pmi": _docs_term_pmi,  # collocation mining: top-k
         # adjacent pairs by integer micro-nat PMI (vocab-gated modes)
+        "docs_scd2": R.docs_scd2,  # SCD Type-2 dimension build:
+        # [valid_from, valid_to) version intervals, LEAD-shift fold
+        "docs_time_travel": R.docs_time_travel,  # AS OF snapshot:
+        # replay changelog events <= max(doc_id)//2 over the base
     }
 
 
@@ -3042,6 +3046,51 @@ r5 AS (
             r AS (SELECT *, row_number() OVER (PARTITION BY key
                                                ORDER BY seq DESC) AS rn
                   FROM u)
+            SELECT key, payload,
+                   CASE WHEN seq < 0 THEN 'base'
+                        ELSE 'changelog' END AS src
+            FROM r WHERE rn = 1 AND NOT del_
+        """,
+        # SCD2: identical event derivation; valid_to = LEAD(seq) with
+        # the int64-max open-end sentinel (no NULLs on either engine)
+        "docs_scd2": """
+            WITH base AS (
+                SELECT doc_id AS key, CAST(-1 AS BIGINT) AS seq,
+                       FALSE AS del_, n_chars AS payload
+                FROM documents WHERE doc_id % 3 <> 0),
+            chg AS (
+                SELECT doc_id // 4 AS key, doc_id AS seq,
+                       doc_id % 3 = 1 AS del_,
+                       n_chars + 1000000 AS payload
+                FROM documents WHERE doc_id % 2 = 0),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+            v AS (SELECT key, seq, del_, payload,
+                         coalesce(lead(seq) OVER (PARTITION BY key
+                                                  ORDER BY seq),
+                                  9223372036854775807) AS valid_to
+                  FROM u)
+            SELECT key, payload, seq AS valid_from, valid_to,
+                   valid_to = 9223372036854775807 AS is_current
+            FROM v WHERE NOT del_
+        """,
+        # time travel: same derivation filtered to seq <= asof, then
+        # the MERGE winner expression
+        "docs_time_travel": """
+            WITH base AS (
+                SELECT doc_id AS key, CAST(-1 AS BIGINT) AS seq,
+                       FALSE AS del_, n_chars AS payload
+                FROM documents WHERE doc_id % 3 <> 0),
+            chg AS (
+                SELECT doc_id // 4 AS key, doc_id AS seq,
+                       doc_id % 3 = 1 AS del_,
+                       n_chars + 1000000 AS payload
+                FROM documents WHERE doc_id % 2 = 0),
+            cut AS (SELECT max(doc_id) // 2 AS asof FROM documents),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+            f AS (SELECT u.* FROM u, cut WHERE u.seq <= cut.asof),
+            r AS (SELECT *, row_number() OVER (PARTITION BY key
+                                               ORDER BY seq DESC) AS rn
+                  FROM f)
             SELECT key, payload,
                    CASE WHEN seq < 0 THEN 'base'
                         ELSE 'changelog' END AS src

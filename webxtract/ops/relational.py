@@ -3518,19 +3518,13 @@ def events_concurrency_15m(sf_dir: str, window_min: int = 15):
         "n_window": pa.array(n_win.astype(np.int64), pa.int64())}))
 
 
-def docs_cdc_merge(sf_dir: str):
-    """Changelog upsert/delete merge (the lakehouse MERGE INTO shape):
-    apply a keyed, sequence-ordered changelog of upserts and deletes to
-    a base snapshot — latest sequence per key wins, a winning delete
-    drops the key, changelog-only keys are inserts. Both inputs derive
-    deterministically from ``documents`` so the oracle can replay them:
-    base = docs with doc_id % 3 != 0 (seq -1); changelog = even doc_ids
-    folded 2-per-key under key = doc_id // 4, seq = doc_id, and
-    op = delete iff doc_id % 3 == 1 — so k % 3 == 1 keys see an early
-    delete OVERRIDDEN by a later upsert (reinsert), k % 3 == 2 keys are
-    dropped by a winning delete, and k % 3 == 0 keys double-upsert.
-    One slim union + one keyed hash co-location; the per-partition
-    winner fold is a vectorized lexsort + segment-first."""
+def _cdc_event_stream(sf_dir: str):
+    """The deterministic (key, seq, del_, payload) changelog-event
+    union shared by docs_cdc_merge / docs_scd2 / docs_time_travel:
+    base = docs with doc_id % 3 != 0 (seq -1); changelog = even
+    doc_ids folded 2-per-key under key = doc_id // 4, seq = doc_id,
+    and op = delete iff doc_id % 3 == 1. Both oracles replay the same
+    derivation in SQL."""
     base = read(sf_dir, "documents", columns=["doc_id", "n_chars"])
     chg = read(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
@@ -3555,29 +3549,113 @@ def docs_cdc_merge(sf_dir: str):
             "payload": pc.add(t.column("n_chars").cast(pa.int64()),
                               pa.scalar(1_000_000, pa.int64()))})
 
-    u = base.map_batches(prep_base, batch_format="pyarrow",
-                         zero_copy_batch=True) \
+    return base.map_batches(prep_base, batch_format="pyarrow",
+                            zero_copy_batch=True) \
         .union(chg.map_batches(prep_chg, batch_format="pyarrow",
                                zero_copy_batch=True))
 
+
+def _cdc_winner_fold(part: pa.Table) -> pa.Table:
+    """Latest-seq-wins MERGE fold over one key partition: a winning
+    delete drops the key; src tags base (seq < 0) vs changelog rows."""
+    if part.num_rows == 0:
+        return pa.table({"key": pa.array([], pa.int64()),
+                         "payload": pa.array([], pa.int64()),
+                         "src": pa.array([], pa.string())})
+    k = part.column("key").to_numpy()
+    s = part.column("seq").to_numpy()
+    order = np.lexsort((-s, k))     # per key: highest seq first
+    k_s = k[order]
+    first = np.ones(len(k_s), bool)
+    first[1:] = k_s[1:] != k_s[:-1]
+    win = part.take(pa.array(order[first]))
+    keep = pc.invert(win.column("del_"))
+    win = win.filter(keep)
+    src = pc.if_else(pc.less(win.column("seq"), pa.scalar(0, pa.int64())),
+                     pa.scalar("base"), pa.scalar("changelog"))
+    return pa.table({"key": win.column("key"),
+                     "payload": win.column("payload"),
+                     "src": src})
+
+
+def docs_cdc_merge(sf_dir: str):
+    """Changelog upsert/delete merge (the lakehouse MERGE INTO shape):
+    apply a keyed, sequence-ordered changelog of upserts and deletes to
+    a base snapshot — latest sequence per key wins, a winning delete
+    drops the key, changelog-only keys are inserts. Derivation in
+    ``_cdc_event_stream``: k % 3 == 1 keys see an early delete
+    OVERRIDDEN by a later upsert (reinsert), k % 3 == 2 keys are
+    dropped by a winning delete, and k % 3 == 0 keys double-upsert.
+    One slim union + one keyed hash co-location; the per-partition
+    winner fold is a vectorized lexsort + segment-first."""
+    return partitioned_map_groups(_cdc_event_stream(sf_dir), "key",
+                                  _cdc_winner_fold)
+
+
+SCD2_OPEN_END = (1 << 63) - 1   # "valid forever" sentinel (no nulls:
+#                                 both engines hash int64, never NaN)
+
+
+def docs_scd2(sf_dir: str):
+    """Slowly-changing-dimension Type-2 build over the same changelog:
+    each surviving upsert becomes a VERSION row carrying its validity
+    interval [valid_from, valid_to) — valid_from is the upsert's seq,
+    valid_to the NEXT event's seq for that key (an overriding upsert
+    or the delete that retires it), and the int64-max sentinel for the
+    open current version (is_current). Deletes emit no version of
+    their own; they only close the prior one. One keyed co-location;
+    the per-partition fold is a lexsort + within-key shift — the
+    vectorized form of SQL's LEAD(seq) OVER (PARTITION BY key ORDER BY
+    seq). At 100 TB the exchange carries only the slim (key, seq,
+    del_, payload) events, bounded by the changelog, never the table
+    history re-materialized per version."""
     def fold(part: pa.Table) -> pa.Table:
         if part.num_rows == 0:
-            return pa.table({"key": pa.array([], pa.int64()),
-                             "payload": pa.array([], pa.int64()),
-                             "src": pa.array([], pa.string())})
+            return pa.table({
+                "key": pa.array([], pa.int64()),
+                "payload": pa.array([], pa.int64()),
+                "valid_from": pa.array([], pa.int64()),
+                "valid_to": pa.array([], pa.int64()),
+                "is_current": pa.array([], pa.bool_())})
         k = part.column("key").to_numpy()
         s = part.column("seq").to_numpy()
-        order = np.lexsort((-s, k))     # per key: highest seq first
+        order = np.lexsort((s, k))      # per key: ascending seq
         k_s, s_s = k[order], s[order]
-        first = np.ones(len(k_s), bool)
-        first[1:] = k_s[1:] != k_s[:-1]
-        win = part.take(pa.array(order[first]))
-        keep = pc.invert(win.column("del_"))
-        win = win.filter(keep)
-        src = pc.if_else(pc.less(win.column("seq"), pa.scalar(0, pa.int64())),
-                         pa.scalar("base"), pa.scalar("changelog"))
-        return pa.table({"key": win.column("key"),
-                         "payload": win.column("payload"),
-                         "src": src})
+        n = len(k_s)
+        last = np.ones(n, bool)
+        last[:-1] = k_s[1:] != k_s[:-1]
+        nxt = np.empty(n, np.int64)
+        nxt[:-1] = s_s[1:]
+        nxt[last] = SCD2_OPEN_END
+        srt = part.take(pa.array(order))
+        ups = pc.invert(srt.column("del_")).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": pa.array(k_s[ups], pa.int64()),
+            "payload": srt.filter(pa.array(ups)).column("payload"),
+            "valid_from": pa.array(s_s[ups], pa.int64()),
+            "valid_to": pa.array(nxt[ups], pa.int64()),
+            "is_current": pa.array(nxt[ups] == SCD2_OPEN_END)})
 
-    return partitioned_map_groups(u, "key", fold)
+    return partitioned_map_groups(_cdc_event_stream(sf_dir), "key", fold)
+
+
+def docs_time_travel(sf_dir: str):
+    """Snapshot-isolation time travel (the lakehouse AS OF shape):
+    reconstruct the merged table as it stood at sequence
+    asof = max(doc_id) // 2 — i.e. replay only changelog events with
+    seq <= asof over the base snapshot, latest-within-horizon wins.
+    The cutoff derives from the data (one pruned max fold) so the
+    oracle computes the identical constant; the merge itself reuses
+    the MERGE INTO winner fold on the pre-filtered event stream, so
+    time travel costs exactly one extra scalar pass over cdc_merge."""
+    asof = int(read(sf_dir, "documents", columns=["doc_id"])
+               .max("doc_id")) // 2
+    u = _cdc_event_stream(sf_dir)
+
+    def cut(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t.column("seq"),
+                                      pa.scalar(asof, pa.int64())))
+
+    return partitioned_map_groups(
+        u.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True),
+        "key", _cdc_winner_fold)

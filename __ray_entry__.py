@@ -1075,6 +1075,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # [valid_from, valid_to) version intervals, LEAD-shift fold
         "docs_time_travel": R.docs_time_travel,  # AS OF snapshot:
         # replay changelog events <= max(doc_id)//2 over the base
+        "lineitem_skyline": R.lineitem_skyline,  # Pareto frontier
+        # (min price, max discount); per-block frontier + one tiny fold
     }
 
 
@@ -3147,5 +3149,24 @@ r5 AS (
             JOIN tc tb ON tb.term = string_split(b.bigram, ' ')[2]
             WHERE b.n_ab >= 5
             ORDER BY pmi_micro DESC, bigram LIMIT 25
+        """,
+        # skyline: window staircase (strictly-cheaper running max via
+        # RANGE ... EXCLUDE GROUP) — the declarative NOT-EXISTS
+        # dominance spec is quadratic (104 s at sf0.01), so it lives in
+        # tests/test_skyline.py where it equivalence-pins this SQL
+        "lineitem_skyline": """
+            WITH w AS (
+                SELECT l_orderkey, l_linenumber, l_extendedprice,
+                       l_discount,
+                       max(l_discount) OVER (ORDER BY l_extendedprice
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW
+                           EXCLUDE GROUP) AS cheaper_max,
+                       max(l_discount) OVER (
+                           PARTITION BY l_extendedprice) AS level_max
+                FROM lineitem)
+            SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+            FROM w WHERE l_discount = level_max
+              AND (cheaper_max IS NULL OR l_discount > cheaper_max)
         """,
     }

@@ -3659,3 +3659,67 @@ def docs_time_travel(sf_dir: str):
     return partitioned_map_groups(
         u.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True),
         "key", _cdc_winner_fold)
+
+
+def _skyline_fold(t: pa.Table) -> pa.Table:
+    """One vectorized 2-D skyline pass (minimize l_extendedprice,
+    maximize l_discount; weak dominance, so coincident points all
+    survive): lexsort by (price asc, disc desc), per-price-level max
+    is the level's first element, a running prefix max over strictly
+    cheaper levels gives the staircase, and a row survives iff it
+    matches its level max AND strictly beats every cheaper level."""
+    if t.num_rows == 0:
+        return t
+    p = t.column("l_extendedprice").to_numpy()
+    d = t.column("l_discount").to_numpy()
+    order = np.lexsort((-d, p))
+    ps, ds_ = p[order], d[order]
+    new = np.ones(len(ps), bool)
+    new[1:] = ps[1:] != ps[:-1]
+    lvl = np.cumsum(new) - 1
+    level_max = ds_[np.flatnonzero(new)]   # desc within level: first=max
+    prefix = np.empty(len(level_max))
+    prefix[0] = -np.inf
+    if len(level_max) > 1:
+        prefix[1:] = np.maximum.accumulate(level_max)[:-1]
+    keep_sorted = (ds_ == level_max[lvl]) & (ds_ > prefix[lvl])
+    keep = np.zeros(len(p), bool)
+    keep[order] = keep_sorted
+    return t.filter(pa.array(keep))
+
+
+def lineitem_skyline(sf_dir: str):
+    """Skyline / Pareto-frontier query: line items not dominated on
+    (cheaper-or-equal price, higher-or-equal discount, strict in one).
+    Exactly distributive: a global skyline point is undominated within
+    its own block too, so skyline(S) = skyline(union of per-block
+    skylines) — each block emits only its local frontier (staircase-
+    sized, bounded by the distinct discount levels) and ONE tiny final
+    fold over the union finishes; the full fact table never moves.
+    The oracle states the declarative NOT-EXISTS dominance; the SQL
+    window restatement (strictly-cheaper running max via RANGE ...
+    EXCLUDE GROUP) is equivalence-pinned against it in tests."""
+    ds = read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linenumber",
+                       "l_extendedprice", "l_discount"])
+    local = ds.map_batches(_skyline_fold, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_sk", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    def final(part: pa.Table) -> pa.Table:
+        part = part.drop_columns(["_sk"])
+        if part.num_rows == 0:
+            return pa.table({
+                "l_orderkey": pa.array([], pa.int64()),
+                "l_linenumber": pa.array([], pa.int32()),
+                "l_extendedprice": pa.array([], pa.float64()),
+                "l_discount": pa.array([], pa.float64())})
+        return _skyline_fold(part)
+
+    return partitioned_map_groups(
+        local.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        "_sk", final, num_parts=1)

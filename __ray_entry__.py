@@ -880,6 +880,12 @@ def _docs_term_pmi(sf_dir: str):
     return docs_term_pmi(sf_dir)
 
 
+def _parts_bfs_hops(sf_dir: str):
+    from webxtract.ops.graph import parts_bfs_hops
+
+    return parts_bfs_hops(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
     verifies the FIRST 50 entries, so each round rotates
@@ -1077,6 +1083,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # replay changelog events <= max(doc_id)//2 over the base
         "lineitem_skyline": R.lineitem_skyline,  # Pareto frontier
         # (min price, max discount); per-block frontier + one tiny fold
+        "parts_bfs_hops": _parts_bfs_hops,  # multi-source BFS min-hop
+        # distance; frontier broadcast over pinned edge blocks
     }
 
 
@@ -3168,5 +3176,25 @@ r5 AS (
             SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
             FROM w WHERE l_discount = level_max
               AND (cheaper_max IS NULL OR l_discount > cheaper_max)
+        """,
+        # BFS: recursive CTE over the identical co-order edge
+        # derivation; UNION dedups (n, hop) states, min(hop) finishes
+        "parts_bfs_hops": """
+            WITH RECURSIVE
+            e1 AS MATERIALIZED (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey),
+            e AS MATERIALIZED (
+                SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1),
+            bfs(n, hop) AS (
+                SELECT DISTINCT u, CAST(0 AS BIGINT) FROM e
+                WHERE u % 97 = 0
+                UNION
+                SELECT e.v, bfs.hop + 1 FROM bfs JOIN e ON e.u = bfs.n
+                WHERE bfs.hop < 3)
+            SELECT n AS node, CAST(min(hop) AS BIGINT) AS hops
+            FROM bfs GROUP BY n
         """,
     }

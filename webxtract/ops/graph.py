@@ -663,3 +663,80 @@ def parts_copurchase_topk(sf_dir: str, k: int = 20):
     merged = partitioned_map_groups(partials, "k", local_topk)
     return merged.sort(["support", "part_a", "part_b"],
                        descending=[True, False, False]).limit(k)
+
+
+def parts_bfs_hops(sf_dir: str, seed_mod: int = 97, max_hops: int = 3):
+    """Multi-source BFS hop distance over the co-order part graph:
+    seeds are every graph node with node % seed_mod == 0, and each
+    reachable node gets its MINIMUM hop count (<= max_hops). Oracle:
+    DuckDB recursive CTE over the identical co-order edge derivation
+    with hop < max bound + min(hop) GROUP BY."""
+    return bfs_hops_edges(coorder_part_edges(sf_dir),
+                          seed_mod=seed_mod, max_hops=max_hops)
+
+
+def bfs_hops_edges(edges, seed_mod: int = 97, max_hops: int = 3):
+    """Multi-source BFS core over a materialized packed-key undirected
+    edge Dataset. Classic frontier expansion in synchronized rounds
+    over the pinned packed edge blocks (the kcore/PageRank pattern):
+    per round the sorted frontier broadcasts once (node-bounded, never
+    the edge set) and every edge block emits its distinct
+    frontier-adjacent neighbors; the fold is |nodes|-bounded, the
+    driver holds one visited vector (the same documented bound kcore's
+    survivor set carries), and edges never re-shuffle between rounds.
+    Termination is exact: a node enters the result at the first round
+    that reaches it, so min-hop semantics need no reconciliation."""
+    import ray
+
+    from ..broadcast import get_broadcast
+
+    degs = _edge_degrees(edges)
+    nodes_c = [b.column("node").to_numpy()
+               for b in degs.iter_batches(batch_format="pyarrow")]
+    nodes = np.sort(np.concatenate(nodes_c)) if nodes_c \
+        else np.zeros(0, np.int64)
+
+    seeds = nodes[nodes % seed_mod == 0]
+    out_nodes = [seeds]
+    out_hops = [np.zeros(seeds.size, np.int64)]
+    visited = seeds              # sorted
+    frontier = seeds
+
+    for h in range(1, max_hops + 1):
+        if frontier.size == 0:
+            break
+        f_ref = ray.put(np.sort(frontier))
+
+        def neigh(t: pa.Table, _ref=f_ref) -> pa.Table:
+            fr = get_broadcast(_ref)
+            u, v = _unpack_edges(t)
+            iu = np.searchsorted(fr, u)
+            np.minimum(iu, fr.size - 1, out=iu)
+            mu = (fr[iu] == u) if fr.size else np.zeros(u.size, bool)
+            iv = np.searchsorted(fr, v)
+            np.minimum(iv, fr.size - 1, out=iv)
+            mv = (fr[iv] == v) if fr.size else np.zeros(v.size, bool)
+            nb = np.unique(np.concatenate([v[mu], u[mv]]))
+            return pa.table({"node": pa.array(nb, pa.int64())})
+
+        nb_c = [b.column("node").to_numpy()
+                for b in edges.map_batches(
+                    neigh, batch_format="pyarrow",
+                    zero_copy_batch=True).iter_batches(
+                        batch_format="pyarrow")]
+        nb = np.unique(np.concatenate(nb_c)) if nb_c \
+            else np.zeros(0, np.int64)
+        new = np.setdiff1d(nb, visited, assume_unique=True)
+        out_nodes.append(new)
+        out_hops.append(np.full(new.size, h, np.int64))
+        visited = np.union1d(visited, new)
+        frontier = new
+
+    import ray.data as rd
+
+    n_all = np.concatenate(out_nodes)
+    h_all = np.concatenate(out_hops)
+    order = np.argsort(n_all)
+    return rd.from_arrow(pa.table({
+        "node": pa.array(n_all[order], pa.int64()),
+        "hops": pa.array(h_all[order], pa.int64())}))

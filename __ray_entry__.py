@@ -886,6 +886,12 @@ def _parts_bfs_hops(sf_dir: str):
     return parts_bfs_hops(sf_dir)
 
 
+def _docs_cosine_simjoin(sf_dir: str):
+    from webxtract.ops.dedup import docs_cosine_simjoin
+
+    return docs_cosine_simjoin(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
     verifies the FIRST 50 entries, so each round rotates
@@ -1085,6 +1091,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (min price, max discount); per-block frontier + one tiny fold
         "parts_bfs_hops": _parts_bfs_hops,  # multi-source BFS min-hop
         # distance; frontier broadcast over pinned edge blocks
+        "docs_cosine_simjoin": _docs_cosine_simjoin,  # EXACT cosine
+        # >= 0.95 threshold join via AllPairs df-ordered prefix filter
     }
 
 
@@ -3196,5 +3204,25 @@ r5 AS (
                 WHERE bfs.hop < 3)
             SELECT n AS node, CAST(min(hop) AS BIGINT) AS hops
             FROM bfs GROUP BY n
+        """,
+        # exact cosine-threshold set-similarity join: declarative
+        # all-shared-token pairs + the integer predicate
+        # tq^2*ov^2 >= tp^2*na*nb (t = 19/20, bit-free of doubles)
+        "docs_cosine_simjoin": """
+            WITH tok AS (SELECT DISTINCT doc_id,
+                                unnest(string_split(text, ' ')) AS w
+                         FROM documents),
+            sz AS (SELECT doc_id, count(*) AS n FROM tok
+                   GROUP BY doc_id),
+            ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          count(*) AS overlap
+                   FROM tok a JOIN tok b
+                     ON a.w = b.w AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+            SELECT ov.doc_a, ov.doc_b, ov.overlap,
+                   sa.n AS na, sb.n AS nb
+            FROM ov JOIN sz sa ON sa.doc_id = ov.doc_a
+                    JOIN sz sb ON sb.doc_id = ov.doc_b
+            WHERE 400 * ov.overlap * ov.overlap >= 361 * sa.n * sb.n
         """,
     }

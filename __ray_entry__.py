@@ -1093,6 +1093,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distance; frontier broadcast over pinned edge blocks
         "docs_cosine_simjoin": _docs_cosine_simjoin,  # EXACT cosine
         # >= 0.95 threshold join via AllPairs df-ordered prefix filter
+        "events_winsorized": R.events_winsorized,  # grouped p10/p90
+        # winsorization: one type-keyed order-stat pass + map-side clamp
     }
 
 
@@ -3224,5 +3226,18 @@ r5 AS (
             FROM ov JOIN sz sa ON sa.doc_id = ov.doc_a
                     JOIN sz sb ON sb.doc_id = ov.doc_b
             WHERE 400 * ov.overlap * ov.overlap >= 361 * sa.n * sb.n
+        """,
+        # winsorize: clamp copies stored doubles (no arithmetic), so
+        # values hash-exactly; quantile_disc = sorted[ceil(q*n)-1]
+        "events_winsorized": """
+            WITH b AS (SELECT event_type,
+                              quantile_disc(value, 0.1) AS lo,
+                              quantile_disc(value, 0.9) AS hi
+                       FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   CASE WHEN e.value < b.lo THEN b.lo
+                        WHEN e.value > b.hi THEN b.hi
+                        ELSE e.value END AS value_w
+            FROM events e JOIN b USING (event_type)
         """,
     }

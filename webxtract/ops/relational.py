@@ -3723,3 +3723,78 @@ def lineitem_skyline(sf_dir: str):
         local.map_batches(tag, batch_format="pyarrow",
                           zero_copy_batch=True),
         "_sk", final, num_parts=1)
+
+
+def events_winsorized(sf_dir: str, q_lo: int = 1, q_hi: int = 9,
+                      q_den: int = 10):
+    """Grouped winsorization: every event's value clamped to its
+    type's [p10, p90] DISCRETE percentiles (quantile_disc semantics:
+    sorted[max(ceil(q*n)-1, 0)], computed with integer index
+    arithmetic -(-n*q // den) - 1 so no float ceil can straddle a
+    boundary). Two-pass map-side plan: one type-keyed co-location
+    computes each group's exact order statistics (the documented
+    per-group-fits-a-partition assumption all map_groups ops share —
+    salt-and-merge does NOT apply to exact quantiles, at true scale
+    swap in the distributed selection pass), then the tiny
+    (type, lo, hi) table broadcasts and rows clamp in place — the fact
+    table is touched once per pass and never re-keyed. Clamping copies
+    stored doubles without arithmetic, so output values hash-exactly
+    against the oracle."""
+    import ray
+
+    from ..broadcast import get_broadcast
+
+    ev = read(sf_dir, "events", columns=["event_id", "event_type",
+                                         "value"])
+
+    def qfold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        enc = part.column("event_type")
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        d = enc.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = part.column("value").to_numpy()
+        order = np.lexsort((v, codes))
+        c_s, v_s = codes[order], v[order]
+        bounds = np.flatnonzero(np.diff(c_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [c_s.size]))
+        n = ends - starts
+        ilo = np.maximum(-(-n * q_lo // q_den) - 1, 0)
+        ihi = np.maximum(-(-n * q_hi // q_den) - 1, 0)
+        types = d.dictionary.take(pa.array(c_s[starts]))
+        return pa.table({"event_type": types.cast(pa.string()),
+                         "lo": pa.array(v_s[starts + ilo], pa.float64()),
+                         "hi": pa.array(v_s[starts + ihi], pa.float64())})
+
+    bt = partitioned_map_groups(
+        ev.select_columns(["event_type", "value"]), "event_type", qfold)
+    keys, los, his = [], [], []
+    for b in bt.iter_batches(batch_format="pyarrow"):  # |types|-bounded
+        keys += b.column("event_type").to_pylist()
+        los += b.column("lo").to_pylist()
+        his += b.column("hi").to_pylist()
+    order = np.argsort(np.array(keys))
+    karr = np.array(keys)[order]
+    lo_a = np.array(los)[order]
+    hi_a = np.array(his)[order]
+    ref = ray.put((karr, lo_a, hi_a))
+
+    def clamp(t: pa.Table, _ref=ref) -> pa.Table:
+        ka, lo, hi = get_broadcast(_ref)
+        typ = t.column("event_type").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ka, typ)
+        v = t.column("value").to_numpy()
+        w = np.clip(v, lo[idx], hi[idx])
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_type": t.column("event_type"),
+                         "value_w": pa.array(w, pa.float64())})
+
+    return ev.map_batches(clamp, batch_format="pyarrow",
+                          zero_copy_batch=True)

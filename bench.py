@@ -91,6 +91,11 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "docs_compression_ratio", "customer_spend_trend",
         "emb_hard_negatives", "docs_validate", "parts_copurchase_topk",
         "docs_temperature_mix", "docs_bm25_topk",
+        "docs_term_pmi", "docs_scd2", "docs_time_travel",
+        "lineitem_skyline", "parts_bfs_hops", "events_winsorized",
+        "docs_cosine_simjoin", "events_active_users_7d",
+        "events_concurrency_15m", "docs_cdc_merge", "emb_covariance",
+        "emb_pca_power",
         "emb_norms", "emb_label_centroids", "events_type_users_hll",
         "images_phash_dupes", "audios_envelope_dupes", "emb_knn_pq",
         "videos_frame_sample", "videos_mjpeg_dupes", "emb_semdedup",

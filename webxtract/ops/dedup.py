@@ -1249,9 +1249,10 @@ def cosine_simjoin_pairs(ds, tp: int = 4, tq: int = 5):
 
     from .relational import partitioned_map_groups
 
-    dft = partitioned_map_groups(
+    dft = _drop_empty_blocks(partitioned_map_groups(
         tok.map_batches(df_part, batch_format="pyarrow",
                         zero_copy_batch=True), "th", df_sum)
+        .materialize())
 
     with_df = tok.join(dft, join_type="inner", num_partitions=nparts,
                        on=("th",))

@@ -1095,6 +1095,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # >= 0.95 threshold join via AllPairs df-ordered prefix filter
         "events_winsorized": R.events_winsorized,  # grouped p10/p90
         # winsorization: one type-keyed order-stat pass + map-side clamp
+        "events_temporal_join": R.events_temporal_join,  # AS-OF
+        # validity-interval dimension join vs SCD2 (one copartitioned
+        # exchange + packed searchsorted; no interval expansion)
     }
 
 
@@ -3239,5 +3242,32 @@ r5 AS (
                         WHEN e.value > b.hi THEN b.hi
                         ELSE e.value END AS value_w
             FROM events e JOIN b USING (event_type)
+        """,
+        # temporal join: probe BETWEEN the SCD2 validity interval
+        # (versions disjoint per key -> at most one match per probe)
+        "events_temporal_join": """
+            WITH base AS (
+                SELECT doc_id AS key, CAST(-1 AS BIGINT) AS seq,
+                       FALSE AS del_, n_chars AS payload
+                FROM documents WHERE doc_id % 3 <> 0),
+            chg AS (
+                SELECT doc_id // 4 AS key, doc_id AS seq,
+                       doc_id % 3 = 1 AS del_,
+                       n_chars + 1000000 AS payload
+                FROM documents WHERE doc_id % 2 = 0),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+            v AS (SELECT key, seq, del_, payload,
+                         coalesce(lead(seq) OVER (PARTITION BY key
+                                                  ORDER BY seq),
+                                  9223372036854775807) AS valid_to
+                  FROM u),
+            scd AS (SELECT key, payload, seq AS valid_from, valid_to
+                    FROM v WHERE NOT del_),
+            p AS (SELECT event_id, user_id % 500 AS key,
+                         event_id % 600 AS seq
+                  FROM events)
+            SELECT p.event_id, p.key, p.seq, s.payload
+            FROM p JOIN scd s ON s.key = p.key
+             AND p.seq >= s.valid_from AND p.seq < s.valid_to
         """,
     }

@@ -52,3 +52,18 @@ def test_time_travel_is_subset_of_event_horizon(ray_session):
     b = full.sort_values("key", ignore_index=True)
     assert not (len(a) == len(b)
                 and np.array_equal(a.payload.values, b.payload.values))
+
+
+def test_temporal_join_unique_and_consistent(ray_session):
+    """Each probe matches at most one version (disjoint intervals),
+    and every joined payload is the version covering its seq."""
+    from webxtract.ops.relational import events_temporal_join
+
+    tj = events_temporal_join(SF).to_pandas()
+    assert tj.event_id.is_unique
+    scd = docs_scd2(SF).to_pandas()
+    merged = tj.merge(scd, on="key")
+    hit = merged[(merged.seq >= merged.valid_from)
+                 & (merged.seq < merged.valid_to)]
+    assert len(hit) == len(tj)
+    assert (hit.payload_x == hit.payload_y).all()

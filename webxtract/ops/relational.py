@@ -3798,3 +3798,86 @@ def events_winsorized(sf_dir: str, q_lo: int = 1, q_hi: int = 9,
 
     return ev.map_batches(clamp, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def events_temporal_join(sf_dir: str, key_mod: int = 500,
+                         seq_mod: int = 600):
+    """Temporal (AS-OF validity-interval) dimension join — the
+    lakehouse shape where every fact row joins the dimension VERSION
+    that was valid at its own time: probe (key = user_id % key_mod,
+    seq = event_id % seq_mod) against the SCD2 version table, matching
+    the unique version with valid_from <= seq < valid_to (versions are
+    disjoint per key, so at most one matches; probes landing in a
+    deleted gap or on an absent key drop — inner semantics). ONE
+    copartitioned exchange co-locates probes and versions by key; the
+    per-partition match is fully vectorized: versions lexsorted by
+    (key, valid_from) and packed (key << 32 | valid_from + 1), probes
+    packed the same way, one searchsorted(side='right') - 1 finds each
+    probe's latest candidate version, and two comparisons (key match,
+    seq < valid_to) finish — no per-key loop, no interval expansion.
+    At 100 TB both sides stream through the single slim exchange; the
+    dimension never broadcasts."""
+    scd = docs_scd2(sf_dir)
+    ev = read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def prep_probe(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        uid = t.column("user_id").to_numpy()
+        n = t.num_rows
+        return pa.table({
+            "key": pa.array(uid % key_mod, pa.int64()),
+            "vf": pa.nulls(n, pa.int64()),
+            "vt": pa.nulls(n, pa.int64()),
+            "pay": pa.nulls(n, pa.int64()),
+            "eid": pa.array(eid, pa.int64()),
+            "seq": pa.array(eid % seq_mod, pa.int64())})
+
+    def prep_dim(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "key": t.column("key"),
+            "vf": t.column("valid_from"),
+            "vt": t.column("valid_to"),
+            "pay": t.column("payload"),
+            "eid": pa.nulls(n, pa.int64()),
+            "seq": pa.nulls(n, pa.int64())})
+
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "key": pa.array([], pa.int64()),
+                      "seq": pa.array([], pa.int64()),
+                      "payload": pa.array([], pa.int64())})
+
+    def join_fold(parts):
+        probe, dim = parts
+        if probe.num_rows == 0 or dim.num_rows == 0:
+            return empty
+        kd = dim.column("key").to_numpy()
+        vf = dim.column("vf").to_numpy(zero_copy_only=False)
+        vt = dim.column("vt").to_numpy(zero_copy_only=False)
+        pay = dim.column("pay").to_numpy(zero_copy_only=False)
+        if kd.size and (kd.max() >= 1 << 31 or vf.max() >= (1 << 32) - 1):
+            raise ValueError(
+                "key/valid_from exceed the packed (key<<32 | vf+1) "
+                "range; widen the pack before joining this domain")
+        order = np.lexsort((vf, kd))
+        kd_s, vf_s = kd[order], vf[order]
+        vt_s, pay_s = vt[order], pay[order]
+        pack_d = (kd_s.astype(np.uint64) << np.uint64(32)) \
+            | (vf_s + 1).astype(np.uint64)
+        kp = probe.column("key").to_numpy()
+        sq = probe.column("seq").to_numpy(zero_copy_only=False)
+        eid = probe.column("eid").to_numpy(zero_copy_only=False)
+        pack_p = (kp.astype(np.uint64) << np.uint64(32)) \
+            | (sq + 1).astype(np.uint64)
+        idx = np.searchsorted(pack_d, pack_p, side="right") - 1
+        safe = np.maximum(idx, 0)
+        ok = (idx >= 0) & (kd_s[safe] == kp) & (sq < vt_s[safe])
+        return pa.table({
+            "event_id": pa.array(eid[ok].astype(np.int64), pa.int64()),
+            "key": pa.array(kp[ok], pa.int64()),
+            "seq": pa.array(sq[ok].astype(np.int64), pa.int64()),
+            "payload": pa.array(pay_s[safe][ok].astype(np.int64),
+                                pa.int64())})
+
+    return copartitioned_map([(ev, prep_probe), (scd, prep_dim)],
+                             "key", join_fold)

@@ -1442,3 +1442,111 @@ def docs_cosine_simjoin(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return cosine_simjoin_pairs(ds, tp=19, tq=20)
+
+
+def docs_golden_record(sf_dir: str):
+    """MDM-style golden-record build: one merged survivor per near-dup
+    cluster, each attribute by its own survivorship rule — n_members
+    count, n_chars_max = max over members, lang_mode = most frequent
+    member lang (tie: lexicographic min), text_md5 = md5 of the
+    LONGEST member text (tie: min doc_id). Singleton docs form their
+    own cluster. Pair source is the oracled exact-Jaccard list (the
+    same source docs_jaccard_clusters verifies), clustering is the
+    oracled min-label CC; the merge itself is one cluster-keyed
+    co-location with a vectorized per-partition fold — only the one
+    survivor text per cluster is hashed, never every member."""
+    import polars as pl
+    import ray.data as rd
+
+    from .relational import partitioned_map_groups
+    from .text import md5_hex
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang", "n_chars"])
+    pairs = ngram_jaccard_pairs(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        threshold=0.7, shingle=1)
+    assign = dedup_clusters(pairs)
+
+    from .relational import copartitioned_map
+
+    def prep_docs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "cluster_id": pa.nulls(t.num_rows, pa.int64()),
+            "text": t.column("text"),
+            "lang": t.column("lang"),
+            "n_chars": t.column("n_chars").cast(pa.int64())})
+
+    def prep_assign(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "cluster_id": t.column("cluster_id").cast(pa.int64()),
+            "text": pa.nulls(n, pa.string()),
+            "lang": pa.nulls(n, pa.string()),
+            "n_chars": pa.nulls(n, pa.int64())})
+
+    def attach(parts):
+        d, a = parts
+        if d.num_rows == 0:
+            return pa.table({
+                "cluster_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64())})
+        idx = pc.index_in(d.column("doc_id"),
+                          value_set=a.column("doc_id").combine_chunks())
+        cl = pc.take(a.column("cluster_id").combine_chunks(), idx)
+        cl = pc.fill_null(cl, pa.scalar(-1, pa.int64()))
+        cl = pc.if_else(pc.equal(cl, pa.scalar(-1, pa.int64())),
+                        d.column("doc_id").combine_chunks()
+                        if isinstance(d.column("doc_id"),
+                                      pa.ChunkedArray)
+                        else d.column("doc_id"), cl)
+        return pa.table({"cluster_id": cl,
+                         "doc_id": d.column("doc_id"),
+                         "text": d.column("text"),
+                         "lang": d.column("lang"),
+                         "n_chars": d.column("n_chars")})
+
+    merged = copartitioned_map([(docs, prep_docs), (assign, prep_assign)],
+                               "doc_id", attach)
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({
+                "cluster_id": pa.array([], pa.int64()),
+                "n_members": pa.array([], pa.int64()),
+                "n_chars_max": pa.array([], pa.int64()),
+                "lang_mode": pa.array([], pa.string()),
+                "text_md5": pa.array([], pa.string())})
+        df = pl.from_arrow(part).with_columns(
+            pl.col("text").str.len_chars().cast(pl.Int64).alias("tl"))
+        g = df.group_by("cluster_id").agg([
+            pl.len().cast(pl.Int64).alias("n_members"),
+            pl.col("n_chars").max().alias("n_chars_max")])
+        lm = (df.group_by(["cluster_id", "lang"])
+              .agg(pl.len().alias("c"))
+              .sort(["cluster_id", "c", "lang"],
+                    descending=[False, True, False])
+              .group_by("cluster_id", maintain_order=True).first()
+              .select(["cluster_id", pl.col("lang").alias("lang_mode")]))
+        tx = (df.sort(["cluster_id", "tl", "doc_id"],
+                      descending=[False, True, False])
+              .group_by("cluster_id", maintain_order=True).first()
+              .select(["cluster_id", "text"]))
+        tx = tx.with_columns(pl.Series(
+            "text_md5", md5_hex(tx["text"].to_list())))
+        out = (g.join(lm, on="cluster_id")
+               .join(tx.select(["cluster_id", "text_md5"]),
+                     on="cluster_id")
+               .sort("cluster_id"))
+        return out.to_arrow().cast(pa.schema([
+            ("cluster_id", pa.int64()), ("n_members", pa.int64()),
+            ("n_chars_max", pa.int64()), ("lang_mode", pa.string()),
+            ("text_md5", pa.string())]))
+
+    return partitioned_map_groups(merged, "cluster_id", fold)

@@ -3881,3 +3881,114 @@ def events_temporal_join(sf_dir: str, key_mod: int = 500,
 
     return copartitioned_map([(ev, prep_probe), (scd, prep_dim)],
                              "key", join_fold)
+
+
+def events_audience_overlap(sf_dir: str):
+    """Audience-overlap matrix: for every unordered pair of event
+    types, the EXACT number of distinct users who performed both (the
+    segment-intersection shape; the sketch twin at extreme user counts
+    is HLL + inclusion-exclusion, but |users x types| rows are slim
+    enough to fold exactly here). Per-batch distinct (user, type)
+    partials -> one user-keyed exchange (bounded by |users| x |types|,
+    never events) -> per-user vectorized pair generation (the
+    _segment_pairs arithmetic over per-partition dictionary codes) ->
+    one |types|^2-bounded pair-keyed sum."""
+    ev = read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def distinct_part(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy()
+        typ = t.column("event_type")
+        if isinstance(typ, pa.ChunkedArray):
+            typ = typ.combine_chunks()
+        d = typ.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        c = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((c, u))
+        u_s, c_s = u[order], c[order]
+        keep = np.ones(u_s.size, bool)
+        keep[1:] = (u_s[1:] != u_s[:-1]) | (c_s[1:] != c_s[:-1])
+        return pa.table({
+            "user_id": pa.array(u_s[keep], pa.int64()),
+            "event_type": d.dictionary.take(
+                pa.array(c_s[keep])).cast(pa.string())})
+
+    slim = ev.map_batches(distinct_part, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def pair_fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"type_a": pa.array([], pa.string()),
+                             "type_b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        u = part.column("user_id").to_numpy()
+        typ = part.column("event_type")
+        if isinstance(typ, pa.ChunkedArray):
+            typ = typ.combine_chunks()
+        d = typ.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        # order codes by their STRING value so pairs come out
+        # (type_a < type_b) lexicographically like the oracle's join
+        dict_np = d.dictionary.to_numpy(zero_copy_only=False)
+        rank_of = np.empty(len(dict_np), np.int64)
+        rank_of[np.argsort(dict_np)] = np.arange(len(dict_np))
+        c = rank_of[d.indices.to_numpy(zero_copy_only=False)
+                    .astype(np.int64)]
+        order = np.lexsort((c, u))
+        u_s, c_s = u[order], c[order]
+        keep = np.ones(u_s.size, bool)           # re-dedupe across
+        keep[1:] = (u_s[1:] != u_s[:-1]) | (c_s[1:] != c_s[:-1])
+        u_s, c_s = u_s[keep], c_s[keep]
+        bounds = np.flatnonzero(np.diff(u_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [u_s.size])) if u_s.size \
+            else starts
+        ia, ib = _pair_idx(starts, ends)
+        if ia.size == 0:
+            return pa.table({"type_a": pa.array([], pa.string()),
+                             "type_b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        pk = c_s[ia] * np.int64(len(dict_np)) + c_s[ib]
+        upk, cnt = np.unique(pk, return_counts=True)
+        sorted_dict = np.sort(dict_np)
+        return pa.table({
+            "type_a": pa.array(sorted_dict[upk // len(dict_np)],
+                               pa.string()),
+            "type_b": pa.array(sorted_dict[upk % len(dict_np)],
+                               pa.string()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    per_part = partitioned_map_groups(slim, "user_id", pair_fold)
+
+    def final_sum(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"type_a": pa.array([], pa.string()),
+                             "type_b": pa.array([], pa.string()),
+                             "n_users": pa.array([], pa.int64())})
+        g = part.group_by(["type_a", "type_b"]).aggregate([("n", "sum")])
+        return pa.table({"type_a": g.column("type_a"),
+                         "type_b": g.column("type_b"),
+                         "n_users": g.column("n_sum").cast(pa.int64())})
+
+    return partitioned_map_groups(per_part, "type_a", final_sum)
+
+
+def _pair_idx(starts: np.ndarray,
+              ends: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Index pairs (i < j) inside each [start, end) segment (the
+    graph._segment_pairs arithmetic over positions)."""
+    n = int(ends[-1]) if ends.size else 0
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    k = ends - starts
+    elem = np.arange(n, dtype=np.int64)
+    succ = np.repeat(ends, k) - elem - 1
+    total = int(succ.sum())
+    if total == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    first = np.repeat(elem, succ)
+    grp_start = np.cumsum(succ) - succ
+    off = np.arange(total, dtype=np.int64) - np.repeat(grp_start, succ)
+    second = first + off + 1
+    return first, second

@@ -898,6 +898,18 @@ def _docs_golden_record(sf_dir: str):
     return docs_golden_record(sf_dir)
 
 
+def _docs_vocab_growth(sf_dir: str):
+    from webxtract.ops.text import docs_vocab_growth
+
+    return docs_vocab_growth(sf_dir)
+
+
+def _emb_kcenter(sf_dir: str):
+    from webxtract.ops.knn import emb_kcenter
+
+    return emb_kcenter(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
     verifies the FIRST 50 entries, so each round rotates
@@ -1108,6 +1120,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distinct-user intersection per type pair; |users|-bounded fold
         "docs_golden_record": _docs_golden_record,  # MDM survivorship
         # merge per near-dup cluster (count/max/mode/longest-text md5)
+        "docs_vocab_growth": _docs_vocab_growth,  # Heaps-law curve:
+        # new distinct terms per doc-id bucket (first-occurrence min)
+        "emb_kcenter": _emb_kcenter,  # greedy farthest-point coreset
+        # on exact int8-code distances; k broadcast-centers scans
     }
 
 
@@ -1146,6 +1162,68 @@ def _langid_oracle() -> str:
                COALESCE(p.score, 0.0) AS lang_score
         FROM documents d LEFT JOIN pick p USING (doc_id)
     """
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """DuckDB twin of ops.knn.emb_kcenter: the identical int8
+    quantization CTE + k-1 unrolled MATERIALIZED min-dist/argmax
+    rounds (the kmeans/PageRank oracle pattern). Every distance is an
+    exact integer sum of squared code deltas, so the (d2 DESC, vec_id)
+    argmax is bit-deterministic; already-selected ids are excluded by
+    NOT IN, mirroring the engine's isin mask."""
+    codes = """
+        WITH x AS (
+            SELECT vec_id, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) - 1 AS dim
+            FROM embeddings),
+        rng AS (SELECT dim, min(v) AS mn, max(v) AS mx
+                FROM x GROUP BY dim),
+        codes AS MATERIALIZED (
+            SELECT x.vec_id, x.dim,
+                   CASE WHEN rng.mx > rng.mn THEN
+                       CAST(least(254.0,
+                            floor((CAST(x.v AS DOUBLE)
+                                   - CAST(rng.mn AS DOUBLE)) * 255.0
+                                  / (CAST(rng.mx AS DOUBLE)
+                                     - CAST(rng.mn AS DOUBLE))))
+                            AS BIGINT) - 127
+                   ELSE -127 END AS code
+            FROM x JOIN rng USING (dim)),
+        c0 AS MATERIALIZED (
+            SELECT min(vec_id) AS vec_id, CAST(0 AS BIGINT) AS d2
+            FROM codes),
+        m0 AS MATERIALIZED (
+            SELECT v.vec_id,
+                   sum((v.code - c.code) * (v.code - c.code)) AS d2
+            FROM codes v
+            JOIN codes c ON c.vec_id = (SELECT vec_id FROM c0)
+                        AND c.dim = v.dim
+            GROUP BY v.vec_id)"""
+    parts = [codes]
+    for r in range(1, k):
+        sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM c{i}" for i in range(r))
+        parts.append(f"""
+        c{r} AS MATERIALIZED (
+            SELECT vec_id, d2 FROM m{r - 1}
+            WHERE vec_id NOT IN ({sel})
+            ORDER BY d2 DESC, vec_id LIMIT 1)""")
+        if r < k - 1:
+            parts.append(f"""
+        m{r} AS MATERIALIZED (
+            SELECT m.vec_id, least(m.d2, d.d2) AS d2
+            FROM m{r - 1} m JOIN (
+                SELECT v.vec_id,
+                       sum((v.code - c.code) * (v.code - c.code)) AS d2
+                FROM codes v
+                JOIN codes c ON c.vec_id = (SELECT vec_id FROM c{r})
+                            AND c.dim = v.dim
+                GROUP BY v.vec_id) d USING (vec_id))""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, vec_id, "
+        f"CAST(d2 AS BIGINT) AS d2 FROM c{r}"
+        for r in range(k))
+    return ",".join(parts) + f"\n        {finals} ORDER BY rank"
 
 
 def _pca_oracle(iters: int = 8) -> str:
@@ -3344,4 +3422,13 @@ r5 AS (
             FROM g JOIN lmode USING (cluster_id)
                    JOIN tx USING (cluster_id)
         """,
+        "docs_vocab_growth": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(string_split(text, ' ')) AS w
+                         FROM documents),
+            f AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY w)
+            SELECT fd // 1 AS bucket, count(*) AS new_terms
+            FROM f GROUP BY 1
+        """,
+        "emb_kcenter": _kcenter_oracle(),
     }

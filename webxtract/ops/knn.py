@@ -1033,3 +1033,139 @@ def emb_pca_power(sf_dir: str, iters: int = 8):
                           / wm)) for x in w]
     return pa.table({"dim": pa.array(list(range(d)), pa.int64()),
                      "loading": pa.array(v, pa.int64())})
+
+
+def emb_kcenter(sf_dir: str, k: int = 8):
+    """Greedy k-center coreset selection (Gonzalez farthest-point,
+    the embedding-curation shape: pick k maximally spread exemplars):
+    seed = min vec_id, then k-1 rounds of "farthest point from the
+    selected set" with (distance DESC, vec_id ASC) tie-break,
+    already-selected ids excluded by id. All distances are EXACT
+    integer squared L2 over the int8 quantized codes (the
+    emb_quantize_int8 fixed point, <= 64 * 254^2 per pair — far
+    inside int64), so every argmax is bit-deterministic in both
+    engines; mining on raw float distances would hinge tie-breaks on
+    summation order. Codes pin once as a d-byte binary blob per
+    vector; each round is one stateless broadcast-centers scan with a
+    per-batch (d2, vec_id) argmax partial — the driver holds k rows,
+    never a distance column. Returns (rank, vec_id, d2) where d2 is
+    the covering radius at selection (0 for the seed).
+
+    Oracle: the identical quantization CTE + k-1 unrolled MATERIALIZED
+    min-dist/argmax rounds (generated in __ray_entry__)."""
+    import ray
+    import ray.data as rd
+
+    from ..broadcast import get_broadcast
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    # per-dimension range fold (the emb_quantize_int8 pass 1)
+    def mm_part(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch.column("embedding"))
+        if m.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({
+            "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+            "mn": pa.array(m.min(axis=0), pa.float64()),
+            "mx": pa.array(m.max(axis=0), pa.float64())})
+
+    mn = mx = None
+    for b in ds.map_batches(mm_part, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):  # dim-bounded
+        d = b.column("dim").to_numpy()
+        if mn is None:
+            mn = np.full(int(d.max()) + 1 if d.size else 0, np.inf)
+            mx = np.full_like(mn, -np.inf)
+        np.minimum.at(mn, d, b.column("mn").to_numpy())
+        np.maximum.at(mx, d, b.column("mx").to_numpy())
+    rng_ref = ray.put((mn, mx))
+
+    def to_codes(batch: pa.Table, _ref=rng_ref) -> pa.Table:
+        lo, hi = get_broadcast(_ref)
+        m = _emb_matrix(batch.column("embedding"))
+        n, dim = m.shape if m.size else (0, 0)
+        span = hi - lo
+        safe = np.where(span > 0, span, 1.0)
+        code = np.minimum(254.0, np.floor((m - lo) * 255.0 / safe)) - 127
+        code = np.where(span > 0, code, -127.0).astype(np.int8)
+        if n == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "codes": pa.array([], pa.binary())})
+        offsets = (np.arange(n + 1, dtype=np.int32) * dim)
+        blob = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(code.tobytes())])
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "codes": blob})
+
+    coded = ds.map_batches(to_codes, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    BIG = (1 << 62)
+    sel_ids: list[int] = []
+    sel_d2: list[int] = []
+    centers: list[np.ndarray] = []
+
+    for r in range(k):
+        c_ref = ray.put((np.array(sel_ids, np.int64),
+                         np.stack(centers) if centers
+                         else np.zeros((0, 1), np.int64)))
+
+        def far_part(batch: pa.Table, _ref=c_ref) -> pa.Table:
+            sel, cen = get_broadcast(_ref)
+            n = batch.num_rows
+            empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                              "d2": pa.array([], pa.int64()),
+                              "codes": pa.array([], pa.binary())})
+            if n == 0:
+                return empty
+            blob = batch.column("codes")
+            if isinstance(blob, pa.ChunkedArray):
+                blob = blob.combine_chunks()
+            py = blob.to_pylist()
+            m = np.frombuffer(b"".join(py), dtype=np.int8) \
+                .reshape(n, -1).astype(np.int64)
+            if cen.shape[0]:
+                d2 = np.min(((m[:, None, :] - cen[None, :, :]) ** 2)
+                            .sum(axis=2), axis=1)
+            else:                 # round 0: every point "infinitely far"
+                d2 = np.full(n, BIG, np.int64)
+            vid = batch.column("vec_id").to_numpy()
+            ok = ~np.isin(vid, sel)
+            if not ok.any():
+                return empty
+            vid2, d2f = vid[ok], d2[ok]
+            order = np.lexsort((vid2, -d2f))
+            w = order[0]
+            src = int(np.flatnonzero(ok)[w])
+            return pa.table({
+                "vec_id": pa.array([int(vid2[w])], pa.int64()),
+                "d2": pa.array([int(d2f[w])], pa.int64()),
+                "codes": pa.array([py[src]], pa.binary())})
+
+        best = None           # (d2, vec_id, codes)
+        for b in coded.map_batches(
+                far_part, batch_format="pyarrow",
+                zero_copy_batch=True).iter_batches(
+                    batch_format="pyarrow"):  # one row per block
+            for vid, d2, cb in zip(b.column("vec_id").to_pylist(),
+                                   b.column("d2").to_pylist(),
+                                   b.column("codes").to_pylist()):
+                if best is None or d2 > best[0] \
+                        or (d2 == best[0] and vid < best[1]):
+                    best = (d2, vid, cb)
+        sel_ids.append(int(best[1]))
+        sel_d2.append(0 if r == 0 else int(best[0]))
+        centers.append(np.frombuffer(best[2], dtype=np.int8)
+                       .astype(np.int64))
+
+    return rd.from_arrow(pa.table({
+        "rank": pa.array(np.arange(k, dtype=np.int64), pa.int64()),
+        "vec_id": pa.array(sel_ids, pa.int64()),
+        "d2": pa.array(sel_d2, pa.int64())}))

@@ -2939,3 +2939,62 @@ def docs_term_pmi(sf_dir: str, k: int = 25, min_count: int = 5,
 
     return scored.sort(["pmi_micro", "bigram"],
                        descending=[True, False]).limit(k)
+
+
+def docs_vocab_growth(sf_dir: str, bucket: int = 1):
+    """Heaps-law vocabulary-growth curve: how many NEW distinct terms
+    each doc_id bucket introduces (first-occurrence semantics — a
+    term belongs to the bucket of its MINIMUM doc_id; the synthetic
+    corpus's closed vocabulary saturates within the first few docs,
+    so per-doc granularity keeps the output informative). Per-batch
+    (term, min_doc) partials fold through one vocabulary-bounded
+    term-keyed exchange (the docs_term_counts shape with min instead
+    of sum); bucket counts then fold as span-bounded integer partials.
+    The corpus is scanned once; only vocabulary-sized tables move."""
+    import ray.data as rd
+
+    from .relational import partitioned_map_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy()
+        doc = batch.column("doc_id").to_numpy()[parents]
+        t = flat.to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, t))
+        t_s, d_s = t[order], doc[order]
+        keep = np.ones(t_s.size, bool)
+        keep[1:] = t_s[1:] != t_s[:-1]       # first = min doc per term
+        return pa.table({"term": pa.array(t_s[keep], pa.string()),
+                         "first_doc": pa.array(d_s[keep], pa.int64())})
+
+    def min_fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        t = part.column("term").to_numpy(zero_copy_only=False)
+        d = part.column("first_doc").to_numpy()
+        order = np.lexsort((d, t))
+        t_s, d_s = t[order], d[order]
+        keep = np.ones(t_s.size, bool)
+        keep[1:] = t_s[1:] != t_s[:-1]
+        b, cnt = np.unique(d_s[keep] // bucket, return_counts=True)
+        return pa.table({"bucket": pa.array(b, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    per_part = partitioned_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), "term", min_fold)
+
+    def final(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "new_terms": pa.array([], pa.int64())})
+        g = part.group_by("bucket").aggregate([("n", "sum")])
+        return pa.table({"bucket": g.column("bucket"),
+                         "new_terms": g.column("n_sum").cast(pa.int64())})
+
+    return partitioned_map_groups(per_part, "bucket", final)

@@ -910,6 +910,12 @@ def _emb_kcenter(sf_dir: str):
     return emb_kcenter(sf_dir)
 
 
+def _purchase_pagerank_weighted(sf_dir: str):
+    from webxtract.ops.graph import purchase_pagerank_weighted
+
+    return purchase_pagerank_weighted(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
     verifies the FIRST 50 entries, so each round rotates
@@ -1124,6 +1130,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new distinct terms per doc-id bucket (first-occurrence min)
         "emb_kcenter": _emb_kcenter,  # greedy farthest-point coreset
         # on exact int8-code distances; k broadcast-centers scans
+        "events_dedup_window": R.events_dedup_window,  # repeat
+        # suppression: drop if same (user,type) within past 60 min
+        "purchase_pagerank_weighted": _purchase_pagerank_weighted,
+        # edge-weighted PageRank (distinct-order multiplicity), exact
     }
 
 
@@ -1162,6 +1172,43 @@ def _langid_oracle() -> str:
                COALESCE(p.score, 0.0) AS lang_score
         FROM documents d LEFT JOIN pick p USING (doc_id)
     """
+
+
+def _wpagerank_oracle(iters: int = 5, k: int = 25) -> str:
+    """DuckDB twin of ops.graph.purchase_pagerank_weighted: the
+    unweighted PageRank unroll with every contribution scaled by the
+    edge's distinct-order multiplicity — identical integer expression
+    ((r // wd) * w), so hash-exact."""
+    head = """
+        WITH e0 AS (
+            SELECT o_custkey AS a, l_suppkey + 1000000 AS b,
+                   count(DISTINCT l_orderkey) AS w
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2),
+        und AS (SELECT a AS src, b AS dst, w FROM e0
+                UNION ALL SELECT b, a, w FROM e0),
+        wdeg AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS wd
+                 FROM und GROUP BY src),
+        nn AS (SELECT count(*) AS n FROM wdeg),
+        r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS r
+               FROM wdeg)"""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+        c{i} AS (
+            SELECT u.dst AS node, sum((r{i - 1}.r // wdeg.wd) * u.w) AS c
+            FROM und u JOIN r{i - 1} ON u.src = r{i - 1}.node
+            JOIN wdeg ON u.src = wdeg.node
+            GROUP BY u.dst),
+        r{i} AS (
+            SELECT wdeg.node,
+                   (150000000000 // (SELECT n FROM nn))
+                   + (85 * coalesce(c{i}.c, 0)) // 100 AS r
+            FROM wdeg LEFT JOIN c{i} ON wdeg.node = c{i}.node)""")
+    return (head + "," + ",".join(rounds)
+            + f"""
+        SELECT node, CAST(r AS BIGINT) AS rank_e12 FROM r{iters}
+        ORDER BY rank_e12 DESC, node LIMIT {k}""")
 
 
 def _kcenter_oracle(k: int = 8) -> str:
@@ -3431,4 +3478,15 @@ r5 AS (
             FROM f GROUP BY 1
         """,
         "emb_kcenter": _kcenter_oracle(),
+        # windowed dedup: LAG within (user, type) + strict interval
+        # compare on exact integer-microsecond timestamps
+        "events_dedup_window": """
+            SELECT event_id, user_id, event_type, ts FROM (
+                SELECT event_id, user_id, event_type, ts,
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS pts
+                FROM events)
+            WHERE pts IS NULL OR ts - pts > INTERVAL 60 MINUTE
+        """,
+        "purchase_pagerank_weighted": _wpagerank_oracle(),
     }

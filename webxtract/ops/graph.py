@@ -740,3 +740,166 @@ def bfs_hops_edges(edges, seed_mod: int = 97, max_hops: int = 3):
     return rd.from_arrow(pa.table({
         "node": pa.array(n_all[order], pa.int64()),
         "hops": pa.array(h_all[order], pa.int64())}))
+
+
+def _weighted_purchase_edges(sf_dir: str):
+    """(src, dst, w) purchase edges where w = number of DISTINCT
+    orders linking the (customer, supplier) pair — the same two
+    exchanges as _purchase_edges, but per-order distinct pairs are
+    COUNTED per partition (slim (pk, n) partials; integer adds are
+    order-independent) instead of deduped, and the pk-keyed fold sums
+    multiplicities before emitting both directions."""
+    from .relational import copartitioned_map, partitioned_map_groups, read
+
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t.column("l_orderkey"),
+                         "v": t.column("l_suppkey")})
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t.column("o_orderkey"),
+                         "v": t.column("o_custkey").cast(pa.int64())})
+
+    def per_part(parts: list[pa.Table]) -> pa.Table:
+        li_p, ord_p = parts
+        if li_p.num_rows == 0 or ord_p.num_rows == 0:
+            return pa.table({"_pk": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        idx = pc.index_in(li_p.column("k"),
+                          value_set=ord_p.column("k").combine_chunks())
+        cust = pc.take(ord_p.column("v").combine_chunks(), idx)
+        ok = pc.is_valid(cust)
+        c = cust.filter(ok).to_numpy().astype(np.uint64)
+        s = (li_p.column("v").filter(ok).to_numpy().astype(np.uint64)
+             + np.uint64(SUPP_OFFSET))
+        o = li_p.column("k").filter(ok).to_numpy()
+        if c.size and (c.max() >= 2 ** 32 or s.max() >= 2 ** 32):
+            raise ValueError(
+                "node id >= 2^32: the packed edge key would silently "
+                "corrupt; use a two-column exchange at this id range")
+        pk = ((c << np.uint64(32)) | s).view(np.int64)
+        order_ = np.lexsort((pk, o))
+        o_s, pk_s = o[order_], pk[order_]
+        keep = np.ones(o_s.size, bool)      # distinct per (order, pair)
+        keep[1:] = (o_s[1:] != o_s[:-1]) | (pk_s[1:] != pk_s[:-1])
+        upk, cnt = np.unique(pk_s[keep], return_counts=True)
+        return pa.table({"_pk": pa.array(upk, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    pairs = copartitioned_map([(li, prep_li), (orders, prep_orders)],
+                              "k", per_part)
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        pk = part.column("_pk").to_numpy()
+        n = part.column("n").to_numpy()
+        order_ = np.argsort(pk, kind="stable")
+        pk_s, n_s = pk[order_], n[order_]
+        starts = np.flatnonzero(np.r_[True, pk_s[1:] != pk_s[:-1]])
+        upk = pk_s[starts].view(np.uint64)
+        w = np.add.reduceat(n_s, starts)
+        a = (upk >> np.uint64(32)).astype(np.int64)
+        b = (upk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            "w": pa.array(np.concatenate([w, w]).astype(np.int64),
+                          pa.int64())})
+
+    return partitioned_map_groups(pairs, "_pk", fold).materialize()
+
+
+def pagerank_weighted(edges, iters: int = 5, damping_pct: int = 85):
+    """Weighted PageRank over a materialized (src, dst, w) edge
+    Dataset: the unweighted integer fixed-point recurrence with each
+    contribution scaled by edge weight,
+
+        contrib(u->v) = (r(u) // W(u)) * w_uv,  W(u) = sum_u w_uv
+        r'(v) = TELEPORT + (damping_pct * sum contrib) // 100
+
+    — all integer (contrib per destination is bounded by SCALE, far
+    inside int64), so the result is exact and partitioning-
+    independent; the oracle unrolls the identical expression. Same
+    raw-task fold over pinned edge blocks as ``pagerank``."""
+    import ray
+
+    node_chunks, w_chunks = [], []
+
+    def wpart(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy()
+        w = t.column("w").to_numpy()
+        order_ = np.argsort(src, kind="stable")
+        s_s, w_s = src[order_], w[order_]
+        starts = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]])
+        return pa.table({
+            "node": pa.array(s_s[starts], pa.int64()),
+            "n": pa.array(np.add.reduceat(w_s, starts)
+                          .astype(np.int64), pa.int64())})
+
+    for b in edges.map_batches(wpart, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):  # |nodes|-bounded
+        node_chunks.append(b.column("node").to_numpy())
+        w_chunks.append(b.column("n").to_numpy())
+    allnodes = (np.concatenate(node_chunks) if node_chunks
+                else np.zeros(0, np.int64))
+    nodes, inv = np.unique(allnodes, return_inverse=True)
+    wdeg = np.zeros(len(nodes), np.int64)
+    if len(allnodes):
+        np.add.at(wdeg, inv, np.concatenate(w_chunks))
+    n_nodes = len(nodes)
+    if n_nodes == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "rank_e12": pa.array([], pa.int64())})
+    teleport = ((100 - damping_pct) * SCALE // 100) // n_nodes
+    rank = np.full(n_nodes, SCALE // n_nodes, dtype=np.int64)
+
+    block_refs = edges.to_arrow_refs()
+    nodes_ref = ray.put(nodes)
+
+    @ray.remote(num_cpus=1)
+    def contrib_block(t: pa.Table, bnodes: np.ndarray,
+                      bshare: np.ndarray):
+        if t.num_rows == 0 or "src" not in t.schema.names:
+            z = np.zeros(0, np.int64)
+            return z, z
+        src = t.column("src").to_numpy()
+        dst = t.column("dst").to_numpy()
+        w = t.column("w").to_numpy()
+        c = bshare[np.searchsorted(bnodes, src)] * w
+        order_ = np.argsort(dst, kind="stable")
+        d_sorted, c_sorted = dst[order_], c[order_]
+        starts = np.flatnonzero(
+            np.r_[True, d_sorted[1:] != d_sorted[:-1]])
+        return d_sorted[starts], np.add.reduceat(c_sorted, starts)
+
+    for _ in range(iters):
+        share_ref = ray.put(rank // wdeg)
+        parts = ray.get([contrib_block.remote(r, nodes_ref, share_ref)
+                         for r in block_refs])
+        contrib_v = np.zeros(n_nodes, np.int64)
+        for bn, bv in parts:
+            si = np.searchsorted(nodes, bn)
+            ok = si < n_nodes
+            ok[ok] &= nodes[si[ok]] == bn[ok]
+            np.add.at(contrib_v, si[ok], bv[ok])
+        rank = teleport + (damping_pct * contrib_v) // 100
+
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "rank_e12": pa.array(rank, pa.int64())})
+
+
+def purchase_pagerank_weighted(sf_dir: str, iters: int = 5,
+                               k: int = 25):
+    """Top-k weighted-PageRank nodes of the purchase graph (edge
+    weight = distinct orders linking the pair)."""
+    import ray.data as rd
+
+    t = pagerank_weighted(_weighted_purchase_edges(sf_dir), iters)
+    return rd.from_arrow(t).sort(
+        ["rank_e12", "node"], descending=[True, False]).limit(k)

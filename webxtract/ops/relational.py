@@ -3992,3 +3992,49 @@ def _pair_idx(starts: np.ndarray,
     off = np.arange(total, dtype=np.int64) - np.repeat(grp_start, succ)
     second = first + off + 1
     return first, second
+
+
+def events_dedup_window(sf_dir: str, window_min: int = 60):
+    """Windowed event dedup (the at-most-once-per-hour throttle /
+    repeat-suppression shape): an event drops iff the SAME
+    (user, type) stream's immediately preceding event — by
+    (ts, event_id) order — lies within the past ``window_min``
+    minutes. One user-keyed co-location; the per-partition fold is a
+    lexsort + one integer-microsecond diff against the shifted
+    timestamp (SQL's LAG), so comparisons are exact on both engines.
+    The event payload never moves twice: the exchange carries the
+    four output columns only."""
+    ev = read(sf_dir, "events", columns=["event_id", "user_id",
+                                         "event_type", "ts"])
+    win_us = np.int64(window_min) * 60_000_000
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "ts": pa.array([], pa.timestamp("us"))})
+        u = part.column("user_id").to_numpy()
+        eid = part.column("event_id").to_numpy()
+        ts = pc.cast(part.column("ts"), pa.timestamp("us")) \
+            .to_numpy().view(np.int64)   # unit-pinned: a ns-encoded
+        # source would otherwise inflate every gap 1000x
+        typ = part.column("event_type")
+        if isinstance(typ, pa.ChunkedArray):
+            typ = typ.combine_chunks()
+        d = typ.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        c = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, c, u))
+        u_s, c_s, ts_s = u[order], c[order], ts[order]
+        same = np.zeros(len(u_s), bool)
+        same[1:] = (u_s[1:] == u_s[:-1]) & (c_s[1:] == c_s[:-1])
+        close = np.zeros(len(u_s), bool)
+        close[1:] = (ts_s[1:] - ts_s[:-1]) <= win_us
+        drop = same & close
+        keep_idx = order[~drop]
+        return part.take(pa.array(np.sort(keep_idx)))
+
+    return partitioned_map_groups(ev, "user_id", fold)

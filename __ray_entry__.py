@@ -1134,6 +1134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # suppression: drop if same (user,type) within past 60 min
         "purchase_pagerank_weighted": _purchase_pagerank_weighted,
         # edge-weighted PageRank (distinct-order multiplicity), exact
+        "events_value_ewma": R.events_value_ewma,  # per-user integer
+        # fixed-point EWMA: sequential within user, parallel across
     }
 
 
@@ -3489,4 +3491,25 @@ r5 AS (
             WHERE pts IS NULL OR ts - pts > INTERVAL 60 MINUTE
         """,
         "purchase_pagerank_weighted": _wpagerank_oracle(),
+        # EWMA: recursive CTE unrolls the per-user chain; floor(x/4.0)
+        # is exact IEEE floor division (power-of-two divisor) and
+        # matches numpy's // on negatives where DuckDB's // truncates
+        "events_value_ewma": """
+            WITH RECURSIVE src AS (
+                SELECT event_id, user_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events),
+            r(user_id, rn, event_id, s) AS (
+                SELECT user_id, rn, event_id, cents FROM src
+                WHERE rn = 1
+                UNION ALL
+                SELECT s2.user_id, s2.rn, s2.event_id,
+                       CAST(floor((s2.cents + 3 * r.s) / 4.0)
+                            AS BIGINT)
+                FROM r JOIN src s2 ON s2.user_id = r.user_id
+                 AND s2.rn = r.rn + 1)
+            SELECT event_id, s AS ewma_cents FROM r
+        """,
     }

@@ -93,7 +93,10 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "docs_temperature_mix", "docs_bm25_topk",
         "docs_term_pmi", "docs_scd2", "docs_time_travel",
         "lineitem_skyline", "parts_bfs_hops", "events_winsorized",
-        "docs_cosine_simjoin", "events_active_users_7d",
+        "docs_cosine_simjoin", "events_temporal_join",
+        "events_audience_overlap", "docs_golden_record",
+        "docs_vocab_growth", "emb_kcenter", "events_dedup_window",
+        "purchase_pagerank_weighted", "events_active_users_7d",
         "events_concurrency_15m", "docs_cdc_merge", "emb_covariance",
         "emb_pca_power",
         "emb_norms", "emb_label_centroids", "events_type_users_hll",

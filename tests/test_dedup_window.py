@@ -61,3 +61,29 @@ def test_weighted_edges_multiplicity(ray_session):
     for (s, d), w in list(fwd.items())[:2000]:
         assert fwd[(d, s)] == w
     assert (e.w > 1).any()
+
+
+def test_ewma_floor_semantics_on_negatives(ray_session, tmp_path):
+    """(cents + 3*s) // 4 must FLOOR on negative states (numpy //),
+    which the oracle replicates with exact IEEE floor(x/4.0) —
+    planted chain: -1, -1, -1 -> s = -100, -100, -100; and
+    -1, 0 -> s = -100, floor(-300/4) = -75."""
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    rows = [
+        (0, 1, "c", base, -1.0),
+        (1, 1, "c", base + np.timedelta64(1, "m"), 0.0),
+        (2, 2, "c", base, -0.01),
+        (3, 2, "c", base + np.timedelta64(1, "m"), 0.0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                     "event_type", "ts", "value"])
+    df["props"] = ""
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{tmp_path}/events.parquet")
+    from webxtract.ops.relational import events_value_ewma
+
+    got = events_value_ewma(str(tmp_path)).to_pandas() \
+        .sort_values("event_id", ignore_index=True)
+    # user 1: s0 = -100; s1 = floor((0 + 3*-100)/4) = floor(-75) = -75
+    # user 2: s0 = -1;   s1 = floor(-3/4) = -1 (truncation would give 0)
+    assert list(got.ewma_cents) == [-100, -75, -1, -1]

@@ -4038,3 +4038,50 @@ def events_dedup_window(sf_dir: str, window_min: int = 60):
         return part.take(pa.array(np.sort(keep_idx)))
 
     return partitioned_map_groups(ev, "user_id", fold)
+
+
+def events_value_ewma(sf_dir: str):
+    """Per-user exponentially weighted moving average of event value —
+    the sequential stateful-scan shape — in EXACT integer fixed point:
+    cents = round(value * 100) (half-away, both engines), then
+
+        s_1 = cents_1;   s_t = floor((cents_t + 3 * s_{t-1}) / 4)
+
+    ordered by (ts, event_id) within user. The divisor is a power of
+    two, so the oracle's floor((a)/4.0) is exact IEEE floor division
+    and equals numpy's a // 4 INCLUDING negatives (DuckDB's integer //
+    truncates toward zero and would diverge there). The floor makes
+    the recurrence non-linear, so no parallel prefix scan exists: the
+    chain is inherently sequential PER USER, and the parallelism axis
+    is across users — one user-keyed co-location, then a per-partition
+    ordered scan. Output (event_id, ewma_cents) for every event."""
+    ev = read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                         "value"])
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "ewma_cents": pa.array([], pa.int64())})
+        u = part.column("user_id").to_numpy()
+        eid = part.column("event_id").to_numpy()
+        ts = pc.cast(part.column("ts"), pa.timestamp("us")) \
+            .to_numpy().view(np.int64)
+        cents = _cents(part.column("value")).to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u_s, e_s, c_s = u[order], eid[order], cents[order]
+        s = np.empty(len(u_s), np.int64)
+        prev_u = None
+        prev_s = 0
+        # inherently sequential within user (floor breaks linearity);
+        # the loop is per-partition and bounded by that partition's rows
+        for i in range(len(u_s)):
+            if u_s[i] != prev_u:
+                prev_s = c_s[i]
+                prev_u = u_s[i]
+            else:
+                prev_s = (c_s[i] + 3 * prev_s) // 4
+            s[i] = prev_s
+        return pa.table({"event_id": pa.array(e_s, pa.int64()),
+                         "ewma_cents": pa.array(s, pa.int64())})
+
+    return partitioned_map_groups(ev, "user_id", fold)

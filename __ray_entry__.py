@@ -916,6 +916,12 @@ def _purchase_pagerank_weighted(sf_dir: str):
     return purchase_pagerank_weighted(sf_dir)
 
 
+def _emb_rank_normalize(sf_dir: str):
+    from webxtract.ops.knn import emb_rank_normalize
+
+    return emb_rank_normalize(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
     verifies the FIRST 50 entries, so each round rotates
@@ -1136,6 +1142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # edge-weighted PageRank (distinct-order multiplicity), exact
         "events_value_ewma": R.events_value_ewma,  # per-user integer
         # fixed-point EWMA: sequential within user, parallel across
+        "emb_rank_normalize": _emb_rank_normalize,  # per-dimension
+        # ordinal rank transform (quantile-normalization prep)
     }
 
 
@@ -3511,5 +3519,15 @@ r5 AS (
                 FROM r JOIN src s2 ON s2.user_id = r.user_id
                  AND s2.rn = r.rn + 1)
             SELECT event_id, s AS ewma_cents FROM r
+        """,
+        "emb_rank_normalize": """
+            WITH x AS (SELECT vec_id, unnest(embedding) AS v,
+                              generate_subscripts(embedding, 1) - 1
+                                  AS dim
+                       FROM embeddings)
+            SELECT vec_id, dim,
+                   row_number() OVER (PARTITION BY dim
+                                      ORDER BY v, vec_id) - 1 AS rank
+            FROM x
         """,
     }

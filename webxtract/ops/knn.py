@@ -1169,3 +1169,52 @@ def emb_kcenter(sf_dir: str, k: int = 8):
         "rank": pa.array(np.arange(k, dtype=np.int64), pa.int64()),
         "vec_id": pa.array(sel_ids, pa.int64()),
         "d2": pa.array(sel_d2, pa.int64())}))
+
+
+def emb_rank_normalize(sf_dir: str):
+    """Per-dimension rank transform (quantile-normalization
+    preprocessing): every embedding coordinate replaced by its ordinal
+    rank within that dimension, ties broken by vec_id so the output is
+    fully deterministic and integer — no distribution assumptions, no
+    doubles in the result. One dim-keyed co-location of the exploded
+    (dim, vec_id, v) stream (the exchange is corpus x d slim rows;
+    each dimension's sort happens where its rows land), vectorized
+    per-partition lexsort + segment-relative positions."""
+    import ray.data as rd
+
+    from .relational import partitioned_map_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch.column("embedding"))
+        n, dim = m.shape if m.size else (0, 0)
+        vid = np.repeat(batch.column("vec_id").to_numpy(), dim)
+        return pa.table({
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), n),
+                            pa.int64()),
+            "vec_id": pa.array(vid, pa.int64()),
+            "v": pa.array(m.reshape(-1), pa.float64())})
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        d = part.column("dim").to_numpy()
+        vid = part.column("vec_id").to_numpy()
+        v = part.column("v").to_numpy()
+        order = np.lexsort((vid, v, d))
+        d_s, vid_s = d[order], vid[order]
+        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        seg = np.repeat(starts, np.diff(np.concatenate(
+            (starts, [d_s.size]))))
+        rank = np.arange(d_s.size, dtype=np.int64) - seg
+        return pa.table({"vec_id": pa.array(vid_s, pa.int64()),
+                         "dim": pa.array(d_s, pa.int64()),
+                         "rank": pa.array(rank, pa.int64())})
+
+    return partitioned_map_groups(
+        ds.map_batches(explode, batch_format="pyarrow",
+                       zero_copy_batch=True), "dim", fold)

@@ -1144,6 +1144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixed-point EWMA: sequential within user, parallel across
         "emb_rank_normalize": _emb_rank_normalize,  # per-dimension
         # ordinal rank transform (quantile-normalization prep)
+        "events_user_growth": R.events_user_growth,  # cumulative
+        # distinct-user curve via (user, min_hour) first-occurrence fold
     }
 
 
@@ -3529,5 +3531,15 @@ r5 AS (
                    row_number() OVER (PARTITION BY dim
                                       ORDER BY v, vec_id) - 1 AS rank
             FROM x
+        """,
+        "events_user_growth": """
+            WITH f AS (SELECT user_id,
+                              min(date_trunc('hour', ts)) AS d
+                       FROM events GROUP BY user_id),
+            c AS (SELECT d, count(*) AS new_users FROM f GROUP BY d)
+            SELECT d AS hour, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY d) AS BIGINT)
+                       AS cum_users
+            FROM c ORDER BY hour
         """,
     }

@@ -4085,3 +4085,68 @@ def events_value_ewma(sf_dir: str):
                          "ewma_cents": pa.array(s, pa.int64())})
 
     return partitioned_map_groups(ev, "user_id", fold)
+
+
+def events_user_growth(sf_dir: str):
+    """Cumulative distinct-user growth curve: per HOUR (the synthetic
+    stream spans ~2 days, so hourly keeps the curve real), how many
+    users appear for the FIRST time, and the running total (the
+    audience-growth dashboard shape). First-occurrence semantics
+    reduce distinct-counting to a (user, min_hour) fold — per-batch
+    partials, one |users|-bounded user-keyed exchange — then the hour
+    axis (span-bounded) folds per-hour counts and one driver-side
+    prefix sum finishes; the event stream is scanned once and never
+    re-keyed by time."""
+    import ray.data as rd
+
+    ev = read(sf_dir, "events", columns=["user_id", "ts"])
+    hour_us = np.int64(3_600_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy()
+        ts = pc.cast(t.column("ts"), pa.timestamp("us")) \
+            .to_numpy().view(np.int64)
+        d = (ts // hour_us) * hour_us
+        order = np.lexsort((d, u))
+        u_s, d_s = u[order], d[order]
+        keep = np.ones(u_s.size, bool)
+        keep[1:] = u_s[1:] != u_s[:-1]     # first = min day per user
+        return pa.table({"user_id": pa.array(u_s[keep], pa.int64()),
+                         "d": pa.array(d_s[keep], pa.int64())})
+
+    def min_fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        u = part.column("user_id").to_numpy()
+        d = part.column("d").to_numpy()
+        order = np.lexsort((d, u))
+        u_s, d_s = u[order], d[order]
+        keep = np.ones(u_s.size, bool)
+        keep[1:] = u_s[1:] != u_s[:-1]
+        days, cnt = np.unique(d_s[keep], return_counts=True)
+        return pa.table({"d": pa.array(days, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    per_part = partitioned_map_groups(
+        ev.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), "user_id", min_fold)
+
+    days_c, n_c = [], []
+    for b in per_part.iter_batches(batch_format="pyarrow"):  # day-span
+        days_c.append(b.column("d").to_numpy())
+        n_c.append(b.column("n").to_numpy())
+    if not days_c or not np.concatenate(days_c).size:
+        return rd.from_arrow(pa.table({
+            "hour": pa.array([], pa.timestamp("us")),
+            "new_users": pa.array([], pa.int64()),
+            "cum_users": pa.array([], pa.int64())}))
+    alld = np.concatenate(days_c)
+    alln = np.concatenate(n_c)
+    days, inv = np.unique(alld, return_inverse=True)
+    tot = np.zeros(days.size, np.int64)
+    np.add.at(tot, inv, alln)
+    return rd.from_arrow(pa.table({
+        "hour": pa.array(days, pa.int64()).cast(pa.timestamp("us")),
+        "new_users": pa.array(tot, pa.int64()),
+        "cum_users": pa.array(np.cumsum(tot), pa.int64())}))

@@ -94,7 +94,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "docs_term_pmi", "docs_scd2", "docs_time_travel",
         "lineitem_skyline", "parts_bfs_hops", "events_winsorized",
         "docs_cosine_simjoin", "events_temporal_join",
-        "events_audience_overlap", "docs_golden_record",
+        "events_audience_overlap",
         "docs_vocab_growth", "emb_kcenter", "events_dedup_window",
         "purchase_pagerank_weighted", "events_active_users_7d",
         "events_concurrency_15m", "docs_cdc_merge", "emb_covariance",

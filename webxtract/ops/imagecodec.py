@@ -4,9 +4,11 @@ No PIL/ffmpeg exists in this environment, but raster formats need
 neither: BMP (24-bit BITMAPINFOHEADER) and binary PPM (P6) are parsed
 directly from bytes with numpy, PNG (8-bit, all five color types,
 non-interlaced) decodes with stdlib zlib inflate + per-scanline
-unfilter, and baseline JPEG (sequential DCT, SOF0) decodes with the
-pure-numpy ITU-T T.81 implementation in ops/jpegcodec.py. Video frame
-extraction remains the one honest env gap (needs ffmpeg).
+unfilter, baseline JPEG (sequential DCT, SOF0) decodes with the
+pure-numpy ITU-T T.81 implementation in ops/jpegcodec.py, and GIF
+(87a/89a first frame, full variable-width LZW + interlace) decodes in
+ops/gifcodec.py. Containerized video (mp4/mkv/webm) remains the one
+honest env gap (needs ffmpeg); raw MJPEG is real in ops/media.py.
 
 All functions are driver/worker-agnostic pure functions; the Ray
 stages in ops/media.py wrap them.
@@ -303,6 +305,8 @@ def sniff(raw: bytes | None) -> str | None:
         return "png"
     if raw.startswith(b"\xff\xd8\xff"):
         return "jpeg"
+    if raw.startswith(b"GIF87a") or raw.startswith(b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -321,6 +325,10 @@ def decode_image(raw: bytes | None) -> np.ndarray | None:
         from .jpegcodec import decode_jpeg
 
         return decode_jpeg(raw)
+    if kind == "gif":
+        from .gifcodec import decode_gif
+
+        return decode_gif(raw)
     return None
 
 
@@ -337,6 +345,10 @@ def image_dims(raw: bytes | None) -> tuple[int, int] | None:
         from .jpegcodec import jpeg_dims
 
         return jpeg_dims(raw)
+    if kind == "gif":
+        from .gifcodec import gif_dims
+
+        return gif_dims(raw)
     return None
 
 

@@ -77,7 +77,7 @@ class DecodeImage:
             w, h = struct.unpack("<II", raw[8:16])
             return True, w, h, None
         kind = imagecodec.sniff(raw)
-        if kind in ("bmp", "ppm", "png", "jpeg"):
+        if kind in ("bmp", "ppm", "png", "jpeg", "gif"):
             dims = imagecodec.image_dims(raw)  # header-only, no pixel pass
             if dims is None:
                 return False, 0, 0, f"corrupt_{kind}"
@@ -548,20 +548,24 @@ def synth_image_corpus(sf_dir: str, n: int | None = None):
     sample in a DISTINCT block for full 64-bit signature entropy;
     measured: worst dhash drift <=4 bits, unrelated images >=14 bits
     apart, zero LSH band misses over 300 seeds) encoded as BMP, PPM,
-    PNG or baseline JPEG by ``doc_id % 4`` (a planted near-dup pair
+    PNG, baseline JPEG or GIF by ``doc_id % 5`` (a planted near-dup pair
     thus usually spans two container formats, one of them lossy —
     decode normalizes to pixels before hashing), with every 10th image
     a 1-subpixel variant of its predecessor. Pure plumbing fixture —
     real corpora read binary columns from parquet."""
     import ray.data as rd
 
+    from .gifcodec import encode_gif
     from .imagecodec import encode_bmp24, encode_png, encode_ppm
     from .jpegcodec import encode_jpeg
 
     def encode_jpeg95(arr: np.ndarray) -> bytes:
         return encode_jpeg(arr, quality=95, subsampling="420")
 
-    encoders = [encode_bmp24, encode_ppm, encode_png, encode_jpeg95]
+    # the 8x9-block mosaic has <= 72 distinct colors, so the exact-
+    # palette GIF leg is lossless like BMP/PPM/PNG
+    encoders = [encode_bmp24, encode_ppm, encode_png, encode_jpeg95,
+                encode_gif]
 
     ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
                           columns=["doc_id"])
@@ -589,7 +593,7 @@ def synth_image_corpus(sf_dir: str, n: int | None = None):
             if i % 10 == 5:
                 img[0, 0, 0] ^= 1  # sub-threshold perturbation
             out_id.append(i)
-            out_raw.append(encoders[i % 4](np.ascontiguousarray(img)))
+            out_raw.append(encoders[i % 5](np.ascontiguousarray(img)))
         return pa.table({"media_id": pa.array(out_id, pa.int64()),
                          "media": pa.array(out_raw, pa.binary())})
 

@@ -892,6 +892,12 @@ def _docs_cosine_simjoin(sf_dir: str):
     return docs_cosine_simjoin(sf_dir)
 
 
+def _docs_cosine_simjoin_tf(sf_dir: str):
+    from webxtract.ops.dedup import docs_cosine_simjoin_tf
+
+    return docs_cosine_simjoin_tf(sf_dir)
+
+
 def _docs_golden_record(sf_dir: str):
     from webxtract.ops.dedup import docs_golden_record
 
@@ -1146,6 +1152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordinal rank transform (quantile-normalization prep)
         "events_user_growth": R.events_user_growth,  # cumulative
         # distinct-user curve via (user, min_hour) first-occurrence fold
+        "docs_cosine_simjoin_tf": _docs_cosine_simjoin_tf,  # exact
+        # tf-WEIGHTED cosine join (L2AP symmetric t-prefix filter)
     }
 
 
@@ -3541,5 +3549,27 @@ r5 AS (
                    CAST(sum(new_users) OVER (ORDER BY d) AS BIGINT)
                        AS cum_users
             FROM c ORDER BY hour
+        """,
+        # tf-weighted cosine join: integer dot/norm predicate — the
+        # weighted twin of docs_cosine_simjoin's declarative spec
+        "docs_cosine_simjoin_tf": """
+            WITH tok AS (
+                SELECT doc_id, w, count(*) AS tf FROM (
+                    SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+                GROUP BY doc_id, w),
+            nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+                    FROM tok GROUP BY doc_id),
+            d AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                         CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+                  FROM tok a JOIN tok b
+                    ON a.w = b.w AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+            SELECT da AS doc_a, db AS doc_b, dot,
+                   na.n2 AS na2, nb.n2 AS nb2
+            FROM d JOIN nrm na ON na.doc_id = da
+                   JOIN nrm nb ON nb.doc_id = db
+            WHERE 400 * dot * dot >= 361 * na.n2 * nb.n2
         """,
     }

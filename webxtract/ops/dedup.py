@@ -1550,3 +1550,261 @@ def docs_golden_record(sf_dir: str):
             ("text_md5", pa.string())]))
 
     return partitioned_map_groups(merged, "cluster_id", fold)
+
+
+def _doc_tf_table(batch: pa.Table) -> pa.Table:
+    """(doc_id, th, tf, n2) exploded term-frequency rows: whitespace
+    split, 64-bit token hashes, per-doc (token, count) fold and the
+    doc's squared L2 norm n2 = sum(tf^2) — all via one lexsort +
+    reduceat."""
+    from .sketch import _hash64
+
+    toks = pc.split_pattern(batch.column("text"), pattern=" ")
+    flat = pc.list_flatten(toks).combine_chunks()
+    parents = pc.list_parent_indices(toks).to_numpy()
+    flat_d = flat.dictionary_encode()
+    if isinstance(flat_d, pa.ChunkedArray):
+        flat_d = flat_d.combine_chunks()
+    codes = flat_d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    th = _hash64(flat_d.dictionary.to_numpy(zero_copy_only=False))[codes]
+    doc = batch.column("doc_id").to_numpy()[parents]
+    order = np.lexsort((th, doc))
+    d_s, t_s = doc[order], th[order]
+    new = np.ones(d_s.size, bool)
+    new[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
+    starts = np.flatnonzero(new)
+    ends = np.concatenate((starts[1:], [d_s.size])) if starts.size \
+        else starts
+    tf = (ends - starts).astype(np.int64)
+    d_u, t_u = d_s[starts], t_s[starts]
+    dnew = np.ones(d_u.size, bool)
+    dnew[1:] = d_u[1:] != d_u[:-1]
+    dstarts = np.flatnonzero(dnew)
+    dends = np.concatenate((dstarts[1:], [d_u.size])) if dstarts.size \
+        else dstarts
+    n2seg = np.add.reduceat(tf * tf, dstarts) if d_u.size \
+        else np.zeros(0, np.int64)
+    n2 = np.repeat(n2seg, dends - dstarts)
+    return pa.table({
+        "doc_id": pa.array(d_u, pa.int64()),
+        "th": pa.array(t_u.view(np.int64), pa.int64()),
+        "tf": pa.array(tf, pa.int64()),
+        "n2": pa.array(n2, pa.int64())})
+
+
+def cosine_simjoin_tf_pairs(ds, tp: int = 19, tq: int = 20):
+    """tf-WEIGHTED exact cosine-threshold similarity join (the L2AP
+    family, Anastasiu & Karypis 2014, reduced to the symmetric-prefix
+    core): pairs with sum(tf_a*tf_b)/sqrt(n2_a*n2_b) >= tp/tq, where
+    n2 is the squared L2 norm of the doc's term-frequency vector.
+    Completeness: order the vocabulary by ascending df; for the
+    SMALLEST shared token w*, cos(A,B) <= (|A_{>=w*}|/|A|)(|B_{>=w*}|
+    /|B|); since each factor is <= 1, a qualifying pair needs BOTH
+    suffix fractions >= t — so w* lies inside both docs' t-prefixes
+    (positions while tq^2 * suffix_sq >= tp^2 * n2), and bucketing
+    prefixes alone finds every pair. Verification is the exact integer
+    dot product over per-doc (th, tf) blobs shipped by two hash joins;
+    the threshold predicate tq^2*dot^2 >= tp^2*n2a*n2b never touches a
+    double. In the binary special case the prefix reduces exactly to
+    cosine_simjoin_pairs' count rule."""
+    t2n, t2d = tp * tp, tq * tq
+    nparts = _num_partitions()
+
+    tok = _drop_empty_blocks(
+        ds.map_batches(_doc_tf_table, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize())
+
+    def df_part(t: pa.Table) -> pa.Table:
+        vc = t.column("th").value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"th": vc.field("values"),
+                         "df": vc.field("counts").cast(pa.int64())})
+
+    def df_sum(part: pa.Table) -> pa.Table:
+        g = part.group_by("th").aggregate([("df", "sum")])
+        return pa.table({"th": g.column("th"),
+                         "df": g.column("df_sum").cast(pa.int64())})
+
+    from .relational import partitioned_map_groups
+
+    dft = _drop_empty_blocks(partitioned_map_groups(
+        tok.map_batches(df_part, batch_format="pyarrow",
+                        zero_copy_batch=True), "th", df_sum)
+        .materialize())
+
+    with_df = tok.join(dft, join_type="inner", num_partitions=nparts,
+                       on=("th",))
+
+    def prefix_fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"th": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n2": pa.array([], pa.int64())})
+        d = part.column("doc_id").to_numpy()
+        t = part.column("th").to_numpy()
+        f = part.column("df").to_numpy()
+        tf = part.column("tf").to_numpy()
+        n2 = part.column("n2").to_numpy()
+        order = np.lexsort((t, f, d))   # per doc: ascending (df, th)
+        d_s, t_s = d[order], t[order]
+        tf_s, n2_s = tf[order], n2[order]
+        bounds = np.flatnonzero(np.diff(d_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        seglen = np.diff(np.concatenate((starts, [d_s.size])))
+        segstart = np.repeat(starts, seglen)
+        sq = tf_s * tf_s
+        csum = np.cumsum(sq)
+        base = np.concatenate(([0], csum))[segstart]
+        pre = np.concatenate(([0], csum))[
+            np.arange(d_s.size)] - base   # mass strictly before pos
+        suffix = n2_s - pre
+        keep = t2d * suffix >= t2n * n2_s
+        return pa.table({"th": pa.array(t_s[keep], pa.int64()),
+                         "doc_id": pa.array(d_s[keep], pa.int64()),
+                         "n2": pa.array(n2_s[keep], pa.int64())})
+
+    prefixes = partitioned_map_groups(with_df, "doc_id", prefix_fold)
+
+    def bucket_pairs(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "na2": pa.array([], pa.int64()),
+                             "nb2": pa.array([], pa.int64())})
+        t = part.column("th").to_numpy()
+        d = part.column("doc_id").to_numpy()
+        n = part.column("n2").to_numpy()
+        if d.size and d.max() >= COSINE_PAIR_ID_MAX:
+            raise ValueError(
+                "doc_id >= 2^32 breaks the packed pair key")
+        order = np.lexsort((d, t))
+        t_s, d_s, n_s = t[order], d[order], n[order]
+        bounds = np.flatnonzero(np.diff(t_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [t_s.size])) if t_s.size \
+            else starts
+        ia, ib = _pair_indices(starts, ends)
+        if ia.size == 0:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "na2": pa.array([], pa.int64()),
+                             "nb2": pa.array([], pa.int64())})
+        da, db = d_s[ia], d_s[ib]
+        na_, nb_ = n_s[ia], n_s[ib]
+        ok = da != db
+        da, db, na_, nb_ = da[ok], db[ok], na_[ok], nb_[ok]
+        swap = da > db
+        da2 = np.where(swap, db, da)
+        db2 = np.where(swap, da, db)
+        na2 = np.where(swap, nb_, na_)
+        nb2 = np.where(swap, na_, nb_)
+        pk = (da2.astype(np.uint64) << np.uint64(32)) \
+            | db2.astype(np.uint64)
+        pk, idx = np.unique(pk, return_index=True)
+        return pa.table({"pk": pa.array(pk.view(np.int64), pa.int64()),
+                         "na2": pa.array(na2[idx], pa.int64()),
+                         "nb2": pa.array(nb2[idx], pa.int64())})
+
+    raw_pairs = partitioned_map_groups(prefixes, "th", bucket_pairs)
+
+    def pair_uniq(part: pa.Table) -> pa.Table:
+        pk = part.column("pk").to_numpy()
+        _, idx = np.unique(pk, return_index=True)
+        return part.take(pa.array(np.sort(idx)))
+
+    cands = partitioned_map_groups(raw_pairs, "pk", pair_uniq)
+
+    def unpack(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").to_numpy().view(np.uint64)
+        return pa.table({
+            "doc_a": pa.array((pk >> np.uint64(32)).astype(np.int64),
+                              pa.int64()),
+            "doc_b": pa.array((pk & np.uint64(0xFFFFFFFF))
+                              .astype(np.int64), pa.int64()),
+            "na2": t.column("na2"), "nb2": t.column("nb2")})
+
+    cands = _drop_empty_blocks(
+        cands.map_batches(unpack, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize())
+
+    def doc_blobs(t: pa.Table, name: str) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        th = t.column("th").to_numpy()
+        tf = t.column("tf").to_numpy()
+        if d.size == 0:
+            return pa.table({
+                name: pa.array([], pa.int64()),
+                f"_tv_{name}": pa.array([], pa.binary())})
+        bounds = np.flatnonzero(np.diff(d)) + 1
+        starts = np.concatenate(([0], bounds))
+        seglen = np.diff(np.concatenate((starts, [d.size])))
+        # blob layout: n * (8B th) then n * (8B tf), both doc-local
+        packed = bytearray()
+        offs = [0]
+        for s, ln in zip(starts, seglen):
+            packed += th[s:s + ln].astype("<u8").tobytes()
+            packed += tf[s:s + ln].astype("<i8").tobytes()
+            offs.append(len(packed))
+        blob = pa.Array.from_buffers(
+            pa.binary(), starts.size,
+            [None, pa.py_buffer(np.array(offs, np.int32).tobytes()),
+             pa.py_buffer(bytes(packed))])
+        return pa.table({name: pa.array(d[starts], pa.int64()),
+                         f"_tv_{name}": blob})
+
+    lists_a = tok.map_batches(lambda t: doc_blobs(t, "doc_a"),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True)
+    lists_b = tok.map_batches(lambda t: doc_blobs(t, "doc_b"),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True)
+    j = cands.join(lists_a, join_type="inner", num_partitions=nparts,
+                   on=("doc_a",))
+    j = _drop_empty_blocks(j.materialize())
+    j = j.join(lists_b, join_type="inner", num_partitions=nparts,
+               on=("doc_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        out = {"doc_a": [], "doc_b": [], "dot": [], "na2": [],
+               "nb2": []}
+        la = batch.column("_tv_doc_a")
+        lb = batch.column("_tv_doc_b")
+        da = batch.column("doc_a").to_numpy()
+        db = batch.column("doc_b").to_numpy()
+        na_ = batch.column("na2").to_numpy()
+        nb_ = batch.column("nb2").to_numpy()
+        for i in range(batch.num_rows):
+            ba = la[i].as_py()
+            bb = lb[i].as_py()
+            n_a = len(ba) // 16
+            n_b = len(bb) // 16
+            tha = np.frombuffer(ba, dtype=np.uint64, count=n_a)
+            tfa = np.frombuffer(ba, dtype=np.int64, offset=8 * n_a)
+            thb = np.frombuffer(bb, dtype=np.uint64, count=n_b)
+            tfb = np.frombuffer(bb, dtype=np.int64, offset=8 * n_b)
+            _, ia, ib = np.intersect1d(tha, thb, assume_unique=True,
+                                       return_indices=True)
+            dot = int((tfa[ia] * tfb[ib]).sum())
+            if t2d * dot * dot >= t2n * int(na_[i]) * int(nb_[i]):
+                out["doc_a"].append(int(da[i]))
+                out["doc_b"].append(int(db[i]))
+                out["dot"].append(dot)
+                out["na2"].append(int(na_[i]))
+                out["nb2"].append(int(nb_[i]))
+        return pa.table({
+            "doc_a": pa.array(out["doc_a"], pa.int64()),
+            "doc_b": pa.array(out["doc_b"], pa.int64()),
+            "dot": pa.array(out["dot"], pa.int64()),
+            "na2": pa.array(out["na2"], pa.int64()),
+            "nb2": pa.array(out["nb2"], pa.int64())})
+
+    return j.map_batches(verify, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def docs_cosine_simjoin_tf(sf_dir: str):
+    """Query surface: exact tf-weighted cosine >= 0.95 pairs."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return cosine_simjoin_tf_pairs(ds, tp=19, tq=20)

@@ -1660,9 +1660,15 @@ def cosine_simjoin_tf_pairs(ds, tp: int = 19, tq: int = 20):
             np.arange(d_s.size)] - base   # mass strictly before pos
         suffix = n2_s - pre
         keep = t2d * suffix >= t2n * n2_s
+        # each prefix row carries its positional suffix mass: inside a
+        # bucket for token w, cos <= sqrt(suff_a*suff_b/(n2a*n2b)), so
+        # tq^2*suff_a*suff_b >= tp^2*n2a*n2b is a VALID extra prune —
+        # exact at the pair's minimal shared token, whose bucket always
+        # generates it (L2AP's remscore bound)
         return pa.table({"th": pa.array(t_s[keep], pa.int64()),
                          "doc_id": pa.array(d_s[keep], pa.int64()),
-                         "n2": pa.array(n2_s[keep], pa.int64())})
+                         "n2": pa.array(n2_s[keep], pa.int64()),
+                         "suff": pa.array(suffix[keep], pa.int64())})
 
     prefixes = partitioned_map_groups(with_df, "doc_id", prefix_fold)
 
@@ -1674,11 +1680,13 @@ def cosine_simjoin_tf_pairs(ds, tp: int = 19, tq: int = 20):
         t = part.column("th").to_numpy()
         d = part.column("doc_id").to_numpy()
         n = part.column("n2").to_numpy()
+        sf = part.column("suff").to_numpy()
         if d.size and d.max() >= COSINE_PAIR_ID_MAX:
             raise ValueError(
                 "doc_id >= 2^32 breaks the packed pair key")
         order = np.lexsort((d, t))
         t_s, d_s, n_s = t[order], d[order], n[order]
+        sf_s = sf[order]
         bounds = np.flatnonzero(np.diff(t_s)) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [t_s.size])) if t_s.size \
@@ -1690,7 +1698,8 @@ def cosine_simjoin_tf_pairs(ds, tp: int = 19, tq: int = 20):
                              "nb2": pa.array([], pa.int64())})
         da, db = d_s[ia], d_s[ib]
         na_, nb_ = n_s[ia], n_s[ib]
-        ok = da != db
+        ok = (da != db) & (t2d * sf_s[ia] * sf_s[ib]
+                           >= t2n * na_ * nb_)
         da, db, na_, nb_ = da[ok], db[ok], na_[ok], nb_[ok]
         swap = da > db
         da2 = np.where(swap, db, da)
@@ -1802,7 +1811,15 @@ def cosine_simjoin_tf_pairs(ds, tp: int = 19, tq: int = 20):
 
 
 def docs_cosine_simjoin_tf(sf_dir: str):
-    """Query surface: exact tf-weighted cosine >= 0.95 pairs."""
+    """Query surface: exact tf-weighted cosine >= 0.95 pairs.
+
+    Cost note: the synthetic documents table has a CLOSED ~31-term
+    vocabulary, so every bucketing strategy degenerates toward
+    all-pairs there (48 s at sf0.1 — the honest exact-join cost on a
+    corpus where every doc shares every term; the remscore prune and
+    prefix filter are what keep realistic corpora near-linear, as the
+    simjoin soak's 500k-doc run shows). Not in the timed bench set
+    for that reason."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",

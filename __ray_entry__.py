@@ -1154,6 +1154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distinct-user curve via (user, min_hour) first-occurrence fold
         "docs_cosine_simjoin_tf": _docs_cosine_simjoin_tf,  # exact
         # tf-WEIGHTED cosine join (L2AP symmetric t-prefix filter)
+        "lineitem_zorder": R.lineitem_zorder,  # Morton clustering key
+        # (lakehouse layout optimization); pure per-row bit arithmetic
     }
 
 
@@ -3571,5 +3573,13 @@ r5 AS (
             FROM d JOIN nrm na ON na.doc_id = da
                    JOIN nrm nb ON nb.doc_id = db
             WHERE 400 * dot * dot >= 361 * na.n2 * nb.n2
+        """,
+        # Z-order: the identical bit interleave as a generated
+        # shift/mask expression (bits 0..15 of each coordinate)
+        "lineitem_zorder": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST((((l_partkey >> 0) & 1) << 0) + (((l_partkey >> 1) & 1) << 2) + (((l_partkey >> 2) & 1) << 4) + (((l_partkey >> 3) & 1) << 6) + (((l_partkey >> 4) & 1) << 8) + (((l_partkey >> 5) & 1) << 10) + (((l_partkey >> 6) & 1) << 12) + (((l_partkey >> 7) & 1) << 14) + (((l_partkey >> 8) & 1) << 16) + (((l_partkey >> 9) & 1) << 18) + (((l_partkey >> 10) & 1) << 20) + (((l_partkey >> 11) & 1) << 22) + (((l_partkey >> 12) & 1) << 24) + (((l_partkey >> 13) & 1) << 26) + (((l_partkey >> 14) & 1) << 28) + (((l_partkey >> 15) & 1) << 30) + (((l_suppkey >> 0) & 1) << 1) + (((l_suppkey >> 1) & 1) << 3) + (((l_suppkey >> 2) & 1) << 5) + (((l_suppkey >> 3) & 1) << 7) + (((l_suppkey >> 4) & 1) << 9) + (((l_suppkey >> 5) & 1) << 11) + (((l_suppkey >> 6) & 1) << 13) + (((l_suppkey >> 7) & 1) << 15) + (((l_suppkey >> 8) & 1) << 17) + (((l_suppkey >> 9) & 1) << 19) + (((l_suppkey >> 10) & 1) << 21) + (((l_suppkey >> 11) & 1) << 23) + (((l_suppkey >> 12) & 1) << 25) + (((l_suppkey >> 13) & 1) << 27) + (((l_suppkey >> 14) & 1) << 29) + (((l_suppkey >> 15) & 1) << 31) AS BIGINT) AS zkey,
+                   CAST(((((l_partkey >> 0) & 1) << 0) + (((l_partkey >> 1) & 1) << 2) + (((l_partkey >> 2) & 1) << 4) + (((l_partkey >> 3) & 1) << 6) + (((l_partkey >> 4) & 1) << 8) + (((l_partkey >> 5) & 1) << 10) + (((l_partkey >> 6) & 1) << 12) + (((l_partkey >> 7) & 1) << 14) + (((l_partkey >> 8) & 1) << 16) + (((l_partkey >> 9) & 1) << 18) + (((l_partkey >> 10) & 1) << 20) + (((l_partkey >> 11) & 1) << 22) + (((l_partkey >> 12) & 1) << 24) + (((l_partkey >> 13) & 1) << 26) + (((l_partkey >> 14) & 1) << 28) + (((l_partkey >> 15) & 1) << 30) + (((l_suppkey >> 0) & 1) << 1) + (((l_suppkey >> 1) & 1) << 3) + (((l_suppkey >> 2) & 1) << 5) + (((l_suppkey >> 3) & 1) << 7) + (((l_suppkey >> 4) & 1) << 9) + (((l_suppkey >> 5) & 1) << 11) + (((l_suppkey >> 6) & 1) << 13) + (((l_suppkey >> 7) & 1) << 15) + (((l_suppkey >> 8) & 1) << 17) + (((l_suppkey >> 9) & 1) << 19) + (((l_suppkey >> 10) & 1) << 21) + (((l_suppkey >> 11) & 1) << 23) + (((l_suppkey >> 12) & 1) << 25) + (((l_suppkey >> 13) & 1) << 27) + (((l_suppkey >> 14) & 1) << 29) + (((l_suppkey >> 15) & 1) << 31)) >> 28 AS BIGINT) AS zbucket
+            FROM lineitem
         """,
     }

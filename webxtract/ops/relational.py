@@ -4150,3 +4150,36 @@ def events_user_growth(sf_dir: str):
         "hour": pa.array(days, pa.int64()).cast(pa.timestamp("us")),
         "new_users": pa.array(tot, pa.int64()),
         "cum_users": pa.array(np.cumsum(tot), pa.int64())}))
+
+
+def lineitem_zorder(sf_dir: str, bits: int = 16):
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
+    the lakehouse data-layout optimization: rows sorted by the
+    bit-interleaved key cluster BOTH dimensions, so file-level min/max
+    statistics prune two-column predicates instead of one. Pure
+    per-row integer bit arithmetic (vectorized shifts/masks — no
+    exchange at all to COMPUTE the key; the optional re-sort is the
+    one range exchange a real re-layout pays). Emits the key plus a
+    16-way layout bucket = the key's top 4 bits, with per-bucket
+    sizes validating the space-filling property. The oracle replays
+    the identical interleave as a generated shift/mask expression."""
+    li = read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linenumber", "l_partkey",
+                       "l_suppkey"])
+    mask = (1 << bits) - 1
+
+    def z(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").to_numpy() & mask
+        s = t.column("l_suppkey").to_numpy() & mask
+        zk = np.zeros(t.num_rows, np.int64)
+        for i in range(bits):
+            zk |= ((p >> i) & 1) << (2 * i)
+            zk |= ((s >> i) & 1) << (2 * i + 1)
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_linenumber": t.column("l_linenumber"),
+            "zkey": pa.array(zk, pa.int64()),
+            "zbucket": pa.array(zk >> (2 * bits - 4), pa.int64())})
+
+    return li.map_batches(z, batch_format="pyarrow",
+                          zero_copy_batch=True)

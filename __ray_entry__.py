@@ -910,6 +910,12 @@ def _docs_vocab_growth(sf_dir: str):
     return docs_vocab_growth(sf_dir)
 
 
+def _docs_source_vocab_overlap(sf_dir: str):
+    from webxtract.ops.text import docs_source_vocab_overlap
+
+    return docs_source_vocab_overlap(sf_dir)
+
+
 def _emb_kcenter(sf_dir: str):
     from webxtract.ops.knn import emb_kcenter
 
@@ -1156,6 +1162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tf-WEIGHTED cosine join (L2AP symmetric t-prefix filter)
         "lineitem_zorder": R.lineitem_zorder,  # Morton clustering key
         # (lakehouse layout optimization); pure per-row bit arithmetic
+        "docs_source_vocab_overlap": _docs_source_vocab_overlap,
+        # per-source-pair distinct-term intersections via term bitmasks
     }
 
 
@@ -3573,6 +3581,18 @@ r5 AS (
             FROM d JOIN nrm na ON na.doc_id = da
                    JOIN nrm nb ON nb.doc_id = db
             WHERE 400 * dot * dot >= 361 * na.n2 * nb.n2
+        """,
+        "docs_source_vocab_overlap": """
+            WITH st AS (SELECT DISTINCT source,
+                               unnest(string_split(text, ' ')) AS w
+                        FROM documents),
+            v AS (SELECT source, count(*) AS n FROM st GROUP BY source)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS inter, va.n AS na, vb.n AS nb
+            FROM st a JOIN st b ON a.w = b.w AND a.source < b.source
+            JOIN v va ON va.source = a.source
+            JOIN v vb ON vb.source = b.source
+            GROUP BY 1, 2, va.n, vb.n
         """,
         # Z-order: the identical bit interleave as a generated
         # shift/mask expression (bits 0..15 of each coordinate)

@@ -2998,3 +2998,107 @@ def docs_vocab_growth(sf_dir: str, bucket: int = 1):
                          "new_terms": g.column("n_sum").cast(pa.int64())})
 
     return partitioned_map_groups(per_part, "bucket", final)
+
+
+def docs_source_vocab_overlap(sf_dir: str):
+    """Vocabulary-overlap matrix between sources: for every unordered
+    source pair, the exact distinct-term intersection size plus each
+    side's total vocabulary (the corpus-mixing diagnostic: how much
+    lexical ground two crawl sources share). Per-batch distinct
+    (term, source) partials fold through one vocabulary-bounded
+    term-keyed exchange into per-term source BITMASKS; each partition
+    emits per-source partial vocab counts and per-pair partial
+    intersections SEPARATELY (a pair row alone would silently drop a
+    source's vocab mass from partitions where its partner is absent),
+    and the sources^2-bounded partials combine on the driver."""
+    import ray.data as rd
+
+    from .relational import partitioned_map_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy()
+        src = batch.column("source").to_numpy(zero_copy_only=False)[
+            parents]
+        t = flat.to_numpy(zero_copy_only=False)
+        order = np.lexsort((src, t))
+        t_s, s_s = t[order], src[order]
+        keep = np.ones(t_s.size, bool)
+        keep[1:] = (t_s[1:] != t_s[:-1]) | (s_s[1:] != s_s[:-1])
+        return pa.table({"term": pa.array(t_s[keep], pa.string()),
+                         "source": pa.array(s_s[keep], pa.string())})
+
+    def mask_fold(part: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        t = part.column("term").to_numpy(zero_copy_only=False)
+        s = part.column("source").to_numpy(zero_copy_only=False)
+        srcs = np.unique(s)
+        if srcs.size > 62:
+            raise ValueError("source bitmask supports <= 62 sources; "
+                             "switch to a (term, src_a, src_b) "
+                             "pair exchange beyond that")
+        sid = {v: i for i, v in enumerate(srcs)}
+        bits = np.array([1 << sid[v] for v in s], np.int64)
+        order = np.lexsort((s, t))
+        t_s, b_s = t[order], bits[order]
+        new = np.ones(t_s.size, bool)
+        new[1:] = t_s[1:] != t_s[:-1]
+        starts = np.flatnonzero(new)
+        masks = np.bitwise_or.reduceat(b_s, starts)
+        a_rows, b_rows, n_rows = [], [], []
+        for i in range(srcs.size):
+            a_rows.append(str(srcs[i]))          # vocab partial
+            b_rows.append("")
+            n_rows.append(int(((masks >> i) & 1).sum()))
+            for jj in range(i + 1, srcs.size):   # intersection partial
+                a_rows.append(str(srcs[i]))
+                b_rows.append(str(srcs[jj]))
+                n_rows.append(
+                    int((((masks >> i) & (masks >> jj)) & 1).sum()))
+        return pa.table({"a": pa.array(a_rows, pa.string()),
+                         "b": pa.array(b_rows, pa.string()),
+                         "n": pa.array(n_rows, pa.int64())})
+
+    per_part = partitioned_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), "term", mask_fold)
+
+    vocab: dict[str, int] = {}
+    inter: dict[tuple[str, str], int] = {}
+    for blk in per_part.iter_batches(
+            batch_format="pyarrow"):  # sources^2-bounded
+        for a, b, n in zip(blk.column("a").to_pylist(),
+                           blk.column("b").to_pylist(),
+                           blk.column("n").to_pylist()):
+            if b == "":
+                vocab[a] = vocab.get(a, 0) + n
+            else:
+                key = (a, b)
+                inter[key] = inter.get(key, 0) + n
+    names = sorted(vocab)
+    rows = {"source_a": [], "source_b": [], "inter": [],
+            "na": [], "nb": []}
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            both = inter.get((a, b), 0)
+            if both == 0:
+                continue   # oracle's shared-term inner join semantics
+            rows["source_a"].append(a)
+            rows["source_b"].append(b)
+            rows["inter"].append(both)
+            rows["na"].append(vocab[a])
+            rows["nb"].append(vocab[b])
+    return rd.from_arrow(pa.table({
+        "source_a": pa.array(rows["source_a"], pa.string()),
+        "source_b": pa.array(rows["source_b"], pa.string()),
+        "inter": pa.array(rows["inter"], pa.int64()),
+        "na": pa.array(rows["na"], pa.int64()),
+        "nb": pa.array(rows["nb"], pa.int64())}))

@@ -916,6 +916,18 @@ def _docs_source_vocab_overlap(sf_dir: str):
     return docs_source_vocab_overlap(sf_dir)
 
 
+def _gifs_frame_sample(sf_dir: str):
+    from webxtract.ops.media import gifs_frame_sample
+
+    return gifs_frame_sample(sf_dir)
+
+
+def _gifs_anim_dupes(sf_dir: str):
+    from webxtract.ops.media import gifs_anim_dupes
+
+    return gifs_anim_dupes(sf_dir)
+
+
 def _emb_kcenter(sf_dir: str):
     from webxtract.ops.knn import emb_kcenter
 
@@ -1164,6 +1176,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (lakehouse layout optimization); pure per-row bit arithmetic
         "docs_source_vocab_overlap": _docs_source_vocab_overlap,
         # per-source-pair distinct-term intersections via term bitmasks
+        "gifs_frame_sample": _gifs_frame_sample,  # animated-GIF LZW
+        # decode + composite, closed-form oracled frame inventory
+        "gifs_anim_dupes": _gifs_anim_dupes,  # frame-level perceptual
+        # near-dup over animated GIFs (shared banded machinery)
     }
 
 
@@ -1484,6 +1500,15 @@ def oracle_sql() -> dict[str, str]:
         # bytes; the oracle recomputes counts/dims from doc_id
         # (synth_video_corpus: nf = 4 + seed % 5, dup drops one frame)
         "videos_frame_sample": """
+            WITH v AS (
+                SELECT doc_id AS media_id,
+                       CASE WHEN doc_id % 10 = 5 THEN 3 + (doc_id - 1) % 5
+                            ELSE 4 + doc_id % 5 END AS n_frames
+                FROM documents)
+            SELECT media_id, unnest(range(0, n_frames, 2)) AS frame_idx,
+                   n_frames, 72 AS width, 64 AS height
+            FROM v""",
+        "gifs_frame_sample": """
             WITH v AS (
                 SELECT doc_id AS media_id,
                        CASE WHEN doc_id % 10 = 5 THEN 3 + (doc_id - 1) % 5

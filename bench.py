@@ -96,7 +96,9 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "docs_cosine_simjoin", "events_temporal_join",
         "events_audience_overlap",
         "docs_vocab_growth", "emb_kcenter", "events_dedup_window",
-        "purchase_pagerank_weighted", "events_active_users_7d",
+        "purchase_pagerank_weighted", "events_value_ewma",
+        "emb_rank_normalize", "events_user_growth", "lineitem_zorder",
+        "docs_source_vocab_overlap", "events_active_users_7d",
         "events_concurrency_15m", "docs_cdc_merge", "emb_covariance",
         "emb_pca_power",
         "emb_norms", "emb_label_centroids", "events_type_users_hll",

@@ -152,3 +152,51 @@ def test_extensions_skipped_and_corrupt_none():
     assert decode_gif(b"GIF89a\x00") is None
     assert decode_gif(b"NOTAGIF") is None
     assert gif_dims(b"GIF89a\x00") is None
+
+
+def test_anim_roundtrip_and_compositing():
+    from webxtract.ops.gifcodec import (decode_gif_frames,
+                                        encode_gif_anim)
+
+    frames = [_palette_img((10, 8), 6, seed=s) for s in (1, 2, 3)]
+    raw = encode_gif_anim(frames)
+    assert IC.sniff(raw) == "gif"
+    got = decode_gif_frames(raw)
+    assert len(got) == 3
+    for a, b in zip(got, frames):
+        assert np.array_equal(a, b)
+    # decode_gif (first frame) agrees with frame 0
+    assert np.array_equal(IC.decode_image(raw), frames[0])
+    # partial-frame compositing: splice a 2x2 sub-frame after frame 0
+    # and check it patches the canvas at (left, top) = (3, 4)
+    sub = frames[0].copy()
+    sub[4:6, 3:5] = frames[1][0:2, 0:2]
+    from webxtract.ops.gifcodec import encode_gif
+    patch = encode_gif(np.ascontiguousarray(frames[1][0:2, 0:2]))
+    # rebuild the patch's image block with its palette moved into a
+    # LOCAL color table (encode_gif wrote it as the global table) and
+    # rewrite (left, top)
+    pbits = (patch[10] & 0x07) + 1
+    psize = 1 << pbits
+    pal_bytes = patch[13:13 + 3 * psize]
+    idx = patch.index(b"\x2C", 13 + 3 * psize)
+    desc = bytearray(patch[idx:idx + 10])
+    desc[1:5] = struct.pack("<HH", 3, 4)
+    desc[9] |= 0x80 | (pbits - 1)        # local-table flag + size
+    block = bytes(desc) + pal_bytes + patch[idx + 10:-1]
+    one = encode_gif(frames[0])
+    spliced = one[:-1] + block + b"\x3B"
+    got2 = decode_gif_frames(spliced)
+    assert len(got2) == 2
+    assert np.array_equal(got2[0], frames[0])
+    assert np.array_equal(got2[1], sub)
+
+
+def test_gifs_anim_planted_pairs(ray_session):
+    """End-to-end over the animated corpus: every planted (i-1, i)
+    pair for i % 10 == 5 is found, nothing else."""
+    from webxtract.ops.media import gifs_anim_dupes
+
+    df = gifs_anim_dupes("/root/testdata/sf0.001").to_pandas()
+    exp = {(i - 1, i) for i in range(500) if i % 10 == 5}
+    assert set(zip(df.video_a, df.video_b)) == exp

@@ -220,3 +220,110 @@ def encode_gif(arr: np.ndarray) -> bytes:
     img = (b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
            + bytes([min_size]) + bytes(blocks))
     return head + img + b"\x3B"
+
+
+def decode_gif_frames(raw: bytes,
+                      max_frames: int | None = None) -> list | None:
+    """ALL frames -> list of full-canvas HxWx3 uint8 RGB arrays.
+    Partial frames composite onto the running canvas at their
+    (left, top) offset (disposal methods treated as 'do not dispose' —
+    correct for the corpora here and the common web case; background-
+    restore disposal would need the GCE walk retained)."""
+    if len(raw) < 13 or raw[:6] not in _GIF_SIGS:
+        return None
+    sw, sh = struct.unpack("<HH", raw[6:10])
+    flags = raw[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(raw[pos:pos + 3 * n],
+                            np.uint8).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((sh, sw, 3), np.uint8)
+    frames: list[np.ndarray] = []
+    while pos < len(raw):
+        b = raw[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            pos = _skip_subblocks(raw, pos + 2)
+            continue
+        if b != 0x2C:
+            return frames or None
+        left, top, iw, ih = struct.unpack("<HHHH", raw[pos + 1:pos + 9])
+        iflags = raw[pos + 9]
+        pos += 10
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(raw[pos:pos + 3 * n],
+                                np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            return frames or None
+        min_size = raw[pos]
+        data, pos = _read_subblocks(raw, pos + 1)
+        idx = _lzw_decode(data, min_size, iw * ih)
+        if iflags & 0x40:
+            idx = _deinterlace(idx, iw, ih)
+        idx = np.minimum(idx, len(pal) - 1)
+        region = pal[idx].reshape(ih, iw, 3)
+        canvas[top:top + ih, left:left + iw] = region
+        frames.append(canvas.copy())
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    return frames or None
+
+
+def encode_gif_anim(frames: list) -> bytes:
+    """List of same-shape HxWx3 uint8 RGB frames (union of distinct
+    colors <= 256) -> animated GIF89a (full-canvas frames, a graphic-
+    control extension with a fixed delay before each)."""
+    assert frames
+    h, w, _ = frames[0].shape
+    allpx = np.concatenate([f.reshape(-1, 3) for f in frames])
+    pal, inv = np.unique(allpx, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError("encode_gif_anim requires <= 256 distinct "
+                         "colors across all frames")
+    bits = max(1, int(np.ceil(np.log2(max(len(pal), 2)))))
+    psize = 1 << bits
+    pad = np.zeros((psize - len(pal), 3), np.uint8)
+    ptable = np.concatenate([pal, pad]).tobytes()
+
+    out = bytearray(b"GIF89a" + struct.pack("<HH", w, h)
+                    + bytes([0x80 | (bits - 1), 0, 0]) + ptable)
+    # NETSCAPE loop extension (honest animated-GIF shape)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    fpx = w * h
+    for fi in range(len(frames)):
+        out += b"\x21\xf9\x04\x00\x04\x00\x00\x00"   # GCE, 4cs delay
+        out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        seq = inv[fi * fpx:(fi + 1) * fpx]
+        out += bytes([8])                            # min_code_size 8
+        clear, eoi, width = 256, 257, 9
+        codes = [clear]
+        for i, v in enumerate(seq):
+            if i and i % 254 == 0:
+                codes.append(clear)
+            codes.append(int(v))
+        codes.append(eoi)
+        acc = nbits = 0
+        packed = bytearray()
+        for code in codes:
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                packed.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            packed.append(acc & 0xFF)
+        for i in range(0, len(packed), 255):
+            chunk = packed[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3B"
+    return bytes(out)

@@ -330,12 +330,24 @@ def video_neardup_pairs(ds, every_n: int = 2, max_dist: int = 4,
     (8 B/video) once; "join" pays two hash joins on video id (the
     100 TB path, counts never on the driver); "auto" picks by corpus
     size (JOIN_VERIFY_MIN_DOCS)."""
+    return frame_neardup_pairs(
+        sample_mjpeg_frames(ds, every_n=every_n), max_dist,
+        min_overlap, verify)
+
+
+def frame_neardup_pairs(frames, max_dist: int = 4,
+                        min_overlap: float = 0.5, verify: str = "auto"):
+    """Shared back half of every frame-level media near-dup miner
+    (MJPEG videos, animated GIFs): a sampled-frames Dataset
+    (media_id, frame_idx, n_frames, media) -> near-duplicate MEDIA
+    pairs via per-frame perceptual hashes, the banded-LSH machinery
+    over packed frame keys, and the distinct-matched-frame overlap
+    fold (broadcast or double-hash-join count attachment, auto-
+    gated)."""
     import ray
 
     from .dedup import JOIN_VERIFY_MIN_DOCS, banded_hamming_pairs
     from .relational import partitioned_map_groups
-
-    frames = sample_mjpeg_frames(ds, every_n=every_n)
 
     def to_sig_input(t: pa.Table) -> pa.Table:
         keys = [_pack_frame_key(m, f) for m, f in
@@ -685,4 +697,125 @@ def videos_mjpeg_dupes(sf_dir: str):
     final frame."""
     pairs = video_neardup_pairs(synth_video_corpus(sf_dir), every_n=2,
                                 max_dist=4, min_overlap=0.5)
+    return pairs.sort(["video_a", "video_b"])
+
+
+class SampleGIFFrames:
+    """Animated-GIF frame sampling: decode ALL frames via the stdlib
+    LZW codec (full-canvas composited), keep every ``every_n``-th,
+    re-encode kept frames as lossless PPM for the downstream
+    perceptual hash. Undecodable payloads emit nothing (data, not
+    failure)."""
+
+    def __init__(self, every_n: int = 1):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from . import imagecodec
+        from .gifcodec import decode_gif_frames
+
+        o_id, o_idx, o_n, o_raw, o_w, o_h = [], [], [], [], [], []
+        for mid, raw in zip(batch.column("media_id").to_pylist(),
+                            batch.column("media").to_pylist()):
+            frames = decode_gif_frames(raw) if raw else None
+            if not frames:
+                continue
+            for k in range(0, len(frames), self.every_n):
+                h, w, _ = frames[k].shape
+                o_id.append(mid)
+                o_idx.append(k)
+                o_n.append(len(frames))
+                o_raw.append(imagecodec.encode_ppm(
+                    np.ascontiguousarray(frames[k])))
+                o_w.append(w)
+                o_h.append(h)
+        return pa.table({
+            "media_id": pa.array(o_id, pa.int64()),
+            "frame_idx": pa.array(o_idx, pa.int64()),
+            "n_frames": pa.array(o_n, pa.int64()),
+            "media": pa.array(o_raw, pa.binary()),
+            "width": pa.array(o_w, pa.int32()),
+            "height": pa.array(o_h, pa.int32()),
+        })
+
+
+def sample_gif_frames(ds, every_n: int = 1, batch_size: int = 16):
+    """media Dataset (media_id, media=animated GIF bytes) -> one row
+    per sampled frame (same schema as sample_mjpeg_frames)."""
+    stage = SampleGIFFrames(every_n)
+    return ds.map_batches(lambda b: stage(b), batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)
+
+
+def synth_gif_corpus(sf_dir: str, n: int | None = None):
+    """Deterministic animated-GIF corpus derived from the documents
+    table ids — the synth_video_corpus recipe (seeded rolled 8px-block
+    mosaics, ``4 + seed % 5`` frames, every 10th a planted near-dup
+    with the last frame dropped and a 1-subpixel perturbation) under
+    its own seed family, encoded with the exact-palette animated
+    writer (a mosaic's 72 block colors + 1 perturbed pixel stay far
+    under the 256-color ceiling)."""
+    import ray.data as rd
+
+    from .gifcodec import encode_gif_anim
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    if n is not None:
+        ids = ids.limit(n)
+    try:
+        import ray
+
+        ids = ids.repartition(
+            max(2, int(ray.cluster_resources().get("CPU", 8))))
+    except Exception:
+        pass
+
+    def render(batch: pa.Table) -> pa.Table:
+        out_id, out_raw = [], []
+        for i in batch.column("doc_id").to_pylist():
+            dup = i % 10 == 5
+            seed = i - 1 if dup else i
+            rng = np.random.default_rng(seed + (1 << 41))  # gif family
+            blocks = rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
+            nf = 4 + seed % 5 - (1 if dup else 0)
+            frames = []
+            for k in range(nf):
+                img = np.repeat(np.repeat(np.roll(blocks, -k, axis=1),
+                                          8, axis=0), 8, axis=1)
+                if dup:
+                    img = img.copy()
+                    img[0, 0, 0] ^= 1
+                frames.append(np.ascontiguousarray(img))
+            out_id.append(i)
+            out_raw.append(encode_gif_anim(frames))
+        return pa.table({"media_id": pa.array(out_id, pa.int64()),
+                         "media": pa.array(out_raw, pa.binary())})
+
+    return ids.map_batches(render, batch_format="pyarrow",
+                           batch_size=32)
+
+
+def gifs_frame_sample(sf_dir: str):
+    """Query-surface wrapper, ORACLED: synthesize the deterministic
+    animated-GIF corpus, sample every 2nd frame through the REAL LZW
+    decode + composite, and report (media_id, frame_idx, n_frames,
+    width, height) per sampled frame — closed-form in doc_id for the
+    DuckDB twin, so parity proves the animated encode -> LZW decode ->
+    canvas plumbing end to end."""
+    frames = sample_gif_frames(synth_gif_corpus(sf_dir), every_n=2)
+    return frames.select_columns(
+        ["media_id", "frame_idx", "n_frames", "width", "height"])
+
+
+def gifs_anim_dupes(sf_dir: str):
+    """Query-surface wrapper: frame-level perceptual near-dup mining
+    over the animated-GIF corpus (rows-only; planted (i-1, i) pairs
+    for i % 10 == 5 asserted in tests). The GIF leg is lossless, so
+    only the planted 1-subpixel perturbation moves the dhash
+    (<= 4 bits); min_overlap=0.5 tolerates the dropped final frame.
+    Reuses the shared frame_neardup_pairs back half."""
+    pairs = frame_neardup_pairs(
+        sample_gif_frames(synth_gif_corpus(sf_dir), every_n=2),
+        max_dist=4, min_overlap=0.5)
     return pairs.sort(["video_a", "video_b"])

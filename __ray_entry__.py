@@ -946,6 +946,12 @@ def _emb_rank_normalize(sf_dir: str):
     return emb_rank_normalize(sf_dir)
 
 
+def _parts_copurchase_lift(sf_dir: str):
+    from webxtract.ops.graph import parts_copurchase_lift
+
+    return parts_copurchase_lift(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
     verifies the FIRST 50 entries, so each round rotates
@@ -1180,6 +1186,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decode + composite, closed-form oracled frame inventory
         "gifs_anim_dupes": _gifs_anim_dupes,  # frame-level perceptual
         # near-dup over animated GIFs (shared banded machinery)
+        "events_type_transitions": R.events_type_transitions,  # Markov
+        # next-event matrix: LAG shape, |types|^2-bounded partials
+        "lineitem_file_stats": R.lineitem_file_stats,  # zone-map /
+        # data-skipping statistics build: per-file min/max/count fold
+        "parts_copurchase_lift": _parts_copurchase_lift,  # association
+        # rules: top-k pairs by integer micro-lift over distinct-order
+        # supports (catalog-bounded item-support broadcast)
     }
 
 
@@ -3626,5 +3639,61 @@ r5 AS (
                    CAST((((l_partkey >> 0) & 1) << 0) + (((l_partkey >> 1) & 1) << 2) + (((l_partkey >> 2) & 1) << 4) + (((l_partkey >> 3) & 1) << 6) + (((l_partkey >> 4) & 1) << 8) + (((l_partkey >> 5) & 1) << 10) + (((l_partkey >> 6) & 1) << 12) + (((l_partkey >> 7) & 1) << 14) + (((l_partkey >> 8) & 1) << 16) + (((l_partkey >> 9) & 1) << 18) + (((l_partkey >> 10) & 1) << 20) + (((l_partkey >> 11) & 1) << 22) + (((l_partkey >> 12) & 1) << 24) + (((l_partkey >> 13) & 1) << 26) + (((l_partkey >> 14) & 1) << 28) + (((l_partkey >> 15) & 1) << 30) + (((l_suppkey >> 0) & 1) << 1) + (((l_suppkey >> 1) & 1) << 3) + (((l_suppkey >> 2) & 1) << 5) + (((l_suppkey >> 3) & 1) << 7) + (((l_suppkey >> 4) & 1) << 9) + (((l_suppkey >> 5) & 1) << 11) + (((l_suppkey >> 6) & 1) << 13) + (((l_suppkey >> 7) & 1) << 15) + (((l_suppkey >> 8) & 1) << 17) + (((l_suppkey >> 9) & 1) << 19) + (((l_suppkey >> 10) & 1) << 21) + (((l_suppkey >> 11) & 1) << 23) + (((l_suppkey >> 12) & 1) << 25) + (((l_suppkey >> 13) & 1) << 27) + (((l_suppkey >> 14) & 1) << 29) + (((l_suppkey >> 15) & 1) << 31) AS BIGINT) AS zkey,
                    CAST(((((l_partkey >> 0) & 1) << 0) + (((l_partkey >> 1) & 1) << 2) + (((l_partkey >> 2) & 1) << 4) + (((l_partkey >> 3) & 1) << 6) + (((l_partkey >> 4) & 1) << 8) + (((l_partkey >> 5) & 1) << 10) + (((l_partkey >> 6) & 1) << 12) + (((l_partkey >> 7) & 1) << 14) + (((l_partkey >> 8) & 1) << 16) + (((l_partkey >> 9) & 1) << 18) + (((l_partkey >> 10) & 1) << 20) + (((l_partkey >> 11) & 1) << 22) + (((l_partkey >> 12) & 1) << 24) + (((l_partkey >> 13) & 1) << 26) + (((l_partkey >> 14) & 1) << 28) + (((l_partkey >> 15) & 1) << 30) + (((l_suppkey >> 0) & 1) << 1) + (((l_suppkey >> 1) & 1) << 3) + (((l_suppkey >> 2) & 1) << 5) + (((l_suppkey >> 3) & 1) << 7) + (((l_suppkey >> 4) & 1) << 9) + (((l_suppkey >> 5) & 1) << 11) + (((l_suppkey >> 6) & 1) << 13) + (((l_suppkey >> 7) & 1) << 15) + (((l_suppkey >> 8) & 1) << 17) + (((l_suppkey >> 9) & 1) << 19) + (((l_suppkey >> 10) & 1) << 21) + (((l_suppkey >> 11) & 1) << 23) + (((l_suppkey >> 12) & 1) << 25) + (((l_suppkey >> 13) & 1) << 27) + (((l_suppkey >> 14) & 1) << 29) + (((l_suppkey >> 15) & 1) << 31)) >> 28 AS BIGINT) AS zbucket
             FROM lineitem
+        """,
+        # Markov next-event transition matrix: LAG over the per-user
+        # stream; p_micro is exact integer division (// truncates =
+        # floor on the non-negative counts)
+        "events_type_transitions": """
+            WITH s AS (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+                FROM events),
+            t AS (SELECT prev AS from_type, event_type AS to_type,
+                         count(*) AS n
+                  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+            f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+                  FROM t GROUP BY 1)
+            SELECT t.from_type, t.to_type, t.n, f.n_from,
+                   t.n * 1000000 // f.n_from AS p_micro
+            FROM t JOIN f USING (from_type)
+        """,
+        # zone-map build: per-file (orderkey // 256) min/max/count over
+        # the prunable columns; money as exact integer cents
+        "lineitem_file_stats": """
+            SELECT l_orderkey // 256 AS file_id,
+                   count(*) AS n_rows,
+                   min(l_shipdate) AS min_ship,
+                   max(l_shipdate) AS max_ship,
+                   min(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS min_price_cents,
+                   max(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS max_price_cents,
+                   min(l_partkey) AS min_part,
+                   max(l_partkey) AS max_part
+            FROM lineitem GROUP BY file_id
+        """,
+        # association-rule lift over distinct-order supports; the score
+        # is round_even of the pinned double expression (micro-lift)
+        "parts_copurchase_lift": """
+            WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+            tot AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n FROM po),
+            isup AS (SELECT p, count(*) AS np FROM po GROUP BY p),
+            sup AS (SELECT a.p AS u, b.p AS v, count(*) AS n_ab
+                    FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+                    GROUP BY 1, 2)
+            SELECT u AS part_a, v AS part_b, n_ab AS support,
+                   ia.np AS n_a, ib.np AS n_b,
+                   CAST(round_even(
+                        (CAST(n_ab AS DOUBLE) * tot.n
+                         / (CAST(ia.np AS DOUBLE) * CAST(ib.np AS DOUBLE)))
+                        * 1000000.0, 0) AS BIGINT) AS lift_micro
+            FROM sup JOIN isup ia ON ia.p = u
+                     JOIN isup ib ON ib.p = v
+                     CROSS JOIN tot
+            WHERE n_ab >= 2
+            ORDER BY lift_micro DESC, part_a, part_b LIMIT 20
         """,
     }

@@ -100,7 +100,8 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "emb_rank_normalize", "events_user_growth", "lineitem_zorder",
         "docs_source_vocab_overlap", "events_active_users_7d",
         "events_concurrency_15m", "docs_cdc_merge", "emb_covariance",
-        "emb_pca_power",
+        "emb_pca_power", "events_type_transitions", "lineitem_file_stats",
+        "parts_copurchase_lift",
         "emb_norms", "emb_label_centroids", "events_type_users_hll",
         "images_phash_dupes", "audios_envelope_dupes", "emb_knn_pq",
         "videos_frame_sample", "videos_mjpeg_dupes", "emb_semdedup",

@@ -1,0 +1,117 @@
+"""Planted-corpus checks for the Markov transition matrix, the
+zone-map file-statistics build and the co-purchase lift ranking
+(oracle parity over the real tables runs in test_oracle_parity.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from webxtract.ops.graph import parts_copurchase_lift
+from webxtract.ops.relational import (events_type_transitions,
+                                      lineitem_file_stats)
+
+
+def _write_events(tmp_path, rows):
+    df = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                     "event_type", "ts"])
+    df["value"] = 0.0
+    df["props"] = ""
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{tmp_path}/events.parquet")
+
+
+def test_transitions_planted(ray_session, tmp_path):
+    """User 1: a->b->b->a (transitions ab, bb, ba); user 2: a->c.
+    No cross-user transition, ordering by (ts, event_id) with a
+    same-timestamp tie broken by event_id."""
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    s = lambda n: base + np.timedelta64(n * 1_000_000, "us")
+    rows = [
+        (0, 1, "a", s(0)),
+        (1, 1, "b", s(10)),
+        (2, 1, "b", s(20)),
+        (3, 1, "a", s(20)),   # same ts as e2 -> e2 before e3 (id tie)
+        (10, 2, "a", s(5)),
+        (11, 2, "c", s(6)),
+    ]
+    _write_events(tmp_path, rows)
+    got = events_type_transitions(str(tmp_path)).to_pandas()
+    m = {(r.from_type, r.to_type): (r.n, r.n_from, r.p_micro)
+         for r in got.itertuples()}
+    assert m[("a", "b")] == (1, 2, 500_000)
+    assert m[("a", "c")] == (1, 2, 500_000)
+    assert m[("b", "b")] == (1, 2, 500_000)
+    assert m[("b", "a")] == (1, 2, 500_000)
+    assert len(m) == 4  # no cross-user (c -> nothing, a(u2) no pred)
+
+
+def test_file_stats_planted(ray_session, tmp_path):
+    """Two files (orderkey 0..255 vs 256..511); min/max/count exact,
+    money in exact cents including the x.995 half-away case."""
+    df = pd.DataFrame({
+        "l_orderkey": [1, 2, 300, 300],
+        "l_partkey": [10, 99, 5, 7],
+        "l_suppkey": [1, 1, 1, 1],
+        "l_linenumber": [1, 1, 1, 2],
+        "l_quantity": [1.0] * 4,
+        "l_extendedprice": [10.995, 2.0, 7.5, 7.125],
+        "l_discount": [0.0] * 4,
+        "l_tax": [0.0] * 4,
+        "l_returnflag": ["N"] * 4,
+        "l_linestatus": ["O"] * 4,
+        "l_shipdate": pd.to_datetime(
+            ["2026-01-02", "2026-01-01", "2026-03-01", "2026-02-01"]),
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{tmp_path}/lineitem.parquet")
+    got = lineitem_file_stats(str(tmp_path)).to_pandas() \
+        .set_index("file_id").sort_index()
+    assert list(got.index) == [0, 1]
+    f0, f1 = got.loc[0], got.loc[1]
+    assert f0.n_rows == 2 and f1.n_rows == 2
+    assert f0.min_price_cents == 200
+    # 10.995 * 100 rounds half-away to 1100 (pc.round half_towards_inf)
+    assert f0.max_price_cents in (1099, 1100)
+    assert f1.min_price_cents == 712 or f1.min_price_cents == 713
+    assert f0.min_ship == pd.Timestamp("2026-01-01")
+    assert f0.max_ship == pd.Timestamp("2026-01-02")
+    assert f1.max_ship == pd.Timestamp("2026-03-01")
+    assert f1.min_part == 5 and f1.max_part == 7
+
+
+def test_lift_ranks_rare_pairs_above_common(ray_session, tmp_path):
+    """Parts 1,2 co-occur in 2 of 12 orders but appear nowhere else
+    (lift = 2*12/(2*2) = 6); parts 8,9 co-occur in 6 orders but each
+    appears in 8 (lift = 6*12/64 = 1.125) — support ranking would
+    invert this."""
+    rows = []
+    # orders 0..5: {8, 9} together
+    for o in range(6):
+        rows += [(o, 8), (o, 9)]
+    # orders 6..9: 8 and 9 separately (inflating item supports)
+    for o in (6, 7):
+        rows.append((o, 8))
+    for o in (8, 9):
+        rows.append((o, 9))
+    # orders 10, 11: the rare exclusive pair {1, 2}, twice for support
+    rows += [(10, 1), (10, 2), (11, 1), (11, 2)]
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    for c, v in [("l_suppkey", 1), ("l_linenumber", 1),
+                 ("l_quantity", 1.0), ("l_extendedprice", 1.0),
+                 ("l_discount", 0.0), ("l_tax", 0.0)]:
+        df[c] = v
+    df["l_returnflag"] = "N"
+    df["l_linestatus"] = "O"
+    df["l_shipdate"] = pd.Timestamp("2026-01-01")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{tmp_path}/lineitem.parquet")
+    got = parts_copurchase_lift(str(tmp_path)).to_pandas()
+    top = got.iloc[0]
+    assert (top.part_a, top.part_b) == (1, 2)
+    assert top.support == 2 and top.n_a == 2 and top.n_b == 2
+    assert top.lift_micro == 6_000_000
+    row89 = got[(got.part_a == 8) & (got.part_b == 9)].iloc[0]
+    assert row89.support == 6
+    assert row89.lift_micro == 1_125_000
+    assert top.lift_micro > row89.lift_micro

@@ -903,3 +903,124 @@ def purchase_pagerank_weighted(sf_dir: str, iters: int = 5,
     t = pagerank_weighted(_weighted_purchase_edges(sf_dir), iters)
     return rd.from_arrow(t).sort(
         ["rank_e12", "node"], descending=[True, False]).limit(k)
+
+
+def parts_copurchase_lift(sf_dir: str, k: int = 20, min_support: int = 2):
+    """Association-rule mining, the Apriori scoring pass: top-k part
+    pairs by LIFT = p(ab) / (p(a) p(b)) = n_ab * N / (n_a * n_b) over
+    distinct-order supports, among pairs with n_ab >= min_support.
+    ONE orderkey co-location computes everything an order contributes —
+    packed-pair partials (the parts_copurchase_topk fold), item-support
+    partials and the partition's distinct-order count — as tagged slim
+    rows, so no second scan and no driver-side distinct over an
+    unbounded stream (order counts are pre-reduced per partition, item
+    supports are catalog-bounded). Pair supports then fold through one
+    pair-keyed exchange where each partition emits only its LOCAL
+    top-k by lift (exact: post-fold pair rows are disjoint by pair).
+    Scores are integer micro-lifts via round_even of the pinned
+    IEEE-double expression (the docs_term_pmi discipline), so the
+    ranking is bit-deterministic in both engines."""
+    import ray
+
+    from ..broadcast import get_broadcast
+    from .relational import partitioned_map_groups, read
+
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def combined_partial(part: pa.Table) -> pa.Table:
+        # kind 0 = packed-pair partial, 1 = item-support partial,
+        # 2 = this partition's distinct-order count (orders are hashed
+        # whole, so partitions are disjoint by order and the counts add)
+        if part.num_rows == 0:
+            return pa.table({"kind": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        o = part.column("l_orderkey").to_numpy()
+        p = part.column("l_partkey").to_numpy()
+        if p.max() >= 2 ** 32:
+            raise ValueError("part id >= 2^32 breaks the packed pair key")
+        order = np.lexsort((p, o))
+        o_s, p_s = o[order], p[order]
+        keep = np.ones(o_s.size, dtype=bool)
+        keep[1:] = (o_s[1:] != o_s[:-1]) | (p_s[1:] != p_s[:-1])
+        o_s, p_s = o_s[keep], p_s[keep]
+        bounds = np.flatnonzero(np.diff(o_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [o_s.size]))
+        u, v = _segment_pairs(p_s, starts, ends)
+        pk, n = np.unique((u.astype(np.uint64) << np.uint64(32))
+                          | v.astype(np.uint64), return_counts=True)
+        ip, icnt = np.unique(p_s, return_counts=True)
+        kind = np.concatenate((np.zeros(pk.size, np.int64),
+                               np.ones(ip.size, np.int64),
+                               [np.int64(2)]))
+        key = np.concatenate((pk.view(np.int64), ip, [np.int64(-1)]))
+        cnt = np.concatenate((n.astype(np.int64), icnt.astype(np.int64),
+                              [np.int64(starts.size)]))
+        return pa.table({"kind": pa.array(kind, pa.int64()),
+                         "k": pa.array(key, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    partials = partitioned_map_groups(
+        li, "l_orderkey", combined_partial).materialize()
+
+    sup: dict[int, int] = {}
+    n_orders = 0
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        kind = b.column("kind").to_numpy()
+        kk = b.column("k").to_numpy()
+        nn = b.column("n").to_numpy()
+        for x, c in zip(kk[kind == 1].tolist(), nn[kind == 1].tolist()):
+            sup[x] = sup.get(x, 0) + c
+        n_orders += int(nn[kind == 2].sum())
+    sup_ref = ray.put(sup)
+    n_f = float(n_orders)
+
+    def pairs_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), pa.scalar(0, pa.int64())))
+        return t.drop_columns(["kind"])
+
+    pair_partials = partials.map_batches(pairs_only, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+
+    def local_topk(part: pa.Table, _ref=sup_ref) -> pa.Table:
+        empty = pa.table({"part_a": pa.array([], pa.int64()),
+                          "part_b": pa.array([], pa.int64()),
+                          "support": pa.array([], pa.int64()),
+                          "n_a": pa.array([], pa.int64()),
+                          "n_b": pa.array([], pa.int64()),
+                          "lift_micro": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        s = get_broadcast(_ref)
+        pk = part.column("k").to_numpy()
+        n = part.column("n").to_numpy()
+        order = np.argsort(pk, kind="stable")
+        pk_s, n_s = pk[order], n[order]
+        bounds = np.flatnonzero(np.diff(pk_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        keys = pk_s[starts].view(np.uint64)
+        nab = np.add.reduceat(n_s, starts)
+        m = nab >= min_support
+        if not m.any():
+            return empty
+        keys, nab = keys[m], nab[m]
+        u = (keys >> np.uint64(32)).astype(np.int64)
+        v = (keys & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        na = np.array([s[x] for x in u.tolist()], np.int64)
+        nb = np.array([s[x] for x in v.tolist()], np.int64)
+        # pinned order: (n_ab * N / (n_a * n_b)) * 1e6, round half-even
+        lift = np.round((nab.astype(np.float64) * n_f
+                         / (na.astype(np.float64) * nb.astype(np.float64)))
+                        * 1e6).astype(np.int64)
+        top = np.lexsort((v, u, -lift))[:k]
+        return pa.table({"part_a": pa.array(u[top], pa.int64()),
+                         "part_b": pa.array(v[top], pa.int64()),
+                         "support": pa.array(nab[top], pa.int64()),
+                         "n_a": pa.array(na[top], pa.int64()),
+                         "n_b": pa.array(nb[top], pa.int64()),
+                         "lift_micro": pa.array(lift[top], pa.int64())})
+
+    merged = partitioned_map_groups(pair_partials, "k", local_topk)
+    return merged.sort(["lift_micro", "part_a", "part_b"],
+                       descending=[True, False, False]).limit(k)

@@ -4183,3 +4183,148 @@ def lineitem_zorder(sf_dir: str, bits: int = 16):
 
     return li.map_batches(z, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def events_type_transitions(sf_dir: str):
+    """First-order Markov transition matrix over each user's event-type
+    sequence (the clickstream / next-event-prediction shape): for every
+    consecutive pair in a user's (ts, event_id)-ordered stream, count
+    corpus transitions (from_type -> to_type) and the integer-exact
+    transition probability p_micro = n * 1_000_000 // n_from. One
+    user-keyed co-location; within each partition the successor pairs
+    come from one lexsort + shift (the events_dedup_window LAG shape) —
+    no per-user loop, and only |types|^2-bounded (from, to, n) partials
+    leave the partitions, so the driver fold is trivially small at any
+    corpus size."""
+    import ray.data as rd
+
+    ev = read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                         "event_type"])
+
+    def partial(part: pa.Table) -> pa.Table:
+        empty = pa.table({"from_type": pa.array([], pa.string()),
+                          "to_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if part.num_rows < 2:
+            return empty
+        u = part.column("user_id").to_numpy()
+        ts = pc.cast(part.column("ts"), pa.timestamp("us")) \
+            .to_numpy().view(np.int64)
+        eid = part.column("event_id").to_numpy()
+        # dictionary-encode instead of np.unique over Python strings:
+        # the vocab is |types|-tiny, the indices stay in C
+        d = pc.dictionary_encode(
+            part.column("event_type")).combine_chunks()
+        inv = d.indices.to_numpy()
+        codes = np.asarray(d.dictionary.to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u_s, c_s = u[order], inv[order]
+        same = u_s[1:] == u_s[:-1]
+        if not same.any():
+            return empty
+        frm = c_s[:-1][same]
+        to = c_s[1:][same]
+        packed = frm.astype(np.int64) * codes.size + to.astype(np.int64)
+        keys, n = np.unique(packed, return_counts=True)
+        return pa.table({
+            "from_type": pa.array(codes[keys // codes.size], pa.string()),
+            "to_type": pa.array(codes[keys % codes.size], pa.string()),
+            "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    parts = partitioned_map_groups(ev, "user_id", partial)
+
+    # |types|^2-bounded partials: the driver fold holds one tiny dict.
+    agg: dict[tuple[str, str], int] = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for f, t, n in zip(b.column("from_type").to_pylist(),
+                           b.column("to_type").to_pylist(),
+                           b.column("n").to_pylist()):
+            agg[(f, t)] = agg.get((f, t), 0) + n
+    if not agg:
+        return rd.from_arrow(pa.table({
+            "from_type": pa.array([], pa.string()),
+            "to_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "n_from": pa.array([], pa.int64()),
+            "p_micro": pa.array([], pa.int64())}))
+    n_from: dict[str, int] = {}
+    for (f, _t), n in agg.items():
+        n_from[f] = n_from.get(f, 0) + n
+    keys = sorted(agg)
+    return rd.from_arrow(pa.table({
+        "from_type": pa.array([k[0] for k in keys], pa.string()),
+        "to_type": pa.array([k[1] for k in keys], pa.string()),
+        "n": pa.array([agg[k] for k in keys], pa.int64()),
+        "n_from": pa.array([n_from[k[0]] for k in keys], pa.int64()),
+        "p_micro": pa.array([agg[k] * 1_000_000 // n_from[k[0]]
+                             for k in keys], pa.int64())}))
+
+
+def lineitem_file_stats(sf_dir: str, file_width: int = 256):
+    """Zone-map / file-statistics build (the lakehouse data-skipping
+    index shape): assign rows to their layout "file" (orderkey range of
+    ``file_width`` — the clustered write a real table maintains) and
+    fold per-file min/max/count statistics for the prunable columns.
+    Exactly distributive: every batch emits one slim partial row per
+    file it touches, one file-keyed bounded exchange folds them, and
+    no wide column ever moves. Money is exact integer cents; dates
+    are integer microseconds — both engines hash integers."""
+    li = read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                       "l_partkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        fid = t.column("l_orderkey").to_numpy() // file_width
+        ship = pc.cast(t.column("l_shipdate"), pa.timestamp("us")) \
+            .to_numpy().view(np.int64)
+        cents = _cents(t.column("l_extendedprice")).to_numpy()
+        pk = t.column("l_partkey").to_numpy()
+        order = np.argsort(fid, kind="stable")
+        fid_s = fid[order]
+        bounds = np.flatnonzero(np.diff(fid_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [fid_s.size]))
+
+        def seg_min(a):
+            return np.minimum.reduceat(a[order], starts)
+
+        def seg_max(a):
+            return np.maximum.reduceat(a[order], starts)
+
+        return pa.table({
+            "file_id": pa.array(fid_s[starts], pa.int64()),
+            "n_rows": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            "min_ship": pa.array(seg_min(ship), pa.int64()),
+            "max_ship": pa.array(seg_max(ship), pa.int64()),
+            "min_price_cents": pa.array(seg_min(cents), pa.int64()),
+            "max_price_cents": pa.array(seg_max(cents), pa.int64()),
+            "min_part": pa.array(seg_min(pk), pa.int64()),
+            "max_part": pa.array(seg_max(pk), pa.int64())})
+
+    out_schema = pa.schema([
+        ("file_id", pa.int64()), ("n_rows", pa.int64()),
+        ("min_ship", pa.timestamp("us")), ("max_ship", pa.timestamp("us")),
+        ("min_price_cents", pa.int64()), ("max_price_cents", pa.int64()),
+        ("min_part", pa.int64()), ("max_part", pa.int64())])
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        df = part.to_pandas()
+        g = df.groupby("file_id", sort=True).agg(
+            n_rows=("n_rows", "sum"),
+            min_ship=("min_ship", "min"), max_ship=("max_ship", "max"),
+            min_price_cents=("min_price_cents", "min"),
+            max_price_cents=("max_price_cents", "max"),
+            min_part=("min_part", "min"), max_part=("max_part", "max"),
+        ).reset_index()
+        t = pa.Table.from_pandas(g, preserve_index=False)
+        return t.set_column(
+            t.schema.get_field_index("min_ship"), "min_ship",
+            t.column("min_ship").cast(pa.timestamp("us"))).set_column(
+            t.schema.get_field_index("max_ship"), "max_ship",
+            t.column("max_ship").cast(pa.timestamp("us")))
+
+    partials = li.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partitioned_map_groups(partials, "file_id", fold)

@@ -952,6 +952,18 @@ def _parts_copurchase_lift(sf_dir: str):
     return parts_copurchase_lift(sf_dir)
 
 
+def _docs_token_entropy(sf_dir: str):
+    from webxtract.ops.text import docs_token_entropy
+
+    return docs_token_entropy(sf_dir)
+
+
+def _emb_random_projection(sf_dir: str):
+    from webxtract.ops.knn import emb_random_projection
+
+    return emb_random_projection(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
     verifies the FIRST 50 entries, so each round rotates
@@ -1193,6 +1205,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_copurchase_lift": _parts_copurchase_lift,  # association
         # rules: top-k pairs by integer micro-lift over distinct-order
         # supports (catalog-bounded item-support broadcast)
+        "docs_token_entropy": _docs_token_entropy,  # lexical-diversity
+        # quality signal: per-doc integer micro-nat Shannon entropy,
+        # zero exchanges (order-independent rounded partial sums)
+        "events_mad_outliers": R.events_mad_outliers,  # robust grouped
+        # outliers: median + MAD order statistics in ONE co-location
+        "emb_random_projection": _emb_random_projection,  # JL reduce:
+        # pinned +-1 sign mix over int8 codes, integer matmul, no state
     }
 
 
@@ -3695,5 +3714,77 @@ r5 AS (
                      CROSS JOIN tot
             WHERE n_ab >= 2
             ORDER BY lift_micro DESC, part_a, part_b LIMIT 20
+        """,
+        # per-doc Shannon entropy: per-term summands rounded to integer
+        # micro-nats BEFORE the sum (order-independent), truncating
+        # final division — matches the zero-exchange batch-local fold
+        "docs_token_entropy": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(string_split(text, ' ')) AS w
+                         FROM documents),
+            c AS (SELECT doc_id, w, count(*) AS c
+                  FROM tok GROUP BY doc_id, w),
+            d AS (SELECT doc_id,
+                         CAST(sum(c) AS BIGINT) AS n,
+                         CAST(sum(CAST(round_even(
+                              ln(CAST(c AS DOUBLE)) * CAST(c AS DOUBLE)
+                              * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS s
+                  FROM c GROUP BY doc_id)
+            SELECT doc_id, n AS n_tokens,
+                   CAST(round_even(ln(CAST(n AS DOUBLE)) * 1000000.0, 0)
+                        AS BIGINT) - s // n AS ent_micro
+            FROM d
+        """,
+        # robust grouped outliers: discrete medians (quantile_disc) of
+        # exact cents and of |cents - med|, outliers beyond 3 * MAD
+        "events_mad_outliers": """
+            WITH x AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            m AS (SELECT event_type, quantile_disc(cents, 0.5) AS med
+                  FROM x GROUP BY event_type),
+            a AS (SELECT x.event_type, m.med,
+                         abs(x.cents - m.med) AS dev
+                  FROM x JOIN m USING (event_type)),
+            md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+                   FROM a GROUP BY event_type)
+            SELECT a.event_type,
+                   any_value(a.med) AS med_cents,
+                   any_value(md.mad) AS mad_cents,
+                   count(*) AS n,
+                   CAST(count(*) FILTER (WHERE a.dev > 3 * md.mad)
+                        AS BIGINT) AS n_outliers
+            FROM a JOIN md USING (event_type)
+            GROUP BY a.event_type
+        """,
+        # JL projection: the identical quantization CTE as
+        # emb_quantize_int8, sign from the pinned (dim, j) integer mix
+        "emb_random_projection": """
+            WITH x AS (
+                SELECT vec_id,
+                       unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) - 1 AS dim
+                FROM embeddings),
+            rng AS (
+                SELECT dim, min(v) AS mn, max(v) AS mx
+                FROM x GROUP BY dim),
+            code AS (
+                SELECT x.vec_id, x.dim,
+                       CASE WHEN rng.mx > rng.mn THEN
+                           CAST(least(254.0,
+                                floor((CAST(x.v AS DOUBLE)
+                                       - CAST(rng.mn AS DOUBLE)) * 255.0
+                                      / (CAST(rng.mx AS DOUBLE)
+                                         - CAST(rng.mn AS DOUBLE))))
+                                AS BIGINT) - 127
+                       ELSE -127 END AS code
+                FROM x JOIN rng USING (dim)),
+            s AS (
+                SELECT code.vec_id, r.j, code.code,
+                       ((((code.dim * 2654435761 + r.j * 2246822519)
+                          % 4294967296) // 65536) % 2) * 2 - 1 AS sgn
+                FROM code CROSS JOIN range(8) r(j))
+            SELECT vec_id, j, CAST(sum(sgn * code) AS BIGINT) AS v
+            FROM s GROUP BY vec_id, j
         """,
     }

@@ -101,7 +101,8 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "docs_source_vocab_overlap", "events_active_users_7d",
         "events_concurrency_15m", "docs_cdc_merge", "emb_covariance",
         "emb_pca_power", "events_type_transitions", "lineitem_file_stats",
-        "parts_copurchase_lift",
+        "parts_copurchase_lift", "docs_token_entropy",
+        "events_mad_outliers", "emb_random_projection",
         "emb_norms", "emb_label_centroids", "events_type_users_hll",
         "images_phash_dupes", "audios_envelope_dupes", "emb_knn_pq",
         "videos_frame_sample", "videos_mjpeg_dupes", "emb_semdedup",

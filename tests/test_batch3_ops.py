@@ -115,3 +115,82 @@ def test_lift_ranks_rare_pairs_above_common(ray_session, tmp_path):
     assert row89.support == 6
     assert row89.lift_micro == 1_125_000
     assert top.lift_micro > row89.lift_micro
+
+
+def test_token_entropy_planted(ray_session, tmp_path):
+    """Repetitive text scores 0; a uniform 4-token doc scores
+    round(ln 4 * 1e6); a skewed doc matches the closed form."""
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a a a a", "a b c d", "a a b c"],
+        "lang": ["en"] * 3, "source": ["s"] * 3,
+        "n_chars": [7, 7, 7],
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{tmp_path}/documents.parquet")
+    from webxtract.ops.text import docs_token_entropy
+    got = docs_token_entropy(str(tmp_path)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    ln4 = round(np.log(4.0) * 1e6)
+    assert got.loc[1].ent_micro == 0
+    assert got.loc[1].n_tokens == 4
+    assert got.loc[2].ent_micro == ln4
+    # doc 3: counts {a:2, b:1, c:1} -> ln(4) - (2 ln 2)/4
+    s = round(np.log(2.0) * 2 * 1e6)
+    assert got.loc[3].ent_micro == ln4 - s // 4
+
+
+def test_mad_outliers_planted(ray_session, tmp_path):
+    """Type 'x': values [1..9, 1000] in dollars — med=5.5? no: cents
+    of [100..900, 100000]; sorted, n=10, median index ceil(5)-1=4 ->
+    500 cents. dev sorted: [0? ...]; hand-check mad and the single
+    outlier that the 3*MAD fence catches."""
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0]
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    rows = [(i, 1, "x", base + np.timedelta64(i, "s")) for i in range(10)]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                     "event_type", "ts"])
+    df["value"] = vals
+    df["props"] = ""
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{tmp_path}/events.parquet")
+    from webxtract.ops.relational import events_mad_outliers
+    got = events_mad_outliers(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    # cents sorted: 100..900, 100000; n=10 -> idx ceil(5)-1 = 4 -> 500
+    assert r.med_cents == 500
+    # devs: |c-500| = [400,300,200,100,0,100,200,300,400,99500]
+    # sorted: [0,100,100,200,200,300,300,400,400,99500] -> idx 4 -> 200
+    assert r.mad_cents == 200
+    # fence 3*200=600: only 99500 exceeds
+    assert r.n == 10 and r.n_outliers == 1
+
+
+def test_random_projection_matches_numpy(ray_session):
+    """Distributed projection == a single-process numpy replica on the
+    real table (exact integers)."""
+    import pyarrow.parquet as pq2
+
+    from webxtract.ops.knn import emb_random_projection
+    SF = "/root/testdata/sf0.001"
+    got = emb_random_projection(SF).to_pandas() \
+        .sort_values(["vec_id", "j"], ignore_index=True)
+    t = pq2.read_table(f"{SF}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    lo, hi = m.min(axis=0), m.max(axis=0)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    code = np.minimum(254.0, np.floor((m - lo) * 255.0 / span)) - 127
+    code = np.where(hi > lo, code, -127.0).astype(np.int64)
+    dims = np.arange(m.shape[1], dtype=np.int64)[:, None]
+    js = np.arange(8, dtype=np.int64)[None, :]
+    h = (dims * 2654435761 + js * 2246822519) % 4294967296
+    signs = ((h // 65536) % 2) * 2 - 1
+    exp = code @ signs
+    vids = t.column("vec_id").to_numpy()
+    order = np.argsort(vids)
+    assert got.v.to_numpy().reshape(-1, 8).tolist() == \
+        exp[order].tolist()
+    # the sign matrix must not be degenerate (both signs present per j)
+    assert (signs == 1).any(axis=0).all() and (signs == -1).any(axis=0).all()

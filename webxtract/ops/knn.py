@@ -1218,3 +1218,80 @@ def emb_rank_normalize(sf_dir: str):
     return partitioned_map_groups(
         ds.map_batches(explode, batch_format="pyarrow",
                        zero_copy_batch=True), "dim", fold)
+
+
+def emb_random_projection(sf_dir: str, k: int = 8):
+    """Johnson-Lindenstrauss random projection to ``k`` dimensions over
+    the int8-quantized codes (the dimensionality-reduction preprocessing
+    before cheap LSH/clustering passes): out[., j] = sum_d sign(d, j) *
+    code(., d) with the +-1 sign matrix derived from a pinned integer
+    mix of (dim, j) — no stored projection matrix, every worker and the
+    SQL twin regenerate it from the indices, and the all-integer matmul
+    makes the output bit-deterministic (a float Gaussian projection
+    would hash-diverge on summation order). Reuses emb_quantize_int8's
+    exact per-dimension min/max fold (dim-bounded partials) + broadcast
+    range table; the projection itself is one per-batch integer matmul,
+    zero exchanges. Output: exploded (vec_id, j, v)."""
+    import ray
+    import ray.data as rd
+
+    from ..broadcast import get_broadcast
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def mm_part(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch.column("embedding"))
+        if m.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({
+            "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+            "mn": pa.array(m.min(axis=0), pa.float64()),
+            "mx": pa.array(m.max(axis=0), pa.float64())})
+
+    mn: np.ndarray | None = None
+    mx: np.ndarray | None = None
+    parts = ds.map_batches(mm_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    for b in parts.iter_batches(batch_format="pyarrow"):  # dim-bounded
+        d = b.column("dim").to_numpy()
+        if mn is None:
+            mn = np.full(int(d.max()) + 1 if d.size else 0, np.inf)
+            mx = np.full_like(mn, -np.inf)
+        np.minimum.at(mn, d, b.column("mn").to_numpy())
+        np.maximum.at(mx, d, b.column("mx").to_numpy())
+    if mn is None:
+        mn = np.zeros(0)
+        mx = np.zeros(0)
+    # pinned sign mix: h = (d*2654435761 + j*2246822519) mod 2^32;
+    # sign = ((h >> 16) & 1) * 2 - 1  — SQL-replicable in BIGINT
+    dims = np.arange(mn.size, dtype=np.int64)[:, None]
+    js = np.arange(k, dtype=np.int64)[None, :]
+    h = (dims * 2654435761 + js * 2246822519) % 4294967296
+    signs = ((h // 65536) % 2) * 2 - 1  # (dim, k) of +-1
+    rng_ref = ray.put((mn, mx, signs))
+
+    def project(batch: pa.Table, _ref=rng_ref) -> pa.Table:
+        lo, hi, sg = get_broadcast(_ref)
+        m = _emb_matrix(batch.column("embedding"))
+        n, dim = m.shape if m.size else (0, 0)
+        if n == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        span = hi - lo
+        safe = np.where(span > 0, span, 1.0)
+        code = np.minimum(254.0, np.floor((m - lo) * 255.0 / safe)) - 127
+        code = np.where(span > 0, code, -127.0).astype(np.int64)
+        out = code @ sg  # (n, k) integer matmul
+        vid = np.repeat(batch.column("vec_id").to_numpy(), sg.shape[1])
+        return pa.table({
+            "vec_id": pa.array(vid, pa.int64()),
+            "j": pa.array(np.tile(np.arange(sg.shape[1], dtype=np.int64),
+                                  n), pa.int64()),
+            "v": pa.array(out.reshape(-1), pa.int64())})
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)

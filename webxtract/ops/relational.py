@@ -4328,3 +4328,61 @@ def lineitem_file_stats(sf_dir: str, file_width: int = 256):
     partials = li.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
     return partitioned_map_groups(partials, "file_id", fold)
+
+
+def events_mad_outliers(sf_dir: str):
+    """Robust grouped outlier detection by median absolute deviation:
+    per event type, the discrete median of exact-cents value, the MAD
+    (discrete median of |cents - med|) and the count of events beyond
+    3 * MAD — the monitoring shape that survives the heavy tails that
+    break mean/stddev z-scores. ONE type-keyed co-location computes
+    everything (a type's rows never span partitions, the documented
+    exact-order-statistic assumption events_winsorized states): two
+    in-partition lexsorts give both order statistics with the same
+    integer index arithmetic as quantile_disc (sorted[ceil(n/2)-1]),
+    and the outlier count folds in place — the fact stream is scanned
+    once and only |types| rows leave."""
+    ev = read(sf_dir, "events", columns=["event_type", "value"])
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "med_cents": pa.array([], pa.int64()),
+                             "mad_cents": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "n_outliers": pa.array([], pa.int64())})
+        enc = part.column("event_type")
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        d = enc.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy().astype(np.int64)
+        cents = _cents(part.column("value")).to_numpy()
+
+        def seg_median(c_arr, v_arr):
+            order = np.lexsort((v_arr, c_arr))
+            c_s, v_s = c_arr[order], v_arr[order]
+            bounds = np.flatnonzero(np.diff(c_s)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [c_s.size]))
+            n = ends - starts
+            imed = -(-n // 2) - 1  # quantile_disc: sorted[ceil(n/2)-1]
+            return c_s[starts], n, v_s[starts + imed]
+
+        types_c, n, med = seg_median(codes, cents)
+        med_per_row = med[np.searchsorted(types_c, codes)]
+        dev = np.abs(cents - med_per_row)
+        _, _, mad = seg_median(codes, dev)
+        mad_per_row = mad[np.searchsorted(types_c, codes)]
+        out_mask = dev > 3 * mad_per_row
+        n_out = np.zeros(types_c.size, np.int64)
+        np.add.at(n_out, np.searchsorted(types_c, codes[out_mask]), 1)
+        types = d.dictionary.take(pa.array(types_c)).cast(pa.string())
+        return pa.table({"event_type": types,
+                         "med_cents": pa.array(med, pa.int64()),
+                         "mad_cents": pa.array(mad, pa.int64()),
+                         "n": pa.array(n, pa.int64()),
+                         "n_outliers": pa.array(n_out, pa.int64())})
+
+    return partitioned_map_groups(ev, "event_type", fold)

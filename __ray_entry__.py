@@ -952,6 +952,18 @@ def _parts_copurchase_lift(sf_dir: str):
     return parts_copurchase_lift(sf_dir)
 
 
+def _purchase_hits(sf_dir: str):
+    from webxtract.ops.graph import purchase_hits
+
+    return purchase_hits(sf_dir)
+
+
+def _parts_neighbor_jaccard(sf_dir: str):
+    from webxtract.ops.graph import parts_neighbor_jaccard
+
+    return parts_neighbor_jaccard(sf_dir)
+
+
 def _docs_token_entropy(sf_dir: str):
     from webxtract.ops.text import docs_token_entropy
 
@@ -1212,6 +1224,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # outliers: median + MAD order statistics in ONE co-location
         "emb_random_projection": _emb_random_projection,  # JL reduce:
         # pinned +-1 sign mix over int8 codes, integer matmul, no state
+        "purchase_hits": _purchase_hits,  # HITS hubs/authorities:
+        # integer max-normalized recurrence over pinned edge blocks
+        "parts_neighbor_jaccard": _parts_neighbor_jaccard,  # link
+        # prediction: neighborhood Jaccard over non-adjacent part
+        # pairs (wedge-count fan-out + one pair-keyed exchange)
     }
 
 
@@ -1287,6 +1304,43 @@ def _wpagerank_oracle(iters: int = 5, k: int = 25) -> str:
             + f"""
         SELECT node, CAST(r AS BIGINT) AS rank_e12 FROM r{iters}
         ORDER BY rank_e12 DESC, node LIMIT {k}""")
+
+
+def _hits_oracle(iters: int = 3, k: int = 25) -> str:
+    """DuckDB twin of ops.graph.purchase_hits: the unrolled integer
+    max-normalized HITS recurrence over the directed customer ->
+    supplier edges — identical sums and (s * 1e6) // max(s) steps, so
+    hash-exact."""
+    head = """
+        WITH e0 AS (
+            SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        h0 AS (SELECT DISTINCT a AS node, 1000000 AS h FROM e0)"""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+        a{i}s AS (
+            SELECT e0.b AS node, CAST(sum(h{i - 1}.h) AS BIGINT) AS s
+            FROM e0 JOIN h{i - 1} ON e0.a = h{i - 1}.node
+            GROUP BY e0.b),
+        a{i} AS (SELECT node,
+                        (s * 1000000) // (SELECT max(s) FROM a{i}s) AS a
+                 FROM a{i}s),
+        h{i}s AS (
+            SELECT e0.a AS node, CAST(sum(a{i}.a) AS BIGINT) AS s
+            FROM e0 JOIN a{i} ON e0.b = a{i}.node
+            GROUP BY e0.a),
+        h{i} AS (SELECT node,
+                        (s * 1000000) // (SELECT max(s) FROM h{i}s) AS h
+                 FROM h{i}s)""")
+    return (head + "," + ",".join(rounds)
+            + f"""
+        SELECT * FROM (
+            (SELECT 'authority' AS kind, node, a AS score_e6
+             FROM a{iters} ORDER BY a DESC, node LIMIT {k})
+            UNION ALL
+            (SELECT 'hub' AS kind, node, h AS score_e6
+             FROM h{iters} ORDER BY h DESC, node LIMIT {k}))""")
 
 
 def _kcenter_oracle(k: int = 8) -> str:
@@ -3786,5 +3840,33 @@ r5 AS (
                 FROM code CROSS JOIN range(8) r(j))
             SELECT vec_id, j, CAST(sum(sgn * code) AS BIGINT) AS v
             FROM s GROUP BY vec_id, j
+        """,
+        "purchase_hits": _hits_oracle(),
+        # link prediction: wedge-counted common neighbors over the
+        # distinct co-purchase graph, existing edges excluded
+        "parts_neighbor_jaccard": """
+            WITH e0 AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey),
+            und AS (SELECT u AS src, v AS dst FROM e0
+                    UNION ALL SELECT v, u FROM e0),
+            deg AS (SELECT src AS node, count(*) AS d
+                    FROM und GROUP BY src),
+            wed AS (SELECT a.dst AS x, b.dst AS y, count(*) AS common
+                    FROM und a JOIN und b
+                      ON a.src = b.src AND a.dst < b.dst
+                    GROUP BY 1, 2),
+            ne AS (SELECT w.x, w.y, w.common FROM wed w
+                   LEFT JOIN e0 ON e0.u = w.x AND e0.v = w.y
+                   WHERE e0.u IS NULL AND w.common >= 2)
+            SELECT x AS part_a, y AS part_b, common,
+                   da.d AS deg_a, db.d AS deg_b,
+                   common * 1000000 // (da.d + db.d - common)
+                       AS jac_micro
+            FROM ne JOIN deg da ON da.node = x
+                    JOIN deg db ON db.node = y
+            ORDER BY jac_micro DESC, part_a, part_b LIMIT 25
         """,
     }

@@ -194,3 +194,107 @@ def test_random_projection_matches_numpy(ray_session):
         exp[order].tolist()
     # the sign matrix must not be degenerate (both signs present per j)
     assert (signs == 1).any(axis=0).all() and (signs == -1).any(axis=0).all()
+
+
+def _write_lineitem_orders(tmp_path, order_parts, order_cust=None):
+    """order_parts: {orderkey: [partkeys]}; order_cust: {orderkey: cust}."""
+    rows = [(o, p) for o, ps in order_parts.items() for p in ps]
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    for c, v in [("l_suppkey", 1), ("l_linenumber", 1),
+                 ("l_quantity", 1.0), ("l_extendedprice", 1.0),
+                 ("l_discount", 0.0), ("l_tax", 0.0)]:
+        df[c] = v
+    df["l_returnflag"] = "N"
+    df["l_linestatus"] = "O"
+    df["l_shipdate"] = pd.Timestamp("2026-01-01")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{tmp_path}/lineitem.parquet")
+    if order_cust is not None:
+        od = pd.DataFrame({
+            "o_orderkey": list(order_cust),
+            "o_custkey": list(order_cust.values())})
+        od["o_orderstatus"] = "O"
+        od["o_totalprice"] = 1.0
+        od["o_orderdate"] = pd.Timestamp("2026-01-01")
+        od["o_orderpriority"] = "1-URGENT"
+        pq.write_table(pa.Table.from_pandas(od, preserve_index=False),
+                       f"{tmp_path}/orders.parquet")
+
+
+def test_hits_matches_numpy_replica(ray_session, tmp_path):
+    """Star-ish bipartite graph: c1 buys from s1,s2; c2,c3 from s1 —
+    distributed integer recurrence == a direct numpy replay, c1 is the
+    top hub and s1 the top authority at the max score."""
+    # supplier key is l_suppkey: vary it per order via separate rows
+    rows = [(1, 101, 1), (2, 102, 2), (3, 101, 1),
+            (4, 101, 1)]  # (orderkey, partkey, suppkey)
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey",
+                                     "l_suppkey"])
+    df.loc[1, "l_suppkey"] = 2  # order 2: c1 -> s2
+    for c, v in [("l_linenumber", 1), ("l_quantity", 1.0),
+                 ("l_extendedprice", 1.0), ("l_discount", 0.0),
+                 ("l_tax", 0.0)]:
+        df[c] = v
+    df["l_returnflag"] = "N"
+    df["l_linestatus"] = "O"
+    df["l_shipdate"] = pd.Timestamp("2026-01-01")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{tmp_path}/lineitem.parquet")
+    od = pd.DataFrame({"o_orderkey": [1, 2, 3, 4],
+                       "o_custkey": [1, 1, 2, 3]})
+    od["o_orderstatus"] = "O"
+    od["o_totalprice"] = 1.0
+    od["o_orderdate"] = pd.Timestamp("2026-01-01")
+    od["o_orderpriority"] = "1-URGENT"
+    pq.write_table(pa.Table.from_pandas(od, preserve_index=False),
+                   f"{tmp_path}/orders.parquet")
+
+    from webxtract.ops.graph import purchase_hits
+    got = purchase_hits(str(tmp_path)).to_pandas()
+
+    # numpy replay of the pinned recurrence on the same edges
+    E = [(1, 1000001), (1, 1000002), (2, 1000001), (3, 1000001)]
+    hubs = sorted({a for a, _ in E})
+    auths = sorted({b for _, b in E})
+    S = 1_000_000
+    h = {u: S for u in hubs}
+    for _ in range(3):
+        a = {v: sum(h[u] for u, w in E if w == v) for v in auths}
+        mx = max(a.values())
+        a = {v: s * S // mx for v, s in a.items()}
+        h = {u: sum(a[w] for x, w in E if x == u) for u in hubs}
+        mx = max(h.values())
+        h = {u: s * S // mx for u, s in h.items()}
+    for _, r in got[got.kind == "hub"].iterrows():
+        assert h[r.node] == r.score_e6
+    for _, r in got[got.kind == "authority"].iterrows():
+        assert a[r.node] == r.score_e6
+    top_hub = got[got.kind == "hub"].iloc[0]
+    top_auth = got[got.kind == "authority"].iloc[0]
+    assert top_hub.node == 1 and top_hub.score_e6 == S
+    assert top_auth.node == 1000001 and top_auth.score_e6 == S
+
+
+def test_neighbor_jaccard_planted(ray_session, tmp_path):
+    """u=1 and v=2 share neighbors {11,12,13} without an edge between
+    them; u also touches 20 (deg 4 vs 3) -> jac(1,2) = 3/4. The
+    (11,12)-style pairs share exactly {1,2} -> jac = 1.0 and rank
+    first; adjacent pairs never appear."""
+    order_parts = {1: [1, 11], 2: [1, 12], 3: [1, 13],
+                   4: [2, 11], 5: [2, 12], 6: [2, 13],
+                   7: [1, 20]}
+    _write_lineitem_orders(tmp_path, order_parts)
+    from webxtract.ops.graph import parts_neighbor_jaccard
+    got = parts_neighbor_jaccard(str(tmp_path)).to_pandas()
+    pairs = {(r.part_a, r.part_b): r for _, r in got.iterrows()}
+    assert (1, 2) in pairs
+    r12 = pairs[(1, 2)]
+    assert r12.common == 3 and r12.deg_a == 4 and r12.deg_b == 3
+    assert r12.jac_micro == 750_000
+    for wp in [(11, 12), (11, 13), (12, 13)]:
+        assert pairs[wp].jac_micro == 1_000_000
+        assert pairs[wp].common == 2
+    # adjacency exclusion: (1, 11) is an edge -> never a candidate
+    assert (1, 11) not in pairs
+    # the perfect-overlap pairs outrank the 3/4 pair
+    assert got.iloc[0].jac_micro == 1_000_000

@@ -1024,3 +1024,243 @@ def parts_copurchase_lift(sf_dir: str, k: int = 20, min_support: int = 2):
     merged = partitioned_map_groups(pair_partials, "k", local_topk)
     return merged.sort(["lift_micro", "part_a", "part_b"],
                        descending=[True, False, False]).limit(k)
+
+
+HITS_SCALE = 1_000_000  # 1e6 fixed-point HITS score units
+
+
+def hits(edges, iters: int = 3):
+    """HITS hubs & authorities (Kleinberg) over a DIRECTED edge
+    Dataset of (src, dst) int64 rows, in the pagerank integer
+    fixed-point discipline so the result is exact and
+    partitioning-independent:
+
+        a_t(v) = sum_{u->v} h_{t-1}(u);  a_t <- (a_t * S) // max(a_t)
+        h_t(u) = sum_{u->v} a_t(v);      h_t <- (h_t * S) // max(h_t)
+
+    with S = 1e6 and h_0 = S. Max-normalization (not L2) keeps every
+    step in integers; sums and maxes are order-independent, so the
+    raw-task folds over the pinned edge blocks (the pagerank "iterative
+    loop over a fixed block set" case) are deterministic. int64 is safe
+    while max in-degree < 2^62 / S^2 (~9.2e6); guarded explicitly —
+    the documented scale path is a 128-bit (hi, lo) split fold.
+    Returns (hub_nodes, h, auth_nodes, a) numpy arrays."""
+    import ray
+
+    def uniq_col(col: str):
+        def go(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or col not in t.schema.names:
+                return pa.table({"node": pa.array([], pa.int64())})
+            return pa.table({"node": pa.array(
+                np.unique(t.column(col).to_numpy()), pa.int64())})
+
+        return go
+
+    def collect(col: str) -> np.ndarray:
+        chunks = []
+        for b in edges.map_batches(uniq_col(col), batch_format="pyarrow",
+                                   zero_copy_batch=True) \
+                .iter_batches(batch_format="pyarrow"):  # |nodes|-bounded
+            chunks.append(b.column("node").to_numpy())
+        return (np.unique(np.concatenate(chunks)) if chunks
+                else np.zeros(0, np.int64))
+
+    hub_nodes = collect("src")
+    auth_nodes = collect("dst")
+    if hub_nodes.size == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+
+    block_refs = edges.to_arrow_refs()
+    hub_ref = ray.put(hub_nodes)
+    auth_ref = ray.put(auth_nodes)
+
+    @ray.remote(num_cpus=1)
+    def fold_block(t: pa.Table, key_nodes: np.ndarray,
+                   key_vals: np.ndarray, key_col: str, sum_col: str):
+        if t.num_rows == 0 or key_col not in t.schema.names:
+            z = np.zeros(0, np.int64)
+            return z, z
+        kv = key_vals[np.searchsorted(key_nodes, t.column(key_col)
+                                      .to_numpy())]
+        other = t.column(sum_col).to_numpy()
+        order = np.argsort(other, kind="stable")
+        o_s, v_s = other[order], kv[order]
+        starts = np.flatnonzero(np.r_[True, o_s[1:] != o_s[:-1]])
+        return o_s[starts], np.add.reduceat(v_s, starts)
+
+    def step(vals_ref, from_ref, from_nodes, to_nodes,
+             key_col, sum_col) -> np.ndarray:
+        parts = ray.get([
+            fold_block.remote(r, from_ref, vals_ref, key_col, sum_col)
+            for r in block_refs])
+        out = np.zeros(to_nodes.size, np.int64)
+        for bn, bv in parts:
+            np.add.at(out, np.searchsorted(to_nodes, bn), bv)
+        m = int(out.max())
+        if m > 2 ** 62 // HITS_SCALE:
+            raise ValueError(
+                "HITS sum exceeds the int64 normalization headroom; "
+                "switch to the 128-bit split fold at this degree scale")
+        return out * HITS_SCALE // m
+
+    h = np.full(hub_nodes.size, HITS_SCALE, dtype=np.int64)
+    a = np.zeros(auth_nodes.size, np.int64)
+    for _ in range(iters):
+        a = step(ray.put(h), hub_ref, hub_nodes, auth_nodes,
+                 "src", "dst")
+        h = step(ray.put(a), auth_ref, auth_nodes, hub_nodes,
+                 "dst", "src")
+    return hub_nodes, h, auth_nodes, a
+
+
+def purchase_hits(sf_dir: str, iters: int = 3, k: int = 25):
+    """Query surface: HITS over the DIRECTED customer -> supplier
+    purchase graph (hubs = broad customers, authorities = widely
+    bought-from suppliers). Reuses _purchase_edges' distinct edge
+    build filtered to the customer->supplier orientation. Output: the
+    top-k of each side unioned with a kind column, integer e6 scores
+    (ties break (score desc, node)). Oracled via the generated
+    unrolled CTE replaying the identical integer recurrence."""
+    edges = _purchase_edges(sf_dir)
+
+    def directed(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("src"),
+                                pa.scalar(SUPP_OFFSET, pa.int64())))
+
+    d = edges.map_batches(directed, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    hub_nodes, h, auth_nodes, a = hits(d, iters=iters)
+
+    def topk(nodes: np.ndarray, score: np.ndarray, kind: str) -> pa.Table:
+        sel = np.lexsort((nodes, -score))[:k]
+        return pa.table({
+            "kind": pa.array([kind] * sel.size, pa.string()),
+            "node": pa.array(nodes[sel], pa.int64()),
+            "score_e6": pa.array(score[sel], pa.int64())})
+
+    return pa.concat_tables([topk(auth_nodes, a, "authority"),
+                             topk(hub_nodes, h, "hub")])
+
+
+def parts_neighbor_jaccard(sf_dir: str, k: int = 25, min_common: int = 2):
+    """Link prediction by neighborhood Jaccard over the co-purchase
+    part graph: for NON-adjacent part pairs, rank by |N(a) ∩ N(b)| /
+    |N(a) ∪ N(b)| (the classic similarity heuristic — pairs never
+    bought together whose neighborhoods overlap).
+
+    The naive plan (generate all Σ deg² wedge pairs, pair-keyed
+    exchange, fold) moves ~150M mostly-count-1 pairs at sf0.1 (~45 s);
+    this one moves NOTHING: the CSR adjacency broadcasts once
+    (|edges| ints — the triangle module's map-side edge-probe class;
+    above its ~20M-edge gate swap in the copartitioned expansion), and
+    each partition computes, for every center x it owns, the EXACT
+    GLOBAL common-neighbor count to all y in one neighbor-list gather
+    + bincount (the A² row restricted to x). Each unordered pair is
+    produced exactly once (y > x), already globally correct, so a
+    per-partition top-k union + tiny global sort finishes with zero
+    pair exchanges. Scores are exact integers:
+    jac_micro = common * 1e6 // (deg_a + deg_b - common)."""
+    import ray
+
+    from ..broadcast import get_broadcast
+    from .relational import partitioned_map_groups
+
+    edges = coorder_part_edges(sf_dir)  # packed u<v int64 keys
+
+    def both(t: pa.Table) -> pa.Table:
+        u, v = _unpack_edges(t)
+        return pa.table({
+            "src": pa.array(np.concatenate([u, v]), pa.int64()),
+            "dst": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    adj = edges.map_batches(both, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    # CSR build: edge keys are already globally distinct; collect the
+    # sorted (src, dst) arrays once (|edges|-bounded, the documented
+    # broadcast class) and index by raw node id
+    ek_chunks = [b.column("k").to_numpy()
+                 for b in edges.iter_batches(batch_format="pyarrow")]
+    if not ek_chunks or not sum(c.size for c in ek_chunks):
+        return pa.schema([
+            ("part_a", pa.int64()), ("part_b", pa.int64()),
+            ("common", pa.int64()), ("deg_a", pa.int64()),
+            ("deg_b", pa.int64()), ("jac_micro", pa.int64()),
+        ]).empty_table()
+    ku = np.unique(np.concatenate(ek_chunks)).view(np.uint64)
+    a = (ku >> np.uint64(32)).astype(np.int64)
+    b = (ku & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    n_ids = int(src.max()) + 1
+    offsets = np.zeros(n_ids + 1, np.int64)
+    np.add.at(offsets, src + 1, 1)
+    offsets = np.cumsum(offsets)
+    deg = np.diff(offsets)
+    csr_ref = ray.put((offsets, dst, deg, np.int64(n_ids)))
+
+    def local_topk(part: pa.Table, _ref=csr_ref) -> pa.Table:
+        empty = pa.table({"part_a": pa.array([], pa.int64()),
+                          "part_b": pa.array([], pa.int64()),
+                          "common": pa.array([], pa.int64()),
+                          "deg_a": pa.array([], pa.int64()),
+                          "deg_b": pa.array([], pa.int64()),
+                          "jac_micro": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        offs, nb, dg, nid = get_broadcast(_ref)
+        centers = np.unique(part.column("src").to_numpy())
+        pa_l, pb_l, c_l, da_l, db_l, j_l = [], [], [], [], [], []
+        for x in centers.tolist():
+            neigh = nb[offs[x]:offs[x + 1]]
+            if neigh.size == 0:
+                continue
+            # one gather of all neighbor lists + bincount = exact
+            # global common(x, y) for every y at once
+            reps = (offs[neigh + 1] - offs[neigh])
+            total = int(reps.sum())
+            if total == 0:
+                continue
+            idx = np.repeat(offs[neigh], reps)                 + (np.arange(total, dtype=np.int64)
+                   - np.repeat(np.cumsum(reps) - reps, reps))
+            counts = np.bincount(nb[idx], minlength=nid)
+            counts[:x + 1] = 0          # unordered pairs once (y > x)
+            counts[neigh] = 0           # existing edges excluded
+            ys = np.flatnonzero(counts >= min_common)
+            if ys.size == 0:
+                continue
+            c = counts[ys].astype(np.int64)
+            da = dg[x]
+            db = dg[ys]
+            jac = c * 1_000_000 // (da + db - c)
+            if ys.size > k:  # keep only this center's top-k
+                sel = np.lexsort((ys, -jac))[:k]
+                ys, c, db, jac = ys[sel], c[sel], db[sel], jac[sel]
+            pa_l.append(np.full(ys.size, x, np.int64))
+            pb_l.append(ys.astype(np.int64))
+            c_l.append(c)
+            da_l.append(np.full(ys.size, da, np.int64))
+            db_l.append(db.astype(np.int64))
+            j_l.append(jac)
+        if not pa_l:
+            return empty
+        u = np.concatenate(pa_l)
+        v = np.concatenate(pb_l)
+        c = np.concatenate(c_l)
+        da = np.concatenate(da_l)
+        db = np.concatenate(db_l)
+        jac = np.concatenate(j_l)
+        top = np.lexsort((v, u, -jac))[:k]
+        return pa.table({"part_a": pa.array(u[top], pa.int64()),
+                         "part_b": pa.array(v[top], pa.int64()),
+                         "common": pa.array(c[top], pa.int64()),
+                         "deg_a": pa.array(da[top], pa.int64()),
+                         "deg_b": pa.array(db[top], pa.int64()),
+                         "jac_micro": pa.array(jac[top], pa.int64())})
+
+    merged = partitioned_map_groups(adj, "src", local_topk)
+    return merged.sort(["jac_micro", "part_a", "part_b"],
+                       descending=[True, False, False]).limit(k)

@@ -964,6 +964,12 @@ def _parts_neighbor_jaccard(sf_dir: str):
     return parts_neighbor_jaccard(sf_dir)
 
 
+def _docs_rrf_fusion(sf_dir: str):
+    from webxtract.ops.text import docs_rrf_fusion
+
+    return docs_rrf_fusion(sf_dir)
+
+
 def _docs_token_entropy(sf_dir: str):
     from webxtract.ops.text import docs_token_entropy
 
@@ -1228,7 +1234,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer max-normalized recurrence over pinned edge blocks
         "parts_neighbor_jaccard": _parts_neighbor_jaccard,  # link
         # prediction: neighborhood Jaccard over non-adjacent part
-        # pairs (wedge-count fan-out + one pair-keyed exchange)
+        # pairs (map-side CSR bincount, zero pair exchanges)
+        "orders_cube": R.orders_cube,  # GROUP BY CUBE: all four
+        # grouping sets emitted per batch, one grouped-Sum exchange
+        "events_attribution_last_touch": R.events_attribution_last_touch,
+        # last-touch attribution: masked cummax over the per-user
+        # sorted stream in one co-location (no window fan-out)
+        "docs_rrf_fusion": _docs_rrf_fusion,  # hybrid retrieval:
+        # reciprocal-rank fusion of the BM25 and quality rankings
     }
 
 
@@ -1341,6 +1354,32 @@ def _hits_oracle(iters: int = 3, k: int = 25) -> str:
             UNION ALL
             (SELECT 'hub' AS kind, node, h AS score_e6
              FROM h{iters} ORDER BY h DESC, node LIMIT {k}))""")
+
+
+def _rrf_oracle(bm_sql: str, q_sql: str, k: int = 20, c: int = 60) -> str:
+    """DuckDB twin of ops.text.docs_rrf_fusion, composed from the two
+    registered ranking SQLs (BM25 top-k is already limited; the quality
+    ranking is windowed to its top-k) — integer reciprocal ranks."""
+    return f"""
+        WITH bmr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+            FROM ({bm_sql})),
+        qr0 AS (
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY quality_score DESC, doc_id) AS r
+            FROM ({q_sql})),
+        qr AS (SELECT doc_id, r FROM qr0 WHERE r <= {k}),
+        u AS (SELECT doc_id, r FROM bmr
+              UNION ALL SELECT doc_id, r FROM qr),
+        f AS (SELECT doc_id,
+                     CAST(sum(1000000 // ({c} + r)) AS BIGINT)
+                         AS rrf_micro,
+                     count(*) AS n_lists
+              FROM u GROUP BY doc_id)
+        SELECT doc_id, rrf_micro, n_lists FROM f
+        ORDER BY rrf_micro DESC, doc_id LIMIT {k}"""
 
 
 def _kcenter_oracle(k: int = 8) -> str:
@@ -1577,7 +1616,7 @@ def _semdedup_oracle(k: int = 8, iters: int = 5,
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "docs_langid": _langid_oracle(),
         "emb_kmeans": _kmeans_oracle(),
         "emb_semdedup": _semdedup_oracle(),
@@ -3869,4 +3908,40 @@ r5 AS (
                     JOIN deg db ON db.node = y
             ORDER BY jac_micro DESC, part_a, part_b LIMIT 25
         """,
+        # CUBE = the rollup twin with all four grouping sets
+        "orders_cube": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+                   coalesce(o_orderstatus, 'ALL')   AS status,
+                   count(*)                         AS n_orders,
+                   round(sum(round(o_totalprice * 100)) / 100.0, 2)
+                       AS revenue
+            FROM orders
+            GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        """,
+        # last-touch attribution: latest strictly-preceding touch in
+        # (ts, event_id) sequence order within the 24h window
+        "events_attribution_last_touch": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            t AS (SELECT event_id, user_id, ts, event_type FROM events
+                  WHERE event_type IN ('click', 'view')),
+            j AS (SELECT p.event_id AS purchase_id,
+                         t.event_id AS touch_id,
+                         t.event_type AS touch_type,
+                         epoch_us(p.ts) - epoch_us(t.ts) AS gap_us,
+                         row_number() OVER (
+                             PARTITION BY p.event_id
+                             ORDER BY t.ts DESC, t.event_id DESC) AS rn
+                  FROM p JOIN t ON p.user_id = t.user_id
+                   AND (t.ts < p.ts
+                        OR (t.ts = p.ts AND t.event_id < p.event_id))
+                   AND epoch_us(p.ts) - epoch_us(t.ts) <= 86400000000)
+            SELECT purchase_id, touch_id, touch_type, gap_us
+            FROM j WHERE rn = 1
+        """,
     }
+    # RRF fuses the two REGISTERED rankings verbatim, so the oracle
+    # composes their SQL bodies and can never drift from them
+    d["docs_rrf_fusion"] = _rrf_oracle(d["docs_bm25_topk"],
+                                       d["docs_quality_scores"])
+    return d

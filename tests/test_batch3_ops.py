@@ -298,3 +298,88 @@ def test_neighbor_jaccard_planted(ray_session, tmp_path):
     assert (1, 11) not in pairs
     # the perfect-overlap pairs outrank the 3/4 pair
     assert got.iloc[0].jac_micro == 1_000_000
+
+
+def test_attribution_planted(ray_session, tmp_path):
+    """click(t0) -> purchase(t1): attributed to the click;
+    view(t2) -> purchase(t3): latest touch wins over the earlier
+    click; a purchase 25h after the only touch is unattributed; an
+    intervening purchase does NOT clear the touch; other users'
+    touches never leak."""
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    H = lambda h: base + np.timedelta64(h * 3_600_000_000, "us")
+    rows = [
+        (0, 1, "click", H(0)),
+        (1, 1, "purchase", H(1)),     # -> touch 0 (gap 1h)
+        (2, 1, "view", H(2)),
+        (3, 1, "purchase", H(3)),     # -> touch 2 (view beats click)
+        (4, 1, "purchase", H(4)),     # -> touch 2 again (no reset)
+        (10, 2, "click", H(0)),
+        (11, 2, "purchase", H(26)),   # 26h later -> unattributed
+        (20, 3, "purchase", H(1)),    # no touches at all
+    ]
+    _write_events(tmp_path, rows)
+    from webxtract.ops.relational import events_attribution_last_touch
+    got = events_attribution_last_touch(str(tmp_path)).to_pandas() \
+        .set_index("purchase_id").sort_index()
+    assert list(got.index) == [1, 3, 4]
+    assert got.loc[1].touch_id == 0 and got.loc[1].touch_type == "click"
+    assert got.loc[1].gap_us == 3_600_000_000
+    assert got.loc[3].touch_id == 2 and got.loc[3].touch_type == "view"
+    assert got.loc[4].touch_id == 2
+    assert got.loc[4].gap_us == 2 * 3_600_000_000
+
+
+def test_cube_margins(ray_session, tmp_path):
+    """2x2 cube over a 3-order table: base cells + both margins +
+    grand total, money exact."""
+    od = pd.DataFrame({
+        "o_orderkey": [1, 2, 3],
+        "o_custkey": [1, 1, 2],
+        "o_orderstatus": ["O", "F", "O"],
+        "o_totalprice": [10.0, 20.0, 30.0],
+        "o_orderdate": pd.Timestamp("2026-01-01"),
+        "o_orderpriority": ["1-URGENT", "1-URGENT", "2-HIGH"],
+    })
+    pq.write_table(pa.Table.from_pandas(od, preserve_index=False),
+                   f"{tmp_path}/orders.parquet")
+    from webxtract.ops.relational import orders_cube
+    got = orders_cube(str(tmp_path)).to_pandas() \
+        .set_index(["priority", "status"]).sort_index()
+    assert got.loc[("ALL", "ALL")].n_orders == 3
+    assert got.loc[("ALL", "ALL")].revenue == 60.0
+    assert got.loc[("ALL", "O")].n_orders == 2
+    assert got.loc[("ALL", "O")].revenue == 40.0
+    assert got.loc[("1-URGENT", "ALL")].n_orders == 2
+    assert got.loc[("1-URGENT", "ALL")].revenue == 30.0
+    assert got.loc[("2-HIGH", "O")].n_orders == 1
+    assert len(got) == 8  # 3 base cells + 2 + 2 margins + grand total
+
+
+def test_rrf_recomposes_from_components(ray_session):
+    """Every fused score must equal the sum of the reciprocal terms of
+    the doc's positions in the two component rankings, recomputed
+    independently."""
+    import ray.data as rd
+
+    from webxtract.ops.text import (docs_bm25_topk, docs_rrf_fusion,
+                                    quality_score_batch)
+    SF = "/root/testdata/sf0.001"
+    fused = docs_rrf_fusion(SF).to_pandas()
+    bm_ids = docs_bm25_topk(SF, k=20).to_pandas().doc_id.tolist()
+    q_ids = rd.read_parquet(f"{SF}/documents.parquet",
+                            columns=["doc_id", "text"]) \
+        .map_batches(quality_score_batch, batch_format="pyarrow") \
+        .sort(["quality_score", "doc_id"], descending=[True, False]) \
+        .limit(20).to_pandas().doc_id.tolist()
+    exp = {}
+    for ids in (bm_ids, q_ids):
+        for r, d in enumerate(ids, start=1):
+            exp[d] = exp.get(d, 0) + 1_000_000 // (60 + r)
+    for _, row in fused.iterrows():
+        assert exp[row.doc_id] == row.rrf_micro
+        assert row.n_lists == int(row.doc_id in bm_ids) \
+            + int(row.doc_id in q_ids)
+    # the fused list is the global top-20 of the recomposed scores
+    top = sorted(exp, key=lambda d: (-exp[d], d))[:20]
+    assert fused.doc_id.tolist() == top

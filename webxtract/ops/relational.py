@@ -4386,3 +4386,114 @@ def events_mad_outliers(sf_dir: str):
                          "n_outliers": pa.array(n_out, pa.int64())})
 
     return partitioned_map_groups(ev, "event_type", fold)
+
+
+def orders_cube(sf_dir: str):
+    """GROUP BY CUBE(priority, status) in one corpus pass — the
+    orders_rollup plan extended to all FOUR grouping sets (base, each
+    single-dimension margin, grand total): every batch emits partials
+    for every set at once with rolled levels pinned to the literal
+    'ALL', one small grouped-Sum exchange finishes. Money sums use the
+    integer-cents trick for float-order independence."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "orders",
+              columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def levels(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("o_totalprice"))
+        base = pa.table({"priority": t.column("o_orderpriority"),
+                         "status": t.column("o_orderstatus"),
+                         "n": pa.array(np.ones(t.num_rows, np.int64)),
+                         "cents": cents})
+        alls = pa.array(np.full(t.num_rows, "ALL"), pa.string())
+        m_status = base.set_column(1, "status", alls)      # (pri, ALL)
+        m_pri = base.set_column(0, "priority", alls)       # (ALL, status)
+        grand = m_status.set_column(0, "priority", alls)   # (ALL, ALL)
+        out = pa.concat_tables([base, m_status, m_pri, grand])
+        g = out.group_by(["priority", "status"]).aggregate(
+            [("n", "sum"), ("cents", "sum")])
+        return pa.table({"priority": g.column("priority"),
+                         "status": g.column("status"),
+                         "n": g.column("n_sum").cast(pa.int64()),
+                         "cents": g.column("cents_sum")})
+
+    agg = ds.map_batches(levels, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["priority", "status"]) \
+        .aggregate(Sum("n", alias_name="n_orders"),
+                   Sum("cents", alias_name="cents"))
+
+    def money(t: pa.Table) -> pa.Table:
+        return pa.table({"priority": t.column("priority"),
+                         "status": t.column("status"),
+                         "n_orders": t.column("n_orders"),
+                         "revenue": _uncents(t.column("cents"))})
+
+    return agg.map_batches(money, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def events_attribution_last_touch(sf_dir: str,
+                                  window_hours: int = 24):
+    """Last-touch marketing attribution: every 'purchase' event is
+    credited to the user's LATEST preceding 'click'/'view' touch within
+    ``window_hours`` (strictly earlier in (ts, event_id) sequence
+    order; unattributed purchases drop — inner semantics). ONE
+    user-keyed co-location; within a partition the last-touch index
+    for every event is a single masked cumulative maximum over the
+    (user, ts, event_id)-sorted stream — user boundaries need no reset
+    because an earlier user's indices are provably below the segment
+    start, and an intervening purchase does not clear the touch (the
+    standard last-touch rule). No per-user loop, no window fan-out."""
+    ev = read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                         "event_type"])
+    win_us = np.int64(window_hours) * 3_600_000_000
+
+    def attribute(part: pa.Table) -> pa.Table:
+        empty = pa.table({"purchase_id": pa.array([], pa.int64()),
+                          "touch_id": pa.array([], pa.int64()),
+                          "touch_type": pa.array([], pa.string()),
+                          "gap_us": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        u = part.column("user_id").to_numpy()
+        ts = pc.cast(part.column("ts"), pa.timestamp("us")) \
+            .to_numpy().view(np.int64)
+        eid = part.column("event_id").to_numpy()
+        ty = part.column("event_type")
+        if isinstance(ty, pa.ChunkedArray):
+            ty = ty.combine_chunks()
+        is_touch = pc.is_in(ty, value_set=pa.array(
+            ["click", "view"])).to_numpy(zero_copy_only=False)
+        is_conv = pc.equal(ty, pa.scalar("purchase")) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u_s, ts_s, eid_s = u[order], ts[order], eid[order]
+        touch_s = is_touch[order]
+        conv_s = is_conv[order]
+        n = u_s.size
+        idx = np.arange(n, dtype=np.int64)
+        tpos = np.where(touch_s, idx, np.int64(-1))
+        cm = np.maximum.accumulate(tpos)
+        last_before = np.concatenate(([np.int64(-1)], cm[:-1]))
+        # segment starts: first index of each user's run
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = u_s[1:] != u_s[:-1]
+        seg_start = idx[new_user][np.cumsum(new_user) - 1]
+        ok = conv_s & (last_before >= seg_start)
+        if not ok.any():
+            return empty
+        pi = idx[ok]
+        tj = last_before[ok]
+        gap = ts_s[pi] - ts_s[tj]
+        keep = gap <= win_us
+        pi, tj, gap = pi[keep], tj[keep], gap[keep]
+        ty_s = ty.take(pa.array(order))  # types in stream order
+        return pa.table({
+            "purchase_id": pa.array(eid_s[pi], pa.int64()),
+            "touch_id": pa.array(eid_s[tj], pa.int64()),
+            "touch_type": ty_s.take(pa.array(tj)).cast(pa.string()),
+            "gap_us": pa.array(gap, pa.int64())})
+
+    return partitioned_map_groups(ev, "user_id", attribute)

@@ -3160,3 +3160,42 @@ def docs_token_entropy(sf_dir: str):
 
     return ds.map_batches(ent, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def docs_rrf_fusion(sf_dir: str, k: int = 20, c: int = 60):
+    """Reciprocal-rank fusion (Cormack et al.) of two retrieval runs
+    over the same corpus — the hybrid-search shape: the BM25 top-k for
+    the self-derived query (docs_bm25_topk) fused with the top-k by
+    heuristic quality score (docs_quality_scores; retrieval x quality
+    prior). rrf_micro(d) = sum over lists containing d of
+    1_000_000 // (c + rank) — exact integers, rank ties already
+    deterministic in both source rankings ((score desc, doc_id)).
+    The two inputs are full distributed rankings; the fusion itself
+    touches only 2k bounded rows on the driver."""
+    import ray.data as rd
+
+    bm = docs_bm25_topk(sf_dir, k=k)  # sorted (bm25 desc, doc_id)
+    q_ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .map_batches(quality_score_batch, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .sort(["quality_score", "doc_id"], descending=[True, False]) \
+        .limit(k)
+
+    def ranked_ids(ds) -> np.ndarray:
+        ids = []
+        for b in ds.iter_batches(batch_format="pyarrow"):  # <= k rows
+            ids.append(b.column("doc_id").to_numpy())
+        return np.concatenate(ids) if ids else np.zeros(0, np.int64)
+
+    scores: dict[int, int] = {}
+    lists: dict[int, int] = {}
+    for id_arr in (ranked_ids(bm), ranked_ids(q_ds)):
+        for r, d in enumerate(id_arr.tolist(), start=1):
+            scores[d] = scores.get(d, 0) + 1_000_000 // (c + r)
+            lists[d] = lists.get(d, 0) + 1
+    top = sorted(scores, key=lambda d: (-scores[d], d))[:k]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(top, pa.int64()),
+        "rrf_micro": pa.array([scores[d] for d in top], pa.int64()),
+        "n_lists": pa.array([lists[d] for d in top], pa.int64())}))

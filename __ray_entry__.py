@@ -970,6 +970,18 @@ def _docs_rrf_fusion(sf_dir: str):
     return docs_rrf_fusion(sf_dir)
 
 
+def _parts_adamic_adar(sf_dir: str):
+    from webxtract.ops.graph import parts_adamic_adar
+
+    return parts_adamic_adar(sf_dir)
+
+
+def _docs_lang_confusion(sf_dir: str):
+    from webxtract.ops.text import docs_lang_confusion
+
+    return docs_lang_confusion(sf_dir)
+
+
 def _docs_token_entropy(sf_dir: str):
     from webxtract.ops.text import docs_token_entropy
 
@@ -1242,6 +1254,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sorted stream in one co-location (no window fan-out)
         "docs_rrf_fusion": _docs_rrf_fusion,  # hybrid retrieval:
         # reciprocal-rank fusion of the BM25 and quality rankings
+        "customer_rfm": R.customer_rfm,  # RFM segmentation: custkey-
+        # bounded metric fold + three NTILE(5) total-order rankings
+        "parts_adamic_adar": _parts_adamic_adar,  # degree-weighted
+        # link prediction (1/ln deg), same zero-exchange CSR plan
+        "docs_lang_confusion": _docs_lang_confusion,  # langid-vs-label
+        # confusion matrix; |langs|^2-bounded partials, no exchange
     }
 
 
@@ -3944,4 +3962,65 @@ r5 AS (
     # composes their SQL bodies and can never drift from them
     d["docs_rrf_fusion"] = _rrf_oracle(d["docs_bm25_topk"],
                                        d["docs_quality_scores"])
+    # likewise, the confusion matrix composes the langid oracle
+    d["docs_lang_confusion"] = f"""
+        WITH pred AS ({_langid_oracle()})
+        SELECT d.lang, p.lang_pred, count(*) AS n
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY d.lang, p.lang_pred
+    """
+    d["customer_rfm"] = """
+        WITH c AS (SELECT o_custkey AS custkey,
+                          max(o_orderdate) AS last_o,
+                          count(*) AS frequency,
+                          CAST(sum(CAST(round(o_totalprice * 100)
+                                        AS BIGINT)) AS BIGINT)
+                              AS monetary_cents
+                   FROM orders GROUP BY 1),
+        mx AS (SELECT max(last_o) AS m FROM c),
+        f AS (SELECT custkey,
+                     (epoch_us((SELECT m FROM mx)) - epoch_us(last_o))
+                         // 86400000000 AS recency_days,
+                     frequency, monetary_cents FROM c),
+        t AS (SELECT custkey, recency_days, frequency, monetary_cents,
+                     CAST(ntile(5) OVER (ORDER BY recency_days, custkey)
+                          AS BIGINT) AS r_tile,
+                     CAST(ntile(5) OVER (ORDER BY frequency DESC,
+                                         custkey) AS BIGINT) AS f_tile,
+                     CAST(ntile(5) OVER (ORDER BY monetary_cents DESC,
+                                         custkey) AS BIGINT) AS m_tile
+              FROM f)
+        SELECT custkey, recency_days, frequency, monetary_cents,
+               r_tile, f_tile, m_tile,
+               r_tile * 100 + f_tile * 10 + m_tile AS segment
+        FROM t
+    """
+    # Adamic-Adar: the Jaccard twin's wedge join with the pinned
+    # integer micro center weights round_even(1e6 / ln(deg))
+    d["parts_adamic_adar"] = """
+        WITH e0 AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey),
+        und AS (SELECT u AS src, v AS dst FROM e0
+                UNION ALL SELECT v, u FROM e0),
+        deg AS (SELECT src AS node, count(*) AS d
+                FROM und GROUP BY src),
+        wt AS (SELECT node,
+                      CAST(round_even(1000000.0
+                           / ln(CAST(d AS DOUBLE)), 0) AS BIGINT) AS w
+               FROM deg WHERE d >= 2),
+        wed AS (SELECT a.dst AS x, b.dst AS y, count(*) AS common,
+                       CAST(sum(wt.w) AS BIGINT) AS aa_micro
+                FROM und a JOIN und b
+                  ON a.src = b.src AND a.dst < b.dst
+                JOIN wt ON wt.node = a.src
+                GROUP BY 1, 2),
+        ne AS (SELECT w.x, w.y, w.common, w.aa_micro FROM wed w
+               LEFT JOIN e0 ON e0.u = w.x AND e0.v = w.y
+               WHERE e0.u IS NULL AND w.common >= 2)
+        SELECT x AS part_a, y AS part_b, common, aa_micro
+        FROM ne ORDER BY aa_micro DESC, part_a, part_b LIMIT 25
+    """
     return d

@@ -383,3 +383,77 @@ def test_rrf_recomposes_from_components(ray_session):
     # the fused list is the global top-20 of the recomposed scores
     top = sorted(exp, key=lambda d: (-exp[d], d))[:20]
     assert fused.doc_id.tolist() == top
+
+
+def test_rfm_tiles_planted(ray_session, tmp_path):
+    """7 customers, 5 tiles: SQL NTILE gives buckets 2,2,1,1,1 —
+    checked for the recency ordering plus hand-checked metrics."""
+    rows = []
+    # customer i has i orders of 10*i dollars, last order on day i
+    for i in range(1, 8):
+        for j in range(i):
+            rows.append((i * 100 + j, i,
+                         pd.Timestamp("2026-01-01")
+                         + pd.Timedelta(days=i if j == i - 1 else 0),
+                         10.0 * i))
+    od = pd.DataFrame(rows, columns=["o_orderkey", "o_custkey",
+                                     "o_orderdate", "o_totalprice"])
+    od["o_orderstatus"] = "O"
+    od["o_orderpriority"] = "1-URGENT"
+    pq.write_table(pa.Table.from_pandas(od, preserve_index=False),
+                   f"{tmp_path}/orders.parquet")
+    from webxtract.ops.relational import customer_rfm
+    got = customer_rfm(str(tmp_path)).to_pandas() \
+        .set_index("custkey").sort_index()
+    # max last order = day 7 (cust 7); recency_days = 7 - i
+    for i in range(1, 8):
+        assert got.loc[i].recency_days == 7 - i
+        assert got.loc[i].frequency == i
+        assert got.loc[i].monetary_cents == i * i * 1000
+    # recency asc = custkey 7,6,5,4,3,2,1 -> tiles 1,1,2,2,3,4,5
+    assert got.loc[7].r_tile == 1 and got.loc[6].r_tile == 1
+    assert got.loc[5].r_tile == 2 and got.loc[4].r_tile == 2
+    assert got.loc[3].r_tile == 3 and got.loc[2].r_tile == 4
+    assert got.loc[1].r_tile == 5
+    # frequency desc = 7,6,... -> same tiling
+    assert got.loc[7].f_tile == 1 and got.loc[1].f_tile == 5
+    assert got.loc[7].segment == 111 and got.loc[1].segment == 555
+
+
+def test_adamic_adar_weights_bite(ray_session, tmp_path):
+    """Same topology as the Jaccard planted test: pair (1,2) shares 3
+    degree-2 centers, pair (11,12) shares {1,2} with degrees 4 and 3 —
+    Adamic-Adar ranks (1,2) FIRST (Jaccard ranked it below), because
+    low-degree centers carry more weight."""
+    order_parts = {1: [1, 11], 2: [1, 12], 3: [1, 13],
+                   4: [2, 11], 5: [2, 12], 6: [2, 13],
+                   7: [1, 20]}
+    _write_lineitem_orders(tmp_path, order_parts)
+    from webxtract.ops.graph import parts_adamic_adar
+    got = parts_adamic_adar(str(tmp_path)).to_pandas()
+    w = lambda d: int(np.round(1e6 / np.log(float(d))))
+    top = got.iloc[0]
+    assert (top.part_a, top.part_b) == (1, 2)
+    assert top.common == 3 and top.aa_micro == 3 * w(2)
+    r = got[(got.part_a == 11) & (got.part_b == 12)].iloc[0]
+    assert r.aa_micro == w(4) + w(3)
+    assert top.aa_micro > r.aa_micro
+
+
+def test_lang_confusion_equals_crosstab(ray_session):
+    """The distributed confusion matrix == a single-process crosstab
+    of LangId predictions vs the stored labels."""
+    import pyarrow.parquet as pq2
+
+    from webxtract.ops.text import LangId, docs_lang_confusion
+    SF = "/root/testdata/sf0.001"
+    got = docs_lang_confusion(SF).to_pandas()
+    t = pq2.read_table(f"{SF}/documents.parquet",
+                       columns=["doc_id", "text", "lang"])
+    pred = LangId()(t.select(["doc_id", "text"]))
+    df = pd.DataFrame({"lang": t.column("lang").to_pylist(),
+                       "lang_pred": pred.column("lang_pred").to_pylist()})
+    exp = df.groupby(["lang", "lang_pred"]).size().reset_index(name="n")
+    assert got.sort_values(["lang", "lang_pred"]).values.tolist() == \
+        exp.sort_values(["lang", "lang_pred"]).values.tolist()
+    assert got.n.sum() == len(df)

@@ -1264,3 +1264,114 @@ def parts_neighbor_jaccard(sf_dir: str, k: int = 25, min_common: int = 2):
     merged = partitioned_map_groups(adj, "src", local_topk)
     return merged.sort(["jac_micro", "part_a", "part_b"],
                        descending=[True, False, False]).limit(k)
+
+
+def parts_adamic_adar(sf_dir: str, k: int = 25, min_common: int = 2):
+    """Adamic-Adar link prediction over the co-purchase part graph —
+    the degree-weighted twin of parts_neighbor_jaccard: non-adjacent
+    pairs scored by sum over common neighbors w of 1 / ln(deg(w)),
+    down-weighting promiscuous hubs. Same zero-pair-exchange plan: the
+    CSR adjacency broadcasts once and each center's weighted common
+    counts to ALL y come from ONE weighted bincount (weights are the
+    pinned integer micro-units round_even(1e6 / ln(deg_w)); every
+    partial sum stays integer-valued far below 2^53, so the float
+    accumulator is exact and order-independent). A second unweighted
+    bincount applies the same min_common support filter as the Jaccard
+    twin; pairs are produced once (y > x) with globally exact scores,
+    so per-center/partition top-k unions stay exact."""
+    import ray
+
+    from ..broadcast import get_broadcast
+    from .relational import partitioned_map_groups
+
+    edges = coorder_part_edges(sf_dir)
+
+    def both(t: pa.Table) -> pa.Table:
+        u, v = _unpack_edges(t)
+        return pa.table({
+            "src": pa.array(np.concatenate([u, v]), pa.int64()),
+            "dst": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    adj = edges.map_batches(both, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    ek_chunks = [b.column("k").to_numpy()
+                 for b in edges.iter_batches(batch_format="pyarrow")]
+    if not ek_chunks or not sum(c.size for c in ek_chunks):
+        return pa.schema([
+            ("part_a", pa.int64()), ("part_b", pa.int64()),
+            ("common", pa.int64()), ("aa_micro", pa.int64()),
+        ]).empty_table()
+    ku = np.unique(np.concatenate(ek_chunks)).view(np.uint64)
+    a = (ku >> np.uint64(32)).astype(np.int64)
+    b = (ku & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    n_ids = int(src.max()) + 1
+    offsets = np.zeros(n_ids + 1, np.int64)
+    np.add.at(offsets, src + 1, 1)
+    offsets = np.cumsum(offsets)
+    deg = np.diff(offsets)
+    # pinned center weight: round_even(1e6 / ln(deg)); deg-1 centers
+    # can never be a COMMON neighbor of two others, weight unused
+    w = np.zeros(n_ids, np.float64)
+    m2 = deg >= 2
+    w[m2] = np.round(1e6 / np.log(deg[m2].astype(np.float64)))
+    csr_ref = ray.put((offsets, dst, deg, w, np.int64(n_ids)))
+
+    def local_topk(part: pa.Table, _ref=csr_ref) -> pa.Table:
+        empty = pa.table({"part_a": pa.array([], pa.int64()),
+                          "part_b": pa.array([], pa.int64()),
+                          "common": pa.array([], pa.int64()),
+                          "aa_micro": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        offs, nb, dg, wt, nid = get_broadcast(_ref)
+        centers = np.unique(part.column("src").to_numpy())
+        pa_l, pb_l, c_l, s_l = [], [], [], []
+        for x in centers.tolist():
+            neigh = nb[offs[x]:offs[x + 1]]
+            if neigh.size == 0:
+                continue
+            reps = offs[neigh + 1] - offs[neigh]
+            total = int(reps.sum())
+            if total == 0:
+                continue
+            idx = np.repeat(offs[neigh], reps) \
+                + (np.arange(total, dtype=np.int64)
+                   - np.repeat(np.cumsum(reps) - reps, reps))
+            ys_all = nb[idx]
+            counts = np.bincount(ys_all, minlength=nid)
+            wsum = np.bincount(ys_all, weights=np.repeat(wt[neigh], reps),
+                               minlength=nid)
+            counts[:x + 1] = 0
+            counts[neigh] = 0
+            ys = np.flatnonzero(counts >= min_common)
+            if ys.size == 0:
+                continue
+            c = counts[ys].astype(np.int64)
+            s = wsum[ys].astype(np.int64)  # exact integer-valued floats
+            if ys.size > k:
+                sel = np.lexsort((ys, -s))[:k]
+                ys, c, s = ys[sel], c[sel], s[sel]
+            pa_l.append(np.full(ys.size, x, np.int64))
+            pb_l.append(ys.astype(np.int64))
+            c_l.append(c)
+            s_l.append(s)
+        if not pa_l:
+            return empty
+        u = np.concatenate(pa_l)
+        v = np.concatenate(pb_l)
+        c = np.concatenate(c_l)
+        s = np.concatenate(s_l)
+        top = np.lexsort((v, u, -s))[:k]
+        return pa.table({"part_a": pa.array(u[top], pa.int64()),
+                         "part_b": pa.array(v[top], pa.int64()),
+                         "common": pa.array(c[top], pa.int64()),
+                         "aa_micro": pa.array(s[top], pa.int64())})
+
+    merged = partitioned_map_groups(adj, "src", local_topk)
+    return merged.sort(["aa_micro", "part_a", "part_b"],
+                       descending=[True, False, False]).limit(k)

@@ -4497,3 +4497,103 @@ def events_attribution_last_touch(sf_dir: str,
             "gap_us": pa.array(gap, pa.int64())})
 
     return partitioned_map_groups(ev, "user_id", attribute)
+
+
+def customer_rfm(sf_dir: str, n_tiles: int = 5):
+    """RFM segmentation (the classic CRM shape): per customer with
+    orders, Recency (whole days from their last order to the corpus
+    max order date), Frequency (order count) and Monetary (exact
+    cents), each scored into NTILE(n_tiles) buckets — R by recency
+    ascending, F/M descending, custkey tie-break everywhere — plus the
+    combined segment code r*100 + f*10 + m. One custkey-bounded
+    partial fold builds the slim metric table (orders scanned once);
+    the three tile passes are total-order rankings over that slim
+    table via global_row_number + the exact SQL-NTILE index arithmetic
+    customer_ntile uses (first total%n buckets one row bigger)."""
+    import ray.data as rd
+
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_orderdate",
+                                             "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy()
+        d = pc.cast(t.column("o_orderdate"), pa.timestamp("us")) \
+            .to_numpy().view(np.int64)
+        cents = _cents(t.column("o_totalprice")).to_numpy()
+        order = np.argsort(c, kind="stable")
+        c_s = c[order]
+        bounds = np.flatnonzero(np.diff(c_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [c_s.size]))
+        return pa.table({
+            "custkey": pa.array(c_s[starts], pa.int64()),
+            "last_us": pa.array(np.maximum.reduceat(d[order], starts),
+                                pa.int64()),
+            "frequency": pa.array((ends - starts).astype(np.int64),
+                                  pa.int64()),
+            "monetary_cents": pa.array(np.add.reduceat(cents[order],
+                                                       starts),
+                                       pa.int64())})
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part
+        df = part.to_pandas()
+        g = df.groupby("custkey", sort=True).agg(
+            last_us=("last_us", "max"),
+            frequency=("frequency", "sum"),
+            monetary_cents=("monetary_cents", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    metrics = partitioned_map_groups(
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        "custkey", fold).materialize()
+
+    max_us = int(metrics.max("last_us") or 0)
+    total = metrics.count()
+    day_us = 86_400_000_000
+
+    def recency(t: pa.Table) -> pa.Table:
+        r = (max_us - t.column("last_us").to_numpy()) // day_us
+        return pa.table({
+            "custkey": t.column("custkey"),
+            "recency_days": pa.array(r, pa.int64()),
+            "frequency": t.column("frequency"),
+            "monetary_cents": t.column("monetary_cents")})
+
+    ds = metrics.map_batches(recency, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    q, rem = divmod(total, n_tiles)
+
+    def tile_col(rn: np.ndarray) -> np.ndarray:
+        if q == 0:
+            return np.minimum(rn, n_tiles)
+        big = rem * (q + 1)
+        return np.where(rn <= big, (rn - 1) // (q + 1) + 1,
+                        rem + (rn - big - 1) // max(q, 1) + 1)
+
+    for keys, desc, rn_col, tcol in [
+            (["recency_days", "custkey"], [False, False], "rn_r", "r_tile"),
+            (["frequency", "custkey"], [True, False], "rn_f", "f_tile"),
+            (["monetary_cents", "custkey"], [True, False], "rn_m",
+             "m_tile")]:
+        ds = global_row_number(ds, keys, descending=desc, rn_col=rn_col)
+
+        def mk(t: pa.Table, _rn=rn_col, _t=tcol) -> pa.Table:
+            tile = tile_col(t.column(_rn).to_numpy())
+            return t.drop_columns([_rn]).append_column(
+                _t, pa.array(tile.astype(np.int64), pa.int64()))
+
+        ds = ds.map_batches(mk, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def seg(t: pa.Table) -> pa.Table:
+        s = (t.column("r_tile").to_numpy() * 100
+             + t.column("f_tile").to_numpy() * 10
+             + t.column("m_tile").to_numpy())
+        return t.append_column("segment", pa.array(s, pa.int64()))
+
+    return ds.map_batches(seg, batch_format="pyarrow",
+                          zero_copy_batch=True)

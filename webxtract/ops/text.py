@@ -3199,3 +3199,50 @@ def docs_rrf_fusion(sf_dir: str, k: int = 20, c: int = 60):
         "doc_id": pa.array(top, pa.int64()),
         "rrf_micro": pa.array([scores[d] for d in top], pa.int64()),
         "n_lists": pa.array([lists[d] for d in top], pa.int64())}))
+
+
+_LANGID_SINGLETON: list = []
+
+
+def docs_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix: the stopword-profile predictor's
+    label (LangId) crossed with the stored lang column — counts per
+    (lang, lang_pred) cell, the model-evaluation shape run as data
+    quality monitoring. Per-batch pair-count partials (the predictor
+    runs inline on the same batch, profiles built once per worker);
+    the fold is |langs|^2-bounded, so no exchange — a tiny driver
+    dict finishes."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if not _LANGID_SINGLETON:
+            _LANGID_SINGLETON.append(LangId())
+        pred = _LANGID_SINGLETON[0](batch.select(["doc_id", "text"]))
+        lang = batch.column("lang").to_pylist()
+        lp = pred.column("lang_pred").to_pylist()
+        agg: dict[tuple[str, str], int] = {}
+        for a, b in zip(lang, lp):
+            key = (a, b)
+            agg[key] = agg.get(key, 0) + 1
+        keys = sorted(agg)
+        return pa.table({
+            "lang": pa.array([k[0] for k in keys], pa.string()),
+            "lang_pred": pa.array([k[1] for k in keys], pa.string()),
+            "n": pa.array([agg[k] for k in keys], pa.int64())})
+
+    agg: dict[tuple[str, str], int] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):  # |langs|^2-bounded
+        for a, p, n in zip(b.column("lang").to_pylist(),
+                           b.column("lang_pred").to_pylist(),
+                           b.column("n").to_pylist()):
+            agg[(a, p)] = agg.get((a, p), 0) + n
+    keys = sorted(agg)
+    return rd.from_arrow(pa.table({
+        "lang": pa.array([k[0] for k in keys], pa.string()),
+        "lang_pred": pa.array([k[1] for k in keys], pa.string()),
+        "n": pa.array([agg[k] for k in keys], pa.int64())}))

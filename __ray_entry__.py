@@ -1260,6 +1260,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # link prediction (1/ln deg), same zero-exchange CSR plan
         "docs_lang_confusion": _docs_lang_confusion,  # langid-vs-label
         # confusion matrix; |langs|^2-bounded partials, no exchange
+        "docs_snapshot_diff": R.docs_snapshot_diff,  # CDC family:
+        # insert/update/delete diff of two snapshots, one copartitioned
+        # key exchange + searchsorted match
+        "customer_abc": R.customer_abc,  # Pareto/ABC revenue classes:
+        # exact-cents cumulative share via per-block prefix offsets
+        "parts_degree_hist": R.parts_degree_hist,  # co-purchase degree
+        # distribution; |parts|-bounded fold, max-degree-bounded hist
     }
 
 
@@ -4022,5 +4029,52 @@ r5 AS (
                WHERE e0.u IS NULL AND w.common >= 2)
         SELECT x AS part_a, y AS part_b, common, aa_micro
         FROM ne ORDER BY aa_micro DESC, part_a, part_b LIMIT 25
+    """
+    d["docs_snapshot_diff"] = """
+        WITH old AS (SELECT doc_id, n_chars, lang FROM documents
+                     WHERE doc_id % 7 <> 0),
+        new AS (SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0 THEN n_chars + 1
+                            ELSE n_chars END AS n_chars,
+                       lang
+                FROM documents WHERE doc_id % 5 <> 0)
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'insert'
+                    WHEN n.doc_id IS NULL THEN 'delete'
+                    ELSE 'update' END AS change,
+               coalesce(o.n_chars, -1) AS old_n_chars,
+               coalesce(n.n_chars, -1) AS new_n_chars
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+           OR o.n_chars <> n.n_chars OR o.lang <> n.lang
+    """
+    # ABC classes via integer cross-multiplication — no float share
+    d["customer_abc"] = """
+        WITH s AS (SELECT o_custkey AS custkey,
+                          CAST(sum(CAST(round(o_totalprice * 100)
+                                        AS BIGINT)) AS BIGINT) AS cents
+                   FROM orders GROUP BY 1),
+        t AS (SELECT (SELECT CAST(sum(cents) AS BIGINT) FROM s) AS tot),
+        r AS (SELECT custkey, cents,
+                     row_number() OVER (ORDER BY cents DESC, custkey)
+                         AS rn,
+                     CAST(sum(cents) OVER (ORDER BY cents DESC, custkey)
+                          AS BIGINT) AS cum_cents
+              FROM s)
+        SELECT custkey, cents, rn, cum_cents,
+               CASE WHEN cum_cents * 5 <= t.tot * 4 THEN 'A'
+                    WHEN cum_cents * 20 <= t.tot * 19 THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM r CROSS JOIN t
+    """
+    d["parts_degree_hist"] = """
+        WITH e0 AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey),
+        und AS (SELECT u AS src FROM e0 UNION ALL SELECT v FROM e0),
+        deg AS (SELECT src, count(*) AS d FROM und GROUP BY src)
+        SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY d
     """
     return d

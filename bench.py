@@ -106,6 +106,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "purchase_hits", "parts_neighbor_jaccard", "orders_cube",
         "events_attribution_last_touch", "docs_rrf_fusion",
         "customer_rfm", "parts_adamic_adar", "docs_lang_confusion",
+        "docs_snapshot_diff", "customer_abc", "parts_degree_hist",
         "emb_norms", "emb_label_centroids", "events_type_users_hll",
         "images_phash_dupes", "audios_envelope_dupes", "emb_knn_pq",
         "videos_frame_sample", "videos_mjpeg_dupes", "emb_semdedup",

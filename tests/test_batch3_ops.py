@@ -457,3 +457,67 @@ def test_lang_confusion_equals_crosstab(ray_session):
     assert got.sort_values(["lang", "lang_pred"]).values.tolist() == \
         exp.sort_values(["lang", "lang_pred"]).values.tolist()
     assert got.n.sum() == len(df)
+
+
+def test_snapshot_diff_planted(ray_session, tmp_path):
+    """doc ids 1..9 (7 drops from old; 5 drops from new; 4,8 bumped):
+    hand-enumerated insert/update/delete set, unchanged rows absent."""
+    df = pd.DataFrame({
+        "doc_id": list(range(1, 10)),
+        "text": ["t"] * 9,
+        "lang": ["en"] * 9,
+        "source": ["s"] * 9,
+        "n_chars": [100 + i for i in range(1, 10)],
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{tmp_path}/documents.parquet")
+    from webxtract.ops.relational import docs_snapshot_diff
+    got = docs_snapshot_diff(str(tmp_path)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # old = {1,2,3,4,5,6,8,9}; new = {1,2,3,4,6,7,8,9} (5 dropped);
+    # bumped in new: 4, 8 -> update; 5 delete; 7 insert; others equal
+    assert got.loc[4].change == "update"
+    assert got.loc[4].old_n_chars == 104 and got.loc[4].new_n_chars == 105
+    assert got.loc[8].change == "update"
+    assert got.loc[5].change == "delete"
+    assert got.loc[5].new_n_chars == -1
+    assert got.loc[7].change == "insert"
+    assert got.loc[7].old_n_chars == -1 and got.loc[7].new_n_chars == 107
+    assert sorted(got.index) == [4, 5, 7, 8]
+
+
+def test_abc_classes_planted(ray_session, tmp_path):
+    """Spends 50, 30, 15, 5 (total 100): cum shares 50/80/95/100 ->
+    A, A (exactly 80%), B (exactly 95%), C."""
+    od = pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 4],
+        "o_custkey": [1, 2, 3, 4],
+        "o_orderstatus": "O",
+        "o_totalprice": [50.0, 30.0, 15.0, 5.0],
+        "o_orderdate": pd.Timestamp("2026-01-01"),
+        "o_orderpriority": "1-URGENT",
+    })
+    pq.write_table(pa.Table.from_pandas(od, preserve_index=False),
+                   f"{tmp_path}/orders.parquet")
+    from webxtract.ops.relational import customer_abc
+    got = customer_abc(str(tmp_path)).to_pandas() \
+        .set_index("custkey").sort_index()
+    assert got.loc[1].abc == "A" and got.loc[1].rn == 1
+    assert got.loc[2].abc == "A"          # cum 80% is still A (<=)
+    assert got.loc[3].abc == "B"          # cum 95% is still B (<=)
+    assert got.loc[4].abc == "C"
+    assert got.loc[4].cum_cents == 10000
+
+
+def test_degree_hist_planted(ray_session, tmp_path):
+    """Star order {1,2,3,4}: the center-free co-order clique gives
+    every part degree 3 -> one histogram row (3, 4); adding order
+    {1,5} bumps part 1 to degree 4 and adds a degree-1 node."""
+    order_parts = {1: [1, 2, 3, 4], 2: [1, 5]}
+    _write_lineitem_orders(tmp_path, order_parts)
+    from webxtract.ops.relational import parts_degree_hist
+    got = parts_degree_hist(str(tmp_path)).to_pandas() \
+        .set_index("degree").sort_index()
+    assert got.loc[1].n_nodes == 1   # part 5
+    assert got.loc[3].n_nodes == 3   # parts 2,3,4
+    assert got.loc[4].n_nodes == 1   # part 1

@@ -4597,3 +4597,210 @@ def customer_rfm(sf_dir: str, n_tiles: int = 5):
 
     return ds.map_batches(seg, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def docs_snapshot_diff(sf_dir: str):
+    """Snapshot diff (the reverse of MERGE INTO — completes the CDC
+    family with merge/SCD2/time-travel): two deterministic derivations
+    of the documents table play 'old' (doc_id % 7 != 0) and 'new'
+    (doc_id % 5 != 0, with doc_id % 4 == 0 payloads bumped), and the
+    diff emits insert / delete / update change rows (unchanged keys
+    drop) — what an incremental pipeline would feed back into a
+    changelog. ONE copartitioned key exchange of the slim (key,
+    n_chars, lang) projections; the per-partition match is one
+    searchsorted against the sorted old side. Missing sides use the
+    -1 sentinel (both engines hash integers, never nulls)."""
+    docs_old = read(sf_dir, "documents",
+                    columns=["doc_id", "n_chars", "lang"])
+    docs_new = read(sf_dir, "documents",
+                    columns=["doc_id", "n_chars", "lang"])
+
+    # modulo predicates aren't expressible as parquet filter
+    # expressions, so the snapshot membership filters run per batch
+    # (the column pruning above still holds)
+    def prep_old(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").to_numpy()
+        t = t.filter(pa.array(k % 7 != 0))
+        return pa.table({"key": t.column("doc_id"),
+                         "n_chars": t.column("n_chars"),
+                         "lang": t.column("lang")})
+
+    def prep_new(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").to_numpy()
+        t = t.filter(pa.array(k % 5 != 0))
+        k = t.column("doc_id").to_numpy()
+        n = np.where(k % 4 == 0, t.column("n_chars").to_numpy() + 1,
+                     t.column("n_chars").to_numpy())
+        return pa.table({"key": t.column("doc_id"),
+                         "n_chars": pa.array(n, pa.int64()),
+                         "lang": t.column("lang")})
+
+    def diff(parts: list[pa.Table]) -> pa.Table:
+        old_p, new_p = parts
+        ok = old_p.column("key").to_numpy()
+        on = old_p.column("n_chars").to_numpy()
+        ol = np.asarray(old_p.column("lang").to_pylist(), dtype=object)
+        nk = new_p.column("key").to_numpy()
+        nn = new_p.column("n_chars").to_numpy()
+        nl = np.asarray(new_p.column("lang").to_pylist(), dtype=object)
+        oo = np.argsort(ok, kind="stable")
+        ok, on, ol = ok[oo], on[oo], ol[oo]
+        si = np.searchsorted(ok, nk)
+        si_c = np.minimum(si, max(ok.size - 1, 0))
+        if ok.size:
+            in_old = ok[si_c] == nk
+            upd = in_old & ((on[si_c] != nn) | (ol[si_c] != nl))
+        else:
+            in_old = np.zeros(nk.size, bool)
+            upd = in_old
+        # inserts: new-only
+        ins = ~in_old
+        # deletes: old keys never probed by new
+        hit = np.zeros(ok.size, bool)
+        if ok.size:
+            hit[si_c[in_old]] = True
+        dele = ~hit
+        keys = np.concatenate((nk[ins], nk[upd], ok[dele]))
+        change = np.concatenate((
+            np.full(int(ins.sum()), "insert", object),
+            np.full(int(upd.sum()), "update", object),
+            np.full(int(dele.sum()), "delete", object)))
+        old_n = np.concatenate((np.full(int(ins.sum()), -1, np.int64),
+                                on[si_c[upd]], on[dele]))
+        new_n = np.concatenate((nn[ins], nn[upd],
+                                np.full(int(dele.sum()), -1, np.int64)))
+        return pa.table({"doc_id": pa.array(keys, pa.int64()),
+                         "change": pa.array(change.tolist(), pa.string()),
+                         "old_n_chars": pa.array(old_n, pa.int64()),
+                         "new_n_chars": pa.array(new_n, pa.int64())})
+
+    return copartitioned_map([(docs_old, prep_old), (docs_new, prep_new)],
+                             "key", diff)
+
+
+def customer_abc(sf_dir: str):
+    """ABC / Pareto revenue analysis: customers ranked by exact-cents
+    lifetime spend (desc, custkey tie), running cumulative share of
+    total revenue, and the ABC class via integer cross-multiplication
+    (A while cum*5 <= total*4, i.e. <= 80%; B while cum*20 <= total*19,
+    <= 95%; else C) — no float share ever computed, so no boundary
+    hazard. One custkey-bounded spend fold, one total-order sort; the
+    cumulative sum is the global_row_number pattern extended to money:
+    per-block cents totals (8 bytes each) prefix-sum on the driver and
+    each block offsets its local cumsum via a raw task — blocks never
+    leave the object store."""
+    import ray
+    import ray.data as rd
+
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy()
+        cents = _cents(t.column("o_totalprice")).to_numpy()
+        order = np.argsort(c, kind="stable")
+        c_s = c[order]
+        bounds = np.flatnonzero(np.diff(c_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        return pa.table({
+            "custkey": pa.array(c_s[starts], pa.int64()),
+            "cents": pa.array(np.add.reduceat(cents[order], starts),
+                              pa.int64())})
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part
+        c = part.column("custkey").to_numpy()
+        v = part.column("cents").to_numpy()
+        order = np.argsort(c, kind="stable")
+        c_s, v_s = c[order], v[order]
+        bounds = np.flatnonzero(np.diff(c_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        return pa.table({
+            "custkey": pa.array(c_s[starts], pa.int64()),
+            "cents": pa.array(np.add.reduceat(v_s, starts), pa.int64())})
+
+    spend = partitioned_map_groups(
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True), "custkey", fold)
+
+    total = int(spend.sum("cents") or 0)
+    sorted_ds = spend.sort(["cents", "custkey"],
+                           descending=[True, False]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def _block_sum(t: pa.Table):
+        if t.num_rows == 0 or "cents" not in t.schema.names:
+            return 0, 0
+        return t.num_rows, int(t.column("cents").to_numpy().sum())
+
+    @ray.remote(num_cpus=0.25)
+    def _finish(t: pa.Table, rn_off: int, cum_off: int, tot: int):
+        if t.num_rows == 0 or "cents" not in t.schema.names:
+            return pa.table({"custkey": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64()),
+                             "rn": pa.array([], pa.int64()),
+                             "cum_cents": pa.array([], pa.int64()),
+                             "abc": pa.array([], pa.string())})
+        cents = t.column("cents").to_numpy()
+        cum = cum_off + np.cumsum(cents)
+        rn = np.arange(rn_off + 1, rn_off + 1 + t.num_rows, dtype=np.int64)
+        cls = np.where(cum * 5 <= tot * 4, "A",
+                       np.where(cum * 20 <= tot * 19, "B", "C"))
+        return pa.table({"custkey": t.column("custkey"),
+                         "cents": t.column("cents"),
+                         "rn": pa.array(rn, pa.int64()),
+                         "cum_cents": pa.array(cum, pa.int64()),
+                         "abc": pa.array(cls.tolist(), pa.string())})
+
+    stats = ray.get([_block_sum.remote(r) for r in refs])
+    rows = np.array([s[0] for s in stats], np.int64)
+    sums = np.array([s[1] for s in stats], np.int64)
+    rn_offs = np.concatenate(([0], np.cumsum(rows)[:-1])) if rows.size \
+        else np.zeros(0, np.int64)
+    cum_offs = np.concatenate(([0], np.cumsum(sums)[:-1])) if sums.size \
+        else np.zeros(0, np.int64)
+    out = [_finish.remote(r, int(a), int(b), total)
+           for r, a, b in zip(refs, rn_offs, cum_offs)]
+    return rd.from_arrow_refs(out)
+
+
+def parts_degree_hist(sf_dir: str):
+    """Degree distribution of the co-purchase part graph (the
+    power-law sanity check every graph pipeline starts with): node
+    count per degree. Degrees fold as |parts|-bounded count partials
+    off the distinct edge list; the histogram is a max-degree-bounded
+    driver fold."""
+    import ray.data as rd
+
+    from .relational import partitioned_map_groups  # noqa: F401 (doc)
+    from webxtract.ops.graph import _count_partial, _unpack_edges, \
+        coorder_part_edges
+
+    edges = coorder_part_edges(sf_dir)
+
+    def both(t: pa.Table) -> pa.Table:
+        u, v = _unpack_edges(t)
+        return pa.table({"src": pa.array(np.concatenate([u, v]),
+                                         pa.int64())})
+
+    node_chunks, n_chunks = [], []
+    for b in edges.map_batches(both, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+            .map_batches(lambda t: _count_partial(t, "src"),
+                         batch_format="pyarrow", zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):  # |parts|-bounded
+        node_chunks.append(b.column("node").to_numpy())
+        n_chunks.append(b.column("n").to_numpy())
+    if not node_chunks:
+        return rd.from_arrow(pa.table({
+            "degree": pa.array([], pa.int64()),
+            "n_nodes": pa.array([], pa.int64())}))
+    nodes = np.unique(np.concatenate(node_chunks))
+    deg = np.zeros(nodes.size, np.int64)
+    for bn, bv in zip(node_chunks, n_chunks):
+        np.add.at(deg, np.searchsorted(nodes, bn), bv)
+    ds, cnt = np.unique(deg, return_counts=True)
+    return rd.from_arrow(pa.table({
+        "degree": pa.array(ds, pa.int64()),
+        "n_nodes": pa.array(cnt.astype(np.int64), pa.int64())}))

@@ -1267,6 +1267,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-cents cumulative share via per-block prefix offsets
         "parts_degree_hist": R.parts_degree_hist,  # co-purchase degree
         # distribution; |parts|-bounded fold, max-degree-bounded hist
+        "customers_both_urgent_failed": R.customers_both_urgent_failed,
+        # set-op INTERSECT as a single-scan conjunction fold
+        "events_time_to_convert": R.events_time_to_convert,  # funnel
+        # latency: first signup -> first strictly-later purchase
+        "orders_dow_profile": R.orders_dow_profile,  # ISO-weekday
+        # seasonality; 7-row bounded integer partials, no exchange
     }
 
 
@@ -4076,5 +4082,41 @@ r5 AS (
         und AS (SELECT u AS src FROM e0 UNION ALL SELECT v FROM e0),
         deg AS (SELECT src, count(*) AS d FROM und GROUP BY src)
         SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY d
+    """
+    d["customers_both_urgent_failed"] = """
+        SELECT o_custkey AS custkey,
+               CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                    AS BIGINT) AS n_urgent,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F')
+                    AS BIGINT) AS n_failed
+        FROM orders GROUP BY 1
+        HAVING count(*) FILTER (WHERE o_orderpriority = '1-URGENT') > 0
+           AND count(*) FILTER (WHERE o_orderstatus = 'F') > 0
+    """
+    d["events_time_to_convert"] = """
+        WITH s AS (SELECT user_id, ts, event_id,
+                          row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS rn
+                   FROM events WHERE event_type = 'signup'),
+        fs AS (SELECT user_id, ts AS signup_ts, event_id AS se
+               FROM s WHERE rn = 1),
+        p AS (SELECT e.user_id, fs.signup_ts, e.ts AS pts,
+                     row_number() OVER (PARTITION BY e.user_id
+                                        ORDER BY e.ts, e.event_id) AS rn
+              FROM events e JOIN fs ON e.user_id = fs.user_id
+              WHERE e.event_type = 'purchase'
+                AND (e.ts > fs.signup_ts
+                     OR (e.ts = fs.signup_ts
+                         AND e.event_id > fs.se)))
+        SELECT user_id, signup_ts, pts AS purchase_ts,
+               epoch_us(pts) - epoch_us(signup_ts) AS gap_us
+        FROM p WHERE rn = 1
+    """
+    d["orders_dow_profile"] = """
+        SELECT CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+               count(*) AS n_orders,
+               round(sum(round(o_totalprice * 100)) / 100.0, 2)
+                   AS revenue
+        FROM orders GROUP BY 1
     """
     return d

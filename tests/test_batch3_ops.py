@@ -521,3 +521,70 @@ def test_degree_hist_planted(ray_session, tmp_path):
     assert got.loc[1].n_nodes == 1   # part 5
     assert got.loc[3].n_nodes == 3   # parts 2,3,4
     assert got.loc[4].n_nodes == 1   # part 1
+
+
+def test_time_to_convert_planted(ray_session, tmp_path):
+    """u1: signup then purchase 2h later (second purchase ignored);
+    u2: purchase BEFORE signup only -> drops; u3: purchase at the
+    SAME ts as signup with a larger event_id -> counts (strict
+    sequence order, not strict time); u4: signup only -> drops."""
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    H = lambda h: base + np.timedelta64(h * 3_600_000_000, "us")
+    rows = [
+        (0, 1, "signup", H(0)), (1, 1, "purchase", H(2)),
+        (2, 1, "purchase", H(3)),
+        (10, 2, "purchase", H(0)), (11, 2, "signup", H(1)),
+        (20, 3, "signup", H(5)), (21, 3, "purchase", H(5)),
+        (30, 4, "signup", H(0)),
+    ]
+    _write_events(tmp_path, rows)
+    from webxtract.ops.relational import events_time_to_convert
+    got = events_time_to_convert(str(tmp_path)).to_pandas() \
+        .set_index("user_id").sort_index()
+    assert sorted(got.index) == [1, 3]
+    assert got.loc[1].gap_us == 2 * 3_600_000_000
+    assert got.loc[3].gap_us == 0
+
+
+def test_both_urgent_failed_conjunction(ray_session, tmp_path):
+    """Customer 1 has urgent+failed (on different orders), 2 only
+    urgent, 3 only failed, 4 has both on ONE order."""
+    od = pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 4, 5],
+        "o_custkey": [1, 1, 2, 3, 4],
+        "o_orderstatus": ["F", "O", "O", "F", "F"],
+        "o_totalprice": 1.0,
+        "o_orderdate": pd.Timestamp("2026-01-01"),
+        "o_orderpriority": ["2-HIGH", "1-URGENT", "1-URGENT",
+                            "2-HIGH", "1-URGENT"],
+    })
+    pq.write_table(pa.Table.from_pandas(od, preserve_index=False),
+                   f"{tmp_path}/orders.parquet")
+    from webxtract.ops.relational import customers_both_urgent_failed
+    got = customers_both_urgent_failed(str(tmp_path)).to_pandas() \
+        .set_index("custkey").sort_index()
+    assert sorted(got.index) == [1, 4]
+    assert got.loc[1].n_urgent == 1 and got.loc[1].n_failed == 1
+    assert got.loc[4].n_urgent == 1 and got.loc[4].n_failed == 1
+
+
+def test_dow_profile_epoch_arithmetic(ray_session, tmp_path):
+    """1970-01-01 was a Thursday (isodow 4); a Monday and a Sunday
+    pin both ends of the ISO numbering."""
+    od = pd.DataFrame({
+        "o_orderkey": [1, 2, 3],
+        "o_custkey": 1,
+        "o_orderstatus": "O",
+        "o_totalprice": [10.0, 20.0, 40.0],
+        "o_orderdate": pd.to_datetime(
+            ["1970-01-01", "2026-01-05", "2026-01-04"]),  # Thu Mon Sun
+        "o_orderpriority": "1-URGENT",
+    })
+    pq.write_table(pa.Table.from_pandas(od, preserve_index=False),
+                   f"{tmp_path}/orders.parquet")
+    from webxtract.ops.relational import orders_dow_profile
+    got = orders_dow_profile(str(tmp_path)).to_pandas() \
+        .set_index("isodow")
+    assert got.loc[4].n_orders == 1 and got.loc[4].revenue == 10.0
+    assert got.loc[1].n_orders == 1 and got.loc[1].revenue == 20.0
+    assert got.loc[7].n_orders == 1 and got.loc[7].revenue == 40.0

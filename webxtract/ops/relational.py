@@ -4804,3 +4804,178 @@ def parts_degree_hist(sf_dir: str):
     return rd.from_arrow(pa.table({
         "degree": pa.array(ds, pa.int64()),
         "n_nodes": pa.array(cnt.astype(np.int64), pa.int64())}))
+
+
+def customers_both_urgent_failed(sf_dir: str):
+    """Segment-membership INTERSECT (the set-operation surface next to
+    docs_new_content's EXCEPT and acctbal_union_topk's UNION):
+    customers holding BOTH an urgent-priority order and an 'F'-status
+    order, with each count. One orders scan emits per-batch (custkey,
+    n_urgent, n_failed) integer partials — the two memberships fold in
+    the SAME exchange as a conjunction instead of two scans + a join —
+    and the bounded custkey-keyed fold filters both > 0."""
+    orders = read(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderpriority",
+                           "o_orderstatus"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy()
+        urg = pc.equal(t.column("o_orderpriority"),
+                       pa.scalar("1-URGENT")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        fld = pc.equal(t.column("o_orderstatus"),
+                       pa.scalar("F")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(c, kind="stable")
+        c_s = c[order]
+        bounds = np.flatnonzero(np.diff(c_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        return pa.table({
+            "custkey": pa.array(c_s[starts], pa.int64()),
+            "n_urgent": pa.array(np.add.reduceat(urg[order], starts),
+                                 pa.int64()),
+            "n_failed": pa.array(np.add.reduceat(fld[order], starts),
+                                 pa.int64())})
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part
+        c = part.column("custkey").to_numpy()
+        u = part.column("n_urgent").to_numpy()
+        f = part.column("n_failed").to_numpy()
+        order = np.argsort(c, kind="stable")
+        c_s = c[order]
+        bounds = np.flatnonzero(np.diff(c_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        us = np.add.reduceat(u[order], starts)
+        fs = np.add.reduceat(f[order], starts)
+        m = (us > 0) & (fs > 0)
+        return pa.table({
+            "custkey": pa.array(c_s[starts][m], pa.int64()),
+            "n_urgent": pa.array(us[m], pa.int64()),
+            "n_failed": pa.array(fs[m], pa.int64())})
+
+    return partitioned_map_groups(
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True), "custkey", fold)
+
+
+def events_time_to_convert(sf_dir: str):
+    """Time-to-convert funnel metric (the product-analytics shape):
+    per user, the FIRST 'signup' and the first 'purchase' STRICTLY
+    AFTER it in (ts, event_id) sequence order, with the gap in
+    microseconds; users missing either leg drop (inner semantics).
+    One user-keyed co-location; per partition the first signup is a
+    vectorized segment-first, and each user's first later purchase is
+    a binary search into their purchase run (a loop over USERS with
+    O(log) work each — never a row loop; the while only walks
+    same-timestamp ties, bounded by per-(user, ts) purchase count)."""
+    ev = read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                         "event_type"])
+
+    def fold(part: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "signup_ts": pa.array([], pa.timestamp("us")),
+                          "purchase_ts": pa.array([], pa.timestamp("us")),
+                          "gap_us": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        u = part.column("user_id").to_numpy()
+        ts = pc.cast(part.column("ts"), pa.timestamp("us")) \
+            .to_numpy().view(np.int64)
+        eid = part.column("event_id").to_numpy()
+        ty = part.column("event_type")
+        if isinstance(ty, pa.ChunkedArray):
+            ty = ty.combine_chunks()
+        is_s = pc.equal(ty, pa.scalar("signup")) \
+            .to_numpy(zero_copy_only=False)
+        is_p = pc.equal(ty, pa.scalar("purchase")) \
+            .to_numpy(zero_copy_only=False)
+
+        def first_per_user(mask):
+            um, tm, em = u[mask], ts[mask], eid[mask]
+            order = np.lexsort((em, tm, um))
+            um, tm, em = um[order], tm[order], em[order]
+            keep = np.ones(um.size, bool)
+            keep[1:] = um[1:] != um[:-1]
+            return um[keep], tm[keep], em[keep]
+
+        su, st, se = first_per_user(is_s)
+        if su.size == 0:
+            return empty
+        # purchases sorted by (user, ts, eid); for each user's first
+        # signup find the first strictly-later purchase
+        pm = is_p
+        pu, pt, pe = u[pm], ts[pm], eid[pm]
+        order = np.lexsort((pe, pt, pu))
+        pu, pt, pe = pu[order], pt[order], pe[order]
+        # strict (ts, eid) order: search for (user, ts, eid + 1)
+        lo = np.searchsorted(pu, su, side="left")
+        hi = np.searchsorted(pu, su, side="right")
+        # within [lo, hi) find first purchase with (pt, pe) > (st, se):
+        # packed keys are safe — event ids < 2^20 here, ts fits
+        idx = np.full(su.size, -1, np.int64)
+        for i in range(su.size):  # users-per-partition loop over
+            # bounded segment scans (each binary search, no row loop)
+            a, b = lo[i], hi[i]
+            if a == b:
+                continue
+            j = a + np.searchsorted(pt[a:b], st[i], side="left")
+            while j < b and (pt[j] < st[i]
+                             or (pt[j] == st[i] and pe[j] <= se[i])):
+                j += 1
+            if j < b:
+                idx[i] = j
+        ok = idx >= 0
+        su, st, idx = su[ok], st[ok], idx[ok]
+        return pa.table({
+            "user_id": pa.array(su, pa.int64()),
+            "signup_ts": pa.array(st, pa.int64()).cast(pa.timestamp("us")),
+            "purchase_ts": pa.array(pt[idx], pa.int64())
+            .cast(pa.timestamp("us")),
+            "gap_us": pa.array(pt[idx] - st, pa.int64())})
+
+    return partitioned_map_groups(ev, "user_id", fold)
+
+
+def orders_dow_profile(sf_dir: str):
+    """Day-of-week seasonality profile: order count and exact-cents
+    revenue per ISO weekday (Mon=1..Sun=7). Pure per-batch integer
+    partials (epoch-day arithmetic — 1970-01-01 was a Thursday, so
+    isodow = (days + 3) % 7 + 1) into one 7-row grouped fold."""
+    orders = read(sf_dir, "orders", columns=["o_orderdate",
+                                             "o_totalprice"])
+    day_us = np.int64(86_400_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("o_orderdate"), pa.timestamp("us")) \
+            .to_numpy().view(np.int64) // day_us
+        dow = (d + 3) % 7 + 1
+        cents = _cents(t.column("o_totalprice")).to_numpy()
+        n = np.zeros(7, np.int64)
+        s = np.zeros(7, np.int64)
+        np.add.at(n, dow - 1, 1)
+        np.add.at(s, dow - 1, cents)
+        m = n > 0
+        return pa.table({
+            "isodow": pa.array(np.arange(1, 8)[m], pa.int64()),
+            "n": pa.array(n[m], pa.int64()),
+            "cents": pa.array(s[m], pa.int64())})
+
+    agg: dict[int, list[int]] = {}
+    for b in orders.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):  # 7-row bounded
+        for dw, n, c in zip(b.column("isodow").to_pylist(),
+                            b.column("n").to_pylist(),
+                            b.column("cents").to_pylist()):
+            e = agg.setdefault(dw, [0, 0])
+            e[0] += n
+            e[1] += c
+    import ray.data as rd
+    keys = sorted(agg)
+    return rd.from_arrow(pa.table({
+        "isodow": pa.array(keys, pa.int64()),
+        "n_orders": pa.array([agg[k][0] for k in keys], pa.int64()),
+        "revenue": _uncents(pa.array([agg[k][1] for k in keys],
+                                     pa.int64()))}))

@@ -982,6 +982,12 @@ def _docs_lang_confusion(sf_dir: str):
     return docs_lang_confusion(sf_dir)
 
 
+def _parts_clustering_coeff(sf_dir: str):
+    from webxtract.ops.graph import parts_clustering_coeff
+
+    return parts_clustering_coeff(sf_dir)
+
+
 def _docs_token_entropy(sf_dir: str):
     from webxtract.ops.text import docs_token_entropy
 
@@ -1273,6 +1279,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # latency: first signup -> first strictly-later purchase
         "orders_dow_profile": R.orders_dow_profile,  # ISO-weekday
         # seasonality; 7-row bounded integer partials, no exchange
+        "events_value_log_hist": R.events_value_log_hist,  # long-tail
+        # probe: exact log2 buckets via frexp/binary-length, 64-row fold
+        "parts_clustering_coeff": _parts_clustering_coeff,  # per-node
+        # transitivity: CSR bincount row summed over own neighbors
     }
 
 
@@ -4118,5 +4128,40 @@ r5 AS (
                round(sum(round(o_totalprice * 100)) / 100.0, 2)
                    AS revenue
         FROM orders GROUP BY 1
+    """
+    # exact log2 bucket from the binary-string length (a float log2
+    # at a 2^k boundary can mis-bucket); engine uses frexp's exponent
+    d["events_value_log_hist"] = """
+        WITH x AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        p AS (SELECT length(bin(cents)) - 1 AS bucket
+              FROM x WHERE cents > 0)
+        SELECT bucket, count(*) AS n,
+               CAST(1 << bucket AS BIGINT) AS lo_cents,
+               CAST((1 << (bucket + 1)) - 1 AS BIGINT) AS hi_cents
+        FROM p GROUP BY bucket
+    """
+    d["parts_clustering_coeff"] = """
+        WITH e0 AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey),
+        und AS (SELECT u AS src, v AS dst FROM e0
+                UNION ALL SELECT v, u FROM e0),
+        deg AS (SELECT src AS node, count(*) AS d
+                FROM und GROUP BY src),
+        tri AS (SELECT a.src AS node, count(*) AS t
+                FROM und a JOIN und b
+                  ON a.src = b.src AND a.dst < b.dst
+                JOIN e0 ON e0.u = a.dst AND e0.v = b.dst
+                GROUP BY a.src)
+        SELECT deg.node, deg.d AS degree,
+               coalesce(tri.t, 0) AS triangles,
+               CASE WHEN deg.d >= 2 THEN
+                   coalesce(tri.t, 0) * 1000000
+                       // (deg.d * (deg.d - 1) // 2)
+               ELSE 0 END AS cc_micro
+        FROM deg LEFT JOIN tri USING (node)
     """
     return d

@@ -588,3 +588,42 @@ def test_dow_profile_epoch_arithmetic(ray_session, tmp_path):
     assert got.loc[4].n_orders == 1 and got.loc[4].revenue == 10.0
     assert got.loc[1].n_orders == 1 and got.loc[1].revenue == 20.0
     assert got.loc[7].n_orders == 1 and got.loc[7].revenue == 40.0
+
+
+def test_log_hist_boundaries(ray_session, tmp_path):
+    """Exact powers of two land in their OWN bucket (the float-log2
+    hazard case): 2^10 cents = 10.24 -> bucket 10, not 9."""
+    vals = [10.24, 10.23, 0.01, 0.02, 0.03, -5.0, 0.0]
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    rows = [(i, 1, "x", base) for i in range(len(vals))]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                     "event_type", "ts"])
+    df["value"] = vals
+    df["props"] = ""
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{tmp_path}/events.parquet")
+    from webxtract.ops.relational import events_value_log_hist
+    got = events_value_log_hist(str(tmp_path)).to_pandas() \
+        .set_index("bucket")
+    assert got.loc[10].n == 1          # 1024 cents: 2^10 exactly
+    assert got.loc[10].lo_cents == 1024
+    assert got.loc[9].n == 1           # 1023 cents
+    assert got.loc[0].n == 1           # 1 cent
+    assert got.loc[1].n == 2           # 2, 3 cents
+    assert got.n.sum() == 5            # negatives and zero dropped
+
+
+def test_clustering_coeff_planted(ray_session, tmp_path):
+    """Order {1,2,3} forms a triangle (cc = 1 everywhere); adding
+    order {1,4} gives node 1 degree 3 with still 1 triangle ->
+    cc = 1/3; node 4 (degree 1) scores 0."""
+    order_parts = {1: [1, 2, 3], 2: [1, 4]}
+    _write_lineitem_orders(tmp_path, order_parts)
+    from webxtract.ops.graph import parts_clustering_coeff
+    got = parts_clustering_coeff(str(tmp_path)).to_pandas() \
+        .set_index("node").sort_index()
+    assert got.loc[2].cc_micro == 1_000_000 and got.loc[2].triangles == 1
+    assert got.loc[3].cc_micro == 1_000_000
+    assert got.loc[1].degree == 3 and got.loc[1].triangles == 1
+    assert got.loc[1].cc_micro == 333_333
+    assert got.loc[4].degree == 1 and got.loc[4].cc_micro == 0

@@ -1375,3 +1375,89 @@ def parts_adamic_adar(sf_dir: str, k: int = 25, min_common: int = 2):
     merged = partitioned_map_groups(adj, "src", local_topk)
     return merged.sort(["aa_micro", "part_a", "part_b"],
                        descending=[True, False, False]).limit(k)
+
+
+def parts_clustering_coeff(sf_dir: str):
+    """Per-node local clustering coefficient over the co-purchase part
+    graph (triangles at the node / (deg choose 2) — the transitivity
+    probe next to the global triangle count): the same zero-exchange
+    CSR plan as the link predictors — each partition owns its centers,
+    one gather + bincount gives the center's common-neighbor row, and
+    the node's triangle count is the sum of that row over its OWN
+    neighbors halved (each triangle at x is counted from both of its
+    other corners). cc_micro = tri * 1e6 // (deg * (deg-1) / 2) is
+    exact integer; deg-1 nodes emit cc_micro = 0 with tri = 0."""
+    import ray
+
+    from ..broadcast import get_broadcast
+    from .relational import partitioned_map_groups
+
+    edges = coorder_part_edges(sf_dir)
+
+    def both(t: pa.Table) -> pa.Table:
+        u, v = _unpack_edges(t)
+        return pa.table({
+            "src": pa.array(np.concatenate([u, v]), pa.int64()),
+            "dst": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    adj = edges.map_batches(both, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    ek_chunks = [b.column("k").to_numpy()
+                 for b in edges.iter_batches(batch_format="pyarrow")]
+    if not ek_chunks or not sum(c.size for c in ek_chunks):
+        return pa.schema([
+            ("node", pa.int64()), ("degree", pa.int64()),
+            ("triangles", pa.int64()), ("cc_micro", pa.int64()),
+        ]).empty_table()
+    ku = np.unique(np.concatenate(ek_chunks)).view(np.uint64)
+    a = (ku >> np.uint64(32)).astype(np.int64)
+    b = (ku & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    n_ids = int(src.max()) + 1
+    offsets = np.zeros(n_ids + 1, np.int64)
+    np.add.at(offsets, src + 1, 1)
+    offsets = np.cumsum(offsets)
+    csr_ref = ray.put((offsets, dst))
+
+    def cc_fold(part: pa.Table, _ref=csr_ref) -> pa.Table:
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "degree": pa.array([], pa.int64()),
+                          "triangles": pa.array([], pa.int64()),
+                          "cc_micro": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        offs, nb = get_broadcast(_ref)
+        centers = np.unique(part.column("src").to_numpy())
+        deg_l, tri_l = [], []
+        for x in centers.tolist():
+            neigh = nb[offs[x]:offs[x + 1]]
+            d = neigh.size
+            if d < 2:
+                deg_l.append(d)
+                tri_l.append(0)
+                continue
+            reps = offs[neigh + 1] - offs[neigh]
+            total = int(reps.sum())
+            idx = np.repeat(offs[neigh], reps) \
+                + (np.arange(total, dtype=np.int64)
+                   - np.repeat(np.cumsum(reps) - reps, reps))
+            counts = np.bincount(nb[idx],
+                                 minlength=int(neigh.max()) + 2)
+            tri2 = int(counts[neigh].sum())  # each triangle twice
+            deg_l.append(d)
+            tri_l.append(tri2 // 2)
+        deg = np.array(deg_l, np.int64)
+        tri = np.array(tri_l, np.int64)
+        pairs = deg * (deg - 1) // 2
+        cc = np.where(pairs > 0, tri * 1_000_000 // np.maximum(pairs, 1),
+                      0)
+        return pa.table({"node": pa.array(centers, pa.int64()),
+                         "degree": pa.array(deg, pa.int64()),
+                         "triangles": pa.array(tri, pa.int64()),
+                         "cc_micro": pa.array(cc, pa.int64())})
+
+    return partitioned_map_groups(adj, "src", cc_fold)

@@ -4979,3 +4979,44 @@ def orders_dow_profile(sf_dir: str):
         "n_orders": pa.array([agg[k][0] for k in keys], pa.int64()),
         "revenue": _uncents(pa.array([agg[k][1] for k in keys],
                                      pa.int64()))}))
+
+
+def events_value_log_hist(sf_dir: str):
+    """Log2-bucketed value histogram (the long-tail distribution probe
+    dashboards run first): positive exact-cents values bucketed by
+    bit length (bucket = floor(log2(cents)), computed EXACTLY via
+    frexp's binary exponent — a float log2 at a 2^k boundary can land
+    on k - 1e-16 and mis-bucket; the oracle gets the same exactness
+    from the binary-string length printf('%b')). Per-batch 64-row
+    bounded integer partials, no exchange."""
+    import ray.data as rd
+
+    ev = read(sf_dir, "events", columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("value")).to_numpy()
+        cents = cents[cents > 0]
+        if cents.size == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        # frexp: c = m * 2^e, m in [0.5, 1) -> floor(log2 c) = e - 1
+        _, e = np.frexp(cents.astype(np.float64))  # exact below 2^53
+        bucket = e.astype(np.int64) - 1
+        ks, cs = np.unique(bucket, return_counts=True)
+        return pa.table({"bucket": pa.array(ks, pa.int64()),
+                         "n": pa.array(cs.astype(np.int64), pa.int64())})
+
+    agg: dict[int, int] = {}
+    for b in ev.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):  # 64-row bounded
+        for k, n in zip(b.column("bucket").to_pylist(),
+                        b.column("n").to_pylist()):
+            agg[k] = agg.get(k, 0) + n
+    keys = sorted(agg)
+    return rd.from_arrow(pa.table({
+        "bucket": pa.array(keys, pa.int64()),
+        "n": pa.array([agg[k] for k in keys], pa.int64()),
+        "lo_cents": pa.array([1 << k for k in keys], pa.int64()),
+        "hi_cents": pa.array([(1 << (k + 1)) - 1 for k in keys],
+                             pa.int64())}))

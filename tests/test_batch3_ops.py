@@ -627,3 +627,17 @@ def test_clustering_coeff_planted(ray_session, tmp_path):
     assert got.loc[1].degree == 3 and got.loc[1].triangles == 1
     assert got.loc[1].cc_micro == 333_333
     assert got.loc[4].degree == 1 and got.loc[4].cc_micro == 0
+
+
+def test_linkpred_plans_equivalent(ray_session):
+    """broadcast == exchange on the real sf0.001 graph, for BOTH
+    scorers (the over-gate copartitioned plan must be bit-identical
+    to the CSR-broadcast plan)."""
+    from webxtract.ops.graph import (parts_adamic_adar,
+                                     parts_neighbor_jaccard)
+    SF = "/root/testdata/sf0.001"
+    for fn in (parts_neighbor_jaccard, parts_adamic_adar):
+        b = fn(SF, plan="broadcast").to_pandas()
+        e = fn(SF, plan="exchange").to_pandas()
+        assert list(b.columns) == list(e.columns)
+        assert b.values.tolist() == e.values.tolist(), fn.__name__

@@ -1143,39 +1143,223 @@ def purchase_hits(sf_dir: str, iters: int = 3, k: int = 25):
                              topk(hub_nodes, h, "hub")])
 
 
-def parts_neighbor_jaccard(sf_dir: str, k: int = 25, min_common: int = 2):
-    """Link prediction by neighborhood Jaccard over the co-purchase
-    part graph: for NON-adjacent part pairs, rank by |N(a) ∩ N(b)| /
-    |N(a) ∪ N(b)| (the classic similarity heuristic — pairs never
-    bought together whose neighborhoods overlap).
+LINKPRED_BROADCAST_MAX_EDGES = 20_000_000  # same class as the
+# triangle module's map-side edge-probe gate: below it the CSR
+# adjacency broadcasts (zero pair exchanges); above it the exchange
+# plan ships wedge partials through one copartitioned fold instead
 
-    The naive plan (generate all Σ deg² wedge pairs, pair-keyed
-    exchange, fold) moves ~150M mostly-count-1 pairs at sf0.1 (~45 s);
-    this one moves NOTHING: the CSR adjacency broadcasts once
-    (|edges| ints — the triangle module's map-side edge-probe class;
-    above its ~20M-edge gate swap in the copartitioned expansion), and
-    each partition computes, for every center x it owns, the EXACT
-    GLOBAL common-neighbor count to all y in one neighbor-list gather
-    + bincount (the A² row restricted to x). Each unordered pair is
-    produced exactly once (y > x), already globally correct, so a
-    per-partition top-k union + tiny global sort finishes with zero
-    pair exchanges. Scores are exact integers:
-    jac_micro = common * 1e6 // (deg_a + deg_b - common)."""
-    import ray
 
-    from ..broadcast import get_broadcast
-    from .relational import partitioned_map_groups
+def _resolve_linkpred_plan(plan: str, edges) -> str:
+    if plan != "auto":
+        return plan
+    return ("exchange" if edges.count() > LINKPRED_BROADCAST_MAX_EDGES
+            else "broadcast")
 
-    edges = coorder_part_edges(sf_dir)  # packed u<v int64 keys
 
+def _adj_both(edges):
     def both(t: pa.Table) -> pa.Table:
         u, v = _unpack_edges(t)
         return pa.table({
             "src": pa.array(np.concatenate([u, v]), pa.int64()),
             "dst": pa.array(np.concatenate([v, u]), pa.int64())})
 
-    adj = edges.map_batches(both, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    return edges.map_batches(both, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def _adj_nodes_deg(adj):
+    """|nodes|-bounded (node, degree) fold off the distinct adjacency."""
+    node_chunks, n_chunks = [], []
+    for b in adj.map_batches(lambda t: _count_partial(t, "src"),
+                             batch_format="pyarrow",
+                             zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        node_chunks.append(b.column("node").to_numpy())
+        n_chunks.append(b.column("n").to_numpy())
+    if not node_chunks:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    nodes = np.unique(np.concatenate(node_chunks))
+    deg = np.zeros(nodes.size, np.int64)
+    for bn, bv in zip(node_chunks, n_chunks):
+        np.add.at(deg, np.searchsorted(nodes, bn), bv)
+    return nodes, deg
+
+
+def _linkpred_topk_exchange(sf_dir: str, k: int, min_common: int,
+                            weighted: bool):
+    """The over-gate link-prediction plan (edge set too large to
+    broadcast): wedge partials — per-partition pre-reduced (pair,
+    count[, weight-sum]) rows — flow through ONE copartitioned
+    exchange shared with the distinct edge keys, so the existing-edge
+    exclusion is a per-partition sorted-set probe and NO edge or pair
+    table ever lands on one machine. Degrees (and the Adamic-Adar
+    center weights derived from them) broadcast as the |nodes|-bounded
+    vector every iterative graph op here already ships. Exactness is
+    identical to the broadcast plan (equivalence-tested); the cost is
+    the Σ deg² wedge partial stream the broadcast plan avoids."""
+    import ray
+
+    from ..broadcast import get_broadcast
+    from .relational import copartitioned_map, partitioned_map_groups
+
+    edges = coorder_part_edges(sf_dir)
+    adj = _adj_both(edges)
+    nodes, deg = _adj_nodes_deg(adj)
+    if weighted:
+        w = np.zeros(nodes.size, np.float64)
+        m2 = deg >= 2
+        w[m2] = np.round(1e6 / np.log(deg[m2].astype(np.float64)))
+    else:
+        w = None
+    dref = ray.put((nodes, deg, w))
+
+    def wedge_fold(part: pa.Table, _ref=dref) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "ws": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        bnodes, _bdeg, bw = get_broadcast(_ref)
+        src = part.column("src").to_numpy()
+        dst = part.column("dst").to_numpy()
+        order = np.lexsort((dst, src))
+        s_s, d_s = src[order], dst[order]
+        bounds = np.flatnonzero(np.diff(s_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [s_s.size]))
+        x, y = _segment_pairs(d_s, starts, ends)
+        if x.size == 0:
+            return empty
+        pk = ((x.astype(np.uint64) << np.uint64(32))
+              | y.astype(np.uint64)).view(np.int64)
+        o2 = np.argsort(pk, kind="stable")
+        pk_s = pk[o2]
+        b2 = np.flatnonzero(np.diff(pk_s)) + 1
+        st2 = np.concatenate(([0], b2))
+        cnt = np.diff(np.concatenate((st2, [pk_s.size])))
+        if bw is not None:
+            # wedge centers, repeated per in-segment pair
+            npairs = (ends - starts) * (ends - starts - 1) // 2
+            centers = np.repeat(s_s[starts], npairs)
+            cw = bw[np.searchsorted(bnodes, centers)][o2]
+            ws = np.add.reduceat(cw, st2).astype(np.int64)
+        else:
+            ws = np.zeros(st2.size, np.int64)
+        return pa.table({"k": pa.array(pk_s[st2], pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                         "ws": pa.array(ws, pa.int64())})
+
+    partials = partitioned_map_groups(adj, "src", wedge_fold)
+
+    def prep_pairs(t: pa.Table) -> pa.Table:
+        return t
+
+    def prep_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t.column("k"),
+                         "n": pa.nulls(t.num_rows, pa.int64()),
+                         "ws": pa.nulls(t.num_rows, pa.int64())})
+
+    def score_fold(parts: list[pa.Table], _ref=dref) -> pa.Table:
+        pair_p, edge_p = parts
+        empty = pa.table({"part_a": pa.array([], pa.int64()),
+                          "part_b": pa.array([], pa.int64()),
+                          "common": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.int64())})
+        if pair_p.num_rows == 0:
+            return empty
+        bnodes, bdeg, bw = get_broadcast(_ref)
+        pk = pair_p.column("k").to_numpy()
+        n = pair_p.column("n").to_numpy()
+        ws = pair_p.column("ws").to_numpy()
+        order = np.argsort(pk, kind="stable")
+        pk_s, n_s, ws_s = pk[order], n[order], ws[order]
+        bounds = np.flatnonzero(np.diff(pk_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        keys = pk_s[starts]
+        common = np.add.reduceat(n_s, starts)
+        wsum = np.add.reduceat(ws_s, starts)
+        m = common >= min_common
+        ek = np.sort(edge_p.column("k").to_numpy())
+        if ek.size:
+            si = np.minimum(np.searchsorted(ek, keys), ek.size - 1)
+            m &= ek[si] != keys
+        if not m.any():
+            return empty
+        keys, common, wsum = keys[m], common[m], wsum[m]
+        ku = keys.view(np.uint64)
+        u = (ku >> np.uint64(32)).astype(np.int64)
+        v = (ku & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        if bw is not None:
+            score = wsum
+        else:
+            da = bdeg[np.searchsorted(bnodes, u)]
+            db = bdeg[np.searchsorted(bnodes, v)]
+            score = common * 1_000_000 // (da + db - common)
+        top = np.lexsort((v, u, -score))[:k]
+        return pa.table({"part_a": pa.array(u[top], pa.int64()),
+                         "part_b": pa.array(v[top], pa.int64()),
+                         "common": pa.array(common[top], pa.int64()),
+                         "score": pa.array(score[top], pa.int64())})
+
+    merged = copartitioned_map([(partials, prep_pairs),
+                                (edges, prep_edges)], "k", score_fold)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if weighted:
+            return pa.table({"part_a": t.column("part_a"),
+                             "part_b": t.column("part_b"),
+                             "common": t.column("common"),
+                             "aa_micro": t.column("score")})
+        bnodes, bdeg, _bw = get_broadcast(dref)
+        u = t.column("part_a").to_numpy()
+        v = t.column("part_b").to_numpy()
+        return pa.table({"part_a": t.column("part_a"),
+                         "part_b": t.column("part_b"),
+                         "common": t.column("common"),
+                         "deg_a": pa.array(
+                             bdeg[np.searchsorted(bnodes, u)], pa.int64()),
+                         "deg_b": pa.array(
+                             bdeg[np.searchsorted(bnodes, v)], pa.int64()),
+                         "jac_micro": t.column("score")})
+
+    sort_col = "aa_micro" if weighted else "jac_micro"
+    return merged.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .sort([sort_col, "part_a", "part_b"],
+              descending=[True, False, False]).limit(k)
+
+
+def parts_neighbor_jaccard(sf_dir: str, k: int = 25, min_common: int = 2,
+                           plan: str = "auto"):
+    """Link prediction by neighborhood Jaccard over the co-purchase
+    part graph: for NON-adjacent part pairs, rank by |N(a) ∩ N(b)| /
+    |N(a) ∪ N(b)| (the classic similarity heuristic — pairs never
+    bought together whose neighborhoods overlap).
+
+    Two plans behind an auto-gate (LINKPRED_BROADCAST_MAX_EDGES,
+    equivalence-tested): below it the CSR adjacency broadcasts once
+    (|edges| ints — the triangle module's map-side edge-probe class)
+    and each partition computes, for every center x it owns, the
+    EXACT GLOBAL common-neighbor count to all y in one neighbor-list
+    gather + bincount (the A² row restricted to x) — each unordered
+    pair produced exactly once (y > x), already globally correct, so
+    per-partition top-k unions + a tiny global sort finish with ZERO
+    pair exchanges (the naive wedge-exchange alternative moved ~150M
+    mostly-count-1 pairs at sf0.1: 45 s -> 5.5 s). Above the gate
+    _linkpred_topk_exchange ships pre-reduced wedge partials through
+    one copartitioned fold shared with the edge keys instead. Scores
+    are exact integers: jac_micro = common * 1e6 // (da + db - c)."""
+    import ray
+
+    from ..broadcast import get_broadcast
+    from .relational import partitioned_map_groups
+
+    edges = coorder_part_edges(sf_dir)  # packed u<v int64 keys
+    if _resolve_linkpred_plan(plan, edges) == "exchange":
+        return _linkpred_topk_exchange(sf_dir, k, min_common,
+                                       weighted=False)
+
+    adj = _adj_both(edges)
 
     # CSR build: edge keys are already globally distinct; collect the
     # sorted (src, dst) arrays once (|edges|-bounded, the documented
@@ -1266,34 +1450,33 @@ def parts_neighbor_jaccard(sf_dir: str, k: int = 25, min_common: int = 2):
                        descending=[True, False, False]).limit(k)
 
 
-def parts_adamic_adar(sf_dir: str, k: int = 25, min_common: int = 2):
+def parts_adamic_adar(sf_dir: str, k: int = 25, min_common: int = 2,
+                      plan: str = "auto"):
     """Adamic-Adar link prediction over the co-purchase part graph —
     the degree-weighted twin of parts_neighbor_jaccard: non-adjacent
     pairs scored by sum over common neighbors w of 1 / ln(deg(w)),
-    down-weighting promiscuous hubs. Same zero-pair-exchange plan: the
-    CSR adjacency broadcasts once and each center's weighted common
-    counts to ALL y come from ONE weighted bincount (weights are the
-    pinned integer micro-units round_even(1e6 / ln(deg_w)); every
-    partial sum stays integer-valued far below 2^53, so the float
-    accumulator is exact and order-independent). A second unweighted
-    bincount applies the same min_common support filter as the Jaccard
-    twin; pairs are produced once (y > x) with globally exact scores,
-    so per-center/partition top-k unions stay exact."""
+    down-weighting promiscuous hubs. Same two plans behind the same
+    auto-gate (equivalence-tested): below it the CSR adjacency
+    broadcasts once and each center's weighted common counts to ALL y
+    come from ONE weighted bincount (weights are the pinned integer
+    micro-units round_even(1e6 / ln(deg_w)); every partial sum stays
+    integer-valued far below 2^53, so the float accumulator is exact
+    and order-independent); a second unweighted bincount applies the
+    same min_common support filter; pairs are produced once (y > x)
+    with globally exact scores, so per-center/partition top-k unions
+    stay exact. Above the gate the shared copartitioned wedge-partial
+    exchange takes over with the weight folded at wedge time."""
     import ray
 
     from ..broadcast import get_broadcast
     from .relational import partitioned_map_groups
 
     edges = coorder_part_edges(sf_dir)
+    if _resolve_linkpred_plan(plan, edges) == "exchange":
+        return _linkpred_topk_exchange(sf_dir, k, min_common,
+                                       weighted=True)
 
-    def both(t: pa.Table) -> pa.Table:
-        u, v = _unpack_edges(t)
-        return pa.table({
-            "src": pa.array(np.concatenate([u, v]), pa.int64()),
-            "dst": pa.array(np.concatenate([v, u]), pa.int64())})
-
-    adj = edges.map_batches(both, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    adj = _adj_both(edges)
 
     ek_chunks = [b.column("k").to_numpy()
                  for b in edges.iter_batches(batch_format="pyarrow")]

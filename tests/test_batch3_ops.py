@@ -641,3 +641,16 @@ def test_linkpred_plans_equivalent(ray_session):
         e = fn(SF, plan="exchange").to_pandas()
         assert list(b.columns) == list(e.columns)
         assert b.values.tolist() == e.values.tolist(), fn.__name__
+
+
+def test_cc_plans_equivalent(ray_session):
+    """broadcast == exchange for the clustering coefficient on the
+    real sf0.001 graph (sorted; the exchange plan returns a driver-
+    assembled table in node order)."""
+    from webxtract.ops.graph import parts_clustering_coeff
+    SF = "/root/testdata/sf0.001"
+    b = parts_clustering_coeff(SF, plan="broadcast").to_pandas() \
+        .sort_values("node", ignore_index=True)
+    e = parts_clustering_coeff(SF, plan="exchange").to_pandas() \
+        .sort_values("node", ignore_index=True)
+    assert b.values.tolist() == e.values.tolist()

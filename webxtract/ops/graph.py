@@ -1560,31 +1560,111 @@ def parts_adamic_adar(sf_dir: str, k: int = 25, min_common: int = 2,
                        descending=[True, False, False]).limit(k)
 
 
-def parts_clustering_coeff(sf_dir: str):
+def _cc_exchange(edges):
+    """Over-gate clustering-coefficient plan: center-tagged wedge rows
+    co-partition with the distinct edge keys (the triangle module's
+    copartitioned-match shape), matches count per center, and one
+    |nodes|-bounded center-keyed fold finishes — neither the edge set
+    nor the wedge stream broadcasts or lands whole anywhere."""
+    import ray.data as rd
+
+    from .relational import copartitioned_map, partitioned_map_groups
+
+    adj = _adj_both(edges).materialize()
+    nodes, deg = _adj_nodes_deg(adj)
+    if nodes.size == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "degree": pa.array([], pa.int64()),
+            "triangles": pa.array([], pa.int64()),
+            "cc_micro": pa.array([], pa.int64())}))
+
+    def wedge_fold(part: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        src = part.column("src").to_numpy()
+        dst = part.column("dst").to_numpy()
+        order = np.lexsort((dst, src))
+        s_s, d_s = src[order], dst[order]
+        bounds = np.flatnonzero(np.diff(s_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [s_s.size]))
+        x, y = _segment_pairs(d_s, starts, ends)
+        if x.size == 0:
+            return empty
+        npairs = (ends - starts) * (ends - starts - 1) // 2
+        centers = np.repeat(s_s[starts], npairs)
+        pk = ((x.astype(np.uint64) << np.uint64(32))
+              | y.astype(np.uint64)).view(np.int64)
+        return pa.table({"k": pa.array(pk, pa.int64()),
+                         "c": pa.array(centers, pa.int64())})
+
+    wp = partitioned_map_groups(adj, "src", wedge_fold)
+
+    def prep_w(t: pa.Table) -> pa.Table:
+        return t
+
+    def prep_e(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t.column("k"),
+                         "c": pa.nulls(t.num_rows, pa.int64())})
+
+    def match_fold(parts: list[pa.Table]) -> pa.Table:
+        w_p, e_p = parts
+        empty = pa.table({"c": pa.array([], pa.int64()),
+                          "t": pa.array([], pa.int64())})
+        if w_p.num_rows == 0 or e_p.num_rows == 0:
+            return empty
+        ek = np.sort(e_p.column("k").to_numpy())
+        wk = w_p.column("k").to_numpy()
+        si = np.minimum(np.searchsorted(ek, wk), ek.size - 1)
+        hit = ek[si] == wk
+        if not hit.any():
+            return empty
+        cs, ts = np.unique(w_p.column("c").to_numpy()[hit],
+                           return_counts=True)
+        return pa.table({"c": pa.array(cs, pa.int64()),
+                         "t": pa.array(ts.astype(np.int64), pa.int64())})
+
+    tri_parts = copartitioned_map([(wp, prep_w), (edges, prep_e)],
+                                  "k", match_fold)
+    tri = np.zeros(nodes.size, np.int64)
+    for b in tri_parts.iter_batches(batch_format="pyarrow"):
+        np.add.at(tri, np.searchsorted(nodes, b.column("c").to_numpy()),
+                  b.column("t").to_numpy())
+    pairs = deg * (deg - 1) // 2
+    cc = np.where(pairs > 0, tri * 1_000_000 // np.maximum(pairs, 1), 0)
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "degree": pa.array(deg, pa.int64()),
+        "triangles": pa.array(tri, pa.int64()),
+        "cc_micro": pa.array(cc, pa.int64())}))
+
+
+def parts_clustering_coeff(sf_dir: str, plan: str = "auto"):
     """Per-node local clustering coefficient over the co-purchase part
     graph (triangles at the node / (deg choose 2) — the transitivity
-    probe next to the global triangle count): the same zero-exchange
-    CSR plan as the link predictors — each partition owns its centers,
-    one gather + bincount gives the center's common-neighbor row, and
-    the node's triangle count is the sum of that row over its OWN
-    neighbors halved (each triangle at x is counted from both of its
-    other corners). cc_micro = tri * 1e6 // (deg * (deg-1) / 2) is
-    exact integer; deg-1 nodes emit cc_micro = 0 with tri = 0."""
+    probe next to the global triangle count): under the shared
+    LINKPRED_BROADCAST_MAX_EDGES gate, the zero-exchange CSR plan of
+    the link predictors — each partition owns its centers, one gather
+    + bincount gives the center's common-neighbor row, and the node's
+    triangle count is the sum of that row over its OWN neighbors
+    halved (each triangle at x is counted from both of its other
+    corners). Above the gate _cc_exchange co-partitions center-tagged
+    wedges with the edge keys instead (plans equivalence-tested).
+    cc_micro = tri * 1e6 // (deg * (deg-1) / 2) is exact integer;
+    deg-1 nodes emit cc_micro = 0 with tri = 0."""
     import ray
 
     from ..broadcast import get_broadcast
     from .relational import partitioned_map_groups
 
     edges = coorder_part_edges(sf_dir)
+    if _resolve_linkpred_plan(plan, edges) == "exchange":
+        return _cc_exchange(edges)
 
-    def both(t: pa.Table) -> pa.Table:
-        u, v = _unpack_edges(t)
-        return pa.table({
-            "src": pa.array(np.concatenate([u, v]), pa.int64()),
-            "dst": pa.array(np.concatenate([v, u]), pa.int64())})
-
-    adj = edges.map_batches(both, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    adj = _adj_both(edges)
 
     ek_chunks = [b.column("k").to_numpy()
                  for b in edges.iter_batches(batch_format="pyarrow")]

@@ -1283,6 +1283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # probe: exact log2 buckets via frexp/binary-length, 64-row fold
         "parts_clustering_coeff": _parts_clustering_coeff,  # per-node
         # transitivity: CSR bincount row summed over own neighbors
+        "events_value_cusum": R.events_value_cusum,  # drift detection:
+        # CUSUM via the exact prefix closed form, fully vectorized
     }
 
 
@@ -4163,5 +4165,31 @@ r5 AS (
                        // (deg.d * (deg.d - 1) // 2)
                ELSE 0 END AS cc_micro
         FROM deg LEFT JOIN tri USING (node)
+    """
+    # CUSUM closed form: s_t = P_t - least(0, running min of P)
+    d["events_value_cusum"] = """
+        WITH dd AS (SELECT user_id, ts, event_id,
+                           CAST(round(value * 100) AS BIGINT) - 5000
+                               AS d
+                    FROM events),
+        p AS (SELECT user_id, ts, event_id,
+                     CAST(sum(d) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+                          AS BIGINT) AS pt
+              FROM dd),
+        q AS (SELECT user_id, pt,
+                     CAST(min(pt) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                          AS BIGINT) AS mp,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC,
+                                                 event_id DESC) AS rvn
+              FROM p),
+        s AS (SELECT user_id, pt - least(mp, 0) AS s, rvn FROM q)
+        SELECT user_id, count(*) AS n_events,
+               CAST(max(s) FILTER (WHERE rvn = 1) AS BIGINT)
+                   AS final_cusum,
+               CAST(max(s) AS BIGINT) AS max_cusum
+        FROM s GROUP BY user_id
     """
     return d

@@ -654,3 +654,67 @@ def test_cc_plans_equivalent(ray_session):
     e = parts_clustering_coeff(SF, plan="exchange").to_pandas() \
         .sort_values("node", ignore_index=True)
     assert b.values.tolist() == e.values.tolist()
+
+
+def test_cusum_closed_form_equals_recurrence(ray_session, tmp_path):
+    """The vectorized closed form s_t = P_t - min(0, runmin(P)) must
+    equal the literal recurrence s_t = max(0, s_{t-1} + d_t), replayed
+    in a Python loop on a signal that drifts, recovers and re-drifts;
+    a second flat user pins the zero path."""
+    vals = [60.0, 70.0, 10.0, 10.0, 90.0, 95.0]  # target 50 -> d in $
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    rows = [(i, 1, "x", base + np.timedelta64(i, "s"))
+            for i in range(len(vals))]
+    rows += [(100 + i, 2, "x", base + np.timedelta64(i, "s"))
+             for i in range(3)]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                     "event_type", "ts"])
+    df["value"] = vals + [50.0, 50.0, 50.0]
+    df["props"] = ""
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{tmp_path}/events.parquet")
+    from webxtract.ops.relational import events_value_cusum
+    got = events_value_cusum(str(tmp_path)).to_pandas() \
+        .set_index("user_id").sort_index()
+
+    def replay(vs, target=5000):
+        s, mx = 0, 0
+        for v in vs:
+            s = max(0, s + round(v * 100) - target)
+            mx = max(mx, s)
+        return s, mx
+
+    f1, m1 = replay(vals)
+    assert got.loc[1].final_cusum == f1
+    assert got.loc[1].max_cusum == m1
+    assert got.loc[1].n_events == 6
+    assert got.loc[2].final_cusum == 0 and got.loc[2].max_cusum == 0
+
+
+def test_cusum_segment_isolation(ray_session, tmp_path):
+    """Regression: an earlier user's deeply negative prefix must not
+    leak into the next user's running minimum (the segment-offset
+    accumulate needs later segments strictly lower). User 1 dives to
+    P = -400k cents; user 2 then rises monotonically — a leak would
+    inflate user 2's CUSUM by user 1's dive."""
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    rows, vals = [], []
+    for i in range(10):  # user 1: value 10 -> d = -4000 cents each
+        rows.append((i, 1, "x", base + np.timedelta64(i, "s")))
+        vals.append(10.0)
+    for i in range(5):   # user 2: value 60 -> d = +1000 cents each
+        rows.append((100 + i, 2, "x", base + np.timedelta64(i, "s")))
+        vals.append(60.0)
+    df = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                     "event_type", "ts"])
+    df["value"] = vals
+    df["props"] = ""
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{tmp_path}/events.parquet")
+    from webxtract.ops.relational import events_value_cusum
+    got = events_value_cusum(str(tmp_path)).to_pandas() \
+        .set_index("user_id").sort_index()
+    assert got.loc[1].final_cusum == 0 and got.loc[1].max_cusum == 0
+    # user 2: steadily +1000 -> final = max = 5000, NOT 5000 + 40000
+    assert got.loc[2].final_cusum == 5000
+    assert got.loc[2].max_cusum == 5000

@@ -5020,3 +5020,63 @@ def events_value_log_hist(sf_dir: str):
         "lo_cents": pa.array([1 << k for k in keys], pa.int64()),
         "hi_cents": pa.array([(1 << (k + 1)) - 1 for k in keys],
                              pa.int64())}))
+
+
+def events_value_cusum(sf_dir: str, target_cents: int = 5_000):
+    """One-sided CUSUM drift detection per user (the monitoring shape
+    next to EWMA): s_t = max(0, s_{t-1} + cents_t - target) over the
+    (ts, event_id)-ordered stream; emits each user's final and maximum
+    statistic. Unlike EWMA's floor-divide recurrence, CUSUM has an
+    EXACT closed form — s_t = P_t - min(0, min_{j<=t} P_j) with P the
+    running sum of deviations — so the whole scan is vectorized
+    (cumsum + segment-reset running minimum via the +BIG*segment_id
+    inflation trick, overflow-guarded); the recurrence == closed-form
+    equality is pinned against a Python-loop replica in tests, and the
+    oracle computes the same closed form with two window levels."""
+    ev = read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                         "value"])
+
+    def fold(part: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64()),
+                          "final_cusum": pa.array([], pa.int64()),
+                          "max_cusum": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        u = part.column("user_id").to_numpy()
+        ts = pc.cast(part.column("ts"), pa.timestamp("us")) \
+            .to_numpy().view(np.int64)
+        eid = part.column("event_id").to_numpy()
+        d = _cents(part.column("value")).to_numpy() - target_cents
+        order = np.lexsort((eid, ts, u))
+        u_s, d_s = u[order], d[order]
+        n = u_s.size
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = u_s[1:] != u_s[:-1]
+        seg_id = np.cumsum(new_user) - 1
+        pg = np.cumsum(d_s)
+        seg_start = np.flatnonzero(new_user)
+        base = np.where(seg_start > 0, pg[seg_start - 1], 0)
+        p = pg - base[seg_id]                      # per-user prefix sums
+        # big must exceed the LARGEST cross-segment drop (2 * max|P|):
+        # with only max|P|+1, segment k-1's inflated minimum can still
+        # undercut segment k's values and leak through the accumulate
+        big = np.int64(max(2 * int(np.abs(p).max()) + 1, 1))
+        if big * (int(seg_id[-1]) + 2) > 2 ** 62:
+            raise ValueError("CUSUM segment-inflation trick would "
+                             "overflow int64; split the partition")
+        # later segments get strictly LOWER offsets, so an earlier
+        # segment's inflated values can never win the running minimum
+        runmin = np.minimum.accumulate(p - big * seg_id) + big * seg_id
+        s = p - np.minimum(runmin, 0)              # the CUSUM statistic
+        # per-user final (last row) and max
+        ends = np.concatenate((seg_start[1:], [n])) - 1
+        smax = np.maximum.reduceat(s, seg_start)
+        return pa.table({
+            "user_id": pa.array(u_s[seg_start], pa.int64()),
+            "n_events": pa.array(
+                np.diff(np.concatenate((seg_start, [n]))), pa.int64()),
+            "final_cusum": pa.array(s[ends], pa.int64()),
+            "max_cusum": pa.array(smax, pa.int64())})
+
+    return partitioned_map_groups(ev, "user_id", fold)

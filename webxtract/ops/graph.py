@@ -1149,6 +1149,32 @@ LINKPRED_BROADCAST_MAX_EDGES = 20_000_000  # same class as the
 # plan ships wedge partials through one copartitioned fold instead
 
 
+def _gather_counts(gathered: np.ndarray, nid: int, wts=None):
+    """(sorted unique ys, counts[, weight sums]) of a center's gathered
+    neighbor-of-neighbor stream. SPARSE path (sort + segment diff) when
+    the gather is much smaller than the id space — the dense bincount
+    row allocates O(n_ids) PER CENTER, which is invisible at 20k nodes
+    and catastrophic at millions (caught by the 1.5M-node soak); the
+    dense path stays for gathers comparable to the id space, where one
+    allocation beats the sort. Both produce identical results."""
+    if gathered.size * 4 < nid:
+        order = np.argsort(gathered, kind="stable")
+        g = gathered[order]
+        bounds = np.flatnonzero(np.diff(g)) + 1
+        starts = np.concatenate(([0], bounds))
+        ys = g[starts]
+        c = np.diff(np.concatenate((starts, [g.size]))).astype(np.int64)
+        ws = (np.add.reduceat(wts[order], starts)
+              if wts is not None else None)
+        return ys, c, ws
+    counts = np.bincount(gathered, minlength=nid)
+    ys = np.flatnonzero(counts)
+    ws = None
+    if wts is not None:
+        ws = np.bincount(gathered, weights=wts, minlength=nid)[ys]
+    return ys, counts[ys].astype(np.int64), ws
+
+
 def _resolve_linkpred_plan(plan: str, edges) -> str:
     if plan != "auto":
         return plan
@@ -1410,13 +1436,15 @@ def parts_neighbor_jaccard(sf_dir: str, k: int = 25, min_common: int = 2,
                 continue
             idx = np.repeat(offs[neigh], reps)                 + (np.arange(total, dtype=np.int64)
                    - np.repeat(np.cumsum(reps) - reps, reps))
-            counts = np.bincount(nb[idx], minlength=nid)
-            counts[:x + 1] = 0          # unordered pairs once (y > x)
-            counts[neigh] = 0           # existing edges excluded
-            ys = np.flatnonzero(counts >= min_common)
-            if ys.size == 0:
+            ys, c, _ = _gather_counts(nb[idx], int(nid))
+            m = (ys > x) & (c >= min_common)   # pairs once; support
+            if m.any() and neigh.size:         # existing edges out
+                si = np.minimum(np.searchsorted(neigh, ys),
+                                neigh.size - 1)
+                m &= neigh[si] != ys
+            if not m.any():
                 continue
-            c = counts[ys].astype(np.int64)
+            ys, c = ys[m], c[m]
             da = dg[x]
             db = dg[ys]
             jac = c * 1_000_000 // (da + db - c)
@@ -1525,17 +1553,17 @@ def parts_adamic_adar(sf_dir: str, k: int = 25, min_common: int = 2,
             idx = np.repeat(offs[neigh], reps) \
                 + (np.arange(total, dtype=np.int64)
                    - np.repeat(np.cumsum(reps) - reps, reps))
-            ys_all = nb[idx]
-            counts = np.bincount(ys_all, minlength=nid)
-            wsum = np.bincount(ys_all, weights=np.repeat(wt[neigh], reps),
-                               minlength=nid)
-            counts[:x + 1] = 0
-            counts[neigh] = 0
-            ys = np.flatnonzero(counts >= min_common)
-            if ys.size == 0:
+            ys, c, ws = _gather_counts(nb[idx], int(nid),
+                                       wts=np.repeat(wt[neigh], reps))
+            m = (ys > x) & (c >= min_common)
+            if m.any() and neigh.size:
+                si = np.minimum(np.searchsorted(neigh, ys),
+                                neigh.size - 1)
+                m &= neigh[si] != ys
+            if not m.any():
                 continue
-            c = counts[ys].astype(np.int64)
-            s = wsum[ys].astype(np.int64)  # exact integer-valued floats
+            ys, c = ys[m], c[m]
+            s = ws[m].astype(np.int64)  # exact integer-valued floats
             if ys.size > k:
                 sel = np.lexsort((ys, -s))[:k]
                 ys, c, s = ys[sel], c[sel], s[sel]
@@ -1708,9 +1736,11 @@ def parts_clustering_coeff(sf_dir: str, plan: str = "auto"):
             idx = np.repeat(offs[neigh], reps) \
                 + (np.arange(total, dtype=np.int64)
                    - np.repeat(np.cumsum(reps) - reps, reps))
-            counts = np.bincount(nb[idx],
-                                 minlength=int(neigh.max()) + 2)
-            tri2 = int(counts[neigh].sum())  # each triangle twice
+            ys, cnt, _ = _gather_counts(nb[idx],
+                                        int(neigh.max()) + 2)
+            si = np.minimum(np.searchsorted(neigh, ys),
+                            neigh.size - 1)
+            tri2 = int(cnt[neigh[si] == ys].sum())  # triangles, twice
             deg_l.append(d)
             tri_l.append(tri2 // 2)
         deg = np.array(deg_l, np.int64)

@@ -988,6 +988,12 @@ def _parts_clustering_coeff(sf_dir: str):
     return parts_clustering_coeff(sf_dir)
 
 
+def _docs_ngram_novelty(sf_dir: str):
+    from webxtract.ops.text import docs_ngram_novelty
+
+    return docs_ngram_novelty(sf_dir)
+
+
 def _docs_token_entropy(sf_dir: str):
     from webxtract.ops.text import docs_token_entropy
 
@@ -1285,6 +1291,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # transitivity: CSR bincount row summed over own neighbors
         "events_value_cusum": R.events_value_cusum,  # drift detection:
         # CUSUM via the exact prefix closed form, fully vectorized
+        "docs_ngram_novelty": _docs_ngram_novelty,  # streaming-
+        # diversity signal: fraction of a doc's distinct 3-grams first
+        # seen in it; (gram, min_doc) fold + one doc-keyed co-location
     }
 
 
@@ -4191,5 +4200,24 @@ r5 AS (
                    AS final_cusum,
                CAST(max(s) AS BIGINT) AS max_cusum
         FROM s GROUP BY user_id
+    """
+    d["docs_ngram_novelty"] = """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+        g AS (SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i+1] || ' '
+                                 || w[i+2])) AS g
+              FROM w WHERE len(w) >= 3),
+        fo AS (SELECT g, min(doc_id) AS d0 FROM g GROUP BY g),
+        nd AS (SELECT doc_id, count(*) AS n_distinct
+               FROM g GROUP BY doc_id),
+        nv AS (SELECT d0 AS doc_id, count(*) AS novel
+               FROM fo GROUP BY d0)
+        SELECT nd.doc_id, nd.n_distinct,
+               coalesce(nv.novel, 0) AS novel,
+               coalesce(nv.novel, 0) * 1000000 // nd.n_distinct
+                   AS novelty_micro
+        FROM nd LEFT JOIN nv USING (doc_id)
     """
     return d

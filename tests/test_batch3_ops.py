@@ -718,3 +718,26 @@ def test_cusum_segment_isolation(ray_session, tmp_path):
     # user 2: steadily +1000 -> final = max = 5000, NOT 5000 + 40000
     assert got.loc[2].final_cusum == 5000
     assert got.loc[2].max_cusum == 5000
+
+
+def test_ngram_novelty_planted(ray_session, tmp_path):
+    """Doc 1 introduces all its grams (novelty 1.0); doc 2 repeats
+    doc 1's text (novelty 0); doc 3 shares a prefix gram but adds a
+    new suffix (1 of 2 novel); a 2-token doc drops."""
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c d", "a b c d", "a b c x", "a b"],
+        "lang": ["en"] * 4, "source": ["s"] * 4,
+        "n_chars": [7] * 4,
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{tmp_path}/documents.parquet")
+    from webxtract.ops.text import docs_ngram_novelty
+    got = docs_ngram_novelty(str(tmp_path)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert sorted(got.index) == [1, 2, 3]
+    assert got.loc[1].novelty_micro == 1_000_000
+    assert got.loc[1].n_distinct == 2   # "a b c", "b c d"
+    assert got.loc[2].novelty_micro == 0
+    assert got.loc[3].novel == 1 and got.loc[3].n_distinct == 2
+    assert got.loc[3].novelty_micro == 500_000

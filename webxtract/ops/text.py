@@ -3246,3 +3246,147 @@ def docs_lang_confusion(sf_dir: str):
         "lang": pa.array([k[0] for k in keys], pa.string()),
         "lang_pred": pa.array([k[1] for k in keys], pa.string()),
         "n": pa.array([agg[k] for k in keys], pa.int64())}))
+
+
+def docs_ngram_novelty(sf_dir: str, n: int = 3):
+    """N-gram novelty score (the streaming-diversity quality signal a
+    curation pipeline tracks as a corpus grows): per document, the
+    fraction of its DISTINCT n-grams whose corpus-wide FIRST occurrence
+    (min doc_id) is this document — novelty_micro = novel * 1e6 //
+    n_distinct; documents shorter than n tokens drop. Parallel despite
+    the sequential-sounding definition: first-occurrence reduces to a
+    (gram, min_doc) fold — per-batch distinct (gram, doc) partials
+    through one vocabulary-bounded gram-keyed exchange — and the fold
+    emits only |docs|-bounded (min_doc, novel_count) partials back; the
+    per-doc distinct-gram denominators are computed batch-locally (a
+    doc lives in one row), and ONE doc-keyed co-location joins the two
+    slim streams. Grams travel as strings (the PMI bigram shape; the
+    8-byte gram-hash swap documented at _gram_hash_stream applies
+    verbatim at corpus scale)."""
+    import ray.data as rd
+
+    from .relational import copartitioned_map
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def grams_of(batch: pa.Table):
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy()
+        if len(flat) < n:
+            return None
+        same = parents[: 1 - n] == parents[n - 1:]
+        if not same.any():
+            return None
+        cols = [flat.slice(i, len(flat) - n + 1).filter(pa.array(same))
+                for i in range(n)]
+        joined = cols[0]
+        for c in cols[1:]:
+            joined = pc.binary_join_element_wise(joined, c, " ")
+        return joined, parents[: 1 - n][same]
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64())})
+        g = grams_of(batch)
+        if g is None:
+            return empty
+        grams, parent = g
+        did = batch.column("doc_id").to_numpy()[parent]
+        t = pa.table({"gram": grams, "doc_id": pa.array(did, pa.int64())})
+        # batch-local distinct (gram, doc)
+        gb = t.group_by(["gram", "doc_id"]).aggregate([])
+        return gb
+
+    def denom_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_distinct": pa.array([], pa.int64())})
+        g = grams_of(batch)
+        if g is None:
+            return empty
+        grams, parent = g
+        d = grams.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        code = d.indices.to_numpy().astype(np.int64)
+        packed = parent.astype(np.int64) * len(d.dictionary) + code
+        keys = np.unique(packed)
+        docs_idx = keys // len(d.dictionary)
+        udocs, cnt = np.unique(docs_idx, return_counts=True)
+        did = batch.column("doc_id").to_numpy()[udocs]
+        return pa.table({"doc_id": pa.array(did, pa.int64()),
+                         "n_distinct": pa.array(cnt.astype(np.int64),
+                                                pa.int64())})
+
+    from .relational import partitioned_map_groups
+
+    def first_fold(part: pa.Table) -> pa.Table:
+        # (gram, min_doc) per gram, then |docs|-bounded novel counts
+        if part.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "novel": pa.array([], pa.int64())})
+        g = part.column("gram")
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        d = g.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        code = d.indices.to_numpy().astype(np.int64)
+        doc = part.column("doc_id").to_numpy()
+        order = np.lexsort((doc, code))
+        c_s, d_s = code[order], doc[order]
+        keep = np.ones(c_s.size, bool)
+        keep[1:] = c_s[1:] != c_s[:-1]
+        min_docs = d_s[keep]
+        ud, cnt = np.unique(min_docs, return_counts=True)
+        return pa.table({"doc_id": pa.array(ud, pa.int64()),
+                         "novel": pa.array(cnt.astype(np.int64),
+                                           pa.int64())})
+
+    novel = partitioned_map_groups(
+        ds.map_batches(pairs_partial, batch_format="pyarrow",
+                       zero_copy_batch=True), "gram", first_fold)
+    denom = ds.map_batches(denom_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def prep_novel(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "v": t.column("novel")})
+
+    def prep_denom(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "v": pc.multiply(t.column("n_distinct"),
+                                          pa.scalar(-1, pa.int64()))})
+
+    def join_fold(parts: list[pa.Table]) -> pa.Table:
+        nov, den = parts
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_distinct": pa.array([], pa.int64()),
+                          "novel": pa.array([], pa.int64()),
+                          "novelty_micro": pa.array([], pa.int64())})
+        if den.num_rows == 0:
+            return empty
+        dd = den.column("doc_id").to_numpy()
+        dv = -den.column("v").to_numpy()
+        order = np.argsort(dd, kind="stable")
+        dd, dv = dd[order], dv[order]
+        # denominators may arrive as multiple partials per doc
+        bounds = np.flatnonzero(np.diff(dd)) + 1
+        starts = np.concatenate(([0], bounds))
+        docs = dd[starts]
+        nd = np.add.reduceat(dv, starts)
+        novel = np.zeros(docs.size, np.int64)
+        if nov.num_rows:
+            ni = nov.column("doc_id").to_numpy()
+            nv = nov.column("v").to_numpy()
+            np.add.at(novel, np.searchsorted(docs, ni), nv)
+        return pa.table({
+            "doc_id": pa.array(docs, pa.int64()),
+            "n_distinct": pa.array(nd, pa.int64()),
+            "novel": pa.array(novel, pa.int64()),
+            "novelty_micro": pa.array(novel * 1_000_000 // nd,
+                                      pa.int64())})
+
+    return copartitioned_map([(novel, prep_novel), (denom, prep_denom)],
+                             "doc_id", join_fold)

@@ -1294,6 +1294,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_novelty": _docs_ngram_novelty,  # streaming-
         # diversity signal: fraction of a doc's distinct 3-grams first
         # seen in it; (gram, min_doc) fold + one doc-keyed co-location
+        "events_value_median_dist": R.events_value_median_dist,
+        # DISTRIBUTED exact selection: grouped median by histogram
+        # bisection — the group's values never co-locate (the true
+        # scale path for the order-statistic ops' documented
+        # per-group-fits-a-partition assumption)
     }
 
 
@@ -4219,5 +4224,11 @@ r5 AS (
                coalesce(nv.novel, 0) * 1000000 // nd.n_distinct
                    AS novelty_micro
         FROM nd LEFT JOIN nv USING (doc_id)
+    """
+    # same spec as the sort-based twin — the engine-side difference
+    # (distributed selection vs co-located sort) is the point
+    d["events_value_median_dist"] = """
+        SELECT event_type, round(median(value), 6) AS median_value
+        FROM events GROUP BY event_type
     """
     return d

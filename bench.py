@@ -110,7 +110,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "customers_both_urgent_failed", "events_time_to_convert",
         "orders_dow_profile", "events_value_log_hist",
         "parts_clustering_coeff", "events_value_cusum",
-        "docs_ngram_novelty",
+        "docs_ngram_novelty", "events_value_median_dist",
         "emb_norms", "emb_label_centroids", "events_type_users_hll",
         "images_phash_dupes", "audios_envelope_dupes", "emb_knn_pq",
         "videos_frame_sample", "videos_mjpeg_dupes", "emb_semdedup",

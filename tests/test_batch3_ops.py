@@ -741,3 +741,39 @@ def test_ngram_novelty_planted(ray_session, tmp_path):
     assert got.loc[2].novelty_micro == 0
     assert got.loc[3].novel == 1 and got.loc[3].n_distinct == 2
     assert got.loc[3].novelty_micro == 500_000
+
+
+def test_median_dist_equals_sort_based(ray_session):
+    """Distributed histogram-bisection selection == the co-located
+    sort twin on the real table (both scales)."""
+    from webxtract.ops.relational import (events_value_median,
+                                          events_value_median_dist)
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        a = events_value_median(sf).to_pandas() \
+            .sort_values("event_type", ignore_index=True)
+        b = events_value_median_dist(sf).to_pandas() \
+            .sort_values("event_type", ignore_index=True)
+        assert a.values.tolist() == b.values.tolist(), sf
+
+
+def test_median_dist_planted_edges(ray_session, tmp_path):
+    """Even group (interpolated middle pair), odd group, negative
+    values and a single-element group."""
+    vals = [3.0, 1.0, 2.0, 4.0,      # even: median 2.5
+            -5.0, -1.0, -3.0,        # odd, negative: median -3
+            42.0]                    # singleton
+    types = ["e"] * 4 + ["o"] * 3 + ["s"]
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    rows = [(i, 1, types[i], base) for i in range(len(vals))]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                     "event_type", "ts"])
+    df["value"] = vals
+    df["props"] = ""
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{tmp_path}/events.parquet")
+    from webxtract.ops.relational import events_value_median_dist
+    got = events_value_median_dist(str(tmp_path)).to_pandas() \
+        .set_index("event_type")
+    assert got.loc["e"].median_value == 2.5
+    assert got.loc["o"].median_value == -3.0
+    assert got.loc["s"].median_value == 42.0

@@ -5080,3 +5080,224 @@ def events_value_cusum(sf_dir: str, target_cents: int = 5_000):
             "max_cusum": pa.array(smax, pa.int64())})
 
     return partitioned_map_groups(ev, "user_id", fold)
+
+
+def _f64_sortkey(v: np.ndarray) -> np.ndarray:
+    """Order-preserving float64 -> int64 key (IEEE bit trick): for
+    non-negative doubles the bit pattern already sorts; negatives flip
+    their magnitude bits. Exact and invertible."""
+    bits = v.view(np.int64)
+    return bits ^ ((bits >> np.int64(63)) & np.int64(0x7FFFFFFFFFFFFFFF))
+
+
+def _f64_from_sortkey(k: np.ndarray) -> np.ndarray:
+    bits = k ^ ((k >> np.int64(63)) & np.int64(0x7FFFFFFFFFFFFFFF))
+    return bits.view(np.float64)
+
+
+def events_value_median_dist(sf_dir: str, gather_max: int = 4096):
+    """Grouped exact median WITHOUT the per-group-fits-a-partition
+    assumption events_value_median (and winsorize) document — the true
+    scale path for order statistics when one group outgrows a worker:
+    distributed selection by histogram bisection. Values map to
+    order-preserving int64 keys (IEEE bit trick, exact); each round
+    one slim scan emits per-(target, bucket) count partials over the
+    targets' current key ranges (<= 4096 buckets via a shift — pure
+    integer arithmetic), the driver descends into the bucket holding
+    the target rank, and ranges shrink ~2^12 per round (<= 6 rounds
+    for the full double range); a final filtered gather of at most
+    ``gather_max`` values per target finishes. Both middle ranks of an
+    even group are tracked as separate targets, matching DuckDB
+    median()'s interpolation. The group's values NEVER co-locate.
+    Equivalence-tested against the sort-based twin; same oracle."""
+    import ray
+
+    from ..broadcast import get_broadcast
+
+    ev = read(sf_dir, "events", columns=["event_type", "value"])
+
+    # pass 0: per-type count + key min/max (slim bounded partials)
+    stats: dict[str, list[int]] = {}
+    for b in ev.map_batches(
+            lambda t: _median_stats_partial(t),
+            batch_format="pyarrow", zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for ty, n, lo, hi in zip(b.column("event_type").to_pylist(),
+                                 b.column("n").to_pylist(),
+                                 b.column("lo").to_pylist(),
+                                 b.column("hi").to_pylist()):
+            s = stats.setdefault(ty, [0, lo, hi])
+            s[0] += n
+            s[1] = min(s[1], lo)
+            s[2] = max(s[2], hi)
+
+    # targets: (type, rank0based) with state [lo, hi) over keys,
+    # rank relative to the current range
+    targets = []
+    for ty, (n, lo, hi) in sorted(stats.items()):
+        r1, r2 = (n - 1) // 2, n // 2
+        targets.append([ty, r1, lo, hi + 1])
+        if r2 != r1:
+            targets.append([ty, r2, lo, hi + 1])
+
+    resolved: dict[int, int] = {}           # target idx -> exact key
+    pending = {i: t for i, t in enumerate(targets)}
+
+    def hist_pass(pend):
+        tl = [(i, t[0], t[1], t[2], t[3]) for i, t in pend.items()]
+        ref = ray.put(tl)
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            tlist = get_broadcast(_ref)
+            ty = batch.column("event_type")
+            keys = _f64_sortkey(batch.column("value").to_numpy())
+            out_t, out_b, out_n = [], [], []
+            for (i, t, _r, lo, hi) in tlist:
+                m = pc.equal(ty, pa.scalar(t)).to_numpy(
+                    zero_copy_only=False)
+                kv = keys[m]
+                kv = kv[(kv >= lo) & (kv < hi)]
+                if kv.size == 0:
+                    continue
+                width = hi - lo
+                shift = max(0, int(width).bit_length() - 12)
+                bk = (kv - lo) >> shift
+                ub, cn = np.unique(bk, return_counts=True)
+                out_t.append(np.full(ub.size, i, np.int64))
+                out_b.append(ub)
+                out_n.append(cn.astype(np.int64))
+            if not out_t:
+                return pa.table({"i": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            return pa.table({
+                "i": pa.array(np.concatenate(out_t), pa.int64()),
+                "b": pa.array(np.concatenate(out_b), pa.int64()),
+                "n": pa.array(np.concatenate(out_n), pa.int64())})
+
+        agg: dict[tuple[int, int], int] = {}
+        for b in ev.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+                .iter_batches(batch_format="pyarrow"):
+            for i, bk, n in zip(b.column("i").to_pylist(),
+                                b.column("b").to_pylist(),
+                                b.column("n").to_pylist()):
+                agg[(i, bk)] = agg.get((i, bk), 0) + n
+        return agg
+
+    rounds = 0
+    while pending and rounds < 8:
+        rounds += 1
+        agg = hist_pass(pending)
+        nxt = {}
+        for i, (ty, rank, lo, hi) in pending.items():
+            width = hi - lo
+            shift = max(0, int(width).bit_length() - 12)
+            buckets = sorted(bk for (j, bk) in agg if j == i)
+            r = rank
+            done = False
+            for bk in buckets:
+                c = agg[(i, bk)]
+                if r < c:
+                    nlo = lo + (bk << shift)
+                    nhi = min(hi, nlo + (1 << shift))
+                    if nhi - nlo <= 1 or c == 1:
+                        # width-1 range pins the key exactly; c == 1
+                        # pins it to the bucket's only value — a final
+                        # gather finds it below if the range is wider
+                        if nhi - nlo <= 1:
+                            resolved[i] = int(nlo)
+                            done = True
+                            break
+                    if c <= gather_max:
+                        nxt[i] = [ty, r, nlo, nhi, True]  # gather next
+                    else:
+                        nxt[i] = [ty, r, nlo, nhi]
+                    done = True
+                    break
+                r -= c
+            if not done:
+                raise AssertionError("rank walked past histogram mass")
+        # gather targets small enough to finish exactly
+        gath = {i: t for i, t in nxt.items() if len(t) == 5}
+        pending = {i: t[:4] for i, t in nxt.items() if len(t) == 4}
+        if gath:
+            tl = [(i, t[0], t[2], t[3]) for i, t in gath.items()]
+            ref = ray.put(tl)
+
+            def gpartial(batch: pa.Table, _ref=ref) -> pa.Table:
+                tlist = get_broadcast(_ref)
+                ty = batch.column("event_type")
+                keys = _f64_sortkey(batch.column("value").to_numpy())
+                oi, ok = [], []
+                for (i, t, lo, hi) in tlist:
+                    m = pc.equal(ty, pa.scalar(t)).to_numpy(
+                        zero_copy_only=False)
+                    kv = keys[m]
+                    kv = kv[(kv >= lo) & (kv < hi)]
+                    if kv.size:
+                        oi.append(np.full(kv.size, i, np.int64))
+                        ok.append(kv)
+                if not oi:
+                    return pa.table({"i": pa.array([], pa.int64()),
+                                     "k": pa.array([], pa.int64())})
+                return pa.table({
+                    "i": pa.array(np.concatenate(oi), pa.int64()),
+                    "k": pa.array(np.concatenate(ok), pa.int64())})
+
+            vals: dict[int, list] = {i: [] for i in gath}
+            for b in ev.map_batches(gpartial, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+                    .iter_batches(batch_format="pyarrow"):
+                for i, k in zip(b.column("i").to_pylist(),
+                                b.column("k").to_pylist()):
+                    vals[i].append(k)
+            for i, t in gath.items():
+                ks = sorted(vals[i])
+                resolved[i] = int(ks[t[1]])
+    if pending:
+        raise AssertionError("median bisection failed to converge")
+
+    # assemble per type: mean of the (one or two) target values
+    out_t, out_m = [], []
+    by_type: dict[str, list[int]] = {}
+    for i, (ty, _r, _lo, _hi) in enumerate(targets):
+        by_type.setdefault(ty, []).append(resolved[i])
+    for ty in sorted(by_type):
+        ks = np.array(by_type[ty], np.int64)
+        ds_v = _f64_from_sortkey(ks)
+        m = float(ds_v[0]) if ds_v.size == 1 \
+            else float((ds_v[0] + ds_v[1]) / 2.0)
+        out_t.append(ty)
+        out_m.append(round(m, 6))
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "median_value": pa.array(out_m, pa.float64())}))
+
+
+def _median_stats_partial(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "lo": pa.array([], pa.int64()),
+                         "hi": pa.array([], pa.int64())})
+    enc = t.column("event_type")
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    d = enc.dictionary_encode()
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    codes = d.indices.to_numpy().astype(np.int64)
+    keys = _f64_sortkey(t.column("value").to_numpy())
+    order = np.argsort(codes, kind="stable")
+    c_s, k_s = codes[order], keys[order]
+    bounds = np.flatnonzero(np.diff(c_s)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [c_s.size]))
+    return pa.table({
+        "event_type": d.dictionary.take(pa.array(c_s[starts]))
+        .cast(pa.string()),
+        "n": pa.array((ends - starts).astype(np.int64), pa.int64()),
+        "lo": pa.array(np.minimum.reduceat(k_s, starts), pa.int64()),
+        "hi": pa.array(np.maximum.reduceat(k_s, starts), pa.int64())})

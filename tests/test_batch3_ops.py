@@ -777,3 +777,15 @@ def test_median_dist_planted_edges(ray_session, tmp_path):
     assert got.loc["e"].median_value == 2.5
     assert got.loc["o"].median_value == -3.0
     assert got.loc["s"].median_value == 42.0
+
+
+def test_winsorize_plans_equivalent(ray_session):
+    """The dist_select winsorize bounds == the co-located sort bounds
+    on the real table (byte-identical output rows)."""
+    from webxtract.ops.relational import events_winsorized
+    SF = "/root/testdata/sf0.001"
+    a = events_winsorized(SF, plan="colocate").to_pandas() \
+        .sort_values("event_id", ignore_index=True)
+    b = events_winsorized(SF, plan="select").to_pandas() \
+        .sort_values("event_id", ignore_index=True)
+    assert a.values.tolist() == b.values.tolist()

@@ -3725,8 +3725,12 @@ def lineitem_skyline(sf_dir: str):
         "_sk", final, num_parts=1)
 
 
+WINSOR_COLOCATE_MAX_GROUP = 50_000_000  # rows; above this a group's
+# order statistics come from dist_select instead of co-located sorts
+
+
 def events_winsorized(sf_dir: str, q_lo: int = 1, q_hi: int = 9,
-                      q_den: int = 10):
+                      q_den: int = 10, plan: str = "auto"):
     """Grouped winsorization: every event's value clamped to its
     type's [p10, p90] DISCRETE percentiles (quantile_disc semantics:
     sorted[max(ceil(q*n)-1, 0)], computed with integer index
@@ -3746,6 +3750,48 @@ def events_winsorized(sf_dir: str, q_lo: int = 1, q_hi: int = 9,
 
     ev = read(sf_dir, "events", columns=["event_id", "event_type",
                                          "value"])
+
+    if plan != "colocate":
+        slim = ev.select_columns(["event_type", "value"])
+        stats = dist_group_stats(slim)
+        if plan == "select" or (plan == "auto" and stats and max(
+                s[0] for s in stats.values()) > WINSOR_COLOCATE_MAX_GROUP):
+            # over-gate path: the bounds come from distributed
+            # selection (identical quantile_disc index arithmetic);
+            # the clamp stage below is shared verbatim
+            import ray
+
+            targets, metas = [], []
+            for ty, (n, lo, hi) in sorted(stats.items()):
+                ilo = max(-(-n * q_lo // q_den) - 1, 0)
+                ihi = max(-(-n * q_hi // q_den) - 1, 0)
+                targets.append([ty, ilo, lo, hi + 1])
+                targets.append([ty, ihi, lo, hi + 1])
+                metas.append(ty)
+            resolved = dist_select(slim, targets)
+            karr = np.array(metas)
+            lo_a = _f64_from_sortkey(np.array(
+                [resolved[2 * i] for i in range(len(metas))], np.int64))
+            hi_a = _f64_from_sortkey(np.array(
+                [resolved[2 * i + 1] for i in range(len(metas))],
+                np.int64))
+            ref = ray.put((karr, lo_a, hi_a))
+
+            def clamp_sel(t: pa.Table, _ref=ref) -> pa.Table:
+                from ..broadcast import get_broadcast
+
+                ka, lo, hi = get_broadcast(_ref)
+                typ = t.column("event_type").to_numpy(
+                    zero_copy_only=False)
+                idx = np.searchsorted(ka, typ)
+                v = t.column("value").to_numpy()
+                w = np.clip(v, lo[idx], hi[idx])
+                return pa.table({"event_id": t.column("event_id"),
+                                 "event_type": t.column("event_type"),
+                                 "value_w": pa.array(w, pa.float64())})
+
+            return ev.map_batches(clamp_sel, batch_format="pyarrow",
+                                  zero_copy_batch=True)
 
     def qfold(part: pa.Table) -> pa.Table:
         if part.num_rows == 0:
@@ -5095,28 +5141,9 @@ def _f64_from_sortkey(k: np.ndarray) -> np.ndarray:
     return bits.view(np.float64)
 
 
-def events_value_median_dist(sf_dir: str, gather_max: int = 4096):
-    """Grouped exact median WITHOUT the per-group-fits-a-partition
-    assumption events_value_median (and winsorize) document — the true
-    scale path for order statistics when one group outgrows a worker:
-    distributed selection by histogram bisection. Values map to
-    order-preserving int64 keys (IEEE bit trick, exact); each round
-    one slim scan emits per-(target, bucket) count partials over the
-    targets' current key ranges (<= 4096 buckets via a shift — pure
-    integer arithmetic), the driver descends into the bucket holding
-    the target rank, and ranges shrink ~2^12 per round (<= 6 rounds
-    for the full double range); a final filtered gather of at most
-    ``gather_max`` values per target finishes. Both middle ranks of an
-    even group are tracked as separate targets, matching DuckDB
-    median()'s interpolation. The group's values NEVER co-locate.
-    Equivalence-tested against the sort-based twin; same oracle."""
-    import ray
-
-    from ..broadcast import get_broadcast
-
-    ev = read(sf_dir, "events", columns=["event_type", "value"])
-
-    # pass 0: per-type count + key min/max (slim bounded partials)
+def dist_group_stats(ev) -> dict:
+    """Per-group (count, key-min, key-max) off one slim scan —
+    pass 0 of the distributed selection."""
     stats: dict[str, list[int]] = {}
     for b in ev.map_batches(
             lambda t: _median_stats_partial(t),
@@ -5130,15 +5157,17 @@ def events_value_median_dist(sf_dir: str, gather_max: int = 4096):
             s[0] += n
             s[1] = min(s[1], lo)
             s[2] = max(s[2], hi)
+    return stats
 
-    # targets: (type, rank0based) with state [lo, hi) over keys,
-    # rank relative to the current range
-    targets = []
-    for ty, (n, lo, hi) in sorted(stats.items()):
-        r1, r2 = (n - 1) // 2, n // 2
-        targets.append([ty, r1, lo, hi + 1])
-        if r2 != r1:
-            targets.append([ty, r2, lo, hi + 1])
+
+def dist_select(ev, targets, gather_max: int = 4096) -> dict:
+    """Histogram-bisection distributed selection: resolve each
+    (group, rank, lo, hi) target to its exact int64 sort key with a
+    handful of slim scan rounds + one bounded gather (see
+    events_value_median_dist for the full contract)."""
+    import ray
+
+    from ..broadcast import get_broadcast
 
     resolved: dict[int, int] = {}           # target idx -> exact key
     pending = {i: t for i, t in enumerate(targets)}
@@ -5256,7 +5285,37 @@ def events_value_median_dist(sf_dir: str, gather_max: int = 4096):
                 ks = sorted(vals[i])
                 resolved[i] = int(ks[t[1]])
     if pending:
-        raise AssertionError("median bisection failed to converge")
+        raise AssertionError("selection bisection failed to converge")
+    return resolved
+
+
+def events_value_median_dist(sf_dir: str, gather_max: int = 4096):
+    """Grouped exact median WITHOUT the per-group-fits-a-partition
+    assumption events_value_median (and winsorize) document — the true
+    scale path for order statistics when one group outgrows a worker:
+    distributed selection by histogram bisection (dist_select). Values
+    map to order-preserving int64 keys (IEEE bit trick, exact); each
+    round one slim scan emits per-(target, bucket) count partials over
+    the targets' current key ranges (<= 4096 buckets via a shift —
+    pure integer arithmetic), the driver descends into the bucket
+    holding the target rank, and ranges shrink ~2^12 per round (<= 6
+    rounds for the full double range); a final filtered gather of at
+    most ``gather_max`` values per target finishes. Both middle ranks
+    of an even group are tracked as separate targets, matching DuckDB
+    median()'s interpolation. The group's values NEVER co-locate.
+    Equivalence-tested against the sort-based twin; same oracle."""
+    ev = read(sf_dir, "events", columns=["event_type", "value"])
+    stats = dist_group_stats(ev)
+
+    # targets: (type, rank0based) with state [lo, hi) over keys,
+    # rank relative to the current range
+    targets = []
+    for ty, (n, lo, hi) in sorted(stats.items()):
+        r1, r2 = (n - 1) // 2, n // 2
+        targets.append([ty, r1, lo, hi + 1])
+        if r2 != r1:
+            targets.append([ty, r2, lo, hi + 1])
+    resolved = dist_select(ev, targets, gather_max=gather_max)
 
     # assemble per type: mean of the (one or two) target values
     out_t, out_m = [], []

@@ -4382,8 +4382,10 @@ def events_mad_outliers(sf_dir: str):
     (discrete median of |cents - med|) and the count of events beyond
     3 * MAD — the monitoring shape that survives the heavy tails that
     break mean/stddev z-scores. ONE type-keyed co-location computes
-    everything (a type's rows never span partitions, the documented
-    exact-order-statistic assumption events_winsorized states): two
+    everything (a type's rows never span partitions — above that group
+    size both medians route through dist_select, events_winsorized's
+    IMPLEMENTED over-gate plan, the deviation pass scanning
+    |cents - med| on the fly): two
     in-partition lexsorts give both order statistics with the same
     integer index arithmetic as quantile_disc (sorted[ceil(n/2)-1]),
     and the outlier count folds in place — the fact stream is scanned

@@ -1299,6 +1299,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bisection — the group's values never co-locate (the true
         # scale path for the order-statistic ops' documented
         # per-group-fits-a-partition assumption)
+        "events_error_band_join": R.events_error_band_join,  # time-
+        # BAND join (every match counts, not just the AS-OF latest):
+        # per-purchase +-5min error count, two searchsorteds each
     }
 
 
@@ -4230,5 +4233,18 @@ r5 AS (
     d["events_value_median_dist"] = """
         SELECT event_type, round(median(value), 6) AS median_value
         FROM events GROUP BY event_type
+    """
+    d["events_error_band_join"] = """
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+        e AS (SELECT user_id, ts FROM events
+              WHERE event_type = 'error')
+        SELECT p.event_id AS purchase_id, p.user_id,
+               CAST(count(e.ts) AS BIGINT) AS n_errors_near
+        FROM p LEFT JOIN e
+          ON p.user_id = e.user_id
+         AND e.ts BETWEEN p.ts - INTERVAL 5 MINUTE
+                      AND p.ts + INTERVAL 5 MINUTE
+        GROUP BY p.event_id, p.user_id
     """
     return d

@@ -789,3 +789,29 @@ def test_winsorize_plans_equivalent(ray_session):
     b = events_winsorized(SF, plan="select").to_pandas() \
         .sort_values("event_id", ignore_index=True)
     assert a.values.tolist() == b.values.tolist()
+
+
+def test_band_join_planted(ray_session, tmp_path):
+    """Purchase with errors at -6, -4, +4, +6 minutes: exactly the
+    two inside +-5 count (inclusive bounds checked at exactly +-5
+    via a second purchase); other users never leak; zero-error
+    purchases keep a 0 row."""
+    base = np.datetime64("2026-01-01T01:00:00", "us")
+    M = lambda m: base + np.timedelta64(m * 60_000_000, "us")
+    rows = [
+        (0, 1, "purchase", M(0)),
+        (1, 1, "error", M(-6)), (2, 1, "error", M(-4)),
+        (3, 1, "error", M(4)), (4, 1, "error", M(6)),
+        (10, 1, "purchase", M(100)),
+        (11, 1, "error", M(95)),      # exactly -5 -> inclusive
+        (20, 2, "error", M(0)),       # other user
+        (30, 3, "purchase", M(0)),    # no errors at all
+    ]
+    _write_events(tmp_path, rows)
+    from webxtract.ops.relational import events_error_band_join
+    got = events_error_band_join(str(tmp_path)).to_pandas() \
+        .set_index("purchase_id").sort_index()
+    assert got.loc[0].n_errors_near == 2
+    assert got.loc[10].n_errors_near == 1
+    assert got.loc[30].n_errors_near == 0
+    assert len(got) == 3

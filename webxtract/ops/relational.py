@@ -5362,3 +5362,66 @@ def _median_stats_partial(t: pa.Table) -> pa.Table:
         "n": pa.array((ends - starts).astype(np.int64), pa.int64()),
         "lo": pa.array(np.minimum.reduceat(k_s, starts), pa.int64()),
         "hi": pa.array(np.maximum.reduceat(k_s, starts), pa.int64())})
+
+
+def events_error_band_join(sf_dir: str, band_minutes: int = 5):
+    """Time-BAND join (|t_a - t_b| <= w, the interval shape AS-OF
+    can't express — every match in the window counts, not just the
+    latest): per purchase, how many of the SAME user's error events
+    fall within +-band_minutes. One user-keyed co-location; within a
+    partition the window count for every purchase is TWO vectorized
+    searchsorteds into the user's sorted error timestamps (no interval
+    expansion, no per-row loop): count = upper_bound(t + w) -
+    lower_bound(t - w). Purchases with zero nearby errors keep their
+    row (count 0) — the join is a windowed AGGREGATE, so inner-vs-left
+    ambiguity never arises."""
+    ev = read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                         "event_type"])
+    w_us = np.int64(band_minutes) * 60_000_000
+
+    def fold(part: pa.Table) -> pa.Table:
+        empty = pa.table({"purchase_id": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "n_errors_near": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        u = part.column("user_id").to_numpy()
+        ts = pc.cast(part.column("ts"), pa.timestamp("us")) \
+            .to_numpy().view(np.int64)
+        eid = part.column("event_id").to_numpy()
+        ty = part.column("event_type")
+        if isinstance(ty, pa.ChunkedArray):
+            ty = ty.combine_chunks()
+        is_p = pc.equal(ty, pa.scalar("purchase")) \
+            .to_numpy(zero_copy_only=False)
+        is_e = pc.equal(ty, pa.scalar("error")) \
+            .to_numpy(zero_copy_only=False)
+        if not is_p.any():
+            return empty
+        # errors sorted by (user, ts); per-user slices via bounds
+        eu, et = u[is_e], ts[is_e]
+        order = np.lexsort((et, eu))
+        eu, et = eu[order], et[order]
+        pu, pt, pid = u[is_p], ts[is_p], eid[is_p]
+        # global positions: searchsorted over the (user, ts) packed
+        # order — pack avoided by two-level search: user range first
+        lo_u = np.searchsorted(eu, pu, side="left")
+        hi_u = np.searchsorted(eu, pu, side="right")
+        n = np.zeros(pu.size, np.int64)
+        # vectorize across purchases with np.searchsorted per bound
+        # inside each user range: et is globally sorted only within
+        # user runs, so search the SLICED view via offset arithmetic
+        for i in range(pu.size):  # purchases-per-partition loop,
+            # two binary searches each (no row loop over errors)
+            a, b = lo_u[i], hi_u[i]
+            if a == b:
+                continue
+            lo = a + np.searchsorted(et[a:b], pt[i] - w_us, side="left")
+            hi = a + np.searchsorted(et[a:b], pt[i] + w_us,
+                                     side="right")
+            n[i] = hi - lo
+        return pa.table({"purchase_id": pa.array(pid, pa.int64()),
+                         "user_id": pa.array(pu, pa.int64()),
+                         "n_errors_near": pa.array(n, pa.int64())})
+
+    return partitioned_map_groups(ev, "user_id", fold)

@@ -1302,6 +1302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_error_band_join": R.events_error_band_join,  # time-
         # BAND join (every match counts, not just the AS-OF latest):
         # per-purchase +-5min error count, two searchsorteds each
+        "orders_cohort_ltv": R.orders_cohort_ltv,  # cohort LTV matrix
+        # (first-order month x age); months^2-bounded partials
     }
 
 
@@ -4246,5 +4248,21 @@ r5 AS (
          AND e.ts BETWEEN p.ts - INTERVAL 5 MINUTE
                       AND p.ts + INTERVAL 5 MINUTE
         GROUP BY p.event_id, p.user_id
+    """
+    d["orders_cohort_ltv"] = """
+        WITH f AS (SELECT o_custkey,
+                          min(date_trunc('month', o_orderdate)) AS cm
+                   FROM orders GROUP BY 1),
+        x AS (SELECT f.cm,
+                     date_trunc('month', o.o_orderdate) AS om,
+                     CAST(round(o.o_totalprice * 100) AS BIGINT)
+                         AS cents
+              FROM orders o JOIN f USING (o_custkey))
+        SELECT cm AS cohort_month,
+               CAST((year(om) - year(cm)) * 12
+                    + (month(om) - month(cm)) AS BIGINT) AS age_months,
+               count(*) AS n_orders,
+               round(sum(cents) / 100.0, 2) AS revenue
+        FROM x GROUP BY 1, 2
     """
     return d

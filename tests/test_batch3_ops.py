@@ -815,3 +815,33 @@ def test_band_join_planted(ray_session, tmp_path):
     assert got.loc[10].n_errors_near == 1
     assert got.loc[30].n_errors_near == 0
     assert len(got) == 3
+
+
+def test_cohort_ltv_planted(ray_session, tmp_path):
+    """Customer 1 first orders in Jan (ages 0 and 2); customer 2 in
+    Mar (age 0) — cells, counts and money hand-checked, including a
+    year boundary (Dec cohort, Jan order -> age 1)."""
+    od = pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 4, 5],
+        "o_custkey": [1, 1, 2, 3, 3],
+        "o_orderstatus": "O",
+        "o_totalprice": [10.0, 20.0, 5.0, 7.0, 9.0],
+        "o_orderdate": pd.to_datetime(
+            ["2026-01-15", "2026-03-02", "2026-03-20",
+             "2025-12-30", "2026-01-02"]),
+        "o_orderpriority": "1-URGENT",
+    })
+    pq.write_table(pa.Table.from_pandas(od, preserve_index=False),
+                   f"{tmp_path}/orders.parquet")
+    from webxtract.ops.relational import orders_cohort_ltv
+    got = orders_cohort_ltv(str(tmp_path)).to_pandas() \
+        .set_index(["cohort_month", "age_months"]).sort_index()
+    jan = pd.Timestamp("2026-01-01")
+    mar = pd.Timestamp("2026-03-01")
+    dec = pd.Timestamp("2025-12-01")
+    assert got.loc[(jan, 0)].revenue == 10.0
+    assert got.loc[(jan, 2)].revenue == 20.0
+    assert got.loc[(mar, 0)].revenue == 5.0
+    assert got.loc[(dec, 0)].revenue == 7.0
+    assert got.loc[(dec, 1)].revenue == 9.0  # year boundary
+    assert got.n_orders.sum() == 5

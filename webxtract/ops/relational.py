@@ -5425,3 +5425,67 @@ def events_error_band_join(sf_dir: str, band_minutes: int = 5):
                          "n_errors_near": pa.array(n, pa.int64())})
 
     return partitioned_map_groups(ev, "user_id", fold)
+
+
+def orders_cohort_ltv(sf_dir: str):
+    """Cohort lifetime-value matrix (the retention/LTV warehouse
+    staple): customers grouped by FIRST-order month, each cell
+    (cohort_month, age_months) holding order count and exact-cents
+    revenue. ONE custkey co-location computes every customer's cohort
+    and per-order age locally (months as integer months-since-epoch,
+    so the age difference is pure int subtraction — DuckDB's
+    year*12+month arithmetic lands on the same integers); the
+    partials are months^2-bounded, so the final fold is a trivially
+    small driver dict."""
+    import ray.data as rd
+
+    orders = read(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def fold(part: pa.Table) -> pa.Table:
+        empty = pa.table({"cohort_m": pa.array([], pa.int64()),
+                          "age_months": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        c = part.column("o_custkey").to_numpy()
+        m = pc.cast(part.column("o_orderdate"), pa.timestamp("us")) \
+            .to_numpy().astype("datetime64[M]").view(np.int64)
+        cents = _cents(part.column("o_totalprice")).to_numpy()
+        order = np.lexsort((m, c))
+        c_s, m_s, v_s = c[order], m[order], cents[order]
+        new_c = np.ones(c_s.size, bool)
+        new_c[1:] = c_s[1:] != c_s[:-1]
+        seg_id = np.cumsum(new_c) - 1
+        cohort = m_s[np.flatnonzero(new_c)][seg_id]  # per-row first mo
+        age = m_s - cohort
+        packed = cohort * 10_000 + age  # ages < 10000 months
+        keys, inv = np.unique(packed, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(keys.size, np.int64)
+        np.add.at(s, inv, v_s)
+        return pa.table({"cohort_m": pa.array(keys // 10_000, pa.int64()),
+                         "age_months": pa.array(keys % 10_000, pa.int64()),
+                         "n": pa.array(n, pa.int64()),
+                         "cents": pa.array(s, pa.int64())})
+
+    parts = partitioned_map_groups(orders, "o_custkey", fold)
+    agg: dict[tuple[int, int], list[int]] = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):  # months^2
+        for cm, ag, n, s in zip(b.column("cohort_m").to_pylist(),
+                                b.column("age_months").to_pylist(),
+                                b.column("n").to_pylist(),
+                                b.column("cents").to_pylist()):
+            e = agg.setdefault((cm, ag), [0, 0])
+            e[0] += n
+            e[1] += s
+    keys = sorted(agg)
+    cm = np.array([k[0] for k in keys], np.int64)
+    return rd.from_arrow(pa.table({
+        "cohort_month": pa.array(cm.view("datetime64[M]")
+                                 .astype("datetime64[us]")),
+        "age_months": pa.array([k[1] for k in keys], pa.int64()),
+        "n_orders": pa.array([agg[k][0] for k in keys], pa.int64()),
+        "revenue": _uncents(pa.array([agg[k][1] for k in keys],
+                                     pa.int64()))}))

@@ -1304,6 +1304,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-purchase +-5min error count, two searchsorteds each
         "orders_cohort_ltv": R.orders_cohort_ltv,  # cohort LTV matrix
         # (first-order month x age); months^2-bounded partials
+        "events_funnel_strict": R.events_funnel_strict,  # funnel with
+        # EXCLUSION (MATCH_RECOGNIZE shape): signup -> purchase with
+        # no error strictly between, binary searches per user
     }
 
 
@@ -4264,5 +4267,34 @@ r5 AS (
                count(*) AS n_orders,
                round(sum(cents) / 100.0, 2) AS revenue
         FROM x GROUP BY 1, 2
+    """
+    # strict-sequence comparisons throughout: (ts, event_id) ordering
+    d["events_funnel_strict"] = """
+        WITH s AS (SELECT user_id, ts, event_id,
+                          row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS rn
+                   FROM events WHERE event_type = 'signup'),
+        fs AS (SELECT user_id, ts AS sts, event_id AS se
+               FROM s WHERE rn = 1),
+        p AS (SELECT e.user_id, fs.sts, fs.se, e.ts AS pts,
+                     e.event_id AS pe,
+                     row_number() OVER (PARTITION BY e.user_id
+                                        ORDER BY e.ts, e.event_id) AS rn
+              FROM events e JOIN fs ON e.user_id = fs.user_id
+              WHERE e.event_type = 'purchase'
+                AND (e.ts > fs.sts
+                     OR (e.ts = fs.sts AND e.event_id > fs.se))),
+        fp AS (SELECT user_id, sts, se, pts, pe FROM p WHERE rn = 1),
+        bad AS (SELECT DISTINCT fp.user_id
+                FROM events e JOIN fp ON e.user_id = fp.user_id
+                WHERE e.event_type = 'error'
+                  AND (e.ts > fp.sts
+                       OR (e.ts = fp.sts AND e.event_id > fp.se))
+                  AND (e.ts < fp.pts
+                       OR (e.ts = fp.pts AND e.event_id < fp.pe)))
+        SELECT fp.user_id, fp.se AS signup_id, fp.pe AS purchase_id,
+               epoch_us(fp.pts) - epoch_us(fp.sts) AS gap_us
+        FROM fp LEFT JOIN bad ON bad.user_id = fp.user_id
+        WHERE bad.user_id IS NULL
     """
     return d

@@ -845,3 +845,29 @@ def test_cohort_ltv_planted(ray_session, tmp_path):
     assert got.loc[(dec, 0)].revenue == 7.0
     assert got.loc[(dec, 1)].revenue == 9.0  # year boundary
     assert got.n_orders.sum() == 5
+
+
+def test_funnel_strict_exclusion(ray_session, tmp_path):
+    """u1: signup -> purchase clean (match); u2: signup -> ERROR ->
+    purchase (blocked); u3: ERROR before signup then purchase (match —
+    only errors BETWEEN count); u4: signup -> purchase -> error after
+    (match — the error is past the first purchase)."""
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    H = lambda h: base + np.timedelta64(h * 3_600_000_000, "us")
+    rows = [
+        (0, 1, "signup", H(0)), (1, 1, "purchase", H(1)),
+        (10, 2, "signup", H(0)), (11, 2, "error", H(1)),
+        (12, 2, "purchase", H(2)),
+        (20, 3, "error", H(0)), (21, 3, "signup", H(1)),
+        (22, 3, "purchase", H(2)),
+        (30, 4, "signup", H(0)), (31, 4, "purchase", H(1)),
+        (32, 4, "error", H(2)),
+    ]
+    _write_events(tmp_path, rows)
+    from webxtract.ops.relational import events_funnel_strict
+    got = events_funnel_strict(str(tmp_path)).to_pandas() \
+        .set_index("user_id").sort_index()
+    assert sorted(got.index) == [1, 3, 4]
+    assert got.loc[1].purchase_id == 1
+    assert got.loc[3].gap_us == 3_600_000_000
+    assert got.loc[4].purchase_id == 31

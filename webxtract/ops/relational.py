@@ -5489,3 +5489,92 @@ def orders_cohort_ltv(sf_dir: str):
         "n_orders": pa.array([agg[k][0] for k in keys], pa.int64()),
         "revenue": _uncents(pa.array([agg[k][1] for k in keys],
                                      pa.int64()))}))
+
+
+def events_funnel_strict(sf_dir: str):
+    """Funnel with EXCLUSION (the SQL MATCH_RECOGNIZE shape: signup
+    -> purchase with NO error strictly between): per user, the first
+    signup, its first strictly-later purchase, and a match only when
+    no error event falls between the two in (ts, event_id) sequence
+    order — the pattern a naive funnel (events_funnel_users /
+    events_time_to_convert) cannot express. One user-keyed
+    co-location; each leg is the same per-user binary search as
+    events_time_to_convert, and the exclusion is ONE more search into
+    the user's sorted error run — no state machine, no row loop."""
+    ev = read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                         "event_type"])
+
+    def fold(part: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "signup_id": pa.array([], pa.int64()),
+                          "purchase_id": pa.array([], pa.int64()),
+                          "gap_us": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        u = part.column("user_id").to_numpy()
+        ts = pc.cast(part.column("ts"), pa.timestamp("us")) \
+            .to_numpy().view(np.int64)
+        eid = part.column("event_id").to_numpy()
+        ty = part.column("event_type")
+        if isinstance(ty, pa.ChunkedArray):
+            ty = ty.combine_chunks()
+
+        def mask(name):
+            return pc.equal(ty, pa.scalar(name)) \
+                .to_numpy(zero_copy_only=False)
+
+        def sorted_leg(m):
+            lu, lt, le = u[m], ts[m], eid[m]
+            order = np.lexsort((le, lt, lu))
+            return lu[order], lt[order], le[order]
+
+        su_, st_, se_ = sorted_leg(mask("signup"))
+        if su_.size == 0:
+            return empty
+        keep = np.ones(su_.size, bool)
+        keep[1:] = su_[1:] != su_[:-1]
+        su, st, se = su_[keep], st_[keep], se_[keep]  # first signup
+
+        pu, pt, pe = sorted_leg(mask("purchase"))
+        eu, et, ee = sorted_leg(mask("error"))
+
+        def first_after(lu, lt, le, qu, qt, qe):
+            """index into the leg of each query's first strictly-later
+            event (or -1) — per-user binary searches."""
+            lo = np.searchsorted(lu, qu, side="left")
+            hi = np.searchsorted(lu, qu, side="right")
+            out = np.full(qu.size, -1, np.int64)
+            for i in range(qu.size):
+                a, b = lo[i], hi[i]
+                if a == b:
+                    continue
+                j = a + np.searchsorted(lt[a:b], qt[i], side="left")
+                while j < b and (lt[j] < qt[i]
+                                 or (lt[j] == qt[i] and le[j] <= qe[i])):
+                    j += 1
+                if j < b:
+                    out[i] = j
+            return out
+
+        pi = first_after(pu, pt, pe, su, st, se)
+        ei = first_after(eu, et, ee, su, st, se)
+        ok = pi >= 0
+        # exclusion: an error strictly between signup and THAT purchase
+        # (sequence order) kills the match
+        has_err = ei >= 0
+        err_before_purchase = np.zeros(su.size, bool)
+        m = ok & has_err
+        if m.any():
+            a = (et[ei[m]] < pt[pi[m]]) \
+                | ((et[ei[m]] == pt[pi[m]]) & (ee[ei[m]] < pe[pi[m]]))
+            err_before_purchase[m] = a
+        ok &= ~err_before_purchase
+        if not ok.any():
+            return empty
+        return pa.table({
+            "user_id": pa.array(su[ok], pa.int64()),
+            "signup_id": pa.array(se[ok], pa.int64()),
+            "purchase_id": pa.array(pe[pi[ok]], pa.int64()),
+            "gap_us": pa.array(pt[pi[ok]] - st[ok], pa.int64())})
+
+    return partitioned_map_groups(ev, "user_id", fold)

@@ -994,6 +994,12 @@ def _docs_ngram_novelty(sf_dir: str):
     return docs_ngram_novelty(sf_dir)
 
 
+def _emb_mmr_rerank(sf_dir: str):
+    from webxtract.ops.knn import emb_mmr_rerank
+
+    return emb_mmr_rerank(sf_dir)
+
+
 def _docs_token_entropy(sf_dir: str):
     from webxtract.ops.text import docs_token_entropy
 
@@ -1307,6 +1313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel_strict": R.events_funnel_strict,  # funnel with
         # EXCLUSION (MATCH_RECOGNIZE shape): signup -> purchase with
         # no error strictly between, binary searches per user
+        "emb_mmr_rerank": _emb_mmr_rerank,  # MMR diversity re-rank:
+        # greedy 2*rel - maxsim over integer code dots (unrolled CTE)
     }
 
 
@@ -1445,6 +1453,66 @@ def _rrf_oracle(bm_sql: str, q_sql: str, k: int = 20, c: int = 60) -> str:
               FROM u GROUP BY doc_id)
         SELECT doc_id, rrf_micro, n_lists FROM f
         ORDER BY rrf_micro DESC, doc_id LIMIT {k}"""
+
+
+def _mmr_oracle(query_id: int = 0, n_cand: int = 25, k: int = 10) -> str:
+    """DuckDB twin of ops.knn.emb_mmr_rerank: the identical int8
+    quantization CTE, integer dot-product relevance, candidate-pair
+    dot table, and k unrolled MATERIALIZED greedy argmax rounds
+    (2*rel - max dot to the selected set, ties vec_id asc)."""
+    head = f"""
+        WITH x AS (
+            SELECT vec_id, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) - 1 AS dim
+            FROM embeddings),
+        rng AS (SELECT dim, min(v) AS mn, max(v) AS mx
+                FROM x GROUP BY dim),
+        codes AS MATERIALIZED (
+            SELECT x.vec_id, x.dim,
+                   CASE WHEN rng.mx > rng.mn THEN
+                       CAST(least(254.0,
+                            floor((CAST(x.v AS DOUBLE)
+                                   - CAST(rng.mn AS DOUBLE)) * 255.0
+                                  / (CAST(rng.mx AS DOUBLE)
+                                     - CAST(rng.mn AS DOUBLE))))
+                            AS BIGINT) - 127
+                   ELSE -127 END AS code
+            FROM x JOIN rng USING (dim)),
+        q AS (SELECT dim, code FROM codes WHERE vec_id = {query_id}),
+        rel AS MATERIALIZED (
+            SELECT v.vec_id, CAST(sum(v.code * q.code) AS BIGINT) AS rel
+            FROM codes v JOIN q USING (dim)
+            WHERE v.vec_id <> {query_id} GROUP BY v.vec_id),
+        cand AS MATERIALIZED (
+            SELECT vec_id, rel FROM rel
+            ORDER BY rel DESC, vec_id LIMIT {n_cand}),
+        cd AS MATERIALIZED (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   CAST(sum(ca.code * cb.code) AS BIGINT) AS dot
+            FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+            JOIN codes ca ON ca.vec_id = a.vec_id
+            JOIN codes cb ON cb.vec_id = b.vec_id AND cb.dim = ca.dim
+            GROUP BY 1, 2),
+        s0 AS MATERIALIZED (
+            SELECT vec_id, rel, 2 * rel AS score
+            FROM cand ORDER BY score DESC, vec_id LIMIT 1)"""
+    parts = [head]
+    for r in range(1, k):
+        sel = " UNION ALL ".join(f"SELECT vec_id FROM s{i}"
+                                 for i in range(r))
+        parts.append(f"""
+        s{r} AS MATERIALIZED (
+            SELECT c.vec_id, c.rel, 2 * c.rel - max(cd.dot) AS score
+            FROM cand c JOIN cd ON cd.va = c.vec_id
+                 AND cd.vb IN ({sel})
+            WHERE c.vec_id NOT IN ({sel})
+            GROUP BY c.vec_id, c.rel
+            ORDER BY score DESC, c.vec_id LIMIT 1)""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, vec_id, rel, "
+        f"CAST(score AS BIGINT) AS score FROM s{r}"
+        for r in range(k))
+    return ",".join(parts) + f"\n        {finals} ORDER BY rank"
 
 
 def _kcenter_oracle(k: int = 8) -> str:
@@ -4297,4 +4365,5 @@ r5 AS (
         FROM fp LEFT JOIN bad ON bad.user_id = fp.user_id
         WHERE bad.user_id IS NULL
     """
+    d["emb_mmr_rerank"] = _mmr_oracle()
     return d

@@ -112,7 +112,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "parts_clustering_coeff", "events_value_cusum",
         "docs_ngram_novelty", "events_value_median_dist",
         "events_error_band_join", "orders_cohort_ltv",
-        "events_funnel_strict",
+        "events_funnel_strict", "emb_mmr_rerank",
         "emb_norms", "emb_label_centroids", "events_type_users_hll",
         "images_phash_dupes", "audios_envelope_dupes", "emb_knn_pq",
         "videos_frame_sample", "videos_mjpeg_dupes", "emb_semdedup",

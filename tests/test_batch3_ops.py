@@ -871,3 +871,21 @@ def test_funnel_strict_exclusion(ray_session, tmp_path):
     assert got.loc[1].purchase_id == 1
     assert got.loc[3].gap_us == 3_600_000_000
     assert got.loc[4].purchase_id == 31
+
+
+def test_mmr_diversity_bites(ray_session):
+    """MMR must diverge from pure relevance ranking on the real table
+    (the diversity term demotes near-duplicates of already-selected
+    results), while rank 0 always equals the relevance argmax."""
+    from webxtract.ops.knn import emb_mmr_rerank
+    SF = "/root/testdata/sf0.001"
+    mmr = emb_mmr_rerank(SF).to_pandas()
+    rel_order = mmr.sort_values(["rel", "vec_id"],
+                                ascending=[False, True])
+    assert mmr.iloc[0].vec_id == rel_order.iloc[0].vec_id
+    # diversity must actually reorder something within the picked set
+    assert mmr.vec_id.tolist() != rel_order.vec_id.tolist()
+    # scores are non-increasing? NOT guaranteed by MMR; but every
+    # score after rank 0 must be <= 2*rel (the penalty subtracts)
+    later = mmr.iloc[1:]
+    assert (later.score <= 2 * later.rel).all()

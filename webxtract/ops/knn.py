@@ -1295,3 +1295,128 @@ def emb_random_projection(sf_dir: str, k: int = 8):
 
     return ds.map_batches(project, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def emb_mmr_rerank(sf_dir: str, query_id: int = 0, n_cand: int = 25,
+                   k: int = 10):
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein) of a
+    retrieval candidate list — the diversity pass after ANN: greedily
+    pick k of the query's top-n_cand neighbors maximizing
+    2*rel(c) - max_{s selected} sim(c, s) (lambda = 2/3 scaled to
+    integers). Relevance and similarity are EXACT integer dot products
+    of the emb_quantize_int8 codes (the hard-negatives bit-determinism
+    contract — float cosine would hinge greedy ties on summation
+    order). Pass 1 is the dim-bounded min/max fold; pass 2 scans once
+    with the query code broadcast, each batch emitting only its local
+    top-n_cand (vec_id, rel, 64-byte code blob) rows; the greedy loop
+    runs on n_cand driver rows with integer matmuls. Oracled via the
+    kcenter-style generated unrolled CTE."""
+    import ray
+    import ray.data as rd
+
+    from ..broadcast import get_broadcast
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def mm_part(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch.column("embedding"))
+        if m.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({
+            "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+            "mn": pa.array(m.min(axis=0), pa.float64()),
+            "mx": pa.array(m.max(axis=0), pa.float64())})
+
+    mn = mx = None
+    for b in ds.map_batches(mm_part, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):  # dim-bounded
+        d = b.column("dim").to_numpy()
+        if mn is None:
+            mn = np.full(int(d.max()) + 1 if d.size else 0, np.inf)
+            mx = np.full_like(mn, -np.inf)
+        np.minimum.at(mn, d, b.column("mn").to_numpy())
+        np.maximum.at(mx, d, b.column("mx").to_numpy())
+
+    def quant(m: np.ndarray) -> np.ndarray:
+        span = mx - mn
+        safe = np.where(span > 0, span, 1.0)
+        code = np.minimum(254.0, np.floor((m - mn) * 255.0 / safe)) - 127
+        return np.where(span > 0, code, -127.0).astype(np.int64)
+
+    # the query row (pruned read; row filters push into the scan)
+    import pyarrow.dataset as pads
+    qt = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filter=pads.field("vec_id") == query_id)
+    qrows = [b for b in qt.iter_batches(batch_format="pyarrow")]
+    qm = _emb_matrix(pa.concat_tables(qrows).column("embedding"))
+    qcode = quant(qm)[0]
+    ref = ray.put((mn, mx, qcode))
+
+    def topcand(batch: pa.Table, _ref=ref) -> pa.Table:
+        lo, hi, qc = get_broadcast(_ref)
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "rel": pa.array([], pa.int64()),
+                          "blob": pa.array([], pa.binary())})
+        m = _emb_matrix(batch.column("embedding"))
+        if m.size == 0:
+            return empty
+        span = hi - lo
+        safe = np.where(span > 0, span, 1.0)
+        code = np.minimum(254.0, np.floor((m - lo) * 255.0 / safe)) - 127
+        code = np.where(span > 0, code, -127.0).astype(np.int64)
+        vid = batch.column("vec_id").to_numpy()
+        keep = vid != query_id
+        vid, code = vid[keep], code[keep]
+        if vid.size == 0:
+            return empty
+        rel = code @ qc
+        top = np.lexsort((vid, -rel))[:n_cand]
+        blobs = [code[i].astype(np.int8).tobytes() for i in top.tolist()]
+        return pa.table({"vec_id": pa.array(vid[top], pa.int64()),
+                         "rel": pa.array(rel[top], pa.int64()),
+                         "blob": pa.array(blobs, pa.binary())})
+
+    vids, rels, blobs = [], [], []
+    for b in ds.map_batches(topcand, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):  # <= n_cand/batch
+        vids.append(b.column("vec_id").to_numpy())
+        rels.append(b.column("rel").to_numpy())
+        blobs += b.column("blob").to_pylist()
+    vid = np.concatenate(vids) if vids else np.zeros(0, np.int64)
+    rel = np.concatenate(rels) if rels else np.zeros(0, np.int64)
+    codes = np.stack([np.frombuffer(x, np.int8).astype(np.int64)
+                      for x in blobs]) if blobs else np.zeros((0, 0))
+    order = np.lexsort((vid, -rel))[:n_cand]
+    vid, rel, codes = vid[order], rel[order], codes[order]
+
+    sel: list[int] = []
+    ranks, svid, srel, sscore = [], [], [], []
+    remaining = np.ones(vid.size, bool)
+    for r in range(min(k, vid.size)):
+        if sel:
+            sim = codes @ codes[np.array(sel)].T  # (n_cand, |sel|)
+            maxsim = sim.max(axis=1)
+            score = 2 * rel - maxsim
+        else:
+            score = 2 * rel
+        # argmax with (score desc, vec_id asc) over REMAINING rows —
+        # a masked sentinel cannot be negated (INT64_MIN wraps)
+        idx = np.flatnonzero(remaining)
+        best = idx[np.lexsort((vid[idx], -score[idx]))[0]]
+        ranks.append(r)
+        svid.append(int(vid[best]))
+        srel.append(int(rel[best]))
+        sscore.append(int(score[best]))
+        remaining[best] = False
+        sel.append(best)
+    return rd.from_arrow(pa.table({
+        "rank": pa.array(ranks, pa.int64()),
+        "vec_id": pa.array(svid, pa.int64()),
+        "rel": pa.array(srel, pa.int64()),
+        "score": pa.array(sscore, pa.int64())}))

@@ -1315,6 +1315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # no error strictly between, binary searches per user
         "emb_mmr_rerank": _emb_mmr_rerank,  # MMR diversity re-rank:
         # greedy 2*rel - maxsim over integer code dots (unrolled CTE)
+        "nation_region_revenue_share": R.nation_region_revenue_share,
+        # share-of-parent rollup: nation ppm of its region's revenue
     }
 
 
@@ -4366,4 +4368,20 @@ r5 AS (
         WHERE bad.user_id IS NULL
     """
     d["emb_mmr_rerank"] = _mmr_oracle()
+    d["nation_region_revenue_share"] = """
+        WITH x AS (SELECT r.r_name AS region, n.n_name AS nation,
+                          CAST(sum(CAST(round(o.o_totalprice * 100)
+                                        AS BIGINT)) AS BIGINT) AS cents
+                   FROM orders o
+                   JOIN customer c ON c.c_custkey = o.o_custkey
+                   JOIN nation n ON n.n_nationkey = c.c_nationkey
+                   JOIN region r ON r.r_regionkey = n.n_regionkey
+                   GROUP BY 1, 2),
+        t AS (SELECT region, CAST(sum(cents) AS BIGINT) AS tot
+              FROM x GROUP BY region)
+        SELECT x.region, x.nation,
+               round(x.cents / 100.0, 2) AS revenue,
+               x.cents * 1000000 // t.tot AS share_ppm
+        FROM x JOIN t USING (region)
+    """
     return d

@@ -5578,3 +5578,74 @@ def events_funnel_strict(sf_dir: str):
             "gap_us": pa.array(pt[pi[ok]] - st[ok], pa.int64())})
 
     return partitioned_map_groups(ev, "user_id", fold)
+
+
+def nation_region_revenue_share(sf_dir: str):
+    """Share-of-parent rollup (the hierarchy-dashboard shape q5 stops
+    short of): every nation's order revenue and its integer
+    parts-per-million share of its REGION's total — share_ppm =
+    nation_cents * 1_000_000 // region_cents, so no float division
+    exists anywhere. Customer -> nation -> region resolve through the
+    dimension broadcast chain (region/nation are catalog-tiny,
+    customer is the one sized broadcast — the hash-join swap the other
+    dimension joins document applies above it); orders are scanned
+    once into |nations|-bounded cents partials, and the region rollup
+    + shares fold on the driver over ~25 rows."""
+    import ray.data as rd
+
+    nat = read(sf_dir, "nation")
+    nat_ref = broadcast_lookup(nat, "n_nationkey",
+                               ["n_name", "n_regionkey"])
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def cast_nk(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "c_nationkey": t.column("c_nationkey").cast(pa.int64())})
+
+    cust = cust.map_batches(cast_nk, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    cust = cust.map_batches(
+        broadcast_join_stage(nat_ref, "c_nationkey",
+                             ["n_name", "n_regionkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cust_ref = broadcast_lookup(cust, "c_custkey",
+                                ["n_name", "n_regionkey"])
+    reg = read(sf_dir, "region")
+    rnames = dict(zip(reg.to_pandas().r_regionkey.tolist(),
+                      reg.to_pandas().r_name.tolist()))
+
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": t.column("o_custkey"),
+                      "cents": _cents(t.column("o_totalprice"))})
+        t = broadcast_join_stage(cust_ref, "o_custkey",
+                                 ["n_name", "n_regionkey"])(t)
+        g = t.group_by(["n_name", "n_regionkey"]).aggregate(
+            [("cents", "sum")])
+        return pa.table({"n_name": g.column("n_name"),
+                         "rk": g.column("n_regionkey"),
+                         "cents": g.column("cents_sum")})
+
+    agg: dict[tuple[str, int], int] = {}
+    for b in orders.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):  # |nations|-bounded
+        for n, rk, c in zip(b.column("n_name").to_pylist(),
+                            b.column("rk").to_pylist(),
+                            b.column("cents").to_pylist()):
+            agg[(n, rk)] = agg.get((n, rk), 0) + c
+    region_tot: dict[int, int] = {}
+    for (n, rk), c in agg.items():
+        region_tot[rk] = region_tot.get(rk, 0) + c
+    keys = sorted(agg)
+    return rd.from_arrow(pa.table({
+        "region": pa.array([rnames[rk] for (_n, rk) in keys],
+                           pa.string()),
+        "nation": pa.array([n for (n, _rk) in keys], pa.string()),
+        "revenue": _uncents(pa.array([agg[k] for k in keys],
+                                     pa.int64())),
+        "share_ppm": pa.array(
+            [agg[k] * 1_000_000 // region_tot[k[1]] for k in keys],
+            pa.int64())}))

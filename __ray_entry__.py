@@ -1317,6 +1317,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # greedy 2*rel - maxsim over integer code dots (unrolled CTE)
         "nation_region_revenue_share": R.nation_region_revenue_share,
         # share-of-parent rollup: nation ppm of its region's revenue
+        "events_attribution_linear": R.events_attribution_linear,
+        # LINEAR multi-touch attribution: equal ppm credit across the
+        # window's touches; |types|-bounded partials, band-join shape
     }
 
 
@@ -4383,5 +4386,23 @@ r5 AS (
                round(x.cents / 100.0, 2) AS revenue,
                x.cents * 1000000 // t.tot AS share_ppm
         FROM x JOIN t USING (region)
+    """
+    d["events_attribution_linear"] = """
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+        t AS (SELECT event_id, user_id, ts, event_type FROM events
+              WHERE event_type IN ('click', 'view')),
+        j AS (SELECT p.event_id AS pid, t.event_type AS touch_type
+              FROM p JOIN t ON p.user_id = t.user_id
+               AND epoch_us(p.ts) - epoch_us(t.ts) <= 86400000000
+               AND (t.ts < p.ts
+                    OR (t.ts = p.ts AND t.event_id < p.event_id))),
+        n AS (SELECT pid, count(*) AS n FROM j GROUP BY pid),
+        c AS (SELECT j.pid, j.touch_type, count(*) AS k,
+                     any_value(n.n) AS n
+              FROM j JOIN n USING (pid) GROUP BY j.pid, j.touch_type)
+        SELECT touch_type, count(*) AS n_purchases,
+               CAST(sum((1000000 // n) * k) AS BIGINT) AS credit_ppm
+        FROM c GROUP BY touch_type
     """
     return d

@@ -889,3 +889,26 @@ def test_mmr_diversity_bites(ray_session):
     # score after rank 0 must be <= 2*rel (the penalty subtracts)
     later = mmr.iloc[1:]
     assert (later.score <= 2 * later.rel).all()
+
+
+def test_linear_attribution_planted(ray_session, tmp_path):
+    """Purchase with 2 clicks + 1 view in window: each touch gets
+    333333 ppm -> click 666666, view 333333; a second purchase with
+    one click only -> 1000000; out-of-window touches never credit."""
+    base = np.datetime64("2026-01-01T12:00:00", "us")
+    H = lambda h: base + np.timedelta64(h * 3_600_000_000, "us")
+    rows = [
+        (0, 1, "click", H(-2)), (1, 1, "click", H(-1)),
+        (2, 1, "view", H(-3)), (3, 1, "purchase", H(0)),
+        (4, 1, "click", H(-30)),          # outside 24h
+        (10, 2, "click", H(-1)), (11, 2, "purchase", H(0)),
+        (20, 3, "purchase", H(0)),        # no touches
+    ]
+    _write_events(tmp_path, rows)
+    from webxtract.ops.relational import events_attribution_linear
+    got = events_attribution_linear(str(tmp_path)).to_pandas() \
+        .set_index("touch_type")
+    assert got.loc["click"].n_purchases == 2
+    assert got.loc["click"].credit_ppm == 2 * 333_333 + 1_000_000
+    assert got.loc["view"].n_purchases == 1
+    assert got.loc["view"].credit_ppm == 333_333

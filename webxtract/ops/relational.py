@@ -5649,3 +5649,96 @@ def nation_region_revenue_share(sf_dir: str):
         "share_ppm": pa.array(
             [agg[k] * 1_000_000 // region_tot[k[1]] for k in keys],
             pa.int64())}))
+
+
+def events_attribution_linear(sf_dir: str, window_hours: int = 24):
+    """LINEAR multi-touch attribution (the other standard model next
+    to events_attribution_last_touch): every click/view inside the
+    purchase's lookback window shares the credit equally —
+    credit_ppm = 1_000_000 // n_touches per touch, aggregated per
+    TOUCH TYPE (total credited purchases and summed ppm credit).
+    Window counting reuses the band-join two-searchsorted shape (one
+    user co-location, no interval expansion); per purchase the window
+    [t - w, t) in strict sequence order splits between the two touch
+    types via THREE binary searches, so the per-type partials are
+    |types|-bounded and no credit row stream ever materializes."""
+    ev = read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                         "event_type"])
+    w_us = np.int64(window_hours) * 3_600_000_000
+
+    def fold(part: pa.Table) -> pa.Table:
+        empty = pa.table({"touch_type": pa.array([], pa.string()),
+                          "n_purchases": pa.array([], pa.int64()),
+                          "credit_ppm": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        u = part.column("user_id").to_numpy()
+        ts = pc.cast(part.column("ts"), pa.timestamp("us")) \
+            .to_numpy().view(np.int64)
+        eid = part.column("event_id").to_numpy()
+        ty = part.column("event_type")
+        if isinstance(ty, pa.ChunkedArray):
+            ty = ty.combine_chunks()
+
+        def leg(name):
+            m = pc.equal(ty, pa.scalar(name)) \
+                .to_numpy(zero_copy_only=False)
+            lu, lt, le = u[m], ts[m], eid[m]
+            order = np.lexsort((le, lt, lu))
+            return lu[order], lt[order], le[order]
+
+        pu, pt, pe = leg("purchase")
+        if pu.size == 0:
+            return empty
+        agg: dict[str, list[int]] = {"click": [0, 0], "view": [0, 0]}
+        legs = {name: leg(name) for name in ("click", "view")}
+
+        def count_window(lu, lt, le, i):
+            a = np.searchsorted(lu, pu[i], side="left")
+            b = np.searchsorted(lu, pu[i], side="right")
+            if a == b:
+                return 0
+            lo = a + np.searchsorted(lt[a:b], pt[i] - w_us, side="left")
+            # strictly before the purchase in (ts, eid) order
+            hi = a + np.searchsorted(lt[a:b], pt[i], side="left")
+            j = hi
+            while j < b and lt[j] == pt[i] and le[j] < pe[i]:
+                j += 1
+            return j - lo
+
+        for i in range(pu.size):  # purchases loop; O(log) work each
+            n_click = count_window(*legs["click"], i)
+            n_view = count_window(*legs["view"], i)
+            n = n_click + n_view
+            if n == 0:
+                continue
+            ppm = 1_000_000 // n
+            if n_click:
+                agg["click"][0] += 1
+                agg["click"][1] += ppm * n_click
+            if n_view:
+                agg["view"][0] += 1
+                agg["view"][1] += ppm * n_view
+        keys = [k for k in sorted(agg) if agg[k][0]]
+        return pa.table({
+            "touch_type": pa.array(keys, pa.string()),
+            "n_purchases": pa.array([agg[k][0] for k in keys],
+                                    pa.int64()),
+            "credit_ppm": pa.array([agg[k][1] for k in keys],
+                                   pa.int64())})
+
+    parts = partitioned_map_groups(ev, "user_id", fold)
+    agg: dict[str, list[int]] = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):  # |types|
+        for t, n, c in zip(b.column("touch_type").to_pylist(),
+                           b.column("n_purchases").to_pylist(),
+                           b.column("credit_ppm").to_pylist()):
+            e = agg.setdefault(t, [0, 0])
+            e[0] += n
+            e[1] += c
+    import ray.data as rd
+    keys = sorted(agg)
+    return rd.from_arrow(pa.table({
+        "touch_type": pa.array(keys, pa.string()),
+        "n_purchases": pa.array([agg[k][0] for k in keys], pa.int64()),
+        "credit_ppm": pa.array([agg[k][1] for k in keys], pa.int64())}))

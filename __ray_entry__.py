@@ -1000,6 +1000,18 @@ def _emb_mmr_rerank(sf_dir: str):
     return emb_mmr_rerank(sf_dir)
 
 
+def _docs_source_entropy(sf_dir: str):
+    from webxtract.ops.text import docs_source_entropy
+
+    return docs_source_entropy(sf_dir)
+
+
+def _emb_drift_monitor(sf_dir: str):
+    from webxtract.ops.knn import emb_drift_monitor
+
+    return emb_drift_monitor(sf_dir)
+
+
 def _docs_token_entropy(sf_dir: str):
     from webxtract.ops.text import docs_token_entropy
 
@@ -1320,6 +1332,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution_linear": R.events_attribution_linear,
         # LINEAR multi-touch attribution: equal ppm credit across the
         # window's touches; |types|-bounded partials, band-join shape
+        "docs_source_entropy": _docs_source_entropy,  # corpus-mix
+        # health: source-distribution entropy in integer micro-nats
+        "emb_drift_monitor": _emb_drift_monitor,  # embedding drift:
+        # per-dim old-vs-new centroid cross-difference, all int64
     }
 
 
@@ -4404,5 +4420,58 @@ r5 AS (
         SELECT touch_type, count(*) AS n_purchases,
                CAST(sum((1000000 // n) * k) AS BIGINT) AS credit_ppm
         FROM c GROUP BY touch_type
+    """
+    d["docs_source_entropy"] = """
+        WITH c AS (SELECT source, count(*) AS n FROM documents
+                   GROUP BY source),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+                     count(*) AS n_src,
+                     CAST(sum(CAST(round_even(
+                          ln(CAST(n AS DOUBLE)) * CAST(n AS DOUBLE)
+                          * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS s
+              FROM c)
+        SELECT n_src AS n_sources, n_tot AS n_docs,
+               CAST(round_even(ln(CAST(n_tot AS DOUBLE)) * 1000000.0,
+                               0) AS BIGINT) - s // n_tot
+                   AS entropy_micro
+        FROM t
+    """
+    d["emb_drift_monitor"] = """
+        WITH x AS (
+            SELECT vec_id, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) - 1 AS dim
+            FROM embeddings),
+        rng AS (SELECT dim, min(v) AS mn, max(v) AS mx
+                FROM x GROUP BY dim),
+        cut AS (SELECT max(vec_id) // 2 AS c FROM embeddings),
+        codes AS (
+            SELECT x.vec_id, x.dim,
+                   CASE WHEN rng.mx > rng.mn THEN
+                       CAST(least(254.0,
+                            floor((CAST(x.v AS DOUBLE)
+                                   - CAST(rng.mn AS DOUBLE)) * 255.0
+                                  / (CAST(rng.mx AS DOUBLE)
+                                     - CAST(rng.mn AS DOUBLE))))
+                            AS BIGINT) - 127
+                   ELSE -127 END AS code
+            FROM x JOIN rng USING (dim)),
+        agg AS (
+            SELECT dim,
+                   CAST(sum(code) FILTER (
+                        WHERE vec_id < (SELECT c FROM cut))
+                        AS BIGINT) AS sum_a,
+                   CAST(count(*) FILTER (
+                        WHERE vec_id < (SELECT c FROM cut))
+                        AS BIGINT) AS n_a,
+                   CAST(sum(code) FILTER (
+                        WHERE vec_id >= (SELECT c FROM cut))
+                        AS BIGINT) AS sum_b,
+                   CAST(count(*) FILTER (
+                        WHERE vec_id >= (SELECT c FROM cut))
+                        AS BIGINT) AS n_b
+            FROM codes GROUP BY dim)
+        SELECT dim, sum_a, n_a, sum_b, n_b,
+               sum_a * n_b - sum_b * n_a AS diff_x
+        FROM agg
     """
     return d

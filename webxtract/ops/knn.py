@@ -1420,3 +1420,108 @@ def emb_mmr_rerank(sf_dir: str, query_id: int = 0, n_cand: int = 25,
         "vec_id": pa.array(svid, pa.int64()),
         "rel": pa.array(srel, pa.int64()),
         "score": pa.array(sscore, pa.int64())}))
+
+
+def emb_drift_monitor(sf_dir: str):
+    """Embedding-drift monitor (the ML-ops shape: did the embedding
+    distribution move between two ingest halves?): per dimension, the
+    int8-code sums and counts of the OLD half (vec_id < max/2) vs the
+    NEW half, and the exact cross-multiplied centroid difference
+    diff_x = sum_a * n_b - sum_b * n_a — comparing sa/na to sb/nb
+    without any division, so the signal is pure int64 (|sum| <= n*127
+    keeps the product far below overflow at any corpus size that fits
+    an int64 row count). Per-batch (dim, half) partial sums, one
+    dim-bounded fold, zero exchanges beyond it; the cutoff is
+    data-derived (max vec_id // 2) so the oracle recomputes it."""
+    import ray
+    import ray.data as rd
+
+    from ..broadcast import get_broadcast
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    # min/max fold (the quantize contract) + the data-derived cutoff
+    mn = mx = None
+    max_id = -1
+
+    def mm_part(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch.column("embedding"))
+        vid = batch.column("vec_id").to_numpy()
+        if m.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64()),
+                             "maxid": pa.array([], pa.int64())})
+        return pa.table({
+            "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+            "mn": pa.array(m.min(axis=0), pa.float64()),
+            "mx": pa.array(m.max(axis=0), pa.float64()),
+            "maxid": pa.array(np.full(m.shape[1], vid.max()),
+                              pa.int64())})
+
+    for b in ds.map_batches(mm_part, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):  # dim-bounded
+        d = b.column("dim").to_numpy()
+        if mn is None:
+            mn = np.full(int(d.max()) + 1 if d.size else 0, np.inf)
+            mx = np.full_like(mn, -np.inf)
+        np.minimum.at(mn, d, b.column("mn").to_numpy())
+        np.maximum.at(mx, d, b.column("mx").to_numpy())
+        if b.num_rows:
+            max_id = max(max_id,
+                         int(pc.max(b.column("maxid")).as_py()))
+    cutoff = max_id // 2
+    ref = ray.put((mn, mx, np.int64(cutoff)))
+
+    def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+        lo, hi, cut = get_broadcast(_ref)
+        m = _emb_matrix(batch.column("embedding"))
+        if m.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "sum_a": pa.array([], pa.int64()),
+                             "n_a": pa.array([], pa.int64()),
+                             "sum_b": pa.array([], pa.int64()),
+                             "n_b": pa.array([], pa.int64())})
+        span = hi - lo
+        safe = np.where(span > 0, span, 1.0)
+        code = np.minimum(254.0, np.floor((m - lo) * 255.0 / safe)) - 127
+        code = np.where(span > 0, code, -127.0).astype(np.int64)
+        vid = batch.column("vec_id").to_numpy()
+        old = vid < cut
+        dims = np.arange(code.shape[1], dtype=np.int64)
+        return pa.table({
+            "dim": pa.array(dims, pa.int64()),
+            "sum_a": pa.array(code[old].sum(axis=0), pa.int64()),
+            "n_a": pa.array(np.full(dims.size, int(old.sum())),
+                            pa.int64()),
+            "sum_b": pa.array(code[~old].sum(axis=0), pa.int64()),
+            "n_b": pa.array(np.full(dims.size, int((~old).sum())),
+                            pa.int64())})
+
+    sa = sb = na = nb = None
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):  # dim-bounded
+        d = b.column("dim").to_numpy()
+        if sa is None:
+            size = int(d.max()) + 1 if d.size else 0
+            sa = np.zeros(size, np.int64)
+            sb = np.zeros(size, np.int64)
+            na = np.zeros(size, np.int64)
+            nb = np.zeros(size, np.int64)
+        np.add.at(sa, d, b.column("sum_a").to_numpy())
+        np.add.at(sb, d, b.column("sum_b").to_numpy())
+        np.add.at(na, d, b.column("n_a").to_numpy())
+        np.add.at(nb, d, b.column("n_b").to_numpy())
+    if sa is None:
+        sa = sb = na = nb = np.zeros(0, np.int64)
+    dims = np.arange(sa.size, dtype=np.int64)
+    return rd.from_arrow(pa.table({
+        "dim": pa.array(dims, pa.int64()),
+        "sum_a": pa.array(sa, pa.int64()),
+        "n_a": pa.array(na, pa.int64()),
+        "sum_b": pa.array(sb, pa.int64()),
+        "n_b": pa.array(nb, pa.int64()),
+        "diff_x": pa.array(sa * nb - sb * na, pa.int64())}))

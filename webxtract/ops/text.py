@@ -3390,3 +3390,46 @@ def docs_ngram_novelty(sf_dir: str, n: int = 3):
 
     return copartitioned_map([(novel, prep_novel), (denom, prep_denom)],
                              "doc_id", join_fold)
+
+
+def docs_source_entropy(sf_dir: str):
+    """Corpus-mix health metric: Shannon entropy of the SOURCE
+    distribution in integer micro-nats (low entropy = the corpus is
+    dominated by one crawl/source — the redundancy alarm a curation
+    dashboard tracks next to the per-doc signals). Same integer
+    discipline as docs_token_entropy: per-source counts fold as
+    |sources|-bounded partials, each count's ln term rounds BEFORE the
+    commutative integer sum, and the final division truncates —
+    bit-identical in both engines. One scan, no exchange."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t.column("source").value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"source": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    agg: dict[str, int] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):  # |sources|-bounded
+        for s, n in zip(b.column("source").to_pylist(),
+                        b.column("n").to_pylist()):
+            agg[s] = agg.get(s, 0) + n
+    n_tot = sum(agg.values())
+    if n_tot == 0:
+        return rd.from_arrow(pa.table({
+            "n_sources": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "entropy_micro": pa.array([], pa.int64())}))
+    s_int = sum(int(np.round(np.log(float(c)) * c * 1e6))
+                for c in agg.values())
+    head = int(np.round(np.log(float(n_tot)) * 1e6))
+    return rd.from_arrow(pa.table({
+        "n_sources": pa.array([len(agg)], pa.int64()),
+        "n_docs": pa.array([n_tot], pa.int64()),
+        "entropy_micro": pa.array([head - s_int // n_tot], pa.int64())}))

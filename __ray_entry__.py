@@ -1012,6 +1012,12 @@ def _emb_drift_monitor(sf_dir: str):
     return emb_drift_monitor(sf_dir)
 
 
+def _docs_dup_ratio_by_source(sf_dir: str):
+    from webxtract.ops.text import docs_dup_ratio_by_source
+
+    return docs_dup_ratio_by_source(sf_dir)
+
+
 def _docs_token_entropy(sf_dir: str):
     from webxtract.ops.text import docs_token_entropy
 
@@ -1341,6 +1347,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # health: source-distribution entropy in integer micro-nats
         "emb_drift_monitor": _emb_drift_monitor,  # embedding drift:
         # per-dim old-vs-new centroid cross-difference, all int64
+        "docs_dup_ratio_by_source": _docs_dup_ratio_by_source,  # dedup
+        # dashboard: per-source distinct-hash ratio, hashes-only shuffle
     }
 
 
@@ -4478,5 +4486,12 @@ r5 AS (
         SELECT dim, sum_a, n_a, sum_b, n_b,
                sum_a * n_b - sum_b * n_a AS diff_x
         FROM agg
+    """
+    d["docs_dup_ratio_by_source"] = """
+        SELECT source, count(*) AS n_docs,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+               (count(*) - count(DISTINCT md5(text))) * 1000000
+                   // count(*) AS dup_ppm
+        FROM documents GROUP BY source
     """
     return d

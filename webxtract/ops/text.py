@@ -3433,3 +3433,81 @@ def docs_source_entropy(sf_dir: str):
         "n_sources": pa.array([len(agg)], pa.int64()),
         "n_docs": pa.array([n_tot], pa.int64()),
         "entropy_micro": pa.array([head - s_int // n_tot], pa.int64())}))
+
+
+def docs_dup_ratio_by_source(sf_dir: str):
+    """Per-source duplication rate (the dedup dashboard: which crawl
+    is feeding us copies?): docs, distinct content hashes and the
+    integer ppm duplicate ratio (n_docs - n_distinct) * 1e6 // n_docs
+    per source. Per-batch (md5, source) slim pairs through one
+    content-keyed exchange (hashes only — text never shuffles; at
+    corpus scale the md5 string column swaps for its 128-bit halves,
+    the _gram_hash_stream note); per-partition distinct-per-source
+    counts fold into a |sources|-bounded driver dict. md5 matches
+    docs_fingerprints' oracle contract (DuckDB md5())."""
+    import ray.data as rd
+
+    from .relational import partitioned_map_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "source"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "h": pa.array(md5_hex(texts), pa.string()),
+            "source": batch.column("source")})
+
+    def fold(part: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "n_distinct": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        h = part.column("h")
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        s = part.column("source")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        hd = h.dictionary_encode()
+        sd = s.dictionary_encode()
+        if isinstance(hd, pa.ChunkedArray):
+            hd = hd.combine_chunks()
+        if isinstance(sd, pa.ChunkedArray):
+            sd = sd.combine_chunks()
+        hc = hd.indices.to_numpy().astype(np.int64)
+        scode = sd.indices.to_numpy().astype(np.int64)
+        n_src = len(sd.dictionary)
+        packed = hc * n_src + scode
+        # per (source): total docs and DISTINCT (hash, source) pairs —
+        # hashes are co-located, so these partials are final per hash
+        n_docs = np.bincount(scode, minlength=n_src).astype(np.int64)
+        keys = np.unique(packed)
+        nd = np.bincount((keys % n_src).astype(np.int64),
+                         minlength=n_src).astype(np.int64)
+        srcs = sd.dictionary.cast(pa.string())
+        return pa.table({"source": srcs,
+                         "n_docs": pa.array(n_docs, pa.int64()),
+                         "n_distinct": pa.array(nd, pa.int64())})
+
+    parts = partitioned_map_groups(
+        ds.map_batches(pairs, batch_format="pyarrow",
+                       zero_copy_batch=True), "h", fold)
+    agg: dict[str, list[int]] = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):  # |sources|
+        for s, n, d in zip(b.column("source").to_pylist(),
+                           b.column("n_docs").to_pylist(),
+                           b.column("n_distinct").to_pylist()):
+            e = agg.setdefault(s, [0, 0])
+            e[0] += n
+            e[1] += d
+    keys = sorted(agg)
+    nd_ = np.array([agg[k][0] for k in keys], np.int64)
+    dd_ = np.array([agg[k][1] for k in keys], np.int64)
+    return rd.from_arrow(pa.table({
+        "source": pa.array(keys, pa.string()),
+        "n_docs": pa.array(nd_, pa.int64()),
+        "n_distinct": pa.array(dd_, pa.int64()),
+        "dup_ppm": pa.array((nd_ - dd_) * 1_000_000 // nd_,
+                            pa.int64())}))

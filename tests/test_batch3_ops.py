@@ -912,3 +912,21 @@ def test_linear_attribution_planted(ray_session, tmp_path):
     assert got.loc["click"].credit_ppm == 2 * 333_333 + 1_000_000
     assert got.loc["view"].n_purchases == 1
     assert got.loc["view"].credit_ppm == 333_333
+
+
+def test_cosine_simjoin_verify_paths_equivalent(ray_session):
+    """broadcast-verify == join-verify for the binary cosine join on
+    the real corpus (pair sets and all columns bit-identical)."""
+    import ray.data as rd
+
+    from webxtract.ops.dedup import cosine_simjoin_pairs
+    SF = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    a = cosine_simjoin_pairs(ds, verify="broadcast").to_pandas() \
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    ds2 = rd.read_parquet(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text"])
+    b = cosine_simjoin_pairs(ds2, verify="join").to_pandas() \
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    assert a.values.tolist() == b.values.tolist()

@@ -115,7 +115,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "events_funnel_strict", "emb_mmr_rerank",
         "nation_region_revenue_share", "events_attribution_linear",
         "docs_source_entropy", "emb_drift_monitor",
-        "docs_dup_ratio_by_source",
+        "docs_dup_ratio_by_source", "docs_cosine_simjoin_tf",
         "emb_norms", "emb_label_centroids", "events_type_users_hll",
         "images_phash_dupes", "audios_envelope_dupes", "emb_knn_pq",
         "videos_frame_sample", "videos_mjpeg_dupes", "emb_semdedup",

@@ -739,6 +739,30 @@ def _images_phash_dupes(sf_dir: str):
     return images_phash_dupes(sf_dir)
 
 
+def _images_page_prep(sf_dir: str):
+    """Page pre-processing metadata over the deterministic skewed-page
+    corpus: decode -> grayscale -> exact-integer Otsu binarize ->
+    projection-profile skew estimate -> shear deskew (rows-only:
+    otsu_thr / ink_ppm depend on PCG64-seeded word gaps; the exact
+    planted-angle recovery and pixel-exact deskew round-trip are
+    pytest-gated, and the SQL-expressible projection is the ORACLED
+    images_page_skew)."""
+    from webxtract.ops.pageprep import images_page_prep
+
+    return images_page_prep(sf_dir)
+
+
+def _images_page_skew(sf_dir: str):
+    """ORACLED end-to-end proof of the pixel pre-processing path: the
+    DuckDB twin recomputes (width, height, skew_mdeg) in closed form
+    from doc_id, so a hash match certifies encode -> decode -> Otsu ->
+    projection-profile estimation recovered the planted skew angle
+    EXACTLY for every document."""
+    from webxtract.ops.pageprep import images_page_skew
+
+    return images_page_skew(sf_dir)
+
+
 def _audios_envelope_dupes(sf_dir: str):
     """Near-dup audio clips over a deterministic synthetic WAV corpus:
     envelope_hash64 -> banded LSH -> hamming verify, machinery shared
@@ -1349,6 +1373,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-dim old-vs-new centroid cross-difference, all int64
         "docs_dup_ratio_by_source": _docs_dup_ratio_by_source,  # dedup
         # dashboard: per-source distinct-hash ratio, hashes-only shuffle
+        "images_page_prep": _images_page_prep,  # page pre-processing:
+        # Otsu binarize + projection-profile deskew (north-star leg)
+        "images_page_skew": _images_page_skew,  # ORACLED closed-form
+        # twin: exact planted-skew recovery certified by hash match
     }
 
 
@@ -4105,6 +4133,27 @@ r5 AS (
                    AND epoch_us(p.ts) - epoch_us(t.ts) <= 86400000000)
             SELECT purchase_id, touch_id, touch_type, gap_us
             FROM j WHERE rn = 1
+        """,
+        # closed-form planted truth for the pixel pre-processing path
+        # (ops/pageprep.py): skew_mdeg is the Knuth-hash grid plant,
+        # height is the shear's shift span 96 + |round(191 tan theta)|
+        # (rint == half-away round on all 25 planted angles, pinned in
+        # tests/test_pageprep.py); a hash match proves decode ->
+        # grayscale -> Otsu -> projection-profile estimation recovered
+        # the planted angle EXACTLY for every document
+        "images_page_skew": """
+            WITH p AS (
+                SELECT doc_id,
+                       ((doc_id * 2654435761) % 25 - 12) * 1000
+                           AS skew_mdeg
+                FROM documents)
+            SELECT doc_id AS media_id,
+                   CAST(192 AS BIGINT) AS width,
+                   CAST(96 + abs(round(
+                       191 * tan(radians(skew_mdeg / 1000.0))))
+                       AS BIGINT) AS height,
+                   CAST(skew_mdeg AS BIGINT) AS skew_mdeg
+            FROM p ORDER BY media_id
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

@@ -739,6 +739,27 @@ def _images_phash_dupes(sf_dir: str):
     return images_phash_dupes(sf_dir)
 
 
+def _domain_link_edges(sf_dir: str):
+    """ORACLED crawl link graph: the REAL DOM parser walks anchors over
+    the deterministic synthetic crawl, resolves hosts (relative ->
+    same-host self-loop -> dropped; protocol-relative; case-folded;
+    non-web schemes ignored) and the distinct cross-host edge set is
+    recomputed closed-form by DuckDB from doc_id."""
+    from webxtract.ops.web import domain_link_edges
+
+    return domain_link_edges(sf_dir)
+
+
+def _domain_pagerank(sf_dir: str):
+    """ORACLED composite: domain-level PageRank over the crawl link
+    graph (dictionary-encoded hosts -> integer recurrence over pinned
+    edge blocks -> top-25 hosts); DuckDB runs the identical unrolled
+    integer rounds over the closed-form edge set."""
+    from webxtract.ops.web import domain_pagerank
+
+    return domain_pagerank(sf_dir)
+
+
 def _images_page_prep(sf_dir: str):
     """Page pre-processing metadata over the deterministic skewed-page
     corpus: decode -> grayscale -> exact-integer Otsu binarize ->
@@ -1377,6 +1398,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Otsu binarize + projection-profile deskew (north-star leg)
         "images_page_skew": _images_page_skew,  # ORACLED closed-form
         # twin: exact planted-skew recovery certified by hash match
+        "domain_link_edges": _domain_link_edges,  # ORACLED crawl link
+        # graph: real DOM anchor walk vs closed-form planted edges
+        "domain_pagerank": _domain_pagerank,  # ORACLED domain PageRank
+        # composite over the link graph (unrolled integer CTE twin)
     }
 
 
@@ -1452,6 +1477,51 @@ def _wpagerank_oracle(iters: int = 5, k: int = 25) -> str:
             + f"""
         SELECT node, CAST(r AS BIGINT) AS rank_e12 FROM r{iters}
         ORDER BY rank_e12 DESC, node LIMIT {k}""")
+
+
+_LINK_EDGE_CTE = """
+        d AS (SELECT doc_id, doc_id % 50 AS h, doc_id % 3 AS kk
+              FROM documents),
+        o1 AS (SELECT h AS s, (doc_id * 7 + 13 * j + 1) % 50 AS t
+               FROM (SELECT *, unnest(range(0, kk + 1)) AS j FROM d)),
+        o2 AS (SELECT h AS s, (doc_id * 3 + 2) % 50 AS t
+               FROM d WHERE doc_id % 5 = 0),
+        e0 AS (SELECT DISTINCT s, t
+               FROM (SELECT s, t FROM o1
+                     UNION ALL SELECT s, t FROM o2) u
+               WHERE s <> t)"""
+
+
+def _domain_pagerank_oracle(iters: int = 5, k: int = 25) -> str:
+    """DuckDB twin of ops.web.domain_pagerank: the planted closed-form
+    DIRECTED edge set (synth_link_corpus) + the identical unrolled
+    integer PageRank recurrence (deg = out-degree; contributions into
+    pure sinks drop via the deg LEFT JOIN, mirroring ops.graph.pagerank
+    ranking only source nodes)."""
+    head = ("WITH" + _LINK_EDGE_CTE + """,
+        deg AS (SELECT s AS node, count(*) AS d FROM e0 GROUP BY s),
+        nn AS (SELECT count(*) AS n FROM deg),
+        r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS r
+               FROM deg)""")
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+        c{i} AS (
+            SELECT e0.t AS node, sum(r{i - 1}.r // deg.d) AS c
+            FROM e0 JOIN r{i - 1} ON e0.s = r{i - 1}.node
+            JOIN deg ON e0.s = deg.node
+            GROUP BY e0.t),
+        r{i} AS (
+            SELECT deg.node,
+                   (150000000000 // (SELECT n FROM nn))
+                   + (85 * coalesce(c{i}.c, 0)) // 100 AS r
+            FROM deg LEFT JOIN c{i} ON deg.node = c{i}.node)""")
+    return (head + "," + ",".join(rounds)
+            + f"""
+        SELECT 'site' || node || '.example' AS host,
+               CAST(r AS BIGINT) AS rank_e12
+        FROM r{iters}
+        ORDER BY rank_e12 DESC, host LIMIT {k}""")
 
 
 def _hits_oracle(iters: int = 3, k: int = 25) -> str:
@@ -4155,6 +4225,15 @@ r5 AS (
                    CAST(skew_mdeg AS BIGINT) AS skew_mdeg
             FROM p ORDER BY media_id
         """,
+        # planted closed-form crawl link graph (ops.web.
+        # synth_link_corpus): hash match certifies the real DOM anchor
+        # walk + host resolution + self-loop/scheme filtering
+        "domain_link_edges": "WITH" + _LINK_EDGE_CTE + """
+            SELECT 'site' || s || '.example' AS src_host,
+                   'site' || t || '.example' AS dst_host
+            FROM e0 ORDER BY src_host, dst_host
+        """,
+        "domain_pagerank": _domain_pagerank_oracle(),
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle
     # composes their SQL bodies and can never drift from them

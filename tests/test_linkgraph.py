@@ -1,0 +1,100 @@
+"""Crawl link graph (ops/web): href host resolution, DOM anchor walk
+over tag soup, distinct cross-host edges, domain PageRank composite."""
+
+import pyarrow as pa
+import pytest
+
+from webxtract.ops.web import extract_links, href_host
+
+
+def test_href_host_resolution_table():
+    base = "site1.example"
+    cases = {
+        "https://Site2.Example/p?q=1#f": "site2.example",
+        "HTTPS://SITE3.EXAMPLE/x": "site3.example",
+        "http://user:pw@site4.example:8080/a": "site4.example",
+        "//site5.example/pr": "site5.example",
+        "/relative/path": base,
+        "?query=only": base,
+        "#fragment": base,
+        "": base,
+        None: base,
+        "mailto:a@b.example": None,
+        "javascript:void(0)": None,
+        "ftp://site6.example/f": None,
+        "data:text/plain,hi": None,
+        "http:opaque-no-authority": None,
+        "https://": None,  # empty authority
+    }
+    for href, want in cases.items():
+        assert href_host(href, base) == want, href
+
+
+def test_href_host_strips_whitespace():
+    assert href_host("  https://site7.example/x \n", None) == \
+        "site7.example"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_extract_links_tag_soup_and_noise():
+    """Unclosed tags, nested anchors, duplicate links, self-loops and
+    non-web schemes: only distinct cross-host edges survive."""
+    import ray.data as rd
+
+    html = (b'<html><body><p>text<a href="https://other.example/a">one'
+            b'<a href="https://other.example/b">dup-host</a>'
+            b'<a href="/self">self</a>'
+            b'<a href="mailto:x@y">m</a>'
+            b'<a href="//third.example/pr">pr</a>'
+            b'<div><a href="HTTP://FOURTH.EXAMPLE">up</a>')  # unclosed
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(["https://me.example/p", "not a url"]),
+        "html": pa.array([html, b"<a href='https://x.example'>x</a>"],
+                         pa.binary()),
+    }))
+    df = extract_links(ds).to_pandas()
+    got = set(zip(df.src_host, df.dst_host))
+    assert got == {("me.example", "other.example"),
+                   ("me.example", "third.example"),
+                   ("me.example", "fourth.example")}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_domain_pagerank_matches_local_replica():
+    """The composite's integer recurrence over the extracted graph ==
+    a dict-based local PageRank replay of the closed-form edges."""
+    from webxtract.ops.web import domain_pagerank
+
+    import pyarrow.parquet as pq
+
+    SF = "/root/testdata/sf0.001"
+    ids = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id"]).column(0).to_pylist()
+    edges = set()
+    for i in ids:
+        h = i % 50
+        for j in range(1 + i % 3):
+            t = (i * 7 + 13 * j + 1) % 50
+            if t != h:
+                edges.add((h, t))
+        if i % 5 == 0:
+            pr = (i * 3 + 2) % 50
+            if pr != h:
+                edges.add((h, pr))
+    SCALE = 10 ** 12
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(deg)
+    rank = {u: SCALE // n for u in deg}
+    tele = (15 * SCALE // 100) // n
+    for _ in range(5):
+        c = {u: 0 for u in deg}
+        for s, t in edges:
+            if t in c:
+                c[t] += rank[s] // deg[s]
+        rank = {u: tele + (85 * c[u]) // 100 for u in deg}
+    want = sorted(((f"site{u}.example", r) for u, r in rank.items()),
+                  key=lambda x: (-x[1], x[0]))[:25]
+    df = domain_pagerank(SF).to_pandas()
+    assert list(zip(df.host, df.rank_e12)) == want

@@ -175,3 +175,225 @@ def pages_domain_stats(sf_dir: str):
     ds = pages_dataset(sf_rows=rows_for_sf_dir(sf_dir),
                        columns=["url", "html"])
     return domain_stats(ds)
+
+
+# --- crawl link graph ------------------------------------------------------
+
+import re as _re
+
+_SCHEME = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+_HOST_END = _re.compile(r"[/?#]")
+
+
+def href_host(href: str | None, base_host: str | None) -> str | None:
+    """Host an anchor points at, lowercased; None for non-web schemes
+    (mailto:, javascript:, ftp:, data:) and unparseable values. Relative
+    references resolve to ``base_host`` (RFC 3986 §5: same authority),
+    protocol-relative ``//host/...`` to their own host. Userinfo and
+    port are stripped — the link GRAPH is keyed by host."""
+    if not href:
+        return base_host
+    href = href.strip()
+    if href.startswith("//"):
+        rest = href[2:]
+    else:
+        m = _SCHEME.match(href)
+        if m:
+            scheme = href[:m.end() - 1].lower()
+            if scheme not in ("http", "https"):
+                return None
+            tail = href[m.end():]
+            if not tail.startswith("//"):
+                return None  # opaque http:foo — no authority
+            rest = tail[2:]
+        else:
+            return base_host  # relative path/query/fragment reference
+    host = _HOST_END.split(rest, 1)[0]
+    host = host.rsplit("@", 1)[-1].split(":", 1)[0].lower()
+    return host or None
+
+
+def _iter_hrefs(node):
+    """Yield every <a href> value in the tree (iterative walk — parser
+    trees are repaired, but deep tag soup must not hit the recursion
+    limit)."""
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, str):
+            continue
+        if n.tag == "a":
+            h = n.attrs.get("href")
+            if h is not None:
+                yield h
+        stack.extend(n.children)
+
+
+def extract_links(ds, url_col: str = "url", html_col: str = "html"):
+    """pages Dataset -> DISTINCT cross-host (src_host, dst_host) edges.
+
+    Per batch: the REAL DOM parser (webxtract.htmldom — the extraction
+    engine's own tree builder, tag-soup safe) walks each page for
+    anchors; hosts resolve per ``href_host`` (relative -> own host,
+    which self-loop-drops below); the batch pre-reduces to its distinct
+    pairs, then ONE bounded hash exchange on the pair key makes pairs
+    globally distinct — edge volume is |host pairs|, not |anchors|, and
+    html bytes never shuffle. Parsing is per-row by nature (same as the
+    extraction hot path); everything around it is batch-level."""
+    from .relational import partitioned_map_groups
+
+    def links_batch(t: pa.Table) -> pa.Table:
+        from ..htmldom import decode_bytes, parse_html
+
+        urls = t.column(url_col).to_pylist()
+        htmls = t.column(html_col).to_pylist()
+        pairs: set[tuple[str, str]] = set()
+        for u, raw in zip(urls, htmls):
+            src = href_host(u, None)
+            if src is None:
+                continue
+            text = raw if isinstance(raw, str) else decode_bytes(raw)
+            if not text:
+                continue
+            for h in _iter_hrefs(parse_html(text)):
+                dst = href_host(h, src)
+                if dst is not None and dst != src:
+                    pairs.add((src, dst))
+        srcs, dsts = (list(z) for z in zip(*sorted(pairs))) if pairs \
+            else ([], [])
+        return pa.table({"src_host": pa.array(srcs, pa.string()),
+                         "dst_host": pa.array(dsts, pa.string())})
+
+    tagged = ds.map_batches(links_batch, batch_format="pyarrow") \
+        .map_batches(
+            lambda t: t.append_column(
+                "_k", pc.binary_join_element_wise(
+                    t.column("src_host"), t.column("dst_host"), "\x1f")),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def distinct_part(part: pa.Table) -> pa.Table:
+        g = part.group_by(["src_host", "dst_host"]).aggregate([])
+        return g.select(["src_host", "dst_host"])
+
+    return partitioned_map_groups(tagged, "_k", distinct_part)
+
+
+def synth_link_corpus(sf_dir: str, n: int | None = None):
+    """Deterministic crawl fixture from the documents table ids: page
+    doc_id lives on host site{doc_id % 50}.example and links out to
+    1 + doc_id % 3 hosts (doc_id*7 + 13j + 1) % 50 — the j = 0 anchor
+    written with UPPERCASE scheme+host to exercise lowercasing — plus,
+    on every 5th doc, a protocol-relative link to (doc_id*3 + 2) % 50.
+    Noise that must NOT produce edges: relative nav links (same-host
+    self-loops), mailto:, javascript:, ftp:, and a bare fragment. The
+    planted edge set is closed-form in doc_id, so the DuckDB twin
+    recomputes it exactly. Pure plumbing fixture — real corpora read
+    (url, html) from parquet."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    if n is not None:
+        ids = ids.limit(n)
+    try:
+        import ray
+
+        ids = ids.repartition(
+            max(2, int(ray.cluster_resources().get("CPU", 8))))
+    except Exception:
+        pass
+
+    def render(batch: pa.Table) -> pa.Table:
+        out_u, out_h = [], []
+        for i in batch.column("doc_id").to_pylist():
+            h = i % 50
+            anchors = ['<nav><a href="/home">Home</a> '
+                       '<a href="#top">Top</a></nav>']
+            for j in range(1 + i % 3):
+                t = (i * 7 + 13 * j + 1) % 50
+                if j == 0:
+                    anchors.append(
+                        f'<a href="HTTPS://SITE{t}.EXAMPLE/x?utm=1">'
+                        f'ref{j}</a>')
+                else:
+                    anchors.append(
+                        f'<a href="https://site{t}.example/page/{j}">'
+                        f'ref{j}</a>')
+            if i % 5 == 0:
+                pr = (i * 3 + 2) % 50
+                anchors.append(
+                    f'<a href="//site{pr}.example/pr">proto-rel</a>')
+            anchors.append('<a href="mailto:a@b.example">mail</a>')
+            anchors.append('<a href="javascript:void(0)">js</a>')
+            anchors.append(f'<a href="ftp://site{(i + 9) % 50}.example'
+                           '/f">ftp</a>')
+            body = "".join(anchors)
+            out_u.append(f"https://site{h}.example/p/{i}")
+            out_h.append(f"<html><body><p>doc {i}</p>{body}"
+                         "</body></html>".encode())
+        return pa.table({"url": pa.array(out_u, pa.string()),
+                         "html": pa.array(out_h, pa.binary())})
+
+    return ids.map_batches(render, batch_format="pyarrow", batch_size=256)
+
+
+def domain_link_edges(sf_dir: str):
+    """ORACLED query surface: the distinct cross-host link graph of the
+    synthetic crawl — DuckDB recomputes the planted edges in closed
+    form from doc_id, so a hash match certifies DOM anchor walking,
+    scheme filtering, relative/protocol-relative resolution, case
+    normalization and self-loop dropping end to end."""
+    return extract_links(synth_link_corpus(sf_dir)) \
+        .sort(["src_host", "dst_host"])
+
+
+def domain_pagerank(sf_dir: str, iters: int = 5, k: int = 25):
+    """ORACLED composite: domain-level PageRank over the crawl link
+    graph — the standard crawl-prioritization signal. Hosts dictionary-
+    encode to dense int64 ids (the host dictionary is |domains|-bounded
+    — always orders of magnitude under the page count; same bound class
+    as the vocabulary broadcasts, and the fold ships one slim string
+    column), then the existing integer PageRank recurrence runs its
+    raw-task folds over the pinned edge blocks; ids map back to hosts
+    only for the top-k output. Directed semantics: ranks are over hosts
+    WITH outlinks, contributions into pure sinks drop (ops.graph.
+    pagerank's documented convention — the DuckDB twin mirrors it)."""
+    import ray
+
+    from .graph import pagerank
+
+    edges = extract_links(synth_link_corpus(sf_dir)).materialize()
+
+    host_chunks = []
+    for b in edges.map_batches(
+            lambda t: pa.table({"h": pc.unique(pa.chunked_array(
+                [t.column("src_host"), t.column("dst_host")])
+                .combine_chunks())}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        host_chunks.append(b.column("h").to_numpy(zero_copy_only=False))
+    hosts = np.unique(np.concatenate(host_chunks)) if host_chunks \
+        else np.array([], dtype=object)
+    hosts_ref = ray.put(hosts)
+
+    def encode(t: pa.Table) -> pa.Table:
+        from ..broadcast import get_broadcast
+
+        hv = get_broadcast(hosts_ref)
+        s = np.searchsorted(hv, t.column("src_host").to_numpy(
+            zero_copy_only=False))
+        d = np.searchsorted(hv, t.column("dst_host").to_numpy(
+            zero_copy_only=False))
+        return pa.table({"src": pa.array(s, pa.int64()),
+                         "dst": pa.array(d, pa.int64())})
+
+    iedges = edges.map_batches(encode, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    t = pagerank(iedges, iters=iters)
+    node = t.column("node").to_numpy()
+    out = pa.table({"host": pa.array(hosts[node], pa.string()),
+                    "rank_e12": t.column("rank_e12")})
+    idx = pc.sort_indices(out, sort_keys=[("rank_e12", "descending"),
+                                          ("host", "ascending")])
+    import ray.data as rd
+
+    return rd.from_arrow(out.take(idx[:k]))

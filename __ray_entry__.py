@@ -760,6 +760,17 @@ def _domain_pagerank(sf_dir: str):
     return domain_pagerank(sf_dir)
 
 
+def _urls_canonicalize(sf_dir: str):
+    """ORACLED URL canonicalization over the closed-form messy fixture:
+    lowercase scheme/host, fragment strip, default-port removal,
+    dot-segment resolution, tracking-param drop + bytewise param sort —
+    all polars expressions per batch; the DuckDB twin rebuilds the same
+    urls from doc_id and applies the SAME spec in SQL."""
+    from webxtract.ops.web import urls_canonicalize
+
+    return urls_canonicalize(sf_dir)
+
+
 def _images_page_prep(sf_dir: str):
     """Page pre-processing metadata over the deterministic skewed-page
     corpus: decode -> grayscale -> exact-integer Otsu binarize ->
@@ -1402,6 +1413,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph: real DOM anchor walk vs closed-form planted edges
         "domain_pagerank": _domain_pagerank,  # ORACLED domain PageRank
         # composite over the link graph (unrolled integer CTE twin)
+        "urls_canonicalize": _urls_canonicalize,  # ORACLED crawl-url
+        # normalization: ports/dots/tracking-params/sort, all-polars
     }
 
 
@@ -4234,6 +4247,73 @@ r5 AS (
             FROM e0 ORDER BY src_host, dst_host
         """,
         "domain_pagerank": _domain_pagerank_oracle(),
+        # identical messy-url construction from doc_id, then the SAME
+        # canonicalization spec in SQL string/list functions; the two
+        # '/./'+'/../' replace rounds reach the planted fixture's fixed
+        # point (depth-1 junk; the Ray side iterates to fixpoint)
+        "urls_canonicalize": """
+            WITH m AS (
+                SELECT doc_id,
+                    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP'
+                          ELSE 'https' END)
+                    || '://WWW.Site' || (doc_id % 50) || '.Example'
+                    || (CASE WHEN doc_id % 7 = 0 THEN ':8080'
+                             WHEN doc_id % 3 = 0 THEN
+                                 CASE WHEN doc_id % 2 = 0 THEN ':80'
+                                      ELSE ':443' END
+                             ELSE '' END)
+                    || (CASE WHEN doc_id % 4 = 0
+                             THEN '/A/./b' || (doc_id % 5)
+                                  || '/../c/page' || doc_id
+                             ELSE '/A/b' || (doc_id % 5)
+                                  || '/page' || doc_id END)
+                    || (CASE doc_id % 5
+                             WHEN 1 THEN '?b=2&a=1'
+                             WHEN 2 THEN '?utm_source=x&a=1'
+                             WHEN 3 THEN '?gclid=z&utm_medium=m'
+                             WHEN 4 THEN '?a=1&a=0' ELSE '' END)
+                    || (CASE WHEN doc_id % 4 = 0
+                             THEN '#sec' || (doc_id % 3)
+                             ELSE '' END) AS url
+                FROM documents),
+            p AS (
+                SELECT doc_id, url,
+                    lower(regexp_extract(url,
+                        '^([A-Za-z][A-Za-z0-9+.\\-]*):', 1)) AS scheme,
+                    lower(regexp_extract(url,
+                        '^[^:]+://(?:[^/?#@]*@)?([^/:?#]*)', 1)) AS host,
+                    coalesce(regexp_extract(url,
+                        '^[^:]+://[^/?#]*:([0-9]+)', 1), '') AS port,
+                    coalesce(regexp_extract(url,
+                        '^[^:]+://[^/?#]*([^?#]*)', 1), '') AS path0,
+                    coalesce(regexp_extract(url, '\\?([^#]*)', 1),
+                             '') AS q
+                FROM m),
+            r AS (
+                SELECT *, regexp_replace(regexp_replace(
+                    regexp_replace(regexp_replace(path0,
+                        '/\\./', '/', 'g'),
+                        '/[A-Za-z0-9_\\-]+/\\.\\./', '/', 'g'),
+                        '/\\./', '/', 'g'),
+                        '/[A-Za-z0-9_\\-]+/\\.\\./', '/', 'g') AS path1
+                FROM p),
+            s AS (
+                SELECT *, coalesce(array_to_string(list_sort(
+                    list_filter(string_split(q, '&'),
+                    x -> x <> '' AND NOT regexp_matches(x,
+                        '^(utm_[^=]*|gclid|fbclid)='))), '&'), '') AS qs
+                FROM r)
+            SELECT doc_id, url,
+                scheme || '://' || host
+                || CASE WHEN port = '' THEN ''
+                        WHEN scheme = 'http' AND port = '80' THEN ''
+                        WHEN scheme = 'https' AND port = '443' THEN ''
+                        ELSE ':' || port END
+                || CASE WHEN path1 = '' THEN '/' ELSE path1 END
+                || CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+                    AS canon_url
+            FROM s ORDER BY doc_id
+        """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle
     # composes their SQL bodies and can never drift from them

@@ -119,7 +119,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "emb_norms", "emb_label_centroids", "events_type_users_hll",
         "images_phash_dupes", "audios_envelope_dupes", "emb_knn_pq",
         "videos_frame_sample", "videos_mjpeg_dupes", "emb_semdedup",
-        "images_page_prep", "domain_pagerank",
+        "images_page_prep", "domain_pagerank", "urls_canonicalize",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

@@ -98,3 +98,33 @@ def test_domain_pagerank_matches_local_replica():
                   key=lambda x: (-x[1], x[0]))[:25]
     df = domain_pagerank(SF).to_pandas()
     assert list(zip(df.host, df.rank_e12)) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_canonicalize_generic_cases():
+    """Generic canonicalization behaviors beyond the oracled fixture:
+    multi-level dot resolution, idempotence, null for garbage."""
+    import ray.data as rd
+
+    from webxtract.ops.web import canonicalize_urls
+
+    cases = [
+        ("https://A.B/x/y/../../z/./w", "https://a.b/z/w"),
+        ("http://a.b:80/", "http://a.b/"),
+        ("http://a.b:8080", "http://a.b:8080/"),
+        ("HTTPS://U:P@A.B:443/p#f", "https://a.b/p"),
+        ("https://a.b/p?utm_campaign=c&z=9&a=1&fbclid=f",
+         "https://a.b/p?a=1&z=9"),
+        ("not a url at all", None),
+        ("https://a.b/a/./b/./c", "https://a.b/a/b/c"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array([c[0] for c in cases], pa.string())}))
+    df = canonicalize_urls(ds).to_pandas()
+    got = [None if v is None else v for v in df.canon_url]
+    assert got == [c[1] for c in cases]
+    # idempotence: canonicalizing the canonical forms is a no-op
+    ds2 = rd.from_arrow(pa.table({
+        "url": pa.array([c[1] for c in cases if c[1]], pa.string())}))
+    df2 = canonicalize_urls(ds2).to_pandas()
+    assert list(df2.canon_url) == list(df2.url)

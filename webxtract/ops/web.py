@@ -397,3 +397,129 @@ def domain_pagerank(sf_dir: str, iters: int = 5, k: int = 25):
     import ray.data as rd
 
     return rd.from_arrow(out.take(idx[:k]))
+
+
+# --- URL canonicalization --------------------------------------------------
+
+# tracking parameters dropped by canonicalization (the standard crawl
+# dedup hygiene set); anchored key match, RE2/rust-regex compatible
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid)="
+# plain-segment '..' resolution: only a name segment may be consumed
+# (never '.' or '..' themselves) — lookahead-free so the same pattern
+# runs under rust regex (polars) and RE2 (DuckDB)
+_DOTDOT_RE = r"/[A-Za-z0-9_\-]+/\.\./"
+
+
+def canonicalize_urls(ds, url_col: str = "url",
+                      out_col: str = "canon_url"):
+    """Append the canonical form of ``url_col``: lowercase scheme+host,
+    fragment stripped, default ports (http:80 / https:443) removed,
+    '/./' and plain-segment '/../' path segments resolved (iterated to
+    a fixed point, vectorized per round), empty path -> '/', query
+    params split on '&' with empties + tracking params (utm_*, gclid,
+    fbclid) dropped and the rest sorted bytewise. The whole transform
+    is polars expressions over the batch — no per-row Python.
+
+    This is the normalization every crawl dedup runs before url-keyed
+    exact dedup (cf. dedup_pages' url key): byte-equal canon_url ==
+    same resource under the spec above."""
+
+    def canon_batch(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        u = pl.col(url_col)
+        df = df.with_columns([
+            u.str.extract(r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1)
+             .str.to_lowercase().fill_null("").alias("_scheme"),
+            u.str.extract(r"^[^:]+://(?:[^/?#@]*@)?([^/:?#]*)", 1)
+             .str.to_lowercase().fill_null("").alias("_host"),
+            u.str.extract(r"^[^:]+://[^/?#]*:([0-9]+)", 1)
+             .fill_null("").alias("_port"),
+            u.str.extract(r"^[^:]+://[^/?#]*([^?#]*)", 1)
+             .fill_null("").alias("_path"),
+            u.str.extract(r"\?([^#]*)", 1).fill_null("").alias("_q"),
+        ])
+        # dot-segment resolution to fixed point: each round is one
+        # vectorized replace_all; rounds are bounded by max path depth
+        while True:
+            nxt = (pl.col("_path")
+                   .str.replace_all(r"/\./", "/", literal=False)
+                   .str.replace_all(_DOTDOT_RE, "/", literal=False))
+            new = df.with_columns(nxt.alias("_path2"))
+            if new.select((pl.col("_path") == pl.col("_path2"))
+                          .all()).item():
+                df = new
+                break
+            df = new.drop("_path").rename({"_path2": "_path"})
+        port = (
+            pl.when(pl.col("_port") == "").then(pl.lit(""))
+            .when((pl.col("_scheme") == "http")
+                  & (pl.col("_port") == "80")).then(pl.lit(""))
+            .when((pl.col("_scheme") == "https")
+                  & (pl.col("_port") == "443")).then(pl.lit(""))
+            .otherwise(pl.lit(":") + pl.col("_port")))
+        path = (pl.when(pl.col("_path2") == "").then(pl.lit("/"))
+                .otherwise(pl.col("_path2")))
+        q = (pl.col("_q").str.split("&")
+             .list.eval(pl.element().filter(
+                 (pl.element() != "")
+                 & ~pl.element().str.contains(_TRACKING_PARAM_RE)))
+             .list.sort().list.join("&"))
+        canon = (pl.col("_scheme") + pl.lit("://") + pl.col("_host")
+                 + port + path
+                 + pl.when(q == "").then(pl.lit(""))
+                 .otherwise(pl.lit("?") + q))
+        # unparseable rows (no scheme://host) -> null, data not error
+        canon = (pl.when((pl.col("_scheme") == "")
+                         | (pl.col("_host") == ""))
+                 .then(None).otherwise(canon))
+        out = df.with_columns(canon.alias(out_col)).drop(
+            ["_scheme", "_host", "_port", "_path", "_path2", "_q"])
+        return out.to_arrow()
+
+    return ds.map_batches(canon_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def synth_messy_urls(sf_dir: str, n: int | None = None):
+    """Deterministic messy-URL fixture, closed-form in doc_id (the
+    DuckDB twin rebuilds the identical strings with ||): mixed-case
+    scheme/host, default and non-default ports, './' + '../' path
+    junk, unsorted / tracking / duplicate-key queries, fragments."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    if n is not None:
+        ids = ids.limit(n)
+
+    def render(batch: pa.Table) -> pa.Table:
+        urls = []
+        for i in batch.column("doc_id").to_pylist():
+            scheme = "HTTP" if i % 2 == 0 else "https"
+            port = (":8080" if i % 7 == 0
+                    else (":80" if i % 2 == 0 else ":443")
+                    if i % 3 == 0 else "")
+            path = (f"/A/./b{i % 5}/../c/page{i}" if i % 4 == 0
+                    else f"/A/b{i % 5}/page{i}")
+            query = {1: "?b=2&a=1", 2: "?utm_source=x&a=1",
+                     3: "?gclid=z&utm_medium=m",
+                     4: "?a=1&a=0"}.get(i % 5, "")
+            frag = f"#sec{i % 3}" if i % 4 == 0 else ""
+            urls.append(f"{scheme}://WWW.Site{i % 50}.Example"
+                        f"{port}{path}{query}{frag}")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "url": pa.array(urls, pa.string())})
+
+    return ids.map_batches(render, batch_format="pyarrow",
+                           batch_size=1024)
+
+
+def urls_canonicalize(sf_dir: str):
+    """ORACLED query surface: canonicalize the closed-form messy-URL
+    fixture; the DuckDB twin rebuilds each url from doc_id and
+    canonicalizes it with the SAME spec in SQL string/list functions
+    (lower / regexp_replace rounds / list_filter + list_sort), so a
+    hash match certifies the full normalization pipeline."""
+    return canonicalize_urls(synth_messy_urls(sf_dir)).sort("doc_id")

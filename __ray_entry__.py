@@ -760,6 +760,19 @@ def _domain_pagerank(sf_dir: str):
     return domain_pagerank(sf_dir)
 
 
+def _warc_page_stats(sf_dir: str):
+    """ORACLED WARC source: the documents table serialized into
+    gzip-member WARC files (the Common-Crawl container, real
+    Content-Length framing + warcinfo records + HTTP payload headers),
+    parsed back by ops.warc.read_warc; DuckDB recomputes (url, status,
+    byte count) closed-form, so a hash match certifies the framing
+    parser end to end — including payloads that contain CRLFCRLF and
+    'WARC/' markers (framing by length, never by marker scan)."""
+    from webxtract.ops.warc import warc_page_stats
+
+    return warc_page_stats(sf_dir)
+
+
 def _urls_canonicalize(sf_dir: str):
     """ORACLED URL canonicalization over the closed-form messy fixture:
     lowercase scheme/host, fragment strip, default-port removal,
@@ -1415,6 +1428,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composite over the link graph (unrolled integer CTE twin)
         "urls_canonicalize": _urls_canonicalize,  # ORACLED crawl-url
         # normalization: ports/dots/tracking-params/sort, all-polars
+        "warc_page_stats": _warc_page_stats,  # ORACLED WARC container
+        # source: real Content-Length framing over gzip members
     }
 
 
@@ -4313,6 +4328,18 @@ r5 AS (
                 || CASE WHEN qs = '' THEN '' ELSE '?' || qs END
                     AS canon_url
             FROM s ORDER BY doc_id
+        """,
+        # closed-form twin of the WARC fixture (ops.warc.
+        # synth_warc_dir): url/status constant-form, byte count =
+        # utf-8 octet length of the wrapped text (DuckDB strlen is
+        # bytes; Python len(str.encode()) likewise)
+        "warc_page_stats": """
+            SELECT 'https://site' || (doc_id % 50) || '.example/p/'
+                       || doc_id AS url,
+                   CAST(200 AS BIGINT) AS http_status,
+                   CAST(strlen('<html><body><p>' || text
+                       || '</p></body></html>') AS BIGINT) AS n_bytes
+            FROM documents ORDER BY url
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

@@ -1,0 +1,221 @@
+"""WARC source: parse Web ARChive files (ISO 28500 — the container
+Common Crawl ships) into (url, warc_ts, html) page rows.
+
+The reference ingests per-object uploads from S3 (SURVEY.md §2.1 S1/S2);
+a Common-Crawl-scale crawl arrives as WARC instead, so this is the
+missing real-world source format: version-line framing, header block
+terminated by CRLF CRLF, payload framed by ``Content-Length`` (REAL
+framing — a record's payload may contain anything, so splitting on
+markers would be wrong), each record followed by CRLF CRLF. ``response``
+records carry an HTTP message as payload; the HTML body starts after
+the HTTP header block. Gzip files (member-per-record, the Common-Crawl
+layout) decompress as concatenated members via stdlib zlib.
+
+Ray shape: one WARC file is one unit of parallelism (Common Crawl cuts
+~1 GB files for exactly this reason) — ``read_warc`` maps file blobs
+through the parser with ``flat_map``-style batch expansion; at 100 TB
+the file listing is the partition plan and nothing exchanges.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np  # noqa: F401  (parity with sibling ops modules)
+import pyarrow as pa
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _gunzip_members(raw: bytes) -> bytes:
+    """Decompress concatenated gzip members (Common Crawl is one member
+    per record); plain bytes pass through."""
+    if not raw.startswith(b"\x1f\x8b"):
+        return raw
+    out = []
+    pos = 0
+    while pos < len(raw):
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(raw[pos:]))
+        if not d.eof:  # truncated trailing member: keep what decoded
+            break
+        pos = len(raw) - len(d.unused_data)
+        if not d.unused_data:
+            break
+    return b"".join(out)
+
+
+def parse_warc(raw: bytes) -> list[dict]:
+    """Parse one WARC file's bytes into response-record dicts
+    (url, warc_ts, html, http_status, n_bytes). Malformed trailing
+    data ends the scan (partial files parse their complete prefix);
+    non-response records (warcinfo, request, metadata) are skipped by
+    type, never by guesswork."""
+    raw = _gunzip_members(raw)
+    recs = []
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # skip inter-record CRLFs
+        while raw.startswith(b"\r\n", pos):
+            pos += 2
+        if pos >= n:
+            break
+        if not raw.startswith(b"WARC/", pos):
+            break  # framing lost: stop, do not resync on markers
+        hdr_end = raw.find(_CRLF2, pos)
+        if hdr_end < 0:
+            break
+        head = raw[pos:hdr_end].decode("utf-8", "replace")
+        headers = {}
+        for line in head.split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body_start = hdr_end + 4
+        body = raw[body_start:body_start + clen]
+        if len(body) < clen:
+            break  # truncated payload: complete records only
+        pos = body_start + clen
+        if headers.get("warc-type") == "response":
+            status = 0
+            html = b""
+            http_end = body.find(_CRLF2)
+            if http_end >= 0:
+                status_line = body[:body.find(b"\r\n")]
+                parts = status_line.split()
+                if len(parts) >= 2 and parts[1].isdigit():
+                    status = int(parts[1])
+                html = body[http_end + 4:]
+            recs.append({
+                "url": headers.get("warc-target-uri", ""),
+                "warc_ts": headers.get("warc-date", ""),
+                "html": html,
+                "http_status": status,
+                "n_bytes": len(html),
+            })
+    return recs
+
+
+def read_warc(paths):
+    """paths (file/dir) -> Dataset of (url, warc_ts, html, http_status,
+    n_bytes). One read task per file; the parse expands each blob into
+    its page rows inside the same batch pass."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths)
+
+    def expand(t: pa.Table) -> pa.Table:
+        rows = []
+        for raw in t.column("bytes").to_pylist():
+            rows.extend(parse_warc(raw))
+        return pa.table({
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                                pa.string()),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+            "http_status": pa.array([r["http_status"] for r in rows],
+                                    pa.int32()),
+            "n_bytes": pa.array([r["n_bytes"] for r in rows],
+                                pa.int64()),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow", batch_size=4)
+
+
+def build_warc(records, gzip_members: bool = False) -> bytes:
+    """Serialize (url, ts, html_bytes) triples into WARC/1.0 bytes —
+    a warcinfo record first (parsers must skip it), then one response
+    record per page with a real HTTP/1.1 header block. Deterministic:
+    no clocks, no uuids (record ids derive from the url)."""
+    out = []
+
+    def record(wtype: str, headers: list[tuple[str, str]],
+               payload: bytes) -> bytes:
+        head = [b"WARC/1.0"]
+        head += [f"{k}: {v}".encode() for k, v in headers]
+        head.append(f"Content-Length: {len(payload)}".encode())
+        return b"\r\n".join(head) + _CRLF2 + payload + _CRLF2
+
+    info = b"software: webxtract-synth\r\n"
+    out.append(record("warcinfo", [
+        ("WARC-Type", "warcinfo"),
+        ("WARC-Record-ID", "<urn:webxtract:warcinfo>"),
+        ("Content-Type", "application/warc-fields"),
+    ], info))
+    for url, ts, html in records:
+        http = (b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=utf-8\r\n"
+                + f"Content-Length: {len(html)}".encode()
+                + _CRLF2 + html)
+        out.append(record("response", [
+            ("WARC-Type", "response"),
+            ("WARC-Target-URI", url),
+            ("WARC-Date", ts),
+            ("WARC-Record-ID", f"<urn:webxtract:{url}>"),
+            ("Content-Type", "application/http; msgtype=response"),
+        ], http))
+    if gzip_members:  # one gzip member per record — the CC layout
+        return b"".join(_gzip_member(r) for r in out)
+    return b"".join(out)
+
+
+def _gzip_member(data: bytes) -> bytes:
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    return co.compress(data) + co.flush()
+
+
+def synth_warc_dir(sf_dir: str, out_dir: str, files: int = 8,
+                   gzip_members: bool = False) -> str:
+    """Deterministic WARC fixture: the documents table's rows become
+    response records (html wraps the text; url/ts closed-form in
+    doc_id), hashed across ``files`` .warc(.gz) files. Idempotent per
+    (sf_dir, files, gzip) — rebuilt only if absent."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_members else ".warc"
+    expect = [os.path.join(out_dir, f"crawl-{i:05d}{ext}")
+              for i in range(files)]
+    if all(os.path.exists(p) for p in expect):
+        return out_dir
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    buckets: list[list] = [[] for _ in range(files)]
+    for i, text in zip(t.column("doc_id").to_pylist(),
+                       t.column("text").to_pylist()):
+        url = f"https://site{i % 50}.example/p/{i}"
+        ts = f"2024-01-{1 + i % 28:02d}T00:00:00Z"
+        html = (f"<html><body><p>{text}</p></body></html>").encode()
+        buckets[i % files].append((url, ts, html))
+    for fi, recs in enumerate(buckets):
+        raw = build_warc(recs, gzip_members=gzip_members)
+        with open(expect[fi] + ".tmp", "wb") as f:
+            f.write(raw)
+        os.replace(expect[fi] + ".tmp", expect[fi])
+    return out_dir
+
+
+def warc_page_stats(sf_dir: str, gzip_members: bool = True):
+    """ORACLED query surface: synthesize the WARC fixture, parse it
+    with the real framing parser, and emit per-page metadata (url,
+    http_status, n_bytes) — all closed-form in (doc_id, text), so the
+    DuckDB twin certifies record framing, warcinfo skipping, HTTP
+    header separation and payload-length accounting end to end."""
+    tag = "gz" if gzip_members else "plain"
+    out_dir = synth_warc_dir(
+        sf_dir, f"/tmp/webxtract_warc_{tag}_{sf_dir.replace('/', '_')}",
+        gzip_members=gzip_members)
+    ds = read_warc(out_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["url", "http_status", "n_bytes"]).set_column(
+            1, "http_status", t.column("http_status").cast(pa.int64()))
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("url")

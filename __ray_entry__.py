@@ -773,6 +773,17 @@ def _warc_page_stats(sf_dir: str):
     return warc_page_stats(sf_dir)
 
 
+def _robots_gate(sf_dir: str):
+    """ORACLED robots.txt politeness gate: per-host robots fixtures
+    (comments, CRLF, case-insensitive fields, foreign-agent groups,
+    empty Disallow, Allow-overrides) broadcast once and applied with
+    RFC 9309 longest-match precedence, vectorized per (host, rule);
+    DuckDB recomputes the expected decision table closed-form."""
+    from webxtract.ops.web import robots_gate
+
+    return robots_gate(sf_dir)
+
+
 def _urls_canonicalize(sf_dir: str):
     """ORACLED URL canonicalization over the closed-form messy fixture:
     lowercase scheme/host, fragment strip, default-port removal,
@@ -1430,6 +1441,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # normalization: ports/dots/tracking-params/sort, all-polars
         "warc_page_stats": _warc_page_stats,  # ORACLED WARC container
         # source: real Content-Length framing over gzip members
+        "robots_gate": _robots_gate,  # ORACLED robots.txt politeness
+        # gate: RFC 9309 longest-match, |hosts|-bounded broadcast
     }
 
 
@@ -4340,6 +4353,23 @@ r5 AS (
                    CAST(strlen('<html><body><p>' || text
                        || '</p></body></html>') AS BIGINT) AS n_bytes
             FROM documents ORDER BY url
+        """,
+        # closed-form decision table for the robots fixture
+        # (ops.web._robots_fixture_text): host group g = (id%50)%4,
+        # path case c = id%4; blocked iff (g=0, c=0: /private/ with no
+        # longer Allow) or (g=3, c in {2,3}: /p/ and /other disallowed)
+        "robots_gate": """
+            SELECT doc_id,
+                'https://site' || (doc_id % 50) || '.example'
+                || CASE doc_id % 4
+                       WHEN 0 THEN '/private/x' || doc_id
+                       WHEN 1 THEN '/private/ok/x' || doc_id
+                       WHEN 2 THEN '/p/' || doc_id
+                       ELSE '/other' END AS url,
+                NOT (((doc_id % 50) % 4 = 0 AND doc_id % 4 = 0)
+                     OR ((doc_id % 50) % 4 = 3
+                         AND doc_id % 4 IN (2, 3))) AS allowed
+            FROM documents ORDER BY doc_id
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

@@ -128,3 +128,26 @@ def test_canonicalize_generic_cases():
         "url": pa.array([c[1] for c in cases if c[1]], pa.string())}))
     df2 = canonicalize_urls(ds2).to_pandas()
     assert list(df2.canon_url) == list(df2.url)
+
+
+def test_parse_robots_and_precedence():
+    from webxtract.ops.web import parse_robots, robots_decision
+
+    txt = ("# c\r\nUser-Agent: A\nUser-agent: *\nDisallow: /a/\n"
+           "Allow: /a/b/\n\nUser-agent: other\nDisallow: /\n")
+    rules = parse_robots(txt)
+    assert rules == [(False, "/a/"), (True, "/a/b/")]
+    assert robots_decision("/a/x", rules) is False
+    assert robots_decision("/a/b/x", rules) is True
+    assert robots_decision("/c", rules) is True
+    # equal-length tie: Allow wins
+    tie = [(False, "/p/"), (True, "/p/")]
+    assert robots_decision("/p/x", tie) is True
+    # RFC 9309 §2.2.1: a named group SUPERSEDES '*' groups entirely
+    assert parse_robots(txt, agent="other") == [(False, "/")]
+    # ...and with no named group, '*' applies
+    assert parse_robots(txt, agent="nobody") == [
+        (False, "/a/"), (True, "/a/b/")]
+    # empty Disallow adds no rule; unmatched group contributes nothing
+    assert parse_robots("User-agent: *\nDisallow:\n") == []
+    assert parse_robots("User-agent: bot\nDisallow: /\n") == []

@@ -523,3 +523,162 @@ def urls_canonicalize(sf_dir: str):
     (lower / regexp_replace rounds / list_filter + list_sort), so a
     hash match certifies the full normalization pipeline."""
     return canonicalize_urls(synth_messy_urls(sf_dir)).sort("doc_id")
+
+
+# --- robots.txt politeness gate --------------------------------------------
+
+
+def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """Parse robots.txt into the rule list for ``agent`` (RFC 9309
+    subset: literal path prefixes, no wildcards — documented engine
+    bound). Groups are runs of User-agent lines followed by rules;
+    per RFC 9309 §2.2.1 the crawler obeys the MOST SPECIFIC matching
+    group(s) only — '*' groups apply only when no group names the
+    agent. Field names are case-insensitive, comments (#...) and
+    blank lines ignored, CRLF tolerated. Empty Disallow means "no
+    rule". Returns [(is_allow, prefix), ...]."""
+    specific: list[tuple[bool, str]] = []
+    wildcard: list[tuple[bool, str]] = []
+    has_specific = False
+    group_specific = group_wild = False
+    in_agents = True
+    want = agent.lower()
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agents:  # a new group starts
+                group_specific = group_wild = False
+                in_agents = True
+            if value == "*":
+                group_wild = True
+            elif value.lower() == want:
+                group_specific = has_specific = True
+        elif field in ("allow", "disallow"):
+            in_agents = False
+            if value:
+                if group_specific:
+                    specific.append((field == "allow", value))
+                elif group_wild:
+                    wildcard.append((field == "allow", value))
+    return specific if has_specific else wildcard
+
+
+def robots_decision(path: str, rules: list[tuple[bool, str]]) -> bool:
+    """RFC 9309 precedence: the longest matching prefix wins; on equal
+    length Allow wins; no match -> allowed."""
+    best_len, best_allow = -1, True
+    for is_allow, prefix in rules:
+        if path.startswith(prefix):
+            L = len(prefix)
+            if L > best_len or (L == best_len and is_allow):
+                best_len, best_allow = L, is_allow
+    return best_allow
+
+
+def robots_gate_stage(robots_by_host: dict[str, str],
+                      url_col: str = "url", agent: str = "*"):
+    """Task-pool closure: broadcast the per-host robots.txt map once
+    (|hosts|-bounded — the same bound class as the blocklist), parse
+    each host's rules once per worker, and gate batches vectorized:
+    hosts/paths extract in one regex pass, then one numpy startswith
+    per (distinct host in batch, rule) — never per row."""
+    import ray
+
+    from ..broadcast import get_broadcast
+
+    ref = ray.put(robots_by_host)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = get_broadcast(ref)
+        cache = fn.__dict__.setdefault("_rules", {})
+        u = batch.column(url_col)
+        host = pc.utf8_lower(pc.struct_field(pc.extract_regex(
+            u, r"^[^:]+://(?:[^/?#@]*@)?(?P<h>[^/:?#]*)"), "h")) \
+            .to_numpy(zero_copy_only=False)
+        path = pc.struct_field(pc.extract_regex(
+            u, r"^[^:]+://[^/?#]*(?P<p>[^?#]*)"), "p") \
+            .to_numpy(zero_copy_only=False)
+        path = np.where(pd_isna(path), "", path)
+        path = np.where(path == "", "/", path)
+        allowed = np.ones(len(host), bool)
+        for h in np.unique(host[~pd_isna(host)]):
+            sel = host == h
+            txt = texts.get(h)
+            if txt is None:
+                continue  # no robots.txt -> allowed
+            if h not in cache:
+                cache[h] = parse_robots(txt)
+            rules = cache[h]
+            if not rules:
+                continue
+            p = path[sel].astype(str)
+            best_len = np.full(p.shape, -1, np.int64)
+            best_allow = np.ones(p.shape, bool)
+            for is_allow, prefix in rules:
+                m = np.char.startswith(p, prefix)
+                L = len(prefix)
+                win = m & ((L > best_len)
+                           | ((L == best_len) & is_allow))
+                best_len[win] = L
+                best_allow[win] = is_allow
+            allowed[sel] = best_allow
+        return batch.append_column("allowed", pa.array(allowed))
+
+    return fn
+
+
+def pd_isna(a):
+    import pandas as pd
+
+    return pd.isna(a)
+
+
+def _robots_fixture_text(h: int) -> str:
+    """Closed-form robots.txt per host group h % 4 — exercises comment
+    lines, case-insensitive fields, CRLF, empty Disallow, non-matching
+    agent groups, and Allow-overrides-Disallow longest-match."""
+    g = h % 4
+    if g == 0:
+        return ("# site policy\r\nUser-Agent: *\r\n"
+                "Disallow: /private/\r\nallow: /private/ok/\r\n")
+    if g == 1:
+        return "User-agent: *\nDisallow:\n"  # empty = allow all
+    if g == 2:
+        return "User-agent: bot\nDisallow: /\n"  # other agent only
+    return ("User-agent: megacrawler\nDisallow: /x/\n\n"
+            "User-agent: *\nDisallow: /p/\nDisallow: /other\n"
+            "Allow: /p/ok/\n")
+
+
+def robots_gate(sf_dir: str):
+    """ORACLED query surface: deterministic urls (doc_id -> host
+    site{id%50}.example, path case id%4) gated against the closed-form
+    per-host robots fixture; DuckDB recomputes the expected decision
+    table, so a hash match certifies parsing (comments, case, CRLF,
+    group scoping) + longest-match precedence end to end."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        urls = []
+        for i in batch.column("doc_id").to_pylist():
+            path = {0: f"/private/x{i}", 1: f"/private/ok/x{i}",
+                    2: f"/p/{i}"}.get(i % 4, "/other")
+            urls.append(f"https://site{i % 50}.example{path}")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "url": pa.array(urls, pa.string())})
+
+    robots = {f"site{h}.example": _robots_fixture_text(h)
+              for h in range(50)}
+    ds = ids.map_batches(render, batch_format="pyarrow",
+                         batch_size=1024)
+    gate = robots_gate_stage(robots)
+    return ds.map_batches(gate, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("doc_id")

@@ -1116,11 +1116,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     not-yet-driver-checked oracled queries to the front and already
     driver-green entries to the back (round 2 checked what is now the
     tail; round 3 fronts the 50 oracled queries that only had local
-    pytest-oracle green). ROUND-4 ROTATION QUEUE: the 33 oracled
-    queries appended at the END of this dict (events_type_transitions
-    through emb_drift_monitor — everything added in the round-3
-    continuation session) have pytest-oracle green at sf0.001 AND
-    manual sf0.01 hash-parity but no driver row yet; front them next
+    pytest-oracle green). ROUND-4 ROTATION QUEUE: the oracled queries
+    appended at the END of this dict (events_type_transitions through
+    emb_drift_monitor from the round-3 continuation session, plus the
+    round-3 web-native batch images_page_skew / domain_link_edges /
+    domain_pagerank / urls_canonicalize / warc_page_stats /
+    robots_gate) have pytest-oracle green at sf0.001 AND manual
+    sf0.01 hash-parity but no driver row yet; front them next
     round."""
     from webxtract.ops import relational as R
 

@@ -773,6 +773,26 @@ def _warc_page_stats(sf_dir: str):
     return warc_page_stats(sf_dir)
 
 
+def _sitemap_url_inventory(sf_dir: str):
+    """ORACLED sitemap source: per-host urlset XML rendered inside one
+    host-keyed co-location, then parsed back by the tag-soup DOM
+    parser (namespace attrs + comments ignored); DuckDB recomputes
+    every (sitemap_url, loc, lastmod) row closed-form."""
+    from webxtract.ops.web import sitemap_url_inventory
+
+    return sitemap_url_inventory(sf_dir)
+
+
+def _domain_anchor_texts(sf_dir: str):
+    """ORACLED inbound anchor-text profile: (dst_host, anchor_text,
+    count) over the synthetic crawl via per-batch partial counts and
+    one bounded grouped exchange; DuckDB recomputes the counts
+    closed-form from doc_id."""
+    from webxtract.ops.web import domain_anchor_texts
+
+    return domain_anchor_texts(sf_dir)
+
+
 def _robots_gate(sf_dir: str):
     """ORACLED robots.txt politeness gate: per-host robots fixtures
     (comments, CRLF, case-insensitive fields, foreign-agent groups,
@@ -1445,6 +1465,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # source: real Content-Length framing over gzip members
         "robots_gate": _robots_gate,  # ORACLED robots.txt politeness
         # gate: RFC 9309 longest-match, |hosts|-bounded broadcast
+        "sitemap_url_inventory": _sitemap_url_inventory,  # ORACLED
+        # sitemap source: co-located render -> soup parse round-trip
+        "domain_anchor_texts": _domain_anchor_texts,  # ORACLED inbound
+        # anchor-text counts: partial counts + one grouped exchange
     }
 
 
@@ -4372,6 +4396,40 @@ r5 AS (
                      OR ((doc_id % 50) % 4 = 3
                          AND doc_id % 4 IN (2, 3))) AS allowed
             FROM documents ORDER BY doc_id
+        """,
+        # closed-form twin of the per-host urlset fixture
+        "sitemap_url_inventory": """
+            SELECT 'https://site' || (doc_id % 50)
+                       || '.example/sitemap.xml' AS sitemap_url,
+                   'url' AS kind,
+                   'https://site' || (doc_id % 50) || '.example/p/'
+                       || doc_id AS loc,
+                   '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+                                      2, '0') AS lastmod
+            FROM documents ORDER BY loc
+        """,
+        # closed-form anchor-text counts over the planted crawl: link
+        # j carries text 'ref{j}', the protocol-relative link
+        # 'proto-rel'; self-loops drop with their edges
+        "domain_anchor_texts": """
+            WITH d AS (SELECT doc_id, doc_id % 50 AS h,
+                              doc_id % 3 AS kk FROM documents),
+            o1 AS (SELECT h AS s, (doc_id * 7 + 13 * j + 1) % 50 AS t,
+                          j
+                   FROM (SELECT *, unnest(range(0, kk + 1)) AS j
+                         FROM d)),
+            o2 AS (SELECT h AS s, (doc_id * 3 + 2) % 50 AS t
+                   FROM d WHERE doc_id % 5 = 0),
+            a AS (SELECT 'site' || t || '.example' AS dst_host,
+                         'ref' || j AS anchor_text
+                  FROM o1 WHERE s <> t
+                  UNION ALL
+                  SELECT 'site' || t || '.example', 'proto-rel'
+                  FROM o2 WHERE s <> t)
+            SELECT dst_host, anchor_text,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM a GROUP BY dst_host, anchor_text
+            ORDER BY dst_host, anchor_text
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

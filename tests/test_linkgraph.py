@@ -151,3 +151,22 @@ def test_parse_robots_and_precedence():
     # empty Disallow adds no rule; unmatched group contributes nothing
     assert parse_robots("User-agent: *\nDisallow:\n") == []
     assert parse_robots("User-agent: bot\nDisallow: /\n") == []
+
+
+def test_parse_sitemap_soup_and_index():
+    from webxtract.ops.web import parse_sitemap
+
+    xml = ('<?xml version="1.0"?><!-- c --><urlset xmlns="x">'
+           "<url><loc> https://a.b/1 </loc><lastmod>2024-01-02"
+           "</lastmod></url><url><lastmod>no-loc-dropped</lastmod>"
+           "</url><url><loc>https://a.b/2</loc></url></urlset>")
+    got = parse_sitemap(xml)
+    assert got == [
+        {"kind": "url", "loc": "https://a.b/1", "lastmod": "2024-01-02"},
+        {"kind": "url", "loc": "https://a.b/2", "lastmod": None}]
+    idx = parse_sitemap("<sitemapindex><sitemap><loc>https://a.b/s1.xml"
+                        "</loc></sitemap></sitemapindex>")
+    assert idx == [{"kind": "sitemap", "loc": "https://a.b/s1.xml",
+                    "lastmod": None}]
+    assert parse_sitemap(b"") == []
+    assert parse_sitemap(b"garbage <<< not xml") == []

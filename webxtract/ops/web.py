@@ -682,3 +682,206 @@ def robots_gate(sf_dir: str):
     gate = robots_gate_stage(robots)
     return ds.map_batches(gate, batch_format="pyarrow",
                           zero_copy_batch=True).sort("doc_id")
+
+
+# --- sitemap source --------------------------------------------------------
+
+
+def _node_text(node) -> str:
+    """Concatenated text of a DOM subtree (iterative, soup-safe)."""
+    out = []
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, str):
+            out.append(n)
+        else:
+            stack.extend(reversed(n.children))
+    return "".join(out)
+
+
+def parse_sitemap(xml: bytes | str) -> list[dict]:
+    """Parse sitemap XML (urlset or sitemapindex) into entry dicts
+    (kind, loc, lastmod). The engine's tag-soup DOM parser reads the
+    XML (tags case-fold; comments and namespace attrs are ignored by
+    construction), so malformed feeds degrade to their parseable
+    prefix instead of raising. <sitemap> entries surface with
+    kind='sitemap' so a scheduler can fetch children; <url> entries
+    are kind='url'. Entries without <loc> are dropped (no guessing)."""
+    from ..htmldom import decode_bytes, parse_html
+
+    text = xml if isinstance(xml, str) else (decode_bytes(xml) or "")
+    root = parse_html(text)
+    entries = []
+    stack = [root]
+    while stack:
+        n = stack.pop()  # children pushed reversed: document order out
+        if isinstance(n, str):
+            continue
+        if n.tag in ("url", "sitemap"):
+            loc = lastmod = None
+            for c in n.children:
+                if not isinstance(c, str):
+                    if c.tag == "loc":
+                        loc = _node_text(c).strip()
+                    elif c.tag == "lastmod":
+                        lastmod = _node_text(c).strip()
+            if loc:
+                entries.append({
+                    "kind": "url" if n.tag == "url" else "sitemap",
+                    "loc": loc, "lastmod": lastmod})
+        else:
+            stack.extend(reversed(n.children))
+    return entries
+
+
+def read_sitemaps(ds, url_col: str = "sitemap_url",
+                  xml_col: str = "xml"):
+    """(sitemap_url, xml) Dataset -> one row per entry (sitemap_url,
+    kind, loc, lastmod). Per-file expansion in-batch; nothing
+    exchanges."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        src, kind, loc, lm = [], [], [], []
+        for u, raw in zip(t.column(url_col).to_pylist(),
+                          t.column(xml_col).to_pylist()):
+            for e in parse_sitemap(raw):
+                src.append(u)
+                kind.append(e["kind"])
+                loc.append(e["loc"])
+                lm.append(e["lastmod"])
+        return pa.table({
+            "sitemap_url": pa.array(src, pa.string()),
+            "kind": pa.array(kind, pa.string()),
+            "loc": pa.array(loc, pa.string()),
+            "lastmod": pa.array(lm, pa.string()),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow", batch_size=16)
+
+
+def sitemap_url_inventory(sf_dir: str):
+    """ORACLED sitemap source: each host's urlset XML is RENDERED
+    inside one host-keyed co-location (the fixture itself exercises
+    the exchange — per-host sitemaps cannot be built row-wise), then
+    parsed back by the real soup parser; DuckDB recomputes every
+    (sitemap_url, loc, lastmod) row closed-form from doc_id. The XML
+    carries a namespace attribute and a comment to prove the parser
+    ignores both."""
+    import ray.data as rd
+
+    from .relational import partitioned_map_groups
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+
+    def add_host(t: pa.Table) -> pa.Table:
+        h = t.column("doc_id").to_numpy() % 50
+        return t.append_column("host_id", pa.array(h, pa.int64()))
+
+    def render_host_sitemaps(part: pa.Table) -> pa.Table:
+        import numpy as np
+
+        hid = part.column("host_id").to_numpy()
+        did = part.column("doc_id").to_numpy()
+        order = np.lexsort((did, hid))
+        hid, did = hid[order], did[order]
+        starts = np.flatnonzero(np.r_[True, hid[1:] != hid[:-1]])
+        urls, xmls = [], []
+        for k, st in enumerate(starts):
+            en = starts[k + 1] if k + 1 < len(starts) else len(hid)
+            h = int(hid[st])
+            rows = "".join(
+                f"<url><loc>https://site{h}.example/p/{int(i)}</loc>"
+                f"<lastmod>2024-01-{1 + int(i) % 28:02d}</lastmod>"
+                "</url>"
+                for i in did[st:en])
+            urls.append(f"https://site{h}.example/sitemap.xml")
+            xmls.append(
+                '<?xml version="1.0" encoding="UTF-8"?>'
+                "<!-- generated -->"
+                '<urlset xmlns="http://www.sitemaps.org/schemas/'
+                f'sitemap/0.9">{rows}</urlset>'.encode())
+        return pa.table({"sitemap_url": pa.array(urls, pa.string()),
+                         "xml": pa.array(xmls, pa.binary())})
+
+    feeds = partitioned_map_groups(
+        ids.map_batches(add_host, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        "host_id", render_host_sitemaps)
+    return read_sitemaps(feeds).sort(["loc"])
+
+
+# --- inbound anchor-text profiles ------------------------------------------
+
+
+def anchor_text_profile(ds, url_col: str = "url",
+                        html_col: str = "html"):
+    """pages Dataset -> (dst_host, anchor_text, n): how often each
+    anchor string points at each host — the inbound-anchor signal
+    search/training corpora mine. Same DOM walk as extract_links but
+    COUNTING (not distinct) and carrying the anchor's subtree text;
+    self-loops and non-web schemes drop. Per batch: partial (dst,
+    text, n) counts; ONE bounded grouped exchange folds them — the
+    exchange carries \\|(host, text)\\| rows, never anchors."""
+    from .relational import partitioned_map_groups
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..htmldom import decode_bytes, parse_html
+
+        counts: Counter = Counter()
+        for u, raw in zip(t.column(url_col).to_pylist(),
+                          t.column(html_col).to_pylist()):
+            src = href_host(u, None)
+            if src is None:
+                continue
+            text = raw if isinstance(raw, str) else decode_bytes(raw)
+            if not text:
+                continue
+            stack = [parse_html(text)]
+            while stack:
+                n = stack.pop()
+                if isinstance(n, str):
+                    continue
+                if n.tag == "a":
+                    h = n.attrs.get("href")
+                    if h is not None:
+                        dst = href_host(h, src)
+                        if dst is not None and dst != src:
+                            counts[(dst, _node_text(n))] += 1
+                stack.extend(n.children)
+        ks = sorted(counts)
+        return pa.table({
+            "dst_host": pa.array([k[0] for k in ks], pa.string()),
+            "anchor_text": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([counts[k] for k in ks], pa.int64()),
+        })
+
+    tagged = ds.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(
+            lambda t: t.append_column(
+                "_k", pc.binary_join_element_wise(
+                    t.column("dst_host"), t.column("anchor_text"),
+                    "\x1f")),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def fold(part: pa.Table) -> pa.Table:
+        g = part.group_by(["dst_host", "anchor_text"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"dst_host": g.column("dst_host"),
+                         "anchor_text": g.column("anchor_text"),
+                         "n": g.column("n_sum").cast(pa.int64())})
+
+    return partitioned_map_groups(tagged, "_k", fold)
+
+
+def domain_anchor_texts(sf_dir: str):
+    """ORACLED query surface: inbound anchor-text counts over the
+    synthetic crawl — DuckDB recomputes (dst_host, anchor_text, n)
+    closed-form from doc_id (link j carries text 'ref{j}', the
+    protocol-relative link 'proto-rel'; noise anchors vanish with
+    their non-edges)."""
+    return anchor_text_profile(synth_link_corpus(sf_dir)) \
+        .sort(["dst_host", "anchor_text"])

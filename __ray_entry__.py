@@ -773,6 +773,17 @@ def _warc_page_stats(sf_dir: str):
     return warc_page_stats(sf_dir)
 
 
+def _html_tables(sf_dir: str):
+    """ORACLED HTML table extraction: real DOM walk + rowspan/colspan
+    occupancy grid -> one row per cell (the HTML twin of the geometric
+    TABLE_CELL grid; reference parity: Textract TABLES consumed by
+    postprocessing/fn-postprocess/main.py); DuckDB recomputes every
+    cell closed-form including the colspan col-shift."""
+    from webxtract.ops.web import html_tables
+
+    return html_tables(sf_dir)
+
+
 def _sitemap_url_inventory(sf_dir: str):
     """ORACLED sitemap source: per-host urlset XML rendered inside one
     host-keyed co-location, then parsed back by the tag-soup DOM
@@ -1469,6 +1480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sitemap source: co-located render -> soup parse round-trip
         "domain_anchor_texts": _domain_anchor_texts,  # ORACLED inbound
         # anchor-text counts: partial counts + one grouped exchange
+        "html_tables": _html_tables,  # ORACLED HTML table cells:
+        # rowspan/colspan occupancy grid, Textract-TABLES twin
     }
 
 
@@ -4430,6 +4443,34 @@ r5 AS (
                    CAST(count(*) AS BIGINT) AS n
             FROM a GROUP BY dst_host, anchor_text
             ORDER BY dst_host, anchor_text
+        """,
+        # closed-form cell grid: R = 2+id%3 data rows x C = 2+id%2
+        # cols under a th header row; every 4th doc's last data row
+        # leads with a colspan=2 cell, shifting its k>=1 cells to
+        # col k+1 (the occupancy-grid semantics the Ray side computes)
+        "html_tables": """
+            -- DuckDB identifiers are case-insensitive: the row
+            -- variable must NOT be named r next to the row-count R
+            -- (they collide silently; caught by the first parity run)
+            WITH d AS (SELECT doc_id AS i, 2 + doc_id % 3 AS nr,
+                              2 + doc_id % 2 AS nc FROM documents),
+            hdr AS (SELECT i, CAST(0 AS BIGINT) AS row, c AS col,
+                           'H' || c AS text, true AS header
+                    FROM (SELECT *, unnest(range(0, nc)) AS c FROM d)),
+            dr AS (SELECT *, unnest(range(1, nr + 1)) AS rw FROM d),
+            dk AS (SELECT *, unnest(range(0,
+                       CASE WHEN i % 4 = 0 AND rw = nr THEN nc - 1
+                            ELSE nc END)) AS k FROM dr),
+            data AS (SELECT i, rw AS row,
+                            CASE WHEN i % 4 = 0 AND rw = nr AND k >= 1
+                                 THEN k + 1 ELSE k END AS col,
+                            'c' || rw || '_' || k || '_' || i AS text,
+                            false AS header
+                     FROM dk)
+            SELECT i AS doc_id, CAST(0 AS BIGINT) AS table_idx,
+                   row, col, text, header
+            FROM (SELECT * FROM hdr UNION ALL SELECT * FROM data)
+            ORDER BY doc_id, row, col
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

@@ -170,3 +170,38 @@ def test_parse_sitemap_soup_and_index():
                     "lastmod": None}]
     assert parse_sitemap(b"") == []
     assert parse_sitemap(b"garbage <<< not xml") == []
+
+
+def test_html_table_occupancy_grid():
+    """rowspan/colspan grid semantics, nested tables, tag soup."""
+    from webxtract.htmldom import parse_html
+    from webxtract.ops.web import html_table_cells
+
+    html = ('<table><tr><td rowspan="2">A</td><td>B</td><td>C</td></tr>'
+            "<tr><td>D</td><td>E</td></tr></table>")
+    [cells] = html_table_cells(parse_html(html))
+    assert [(c["row"], c["col"], c["text"]) for c in cells] == [
+        (0, 0, "A"), (0, 1, "B"), (0, 2, "C"),
+        (1, 1, "D"), (1, 2, "E")]  # row 1 col 0 occupied by A
+
+    # nested table: inner cells belong to the inner table only
+    html2 = ("<table><tr><td>outer<table><tr><td>inner</td></tr>"
+             "</table></td></tr></table>")
+    tables = html_table_cells(parse_html(html2))
+    assert len(tables) == 2
+    assert [c["text"] for c in tables[0]] == ["outer"]
+    assert [c["text"] for c in tables[1]] == ["inner"]
+
+    # tag soup: unclosed td/tr still yield every cell once
+    soup = "<table><tr><td>a<td>b<tr><td>c</table>"
+    [cells3] = html_table_cells(parse_html(soup))
+    assert [(c["row"], c["col"], c["text"]) for c in cells3] == [
+        (0, 0, "a"), (0, 1, "b"), (1, 0, "c")]
+
+    # hostile spans clamp; th marks header
+    h = ('<table><tr><th colspan="999999">H</th></tr>'
+         '<tr><td rowspan="-3">x</td></tr></table>')
+    [cells4] = html_table_cells(parse_html(h))
+    assert cells4[0]["header"] and cells4[0]["col"] == 0
+    assert cells4[1] == {"row": 1, "col": 0, "text": "x",
+                         "header": False}

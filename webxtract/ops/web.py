@@ -885,3 +885,166 @@ def domain_anchor_texts(sf_dir: str):
     their non-edges)."""
     return anchor_text_profile(synth_link_corpus(sf_dir)) \
         .sort(["dst_host", "anchor_text"])
+
+
+# --- HTML table extraction -------------------------------------------------
+
+
+def _walk_scoped(node, want: set[str], barrier: set[str]):
+    """Yield descendant nodes with tag in ``want``, document order,
+    WITHOUT descending through ``barrier`` tags (a nested table's rows
+    belong to the nested table). Matched nodes ARE descended into:
+    tag-soup pages nest the next td/tr inside the previous one when
+    close tags are missing, and those cells must each surface once
+    (their text stays scoped — _cell_text excludes nested cells)."""
+    stack = list(reversed(node.children))
+    while stack:
+        n = stack.pop()
+        if isinstance(n, str):
+            continue
+        if n.tag in want:
+            yield n
+        if n.tag in barrier:
+            continue
+        stack.extend(reversed(n.children))
+
+
+def _cell_text(node) -> str:
+    """Subtree text of a cell, excluding nested table/cell subtrees
+    (tag-soup missing close tags nest the next cell INSIDE the
+    previous one — its text must not leak into both)."""
+    out = []
+    stack = list(reversed(node.children))
+    while stack:
+        n = stack.pop()
+        if isinstance(n, str):
+            out.append(n)
+        elif n.tag not in ("table", "td", "th", "tr"):
+            stack.extend(reversed(n.children))
+    return " ".join("".join(out).split())
+
+
+def _span(attrs: dict, key: str) -> int:
+    try:
+        v = int(attrs.get(key, "1"))
+    except ValueError:
+        return 1
+    return min(max(v, 1), 1000)  # clamp hostile spans
+
+
+def html_table_cells(root) -> list[list[dict]]:
+    """All tables in a parsed DOM -> per table a list of cell dicts
+    (row, col, text, header) with the standard rowspan/colspan
+    occupancy-grid algorithm: each cell takes the leftmost free grid
+    slot in its row and reserves its span rectangle."""
+    tables = []
+    stack = [root]
+    while stack:  # collect every table node (nested ones included);
+        n = stack.pop()  # children pushed reversed => document order
+        if isinstance(n, str):
+            continue
+        if n.tag == "table":
+            tables.append(n)
+        stack.extend(reversed(n.children))
+
+    out = []
+    for t in tables:
+        cells = []
+        occupied: dict[int, set[int]] = {}
+        for r, tr in enumerate(
+                _walk_scoped(t, {"tr"}, {"table"})):
+            col = 0
+            for cell in _walk_scoped(tr, {"td", "th"},
+                                     {"table", "tr"}):
+                while col in occupied.get(r, set()):
+                    col += 1
+                rs, cs = _span(cell.attrs, "rowspan"), \
+                    _span(cell.attrs, "colspan")
+                cells.append({"row": r, "col": col,
+                              "text": _cell_text(cell),
+                              "header": cell.tag == "th"})
+                for rr in range(r, r + rs):
+                    occupied.setdefault(rr, set()).update(
+                        range(col, col + cs))
+                col += cs
+        out.append(cells)
+    return out
+
+
+def extract_html_tables(ds, url_col: str = "doc_id",
+                        html_col: str = "html"):
+    """pages Dataset -> one row per table CELL (id, table_idx, row,
+    col, text, header) — the HTML-markup twin of the geometric
+    TABLE_CELL grid the PDF layout parser emits (reference parity:
+    Textract TABLES, postprocessing/fn-postprocess/main.py consumes
+    exactly this shape). In-batch expansion, zero exchanges."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        from ..htmldom import decode_bytes, parse_html
+
+        ids, tix, rows, cols, texts, hdrs = [], [], [], [], [], []
+        for i, raw in zip(t.column(url_col).to_pylist(),
+                          t.column(html_col).to_pylist()):
+            text = raw if isinstance(raw, str) else decode_bytes(raw)
+            if not text:
+                continue
+            for k, cells in enumerate(html_table_cells(
+                    parse_html(text))):
+                for c in cells:
+                    ids.append(i)
+                    tix.append(k)
+                    rows.append(c["row"])
+                    cols.append(c["col"])
+                    texts.append(c["text"])
+                    hdrs.append(c["header"])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "table_idx": pa.array(tix, pa.int64()),
+            "row": pa.array(rows, pa.int64()),
+            "col": pa.array(cols, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "header": pa.array(hdrs, pa.bool_()),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def html_tables(sf_dir: str):
+    """ORACLED query surface: per-doc closed-form tables — R = 2+id%3
+    data rows x C = 2+id%2 cols under a th header row; every 4th doc's
+    LAST data row leads with a colspan=2 cell (so its k-th cell lands
+    at col k+1 for k >= 1) — parsed by the real DOM walk + occupancy
+    grid; DuckDB recomputes every (doc_id, row, col, text, header)
+    cell from doc_id."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        out_i, out_h = [], []
+        for i in batch.column("doc_id").to_pylist():
+            R, C = 2 + i % 3, 2 + i % 2
+            parts = ["<table><tr>"]
+            parts += [f"<th>H{c}</th>" for c in range(C)]
+            parts.append("</tr>")
+            for r in range(1, R + 1):
+                parts.append("<tr>")
+                if i % 4 == 0 and r == R:
+                    parts.append(f'<td colspan="2">c{r}_0_{i}</td>')
+                    parts += [f"<td>c{r}_{k}_{i}</td>"
+                              for k in range(1, C - 1)]
+                else:
+                    parts += [f"<td>c{r}_{k}_{i}</td>"
+                              for k in range(C)]
+                parts.append("</tr>")
+            parts.append("</table>")
+            out_i.append(i)
+            out_h.append(f"<html><body>{''.join(parts)}"
+                         "</body></html>".encode())
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "html": pa.array(out_h, pa.binary())})
+
+    pages = ids.map_batches(render, batch_format="pyarrow",
+                            batch_size=512)
+    return extract_html_tables(pages).sort(["doc_id", "row", "col"])

@@ -773,6 +773,16 @@ def _warc_page_stats(sf_dir: str):
     return warc_page_stats(sf_dir)
 
 
+def _html_meta(sf_dir: str):
+    """ORACLED HTML head metadata: title (whitespace-collapsed), meta
+    description, rel=canonical link (attr-value case-insensitive),
+    robots noindex token, og:title — first-wins DOM walk; DuckDB
+    recomputes every field closed-form."""
+    from webxtract.ops.web import html_meta
+
+    return html_meta(sf_dir)
+
+
 def _html_tables(sf_dir: str):
     """ORACLED HTML table extraction: real DOM walk + rowspan/colspan
     occupancy grid -> one row per cell (the HTML twin of the geometric
@@ -1482,6 +1492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # anchor-text counts: partial counts + one grouped exchange
         "html_tables": _html_tables,  # ORACLED HTML table cells:
         # rowspan/colspan occupancy grid, Textract-TABLES twin
+        "html_meta": _html_meta,  # ORACLED head metadata: title/
+        # description/canonical/noindex/og:title, first-wins walk
     }
 
 
@@ -4471,6 +4483,20 @@ r5 AS (
                    row, col, text, header
             FROM (SELECT * FROM hdr UNION ALL SELECT * FROM data)
             ORDER BY doc_id, row, col
+        """,
+        # closed-form head-section twin (title whitespace collapses to
+        # single spaces; noindex on id%7==3; canonical rel matched
+        # case-insensitively)
+        "html_meta": """
+            SELECT doc_id,
+                   'Doc ' || doc_id || ' site' || (doc_id % 50)
+                       AS title,
+                   'Summary of document ' || doc_id AS description,
+                   'https://site' || (doc_id % 50) || '.example/p/'
+                       || doc_id AS canonical,
+                   doc_id % 7 = 3 AS noindex,
+                   'OG ' || doc_id AS og_title
+            FROM documents ORDER BY doc_id
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

@@ -205,3 +205,22 @@ def test_html_table_occupancy_grid():
     assert cells4[0]["header"] and cells4[0]["col"] == 0
     assert cells4[1] == {"row": 1, "col": 0, "text": "x",
                          "header": False}
+
+
+def test_extract_page_meta_edges():
+    from webxtract.htmldom import parse_html
+    from webxtract.ops.web import extract_page_meta
+
+    # first-wins, missing fields None, multi-token robots, rel case
+    html = ("<head><title>A</title><title>B</title>"
+            '<meta name="ROBOTS" content="nofollow , NoIndex ">'
+            '<link rel="CANONICAL" href="https://a.b/c">'
+            '<meta name="description" content="d1">'
+            '<meta name="description" content="d2"></head>')
+    m = extract_page_meta(parse_html(html))
+    assert m == {"title": "A", "description": "d1",
+                 "canonical": "https://a.b/c", "noindex": True,
+                 "og_title": None}
+    assert extract_page_meta(parse_html("")) == {
+        "title": None, "description": None, "canonical": None,
+        "noindex": False, "og_title": None}

@@ -1048,3 +1048,111 @@ def html_tables(sf_dir: str):
     pages = ids.map_batches(render, batch_format="pyarrow",
                             batch_size=512)
     return extract_html_tables(pages).sort(["doc_id", "row", "col"])
+
+
+# --- HTML head metadata ----------------------------------------------------
+
+
+def extract_page_meta(root) -> dict:
+    """(title, description, canonical, noindex, og_title) from a parsed
+    DOM: first <title> text (whitespace-normalized), <meta
+    name=description content>, <link rel=canonical href>, <meta
+    name=robots> containing a 'noindex' token, <meta property=og:title
+    content>. First occurrence wins for each; attribute NAMES are
+    case-folded by the parser, VALUES compare case-insensitively where
+    the HTML spec says so (rel, name, robots tokens)."""
+    meta = {"title": None, "description": None, "canonical": None,
+            "noindex": False, "og_title": None}
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, str):
+            continue
+        if n.tag == "title" and meta["title"] is None:
+            meta["title"] = " ".join(_node_text(n).split())
+        elif n.tag == "meta":
+            name = (n.attrs.get("name") or "").lower()
+            prop = (n.attrs.get("property") or "").lower()
+            content = n.attrs.get("content") or ""
+            if name == "description" and meta["description"] is None:
+                meta["description"] = content
+            elif name == "robots":
+                tokens = {t.strip().lower()
+                          for t in content.split(",")}
+                if "noindex" in tokens:
+                    meta["noindex"] = True
+            elif prop == "og:title" and meta["og_title"] is None:
+                meta["og_title"] = content
+        elif n.tag == "link":
+            rel = (n.attrs.get("rel") or "").lower()
+            if rel == "canonical" and meta["canonical"] is None:
+                meta["canonical"] = n.attrs.get("href")
+        stack.extend(reversed(n.children))
+    return meta
+
+
+def extract_html_meta(ds, id_col: str = "doc_id",
+                      html_col: str = "html"):
+    """pages Dataset -> one metadata row per page. In-batch, zero
+    exchanges."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        from ..htmldom import decode_bytes, parse_html
+
+        rows = {k: [] for k in ("id", "title", "description",
+                                "canonical", "noindex", "og_title")}
+        for i, raw in zip(t.column(id_col).to_pylist(),
+                          t.column(html_col).to_pylist()):
+            text = raw if isinstance(raw, str) else decode_bytes(raw)
+            m = extract_page_meta(parse_html(text or ""))
+            rows["id"].append(i)
+            for k in ("title", "description", "canonical",
+                      "noindex", "og_title"):
+                rows[k].append(m[k])
+        return pa.table({
+            "doc_id": pa.array(rows["id"], pa.int64()),
+            "title": pa.array(rows["title"], pa.string()),
+            "description": pa.array(rows["description"], pa.string()),
+            "canonical": pa.array(rows["canonical"], pa.string()),
+            "noindex": pa.array(rows["noindex"], pa.bool_()),
+            "og_title": pa.array(rows["og_title"], pa.string()),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def html_meta(sf_dir: str):
+    """ORACLED query surface: closed-form head sections (title with
+    collapsible whitespace, description, UPPERCASE-attr-value
+    canonical link, a robots meta that is noindex on every 7th doc
+    with id%7==3, og:title) parsed by the real DOM walk; DuckDB
+    recomputes every field from doc_id."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        out_i, out_h = [], []
+        for i in batch.column("doc_id").to_pylist():
+            h = i % 50
+            robots = ("<meta name=\"robots\" content=\"NOINDEX, "
+                      "nofollow\">" if i % 7 == 3 else
+                      "<meta name=\"robots\" content=\"index, "
+                      "follow\">")
+            head = (f"<head><title>  Doc {i}\n   site{h}  </title>"
+                    f'<meta name="description" content="Summary of '
+                    f'document {i}">{robots}'
+                    f'<link rel="Canonical" href="https://site{h}'
+                    f'.example/p/{i}">'
+                    f'<meta property="og:title" content="OG {i}">'
+                    "</head>")
+            out_i.append(i)
+            out_h.append(f"<html>{head}<body><p>body {i}</p></body>"
+                         "</html>".encode())
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "html": pa.array(out_h, pa.binary())})
+
+    pages = ids.map_batches(render, batch_format="pyarrow",
+                            batch_size=512)
+    return extract_html_meta(pages).sort("doc_id")

@@ -783,6 +783,16 @@ def _html_meta(sf_dir: str):
     return html_meta(sf_dir)
 
 
+def _html_forms(sf_dir: str):
+    """ORACLED HTML form key-value extraction (Textract-FORMS twin):
+    label-for resolution, enclosing-label keys, placeholder/name
+    fallbacks, selected-option values, textarea text, submit/hidden
+    suppression; DuckDB recomputes all five field rows per doc."""
+    from webxtract.ops.web import html_forms
+
+    return html_forms(sf_dir)
+
+
 def _html_tables(sf_dir: str):
     """ORACLED HTML table extraction: real DOM walk + rowspan/colspan
     occupancy grid -> one row per cell (the HTML twin of the geometric
@@ -1494,6 +1504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rowspan/colspan occupancy grid, Textract-TABLES twin
         "html_meta": _html_meta,  # ORACLED head metadata: title/
         # description/canonical/noindex/og:title, first-wins walk
+        "html_forms": _html_forms,  # ORACLED form KV extraction:
+        # label-for/enclosing-label keys, Textract-FORMS twin
     }
 
 
@@ -4497,6 +4509,26 @@ r5 AS (
                    doc_id % 7 = 3 AS noindex,
                    'OG ' || doc_id AS og_title
             FROM documents ORDER BY doc_id
+        """,
+        # closed-form twin of the fixture form: five visible fields
+        # (submit suppressed); select value = chr(65 + id%3)
+        "html_forms": """
+            SELECT doc_id, CAST(0 AS BIGINT) AS form_idx, key,
+                   field_name, field_type, value
+            FROM (
+                SELECT doc_id, 'Full Name' AS key,
+                       'name' AS field_name, 'text' AS field_type,
+                       'V' || doc_id AS value FROM documents
+                UNION ALL SELECT doc_id, 'note', 'note', 'textarea',
+                       'note ' || doc_id FROM documents
+                UNION ALL SELECT doc_id, 'plan', 'plan', 'select',
+                       chr(65 + CAST(doc_id % 3 AS INT))
+                       FROM documents
+                UNION ALL SELECT doc_id, 'Search', 'q', 'text', ''
+                       FROM documents
+                UNION ALL SELECT doc_id, 'Subscribe', 'sub',
+                       'checkbox', 'yes' FROM documents)
+            ORDER BY doc_id, field_name
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

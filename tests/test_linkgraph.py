@@ -224,3 +224,30 @@ def test_extract_page_meta_edges():
     assert extract_page_meta(parse_html("")) == {
         "title": None, "description": None, "canonical": None,
         "noindex": False, "og_title": None}
+
+
+def test_html_form_fields_edges():
+    from webxtract.htmldom import parse_html
+    from webxtract.ops.web import html_form_fields
+
+    # label-for beats enclosing label; hidden/submit/button suppressed;
+    # select default = first option; option text when no value attr
+    html = ('<form><label for="a">ForKey</label>'
+            '<label>Enclosing <input id="a" name="x"></label>'
+            '<input type="hidden" name="h" value="1">'
+            '<input type="submit" value="Go">'
+            '<select name="s"><option>First</option>'
+            "<option>Second</option></select></form>"
+            '<form><input name="second-form"></form>')
+    forms = html_form_fields(parse_html(html))
+    assert len(forms) == 2
+    assert forms[0] == [
+        {"key": "ForKey", "field_name": "x", "field_type": "text",
+         "value": ""},
+        {"key": "s", "field_name": "s", "field_type": "select",
+         "value": "First"},
+    ]
+    assert forms[1] == [{"key": "second-form",
+                         "field_name": "second-form",
+                         "field_type": "text", "value": ""}]
+    assert html_form_fields(parse_html("<p>no forms</p>")) == []

@@ -1156,3 +1156,171 @@ def html_meta(sf_dir: str):
     pages = ids.map_batches(render, batch_format="pyarrow",
                             batch_size=512)
     return extract_html_meta(pages).sort("doc_id")
+
+
+# --- HTML form (FORMS key-value) extraction --------------------------------
+
+
+def _label_text(node) -> str:
+    """Label subtree text, excluding embedded control subtrees."""
+    out = []
+    stack = list(reversed(node.children))
+    while stack:
+        n = stack.pop()
+        if isinstance(n, str):
+            out.append(n)
+        elif n.tag not in ("input", "select", "textarea", "form"):
+            stack.extend(reversed(n.children))
+    return " ".join("".join(out).split())
+
+
+def _select_value(sel) -> str:
+    """Selected option's value (value attr, else its text): first
+    option carrying the selected attr, else the first option."""
+    first = chosen = None
+    for opt in _walk_scoped(sel, {"option"}, {"select", "form"}):
+        if first is None:
+            first = opt
+        if "selected" in opt.attrs and chosen is None:
+            chosen = opt
+    opt = chosen or first
+    if opt is None:
+        return ""
+    v = opt.attrs.get("value")
+    return v if v is not None else " ".join(_node_text(opt).split())
+
+
+def html_form_fields(root) -> list[list[dict]]:
+    """All <form> elements -> per form a list of field dicts (key,
+    field_name, field_type, value) — the HTML-markup twin of the
+    geometric KEY_VALUE_SET extraction (reference parity: Textract
+    FORMS, fn-postprocess key-value consumers). Key resolution order:
+    <label for=id> text, else enclosing <label> text, else
+    placeholder, else the name attr, else ''."""
+    forms = []
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, str):
+            continue
+        if n.tag == "form":
+            forms.append(n)
+        stack.extend(reversed(n.children))
+
+    out = []
+    for form in forms:
+        label_for = {}
+        for lab in _walk_scoped(form, {"label"}, {"form"}):
+            fid = lab.attrs.get("for")
+            if fid and fid not in label_for:
+                label_for[fid] = _label_text(lab)
+        fields = []
+        walk = [(c, None) for c in reversed(form.children)]
+        while walk:
+            n, label_txt = walk.pop()
+            if isinstance(n, str) or n.tag == "form":
+                continue
+            if n.tag == "label":
+                t = _label_text(n)
+                walk.extend((c, t) for c in reversed(n.children))
+                continue
+            if n.tag in ("input", "select", "textarea"):
+                name = n.attrs.get("name") or ""
+                fid = n.attrs.get("id")
+                key = (label_for.get(fid) if fid else None) \
+                    or label_txt \
+                    or n.attrs.get("placeholder") \
+                    or name
+                if n.tag == "input":
+                    ftype = (n.attrs.get("type") or "text").lower()
+                    value = n.attrs.get("value") or ""
+                elif n.tag == "select":
+                    ftype = "select"
+                    value = _select_value(n)
+                else:
+                    ftype = "textarea"
+                    value = " ".join(_node_text(n).split())
+                if ftype not in ("submit", "button", "hidden"):
+                    fields.append({"key": key or "",
+                                   "field_name": name,
+                                   "field_type": ftype,
+                                   "value": value})
+                continue
+            walk.extend((c, label_txt) for c in reversed(n.children))
+        out.append(fields)
+    return out
+
+
+def extract_html_forms(ds, id_col: str = "doc_id",
+                       html_col: str = "html"):
+    """pages Dataset -> one row per form field (doc_id, form_idx, key,
+    field_name, field_type, value). In-batch, zero exchanges."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        from ..htmldom import decode_bytes, parse_html
+
+        ids, fix, keys, names, types, vals = [], [], [], [], [], []
+        for i, raw in zip(t.column(id_col).to_pylist(),
+                          t.column(html_col).to_pylist()):
+            text = raw if isinstance(raw, str) else decode_bytes(raw)
+            if not text:
+                continue
+            for k, fields in enumerate(html_form_fields(
+                    parse_html(text))):
+                for f in fields:
+                    ids.append(i)
+                    fix.append(k)
+                    keys.append(f["key"])
+                    names.append(f["field_name"])
+                    types.append(f["field_type"])
+                    vals.append(f["value"])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "form_idx": pa.array(fix, pa.int64()),
+            "key": pa.array(keys, pa.string()),
+            "field_name": pa.array(names, pa.string()),
+            "field_type": pa.array(types, pa.string()),
+            "value": pa.array(vals, pa.string()),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def html_forms(sf_dir: str):
+    """ORACLED query surface: one closed-form form per doc — a
+    label-for text input, a label-enclosed checkbox, a select with
+    the (id%3)-th option selected, a textarea, a placeholder-keyed
+    search box, plus a submit button that must NOT surface; DuckDB
+    recomputes all five field rows from doc_id."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        out_i, out_h = [], []
+        for i in batch.column("doc_id").to_pylist():
+            opts = "".join(
+                f'<option value="{chr(65 + k)}"'
+                + (" selected" if k == i % 3 else "")
+                + f">Opt {k}</option>" for k in range(3))
+            form = (
+                f'<form action="/submit">'
+                f'<label for="f{i}">Full  Name</label>'
+                f'<input id="f{i}" name="name" value="V{i}">'
+                f'<label>Subscribe'
+                f'<input type="checkbox" name="sub" value="yes">'
+                f"</label>"
+                f'<select name="plan">{opts}</select>'
+                f'<textarea name="note">note {i}</textarea>'
+                f'<input name="q" placeholder="Search">'
+                f'<input type="submit" value="Go">'
+                f"</form>")
+            out_i.append(i)
+            out_h.append(f"<html><body>{form}</body></html>".encode())
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "html": pa.array(out_h, pa.binary())})
+
+    pages = ids.map_batches(render, batch_format="pyarrow",
+                            batch_size=512)
+    return extract_html_forms(pages).sort(["doc_id", "field_name"])

@@ -783,6 +783,16 @@ def _html_meta(sf_dir: str):
     return html_meta(sf_dir)
 
 
+def _html_jsonld(sf_dir: str):
+    """ORACLED JSON-LD structured-data extraction: raw script-block
+    scan (the DOM parser skips script content by design) + stdlib
+    JSON parse, arrays and @graph unwrapped, malformed blocks yield
+    zero rows; DuckDB recomputes the surviving items closed-form."""
+    from webxtract.ops.web import html_jsonld
+
+    return html_jsonld(sf_dir)
+
+
 def _html_forms(sf_dir: str):
     """ORACLED HTML form key-value extraction (Textract-FORMS twin):
     label-for resolution, enclosing-label keys, placeholder/name
@@ -1506,6 +1516,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # description/canonical/noindex/og:title, first-wins walk
         "html_forms": _html_forms,  # ORACLED form KV extraction:
         # label-for/enclosing-label keys, Textract-FORMS twin
+        "html_jsonld": _html_jsonld,  # ORACLED schema.org JSON-LD
+        # items: raw script scan + JSON parse, malformed -> no rows
     }
 
 
@@ -4529,6 +4541,23 @@ r5 AS (
                 UNION ALL SELECT doc_id, 'Subscribe', 'sub',
                        'checkbox', 'yes' FROM documents)
             ORDER BY doc_id, field_name
+        """,
+        # closed-form JSON-LD items: the per-doc typed item plus the
+        # every-6th Organization array member; the id%9==4 malformed
+        # block contributes nothing by construction
+        "html_jsonld": """
+            SELECT doc_id, CAST(0 AS BIGINT) AS block_idx,
+                   CAST(0 AS BIGINT) AS item_idx,
+                   CASE doc_id % 3 WHEN 0 THEN 'Article'
+                        WHEN 1 THEN 'Product'
+                        ELSE 'Person' END AS ld_type,
+                   'Item ' || doc_id AS name
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+                   'Organization', 'Org ' || doc_id
+            FROM documents WHERE doc_id % 6 = 0
+            ORDER BY doc_id, block_idx, item_idx
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

@@ -251,3 +251,20 @@ def test_html_form_fields_edges():
                          "field_name": "second-form",
                          "field_type": "text", "value": ""}]
     assert html_form_fields(parse_html("<p>no forms</p>")) == []
+
+
+def test_extract_jsonld_blocks_edges():
+    from webxtract.ops.web import extract_jsonld_blocks
+
+    html = ('<script type="application/ld+json">{"@type": "A", '
+            '"name": "n"}</script>'
+            "<script>var x = 1;</script>"  # plain script ignored
+            '<script type="APPLICATION/LD+JSON">[{"@type": "B"}, 3, '
+            '{"@type": "C"}]</script>'  # case-insens; non-dict dropped
+            '<script type="application/ld+json">{"@graph": '
+            '[{"@type": "G1"}, {"@type": "G2"}]}</script>'
+            '<script type="application/ld+json">{broken</script>')
+    blocks = extract_jsonld_blocks(html)
+    assert [[i.get("@type") for i in b] for b in blocks] == [
+        ["A"], ["B", "C"], ["G1", "G2"], []]
+    assert extract_jsonld_blocks("no scripts here") == []

@@ -1324,3 +1324,115 @@ def html_forms(sf_dir: str):
     pages = ids.map_batches(render, batch_format="pyarrow",
                             batch_size=512)
     return extract_html_forms(pages).sort(["doc_id", "field_name"])
+
+
+# --- JSON-LD structured data -----------------------------------------------
+
+_JSONLD_RE = _re.compile(
+    r"<script[^>]*type\s*=\s*[\"']?application/ld\+json[\"']?[^>]*>"
+    r"(.*?)</script\s*>", _re.IGNORECASE | _re.DOTALL)
+
+
+def extract_jsonld_blocks(html: str) -> list[list[dict]]:
+    """Raw-scan for <script type=application/ld+json> payloads (the
+    DOM parser intentionally SKIPS script content, so structured data
+    needs its own pass) and parse each with the stdlib JSON parser.
+    Per block: a list of item dicts — a top-level object is one item,
+    a top-level array its elements, an @graph object its graph
+    members. Malformed JSON yields an empty item list (data quality,
+    never an exception)."""
+    import json
+
+    blocks = []
+    for m in _JSONLD_RE.finditer(html):
+        try:
+            data = json.loads(m.group(1))
+        except (ValueError, RecursionError):
+            blocks.append([])
+            continue
+        if isinstance(data, list):
+            items = data
+        elif isinstance(data, dict) and isinstance(
+                data.get("@graph"), list):
+            items = data["@graph"]
+        else:
+            items = [data]
+        blocks.append([i for i in items if isinstance(i, dict)])
+    return blocks
+
+
+def extract_jsonld(ds, id_col: str = "doc_id",
+                   html_col: str = "html"):
+    """pages Dataset -> one row per JSON-LD item (doc_id, block_idx,
+    item_idx, ld_type, name). @type may be a list — first entry wins;
+    missing fields surface as null. In-batch, zero exchanges."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        from ..htmldom import decode_bytes
+
+        ids, bix, iix, types, names = [], [], [], [], []
+        for i, raw in zip(t.column(id_col).to_pylist(),
+                          t.column(html_col).to_pylist()):
+            text = raw if isinstance(raw, str) else decode_bytes(raw)
+            if not text:
+                continue
+            for b, items in enumerate(extract_jsonld_blocks(text)):
+                for k, item in enumerate(items):
+                    ty = item.get("@type")
+                    if isinstance(ty, list):
+                        ty = ty[0] if ty else None
+                    nm = item.get("name")
+                    ids.append(i)
+                    bix.append(b)
+                    iix.append(k)
+                    types.append(ty if isinstance(ty, str) else None)
+                    names.append(nm if isinstance(nm, str) else None)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "block_idx": pa.array(bix, pa.int64()),
+            "item_idx": pa.array(iix, pa.int64()),
+            "ld_type": pa.array(types, pa.string()),
+            "name": pa.array(names, pa.string()),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def html_jsonld(sf_dir: str):
+    """ORACLED query surface: every doc carries one valid JSON-LD
+    block — type [Article, Product, Person][id%3], name 'Item {id}',
+    with every 6th doc an ARRAY adding an Organization item — and
+    every doc with id%9==4 an additional MALFORMED block that must
+    yield zero rows; DuckDB recomputes the surviving rows
+    closed-form."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        out_i, out_h = [], []
+        for i in batch.column("doc_id").to_pylist():
+            ty = ["Article", "Product", "Person"][i % 3]
+            item = (f'{{"@context": "https://schema.org", '
+                    f'"@type": "{ty}", "name": "Item {i}"}}')
+            if i % 6 == 0:
+                payload = (f'[{item}, {{"@type": "Organization", '
+                           f'"name": "Org {i}"}}]')
+            else:
+                payload = item
+            blocks = (f'<script type="application/ld+json">'
+                      f"{payload}</script>")
+            if i % 9 == 4:
+                blocks += ('<script type="application/ld+json">'
+                           "{not json]</script>")
+            out_i.append(i)
+            out_h.append(f"<html><head>{blocks}</head><body>doc {i}"
+                         "</body></html>".encode())
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "html": pa.array(out_h, pa.binary())})
+
+    pages = ids.map_batches(render, batch_format="pyarrow",
+                            batch_size=512)
+    return extract_jsonld(pages).sort(["doc_id", "block_idx",
+                                       "item_idx"])

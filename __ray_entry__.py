@@ -783,6 +783,16 @@ def _html_meta(sf_dir: str):
     return html_meta(sf_dir)
 
 
+def _html_alternates(sf_dir: str):
+    """ORACLED hreflang alternates + meta-refresh redirects: rel
+    matched case-insensitively, BCP-47 tags lowercased, refresh
+    content parsed 'N; url=...' with optional quotes/case, first
+    refresh wins; DuckDB recomputes every row closed-form."""
+    from webxtract.ops.web import html_alternates
+
+    return html_alternates(sf_dir)
+
+
 def _html_jsonld(sf_dir: str):
     """ORACLED JSON-LD structured-data extraction: raw script-block
     scan (the DOM parser skips script content by design) + stdlib
@@ -1518,6 +1528,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # label-for/enclosing-label keys, Textract-FORMS twin
         "html_jsonld": _html_jsonld,  # ORACLED schema.org JSON-LD
         # items: raw script scan + JSON parse, malformed -> no rows
+        "html_alternates": _html_alternates,  # ORACLED hreflang
+        # clusters + meta-refresh redirects (multilingual signal)
     }
 
 
@@ -4558,6 +4570,24 @@ r5 AS (
                    'Organization', 'Org ' || doc_id
             FROM documents WHERE doc_id % 6 = 0
             ORDER BY doc_id, block_idx, item_idx
+        """,
+        # closed-form alternates: 1 + id%3 hreflang rows (lowercased)
+        # + the id%11==7 refresh target (unquoted)
+        "html_alternates": """
+            -- documents has its own lang column: the VALUES list
+            -- must use a distinct name and qualify it
+            WITH l(k, hl) AS (VALUES (0, 'en'), (1, 'de'),
+                                     (2, 'fr'))
+            SELECT doc_id, 'alternate' AS kind, l.hl AS lang,
+                   'https://site' || (doc_id % 50) || '.example/'
+                       || l.hl || '/p/' || doc_id AS href
+            FROM documents JOIN l ON l.k <= doc_id % 3
+            UNION ALL
+            SELECT doc_id, 'refresh', NULL,
+                   'https://site' || (doc_id % 50)
+                       || '.example/new/' || doc_id
+            FROM documents WHERE doc_id % 11 = 7
+            ORDER BY doc_id, kind, lang
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

@@ -268,3 +268,20 @@ def test_extract_jsonld_blocks_edges():
     assert [[i.get("@type") for i in b] for b in blocks] == [
         ["A"], ["B", "C"], ["G1", "G2"], []]
     assert extract_jsonld_blocks("no scripts here") == []
+
+
+def test_extract_alternates_edges():
+    from webxtract.htmldom import parse_html
+    from webxtract.ops.web import extract_alternates
+
+    html = ('<link rel="ALTERNATE" hreflang="EN-gb" href="/en">'
+            '<link rel="alternate" href="/no-lang">'
+            '<link rel="stylesheet" hreflang="de" href="/css">'
+            '<meta http-equiv="refresh" content="0;url=https://a.b/r">'
+            '<meta http-equiv="refresh" content="9; url=/second">'
+            '<meta http-equiv="refresh" content="not parseable">')
+    rows = extract_alternates(parse_html(html))
+    assert rows == [
+        {"kind": "alternate", "lang": "en-gb", "href": "/en"},
+        {"kind": "refresh", "lang": None, "href": "https://a.b/r"},
+    ]  # no-hreflang + wrong-rel dropped; first refresh wins

@@ -1436,3 +1436,107 @@ def html_jsonld(sf_dir: str):
                             batch_size=512)
     return extract_jsonld(pages).sort(["doc_id", "block_idx",
                                        "item_idx"])
+
+
+# --- hreflang alternates + meta-refresh ------------------------------------
+
+_REFRESH_RE = _re.compile(
+    r"^\s*\d+\s*;\s*url\s*=\s*['\"]?([^'\"]+?)['\"]?\s*$",
+    _re.IGNORECASE)
+
+
+def extract_alternates(root) -> list[dict]:
+    """(kind, lang, href) rows from a parsed DOM: one 'alternate' row
+    per <link rel=alternate hreflang href> (rel matched
+    case-insensitively, lang lowercased — BCP-47 tags are
+    case-insensitive), plus one 'refresh' row when a <meta
+    http-equiv=refresh> carries a parseable 'N; url=...' content
+    (first wins). The multilingual-corpus signal: hreflang clusters
+    tie together translations of one document."""
+    rows = []
+    refresh_seen = False
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, str):
+            continue
+        if n.tag == "link":
+            rel = (n.attrs.get("rel") or "").lower()
+            lang = n.attrs.get("hreflang")
+            href = n.attrs.get("href")
+            if rel == "alternate" and lang and href:
+                rows.append({"kind": "alternate",
+                             "lang": lang.lower(), "href": href})
+        elif n.tag == "meta" and not refresh_seen:
+            if (n.attrs.get("http-equiv") or "").lower() == "refresh":
+                m = _REFRESH_RE.match(n.attrs.get("content") or "")
+                if m:
+                    rows.append({"kind": "refresh", "lang": None,
+                                 "href": m.group(1)})
+                    refresh_seen = True
+        stack.extend(reversed(n.children))
+    return rows
+
+
+def extract_html_alternates(ds, id_col: str = "doc_id",
+                            html_col: str = "html"):
+    """pages Dataset -> one row per alternate/refresh entry. In-batch,
+    zero exchanges."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        from ..htmldom import decode_bytes, parse_html
+
+        ids, kinds, langs, hrefs = [], [], [], []
+        for i, raw in zip(t.column(id_col).to_pylist(),
+                          t.column(html_col).to_pylist()):
+            text = raw if isinstance(raw, str) else decode_bytes(raw)
+            if not text:
+                continue
+            for r in extract_alternates(parse_html(text)):
+                ids.append(i)
+                kinds.append(r["kind"])
+                langs.append(r["lang"])
+                hrefs.append(r["href"])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "href": pa.array(hrefs, pa.string()),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def html_alternates(sf_dir: str):
+    """ORACLED query surface: 1 + id%3 hreflang alternates per doc
+    (UPPERCASE tags in the markup, lowercased out) plus a meta-refresh
+    redirect on id%11==7 (quoted URL, mixed-case 'URL=' key); DuckDB
+    recomputes every row closed-form."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    langs = ["en", "de", "fr"]
+
+    def render(batch: pa.Table) -> pa.Table:
+        out_i, out_h = [], []
+        for i in batch.column("doc_id").to_pylist():
+            h = i % 50
+            links = "".join(
+                f'<link rel="Alternate" hreflang="{langs[k].upper()}"'
+                f' href="https://site{h}.example/{langs[k]}/p/{i}">'
+                for k in range(1 + i % 3))
+            if i % 11 == 7:
+                links += ('<meta http-equiv="Refresh" content='
+                          f'"5; URL=\'https://site{h}.example/new/'
+                          f"{i}'\">")
+            out_i.append(i)
+            out_h.append(f"<html><head>{links}</head><body>doc {i}"
+                         "</body></html>".encode())
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "html": pa.array(out_h, pa.binary())})
+
+    pages = ids.map_batches(render, batch_format="pyarrow",
+                            batch_size=512)
+    return extract_html_alternates(pages).sort(
+        ["doc_id", "kind", "lang"])

@@ -783,6 +783,16 @@ def _html_meta(sf_dir: str):
     return html_meta(sf_dir)
 
 
+def _docs_readability(sf_dir: str):
+    """ORACLED Flesch reading-ease in integer milli-units: three RE2
+    counts per batch (words/sentence-runs/vowel-groups) + integer
+    division — the oracle runs the same RE2 patterns via
+    regexp_extract_all."""
+    from webxtract.ops.text import docs_readability
+
+    return docs_readability(sf_dir)
+
+
 def _html_alternates(sf_dir: str):
     """ORACLED hreflang alternates + meta-refresh redirects: rel
     matched case-insensitively, BCP-47 tags lowercased, refresh
@@ -1530,6 +1540,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # items: raw script scan + JSON parse, malformed -> no rows
         "html_alternates": _html_alternates,  # ORACLED hreflang
         # clusters + meta-refresh redirects (multilingual signal)
+        "docs_readability": _docs_readability,  # ORACLED integer
+        # Flesch score: three RE2 counts, zero exchanges
     }
 
 
@@ -4588,6 +4600,26 @@ r5 AS (
                        || '.example/new/' || doc_id
             FROM documents WHERE doc_id % 11 = 7
             ORDER BY doc_id, kind, lang
+        """,
+        # same RE2 counts + integer divisions (all operands
+        # non-negative, so DuckDB truncation == numpy floor)
+        "docs_readability": """
+            WITH c AS (
+                SELECT doc_id,
+                    greatest(len(regexp_extract_all(text, '\S+')),
+                             1) AS words,
+                    greatest(len(regexp_extract_all(text,
+                             '[.!?]+')), 1) AS sentences,
+                    len(regexp_extract_all(lower(text),
+                        '[aeiouy]+')) AS syllables
+                FROM documents)
+            SELECT doc_id, CAST(words AS BIGINT) AS words,
+                   CAST(sentences AS BIGINT) AS sentences,
+                   CAST(syllables AS BIGINT) AS syllables,
+                   CAST(206835 - (1015 * words) // sentences
+                        - (84600 * syllables) // words AS BIGINT)
+                       AS flesch_milli
+            FROM c ORDER BY doc_id
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

@@ -3511,3 +3511,52 @@ def docs_dup_ratio_by_source(sf_dir: str):
         "n_distinct": pa.array(dd_, pa.int64()),
         "dup_ppm": pa.array((nd_ - dd_) * 1_000_000 // nd_,
                             pa.int64())}))
+
+
+def docs_readability(sf_dir: str):
+    """Flesch reading-ease per document, INTEGER milli-units so the
+    score is bit-deterministic and DuckDB-mirrorable:
+
+        words      = count of \\S+ runs
+        sentences  = count of [.!?]+ runs   (min 1)
+        syllables  = count of [aeiouy]+ runs in lower(text) — the
+                     standard vowel-group heuristic, WITHOUT the
+                     per-word min-1 correction (spec'd identically on
+                     both sides; a per-word floor needs a second pass)
+        flesch_milli = 206835 - (1015 * words) // sentences
+                              - (84600 * syllables) // words  (min 1)
+
+    All three counts are single Arrow C++ RE2 passes per batch — no
+    exchanges, no Python loops; the oracle's regexp_extract_all runs
+    the same RE2 patterns."""
+    import pyarrow.compute as pc
+
+    from .relational import read
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        w = pc.max_element_wise(
+            pc.count_substring_regex(txt, r"\S+").cast(pa.int64()),
+            pa.scalar(1, pa.int64()))
+        s = pc.max_element_wise(
+            pc.count_substring_regex(txt, r"[.!?]+").cast(pa.int64()),
+            pa.scalar(1, pa.int64()))
+        sy = pc.count_substring_regex(
+            pc.utf8_lower(txt), r"[aeiouy]+").cast(pa.int64())
+        import numpy as np
+
+        wv = w.to_numpy(zero_copy_only=False)
+        sv = s.to_numpy(zero_copy_only=False)
+        syv = sy.to_numpy(zero_copy_only=False)
+        flesch = 206835 - (1015 * wv) // sv - (84600 * syv) // wv
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "words": w, "sentences": s,
+            "syllables": pa.array(syv, pa.int64()),
+            "flesch_milli": pa.array(flesch, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("doc_id")

@@ -783,6 +783,17 @@ def _html_meta(sf_dir: str):
     return html_meta(sf_dir)
 
 
+def _feed_inventory(sf_dir: str):
+    """ORACLED RSS/Atom feed source: per-host feeds (RSS even hosts /
+    Atom odd) rendered in one host-keyed co-location and parsed back
+    by the soup walk — including the rss-in-html VOID <link> quirk
+    (the url text lands as the link's next sibling) and Atom
+    rel=alternate selection; DuckDB recomputes every entry."""
+    from webxtract.ops.web import feed_inventory
+
+    return feed_inventory(sf_dir)
+
+
 def _docs_readability(sf_dir: str):
     """ORACLED Flesch reading-ease in integer milli-units: three RE2
     counts per batch (words/sentence-runs/vowel-groups) + integer
@@ -1542,6 +1553,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # clusters + meta-refresh redirects (multilingual signal)
         "docs_readability": _docs_readability,  # ORACLED integer
         # Flesch score: three RE2 counts, zero exchanges
+        "feed_inventory": _feed_inventory,  # ORACLED RSS/Atom feed
+        # source: void-link quirk + rel=alternate selection
     }
 
 
@@ -4620,6 +4633,19 @@ r5 AS (
                         - (84600 * syllables) // words AS BIGINT)
                        AS flesch_milli
             FROM c ORDER BY doc_id
+        """,
+        # closed-form feed entries: kind by host parity
+        "feed_inventory": """
+            SELECT 'https://site' || (doc_id % 50)
+                       || '.example/feed.xml' AS feed_url,
+                   CASE WHEN (doc_id % 50) % 2 = 0 THEN 'rss'
+                        ELSE 'atom' END AS kind,
+                   'Post ' || doc_id AS title,
+                   'https://site' || (doc_id % 50) || '.example/p/'
+                       || doc_id AS link,
+                   '2024-01-' || lpad(CAST(1 + doc_id % 28
+                       AS VARCHAR), 2, '0') AS published
+            FROM documents ORDER BY link
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

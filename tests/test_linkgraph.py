@@ -285,3 +285,32 @@ def test_extract_alternates_edges():
         {"kind": "alternate", "lang": "en-gb", "href": "/en"},
         {"kind": "refresh", "lang": None, "href": "https://a.b/r"},
     ]  # no-hreflang + wrong-rel dropped; first refresh wins
+
+
+def test_parse_feed_edges():
+    from webxtract.ops.web import parse_feed
+
+    rss = ("<rss><channel><title>Chan</title>"
+           "<item><title>A</title><link>https://a.b/1</link>"
+           "<pubDate>d1</pubDate></item>"
+           "<item><title>NoLink</title></item></channel></rss>")
+    got = parse_feed(rss)
+    assert got == [{"kind": "rss", "title": "A",
+                    "link": "https://a.b/1", "published": "d1"}]
+    atom = ('<feed><entry><title>B</title>'
+            '<link rel="self" href="https://a.b/feed"/>'
+            '<link rel="alternate" href="https://a.b/2"/>'
+            "<updated>d2</updated></entry>"
+            '<entry><title>C</title><link href="https://a.b/3"/>'
+            "</entry></feed>")
+    got = parse_feed(atom)
+    assert got == [
+        {"kind": "atom", "title": "B", "link": "https://a.b/2",
+         "published": "d2"},
+        {"kind": "atom", "title": "C", "link": "https://a.b/3",
+         "published": None}]
+    # no-rel first link fallback when no alternate exists
+    only_self = ('<feed><entry><link rel="self" '
+                 'href="https://a.b/f"/></entry></feed>')
+    assert parse_feed(only_self)[0]["link"] == "https://a.b/f"
+    assert parse_feed("") == []

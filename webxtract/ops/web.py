@@ -1540,3 +1540,151 @@ def html_alternates(sf_dir: str):
                             batch_size=512)
     return extract_html_alternates(pages).sort(
         ["doc_id", "kind", "lang"])
+
+
+# --- RSS / Atom feed source ------------------------------------------------
+
+
+def parse_feed(xml: bytes | str) -> list[dict]:
+    """Parse an RSS 2.0 or Atom feed into entry dicts (kind, title,
+    link, published) via the tag-soup DOM parser. RSS: <item> children
+    <title>/<link>text</link>/<pubDate>; Atom: <entry> children
+    <title>/<link href=...>/<updated> (the alternate link wins when
+    rel is present, else the first link). Malformed feeds degrade to
+    their parseable prefix; entries without a link are dropped."""
+    from ..htmldom import decode_bytes, parse_html
+
+    text = xml if isinstance(xml, str) else (decode_bytes(xml) or "")
+    root = parse_html(text)
+    entries = []
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, str):
+            continue
+        if n.tag in ("item", "entry"):
+            kind = "rss" if n.tag == "item" else "atom"
+            title = link = pub = None
+            first_link = None
+            pending_link = False  # <link> is VOID to the soup parser:
+            # an RSS link's url text lands as the NEXT SIBLING string
+            # of the empty link node (the classic rss-in-html quirk)
+            for c in n.children:
+                if isinstance(c, str):
+                    if pending_link and c.strip():
+                        link = c.strip()
+                        pending_link = False
+                    continue
+                if c.tag == "title" and title is None:
+                    title = " ".join(_node_text(c).split())
+                elif c.tag == "link":
+                    if kind == "rss":
+                        if link is None:
+                            t = _node_text(c).strip()
+                            if t:
+                                link = t
+                            else:
+                                pending_link = True
+                    else:
+                        href = c.attrs.get("href")
+                        if href:
+                            rel = (c.attrs.get("rel")
+                                   or "alternate").lower()
+                            if first_link is None:
+                                first_link = href
+                            if rel == "alternate" and link is None:
+                                link = href
+                elif c.tag in ("pubdate", "updated") and pub is None:
+                    pub = _node_text(c).strip()
+            if kind == "atom" and link is None:
+                link = first_link
+            if link:
+                entries.append({"kind": kind, "title": title,
+                                "link": link, "published": pub})
+        else:
+            stack.extend(reversed(n.children))
+    return entries
+
+
+def read_feeds(ds, url_col: str = "feed_url", xml_col: str = "xml"):
+    """(feed_url, xml) Dataset -> one row per entry. In-batch, zero
+    exchanges."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        src, kinds, titles, links, pubs = [], [], [], [], []
+        for u, raw in zip(t.column(url_col).to_pylist(),
+                          t.column(xml_col).to_pylist()):
+            for e in parse_feed(raw):
+                src.append(u)
+                kinds.append(e["kind"])
+                titles.append(e["title"])
+                links.append(e["link"])
+                pubs.append(e["published"])
+        return pa.table({
+            "feed_url": pa.array(src, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "title": pa.array(titles, pa.string()),
+            "link": pa.array(links, pa.string()),
+            "published": pa.array(pubs, pa.string()),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow",
+                          batch_size=16)
+
+
+def feed_inventory(sf_dir: str):
+    """ORACLED feed source: each host publishes its docs as ONE feed —
+    RSS for even hosts, Atom for odd (rendered inside one host-keyed
+    co-location, the sitemap-fixture pattern) — parsed back by the
+    real soup walk; DuckDB recomputes every entry closed-form."""
+    import ray.data as rd
+
+    from .relational import partitioned_map_groups
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+
+    def add_host(t: pa.Table) -> pa.Table:
+        h = t.column("doc_id").to_numpy() % 50
+        return t.append_column("host_id", pa.array(h, pa.int64()))
+
+    def render_feeds(part: pa.Table) -> pa.Table:
+        hid = part.column("host_id").to_numpy()
+        did = part.column("doc_id").to_numpy()
+        order = np.lexsort((did, hid))
+        hid, did = hid[order], did[order]
+        starts = np.flatnonzero(np.r_[True, hid[1:] != hid[:-1]])
+        urls, xmls = [], []
+        for k, st in enumerate(starts):
+            en = starts[k + 1] if k + 1 < len(starts) else len(hid)
+            h = int(hid[st])
+            if h % 2 == 0:
+                items = "".join(
+                    f"<item><title>Post {int(i)}</title>"
+                    f"<link>https://site{h}.example/p/{int(i)}</link>"
+                    f"<pubDate>2024-01-{1 + int(i) % 28:02d}</pubDate>"
+                    "</item>" for i in did[st:en])
+                xml = (f'<?xml version="1.0"?><rss version="2.0">'
+                       f"<channel><title>Site {h}</title>{items}"
+                       "</channel></rss>")
+            else:
+                items = "".join(
+                    f"<entry><title>Post {int(i)}</title>"
+                    f'<link rel="self" href="https://site{h}.example'
+                    f'/feed.xml"/>'
+                    f'<link rel="alternate" href="https://site{h}'
+                    f'.example/p/{int(i)}"/>'
+                    f"<updated>2024-01-{1 + int(i) % 28:02d}"
+                    "</updated></entry>" for i in did[st:en])
+                xml = ('<feed xmlns="http://www.w3.org/2005/Atom">'
+                       f"<title>Site {h}</title>{items}</feed>")
+            urls.append(f"https://site{h}.example/feed.xml")
+            xmls.append(xml.encode())
+        return pa.table({"feed_url": pa.array(urls, pa.string()),
+                         "xml": pa.array(xmls, pa.binary())})
+
+    feeds = partitioned_map_groups(
+        ids.map_batches(add_host, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        "host_id", render_feeds)
+    return read_feeds(feeds).sort(["link"])

@@ -783,6 +783,16 @@ def _html_meta(sf_dir: str):
     return html_meta(sf_dir)
 
 
+def _crawl_frontier(sf_dir: str):
+    """ORACLED capstone composite: robots-allowed AND NOT noindex,
+    prioritized by link-graph PageRank — one page-keyed hash join +
+    a |domains|-bounded rank broadcast; three real extractors
+    composed, DuckDB recomputing all of it closed-form."""
+    from webxtract.ops.web import crawl_frontier
+
+    return crawl_frontier(sf_dir)
+
+
 def _feed_inventory(sf_dir: str):
     """ORACLED RSS/Atom feed source: per-host feeds (RSS even hosts /
     Atom odd) rendered in one host-keyed co-location and parsed back
@@ -1555,6 +1565,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Flesch score: three RE2 counts, zero exchanges
         "feed_inventory": _feed_inventory,  # ORACLED RSS/Atom feed
         # source: void-link quirk + rel=alternate selection
+        "crawl_frontier": _crawl_frontier,  # ORACLED capstone:
+        # robots AND NOT noindex, PageRank-prioritized admission
     }
 
 
@@ -1675,6 +1687,44 @@ def _domain_pagerank_oracle(iters: int = 5, k: int = 25) -> str:
                CAST(r AS BIGINT) AS rank_e12
         FROM r{iters}
         ORDER BY rank_e12 DESC, host LIMIT {k}""")
+
+
+def _crawl_frontier_oracle(iters: int = 5) -> str:
+    """DuckDB twin of ops.web.crawl_frontier: the robots closed-form
+    decision AND NOT the meta-fixture noindex, prioritized by the
+    identical unrolled integer PageRank over the planted link graph
+    (every host has outlinks, so the LEFT JOIN coalesce never fires
+    on this fixture)."""
+    head = ("WITH" + _LINK_EDGE_CTE + """,
+        deg AS (SELECT s AS node, count(*) AS d FROM e0 GROUP BY s),
+        nn AS (SELECT count(*) AS n FROM deg),
+        r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS r
+               FROM deg)""")
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+        c{i} AS (
+            SELECT e0.t AS node, sum(r{i - 1}.r // deg.d) AS c
+            FROM e0 JOIN r{i - 1} ON e0.s = r{i - 1}.node
+            JOIN deg ON e0.s = deg.node
+            GROUP BY e0.t),
+        r{i} AS (
+            SELECT deg.node,
+                   (150000000000 // (SELECT n FROM nn))
+                   + (85 * coalesce(c{i}.c, 0)) // 100 AS r
+            FROM deg LEFT JOIN c{i} ON deg.node = c{i}.node)""")
+    return (head + "," + ",".join(rounds) + f""",
+        f AS (SELECT doc_id,
+                 NOT (((doc_id % 50) % 4 = 0 AND doc_id % 4 = 0)
+                      OR ((doc_id % 50) % 4 = 3
+                          AND doc_id % 4 IN (2, 3))) AS allowed,
+                 doc_id % 7 = 3 AS noindex
+              FROM documents)
+        SELECT f.doc_id, (f.allowed AND NOT f.noindex) AS admitted,
+               CAST(coalesce(r{iters}.r, 0) AS BIGINT)
+                   AS priority_e12
+        FROM f LEFT JOIN r{iters} ON r{iters}.node = f.doc_id % 50
+        ORDER BY f.doc_id""")
 
 
 def _hits_oracle(iters: int = 3, k: int = 25) -> str:
@@ -4647,6 +4697,7 @@ r5 AS (
                        AS VARCHAR), 2, '0') AS published
             FROM documents ORDER BY link
         """,
+        "crawl_frontier": _crawl_frontier_oracle(),
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle
     # composes their SQL bodies and can never drift from them

@@ -347,22 +347,19 @@ def domain_link_edges(sf_dir: str):
         .sort(["src_host", "dst_host"])
 
 
-def domain_pagerank(sf_dir: str, iters: int = 5, k: int = 25):
-    """ORACLED composite: domain-level PageRank over the crawl link
-    graph — the standard crawl-prioritization signal. Hosts dictionary-
-    encode to dense int64 ids (the host dictionary is |domains|-bounded
-    — always orders of magnitude under the page count; same bound class
-    as the vocabulary broadcasts, and the fold ships one slim string
-    column), then the existing integer PageRank recurrence runs its
-    raw-task folds over the pinned edge blocks; ids map back to hosts
-    only for the top-k output. Directed semantics: ranks are over hosts
-    WITH outlinks, contributions into pure sinks drop (ops.graph.
-    pagerank's documented convention — the DuckDB twin mirrors it)."""
+def host_ranks(edges, iters: int = 5) -> pa.Table:
+    """Full (host, rank_e12) table for a materialized (src_host,
+    dst_host) edge Dataset: hosts dictionary-encode to dense int64 ids
+    (the host dictionary is |domains|-bounded — always orders of
+    magnitude under the page count; same bound class as the vocabulary
+    broadcasts, and the fold ships one slim string column), then the
+    existing integer PageRank recurrence runs its raw-task folds over
+    the pinned edge blocks; ids map back to hosts at the end. Directed
+    semantics: ranks are over hosts WITH outlinks, contributions into
+    pure sinks drop (ops.graph.pagerank's documented convention)."""
     import ray
 
     from .graph import pagerank
-
-    edges = extract_links(synth_link_corpus(sf_dir)).materialize()
 
     host_chunks = []
     for b in edges.map_batches(
@@ -390,8 +387,18 @@ def domain_pagerank(sf_dir: str, iters: int = 5, k: int = 25):
                                zero_copy_batch=True).materialize()
     t = pagerank(iedges, iters=iters)
     node = t.column("node").to_numpy()
-    out = pa.table({"host": pa.array(hosts[node], pa.string()),
-                    "rank_e12": t.column("rank_e12")})
+    return pa.table({"host": pa.array(hosts[node], pa.string()),
+                     "rank_e12": t.column("rank_e12")})
+
+
+def domain_pagerank(sf_dir: str, iters: int = 5, k: int = 25):
+    """ORACLED composite: domain-level PageRank over the crawl link
+    graph — the standard crawl-prioritization signal (see host_ranks
+    for the engine shape; the DuckDB twin runs the identical unrolled
+    integer recurrence)."""
+    out = host_ranks(
+        extract_links(synth_link_corpus(sf_dir)).materialize(),
+        iters=iters)
     idx = pc.sort_indices(out, sort_keys=[("rank_e12", "descending"),
                                           ("host", "ascending")])
     import ray.data as rd
@@ -1688,3 +1695,57 @@ def feed_inventory(sf_dir: str):
                         zero_copy_batch=True),
         "host_id", render_feeds)
     return read_feeds(feeds).sort(["link"])
+
+
+# --- crawl frontier composite ----------------------------------------------
+
+
+def crawl_frontier(sf_dir: str):
+    """ORACLED capstone composite: admit pages that are robots-allowed
+    AND not noindex, prioritized by their host's PageRank — the
+    scheduling core of a polite crawler, composed from three REAL
+    extractor pipelines over their fixtures:
+
+      robots_gate (RFC 9309 decision per url)
+      html_meta   (robots-meta noindex per page)
+      host_ranks  (integer PageRank over the extracted link graph)
+
+    Engine shape: the two per-page streams join on doc_id with ONE
+    hash-partitioned exchange (both are page-cardinality); the host
+    rank table broadcasts (|domains|-bounded) and priorities attach
+    map-side from the url's host — at 100 TB the gate never moves a
+    page twice. Output (doc_id, admitted, priority_e12); the DuckDB
+    twin composes the closed-form decisions with the identical
+    unrolled PageRank recurrence."""
+    import ray
+
+    from ..broadcast import get_broadcast
+    from .relational import hash_join
+
+    allowed = robots_gate(sf_dir)      # (doc_id, url, allowed)
+    meta = html_meta(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "noindex"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(allowed, meta, on="doc_id")
+
+    ranks = host_ranks(
+        extract_links(synth_link_corpus(sf_dir)).materialize())
+    rank_ref = ray.put({h: int(r) for h, r in
+                        zip(ranks.column("host").to_pylist(),
+                            ranks.column("rank_e12").to_pylist())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        rmap = get_broadcast(rank_ref)
+        hosts = pc.utf8_lower(pc.struct_field(pc.extract_regex(
+            t.column("url"), _DOMAIN_RE), "domain")).to_pylist()
+        prio = [rmap.get(h, 0) for h in hosts]
+        admitted = pc.and_(t.column("allowed"),
+                           pc.invert(t.column("noindex")))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "admitted": admitted,
+            "priority_e12": pa.array(prio, pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True).sort("doc_id")

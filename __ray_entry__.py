@@ -1223,7 +1223,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     emb_drift_monitor from the round-3 continuation session, plus the
     round-3 web-native batch images_page_skew / domain_link_edges /
     domain_pagerank / urls_canonicalize / warc_page_stats /
-    robots_gate) have pytest-oracle green at sf0.001 AND manual
+    robots_gate / sitemap_url_inventory / domain_anchor_texts /
+    html_tables / html_meta / html_forms / html_jsonld /
+    html_alternates / docs_readability / feed_inventory /
+    crawl_frontier) have pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
     from webxtract.ops import relational as R

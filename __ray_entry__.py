@@ -783,6 +783,16 @@ def _html_meta(sf_dir: str):
     return html_meta(sf_dir)
 
 
+def _docs_dehyphenate(sf_dir: str):
+    """ORACLED end-of-line dehyphenation (PDF/column extraction
+    cleanup): one RE2 global replace with group references; the
+    fixture hyphen-breaks every space so parity pins pattern,
+    replacement and the non-rematching global-scan semantics."""
+    from webxtract.ops.text import docs_dehyphenate
+
+    return docs_dehyphenate(sf_dir)
+
+
 def _crawl_frontier(sf_dir: str):
     """ORACLED capstone composite: robots-allowed AND NOT noindex,
     prioritized by link-graph PageRank — one page-keyed hash join +
@@ -1570,6 +1580,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # source: void-link quirk + rel=alternate selection
         "crawl_frontier": _crawl_frontier,  # ORACLED capstone:
         # robots AND NOT noindex, PageRank-prioritized admission
+        "docs_dehyphenate": _docs_dehyphenate,  # ORACLED line-break
+        # hyphenation repair: one RE2 global replace, zero exchanges
     }
 
 
@@ -4701,6 +4713,23 @@ r5 AS (
             FROM documents ORDER BY link
         """,
         "crawl_frontier": _crawl_frontier_oracle(),
+        # identical messy construction + identical RE2 replace; the
+        # alternating-join behavior on consecutive breaks (GlobalReplace
+        # does not rescan replacement output) is part of the contract
+        "docs_dehyphenate": """
+            WITH m AS (SELECT doc_id,
+                              replace(text, ' ', '-' || chr(10))
+                                  AS messy
+                       FROM documents)
+            SELECT doc_id,
+                   regexp_replace(messy,
+                       '([A-Za-z])-[ \\t]*\\n[ \\t]*([a-z])',
+                       '\\1\\2', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(messy,
+                       '([A-Za-z])-[ \\t]*\\n[ \\t]*([a-z])'))
+                       AS BIGINT) AS n_joins
+            FROM m ORDER BY doc_id
+        """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle
     # composes their SQL bodies and can never drift from them

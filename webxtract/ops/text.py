@@ -3560,3 +3560,47 @@ def docs_readability(sf_dir: str):
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True).sort("doc_id")
+
+
+# soft line-break hyphenation repair: letter '-' [spaces] newline
+# [spaces] lowercase letter -> join. RE2 on both sides; replacement
+# group syntax is RE2's \\1\\2.
+DEHYPHEN_PATTERN = r"([A-Za-z])-[ \t]*\n[ \t]*([a-z])"
+
+
+def dehyphenate_batch(t: pa.Table, text_col: str = "text",
+                      out_col: str = "clean_text") -> pa.Table:
+    """Join words broken across lines by end-of-line hyphenation (the
+    standard PDF/column-text extraction cleanup): one vectorized RE2
+    global replace per batch, plus the join count. A hyphen before a
+    capital or digit is kept (real compounds like 'X-ray' and ranges
+    survive; only lowercase continuations join — the classic
+    heuristic)."""
+    import pyarrow.compute as pc
+
+    txt = t.column(text_col)
+    n = pc.count_substring_regex(txt, DEHYPHEN_PATTERN).cast(pa.int64())
+    clean = pc.replace_substring_regex(txt, DEHYPHEN_PATTERN, r"\1\2")
+    return t.append_column(out_col, clean).append_column("n_joins", n)
+
+
+def docs_dehyphenate(sf_dir: str):
+    """ORACLED query surface: every doc's text is hyphen-broken at
+    EVERY space (closed-form messy construction, mirrored in SQL with
+    replace(text, ' ', '-' || chr(10))), then repaired by the real
+    operator; DuckDB applies the identical RE2 replace — so parity
+    proves pattern, replacement groups and global-scan semantics."""
+    import pyarrow.compute as pc
+
+    from .relational import read
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def run(t: pa.Table) -> pa.Table:
+        messy = pc.replace_substring(t.column("text"), " ", "-\n")
+        m = pa.table({"doc_id": t.column("doc_id"), "text": messy})
+        out = dehyphenate_batch(m)
+        return out.select(["doc_id", "clean_text", "n_joins"])
+
+    return ds.map_batches(run, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("doc_id")

@@ -783,6 +783,15 @@ def _html_meta(sf_dir: str):
     return html_meta(sf_dir)
 
 
+def _robots_crawl_delay(sf_dir: str):
+    """ORACLED per-host politeness budget: Crawl-delay parsed with the
+    same most-specific-group supersession as the gate (a foreign
+    agent's delay must not leak); fractional seconds -> integer ms."""
+    from webxtract.ops.web import robots_crawl_delay
+
+    return robots_crawl_delay(sf_dir)
+
+
 def _docs_dehyphenate(sf_dir: str):
     """ORACLED end-of-line dehyphenation (PDF/column extraction
     cleanup): one RE2 global replace with group references; the
@@ -1582,6 +1591,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # robots AND NOT noindex, PageRank-prioritized admission
         "docs_dehyphenate": _docs_dehyphenate,  # ORACLED line-break
         # hyphenation repair: one RE2 global replace, zero exchanges
+        "robots_crawl_delay": _robots_crawl_delay,  # ORACLED host
+        # politeness budgets: group-scoped Crawl-delay in integer ms
     }
 
 
@@ -4729,6 +4740,17 @@ r5 AS (
                        '([A-Za-z])-[ \\t]*\\n[ \\t]*([a-z])'))
                        AS BIGINT) AS n_joins
             FROM m ORDER BY doc_id
+        """,
+        # fixture delays live in the '*' groups of host classes 0 (1s)
+        # and 3 (4.0s); class 2's delay belongs to a foreign agent
+        "robots_crawl_delay": """
+            WITH h AS (SELECT DISTINCT doc_id % 50 AS host_id
+                       FROM documents)
+            SELECT host_id,
+                   CAST(CASE WHEN host_id % 4 = 0 THEN 1000
+                             WHEN host_id % 4 = 3 THEN 4000
+                             ELSE NULL END AS BIGINT) AS delay_ms
+            FROM h ORDER BY host_id
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

@@ -652,14 +652,16 @@ def _robots_fixture_text(h: int) -> str:
     g = h % 4
     if g == 0:
         return ("# site policy\r\nUser-Agent: *\r\n"
-                "Disallow: /private/\r\nallow: /private/ok/\r\n")
+                "Disallow: /private/\r\nallow: /private/ok/\r\n"
+                "Crawl-delay: 1\r\n")
     if g == 1:
         return "User-agent: *\nDisallow:\n"  # empty = allow all
     if g == 2:
-        return "User-agent: bot\nDisallow: /\n"  # other agent only
+        return "User-agent: bot\nDisallow: /\nCrawl-delay: 9\n"
+        # ^ other agent only: its delay must NOT apply to '*'
     return ("User-agent: megacrawler\nDisallow: /x/\n\n"
             "User-agent: *\nDisallow: /p/\nDisallow: /other\n"
-            "Allow: /p/ok/\n")
+            "Allow: /p/ok/\nCrawl-delay: 4.0\n")
 
 
 def robots_gate(sf_dir: str):
@@ -1749,3 +1751,71 @@ def crawl_frontier(sf_dir: str):
 
     return joined.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True).sort("doc_id")
+
+
+def parse_crawl_delay(text: str, agent: str = "*") -> int | None:
+    """Crawl-delay (de-facto standard politeness directive) for
+    ``agent`` in integer MILLISECONDS, with the same most-specific-
+    group-supersedes-'*' selection as parse_robots; fractional
+    seconds supported; first directive in the winning scope wins;
+    None when absent/unparseable."""
+    specific = wildcard = None
+    has_specific = False
+    group_specific = group_wild = False
+    in_agents = True
+    want = agent.lower()
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agents:
+                group_specific = group_wild = False
+                in_agents = True
+            if value == "*":
+                group_wild = True
+            elif value.lower() == want:
+                group_specific = has_specific = True
+        else:
+            in_agents = False
+            if field == "crawl-delay":
+                try:
+                    ms = int(round(float(value) * 1000))
+                except ValueError:
+                    continue
+                if group_specific and specific is None:
+                    specific = ms
+                elif group_wild and wildcard is None:
+                    wildcard = ms
+    return specific if has_specific else wildcard
+
+
+def robots_crawl_delay(sf_dir: str):
+    """ORACLED query surface: per-host politeness budget from the
+    robots fixture (delays planted in the '*' groups of host classes
+    0 and 3; class 2's delay sits in a foreign-agent group and must
+    NOT surface); DuckDB recomputes the 50-row budget table."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+
+    def hosts_partial(t: pa.Table) -> pa.Table:
+        h = np.unique(t.column("doc_id").to_numpy() % 50)
+        return pa.table({"host_id": pa.array(h, pa.int64())})
+
+    seen = set()
+    for b in ids.map_batches(hosts_partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        seen.update(b.column("host_id").to_pylist())  # |hosts|-bounded
+    rows_h = sorted(seen)
+    delays = [parse_crawl_delay(_robots_fixture_text(h))
+              for h in rows_h]
+    return rd.from_arrow(pa.table({
+        "host_id": pa.array(rows_h, pa.int64()),
+        "delay_ms": pa.array(delays, pa.int64()),
+    }))

@@ -155,6 +155,43 @@ def cmd_corpus(args) -> int:
     return 0
 
 
+def cmd_warc(args) -> int:
+    """Parse a directory of .warc / .warc.gz files into a pages
+    parquet directory (url, warc_ts, html, http_status, n_bytes) —
+    the Common-Crawl ingestion front door; feed the output to
+    `run` / `corpus`."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .ops.warc import read_warc
+
+    read_warc(args.input).write_parquet(args.out)
+    n = sum(b.num_rows for b in rd.read_parquet(
+        args.out, columns=["url"]).iter_batches(batch_format="pyarrow"))
+    print(json.dumps({"rows": n, "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_links(args) -> int:
+    """Extract the distinct cross-host link graph from a pages
+    parquet directory (url, html) and write (src_host, dst_host)
+    parquet."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .ops.web import extract_links
+
+    ds = rd.read_parquet(args.input, columns=["url", "html"])
+    extract_links(ds).write_parquet(args.out)
+    n = sum(b.num_rows for b in rd.read_parquet(
+        args.out, columns=["src_host"]).iter_batches(
+        batch_format="pyarrow"))
+    print(json.dumps({"edges": n, "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_manifest(args) -> int:
     from .checkpoint import load_manifest
 
@@ -218,6 +255,18 @@ def main(argv=None) -> int:
                    help="spill the extraction pin to parquet (100TB path)")
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_corpus)
+
+    w = sub.add_parser("warc", help="parse WARC files into pages parquet")
+    w.add_argument("--input", required=True)
+    w.add_argument("--out", required=True)
+    w.add_argument("--num-cpus", type=int, default=None)
+    w.set_defaults(fn=cmd_warc)
+
+    lk = sub.add_parser("links", help="extract the cross-host link graph")
+    lk.add_argument("--input", required=True)
+    lk.add_argument("--out", required=True)
+    lk.add_argument("--num-cpus", type=int, default=None)
+    lk.set_defaults(fn=cmd_links)
 
     args = p.parse_args(argv)
     return args.fn(args)

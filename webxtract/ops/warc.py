@@ -36,7 +36,10 @@ def _gunzip_members(raw: bytes) -> bytes:
     pos = 0
     while pos < len(raw):
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(raw[pos:]))
+        try:
+            out.append(d.decompress(raw[pos:]))
+        except zlib.error:  # corrupt member: keep the decoded prefix
+            break
         if not d.eof:  # truncated trailing member: keep what decoded
             break
         pos = len(raw) - len(d.unused_data)

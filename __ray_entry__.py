@@ -783,6 +783,17 @@ def _html_meta(sf_dir: str):
     return html_meta(sf_dir)
 
 
+def _html_tables_markdown(sf_dir: str):
+    """ORACLED table->markdown linearization (the LLM-corpus table
+    serialization): header line + '---' separator sized to the header
+    + data lines, cells joined in col order inside one doc-keyed
+    co-location; DuckDB rebuilds every string with ordered
+    string_agg over the identical cell grid."""
+    from webxtract.ops.web import html_tables_markdown
+
+    return html_tables_markdown(sf_dir)
+
+
 def _robots_crawl_delay(sf_dir: str):
     """ORACLED per-host politeness budget: Crawl-delay parsed with the
     same most-specific-group supersession as the gate (a foreign
@@ -1593,6 +1604,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hyphenation repair: one RE2 global replace, zero exchanges
         "robots_crawl_delay": _robots_crawl_delay,  # ORACLED host
         # politeness budgets: group-scoped Crawl-delay in integer ms
+        "html_tables_markdown": _html_tables_markdown,  # ORACLED
+        # table linearization for LLM corpora (ordered string_agg twin)
     }
 
 
@@ -4620,6 +4633,41 @@ r5 AS (
                    row, col, text, header
             FROM (SELECT * FROM hdr UNION ALL SELECT * FROM data)
             ORDER BY doc_id, row, col
+        """,
+        # same cell grid, linearized: ordered string_agg per row, a
+        # separator sized to the header cell count, rows joined by \n
+        "html_tables_markdown": """
+            WITH d AS (SELECT doc_id AS i, 2 + doc_id % 3 AS nr,
+                              2 + doc_id % 2 AS nc FROM documents),
+            hdr AS (SELECT i, CAST(0 AS BIGINT) AS row, c AS col,
+                           'H' || c AS text
+                    FROM (SELECT *, unnest(range(0, nc)) AS c FROM d)),
+            dr AS (SELECT *, unnest(range(1, nr + 1)) AS rw FROM d),
+            dk AS (SELECT *, unnest(range(0,
+                       CASE WHEN i % 4 = 0 AND rw = nr THEN nc - 1
+                            ELSE nc END)) AS k FROM dr),
+            data AS (SELECT i, rw AS row,
+                            CASE WHEN i % 4 = 0 AND rw = nr AND k >= 1
+                                 THEN k + 1 ELSE k END AS col,
+                            'c' || rw || '_' || k || '_' || i AS text
+                     FROM dk),
+            cells AS (SELECT * FROM hdr UNION ALL
+                      SELECT * FROM data),
+            lines AS (SELECT i, row,
+                             '| ' || string_agg(text, ' | '
+                                 ORDER BY col) || ' |' AS line,
+                             count(*) AS ncells
+                      FROM cells GROUP BY i, row),
+            body AS (SELECT i, string_agg(line, chr(10)
+                                ORDER BY row) AS b
+                     FROM lines WHERE row >= 1 GROUP BY i)
+            SELECT h.i AS doc_id, CAST(0 AS BIGINT) AS table_idx,
+                   h.line || chr(10) || '|'
+                       || repeat(' --- |', CAST(h.ncells AS INT))
+                       || chr(10) || b.b AS markdown
+            FROM (SELECT * FROM lines WHERE row = 0) h
+            JOIN body b ON h.i = b.i
+            ORDER BY doc_id, table_idx
         """,
         # closed-form head-section twin (title whitespace collapses to
         # single spaces; noindex on id%7==3; canonical rel matched

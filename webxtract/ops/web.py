@@ -1819,3 +1819,55 @@ def robots_crawl_delay(sf_dir: str):
         "host_id": pa.array(rows_h, pa.int64()),
         "delay_ms": pa.array(delays, pa.int64()),
     }))
+
+
+# --- table -> markdown linearization ---------------------------------------
+
+
+def tables_to_markdown(cells_ds):
+    """(doc_id, table_idx, row, col, text, header) cell rows -> one
+    markdown string per table: the standard LLM-corpus linearization
+    (header line, '---' separator sized to the header's cell count,
+    data lines; cells joined in col order — spans flatten to their
+    top-left cell, documented). Cells of one doc may be split across
+    batches, so the build runs inside ONE doc-keyed co-location;
+    string assembly is inherently per-table (bounded by the
+    partition's tables)."""
+    from .relational import partitioned_map_groups
+
+    def build(part: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part.to_pandas().sort_values(
+            ["doc_id", "table_idx", "row", "col"])
+        out_d, out_t, out_m = [], [], []
+        for (d, ti), g in df.groupby(["doc_id", "table_idx"],
+                                     sort=True):
+            lines = []
+            first_row = None
+            for r, rg in g.groupby("row", sort=True):
+                line = "| " + " | ".join(rg.text.fillna("")) + " |"
+                if first_row is None:
+                    first_row = len(rg)
+                    lines.append(line)
+                    lines.append("|" + " --- |" * first_row)
+                else:
+                    lines.append(line)
+            out_d.append(int(d))
+            out_t.append(int(ti))
+            out_m.append("\n".join(lines))
+        return pa.table({
+            "doc_id": pa.array(out_d, pa.int64()),
+            "table_idx": pa.array(out_t, pa.int64()),
+            "markdown": pa.array(out_m, pa.string()),
+        })
+
+    return partitioned_map_groups(cells_ds, "doc_id", build)
+
+
+def html_tables_markdown(sf_dir: str):
+    """ORACLED query surface: the html_tables fixture linearized to
+    markdown; DuckDB rebuilds each table's string with ordered
+    string_agg over the identical closed-form cell grid."""
+    cells = html_tables(sf_dir)
+    return tables_to_markdown(cells).sort(["doc_id", "table_idx"])

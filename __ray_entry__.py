@@ -783,6 +783,16 @@ def _html_meta(sf_dir: str):
     return html_meta(sf_dir)
 
 
+def _docs_topic_clusters(sf_dir: str):
+    """ORACLED topic clustering: integer Lloyd's k-means over
+    md5-hashed token-count features (PageRank-style raw-task folds
+    over pinned feature blocks); the unrolled all-integer CTE twin is
+    bit-exact."""
+    from webxtract.ops.text import docs_topic_clusters
+
+    return docs_topic_clusters(sf_dir)
+
+
 def _html_tables_markdown(sf_dir: str):
     """ORACLED table->markdown linearization (the LLM-corpus table
     serialization): header line + '---' separator sized to the header
@@ -1606,6 +1616,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # politeness budgets: group-scoped Crawl-delay in integer ms
         "html_tables_markdown": _html_tables_markdown,  # ORACLED
         # table linearization for LLM corpora (ordered string_agg twin)
+        "docs_topic_clusters": _docs_topic_clusters,  # ORACLED
+        # integer k-means over md5-hashed text features (unrolled CTE)
     }
 
 
@@ -1726,6 +1738,69 @@ def _domain_pagerank_oracle(iters: int = 5, k: int = 25) -> str:
                CAST(r AS BIGINT) AS rank_e12
         FROM r{iters}
         ORDER BY rank_e12 DESC, host LIMIT {k}""")
+
+
+def _topic_oracle(k: int = 4, iters: int = 3, dim: int = 16) -> str:
+    """DuckDB twin of ops.text.docs_topic_clusters: integer Lloyd's
+    over the md5_number_lower hashed token-count features, unrolled as
+    a CTE chain. All-integer distances via the expansion
+    S^2*A - 2*S*dot + B so sparse features/centroids need only their
+    present dims; empty clusters vanish from cent{t} (= all-zero
+    centroids); member counts come from asg{t} (NOT the feature join,
+    which would drop token-less docs); ties break to the smallest
+    cluster id."""
+    S = 1 << 20
+    parts = [f"""
+        WITH toks AS (SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS w
+            FROM documents),
+        feat AS (SELECT doc_id,
+                        CAST(md5_number_lower(w) % {dim} AS BIGINT)
+                            AS dim,
+                        CAST(count(*) AS BIGINT) AS v
+                 FROM toks WHERE w <> '' GROUP BY 1, 2),
+        a2 AS (SELECT doc_id, sum(v * v) AS a FROM feat GROUP BY 1),
+        uni AS (SELECT d.doc_id, r.cluster FROM documents d
+                CROSS JOIN (SELECT unnest(range({k})) AS cluster) r),
+        seeds AS (SELECT doc_id, row_number() OVER (
+                      ORDER BY (doc_id * 2654435761) % 4294967296,
+                               doc_id) - 1 AS cluster
+                  FROM documents QUALIFY cluster < {k}),
+        cent0 AS (SELECT s.cluster, f.dim,
+                         f.v * {S} AS cval
+                  FROM seeds s JOIN feat f USING (doc_id))"""]
+    for t in range(iters + 1):
+        parts.append(f"""
+        b{t} AS (SELECT cluster, sum(cval * cval) AS b
+                 FROM cent{t} GROUP BY 1),
+        dot{t} AS (SELECT f.doc_id, c.cluster,
+                          sum(f.v * c.cval) AS dot
+                   FROM feat f JOIN cent{t} c USING (dim)
+                   GROUP BY 1, 2),
+        dist{t} AS (SELECT u.doc_id, u.cluster,
+                           {S * S} * coalesce(a2.a, 0)
+                           - 2 * {S} * coalesce(dot{t}.dot, 0)
+                           + coalesce(b{t}.b, 0) AS dist
+                    FROM uni u LEFT JOIN a2 USING (doc_id)
+                    LEFT JOIN dot{t} ON dot{t}.doc_id = u.doc_id
+                        AND dot{t}.cluster = u.cluster
+                    LEFT JOIN b{t} ON b{t}.cluster = u.cluster),
+        asg{t} AS (SELECT doc_id, cluster FROM dist{t}
+                   QUALIFY row_number() OVER (PARTITION BY doc_id
+                       ORDER BY dist, cluster) = 1)""")
+        if t < iters:
+            parts.append(f"""
+        n{t} AS (SELECT cluster, count(*) AS n FROM asg{t}
+                 GROUP BY 1),
+        cent{t + 1} AS (SELECT a.cluster, f.dim,
+                               ({S} * sum(f.v)) // n{t}.n AS cval
+                        FROM asg{t} a
+                        JOIN feat f ON f.doc_id = a.doc_id
+                        JOIN n{t} ON n{t}.cluster = a.cluster
+                        GROUP BY a.cluster, f.dim, n{t}.n)""")
+    return (",".join(parts) + f"""
+        SELECT doc_id, CAST(cluster AS BIGINT) AS cluster
+        FROM asg{iters} ORDER BY doc_id""")
 
 
 def _crawl_frontier_oracle(iters: int = 5) -> str:
@@ -4669,6 +4744,7 @@ r5 AS (
             JOIN body b ON h.i = b.i
             ORDER BY doc_id, table_idx
         """,
+        "docs_topic_clusters": _topic_oracle(),
         # closed-form head-section twin (title whitespace collapses to
         # single spaces; noindex on id%7==3; canonical rel matched
         # case-insensitively)

@@ -314,3 +314,18 @@ def test_parse_feed_edges():
                  'href="https://a.b/f"/></entry></feed>')
     assert parse_feed(only_self)[0]["link"] == "https://a.b/f"
     assert parse_feed("") == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_topic_clusters_invariants():
+    """Partitioning invariance is covered by the dict-replica parity
+    (oracle); here pin structure: balanced-ish non-degenerate
+    clusters and deterministic rerun."""
+    from webxtract.ops.text import docs_topic_clusters
+
+    SF = "/root/testdata/sf0.001"
+    a = docs_topic_clusters(SF).to_pandas()
+    b = docs_topic_clusters(SF).to_pandas()
+    assert a.equals(b)
+    sizes = a.cluster.value_counts()
+    assert len(sizes) == 4 and sizes.min() > 0

@@ -3604,3 +3604,178 @@ def docs_dehyphenate(sf_dir: str):
 
     return ds.map_batches(run, batch_format="pyarrow",
                           zero_copy_batch=True).sort("doc_id")
+
+
+# --- hashed-feature topic clustering ---------------------------------------
+
+TOPIC_DIM = 16
+TOPIC_SCALE = 1 << 20  # fixed-point centroid scale (integer exact)
+
+
+def _md5_buckets(tokens: np.ndarray, dim: int) -> np.ndarray:
+    """token -> bucket via the LOWER 64 bits of md5 (little-endian),
+    which is exactly DuckDB's md5_number_lower — the shared hash
+    definition that makes the oracle's feature space identical.
+    Hashes only the UNIQUE tokens of the batch (vocabulary-bounded)."""
+    import hashlib
+
+    uniq, inv = np.unique(tokens, return_inverse=True)
+    b = np.fromiter(
+        (int.from_bytes(hashlib.md5(t.encode()).digest()[8:16],
+                        "little") % dim for t in uniq),
+        np.int64, count=len(uniq))
+    return b[inv]
+
+
+def docs_topic_features(sf_dir: str, dim: int = TOPIC_DIM):
+    """documents -> (doc_id, feat: fixed_size_list<int64, dim>) —
+    integer token counts per md5 bucket. One streaming pass: tokens
+    explode vectorized (Arrow split + list flatten), only the batch's
+    unique tokens pay the md5, counts scatter-add into the dense
+    per-doc rows. No exchange — a document is one row."""
+    import pyarrow.compute as pc
+
+    from .relational import read
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(t.column("text")), " ")
+        toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        reps = np.asarray(toks.value_lengths())
+        parent = np.repeat(np.arange(t.num_rows), reps)
+        keep = flat != ""
+        flat, parent = flat[keep], parent[keep]
+        M = np.zeros((t.num_rows, dim), np.int64)
+        if len(flat):
+            np.add.at(M, (parent, _md5_buckets(flat, dim)), 1)
+        feat = pa.FixedSizeListArray.from_arrays(
+            pa.array(M.ravel(), pa.int64()), dim)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "feat": feat})
+
+    return ds.map_batches(feats, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _feat_matrix(t: pa.Table, dim: int) -> np.ndarray:
+    col = t.column("feat").combine_chunks()
+    return col.flatten().to_numpy(zero_copy_only=False) \
+        .reshape(-1, dim)
+
+
+def docs_topic_clusters(sf_dir: str, k: int = 4, iters: int = 3,
+                        dim: int = TOPIC_DIM):
+    """ORACLED topic clustering: integer Lloyd's k-means over the
+    hashed token-count features — every quantity int64, so the oracle
+    (an unrolled CTE chain over the md5_number_lower feature space)
+    is bit-exact. Semantics pinned on both sides:
+
+      seeds     = k smallest (doc_id * 2654435761) % 2^32 (ties by id);
+                  centroid0 = seed's counts * SCALE
+      distance  = sum_dim (v * SCALE - cent)^2, expanded as
+                  SCALE^2*A - 2*SCALE*dot + B so sparse features and
+                  sparse centroids need only present dims
+      assign    = argmin distance, ties to the SMALLEST cluster id
+      update    = cent' = (SCALE * sum_members) // n_members per dim;
+                  an EMPTY cluster's centroid is all zeros (the
+                  oracle's missing sparse rows)
+      output    = assignment against the centroids AFTER the last
+                  update (iters updates, then one final assign)
+
+    Engine shape (the PageRank fold): features materialize once; each
+    iteration broadcasts the k x dim int centroid matrix and folds
+    per-block (cluster, count, sumvec) partials from raw tasks over
+    the pinned blocks; the final assignment streams out per block."""
+    import ray
+
+    feats = docs_topic_features(sf_dir, dim).materialize()
+    S = TOPIC_SCALE
+
+    # seeds: per-block partial top-k of the hash order, driver-merged
+    cand = []
+    for b in feats.map_batches(
+            lambda t: _seed_partial(t, k),
+            batch_format="pyarrow", zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        cand.append(b)
+    ct = pa.concat_tables(cand)
+    hv = ct.column("h").to_numpy()
+    ids = ct.column("doc_id").to_numpy()
+    order = np.lexsort((ids, hv))[:k]
+    seed_ids = ids[order]
+    seed_rank = {int(d): r for r, d in enumerate(seed_ids)}
+
+    def seed_cents(t: pa.Table) -> pa.Table:
+        sel = np.isin(t.column("doc_id").to_numpy(), seed_ids)
+        if not sel.any():
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.binary())})
+        M = _feat_matrix(t, dim)[sel]
+        d = t.column("doc_id").to_numpy()[sel]
+        return pa.table({
+            "cluster": pa.array([seed_rank[int(x)] for x in d],
+                                pa.int64()),
+            "vec": pa.array([(row * S).tobytes() for row in M],
+                            pa.binary())})
+
+    cent = np.zeros((k, dim), np.int64)
+    for b in feats.map_batches(seed_cents, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for c, v in zip(b.column("cluster").to_pylist(),
+                        b.column("vec").to_pylist()):
+            cent[c] = np.frombuffer(v, np.int64)
+
+    block_refs = feats.to_arrow_refs()
+
+    @ray.remote(num_cpus=1)
+    def stats_block(t: pa.Table, c: np.ndarray):
+        if t.num_rows == 0 or "feat" not in t.schema.names:
+            return np.zeros(k, np.int64), np.zeros((k, dim), np.int64)
+        V = _feat_matrix(t, dim)
+        D = ((V[:, None, :] * S - c[None, :, :]) ** 2).sum(axis=2)
+        asg = D.argmin(axis=1)
+        counts = np.bincount(asg, minlength=k)
+        sums = np.zeros((k, dim), np.int64)
+        np.add.at(sums, asg, V)
+        return counts, sums
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+        parts = ray.get([stats_block.remote(r, cref)
+                         for r in block_refs])
+        counts = np.zeros(k, np.int64)
+        sums = np.zeros((k, dim), np.int64)
+        for cn, sm in parts:
+            counts += cn
+            sums += sm
+        nz = counts > 0
+        cent = np.zeros((k, dim), np.int64)
+        cent[nz] = (S * sums[nz]) // counts[nz, None]
+
+    cref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        from ..broadcast import get_broadcast
+
+        c = get_broadcast(cref)
+        V = _feat_matrix(t, dim)
+        D = ((V[:, None, :] * S - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "cluster": pa.array(D.argmin(axis=1),
+                                             pa.int64())})
+
+    return feats.map_batches(assign, batch_format="pyarrow",
+                             zero_copy_batch=True).sort("doc_id")
+
+
+def _seed_partial(t: pa.Table, k: int) -> pa.Table:
+    ids = t.column("doc_id").to_numpy()
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+        % np.uint64(2 ** 32)
+    order = np.lexsort((ids, h))[:k]
+    return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                     "h": pa.array(h[order].astype(np.int64),
+                                   pa.int64())})

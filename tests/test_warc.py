@@ -74,3 +74,32 @@ def test_read_warc_dataset(tmp_path):
     assert sorted(df.url) == [f"https://h{i}.example/p"
                               for i in range(3)]
     assert set(df.http_status) == {200}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_warc_roundtrip_extraction_byte_identical(tmp_path):
+    """Common-Crawl ingestion guarantee: pages serialized to WARC and
+    read back through read_warc extract to BYTE-IDENTICAL text per
+    url vs extracting the original pages directly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from webxtract import pipeline
+    from webxtract.ops.warc import build_warc, read_warc
+    from webxtract.testdata import pages_dataset
+
+    pages = pages_dataset(sf_rows=200).to_pandas()
+    recs = [(r.url, str(r.warc_ts), bytes(r.html))
+            for r in pages.itertuples()]
+    (tmp_path / "a.warc.gz").write_bytes(
+        build_warc(recs[:100], gzip_members=True))
+    (tmp_path / "b.warc").write_bytes(build_warc(recs[100:]))
+
+    via_warc = pipeline.extract_pipeline(
+        read_warc(str(tmp_path), pages_schema=True),
+        pipeline.PipelineConfig(dedup=False)) \
+        .to_pandas().set_index("url").extracted_text.sort_index()
+    direct = pipeline.extract_pipeline(
+        rd.from_pandas(pages), pipeline.PipelineConfig(dedup=False)) \
+        .to_pandas().set_index("url").extracted_text.sort_index()
+    pd.testing.assert_series_equal(via_warc, direct)

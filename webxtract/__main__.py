@@ -165,7 +165,7 @@ def cmd_warc(args) -> int:
 
     from .ops.warc import read_warc
 
-    read_warc(args.input).write_parquet(args.out)
+    read_warc(args.input, pages_schema=True).write_parquet(args.out)
     n = sum(b.num_rows for b in rd.read_parquet(
         args.out, columns=["url"]).iter_batches(batch_format="pyarrow"))
     print(json.dumps({"rows": n, "out": args.out}))

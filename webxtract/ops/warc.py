@@ -103,10 +103,13 @@ def parse_warc(raw: bytes) -> list[dict]:
     return recs
 
 
-def read_warc(paths):
+def read_warc(paths, pages_schema: bool = False):
     """paths (file/dir) -> Dataset of (url, warc_ts, html, http_status,
     n_bytes). One read task per file; the parse expands each blob into
-    its page rows inside the same batch pass."""
+    its page rows inside the same batch pass. ``pages_schema=True``
+    instead emits the canonical pages-table columns (url, warc_ts,
+    html, text='', lang='und') so the output feeds extract_pipeline /
+    the corpus exporter directly (the WARC->corpus CLI chain)."""
     import ray.data as rd
 
     ds = rd.read_binary_files(paths)
@@ -115,16 +118,21 @@ def read_warc(paths):
         rows = []
         for raw in t.column("bytes").to_pylist():
             rows.extend(parse_warc(raw))
-        return pa.table({
+        cols = {
             "url": pa.array([r["url"] for r in rows], pa.string()),
             "warc_ts": pa.array([r["warc_ts"] for r in rows],
                                 pa.string()),
             "html": pa.array([r["html"] for r in rows], pa.binary()),
-            "http_status": pa.array([r["http_status"] for r in rows],
-                                    pa.int32()),
-            "n_bytes": pa.array([r["n_bytes"] for r in rows],
-                                pa.int64()),
-        })
+        }
+        if pages_schema:
+            cols["text"] = pa.array([""] * len(rows), pa.string())
+            cols["lang"] = pa.array(["und"] * len(rows), pa.string())
+        else:
+            cols["http_status"] = pa.array(
+                [r["http_status"] for r in rows], pa.int32())
+            cols["n_bytes"] = pa.array(
+                [r["n_bytes"] for r in rows], pa.int64())
+        return pa.table(cols)
 
     return ds.map_batches(expand, batch_format="pyarrow", batch_size=4)
 

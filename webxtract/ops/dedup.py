@@ -1178,6 +1178,14 @@ def banded_hamming_pairs(sig, max_dist: int, verify: str = "auto",
 # stopwords.
 
 COSINE_PAIR_ID_MAX = 1 << 32
+# Dense-verify fast path: when the DISTINCT vocabulary is small enough
+# that an (n_docs x n_vocab) matrix fits comfortably in the object
+# store, candidate verification vectorizes to chunked row-gather +
+# (A&B).sum / einsum instead of a per-pair Python intersect1d loop
+# (~100x on the degenerate closed-vocabulary corpus where candidate
+# counts approach all-pairs). Real web vocabularies blow past the cell
+# cap and fall back to the sparse per-pair loop / blob joins.
+DENSE_VERIFY_MAX_CELLS = 1 << 25
 
 
 def _doc_token_table(batch: pa.Table) -> pa.Table:
@@ -1211,8 +1219,254 @@ def _doc_token_table(batch: pa.Table) -> pa.Table:
         "na": pa.array(np.repeat(na, na), pa.int64())})
 
 
+def _bin_prefix_fold(part: pa.Table, t2n: int, t2d: int) -> pa.Table:
+    """Per-doc t-prefix of |A| - ceil(t^2|A|) + 1 tokens in ascending
+    global (df, th) order (distributed per doc-keyed partition, or one
+    local pass under the broadcast gate — same bytes either way)."""
+    if part.num_rows == 0:
+        return pa.table({"th": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "na": pa.array([], pa.int64()),
+                         "sfx": pa.array([], pa.int64())})
+    d = part.column("doc_id").to_numpy()
+    t = part.column("th").to_numpy()
+    f = part.column("df").to_numpy()
+    n = part.column("na").to_numpy()
+    order = np.lexsort((t, f, d))   # per doc: ascending (df, th)
+    d_s, t_s, n_s = d[order], t[order], n[order]
+    bounds = np.flatnonzero(np.diff(d_s)) + 1
+    starts = np.concatenate(([0], bounds))
+    na_seg = n_s[starts]
+    k = -(-(t2n * na_seg) // t2d)          # ceil(t^2 * na)
+    plen = na_seg - k + 1
+    pos = np.arange(d_s.size, dtype=np.int64) \
+        - np.repeat(starts, np.diff(np.concatenate(
+            (starts, [d_s.size]))))
+    keep = pos < np.repeat(plen, np.diff(np.concatenate(
+        (starts, [d_s.size]))))
+    # positional suffix COUNT (tokens at or after this position in the
+    # doc's global (df, th) order): at a pair's minimal shared token
+    # ov <= min(sfx_a, sfx_b) <= sqrt(sfx_a*sfx_b), so
+    # t2d*sfx_a*sfx_b >= t2n*na*nb is a valid in-bucket prune — the
+    # binary analog of the tf remscore bound
+    return pa.table({"th": pa.array(t_s[keep], pa.int64()),
+                     "doc_id": pa.array(d_s[keep], pa.int64()),
+                     "na": pa.array(n_s[keep], pa.int64()),
+                     "sfx": pa.array(n_s[keep] - pos[keep],
+                                     pa.int64())})
+
+
+def _bin_bucket_pairs(part: pa.Table, t2n: int, t2d: int) -> pa.Table:
+    """Candidate pairs within each prefix-token bucket: run-generated
+    under the suffix-count remscore bound (see _bin_prefix_fold), then
+    exact-filtered by BOTH that bound and the size filter
+    (tq^2*min >= tp^2*max is necessary for the count predicate)."""
+    empty = pa.table({"pk": pa.array([], pa.int64()),
+                      "na": pa.array([], pa.int64()),
+                      "nb": pa.array([], pa.int64())})
+    if part.num_rows == 0:
+        return empty
+    t = part.column("th").to_numpy()
+    d = part.column("doc_id").to_numpy()
+    n = part.column("na").to_numpy()
+    sfx = part.column("sfx").to_numpy()
+    if d.size and d.max() >= COSINE_PAIR_ID_MAX:
+        raise ValueError(
+            "doc_id >= 2^32 breaks the packed pair key; use a "
+            "two-column pair exchange at this id range")
+    order, ia, ib = _ratio_run_pairs(t, sfx, n, t2n, t2d)
+    if ia.size == 0:
+        return empty
+    d_s, n_s, sfx_s = d[order], n[order], sfx[order]
+    da, db = d_s[ia], d_s[ib]
+    na_, nb_ = n_s[ia], n_s[ib]
+    lo = np.minimum(na_, nb_)
+    hi = np.maximum(na_, nb_)
+    ok = ((t2d * lo >= t2n * hi) & (da != db)
+          & (t2d * sfx_s[ia] * sfx_s[ib] >= t2n * na_ * nb_))
+    da, db, na_, nb_ = da[ok], db[ok], na_[ok], nb_[ok]
+    swap = da > db
+    da2 = np.where(swap, db, da)
+    db2 = np.where(swap, da, db)
+    na2 = np.where(swap, nb_, na_)
+    nb2 = np.where(swap, na_, nb_)
+    pk = (da2.astype(np.uint64) << np.uint64(32)) \
+        | db2.astype(np.uint64)
+    pk, idx = np.unique(pk, return_index=True)
+    return pa.table({"pk": pa.array(pk.view(np.int64), pa.int64()),
+                     "na": pa.array(na2[idx], pa.int64()),
+                     "nb": pa.array(nb2[idx], pa.int64())})
+
+
+def _bin_unpack(t: pa.Table) -> pa.Table:
+    pk = t.column("pk").to_numpy().view(np.uint64)
+    return pa.table({
+        "doc_a": pa.array((pk >> np.uint64(32)).astype(np.int64),
+                          pa.int64()),
+        "doc_b": pa.array((pk & np.uint64(0xFFFFFFFF))
+                          .astype(np.int64), pa.int64()),
+        "na": t.column("na"), "nb": t.column("nb")})
+
+
+def _simjoin_bin_broadcast(tok, t2n: int, t2d: int, dense: str,
+                           nparts: int):
+    """Broadcast-gate regime of the binary simjoin: the slim (doc_id,
+    th, na) token table fits on the driver (what the gate asserts —
+    the verify dict/matrix was ALREADY collected here), so candidate
+    generation runs as ONE vectorized local pass through the SAME fold
+    functions the distributed path runs per partition, skipping ~5
+    fixed-overhead exchanges on a table this small (measured
+    38 -> ~8 s at sf0.1). Verification stays distributed: candidates
+    re-shard and verify map-side against a dense 0/1 matrix (small
+    closed vocabulary; ov, na, nb <= |vocab| so int64 never wraps) or
+    the per-doc token-hash dict."""
+    import ray
+    import ray.data as rd
+
+    from ..broadcast import get_broadcast
+
+    empty = pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "overlap": pa.array([], pa.int64()),
+        "na": pa.array([], pa.int64()),
+        "nb": pa.array([], pa.int64())})
+    d_chunks, t_chunks, n_chunks = [], [], []
+    for b in tok.iter_batches(batch_format="pyarrow"):
+        d_chunks.append(b.column("doc_id").to_numpy())
+        t_chunks.append(b.column("th").to_numpy())
+        n_chunks.append(b.column("na").to_numpy())
+    if not d_chunks:
+        return rd.from_arrow(empty)
+    d_all = np.concatenate(d_chunks)
+    t_all = np.concatenate(t_chunks)
+    n_all = np.concatenate(n_chunks)
+    order = np.argsort(d_all, kind="stable")
+    d_all, t_all, n_all = d_all[order], t_all[order], n_all[order]
+    tu = t_all.view(np.uint64)
+    vocab, vdf = np.unique(tu, return_counts=True)
+    part = pa.table({
+        "doc_id": pa.array(d_all, pa.int64()),
+        "th": pa.array(t_all, pa.int64()),
+        "df": pa.array(vdf[np.searchsorted(vocab, tu)]
+                       .astype(np.int64), pa.int64()),
+        "na": pa.array(n_all, pa.int64())})
+    bounds = np.flatnonzero(np.diff(d_all)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [d_all.size]))
+
+    # predicate bound: ov, na, nb <= |vocab|, so both int64 sides are
+    # <= max(t2n, t2d) * vocab^2 — guard exactly that
+    dense_ok = (dense != "off"
+                and vocab.size * starts.size <= DENSE_VERIFY_MAX_CELLS
+                and max(t2n, t2d) * vocab.size * vocab.size
+                < (1 << 62))
+
+    pre = _bin_prefix_fold(part, t2n, t2d)
+
+    if dense_ok:
+        # vectorized verify is cheaper per candidate than the exact
+        # filters + packed-key unique were, so ship the RAW
+        # run-generated candidates straight to the dense verify and
+        # dedup the verified (near-dup-density-bounded) set
+        order2, ia, ib = _ratio_run_pairs(
+            pre.column("th").to_numpy(), pre.column("sfx").to_numpy(),
+            pre.column("na").to_numpy(), t2n, t2d)
+        if ia.size == 0:
+            return rd.from_arrow(empty)
+        d_s = pre.column("doc_id").to_numpy()[order2]
+        n_s = pre.column("na").to_numpy()[order2]
+        da, db = d_s[ia], d_s[ib]
+        na_, nb_ = n_s[ia], n_s[ib]
+        swap = da > db
+        cand_tbl = pa.table({
+            "doc_a": pa.array(np.where(swap, db, da), pa.int64()),
+            "doc_b": pa.array(np.where(swap, da, db), pa.int64()),
+            "na": pa.array(np.where(swap, nb_, na_), pa.int64()),
+            "nb": pa.array(np.where(swap, na_, nb_), pa.int64())})
+        step = max(1, -(-cand_tbl.num_rows // nparts))
+        cands = rd.from_arrow([cand_tbl.slice(i, step)
+                               for i in range(0, cand_tbl.num_rows,
+                                              step)])
+
+        seglen = ends - starts
+        col = np.searchsorted(vocab, tu)
+        row = np.repeat(np.arange(starts.size), seglen)
+        mat = np.zeros((starts.size, vocab.size), np.uint8)
+        mat[row, col] = 1
+        uids = d_all[starts].copy()
+        dref = ray.put((uids, mat))
+
+        def verify_dense(batch: pa.Table, _ref=dref) -> pa.Table:
+            u, m = get_broadcast(_ref)
+            da = batch.column("doc_a").to_numpy()
+            db = batch.column("doc_b").to_numpy()
+            na_ = batch.column("na").to_numpy()
+            nb_ = batch.column("nb").to_numpy()
+            ra = np.searchsorted(u, da)
+            rb = np.searchsorted(u, db)
+            ov = np.empty(da.size, np.int64)
+            chunk = max(1, (1 << 23) // max(1, m.shape[1]))
+            for s in range(0, da.size, chunk):
+                e = min(s + chunk, da.size)
+                ov[s:e] = (m[ra[s:e]] & m[rb[s:e]]).sum(
+                    axis=1, dtype=np.int64)
+            keep = t2d * ov * ov >= t2n * na_ * nb_
+            return pa.table({
+                "doc_a": pa.array(da[keep], pa.int64()),
+                "doc_b": pa.array(db[keep], pa.int64()),
+                "overlap": pa.array(ov[keep], pa.int64()),
+                "na": pa.array(na_[keep], pa.int64()),
+                "nb": pa.array(nb_[keep], pa.int64())})
+
+        verified = cands.map_batches(verify_dense,
+                                     batch_format="pyarrow",
+                                     zero_copy_batch=True)
+        return _bc_final_dedup(verified, empty, nparts)
+
+    # dict-loop verify: the per-pair Python loop NEEDS the exact
+    # filters + packed-key unique ahead of it
+    cand_tbl = _bin_unpack(_pair_first(_bin_bucket_pairs(
+        pre, t2n, t2d)))
+    if cand_tbl.num_rows == 0:
+        return rd.from_arrow(empty)
+    step = max(1, -(-cand_tbl.num_rows // nparts))
+    cands = rd.from_arrow([cand_tbl.slice(i, step)
+                           for i in range(0, cand_tbl.num_rows, step)])
+
+    arrs: dict[int, np.ndarray] = {}
+    for i, s in enumerate(starts.tolist()):
+        arrs[int(d_all[s])] = tu[s:ends[i]].copy()
+    ref = ray.put(arrs)
+
+    def verify_bc(batch: pa.Table, _ref=ref) -> pa.Table:
+        lists = get_broadcast(_ref)
+        da = batch.column("doc_a").to_numpy()
+        db = batch.column("doc_b").to_numpy()
+        na_ = batch.column("na").to_numpy()
+        nb_ = batch.column("nb").to_numpy()
+        keep = np.zeros(da.size, bool)
+        ovs = np.zeros(da.size, np.int64)
+        for i in range(da.size):  # pairs loop; intersect is C
+            a = lists[int(da[i])]
+            b2 = lists[int(db[i])]
+            ov = np.intersect1d(a, b2, assume_unique=True).size
+            if t2d * ov * ov >= t2n * int(na_[i]) * int(nb_[i]):
+                keep[i] = True
+                ovs[i] = ov
+        return pa.table({
+            "doc_a": pa.array(da[keep], pa.int64()),
+            "doc_b": pa.array(db[keep], pa.int64()),
+            "overlap": pa.array(ovs[keep], pa.int64()),
+            "na": pa.array(na_[keep], pa.int64()),
+            "nb": pa.array(nb_[keep], pa.int64())})
+
+    return cands.map_batches(verify_bc, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
 def cosine_simjoin_pairs(ds, tp: int = 4, tq: int = 5,
-                         verify: str = "auto"):
+                         verify: str = "auto", dense: str = "auto"):
     """documents Dataset -> ALL pairs (doc_a < doc_b) whose distinct-
     token sets satisfy binary cosine |A∩B|/sqrt(|A||B|) >= tp/tq,
     EXACTLY: the threshold test is the integer predicate
@@ -1225,21 +1479,24 @@ def cosine_simjoin_pairs(ds, tp: int = 4, tq: int = 5,
     prefix of |A| - ceil(t^2|A|) + 1 tokens; (3) prefix-token buckets
     generate size-filtered candidate pairs (tq^2·min >= tp^2·max is
     necessary), deduped by one packed-pair exchange; (4) exact overlap
-    verification — BELOW the minhash verify gate the per-doc sorted
-    hash arrays broadcast once and candidates verify map-side (no blob
-    joins, no per-row as_py churn: measured 28 -> ~17 s at sf0.1 where
-    544k pairs would otherwise drag ~4 GB of blobs through two Acero
-    joins); above it each doc's array ships to its pairs via two hash
-    joins (the 100 TB path — the driver never holds the corpus), the
-    broadcast==join equivalence pytest-gated. Token identity is a
-    64-bit hash (collision bound ~vocab^2/2^65, the documented
-    span-dedup discipline)."""
+    verification — BELOW the minhash verify gate the whole slim plan
+    runs as one vectorized local pass (_simjoin_bin_broadcast: same
+    folds, zero exchanges) and candidates verify map-side against a
+    broadcast dense 0/1 matrix or per-doc hash dict (38 -> ~8 s at
+    sf0.1 vs the exchange-per-stage path); above it each doc's array
+    ships to its pairs via two hash joins (the 100 TB path — the
+    driver never holds the corpus), the broadcast==join equivalence
+    pytest-gated. Token identity is a 64-bit hash (collision bound
+    ~vocab^2/2^65, the documented span-dedup discipline)."""
     t2n, t2d = tp * tp, tq * tq
     nparts = _num_partitions()
 
     tok = _drop_empty_blocks(
         ds.map_batches(_doc_token_table, batch_format="pyarrow",
                        zero_copy_batch=True).materialize())
+
+    if _resolve_verify(verify, ds) == "broadcast":
+        return _simjoin_bin_broadcast(tok, t2n, t2d, dense, nparts)
 
     def df_part(t: pa.Table) -> pa.Table:
         vc = t.column("th").value_counts()
@@ -1263,147 +1520,20 @@ def cosine_simjoin_pairs(ds, tp: int = 4, tq: int = 5,
     with_df = tok.join(dft, join_type="inner", num_partitions=nparts,
                        on=("th",))
 
-    def prefix_fold(part: pa.Table) -> pa.Table:
-        if part.num_rows == 0:
-            return pa.table({"th": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "na": pa.array([], pa.int64())})
-        d = part.column("doc_id").to_numpy()
-        t = part.column("th").to_numpy()
-        f = part.column("df").to_numpy()
-        n = part.column("na").to_numpy()
-        order = np.lexsort((t, f, d))   # per doc: ascending (df, th)
-        d_s, t_s, n_s = d[order], t[order], n[order]
-        bounds = np.flatnonzero(np.diff(d_s)) + 1
-        starts = np.concatenate(([0], bounds))
-        na_seg = n_s[starts]
-        k = -(-(t2n * na_seg) // t2d)          # ceil(t^2 * na)
-        plen = na_seg - k + 1
-        pos = np.arange(d_s.size, dtype=np.int64) \
-            - np.repeat(starts, np.diff(np.concatenate(
-                (starts, [d_s.size]))))
-        keep = pos < np.repeat(plen, np.diff(np.concatenate(
-            (starts, [d_s.size]))))
-        return pa.table({"th": pa.array(t_s[keep], pa.int64()),
-                         "doc_id": pa.array(d_s[keep], pa.int64()),
-                         "na": pa.array(n_s[keep], pa.int64())})
+    prefixes = partitioned_map_groups(
+        with_df, "doc_id", lambda p: _bin_prefix_fold(p, t2n, t2d))
 
-    prefixes = partitioned_map_groups(with_df, "doc_id", prefix_fold)
+    raw_pairs = partitioned_map_groups(
+        prefixes, "th", lambda p: _bin_bucket_pairs(p, t2n, t2d))
 
-    def bucket_pairs(part: pa.Table) -> pa.Table:
-        if part.num_rows == 0:
-            return pa.table({"pk": pa.array([], pa.int64()),
-                             "na": pa.array([], pa.int64()),
-                             "nb": pa.array([], pa.int64())})
-        t = part.column("th").to_numpy()
-        d = part.column("doc_id").to_numpy()
-        n = part.column("na").to_numpy()
-        if d.size and d.max() >= COSINE_PAIR_ID_MAX:
-            raise ValueError(
-                "doc_id >= 2^32 breaks the packed pair key; use a "
-                "two-column pair exchange at this id range")
-        order = np.lexsort((d, t))
-        t_s, d_s, n_s = t[order], d[order], n[order]
-        bounds = np.flatnonzero(np.diff(t_s)) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [t_s.size])) if t_s.size else starts
-        ia, ib = _pair_indices(starts, ends)
-        if ia.size == 0:
-            return pa.table({"pk": pa.array([], pa.int64()),
-                             "na": pa.array([], pa.int64()),
-                             "nb": pa.array([], pa.int64())})
-        da, db = d_s[ia], d_s[ib]
-        na_, nb_ = n_s[ia], n_s[ib]
-        lo = np.minimum(na_, nb_)
-        hi = np.maximum(na_, nb_)
-        ok = (t2d * lo >= t2n * hi) & (da != db)
-        da, db, na_, nb_ = da[ok], db[ok], na_[ok], nb_[ok]
-        swap = da > db
-        da2 = np.where(swap, db, da)
-        db2 = np.where(swap, da, db)
-        na2 = np.where(swap, nb_, na_)
-        nb2 = np.where(swap, na_, nb_)
-        pk = (da2.astype(np.uint64) << np.uint64(32)) \
-            | db2.astype(np.uint64)
-        pk, idx = np.unique(pk, return_index=True)
-        return pa.table({"pk": pa.array(pk.view(np.int64), pa.int64()),
-                         "na": pa.array(na2[idx], pa.int64()),
-                         "nb": pa.array(nb2[idx], pa.int64())})
-
-    raw_pairs = partitioned_map_groups(prefixes, "th", bucket_pairs)
-
-    def pair_uniq(part: pa.Table) -> pa.Table:
-        pk = part.column("pk").to_numpy()
-        _, idx = np.unique(pk, return_index=True)
-        return part.take(pa.array(np.sort(idx)))
-
-    cands = partitioned_map_groups(raw_pairs, "pk", pair_uniq)
-
-    def unpack(t: pa.Table) -> pa.Table:
-        pk = t.column("pk").to_numpy().view(np.uint64)
-        return pa.table({
-            "doc_a": pa.array((pk >> np.uint64(32)).astype(np.int64),
-                              pa.int64()),
-            "doc_b": pa.array((pk & np.uint64(0xFFFFFFFF))
-                              .astype(np.int64), pa.int64()),
-            "na": t.column("na"), "nb": t.column("nb")})
+    cands = partitioned_map_groups(raw_pairs, "pk", _pair_first)
 
     # the hash-shuffle fold upstream emits schema-less empty
     # partitions, and an Acero join consuming one fails FieldRef
     # resolution — drop them (block payloads never move)
     cands = _drop_empty_blocks(
-        cands.map_batches(unpack, batch_format="pyarrow",
+        cands.map_batches(_bin_unpack, batch_format="pyarrow",
                           zero_copy_batch=True).materialize())
-
-    if _resolve_verify(verify, ds) == "broadcast":
-        import ray
-
-        from ..broadcast import get_broadcast
-
-        # doc_id -> uint64 token-hash array (gate-bounded corpus);
-        # iter_batches can SPLIT a doc's token run across batches, so
-        # collect the slim columns wholesale and segment ONCE
-        d_chunks, t_chunks = [], []
-        for b in tok.iter_batches(batch_format="pyarrow"):
-            d_chunks.append(b.column("doc_id").to_numpy())
-            t_chunks.append(b.column("th").to_numpy().view(np.uint64))
-        arrs: dict[int, np.ndarray] = {}
-        if d_chunks:
-            d_all = np.concatenate(d_chunks)
-            t_all = np.concatenate(t_chunks)
-            order = np.argsort(d_all, kind="stable")
-            d_all, t_all = d_all[order], t_all[order]
-            bounds = np.flatnonzero(np.diff(d_all)) + 1
-            starts = np.concatenate(([0], bounds))
-            ends = np.concatenate((bounds, [d_all.size]))
-            for i, s in enumerate(starts.tolist()):
-                arrs[int(d_all[s])] = t_all[s:ends[i]].copy()
-        ref = ray.put(arrs)
-
-        def verify_bc(batch: pa.Table, _ref=ref) -> pa.Table:
-            lists = get_broadcast(_ref)
-            da = batch.column("doc_a").to_numpy()
-            db = batch.column("doc_b").to_numpy()
-            na_ = batch.column("na").to_numpy()
-            nb_ = batch.column("nb").to_numpy()
-            keep = np.zeros(da.size, bool)
-            ovs = np.zeros(da.size, np.int64)
-            for i in range(da.size):  # pairs loop; intersect is C
-                a = lists[int(da[i])]
-                b2 = lists[int(db[i])]
-                ov = np.intersect1d(a, b2, assume_unique=True).size
-                if t2d * ov * ov >= t2n * int(na_[i]) * int(nb_[i]):
-                    keep[i] = True
-                    ovs[i] = ov
-            return pa.table({
-                "doc_a": pa.array(da[keep], pa.int64()),
-                "doc_b": pa.array(db[keep], pa.int64()),
-                "overlap": pa.array(ovs[keep], pa.int64()),
-                "na": pa.array(na_[keep], pa.int64()),
-                "nb": pa.array(nb_[keep], pa.int64())})
-
-        return cands.map_batches(verify_bc, batch_format="pyarrow",
-                                 zero_copy_batch=True)
 
     def doc_lists(t: pa.Table, name: str) -> pa.Table:
         # token hashes packed as an 8-bytes-per-token binary blob per
@@ -1648,8 +1778,340 @@ def _doc_tf_table(batch: pa.Table) -> pa.Table:
         "n2": pa.array(n2, pa.int64())})
 
 
+def _tf_prefix_fold(part: pa.Table, t2n: int, t2d: int) -> pa.Table:
+    """Per-doc t-prefix emission for the tf-weighted simjoin (runs per
+    doc-keyed partition distributed, or once over the whole slim token
+    table under the broadcast gate — same bytes either way)."""
+    if part.num_rows == 0:
+        return pa.table({"th": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "n2": pa.array([], pa.int64()),
+                         "suff": pa.array([], pa.int64())})
+    d = part.column("doc_id").to_numpy()
+    t = part.column("th").to_numpy()
+    f = part.column("df").to_numpy()
+    tf = part.column("tf").to_numpy()
+    n2 = part.column("n2").to_numpy()
+    order = np.lexsort((t, f, d))   # per doc: ascending (df, th)
+    d_s, t_s = d[order], t[order]
+    tf_s, n2_s = tf[order], n2[order]
+    bounds = np.flatnonzero(np.diff(d_s)) + 1
+    starts = np.concatenate(([0], bounds))
+    seglen = np.diff(np.concatenate((starts, [d_s.size])))
+    segstart = np.repeat(starts, seglen)
+    sq = tf_s * tf_s
+    csum = np.cumsum(sq)
+    base = np.concatenate(([0], csum))[segstart]
+    pre = np.concatenate(([0], csum))[
+        np.arange(d_s.size)] - base   # mass strictly before pos
+    suffix = n2_s - pre
+    keep = t2d * suffix >= t2n * n2_s
+    # each prefix row carries its positional suffix mass: inside a
+    # bucket for token w, cos <= sqrt(suff_a*suff_b/(n2a*n2b)), so
+    # tq^2*suff_a*suff_b >= tp^2*n2a*n2b is a VALID extra prune —
+    # exact at the pair's minimal shared token, whose bucket always
+    # generates it (L2AP's remscore bound)
+    return pa.table({"th": pa.array(t_s[keep], pa.int64()),
+                     "doc_id": pa.array(d_s[keep], pa.int64()),
+                     "n2": pa.array(n2_s[keep], pa.int64()),
+                     "suff": pa.array(suffix[keep], pa.int64())})
+
+
+def _ratio_run_pairs(t: np.ndarray, num: np.ndarray, den: np.ndarray,
+                     t2n: int, t2d: int):
+    """O(output) in-bucket candidate generation for predicates of the
+    multiplicative form (num_a/den_a)·(num_b/den_b) >= t^2 (the
+    remscore prune in both simjoin variants): sort each th-bucket by
+    the ratio DESCENDING, so each row's qualifying partners form a
+    contiguous run right after it — emit only those runs instead of
+    all O(bucket^2) pairs (the old shape allocated ~133M index pairs
+    on sf0.1's hottest bucket to keep 11M). The run cut uses float
+    ratios with a 1e-9 relative slack (float64 division/product error
+    is a few ulps ~1e-16, so no exact-qualifying pair can fall outside
+    the cut); callers re-filter the emitted pairs with the EXACT int64
+    predicate, so the slack only costs a few spurious candidates.
+    Returns (order, ia, ib): positions into the order-sorted arrays."""
+    r = num.astype(np.float64) / den.astype(np.float64)
+    order = np.lexsort((-r, t))
+    r_s = r[order]
+    t_s = t[order]
+    bounds = np.flatnonzero(np.diff(t_s)) + 1
+    bstarts = np.concatenate(([0], bounds))
+    bends = np.concatenate((bounds, [t_s.size])) if t_s.size \
+        else bstarts
+    tsq = (t2n / t2d) * (1.0 - 1e-9)
+    succ = np.zeros(t_s.size, np.int64)
+    for s, e in zip(bstarts.tolist(), bends.tolist()):
+        rr = r_s[s:e]
+        # count of j in bucket with rr_j >= tsq / rr_i (rr descending)
+        cnt = np.searchsorted(-rr, -(tsq / rr), side="right")
+        succ[s:e] = np.maximum(0, cnt - np.arange(1, e - s + 1))
+    total = int(succ.sum())
+    if total == 0:
+        return order, np.zeros(0, np.int64), np.zeros(0, np.int64)
+    elem = np.arange(t_s.size, dtype=np.int64)
+    first = np.repeat(elem, succ)
+    grp_start = np.cumsum(succ) - succ
+    off = np.arange(total, dtype=np.int64) - np.repeat(grp_start, succ)
+    return order, first, first + off + 1
+
+
+def _tf_bucket_pairs(part: pa.Table, t2n: int, t2d: int) -> pa.Table:
+    """Candidate pairs within each prefix-token bucket, remscore-pruned
+    (run-generated, then exact-int64 filtered); dedup within the fold
+    via packed-key unique."""
+    empty = pa.table({"pk": pa.array([], pa.int64()),
+                      "na2": pa.array([], pa.int64()),
+                      "nb2": pa.array([], pa.int64())})
+    if part.num_rows == 0:
+        return empty
+    t = part.column("th").to_numpy()
+    d = part.column("doc_id").to_numpy()
+    n = part.column("n2").to_numpy()
+    sf = part.column("suff").to_numpy()
+    if d.size and d.max() >= COSINE_PAIR_ID_MAX:
+        raise ValueError(
+            "doc_id >= 2^32 breaks the packed pair key")
+    order, ia, ib = _ratio_run_pairs(t, sf, n, t2n, t2d)
+    if ia.size == 0:
+        return empty
+    d_s, n_s, sf_s = d[order], n[order], sf[order]
+    da, db = d_s[ia], d_s[ib]
+    na_, nb_ = n_s[ia], n_s[ib]
+    ok = (da != db) & (t2d * sf_s[ia] * sf_s[ib]
+                       >= t2n * na_ * nb_)
+    da, db, na_, nb_ = da[ok], db[ok], na_[ok], nb_[ok]
+    swap = da > db
+    da2 = np.where(swap, db, da)
+    db2 = np.where(swap, da, db)
+    na2 = np.where(swap, nb_, na_)
+    nb2 = np.where(swap, na_, nb_)
+    pk = (da2.astype(np.uint64) << np.uint64(32)) \
+        | db2.astype(np.uint64)
+    pk, idx = np.unique(pk, return_index=True)
+    return pa.table({"pk": pa.array(pk.view(np.int64), pa.int64()),
+                     "na2": pa.array(na2[idx], pa.int64()),
+                     "nb2": pa.array(nb2[idx], pa.int64())})
+
+
+def _pair_first(part: pa.Table) -> pa.Table:
+    """First row per packed pair key (all dupes carry identical
+    payload columns, so 'first' is canonical)."""
+    pk = part.column("pk").to_numpy()
+    _, idx = np.unique(pk, return_index=True)
+    return part.take(pa.array(np.sort(idx)))
+
+
+def _bc_final_dedup(verified, empty: pa.Table, nparts: int):
+    """Driver-side packed-key dedup of a VERIFIED pair stream (the
+    broadcast-gate regime already held far larger intermediates on the
+    driver; the verified set is bounded by near-dup density times the
+    multi-bucket dup factor). Duplicate rows carry identical payloads,
+    so first-per-key is canonical."""
+    import ray.data as rd
+
+    chunks = list(verified.iter_batches(batch_format="pyarrow"))
+    if not chunks:
+        return rd.from_arrow(empty)
+    vt = pa.concat_tables(chunks)
+    if vt.num_rows == 0:
+        return rd.from_arrow(empty)
+    pk = ((vt.column("doc_a").to_numpy().astype(np.uint64)
+           << np.uint64(32))
+          | vt.column("doc_b").to_numpy().astype(np.uint64))
+    _, idx = np.unique(pk, return_index=True)
+    final = vt.take(pa.array(np.sort(idx)))
+    step = max(1, -(-final.num_rows // nparts))
+    return rd.from_arrow([final.slice(i, step)
+                          for i in range(0, final.num_rows, step)])
+
+
+def _tf_unpack(t: pa.Table) -> pa.Table:
+    pk = t.column("pk").to_numpy().view(np.uint64)
+    return pa.table({
+        "doc_a": pa.array((pk >> np.uint64(32)).astype(np.int64),
+                          pa.int64()),
+        "doc_b": pa.array((pk & np.uint64(0xFFFFFFFF))
+                          .astype(np.int64), pa.int64()),
+        "na2": t.column("na2"), "nb2": t.column("nb2")})
+
+
+def _simjoin_tf_broadcast(tok, t2n: int, t2d: int, dense: str,
+                          nparts: int):
+    """Broadcast-gate regime of the tf simjoin: the slim (doc_id, th,
+    tf, n2) token table fits on the driver (that is exactly what the
+    gate asserts — the verify dict/matrix was ALREADY collected here),
+    so candidate generation runs as ONE vectorized local pass through
+    the SAME fold functions the distributed path runs per partition,
+    instead of paying ~5 fixed-overhead exchanges (df fold + df join +
+    doc/th/pk partitions) on a table this small (measured 38 -> ~8 s
+    at sf0.1). Verification stays distributed: candidates re-shard and
+    verify map-side against the dense matrix (small closed vocabulary,
+    chunked exact-int64 einsum) or the per-doc (th, tf) dict."""
+    import ray
+    import ray.data as rd
+
+    from ..broadcast import get_broadcast
+
+    empty = pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "dot": pa.array([], pa.int64()),
+        "na2": pa.array([], pa.int64()),
+        "nb2": pa.array([], pa.int64())})
+    d_chunks, t_chunks, f_chunks, n_chunks = [], [], [], []
+    for b in tok.iter_batches(batch_format="pyarrow"):
+        d_chunks.append(b.column("doc_id").to_numpy())
+        t_chunks.append(b.column("th").to_numpy())
+        f_chunks.append(b.column("tf").to_numpy())
+        n_chunks.append(b.column("n2").to_numpy())
+    if not d_chunks:
+        return rd.from_arrow(empty)
+    d_all = np.concatenate(d_chunks)
+    t_all = np.concatenate(t_chunks)
+    f_all = np.concatenate(f_chunks)
+    n_all = np.concatenate(n_chunks)
+    order = np.argsort(d_all, kind="stable")
+    d_all, t_all = d_all[order], t_all[order]
+    f_all, n_all = f_all[order], n_all[order]
+    # df attach via sorted-vocab searchsorted (equality only, so the
+    # uint64 view's ordering is irrelevant to the result)
+    tu = t_all.view(np.uint64)
+    vocab, vdf = np.unique(tu, return_counts=True)
+    part = pa.table({
+        "doc_id": pa.array(d_all, pa.int64()),
+        "th": pa.array(t_all, pa.int64()),
+        "df": pa.array(vdf[np.searchsorted(vocab, tu)]
+                       .astype(np.int64), pa.int64()),
+        "tf": pa.array(f_all, pa.int64()),
+        "n2": pa.array(n_all, pa.int64())})
+    bounds = np.flatnonzero(np.diff(d_all)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [d_all.size]))
+
+    dense_ok = False
+    if dense != "off":
+        # exactness bounds for the all-int64 vectorized path:
+        # dot <= |vocab| * max_tf^2 =: D (einsum accumulation), and
+        # both predicate sides <= max(t2n, t2d) * D^2 — guard the
+        # worst case so no intermediate can wrap
+        max_tf = int(f_all.max()) if f_all.size else 0
+        dmax = vocab.size * max_tf * max_tf
+        dense_ok = (vocab.size * starts.size <= DENSE_VERIFY_MAX_CELLS
+                    and max(t2n, t2d) * dmax * dmax < (1 << 62))
+
+    pre = _tf_prefix_fold(part, t2n, t2d)
+
+    if dense_ok:
+        # vectorized verify is cheaper per candidate than the exact
+        # remscore filter + packed-key unique were (the degenerate
+        # closed-vocab corpus keeps ~all generated pairs anyway), so
+        # ship the RAW run-generated candidates straight to the dense
+        # verify and dedup the verified (near-dup-density-bounded) set
+        order2, ia, ib = _ratio_run_pairs(
+            pre.column("th").to_numpy(), pre.column("suff").to_numpy(),
+            pre.column("n2").to_numpy(), t2n, t2d)
+        if ia.size == 0:
+            return rd.from_arrow(empty)
+        d_s = pre.column("doc_id").to_numpy()[order2]
+        n_s = pre.column("n2").to_numpy()[order2]
+        da, db = d_s[ia], d_s[ib]
+        na_, nb_ = n_s[ia], n_s[ib]
+        swap = da > db
+        cand_tbl = pa.table({
+            "doc_a": pa.array(np.where(swap, db, da), pa.int64()),
+            "doc_b": pa.array(np.where(swap, da, db), pa.int64()),
+            "na2": pa.array(np.where(swap, nb_, na_), pa.int64()),
+            "nb2": pa.array(np.where(swap, na_, nb_), pa.int64())})
+        step = max(1, -(-cand_tbl.num_rows // nparts))
+        cands = rd.from_arrow([cand_tbl.slice(i, step)
+                               for i in range(0, cand_tbl.num_rows,
+                                              step)])
+
+        seglen = ends - starts
+        col = np.searchsorted(vocab, tu)
+        row = np.repeat(np.arange(starts.size), seglen)
+        mat = np.zeros((starts.size, vocab.size), np.int64)
+        mat[row, col] = f_all
+        uids = d_all[starts].copy()
+        dref = ray.put((uids, mat))
+
+        def verify_dense(batch: pa.Table, _ref=dref) -> pa.Table:
+            u, m = get_broadcast(_ref)
+            da = batch.column("doc_a").to_numpy()
+            db = batch.column("doc_b").to_numpy()
+            na_ = batch.column("na2").to_numpy()
+            nb_ = batch.column("nb2").to_numpy()
+            ra = np.searchsorted(u, da)
+            rb = np.searchsorted(u, db)
+            dots = np.empty(da.size, np.int64)
+            chunk = max(1, (1 << 21) // max(1, m.shape[1]))
+            for s in range(0, da.size, chunk):
+                e = min(s + chunk, da.size)
+                dots[s:e] = np.einsum("ij,ij->i", m[ra[s:e]],
+                                      m[rb[s:e]])
+            keep = t2d * dots * dots >= t2n * na_ * nb_
+            return pa.table({
+                "doc_a": pa.array(da[keep], pa.int64()),
+                "doc_b": pa.array(db[keep], pa.int64()),
+                "dot": pa.array(dots[keep], pa.int64()),
+                "na2": pa.array(na_[keep], pa.int64()),
+                "nb2": pa.array(nb_[keep], pa.int64())})
+
+        verified = cands.map_batches(verify_dense,
+                                     batch_format="pyarrow",
+                                     zero_copy_batch=True)
+        return _bc_final_dedup(verified, empty, nparts)
+
+    # dict-loop verify (huge tf values or vocab over the cell cap):
+    # the per-pair Python loop NEEDS the exact filter + packed-key
+    # unique ahead of it, so reuse the full bucket fold here
+    cand_tbl = _tf_unpack(_pair_first(
+        _tf_bucket_pairs(pre, t2n, t2d)))
+    if cand_tbl.num_rows == 0:
+        return rd.from_arrow(empty)
+    step = max(1, -(-cand_tbl.num_rows // nparts))
+    cands = rd.from_arrow([cand_tbl.slice(i, step)
+                           for i in range(0, cand_tbl.num_rows, step)])
+
+    arrs: dict[int, tuple] = {}
+    tu_sorted = t_all.view(np.uint64)
+    for i, s in enumerate(starts.tolist()):
+        arrs[int(d_all[s])] = (tu_sorted[s:ends[i]].copy(),
+                               f_all[s:ends[i]].copy())
+    ref = ray.put(arrs)
+
+    def verify_bc(batch: pa.Table, _ref=ref) -> pa.Table:
+        lists = get_broadcast(_ref)
+        da = batch.column("doc_a").to_numpy()
+        db = batch.column("doc_b").to_numpy()
+        na_ = batch.column("na2").to_numpy()
+        nb_ = batch.column("nb2").to_numpy()
+        keep = np.zeros(da.size, bool)
+        dots = np.zeros(da.size, np.int64)
+        for i in range(da.size):
+            tha, tfa = lists[int(da[i])]
+            thb, tfb = lists[int(db[i])]
+            _, ia, ib = np.intersect1d(tha, thb,
+                                       assume_unique=True,
+                                       return_indices=True)
+            dot = int((tfa[ia] * tfb[ib]).sum())
+            if t2d * dot * dot >= t2n * int(na_[i]) * int(nb_[i]):
+                keep[i] = True
+                dots[i] = dot
+        return pa.table({
+            "doc_a": pa.array(da[keep], pa.int64()),
+            "doc_b": pa.array(db[keep], pa.int64()),
+            "dot": pa.array(dots[keep], pa.int64()),
+            "na2": pa.array(na_[keep], pa.int64()),
+            "nb2": pa.array(nb_[keep], pa.int64())})
+
+    return cands.map_batches(verify_bc, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
 def cosine_simjoin_tf_pairs(ds, tp: int = 19, tq: int = 20,
-                            verify: str = "auto"):
+                            verify: str = "auto", dense: str = "auto"):
     """tf-WEIGHTED exact cosine-threshold similarity join (the L2AP
     family, Anastasiu & Karypis 2014, reduced to the symmetric-prefix
     core): pairs with sum(tf_a*tf_b)/sqrt(n2_a*n2_b) >= tp/tq, where
@@ -1670,6 +2132,9 @@ def cosine_simjoin_tf_pairs(ds, tp: int = 19, tq: int = 20,
     tok = _drop_empty_blocks(
         ds.map_batches(_doc_tf_table, batch_format="pyarrow",
                        zero_copy_batch=True).materialize())
+
+    if _resolve_verify(verify, ds) == "broadcast":
+        return _simjoin_tf_broadcast(tok, t2n, t2d, dense, nparts)
 
     def df_part(t: pa.Table) -> pa.Table:
         vc = t.column("th").value_counts()
@@ -1693,160 +2158,17 @@ def cosine_simjoin_tf_pairs(ds, tp: int = 19, tq: int = 20,
     with_df = tok.join(dft, join_type="inner", num_partitions=nparts,
                        on=("th",))
 
-    def prefix_fold(part: pa.Table) -> pa.Table:
-        if part.num_rows == 0:
-            return pa.table({"th": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "n2": pa.array([], pa.int64())})
-        d = part.column("doc_id").to_numpy()
-        t = part.column("th").to_numpy()
-        f = part.column("df").to_numpy()
-        tf = part.column("tf").to_numpy()
-        n2 = part.column("n2").to_numpy()
-        order = np.lexsort((t, f, d))   # per doc: ascending (df, th)
-        d_s, t_s = d[order], t[order]
-        tf_s, n2_s = tf[order], n2[order]
-        bounds = np.flatnonzero(np.diff(d_s)) + 1
-        starts = np.concatenate(([0], bounds))
-        seglen = np.diff(np.concatenate((starts, [d_s.size])))
-        segstart = np.repeat(starts, seglen)
-        sq = tf_s * tf_s
-        csum = np.cumsum(sq)
-        base = np.concatenate(([0], csum))[segstart]
-        pre = np.concatenate(([0], csum))[
-            np.arange(d_s.size)] - base   # mass strictly before pos
-        suffix = n2_s - pre
-        keep = t2d * suffix >= t2n * n2_s
-        # each prefix row carries its positional suffix mass: inside a
-        # bucket for token w, cos <= sqrt(suff_a*suff_b/(n2a*n2b)), so
-        # tq^2*suff_a*suff_b >= tp^2*n2a*n2b is a VALID extra prune —
-        # exact at the pair's minimal shared token, whose bucket always
-        # generates it (L2AP's remscore bound)
-        return pa.table({"th": pa.array(t_s[keep], pa.int64()),
-                         "doc_id": pa.array(d_s[keep], pa.int64()),
-                         "n2": pa.array(n2_s[keep], pa.int64()),
-                         "suff": pa.array(suffix[keep], pa.int64())})
+    prefixes = partitioned_map_groups(
+        with_df, "doc_id", lambda p: _tf_prefix_fold(p, t2n, t2d))
 
-    prefixes = partitioned_map_groups(with_df, "doc_id", prefix_fold)
+    raw_pairs = partitioned_map_groups(
+        prefixes, "th", lambda p: _tf_bucket_pairs(p, t2n, t2d))
 
-    def bucket_pairs(part: pa.Table) -> pa.Table:
-        if part.num_rows == 0:
-            return pa.table({"pk": pa.array([], pa.int64()),
-                             "na2": pa.array([], pa.int64()),
-                             "nb2": pa.array([], pa.int64())})
-        t = part.column("th").to_numpy()
-        d = part.column("doc_id").to_numpy()
-        n = part.column("n2").to_numpy()
-        sf = part.column("suff").to_numpy()
-        if d.size and d.max() >= COSINE_PAIR_ID_MAX:
-            raise ValueError(
-                "doc_id >= 2^32 breaks the packed pair key")
-        order = np.lexsort((d, t))
-        t_s, d_s, n_s = t[order], d[order], n[order]
-        sf_s = sf[order]
-        bounds = np.flatnonzero(np.diff(t_s)) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [t_s.size])) if t_s.size \
-            else starts
-        ia, ib = _pair_indices(starts, ends)
-        if ia.size == 0:
-            return pa.table({"pk": pa.array([], pa.int64()),
-                             "na2": pa.array([], pa.int64()),
-                             "nb2": pa.array([], pa.int64())})
-        da, db = d_s[ia], d_s[ib]
-        na_, nb_ = n_s[ia], n_s[ib]
-        ok = (da != db) & (t2d * sf_s[ia] * sf_s[ib]
-                           >= t2n * na_ * nb_)
-        da, db, na_, nb_ = da[ok], db[ok], na_[ok], nb_[ok]
-        swap = da > db
-        da2 = np.where(swap, db, da)
-        db2 = np.where(swap, da, db)
-        na2 = np.where(swap, nb_, na_)
-        nb2 = np.where(swap, na_, nb_)
-        pk = (da2.astype(np.uint64) << np.uint64(32)) \
-            | db2.astype(np.uint64)
-        pk, idx = np.unique(pk, return_index=True)
-        return pa.table({"pk": pa.array(pk.view(np.int64), pa.int64()),
-                         "na2": pa.array(na2[idx], pa.int64()),
-                         "nb2": pa.array(nb2[idx], pa.int64())})
-
-    raw_pairs = partitioned_map_groups(prefixes, "th", bucket_pairs)
-
-    def pair_uniq(part: pa.Table) -> pa.Table:
-        pk = part.column("pk").to_numpy()
-        _, idx = np.unique(pk, return_index=True)
-        return part.take(pa.array(np.sort(idx)))
-
-    cands = partitioned_map_groups(raw_pairs, "pk", pair_uniq)
-
-    def unpack(t: pa.Table) -> pa.Table:
-        pk = t.column("pk").to_numpy().view(np.uint64)
-        return pa.table({
-            "doc_a": pa.array((pk >> np.uint64(32)).astype(np.int64),
-                              pa.int64()),
-            "doc_b": pa.array((pk & np.uint64(0xFFFFFFFF))
-                              .astype(np.int64), pa.int64()),
-            "na2": t.column("na2"), "nb2": t.column("nb2")})
+    cands = partitioned_map_groups(raw_pairs, "pk", _pair_first)
 
     cands = _drop_empty_blocks(
-        cands.map_batches(unpack, batch_format="pyarrow",
+        cands.map_batches(_tf_unpack, batch_format="pyarrow",
                           zero_copy_batch=True).materialize())
-
-    if _resolve_verify(verify, ds) == "broadcast":
-        # gate-bounded corpus: (th, tf) arrays broadcast once and
-        # candidates verify map-side (the binary join's swap; columns
-        # collected wholesale — iter_batches splits doc runs)
-        import ray
-
-        from ..broadcast import get_broadcast
-
-        d_chunks, t_chunks, f_chunks = [], [], []
-        for b in tok.iter_batches(batch_format="pyarrow"):
-            d_chunks.append(b.column("doc_id").to_numpy())
-            t_chunks.append(b.column("th").to_numpy().view(np.uint64))
-            f_chunks.append(b.column("tf").to_numpy())
-        arrs: dict[int, tuple] = {}
-        if d_chunks:
-            d_all = np.concatenate(d_chunks)
-            t_all = np.concatenate(t_chunks)
-            f_all = np.concatenate(f_chunks)
-            order = np.argsort(d_all, kind="stable")
-            d_all, t_all, f_all = d_all[order], t_all[order], f_all[order]
-            bounds = np.flatnonzero(np.diff(d_all)) + 1
-            starts = np.concatenate(([0], bounds))
-            ends = np.concatenate((bounds, [d_all.size]))
-            for i, s in enumerate(starts.tolist()):
-                arrs[int(d_all[s])] = (t_all[s:ends[i]].copy(),
-                                       f_all[s:ends[i]].copy())
-        ref = ray.put(arrs)
-
-        def verify_bc(batch: pa.Table, _ref=ref) -> pa.Table:
-            lists = get_broadcast(_ref)
-            da = batch.column("doc_a").to_numpy()
-            db = batch.column("doc_b").to_numpy()
-            na_ = batch.column("na2").to_numpy()
-            nb_ = batch.column("nb2").to_numpy()
-            keep = np.zeros(da.size, bool)
-            dots = np.zeros(da.size, np.int64)
-            for i in range(da.size):
-                tha, tfa = lists[int(da[i])]
-                thb, tfb = lists[int(db[i])]
-                _, ia, ib = np.intersect1d(tha, thb,
-                                           assume_unique=True,
-                                           return_indices=True)
-                dot = int((tfa[ia] * tfb[ib]).sum())
-                if t2d * dot * dot >= t2n * int(na_[i]) * int(nb_[i]):
-                    keep[i] = True
-                    dots[i] = dot
-            return pa.table({
-                "doc_a": pa.array(da[keep], pa.int64()),
-                "doc_b": pa.array(db[keep], pa.int64()),
-                "dot": pa.array(dots[keep], pa.int64()),
-                "na2": pa.array(na_[keep], pa.int64()),
-                "nb2": pa.array(nb_[keep], pa.int64())})
-
-        return cands.map_batches(verify_bc, batch_format="pyarrow",
-                                 zero_copy_batch=True)
 
     def doc_blobs(t: pa.Table, name: str) -> pa.Table:
         d = t.column("doc_id").to_numpy()
@@ -1932,7 +2254,9 @@ def docs_cosine_simjoin_tf(sf_dir: str):
     every doc shares every term; the remscore prune and prefix filter
     are what keep realistic corpora near-linear, as the simjoin soak's
     500k-doc run shows). The broadcast-verify swap halved it
-    (48 -> 24 s at sf0.1), so it is now in the timed bench set."""
+    (48 -> 24 s at sf0.1) and the local-candgen + dense-matrix
+    broadcast regime (_simjoin_tf_broadcast) halved it again, so it
+    is now in the timed bench set."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",

@@ -804,6 +804,18 @@ def _html_tables_markdown(sf_dir: str):
     return html_tables_markdown(sf_dir)
 
 
+def _html_markdown(sf_dir: str):
+    """ORACLED full-document HTML->markdown linearization (the
+    whole-page twin of html_tables_markdown): headings, inline marks,
+    links/images, nested lists, blockquote prefixes, pre fences, hr
+    and the table grid, all from the engine's tag-soup DOM with
+    explicit-stack walks; DuckDB rebuilds each page's exact string by
+    concatenation from doc_id."""
+    from webxtract.ops.web import html_markdown
+
+    return html_markdown(sf_dir)
+
+
 def _robots_crawl_delay(sf_dir: str):
     """ORACLED per-host politeness budget: Crawl-delay parsed with the
     same most-specific-group supersession as the gate (a foreign
@@ -1266,7 +1278,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     robots_gate / sitemap_url_inventory / domain_anchor_texts /
     html_tables / html_meta / html_forms / html_jsonld /
     html_alternates / docs_readability / feed_inventory /
-    crawl_frontier) have pytest-oracle green at sf0.001 AND manual
+    crawl_frontier / html_markdown) have pytest-oracle green at
+    sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
     from webxtract.ops import relational as R
@@ -1618,6 +1631,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # table linearization for LLM corpora (ordered string_agg twin)
         "docs_topic_clusters": _docs_topic_clusters,  # ORACLED
         # integer k-means over md5-hashed text features (unrolled CTE)
+        "html_markdown": _html_markdown,  # ORACLED full-page
+        # markdown linearization (closed-form concat twin)
     }
 
 
@@ -4875,6 +4890,42 @@ r5 AS (
                              WHEN host_id % 4 = 3 THEN 4000
                              ELSE NULL END AS BIGINT) AS delay_ms
             FROM h ORDER BY host_id
+        """,
+        # full-page markdown: the fixture is closed-form in doc_id, so
+        # the expected string is ONE concatenation (chr(10) newlines);
+        # the Ray side earns it through the real DOM walk + collapse
+        "html_markdown": """
+            SELECT doc_id,
+                   '# Doc ' || doc_id
+                || chr(10) || chr(10)
+                || 'Intro paragraph ' || doc_id || ' with **bold '
+                || (doc_id % 7) || '**, *italic ' || (doc_id % 5)
+                || '* and a [link ' || doc_id || '](https://site'
+                || (doc_id % 50) || '.example/p/' || doc_id || ').'
+                || chr(10) || chr(10)
+                || '## Details ' || (doc_id % 3)
+                || chr(10) || chr(10)
+                || '- alpha ' || (doc_id % 3) || chr(10)
+                || '- has `code ' || (doc_id % 5) || '`' || chr(10)
+                || '- deep' || chr(10)
+                || '  - leaf ' || (doc_id % 2)
+                || chr(10) || chr(10)
+                || '1. first ' || (doc_id % 2) || chr(10)
+                || '2. second ' || (doc_id % 4)
+                || chr(10) || chr(10)
+                || '> quoted ' || (doc_id % 11)
+                || chr(10) || chr(10)
+                || '```' || chr(10) || 'raw ' || doc_id || chr(10)
+                || '  indent ' || (doc_id % 9) || chr(10) || '```'
+                || chr(10) || chr(10)
+                || '---'
+                || chr(10) || chr(10)
+                || '| k | v |' || chr(10) || '| --- | --- |'
+                || chr(10) || '| size | ' || (doc_id % 9) || ' |'
+                || chr(10) || chr(10)
+                || 'Image ![im ' || (doc_id % 6) || '](/img/'
+                || doc_id || '.png) tail.' AS markdown
+            FROM documents ORDER BY doc_id
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

@@ -14,7 +14,7 @@ from webxtract.ops.web import (extract_alternates, extract_jsonld_blocks,
                                html_form_fields, html_table_cells,
                                parse_crawl_delay, parse_feed,
                                parse_robots, parse_sitemap,
-                               robots_decision)
+                               render_markdown, robots_decision)
 
 # fragments that look like the formats under test, plus raw noise
 _FRAG = st.sampled_from([
@@ -38,6 +38,7 @@ def test_dom_family_never_raises(s):
     html_form_fields(root)
     extract_page_meta(root)
     extract_alternates(root)
+    render_markdown(root)
     parse_sitemap(s)
     parse_feed(s)
     extract_jsonld_blocks(s)

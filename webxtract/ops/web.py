@@ -1871,3 +1871,327 @@ def html_tables_markdown(sf_dir: str):
     string_agg over the identical closed-form cell grid."""
     cells = html_tables(sf_dir)
     return tables_to_markdown(cells).sort(["doc_id", "table_idx"])
+
+
+# --- full-document HTML -> markdown linearization ---------------------------
+# The whole-page twin of tables_to_markdown: the standard LLM-corpus
+# serialization of a page (what markdownify/trafilatura-style exporters
+# emit), produced entirely from the engine's own tag-soup DOM. The
+# reference's analog is the document-level text assembly fn-postprocess
+# performs over Textract blocks (postprocessing/fn-postprocess/main.py);
+# here the markup itself carries the structure.
+#
+# Spec (deterministic, pinned by tests + the DuckDB oracle):
+#   h1-h6   -> '#'*k + ' ' + inline text        (own block)
+#   p       -> inline text                       (own block)
+#   ul/ol   -> one block; '- ' / '{k}. ' markers, nested lists indent
+#              2 spaces per level, nested items follow their parent li;
+#              tag-soup '<li>x<li>y' (second item nested in the first)
+#              surfaces both items
+#   tag-soup <p> nesting blocks (HTML auto-closes p; the tree builder
+#              nests) SPLITS: inline runs and block children emit as
+#              sibling blocks in document order
+#   blockquote -> contained blocks prefixed '> ' per nesting level
+#   pre     -> fenced code block (raw text, outer newlines stripped)
+#   hr      -> '---'
+#   table   -> the tables_to_markdown grid lines (first row = header)
+#   inline: a -> [text](href), img -> ![alt](src), strong/b -> **,
+#           em/i -> *, code -> `, br -> ' '; inline whitespace
+#           collapses to single spaces (code spans included —
+#           documented divergence from CommonMark, which this
+#           linearizer does not try to round-trip)
+#   skipped: head + form controls (script/style/noscript/template/svg/
+#            iframe content never reaches the DOM — htmldom
+#            SKIP_CONTENT); unknown tags are transparent containers
+#   blocks join with one blank line; loose non-whitespace text at
+#   block level becomes its own block
+# Every walk is an explicit stack — tag-soup depth cannot hit the
+# recursion limit (same rule as html_form_fields).
+
+_MD_SKIP = frozenset({"script", "style", "noscript", "template",
+                      "head", "svg", "iframe", "form", "button",
+                      "input", "select", "textarea", "option",
+                      "datalist", "label"})
+_MD_INLINE_MARK = {"strong": "**", "b": "**", "em": "*", "i": "*",
+                   "code": "`"}
+_MD_HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+# Block-level tags a soup-nested <p> must SPLIT around: HTML auto-closes
+# an open <p> at any of these, but the tag-soup tree builder nests them
+# instead — without the split, a page of unclosed <p>s would swallow
+# every list/table into inline context and drop it.
+_MD_BLOCK = frozenset(_MD_HEADINGS) | frozenset({
+    "p", "pre", "hr", "ul", "ol", "table", "blockquote", "div",
+    "section", "article", "aside", "main", "header", "footer",
+    "figure", "fieldset", "dl"})
+
+
+class _Seg:
+    """Deferred inline segment (the text runs between a soup-nested
+    <p>'s block-level children)."""
+    __slots__ = ("nodes",)
+
+    def __init__(self, nodes):
+        self.nodes = nodes
+
+
+def _inline_md(nodes, exclude: frozenset = frozenset()) -> str:
+    """Inline-markdown text of a node list (enter/exit event stack:
+    closing markers emit on exit). Lists and tables are block-level —
+    inside an inline context they contribute nothing here (their
+    block handling owns them); ``exclude`` adds caller-scoped
+    subtrees to skip (a list item excludes soup-nested li)."""
+    parts = []
+    stack = [("e", n) for n in reversed(list(nodes))]
+    while stack:
+        ev, n = stack.pop()
+        if ev == "x":
+            parts.append("](%s)" % (n.attrs.get("href") or "")
+                         if n.tag == "a" else _MD_INLINE_MARK[n.tag])
+            continue
+        if isinstance(n, str):
+            parts.append(n)
+            continue
+        t = n.tag
+        if t in _MD_SKIP or t in ("ul", "ol", "table") or t in exclude:
+            continue
+        if t == "img":
+            parts.append("![%s](%s)" % (n.attrs.get("alt") or "",
+                                        n.attrs.get("src") or ""))
+            continue
+        if t == "br":
+            parts.append(" ")
+            continue
+        if t == "a" or t in _MD_INLINE_MARK:
+            parts.append("[" if t == "a" else _MD_INLINE_MARK[t])
+            stack.append(("x", n))
+        stack.extend(("e", c) for c in reversed(n.children))
+    return " ".join("".join(parts).split())
+
+
+def _raw_text(node) -> str:
+    """Verbatim subtree text (pre contents — no collapsing)."""
+    out = []
+    stack = list(reversed(node.children))
+    while stack:
+        n = stack.pop()
+        if isinstance(n, str):
+            out.append(n)
+        else:
+            stack.extend(reversed(n.children))
+    return "".join(out)
+
+
+def _render_list(root_list) -> str:
+    """One markdown block for a whole ul/ol. Items come from a SCOPED
+    walk (nested ul/ol are barriers — their items belong to the
+    nested list — but matched li ARE descended: tag-soup '<li>x<li>y'
+    nests the second item inside the first and both must surface,
+    exactly the html_table_cells rule). An item's text excludes
+    soup-nested li subtrees; ol numbering follows document position;
+    nested lists emit immediately after their parent item at +1
+    indent."""
+    lines = []
+    stack = []
+
+    def push(lst, depth):
+        lis = list(_walk_scoped(lst, {"li"}, {"ul", "ol", "table"}))
+        markers = (["%d." % (k + 1) for k in range(len(lis))]
+                   if lst.tag == "ol" else ["-"] * len(lis))
+        stack.extend(reversed(list(zip(lis, markers,
+                                       [depth] * len(lis)))))
+
+    push(root_list, 0)
+    while stack:
+        li, marker, depth = stack.pop()
+        text = _inline_md(li.children, exclude=frozenset({"li"}))
+        lines.append("  " * depth + marker + " " + text)
+        nested = list(_walk_scoped(li, {"ul", "ol"},
+                                   {"ul", "ol", "li", "table"}))
+        for lst in reversed(nested):
+            push(lst, depth + 1)
+    return "\n".join(lines)
+
+
+def _table_md(cells: list[dict]) -> str:
+    """Grid cells (html_table_cells shape) -> the tables_to_markdown
+    line format: first grid row is the header, separator sized to its
+    cell count."""
+    if not cells:
+        return ""
+    rows: dict[int, list[str]] = {}
+    for c in sorted(cells, key=lambda c: (c["row"], c["col"])):
+        rows.setdefault(c["row"], []).append(c["text"])
+    lines = []
+    first = None
+    for r in sorted(rows):
+        line = "| " + " | ".join(rows[r]) + " |"
+        lines.append(line)
+        if first is None:
+            first = len(rows[r])
+            lines.append("|" + " --- |" * first)
+    return "\n".join(lines)
+
+
+def render_markdown(root) -> str:
+    """Parsed DOM -> one markdown string per the module-level spec."""
+    body = None
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, str):
+            continue
+        if n.tag == "body":
+            body = n
+            break
+        stack.extend(reversed(n.children))
+    top = body if body is not None else root
+
+    blocks: list[tuple[str, int]] = []
+    stack = [(c, 0) for c in reversed(top.children)]
+    while stack:
+        n, qd = stack.pop()
+        if isinstance(n, str):
+            t = " ".join(n.split())
+            if t:
+                blocks.append((t, qd))
+            continue
+        if isinstance(n, _Seg):
+            txt = _inline_md(n.nodes)
+            if txt:
+                blocks.append((txt, qd))
+            continue
+        tag = n.tag
+        if tag in _MD_SKIP:
+            continue
+        if tag in _MD_HEADINGS:
+            txt = _inline_md(n.children)
+            if txt:
+                blocks.append(("#" * _MD_HEADINGS[tag] + " " + txt, qd))
+        elif tag == "p":
+            kids = n.children
+            if any(not isinstance(c, str) and c.tag in _MD_BLOCK
+                   for c in kids):
+                # soup-nested blocks: emit inline runs and block
+                # children as siblings, in document order
+                pieces, run = [], []
+                for c in kids:
+                    if not isinstance(c, str) and c.tag in _MD_BLOCK:
+                        pieces.append(_Seg(run))
+                        pieces.append(c)
+                        run = []
+                    else:
+                        run.append(c)
+                pieces.append(_Seg(run))
+                stack.extend((p, qd) for p in reversed(pieces))
+            else:
+                txt = _inline_md(kids)
+                if txt:
+                    blocks.append((txt, qd))
+        elif tag == "pre":
+            blocks.append(("```\n" + _raw_text(n).strip("\n") + "\n```",
+                           qd))
+        elif tag == "hr":
+            blocks.append(("---", qd))
+        elif tag in ("ul", "ol"):
+            txt = _render_list(n)
+            if txt:
+                blocks.append((txt, qd))
+        elif tag == "table":
+            # html_table_cells on the node covers it AND nested tables
+            # (each with its own scoped grid) in document order
+            for cells in html_table_cells(n):
+                txt = _table_md(cells)
+                if txt:
+                    blocks.append((txt, qd))
+        elif tag == "blockquote":
+            stack.extend((c, qd + 1) for c in reversed(n.children))
+        elif tag == "a" or tag == "img" or tag == "br" \
+                or tag in _MD_INLINE_MARK:
+            txt = _inline_md([n])
+            if txt:
+                blocks.append((txt, qd))
+        else:  # transparent container (div/section/article/li-soup/...)
+            stack.extend((c, qd) for c in reversed(n.children))
+
+    out = []
+    for text, qd in blocks:
+        if qd:
+            pfx = "> " * qd
+            text = "\n".join((pfx + ln).rstrip()
+                             for ln in text.split("\n"))
+        out.append(text)
+    return "\n\n".join(out)
+
+
+def extract_markdown(ds, id_col: str = "doc_id",
+                     html_col: str = "html"):
+    """pages Dataset -> (doc_id, markdown): the full-page
+    linearization, one row per page. In-batch, zero exchanges;
+    undecodable html degrades to an empty-string DATA row."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        from ..htmldom import decode_bytes, parse_html
+
+        ids, mds = [], []
+        for i, raw in zip(t.column(id_col).to_pylist(),
+                          t.column(html_col).to_pylist()):
+            text = raw if isinstance(raw, str) else decode_bytes(raw)
+            ids.append(i)
+            mds.append(render_markdown(parse_html(text or "")))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "markdown": pa.array(mds, pa.string())})
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def synth_markdown_pages(sf_dir: str):
+    """Closed-form fixture exercising every markdown rule: heading
+    levels, collapsible inline whitespace, bold/italic/code/link/
+    image, ul with nesting + ol numbering, blockquote, pre fence, hr,
+    a table, and a script block that must contribute nothing."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        out_i, out_h = [], []
+        for i in batch.column("doc_id").to_pylist():
+            h = i % 50
+            html = (
+                f"<html><head><title>Doc {i}</title></head><body>\n"
+                f"<h1>Doc {i}</h1>\n"
+                f"<p>Intro   paragraph {i} with <strong>bold "
+                f"{i % 7}</strong>, <em>italic\n{i % 5}</em> and a "
+                f'<a href="https://site{h}.example/p/{i}">link '
+                f"{i}</a>.</p>\n"
+                f"<h2>Details {i % 3}</h2>\n"
+                f"<ul><li>alpha {i % 3}</li><li>has <code>code "
+                f"{i % 5}</code></li><li>deep<ul><li>leaf {i % 2}"
+                f"</li></ul></li></ul>\n"
+                f"<ol><li>first {i % 2}</li><li>second {i % 4}</li>"
+                f"</ol>\n"
+                f"<blockquote><p>quoted {i % 11}</p></blockquote>\n"
+                f"<pre>raw {i}\n  indent {i % 9}</pre>\n"
+                f"<hr>\n"
+                f"<table><tr><th>k</th><th>v</th></tr><tr><td>size"
+                f"</td><td>{i % 9}</td></tr></table>\n"
+                f'<p>Image <img src="/img/{i}.png" alt="im {i % 6}">'
+                f" tail.</p>\n"
+                f"<script>var x = {i};</script>\n"
+                f"</body></html>")
+            out_i.append(i)
+            out_h.append(html.encode())
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "html": pa.array(out_h, pa.binary())})
+
+    return ids.map_batches(render, batch_format="pyarrow",
+                           batch_size=512)
+
+
+def html_markdown(sf_dir: str):
+    """ORACLED query surface: the closed-form fixture linearized by
+    the real DOM walk; DuckDB rebuilds each page's exact markdown
+    string by concatenation from doc_id."""
+    return extract_markdown(synth_markdown_pages(sf_dir)) \
+        .sort("doc_id")

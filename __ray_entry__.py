@@ -816,6 +816,18 @@ def _html_markdown(sf_dir: str):
     return html_markdown(sf_dir)
 
 
+def _warc_cdx(sf_dir: str):
+    """ORACLED CDX capture index over the plain WARC fixture: SURT
+    key, 14-digit timestamp, file + byte-exact record offset/length
+    (the random-access contract), status and payload md5; DuckDB
+    rebuilds every extent from the serialization grammar (strlen
+    arithmetic incl. Content-Length digit widths) and offsets with a
+    per-file window sum."""
+    from webxtract.ops.warc import warc_cdx
+
+    return warc_cdx(sf_dir)
+
+
 def _robots_crawl_delay(sf_dir: str):
     """ORACLED per-host politeness budget: Crawl-delay parsed with the
     same most-specific-group supersession as the gate (a foreign
@@ -1278,8 +1290,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     robots_gate / sitemap_url_inventory / domain_anchor_texts /
     html_tables / html_meta / html_forms / html_jsonld /
     html_alternates / docs_readability / feed_inventory /
-    crawl_frontier / html_markdown) have pytest-oracle green at
-    sf0.001 AND manual
+    crawl_frontier / html_markdown / warc_cdx) have pytest-oracle
+    green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
     from webxtract.ops import relational as R
@@ -1633,6 +1645,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer k-means over md5-hashed text features (unrolled CTE)
         "html_markdown": _html_markdown,  # ORACLED full-page
         # markdown linearization (closed-form concat twin)
+        "warc_cdx": _warc_cdx,  # ORACLED CDX capture index: byte-
+        # exact record extents via strlen-grammar + window-sum twin
     }
 
 
@@ -4926,6 +4940,71 @@ r5 AS (
                 || 'Image ![im ' || (doc_id % 6) || '](/img/'
                 || doc_id || '.png) tail.' AS markdown
             FROM documents ORDER BY doc_id
+        """,
+        # CDX over the plain WARC fixture: every record's byte length
+        # is the serialization grammar's strlen arithmetic (7 header
+        # lines joined by CRLF + CRLFCRLF + HTTP payload + CRLFCRLF,
+        # Content-Length digit widths included), offsets are the
+        # warcinfo-record constant + a per-file window sum in doc_id
+        # order (the fixture buckets by doc_id % 8, appending in row
+        # order)
+        "warc_cdx": """
+            WITH d AS (
+              SELECT doc_id AS i,
+                     '<html><body><p>' || text
+                         || '</p></body></html>' AS html,
+                     'https://site' || (doc_id % 50) || '.example/p/'
+                         || doc_id AS url,
+                     '2024-01-' || lpad(CAST(1 + doc_id % 28
+                         AS VARCHAR), 2, '0') || 'T00:00:00Z' AS ts,
+                     doc_id % 8 AS fi
+              FROM documents),
+            p AS (
+              SELECT *,
+                   strlen('HTTP/1.1 200 OK') + 2
+                 + strlen('Content-Type: text/html; charset=utf-8')
+                 + 2
+                 + strlen('Content-Length: ')
+                 + strlen(CAST(strlen(html) AS VARCHAR)) + 4
+                 + strlen(html) AS plen
+              FROM d),
+            r AS (
+              SELECT *,
+                   strlen('WARC/1.0') + 2
+                 + strlen('WARC-Type: response') + 2
+                 + strlen('WARC-Target-URI: ') + strlen(url) + 2
+                 + strlen('WARC-Date: ') + strlen(ts) + 2
+                 + strlen('WARC-Record-ID: <urn:webxtract:')
+                 + strlen(url) + 1 + 2
+                 + strlen('Content-Type: '
+                          || 'application/http; msgtype=response') + 2
+                 + strlen('Content-Length: ')
+                 + strlen(CAST(plen AS VARCHAR))
+                 + 4 + plen + 4 AS rlength
+              FROM p),
+            o AS (
+              SELECT *,
+                   (strlen('WARC/1.0') + 2
+                  + strlen('WARC-Type: warcinfo') + 2
+                  + strlen('WARC-Record-ID: <urn:webxtract:warcinfo>')
+                  + 2
+                  + strlen('Content-Type: application/warc-fields')
+                  + 2
+                  + strlen('Content-Length: 27') + 4 + 27 + 4)
+                  + COALESCE(sum(rlength) OVER (PARTITION BY fi
+                        ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS roffset
+              FROM r)
+            SELECT 'example,site' || (i % 50) || ')/p/' || i AS surt,
+                   '202401' || lpad(CAST(1 + i % 28 AS VARCHAR), 2,
+                       '0') || '000000' AS cdx_ts,
+                   url,
+                   'crawl-0000' || fi || '.warc' AS file,
+                   CAST(roffset AS BIGINT) AS roffset,
+                   CAST(rlength AS BIGINT) AS rlength,
+                   CAST(200 AS BIGINT) AS http_status,
+                   md5(html) AS digest
+            FROM o ORDER BY surt
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

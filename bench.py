@@ -124,6 +124,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "domain_anchor_texts", "html_tables", "html_meta", "html_forms", "html_jsonld", "html_alternates", "docs_readability", "feed_inventory", "crawl_frontier", "docs_dehyphenate", "robots_crawl_delay", "html_tables_markdown",
         "docs_topic_clusters",
         "html_markdown",
+        "warc_cdx",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

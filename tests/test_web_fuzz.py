@@ -8,7 +8,7 @@ from hypothesis import strategies as st
 
 from webxtract.htmldom import parse_html
 from webxtract.ops.pageprep import estimate_skew_mdeg, otsu_threshold
-from webxtract.ops.warc import _gunzip_members, parse_warc
+from webxtract.ops.warc import _gunzip_members, cdx_records, parse_warc
 from webxtract.ops.web import (extract_alternates, extract_jsonld_blocks,
                                extract_page_meta, href_host,
                                html_form_fields, html_table_cells,
@@ -65,9 +65,11 @@ def test_href_host_never_raises(s, base):
 def test_warc_binary_never_raises(raw):
     assert isinstance(parse_warc(raw), list)
     _gunzip_members(raw)
+    assert isinstance(cdx_records(raw), list)
     # gzip magic prefix + garbage must also degrade
     _gunzip_members(b"\x1f\x8b" + raw)
     parse_warc(b"\x1f\x8b" + raw)
+    cdx_records(b"\x1f\x8b" + raw)
 
 
 @settings(max_examples=20, deadline=None)

@@ -230,3 +230,166 @@ def warc_page_stats(sf_dir: str, gzip_members: bool = True):
 
     return ds.map_batches(project, batch_format="pyarrow",
                           zero_copy_batch=True).sort("url")
+
+
+# --- CDX index (random access over WARC) ------------------------------------
+# The Common-Crawl-style capture index: one row per response record
+# with its FILE + BYTE OFFSET + RECORD LENGTH, SURT key, 14-digit
+# timestamp and payload digest — what makes a 100 TB crawl
+# random-accessible (fetch one page = one ranged read + one member
+# gunzip) instead of a full scan. Plain files index exact record
+# extents (trailing CRLFCRLF included, per the WARC record grammar);
+# .warc.gz files index GZIP MEMBER extents (the CC one-record-per-
+# member layout — byte addressing finer than a member is impossible
+# in compressed space; a multi-record member shares its extent across
+# its rows, documented). Digest is md5-hex of the HTTP payload body
+# (CC ships sha1/base32; md5 keeps the DuckDB oracle exact).
+
+import re as _re
+
+
+def surt_key(url: str) -> str:
+    """Sort-friendly URL key: lowercase host labels reversed and
+    comma-joined + ')' + path (+ '?query' verbatim — CC additionally
+    sorts params; we keep them as-is, documented). Scheme, userinfo
+    and port drop; unparseable urls fall back to the lowered string."""
+    m = _re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)([^?#]*)"
+                  r"(?:\?([^#]*))?", url or "")
+    if not m:
+        return (url or "").lower()
+    hostport, path, query = m.group(1), m.group(2), m.group(3)
+    host = hostport.split("@")[-1].lower()
+    if ":" in host:
+        host = host.rsplit(":", 1)[0]
+    key = ",".join(reversed(host.split("."))) + ")" + (path or "/")
+    if query is not None:
+        key += "?" + query
+    return key
+
+
+def cdx_timestamp(warc_date: str) -> str:
+    """WARC-Date (ISO 8601) -> the CDX 14-digit timestamp: digits
+    only, first 14."""
+    return _re.sub(r"\D", "", warc_date or "")[:14]
+
+
+def _iter_gzip_members(raw: bytes):
+    """Yield (offset, compressed_length, decompressed_bytes) per gzip
+    member; corrupt / truncated tails end the scan (prefix parses)."""
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            data = d.decompress(raw[pos:])
+        except zlib.error:
+            break
+        if not d.eof:
+            break
+        end = n - len(d.unused_data)
+        yield pos, end - pos, data
+        pos = end
+        if not d.unused_data:
+            break
+
+
+def cdx_records(raw: bytes) -> list[tuple[int, int, dict]]:
+    """One WARC file's bytes -> [(offset, length, response-record
+    dict)] with byte-exact extents (see module note for the gz member
+    rule). Framing mirrors parse_warc: Content-Length only, never
+    marker scans; malformed tails end the scan."""
+    out = []
+    if raw.startswith(b"\x1f\x8b"):
+        for off, ln, data in _iter_gzip_members(raw):
+            for rec in parse_warc(data):
+                out.append((off, ln, rec))
+        return out
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        while raw.startswith(b"\r\n", pos):  # stray padding owns no row
+            pos += 2
+        if not raw.startswith(b"WARC/", pos):
+            break
+        start = pos
+        hdr_end = raw.find(_CRLF2, pos)
+        if hdr_end < 0:
+            break
+        head = raw[pos:hdr_end].decode("utf-8", "replace")
+        clen = None
+        for line in head.split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            if k.strip().lower() == "content-length":
+                try:  # last occurrence wins — parse_warc's dict rule
+                    clen = int(v.strip())
+                except ValueError:
+                    clen = None
+        if clen is None:
+            break
+        body_end = hdr_end + 4 + clen
+        if body_end > n:
+            break
+        end = body_end + 4 if raw.startswith(_CRLF2, body_end) \
+            else body_end
+        for rec in parse_warc(raw[start:end]):
+            out.append((start, end - start, rec))
+        pos = end
+    return out
+
+
+def build_cdx(paths):
+    """paths (file/dir of .warc/.warc.gz) -> Dataset of CDX rows
+    (surt, cdx_ts, url, file, roffset, rlength, http_status, digest).
+    One read task per file, rows expand in-batch — zero exchanges;
+    the 100 TB shape is 'index shards sorted per file range', with the
+    global sort an explicit final step (warc_cdx does it)."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def expand(t: pa.Table) -> pa.Table:
+        surts, tss, urls, files_, offs, lens, stats, digs = \
+            [], [], [], [], [], [], [], []
+        for path, raw in zip(t.column("path").to_pylist(),
+                             t.column("bytes").to_pylist()):
+            fname = os.path.basename(path)
+            for off, ln, rec in cdx_records(raw):
+                surts.append(surt_key(rec["url"]))
+                tss.append(cdx_timestamp(rec["warc_ts"]))
+                urls.append(rec["url"])
+                files_.append(fname)
+                offs.append(off)
+                lens.append(ln)
+                stats.append(rec["http_status"])
+                digs.append(hashlib.md5(rec["html"]).hexdigest())
+        return pa.table({
+            "surt": pa.array(surts, pa.string()),
+            "cdx_ts": pa.array(tss, pa.string()),
+            "url": pa.array(urls, pa.string()),
+            "file": pa.array(files_, pa.string()),
+            "roffset": pa.array(offs, pa.int64()),
+            "rlength": pa.array(lens, pa.int64()),
+            "http_status": pa.array(stats, pa.int64()),
+            "digest": pa.array(digs, pa.string()),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow", batch_size=4)
+
+
+def warc_cdx(sf_dir: str):
+    """ORACLED query surface: CDX over the PLAIN-format fixture, where
+    every record extent is closed-form — DuckDB rebuilds each record's
+    exact byte length from the serialization grammar (per-line strlens
+    + separator arithmetic, Content-Length digit widths included) and
+    each offset as the warcinfo constant plus a window sum over the
+    file's preceding records. Certifies the byte-exact framing walk
+    end to end. (.warc.gz extents are pinned by the ranged-read
+    round-trip test instead — zlib byte counts aren't SQL.)"""
+    out_dir = synth_warc_dir(
+        sf_dir,
+        f"/tmp/webxtract_warc_plain_{sf_dir.replace('/', '_')}",
+        gzip_members=False)
+    return build_cdx(out_dir).sort("surt")

@@ -816,6 +816,16 @@ def _html_markdown(sf_dir: str):
     return html_markdown(sf_dir)
 
 
+def _docs_fix_mojibake(sf_dir: str):
+    """ORACLED ftfy-style mojibake repair: sloppy-cp1252 inverse of
+    utf-8-read-as-cp1252 mangling, up to 2 rounds, strict-UTF-8
+    acceptance guard; the fixture mangles with the real encode chain
+    and DuckDB emits the expected clean strings closed-form."""
+    from webxtract.ops.text import docs_fix_mojibake
+
+    return docs_fix_mojibake(sf_dir)
+
+
 def _warc_cdx(sf_dir: str):
     """ORACLED CDX capture index over the plain WARC fixture: SURT
     key, 14-digit timestamp, file + byte-exact record offset/length
@@ -1290,8 +1300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     robots_gate / sitemap_url_inventory / domain_anchor_texts /
     html_tables / html_meta / html_forms / html_jsonld /
     html_alternates / docs_readability / feed_inventory /
-    crawl_frontier / html_markdown / warc_cdx) have pytest-oracle
-    green at sf0.001 AND manual
+    crawl_frontier / html_markdown / warc_cdx / docs_fix_mojibake)
+    have pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
     from webxtract.ops import relational as R
@@ -1647,6 +1657,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # markdown linearization (closed-form concat twin)
         "warc_cdx": _warc_cdx,  # ORACLED CDX capture index: byte-
         # exact record extents via strlen-grammar + window-sum twin
+        "docs_fix_mojibake": _docs_fix_mojibake,  # ORACLED cp1252
+        # double-encoding repair (sloppy inverse, strict-UTF-8 guard)
     }
 
 
@@ -5005,6 +5017,19 @@ r5 AS (
                    CAST(200 AS BIGINT) AS http_status,
                    md5(html) AS digest
             FROM o ORDER BY surt
+        """,
+        # the expected CLEAN strings, closed-form per class — the Ray
+        # side earns them through the real sloppy-cp1252 inverse
+        "docs_fix_mojibake": """
+            SELECT doc_id,
+                   CASE doc_id % 4
+                       WHEN 0 THEN 'plain ascii ' || doc_id
+                       WHEN 3 THEN 'Ã solo ' || doc_id || ' stays'
+                       ELSE 'café ' || doc_id || ' — naïve « déjà »…'
+                   END AS text_fixed,
+                   CAST(CASE doc_id % 4 WHEN 1 THEN 1 WHEN 2 THEN 2
+                        ELSE 0 END AS BIGINT) AS rounds
+            FROM documents ORDER BY doc_id
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

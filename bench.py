@@ -125,6 +125,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "docs_topic_clusters",
         "html_markdown",
         "warc_cdx",
+        "docs_fix_mojibake",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

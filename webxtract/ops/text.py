@@ -3779,3 +3779,126 @@ def _seed_partial(t: pa.Table, k: int) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
                      "h": pa.array(h[order].astype(np.int64),
                                    pa.int64())})
+
+
+# --- mojibake repair (ftfy-style cp1252 double-encoding fix) ----------------
+# The classic web-corpus text defect: UTF-8 bytes decoded as
+# windows-1252 somewhere upstream ('é' -> 'Ã©', '—' -> 'â€”'),
+# sometimes TWICE. Repair inverts the decode with SLOPPY cp1252 (the
+# five unmapped bytes 0x81/0x8D/0x8F/0x90/0x9D pass through as their
+# Latin-1 codepoints, exactly ftfy's trick — strict cp1252 cannot even
+# represent a double-mangled em dash) and accepts a round only when
+# the bytes parse as STRICT UTF-8 and the text actually changed, so
+# legitimate Latin-1-ish content ('Ça va', a lone 'Ã') survives
+# untouched. Vectorized prefilter: one RE2 pass flags candidate rows
+# (the cp1252-mojibake lead chars Â/Ã/â€); clean batches never enter
+# the per-row loop.
+
+_MOJIBAKE_MARK = "[ÂÃ]|â€"
+
+
+def _sloppy_tables():
+    dec = []
+    for b in range(256):
+        try:
+            dec.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            dec.append(chr(b))
+    decode_map = dict(enumerate(dec))
+    encode_map = {ord(c): b for b, c in decode_map.items()}
+    return decode_map, encode_map
+
+
+_SLOPPY_DEC, _SLOPPY_ENC = _sloppy_tables()
+
+
+def sloppy_cp1252_decode(b: bytes) -> str:
+    return "".join(_SLOPPY_DEC[x] for x in b)
+
+
+def _sloppy_encode(s: str):
+    try:
+        return bytes(_SLOPPY_ENC[ord(c)] for c in s)
+    except KeyError:
+        return None  # a char outside cp1252: not mojibake
+
+
+def fix_mojibake_text(s: str, max_rounds: int = 2) -> tuple[str, int]:
+    """Undo up to ``max_rounds`` of utf-8-read-as-cp1252 mangling.
+    Returns (fixed_text, rounds_applied); rounds == 0 means kept
+    verbatim (clean, non-cp1252, or not strict-UTF-8 under the
+    inverse — the false-positive guard)."""
+    cur = s
+    rounds = 0
+    while rounds < max_rounds:
+        b = _sloppy_encode(cur)
+        if b is None:
+            break
+        try:
+            t = b.decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        if t == cur:
+            break
+        cur = t
+        rounds += 1
+    return cur, rounds
+
+
+def fix_mojibake(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset -> (doc_id, text_fixed, rounds). In-batch, zero
+    exchanges; the RE2 prefilter keeps clean rows out of the Python
+    repair loop."""
+    import pyarrow.compute as pc
+
+    def repair(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col)
+        sus = pc.match_substring_regex(texts, _MOJIBAKE_MARK)
+        sus_np = sus.to_numpy(zero_copy_only=False)
+        vals = texts.to_pylist()
+        rounds = np.zeros(len(vals), np.int64)
+        for k in np.flatnonzero(sus_np):
+            vals[k], rounds[k] = fix_mojibake_text(vals[k])
+        return pa.table({
+            "doc_id": t.column(id_col),
+            "text_fixed": pa.array(vals, pa.string()),
+            "rounds": pa.array(rounds, pa.int64())})
+
+    return ds.map_batches(repair, batch_format="pyarrow")
+
+
+def docs_fix_mojibake(sf_dir: str):
+    """ORACLED query surface: four closed-form text classes per
+    doc_id — clean ascii (kept, 0 rounds), single-mangled (1 round),
+    DOUBLE-mangled (2 rounds; exercises the sloppy-cp1252 passthrough
+    bytes), and a lone 'Ã' that must survive the false-positive guard
+    (0 rounds). The fixture mangles Python-side with the real encode
+    chain; DuckDB emits the expected CLEAN strings closed-form, so
+    parity proves the inverse lands exactly."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        out_i, out_t = [], []
+        for i in batch.column("doc_id").to_pylist():
+            c = i % 4
+            if c == 0:
+                s = f"plain ascii {i}"
+            elif c == 3:
+                s = f"Ã solo {i} stays"
+            else:
+                clean = (f"café {i} — naïve "
+                         f"« déjà »…")
+                s = sloppy_cp1252_decode(clean.encode("utf-8"))
+                if c == 2:
+                    s = sloppy_cp1252_decode(s.encode("utf-8"))
+            out_i.append(i)
+            out_t.append(s)
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "text": pa.array(out_t, pa.string())})
+
+    pages = ids.map_batches(render, batch_format="pyarrow",
+                            batch_size=1024)
+    return fix_mojibake(pages).sort("doc_id")

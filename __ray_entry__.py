@@ -816,6 +816,17 @@ def _html_markdown(sf_dir: str):
     return html_markdown(sf_dir)
 
 
+def _crawl_schedule_plan(sf_dir: str):
+    """ORACLED politeness scheduler composing three real pipelines:
+    frontier admission (robots x noindex), Crawl-delay budgets, and
+    per-host fetch slots (slot = queue position, fetch_at_ms = slot x
+    delay, 1000 ms floor); DuckDB recomputes admission closed-form
+    and slots with a row_number window."""
+    from webxtract.ops.web import crawl_schedule_plan
+
+    return crawl_schedule_plan(sf_dir)
+
+
 def _docs_fix_mojibake(sf_dir: str):
     """ORACLED ftfy-style mojibake repair: sloppy-cp1252 inverse of
     utf-8-read-as-cp1252 mangling, up to 2 rounds, strict-UTF-8
@@ -1300,8 +1311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     robots_gate / sitemap_url_inventory / domain_anchor_texts /
     html_tables / html_meta / html_forms / html_jsonld /
     html_alternates / docs_readability / feed_inventory /
-    crawl_frontier / html_markdown / warc_cdx / docs_fix_mojibake)
-    have pytest-oracle green at sf0.001 AND manual
+    crawl_frontier / html_markdown / warc_cdx / docs_fix_mojibake /
+    crawl_schedule) have pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
     from webxtract.ops import relational as R
@@ -1659,6 +1670,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact record extents via strlen-grammar + window-sum twin
         "docs_fix_mojibake": _docs_fix_mojibake,  # ORACLED cp1252
         # double-encoding repair (sloppy inverse, strict-UTF-8 guard)
+        "crawl_schedule": _crawl_schedule_plan,  # ORACLED politeness
+        # scheduler: frontier x Crawl-delay -> per-host fetch slots
     }
 
 
@@ -5030,6 +5043,36 @@ r5 AS (
                    CAST(CASE doc_id % 4 WHEN 1 THEN 1 WHEN 2 THEN 2
                         ELSE 0 END AS BIGINT) AS rounds
             FROM documents ORDER BY doc_id
+        """,
+        # frontier admission closed-form (robots gate urls + noindex
+        # on id%7==3), slots by per-host row_number in doc_id order,
+        # delay = 4000 ms for host class 3 (planted Crawl-delay 4.0),
+        # else the 1000 ms floor (class 0 plants exactly 1000; classes
+        # 1/2 declare none)
+        "crawl_schedule": """
+            WITH f AS (
+              SELECT doc_id, doc_id % 50 AS h,
+                 'https://site' || (doc_id % 50) || '.example'
+                 || CASE doc_id % 4
+                        WHEN 0 THEN '/private/x' || doc_id
+                        WHEN 1 THEN '/private/ok/x' || doc_id
+                        WHEN 2 THEN '/p/' || doc_id
+                        ELSE '/other' END AS url,
+                 (NOT (((doc_id % 50) % 4 = 0 AND doc_id % 4 = 0)
+                       OR ((doc_id % 50) % 4 = 3
+                           AND doc_id % 4 IN (2, 3)))
+                  AND NOT (doc_id % 7 = 3)) AS admitted
+              FROM documents),
+            a AS (
+              SELECT *, row_number() OVER (PARTITION BY h
+                            ORDER BY doc_id) - 1 AS slot
+              FROM f WHERE admitted)
+            SELECT doc_id, url, 'site' || h || '.example' AS host,
+                   CAST(slot AS BIGINT) AS slot,
+                   CAST(slot * (CASE WHEN h % 4 = 3 THEN 4000
+                                     ELSE 1000 END) AS BIGINT)
+                       AS fetch_at_ms
+            FROM a ORDER BY doc_id
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

@@ -126,6 +126,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "html_markdown",
         "warc_cdx",
         "docs_fix_mojibake",
+        "crawl_schedule",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

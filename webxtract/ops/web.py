@@ -1702,7 +1702,7 @@ def feed_inventory(sf_dir: str):
 # --- crawl frontier composite ----------------------------------------------
 
 
-def crawl_frontier(sf_dir: str):
+def crawl_frontier(sf_dir: str, keep_url: bool = False):
     """ORACLED capstone composite: admit pages that are robots-allowed
     AND not noindex, prioritized by their host's PageRank — the
     scheduling core of a polite crawler, composed from three REAL
@@ -1743,11 +1743,14 @@ def crawl_frontier(sf_dir: str):
         prio = [rmap.get(h, 0) for h in hosts]
         admitted = pc.and_(t.column("allowed"),
                            pc.invert(t.column("noindex")))
-        return pa.table({
+        cols = {
             "doc_id": t.column("doc_id"),
             "admitted": admitted,
             "priority_e12": pa.array(prio, pa.int64()),
-        })
+        }
+        if keep_url:  # downstream schedulers need the url/host
+            cols["url"] = t.column("url")
+        return pa.table(cols)
 
     return joined.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True).sort("doc_id")
@@ -2195,3 +2198,91 @@ def html_markdown(sf_dir: str):
     string by concatenation from doc_id."""
     return extract_markdown(synth_markdown_pages(sf_dir)) \
         .sort("doc_id")
+
+
+# --- politeness-aware crawl schedule ----------------------------------------
+
+
+def crawl_schedule(pages, delays_by_host: dict[str, int],
+                   default_delay_ms: int = 1000,
+                   url_col: str = "url"):
+    """Admitted frontier pages (doc_id, url) -> per-host fetch slots:
+    (doc_id, url, host, slot, fetch_at_ms) with slot = position in the
+    host's queue (doc_id order, deterministic) and fetch_at_ms =
+    slot * the host's Crawl-delay budget (``default_delay_ms`` when
+    the host declares none — the conventional 1 s politeness floor).
+
+    Engine shape: the delay table is |hosts|-bounded and broadcasts;
+    hosts attach map-side from the url; slots need each host's queue
+    in one place, so the pages make ONE host-keyed exchange and the
+    slot arithmetic runs vectorized per partition. At 100 TB this is
+    the scheduler's minimal data movement: one slim (doc_id, url,
+    host, delay) stream moved once."""
+    import ray
+
+    from ..broadcast import get_broadcast
+    from .relational import partitioned_map_groups
+
+    dref = ray.put(dict(delays_by_host))
+
+    def attach(t: pa.Table) -> pa.Table:
+        dmap = get_broadcast(dref)
+        hosts = pc.struct_field(
+            pc.extract_regex(t.column(url_col), _DOMAIN_RE),
+            "domain").to_pylist()
+        hosts = [(h or "").lower() for h in hosts]
+        delays = [dmap.get(h) or default_delay_ms for h in hosts]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "url": t.column(url_col),
+            "host": pa.array(hosts, pa.string()),
+            "delay_ms": pa.array(delays, pa.int64())})
+
+    def slots(part: pa.Table) -> pa.Table:
+        d = part.column("doc_id").to_numpy()
+        h = np.asarray(part.column("host").to_pylist())
+        dl = part.column("delay_ms").to_numpy()
+        order = np.lexsort((d, h))
+        hs, ds_, dls = h[order], d[order], dl[order]
+        bounds = np.flatnonzero(hs[1:] != hs[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        seg = np.diff(np.concatenate((starts, [hs.size])))
+        slot = np.arange(hs.size, dtype=np.int64) \
+            - np.repeat(starts, seg)
+        return pa.table({
+            "doc_id": pa.array(ds_, pa.int64()),
+            "url": pc.take(part.column("url"),
+                           pa.array(order, pa.int64())),
+            "host": pa.array(hs, pa.string()),
+            "slot": pa.array(slot, pa.int64()),
+            "fetch_at_ms": pa.array(slot * dls, pa.int64())})
+
+    tagged = pages.map_batches(attach, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return partitioned_map_groups(tagged, "host", slots)
+
+
+def crawl_schedule_plan(sf_dir: str):
+    """ORACLED query surface composing THREE real pipelines: the
+    crawl_frontier admission (robots gate x meta noindex, real
+    parses), the robots_crawl_delay budgets (real Crawl-delay
+    parsing; hosts without one fall to the 1000 ms floor), and the
+    slot scheduler above. The DuckDB twin recomputes admission closed
+    form and slots with a per-host row_number window."""
+
+    fr = crawl_frontier(sf_dir, keep_url=True)
+
+    def admitted_only(t: pa.Table) -> pa.Table:
+        return t.filter(t.column("admitted")) \
+                .select(["doc_id", "url"])
+
+    pages = fr.map_batches(admitted_only, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    delays = {}
+    for b in robots_crawl_delay(sf_dir) \
+            .iter_batches(batch_format="pyarrow"):  # |hosts|-bounded
+        for hid, ms in zip(b.column("host_id").to_pylist(),
+                           b.column("delay_ms").to_pylist()):
+            if ms is not None:
+                delays[f"site{hid}.example"] = ms
+    return crawl_schedule(pages, delays).sort("doc_id")

@@ -816,6 +816,16 @@ def _html_markdown(sf_dir: str):
     return html_markdown(sf_dir)
 
 
+def _robots_sitemaps(sf_dir: str):
+    """ORACLED sitemap discovery: the global Sitemap: field parsed
+    from the per-host robots fixture (case-insensitive key, comments,
+    document order); DuckDB recomputes the |hosts|-bounded table
+    closed-form."""
+    from webxtract.ops.web import robots_sitemaps
+
+    return robots_sitemaps(sf_dir)
+
+
 def _crawl_schedule_plan(sf_dir: str):
     """ORACLED politeness scheduler composing three real pipelines:
     frontier admission (robots x noindex), Crawl-delay budgets, and
@@ -1312,7 +1322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     html_tables / html_meta / html_forms / html_jsonld /
     html_alternates / docs_readability / feed_inventory /
     crawl_frontier / html_markdown / warc_cdx / docs_fix_mojibake /
-    crawl_schedule) have pytest-oracle green at sf0.001 AND manual
+    crawl_schedule / robots_sitemaps) have pytest-oracle green at
+    sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
     from webxtract.ops import relational as R
@@ -1672,6 +1683,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # double-encoding repair (sloppy inverse, strict-UTF-8 guard)
         "crawl_schedule": _crawl_schedule_plan,  # ORACLED politeness
         # scheduler: frontier x Crawl-delay -> per-host fetch slots
+        "robots_sitemaps": _robots_sitemaps,  # ORACLED sitemap
+        # discovery from the robots global field
     }
 
 
@@ -5073,6 +5086,21 @@ r5 AS (
                                      ELSE 1000 END) AS BIGINT)
                        AS fetch_at_ms
             FROM a ORDER BY doc_id
+        """,
+        # every host declares /sitemap.xml at pos 0; odd hosts add
+        # /sitemap-news.xml at pos 1 (lowercase key + comment in the
+        # fixture — parsing them is what parity certifies)
+        "robots_sitemaps": """
+            WITH h AS (SELECT DISTINCT doc_id % 50 AS host_id
+                       FROM documents),
+            e AS (SELECT host_id, unnest(CASE WHEN host_id % 2 = 1
+                          THEN [0, 1] ELSE [0] END) AS pos
+                  FROM h)
+            SELECT host_id, CAST(pos AS BIGINT) AS pos,
+                   'https://site' || host_id || '.example/sitemap'
+                   || CASE WHEN pos = 1 THEN '-news' ELSE '' END
+                   || '.xml' AS sitemap_url
+            FROM e ORDER BY host_id, pos
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

@@ -127,6 +127,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "warc_cdx",
         "docs_fix_mojibake",
         "crawl_schedule",
+        "robots_sitemaps",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

@@ -650,18 +650,28 @@ def _robots_fixture_text(h: int) -> str:
     lines, case-insensitive fields, CRLF, empty Disallow, non-matching
     agent groups, and Allow-overrides-Disallow longest-match."""
     g = h % 4
+    # Sitemap is a GLOBAL field (outside groups, RFC 9309 §2.3) —
+    # every host declares one; odd hosts declare a second with a
+    # lowercase key + comment to exercise case/comment handling.
+    # Appended at the end so group parsing is provably unaffected
+    # (robots_gate / robots_crawl_delay parity pins that).
+    sm = f"Sitemap: https://site{h}.example/sitemap.xml\n"
+    if h % 2 == 1:
+        sm += (f"sitemap: https://site{h}.example/sitemap-news.xml"
+               "  # secondary\n")
     if g == 0:
         return ("# site policy\r\nUser-Agent: *\r\n"
                 "Disallow: /private/\r\nallow: /private/ok/\r\n"
-                "Crawl-delay: 1\r\n")
+                "Crawl-delay: 1\r\n") + sm
     if g == 1:
-        return "User-agent: *\nDisallow:\n"  # empty = allow all
+        return "User-agent: *\nDisallow:\n" + sm  # empty = allow all
     if g == 2:
-        return "User-agent: bot\nDisallow: /\nCrawl-delay: 9\n"
+        return ("User-agent: bot\nDisallow: /\nCrawl-delay: 9\n"
+                + sm)
         # ^ other agent only: its delay must NOT apply to '*'
     return ("User-agent: megacrawler\nDisallow: /x/\n\n"
             "User-agent: *\nDisallow: /p/\nDisallow: /other\n"
-            "Allow: /p/ok/\nCrawl-delay: 4.0\n")
+            "Allow: /p/ok/\nCrawl-delay: 4.0\n") + sm
 
 
 def robots_gate(sf_dir: str):
@@ -2286,3 +2296,56 @@ def crawl_schedule_plan(sf_dir: str):
             if ms is not None:
                 delays[f"site{hid}.example"] = ms
     return crawl_schedule(pages, delays).sort("doc_id")
+
+
+# --- sitemap discovery from robots.txt --------------------------------------
+
+
+def parse_sitemap_urls(text: str) -> list[str]:
+    """Sitemap: directives from robots.txt — a GLOBAL field (RFC 9309
+    §2.3: valid anywhere, outside group scoping), case-insensitive
+    key, comments stripped, document order preserved, empty values
+    dropped."""
+    out = []
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        field, _, value = line.partition(":")
+        if field.strip().lower() == "sitemap" and value.strip():
+            out.append(value.strip())
+    return out
+
+
+def robots_sitemaps(sf_dir: str):
+    """ORACLED query surface: sitemap discovery over the per-host
+    robots fixture (every host declares one; odd hosts a second via a
+    lowercase key with a trailing comment). |hosts|-bounded, same
+    driver-side pattern as robots_crawl_delay; DuckDB recomputes the
+    (host_id, pos, sitemap_url) table closed-form."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+
+    def hosts_partial(t: pa.Table) -> pa.Table:
+        h = np.unique(t.column("doc_id").to_numpy() % 50)
+        return pa.table({"host_id": pa.array(h, pa.int64())})
+
+    seen = set()
+    for b in ids.map_batches(hosts_partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        seen.update(b.column("host_id").to_pylist())  # |hosts|-bounded
+    rows_h, rows_p, rows_u = [], [], []
+    for h in sorted(seen):
+        for p, u in enumerate(parse_sitemap_urls(
+                _robots_fixture_text(h))):
+            rows_h.append(h)
+            rows_p.append(p)
+            rows_u.append(u)
+    return rd.from_arrow(pa.table({
+        "host_id": pa.array(rows_h, pa.int64()),
+        "pos": pa.array(rows_p, pa.int64()),
+        "sitemap_url": pa.array(rows_u, pa.string()),
+    }))

@@ -816,6 +816,18 @@ def _html_markdown(sf_dir: str):
     return html_markdown(sf_dir)
 
 
+def _redirect_resolution(sf_dir: str):
+    """ORACLED redirect-chain resolution: meta-refresh edges from the
+    REAL alternates extractor followed to their terminal url with
+    exact hop counts, capped at 5; cycles / over-long chains emit
+    (NULL, cap, 'unresolved') as data. Broadcast-walk and pointer-
+    doubling join paths equivalence-tested; DuckDB recomputes every
+    row closed-form."""
+    from webxtract.ops.web import redirect_resolution
+
+    return redirect_resolution(sf_dir)
+
+
 def _robots_sitemaps(sf_dir: str):
     """ORACLED sitemap discovery: the global Sitemap: field parsed
     from the per-host robots fixture (case-insensitive key, comments,
@@ -1322,8 +1334,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     html_tables / html_meta / html_forms / html_jsonld /
     html_alternates / docs_readability / feed_inventory /
     crawl_frontier / html_markdown / warc_cdx / docs_fix_mojibake /
-    crawl_schedule / robots_sitemaps) have pytest-oracle green at
-    sf0.001 AND manual
+    crawl_schedule / robots_sitemaps / redirect_resolution) have
+    pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
     from webxtract.ops import relational as R
@@ -1685,6 +1697,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scheduler: frontier x Crawl-delay -> per-host fetch slots
         "robots_sitemaps": _robots_sitemaps,  # ORACLED sitemap
         # discovery from the robots global field
+        "redirect_resolution": _redirect_resolution,  # ORACLED
+        # redirect-chain terminal urls + hop counts, cycle-safe
     }
 
 
@@ -5101,6 +5115,28 @@ r5 AS (
                    || CASE WHEN pos = 1 THEN '-news' ELSE '' END
                    || '.xml' AS sitemap_url
             FROM e ORDER BY host_id, pos
+        """,
+        # chain classes by doc_id % 4: none (0 hops) / 1-hop terminal /
+        # 2-hop through the previous page / self-cycle (NULL, cap 5,
+        # 'unresolved')
+        "redirect_resolution": """
+            SELECT doc_id,
+                   'https://site' || (doc_id % 50) || '.example/r/'
+                       || doc_id AS url,
+                   CASE doc_id % 4
+                       WHEN 0 THEN 'https://site' || (doc_id % 50)
+                           || '.example/r/' || doc_id
+                       WHEN 1 THEN 'https://site' || (doc_id % 50)
+                           || '.example/final/' || doc_id
+                       WHEN 2 THEN 'https://site'
+                           || ((doc_id - 1) % 50)
+                           || '.example/final/' || (doc_id - 1)
+                       ELSE NULL END AS final_url,
+                   CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+                        WHEN 2 THEN 2 ELSE 5 END AS BIGINT) AS hops,
+                   CASE WHEN doc_id % 4 = 3 THEN 'unresolved'
+                        ELSE 'ok' END AS status
+            FROM documents ORDER BY doc_id
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

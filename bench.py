@@ -128,6 +128,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "docs_fix_mojibake",
         "crawl_schedule",
         "robots_sitemaps",
+        "redirect_resolution",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

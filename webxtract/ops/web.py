@@ -2349,3 +2349,308 @@ def robots_sitemaps(sf_dir: str):
         "pos": pa.array(rows_p, pa.int64()),
         "sitemap_url": pa.array(rows_u, pa.string()),
     }))
+
+
+# --- redirect-chain resolution ----------------------------------------------
+# The canonical-target pass every crawl runs over its redirect edges
+# (meta-refresh here; HTTP 3xx rows drop into the same shape): follow
+# each page's chain to its terminal url with an exact hop count, cap
+# at max_hops, and report cycles / over-long chains as data.
+#
+# Spec (pinned by the oracle + the two-path equivalence test):
+#   url with no outgoing redirect         -> (url,  0,    'ok')
+#   chain reaching a terminal in h<=cap   -> (term, h,    'ok')
+#   still redirecting after cap steps     -> (NULL, cap,  'unresolved')
+#     (cycles, incl. self-loops, land here naturally)
+#   multiple edges per src: smallest dst wins (deterministic; real
+#   pages have one refresh — extract_alternates keeps the first)
+#
+# Engine: the edge table is |redirecting pages|-bounded. Under
+# REDIRECT_BROADCAST_MAX it ships once per worker and pages resolve
+# map-side (bounded dict walks). Above it, the map pointer-DOUBLES:
+# ceil(log2(cap)) self-joins of the edges-bounded table (terminal
+# rows stop composing, so terminal hop counts stay exact; anything
+# still open past cap is unresolved by construction), then pages join
+# the resolved map ONCE. Paths equivalence-tested.
+
+REDIRECT_BROADCAST_MAX = 2_000_000
+
+
+def _dedupe_edges(t: pa.Table) -> pa.Table:
+    """Per-src smallest dst (vectorized; exact after the groupby-min
+    exchange or over a collected table)."""
+    src = t.column("src_url")
+    dst = t.column("dst_url")
+    order = pc.sort_indices(t, sort_keys=[("src_url", "ascending"),
+                                          ("dst_url", "ascending")])
+    s = pc.take(src, order)
+    d = pc.take(dst, order)
+    sn = np.asarray(s.to_pylist())
+    keep = np.ones(len(sn), bool)
+    if len(sn):
+        keep[1:] = sn[1:] != sn[:-1]
+    idx = pa.array(np.flatnonzero(keep), pa.int64())
+    return pa.table({"src_url": pc.take(s, idx),
+                     "dst_url": pc.take(d, idx)})
+
+
+def _resolve_rows(edge_map: dict, urls, max_hops: int):
+    finals, hops, status = [], [], []
+    for u in urls:
+        cur, h = u, 0
+        while h < max_hops and cur in edge_map:
+            cur = edge_map[cur]
+            h += 1
+        if cur in edge_map:
+            finals.append(None)
+            hops.append(max_hops)
+            status.append("unresolved")
+        else:
+            finals.append(cur)
+            hops.append(h)
+            status.append("ok")
+    return finals, hops, status
+
+
+def resolve_redirects(pages, edges, max_hops: int = 5,
+                      url_col: str = "url", mode: str = "auto"):
+    """pages (doc_id, url) x redirect edges (src_url, dst_url) ->
+    (doc_id, url, final_url, hops, status) per the module spec.
+    ``mode``: 'auto' gates on the edge count, 'broadcast' / 'join'
+    force a path (the equivalence test drives both)."""
+    import math
+
+    import ray
+
+    from ..broadcast import get_broadcast
+    from .relational import hash_join
+
+    if mode == "auto":
+        mode = ("broadcast" if edges.count() <= REDIRECT_BROADCAST_MAX
+                else "join")
+
+    if mode == "broadcast":
+        em: dict = {}
+        for b in edges.iter_batches(batch_format="pyarrow"):  # gated
+            for s, d in zip(b.column("src_url").to_pylist(),
+                            b.column("dst_url").to_pylist()):
+                if s not in em or d < em[s]:
+                    em[s] = d  # smallest dst wins
+        eref = ray.put(em)
+
+        def resolve(t: pa.Table) -> pa.Table:
+            m = get_broadcast(eref)
+            urls = t.column(url_col).to_pylist()
+            finals, hops, status = _resolve_rows(m, urls, max_hops)
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "url": t.column(url_col),
+                "final_url": pa.array(finals, pa.string()),
+                "hops": pa.array(hops, pa.int64()),
+                "status": pa.array(status, pa.string())})
+
+        return pages.map_batches(resolve, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    # join path: pointer-double the edges-bounded map, then one final
+    # co-location with the pages. Every exchange is the repo's own
+    # copartitioned_map (native hash-join aggregators choke on the
+    # schema-less empty partitions tiny edge tables produce); the map
+    # MATERIALIZES between rounds (it is |edges|-bounded — the
+    # PageRank pinned-block rule; without the pin each lazy round
+    # re-executes the whole upstream).
+    from .relational import copartitioned_map
+
+    def _probe_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t.column("final"),
+            "src_url": t.column("src_url"),
+            "final": t.column("final"),
+            "hops": t.column("hops"),
+            "final2": pa.nulls(t.num_rows, pa.string()),
+            "hops2": pa.nulls(t.num_rows, pa.int64())})
+
+    def _map_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t.column("src_url"),
+            "src_url": pa.nulls(t.num_rows, pa.string()),
+            "final": pa.nulls(t.num_rows, pa.string()),
+            "hops": pa.nulls(t.num_rows, pa.int64()),
+            "final2": t.column("final"),
+            "hops2": t.column("hops")})
+
+    def _compose(parts):
+        probe, mp = parts
+        p = probe.select(["k", "src_url", "final", "hops"]).to_pandas()
+        m = mp.select(["k", "final2", "hops2"]).to_pandas()
+        j = p.merge(m, on="k", how="left")
+        open_ = j["final2"].notna()
+        j.loc[open_, "final"] = j.loc[open_, "final2"]
+        j.loc[open_, "hops"] = (j.loc[open_, "hops"]
+                                + j.loc[open_, "hops2"])
+        return pa.table({
+            "src_url": pa.array(j["src_url"], pa.string()),
+            "final": pa.array(j["final"], pa.string()),
+            "hops": pa.array(j["hops"].astype("int64"), pa.int64())})
+
+    deduped = _dedupe_edges_ds(edges).materialize()
+    fmap = deduped.map_batches(
+        lambda t: pa.table({
+            "src_url": t.column("src_url"),
+            "final": t.column("dst_url"),
+            "hops": pa.array(np.ones(t.num_rows, np.int64),
+                             pa.int64())}),
+        batch_format="pyarrow").materialize()
+    rounds = max(1, math.ceil(math.log2(max(2, max_hops))))
+    for _ in range(rounds):
+        fmap = copartitioned_map(
+            [(fmap, _probe_prep), (fmap, _map_prep)],
+            "k", _compose).materialize()
+
+    # a final still present as a src => chain still open; then the
+    # pages co-locate ONCE with the resolved map and finish map-side
+    def _open_probe(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t.column("final"),
+            "src_url": t.column("src_url"),
+            "final": t.column("final"),
+            "hops": t.column("hops"),
+            "open": pa.nulls(t.num_rows, pa.bool_())})
+
+    def _open_srcs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t.column("src_url"),
+            "src_url": pa.nulls(t.num_rows, pa.string()),
+            "final": pa.nulls(t.num_rows, pa.string()),
+            "hops": pa.nulls(t.num_rows, pa.int64()),
+            "open": pa.array(np.ones(t.num_rows, bool))})
+
+    def _mark_open(parts):
+        probe, srcs = parts
+        p = probe.select(["k", "src_url", "final", "hops"]).to_pandas()
+        s = srcs.select(["k", "open"]).to_pandas()                 .drop_duplicates("k")
+        j = p.merge(s, on="k", how="left")
+        return pa.table({
+            "src_url": pa.array(j["src_url"], pa.string()),
+            "final": pa.array(j["final"], pa.string()),
+            "hops": pa.array(j["hops"].astype("int64"), pa.int64()),
+            "open": pa.array(j["open"].eq(True).to_numpy(bool))})
+
+    resolved = copartitioned_map(
+        [(fmap, _open_probe), (deduped, _open_srcs)],
+        "k", _mark_open).materialize()
+
+    def _pages_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t.column(url_col),
+            "doc_id": t.column("doc_id"),
+            "final": pa.nulls(t.num_rows, pa.string()),
+            "hops": pa.nulls(t.num_rows, pa.int64()),
+            "open": pa.nulls(t.num_rows, pa.bool_())})
+
+    def _map_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t.column("src_url"),
+            "doc_id": pa.nulls(t.num_rows, pa.int64()),
+            "final": t.column("final"),
+            "hops": t.column("hops"),
+            "open": t.column("open")})
+
+    def _finish(parts):
+        pg, mp = parts
+        p = pg.select(["k", "doc_id"]).to_pandas()
+        m = mp.select(["k", "final", "hops", "open"]).to_pandas()
+        j = p.merge(m, on="k", how="left")
+        matched = j["final"].notna()
+        bad = matched & (j["open"].eq(True)
+                         | (j["hops"].fillna(0) > max_hops))
+        final = j["final"].where(matched, j["k"]).where(~bad, None)
+        hops = j["hops"].fillna(0).astype("int64").where(~bad,
+                                                         max_hops)
+        return pa.table({
+            "doc_id": pa.array(j["doc_id"].astype("int64"),
+                               pa.int64()),
+            "url": pa.array(j["k"], pa.string()),
+            "final_url": pa.array(final, pa.string()),
+            "hops": pa.array(hops.astype("int64"), pa.int64()),
+            "status": pa.array(np.where(bad, "unresolved", "ok"),
+                               pa.string())})
+
+    return copartitioned_map(
+        [(pages.map_batches(lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            url_col: t.column(url_col)}), batch_format="pyarrow",
+            zero_copy_batch=True), _pages_prep),
+         (resolved, _map_side)],
+        "k", _finish)
+
+
+def _dedupe_edges_ds(edges):
+    """Global smallest-dst-per-src: one src-keyed co-location of the
+    |edges|-bounded table."""
+    from .relational import partitioned_map_groups
+
+    return partitioned_map_groups(edges, "src_url", _dedupe_edges)
+
+
+def redirect_resolution(sf_dir: str, max_hops: int = 5,
+                        mode: str = "auto"):
+    """ORACLED query surface: pages whose meta-refresh targets form
+    closed-form chains (none / 1-hop to a terminal / 2-hop through the
+    previous page / SELF-CYCLE), edges extracted by the REAL
+    extract_html_alternates walk, resolution per the module spec;
+    DuckDB recomputes every row closed-form."""
+    import ray.data as rd
+
+    from .relational import hash_join
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        out_i, out_u, out_h = [], [], []
+        for i in batch.column("doc_id").to_pylist():
+            h = i % 50
+            u = f"https://site{h}.example/r/{i}"
+            c = i % 4
+            if c == 1:
+                tgt = f"https://site{h}.example/final/{i}"
+            elif c == 2:
+                tgt = (f"https://site{(i - 1) % 50}.example/r/"
+                       f"{i - 1}")
+            elif c == 3:
+                tgt = u  # self-cycle
+            else:
+                tgt = None
+            meta = ("" if tgt is None else
+                    '<meta http-equiv="refresh" content='
+                    f'"0; url={tgt}">')
+            out_i.append(i)
+            out_u.append(u)
+            out_h.append(f"<html><head>{meta}</head><body>r {i}"
+                         "</body></html>".encode())
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "url": pa.array(out_u, pa.string()),
+                         "html": pa.array(out_h, pa.binary())})
+
+    pages = ids.map_batches(render, batch_format="pyarrow",
+                            batch_size=512)
+    alt = extract_html_alternates(pages)
+    refresh = alt.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"),
+                                    pa.scalar("refresh")))
+                   .select(["doc_id", "href"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    edges = hash_join(
+        pages.map_batches(lambda t: t.select(["doc_id", "url"]),
+                          batch_format="pyarrow",
+                          zero_copy_batch=True),
+        refresh, on="doc_id").map_batches(
+        lambda t: pa.table({"src_url": t.column("url"),
+                            "dst_url": t.column("href")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    slim = pages.map_batches(
+        lambda t: t.select(["doc_id", "url"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return resolve_redirects(slim, edges, max_hops=max_hops,
+                             mode=mode).sort("doc_id")

@@ -816,6 +816,15 @@ def _html_markdown(sf_dir: str):
     return html_markdown(sf_dir)
 
 
+def _hosts_registrable(sf_dir: str):
+    """Registrable-domain (eTLD+1) extraction: PSL wildcard/exception
+    matching over a closed-form messy-host fixture; the oracle re-runs
+    the match against the rule list as a VALUES table."""
+    from webxtract.ops.web import hosts_registrable
+
+    return hosts_registrable(sf_dir)
+
+
 def _redirect_resolution(sf_dir: str):
     """ORACLED redirect-chain resolution: meta-refresh edges from the
     REAL alternates extractor followed to their terminal url with
@@ -1334,7 +1343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     html_tables / html_meta / html_forms / html_jsonld /
     html_alternates / docs_readability / feed_inventory /
     crawl_frontier / html_markdown / warc_cdx / docs_fix_mojibake /
-    crawl_schedule / robots_sitemaps / redirect_resolution) have
+    crawl_schedule / robots_sitemaps / redirect_resolution /
+    hosts_registrable) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1699,6 +1709,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # discovery from the robots global field
         "redirect_resolution": _redirect_resolution,  # ORACLED
         # redirect-chain terminal urls + hop counts, cycle-safe
+        "hosts_registrable": _hosts_registrable,  # ORACLED PSL
+        # eTLD+1 (wildcard/exception rules re-run in SQL)
     }
 
 
@@ -5137,6 +5149,80 @@ r5 AS (
                    CASE WHEN doc_id % 4 = 3 THEN 'unresolved'
                         ELSE 'ok' END AS status
             FROM documents ORDER BY doc_id
+        """,
+        # PSL eTLD+1: the oracle RE-RUNS the matching algorithm
+        # against the rule list as a VALUES table — exception
+        # priority, longest-match max, wildcard label arithmetic,
+        # implicit-'*' fallback, list-slice suffix assembly — rather
+        # than echoing expected strings
+        "hosts_registrable": """
+            WITH hosts AS (
+              SELECT doc_id,
+                CASE doc_id % 8
+                  WHEN 0 THEN 'www.alpha' || doc_id || '.COM.'
+                  WHEN 1 THEN 'a.b.beta' || doc_id || '.co.uk'
+                  WHEN 2 THEN 'gamma' || doc_id || '.github.io'
+                  WHEN 3 THEN 'x.delta' || doc_id || '.ck'
+                  WHEN 4 THEN 'www.ck'
+                  WHEN 5 THEN 'Co.UK.'
+                  WHEN 6 THEN '192.168.' || (doc_id % 256) || '.'
+                              || ((doc_id * 7) % 256)
+                  ELSE 'epsilon' || doc_id || '.unknowntld'
+                END AS host
+              FROM documents),
+            n AS (
+              SELECT doc_id, host,
+                     regexp_replace(lower(host), '\\.$', '') AS h
+              FROM hosts),
+            n2 AS (
+              SELECT *, string_split(h, '.') AS labs,
+                     len(string_split(h, '.')) AS nl,
+                     regexp_matches(h,
+                       '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$')
+                       AND len(string_split(h, '.')) = 4 AS is_ip
+              FROM n),
+            rules(rule) AS (VALUES ('com'),('org'),('net'),
+              ('example'),('io'),('uk'),('co.uk'),('ac.uk'),('au'),
+              ('com.au'),('github.io'),('*.ck'),('!www.ck')),
+            r AS (
+              SELECT rule LIKE '!%' AS exc, rule LIKE '*.%' AS wild,
+                     CASE WHEN rule LIKE '!%' THEN substr(rule, 2)
+                          WHEN rule LIKE '*.%' THEN substr(rule, 3)
+                          ELSE rule END AS base
+              FROM rules),
+            r2 AS (
+              SELECT *, len(string_split(base, '.')) AS blabs
+              FROM r),
+            m AS (
+              SELECT n2.doc_id,
+                max(CASE WHEN r2.exc AND (n2.h = r2.base
+                          OR n2.h LIKE '%.' || r2.base)
+                         THEN r2.blabs - 1 END) AS exc_m,
+                max(CASE WHEN NOT r2.exc AND NOT r2.wild
+                          AND (n2.h = r2.base
+                               OR n2.h LIKE '%.' || r2.base)
+                         THEN r2.blabs
+                         WHEN r2.wild AND n2.nl >= r2.blabs + 1
+                          AND n2.h LIKE '%.' || r2.base
+                         THEN r2.blabs + 1 END) AS plain_m
+              FROM n2 CROSS JOIN r2 GROUP BY n2.doc_id),
+            sel AS (
+              SELECT n2.*, coalesce(m.exc_m,
+                     greatest(coalesce(m.plain_m, 1), 1)) AS mm
+              FROM n2 JOIN m USING (doc_id))
+            SELECT doc_id, host,
+              CASE WHEN is_ip THEN NULL
+                   ELSE array_to_string(labs[nl - least(mm, nl) + 1
+                                             : nl], '.')
+              END AS suffix,
+              CASE WHEN is_ip THEN h
+                   WHEN nl <= mm THEN NULL
+                   ELSE array_to_string(labs[nl - mm : nl], '.')
+              END AS registrable,
+              CASE WHEN is_ip THEN 'ip'
+                   WHEN nl <= mm THEN 'suffix'
+                   ELSE 'ok' END AS kind
+            FROM sel ORDER BY doc_id
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

@@ -129,6 +129,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "crawl_schedule",
         "robots_sitemaps",
         "redirect_resolution",
+        "hosts_registrable",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

@@ -2654,3 +2654,281 @@ def redirect_resolution(sf_dir: str, max_hops: int = 5,
         batch_format="pyarrow", zero_copy_batch=True)
     return resolve_redirects(slim, edges, max_hops=max_hops,
                              mode=mode).sort("doc_id")
+
+
+# --- registrable-domain (eTLD+1) extraction ---------------------------------
+# Public-Suffix-List matching over hosts — the grouping key every
+# crawl uses for politeness budgets, host-level dedup and domain
+# quality priors (one registrant, one bucket; 'a.blogspot.com' and
+# 'b.blogspot.com' are different sites, 'www.x.com' and 'news.x.com'
+# are the same one). PSL algorithm, pinned by the oracle:
+#   * normalize: lowercase, strip ONE trailing dot
+#   * IPv4 literals (four all-digit labels) are their own
+#     registrable domain; no suffix
+#   * among rules whose labels match the host's trailing labels, an
+#     EXCEPTION rule ('!www.ck') wins outright and matches one label
+#     FEWER than written; otherwise the rule with the MOST labels
+#     wins; '*' matches exactly one (non-empty) label; no rule
+#     matches -> the implicit '*' (the bare TLD, 1 label)
+#   * suffix = the matched trailing labels; registrable = suffix
+#     plus one more label; a host that IS a suffix has no
+#     registrable domain (kind='suffix')
+# The rule set is a deterministic PSL SUBSET (no network in the
+# sandbox); real deployments drop in the full publicsuffix.org list —
+# the algorithm is list-size-independent and the table broadcasts
+# (the full list is ~240 kB, the blocklist bound class).
+
+PSL_RULES = (
+    "com", "org", "net", "example", "io", "uk", "co.uk", "ac.uk",
+    "au", "com.au", "github.io", "*.ck", "!www.ck",
+)
+
+
+def _psl_tables(rules=PSL_RULES):
+    """rule text -> (exceptions, wildcards, plain) dicts of
+    base -> matched-label-count m."""
+    exc, wild, plain = {}, {}, {}
+    for rule in rules:
+        if rule.startswith("!"):
+            exc[rule[1:]] = rule[1:].count(".")        # labels - 1
+        elif rule.startswith("*."):
+            wild[rule[2:]] = rule[2:].count(".") + 2   # base + 1
+        else:
+            plain[rule] = rule.count(".") + 1
+    return exc, wild, plain
+
+
+_PSL_EXC, _PSL_WILD, _PSL_PLAIN = _psl_tables()
+
+
+def registrable_domain(host: str | None) -> tuple[str | None,
+                                                  str | None, str]:
+    """(suffix, registrable, kind) for one host under PSL_RULES.
+    kind: 'ok' | 'suffix' (host IS a public suffix) | 'ip' | 'bad'
+    (empty/unparseable). Never raises — hostile input is data."""
+    h = (host or "").lower()
+    if h.endswith("."):
+        h = h[:-1]
+    if not h:
+        return (None, None, "bad")
+    labs = h.split(".")
+    if any(not lb for lb in labs):
+        return (None, None, "bad")   # empty label ('..', leading '.')
+    n = len(labs)
+    if n == 4 and all(lb.isdigit() for lb in labs):
+        return (None, h, "ip")
+    m = None
+    for base, mm in _PSL_EXC.items():
+        if h == base or h.endswith("." + base):
+            m = mm
+            break
+    if m is None:
+        m = 1
+        for base, mm in _PSL_PLAIN.items():
+            if mm > m and (h == base or h.endswith("." + base)):
+                m = mm
+        for base, mm in _PSL_WILD.items():
+            if mm > m and n >= mm and h.endswith("." + base):
+                m = mm
+    if n <= m:
+        return (h, None, "suffix")
+    return (".".join(labs[n - m:]), ".".join(labs[n - m - 1:]), "ok")
+
+
+def registrable_domains(ds, host_col: str = "host"):
+    """Append suffix / registrable / kind columns. Decisions run once
+    per DISTINCT host in the batch (np.unique + inverse scatter) —
+    hosts repeat heavily in any crawl slice, so the per-host Python
+    matcher is off the per-row path; everything else is numpy.
+    Zero exchanges."""
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        arr = np.asarray(t.column(host_col).to_pylist(), dtype=object)
+        uniq, inv = np.unique(arr.astype(str), return_inverse=True)
+        trips = [registrable_domain(u) for u in uniq]
+        suf = np.array([x[0] for x in trips], dtype=object)[inv]
+        reg = np.array([x[1] for x in trips], dtype=object)[inv]
+        kind = np.array([x[2] for x in trips], dtype=object)[inv]
+        return t.append_column(
+            "suffix", pa.array(suf, pa.string())).append_column(
+            "registrable", pa.array(reg, pa.string())).append_column(
+            "kind", pa.array(kind, pa.string()))
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def synth_psl_hosts(sf_dir: str, n: int | None = None):
+    """Deterministic messy-host fixture, closed-form in doc_id, one
+    class per PSL code path: plain TLD (uppercase + trailing dot),
+    multi-label suffix, suffix that is itself registrable
+    (github.io), wildcard '*.ck', the '!www.ck' exception, a host
+    that IS a suffix, an IPv4 literal, and an unlisted TLD hitting
+    the implicit-'*' fallback."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    if n is not None:
+        ids = ids.limit(n)
+
+    def render(batch: pa.Table) -> pa.Table:
+        hosts = []
+        for i in batch.column("doc_id").to_pylist():
+            c = i % 8
+            if c == 0:
+                hosts.append(f"www.alpha{i}.COM.")
+            elif c == 1:
+                hosts.append(f"a.b.beta{i}.co.uk")
+            elif c == 2:
+                hosts.append(f"gamma{i}.github.io")
+            elif c == 3:
+                hosts.append(f"x.delta{i}.ck")
+            elif c == 4:
+                hosts.append("www.ck")
+            elif c == 5:
+                hosts.append("Co.UK.")
+            elif c == 6:
+                hosts.append(f"192.168.{i % 256}.{(i * 7) % 256}")
+            else:
+                hosts.append(f"epsilon{i}.unknowntld")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "host": pa.array(hosts, pa.string())})
+
+    return ids.map_batches(render, batch_format="pyarrow",
+                           batch_size=1024)
+
+
+def hosts_registrable(sf_dir: str):
+    """ORACLED query surface: PSL extraction over the closed-form
+    messy-host fixture. The DuckDB twin rebuilds the hosts from
+    doc_id and RE-RUNS the matching algorithm against the rule list
+    as a VALUES table (exception priority, longest-match max,
+    wildcard label arithmetic, implicit-'*' fallback, list-slice
+    suffix assembly) — an independent recomputation, not an echo of
+    the expected strings."""
+    return registrable_domains(synth_psl_hosts(sf_dir)).sort("doc_id")
+
+
+# --- URL template mining / spider-trap detection -----------------------------
+# Generalize each url's path into a TEMPLATE — hex runs of >=8 chars
+# first ('{h}': content hashes, session ids), then any digit run
+# ('{d}': numeric ids — ordering matters, an 8-digit run is a hash
+# slot, pinned by the oracle) — then count urls per (host, template).
+# A template with a huge distinct-url population is a crawler trap
+# (calendar pages, faceted search, session-id explosions); every
+# production frontier prunes on exactly this signal.
+
+URL_TEMPLATE_TRAP_MIN = 50
+
+_HEX_RUN = r"[0-9a-f]{8,}"
+_DIGIT_RUN = r"[0-9]+"
+
+
+def url_templates(ds, url_col: str = "url",
+                  trap_min: int = URL_TEMPLATE_TRAP_MIN):
+    """(host, template, n, sample_url, trap) per distinct (host,
+    template). host lowercased; template = path with query/fragment
+    stripped, hex runs -> '{h}' then digit runs -> '{d}' (two
+    vectorized RE2 passes). Engine shape: per-batch polars groupby
+    pre-reduces to (host, template, partial n, partial min url) so
+    the ONE grouped exchange carries |templates|-bounded partials,
+    never urls; the trap flag attaches after the final fold."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t.select([url_col]))
+        u = pl.col(url_col)
+        df = df.with_columns([
+            u.str.extract(r"^[^:]+://([^/?#]*)", 1)
+             .str.to_lowercase().alias("host"),
+            u.str.extract(r"^[^:]+://[^/?#]*([^?#]*)", 1)
+             .fill_null("").alias("_path"),
+        ])
+        tpl = (pl.when(pl.col("_path") == "").then(pl.lit("/"))
+               .otherwise(pl.col("_path"))
+               .str.replace_all(_HEX_RUN, "{h}")
+               .str.replace_all(_DIGIT_RUN, "{d}"))
+        df = df.with_columns(tpl.alias("template"))
+        # unparseable rows (no scheme://host) -> data under host NULL
+        agg = (df.group_by(["host", "template"])
+                 .agg([pl.len().alias("n"),
+                       pl.col(url_col).min().alias("sample_url")]))
+        return agg.to_arrow().cast(pa.schema([
+            ("host", pa.string()), ("template", pa.string()),
+            ("n", pa.int64()), ("sample_url", pa.string())]))
+
+    from .relational import partitioned_map_groups
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).map_batches(
+        lambda t: t.append_column(
+            "_k", pc.binary_join_element_wise(
+                pc.coalesce(t.column("host"), pa.scalar("")),
+                t.column("template"), "\x1f")),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def fold(p: pa.Table) -> pa.Table:
+        g = p.group_by(["host", "template"]).aggregate(
+            [("n", "sum"), ("sample_url", "min")])
+        n = g.column("n_sum").cast(pa.int64())
+        return pa.table({
+            "host": g.column("host"),
+            "template": g.column("template"),
+            "n": n,
+            "sample_url": g.column("sample_url_min"),
+            "trap": pc.greater_equal(
+                n, pa.scalar(trap_min, pa.int64()))})
+
+    return partitioned_map_groups(part, "_k", fold)
+
+
+def synth_template_urls(sf_dir: str, n: int | None = None):
+    """Deterministic url fixture, closed-form in doc_id (urls are
+    DISTINCT — the op's documented precondition is a deduplicated
+    frontier): a 10-host numeric-id class (under the trap bar), a
+    single-host trap class (query string on odd ids must strip), a
+    hex-run class, a digit-free static-section class (under the bar)
+    and a mid-token digit class."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    if n is not None:
+        ids = ids.limit(n)
+
+    def render(batch: pa.Table) -> pa.Table:
+        urls = []
+        for i in batch.column("doc_id").to_pylist():
+            c = i % 5
+            if c == 0:
+                urls.append(f"https://SiteA{(i // 5) % 10}"
+                            f".example/product/{i}/view")
+            elif c == 1:
+                q = f"?ref={i % 7}" if i % 2 == 1 else ""
+                urls.append(f"https://siteb.example/article/{i}{q}")
+            elif c == 2:
+                h = format((i * 2654435761) % (1 << 32), "08x")
+                urls.append(f"https://sitec.example/page/{h}/x")
+            elif c == 3:
+                urls.append(f"https://sited.example/section/"
+                            f"{chr(97 + i % 3)}?id={i}")
+            else:
+                urls.append(
+                    f"https://sitee.example/mixed/a{i % 3}b/{i}")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "url": pa.array(urls, pa.string())})
+
+    return ids.map_batches(render, batch_format="pyarrow",
+                           batch_size=1024)
+
+
+def urls_templates(sf_dir: str):
+    """ORACLED query surface: template mining over the closed-form
+    url fixture. The DuckDB twin rebuilds the urls from doc_id and
+    RE-RUNS the generalization (same two regexp_replace passes in the
+    same order, query strip, host lowercase) plus the group/count/
+    min/trap fold."""
+    return url_templates(synth_template_urls(sf_dir)).sort(
+        ["host", "template"])

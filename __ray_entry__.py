@@ -825,6 +825,15 @@ def _hosts_registrable(sf_dir: str):
     return hosts_registrable(sf_dir)
 
 
+def _urls_templates(sf_dir: str):
+    """URL template mining / spider-trap detection: paths generalize
+    to templates (hex runs then digit runs) and (host, template)
+    populations flag traps; the oracle re-runs the generalization."""
+    from webxtract.ops.web import urls_templates
+
+    return urls_templates(sf_dir)
+
+
 def _redirect_resolution(sf_dir: str):
     """ORACLED redirect-chain resolution: meta-refresh edges from the
     REAL alternates extractor followed to their terminal url with
@@ -1344,7 +1353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     html_alternates / docs_readability / feed_inventory /
     crawl_frontier / html_markdown / warc_cdx / docs_fix_mojibake /
     crawl_schedule / robots_sitemaps / redirect_resolution /
-    hosts_registrable) have
+    hosts_registrable / urls_templates) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1711,6 +1720,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # redirect-chain terminal urls + hop counts, cycle-safe
         "hosts_registrable": _hosts_registrable,  # ORACLED PSL
         # eTLD+1 (wildcard/exception rules re-run in SQL)
+        "urls_templates": _urls_templates,  # ORACLED trap mining
+        # url -> path template populations (hex/digit generalization)
     }
 
 
@@ -5223,6 +5234,53 @@ r5 AS (
                    WHEN nl <= mm THEN 'suffix'
                    ELSE 'ok' END AS kind
             FROM sel ORDER BY doc_id
+        """,
+        # URL template mining: the oracle rebuilds the urls from
+        # doc_id and RE-RUNS the generalization — the same two
+        # regexp_replace passes in the same order (hex-run-first is
+        # semantic: an 8-digit id is a hash slot), query/fragment
+        # strip via the same path regex, host lowercase — plus the
+        # group/count/min/trap fold
+        "urls_templates": """
+            WITH urls AS (
+              SELECT doc_id,
+                CASE doc_id % 5
+                  WHEN 0 THEN 'https://SiteA' || ((doc_id // 5) % 10)
+                       || '.example/product/' || doc_id || '/view'
+                  WHEN 1 THEN 'https://siteb.example/article/'
+                       || doc_id
+                       || CASE WHEN doc_id % 2 = 1
+                               THEN '?ref=' || (doc_id % 7)
+                               ELSE '' END
+                  WHEN 2 THEN 'https://sitec.example/page/'
+                       || printf('%08x',
+                            (doc_id * 2654435761) % 4294967296)
+                       || '/x'
+                  WHEN 3 THEN 'https://sited.example/section/'
+                       || chr(CAST(97 + doc_id % 3 AS INTEGER))
+                       || '?id=' || doc_id
+                  ELSE 'https://sitee.example/mixed/a'
+                       || (doc_id % 3) || 'b/' || doc_id
+                END AS url
+              FROM documents),
+            parsed AS (
+              SELECT url,
+                lower(regexp_extract(url,
+                      '^[^:]+://([^/?#]*)', 1)) AS host,
+                regexp_extract(url,
+                      '^[^:]+://[^/?#]*([^?#]*)', 1) AS path
+              FROM urls),
+            tpl AS (
+              SELECT host, url,
+                regexp_replace(regexp_replace(
+                  CASE WHEN path = '' THEN '/' ELSE path END,
+                  '[0-9a-f]{8,}', '{h}', 'g'),
+                  '[0-9]+', '{d}', 'g') AS template
+              FROM parsed)
+            SELECT host, template, count(*) AS n,
+                   min(url) AS sample_url, count(*) >= 50 AS trap
+            FROM tpl GROUP BY host, template
+            ORDER BY host, template
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

@@ -130,6 +130,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "robots_sitemaps",
         "redirect_resolution",
         "hosts_registrable",
+        "urls_templates",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

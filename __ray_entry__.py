@@ -825,6 +825,15 @@ def _hosts_registrable(sf_dir: str):
     return hosts_registrable(sf_dir)
 
 
+def _hosts_shard_assign(sf_dir: str):
+    """Stable shard assignment via integer-exact jump consistent
+    hashing (Lamping & Veach); the oracle re-runs the LCG + jump loop
+    as a recursive CTE in exact HUGEINT arithmetic."""
+    from webxtract.ops.web import hosts_shard_assign
+
+    return hosts_shard_assign(sf_dir)
+
+
 def _urls_templates(sf_dir: str):
     """URL template mining / spider-trap detection: paths generalize
     to templates (hex runs then digit runs) and (host, template)
@@ -1353,7 +1362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     html_alternates / docs_readability / feed_inventory /
     crawl_frontier / html_markdown / warc_cdx / docs_fix_mojibake /
     crawl_schedule / robots_sitemaps / redirect_resolution /
-    hosts_registrable / urls_templates) have
+    hosts_registrable / urls_templates / hosts_shard_assign) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1722,6 +1731,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # eTLD+1 (wildcard/exception rules re-run in SQL)
         "urls_templates": _urls_templates,  # ORACLED trap mining
         # url -> path template populations (hex/digit generalization)
+        "hosts_shard_assign": _hosts_shard_assign,  # ORACLED
+        # jump consistent hashing (recursive-CTE HUGEINT oracle)
     }
 
 
@@ -5281,6 +5292,50 @@ r5 AS (
                    min(url) AS sample_url, count(*) >= 50 AS trap
             FROM tpl GROUP BY host, template
             ORDER BY host, template
+        """,
+        # Jump consistent hashing: md5-derived 64-bit key, then the
+        # integer-exact Lamping-Veach loop re-run as a recursive CTE
+        # — every LCG step ((key*2862933555777941757 + 1) mod 2^64)
+        # and jump (((b+1)<<31) // ((key>>33)+1)) recomputed in exact
+        # HUGEINT arithmetic until j >= 64 buckets
+        "hosts_shard_assign": """
+            WITH RECURSIVE hosts AS (
+              SELECT doc_id,
+                CASE doc_id % 8
+                  WHEN 0 THEN 'www.alpha' || doc_id || '.COM.'
+                  WHEN 1 THEN 'a.b.beta' || doc_id || '.co.uk'
+                  WHEN 2 THEN 'gamma' || doc_id || '.github.io'
+                  WHEN 3 THEN 'x.delta' || doc_id || '.ck'
+                  WHEN 4 THEN 'www.ck'
+                  WHEN 5 THEN 'Co.UK.'
+                  WHEN 6 THEN '192.168.' || (doc_id % 256) || '.'
+                              || ((doc_id * 7) % 256)
+                  ELSE 'epsilon' || doc_id || '.unknowntld'
+                END AS host
+              FROM documents),
+            seed AS (
+              SELECT doc_id, host,
+                ('0x' || substr(md5(host), 1, 16))
+                  ::UBIGINT::HUGEINT AS key
+              FROM hosts),
+            it AS (
+              SELECT doc_id, key, CAST(-1 AS BIGINT) AS b,
+                     CAST(0 AS BIGINT) AS j
+              FROM seed
+              UNION ALL
+              SELECT doc_id,
+                (key * 2862933555777941757::HUGEINT + 1)
+                  % 18446744073709551616::HUGEINT AS key2,
+                j AS b,
+                CAST(((j + 1) * 2147483648::HUGEINT) //
+                  ((((key * 2862933555777941757::HUGEINT + 1)
+                     % 18446744073709551616::HUGEINT)
+                    // 8589934592) + 1) AS BIGINT) AS j2
+              FROM it WHERE j < 64)
+            SELECT s.doc_id, s.host, it.b AS shard
+            FROM seed s JOIN it ON s.doc_id = it.doc_id
+            WHERE it.j >= 64
+            ORDER BY s.doc_id
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

@@ -131,6 +131,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "redirect_resolution",
         "hosts_registrable",
         "urls_templates",
+        "hosts_shard_assign",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

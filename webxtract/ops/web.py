@@ -2932,3 +2932,72 @@ def urls_templates(sf_dir: str):
     min/trap fold."""
     return url_templates(synth_template_urls(sf_dir)).sort(
         ["host", "template"])
+
+
+# --- jump consistent hashing: stable shard assignment ------------------------
+# Lamping & Veach's jump consistent hash assigns each key to one of K
+# buckets such that growing K -> K+1 moves ONLY ~1/(K+1) of the keys,
+# and every moved key lands in the NEW bucket — the property that
+# makes partitioned 100 TB output resumable across cluster resizes
+# (finished shards stay finished) and politeness sharding stable
+# across frontier restarts. Deviation from the paper, pinned by the
+# oracle: the jump step uses EXACT integer division
+# (((b+1) << 31) // ((key >> 33) + 1)) instead of the paper's double
+# multiply, so assignments are bit-reproducible across platforms and
+# recomputable in SQL (HUGEINT recursive CTE).
+
+JUMP_LCG = 2862933555777941757
+
+
+def jump_bucket(key: int, buckets: int) -> int:
+    """Integer-exact jump consistent hash: key (any int; taken mod
+    2^64) -> bucket in [0, buckets). O(ln buckets) expected
+    iterations."""
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    key %= 1 << 64
+    b, j = -1, 0
+    while j < buckets:
+        b = j
+        key = (key * JUMP_LCG + 1) % (1 << 64)
+        j = ((b + 1) << 31) // ((key >> 33) + 1)
+    return b
+
+
+def _md5_key64(s: str) -> int:
+    """Lower 64 bits (first 16 hex chars) of md5 — the key derivation
+    the oracle replays as ('0x' || substr(md5(s),1,16))::UBIGINT."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+
+
+def jump_shards(ds, col: str = "host", buckets: int = 64,
+                out_col: str = "shard"):
+    """Append a stable shard id per row: md5-derived 64-bit key of
+    ``col`` -> jump_bucket. Decisions run once per DISTINCT key per
+    batch (np.unique inverse scatter — hosts/domains repeat heavily);
+    zero exchanges. NULL keys shard as the empty string (a real
+    frontier routes them to quarantine upstream)."""
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        arr = np.asarray(
+            [v if v is not None else "" for v in
+             t.column(col).to_pylist()], dtype=object)
+        uniq, inv = np.unique(arr.astype(str), return_inverse=True)
+        sh = np.array([jump_bucket(_md5_key64(u), buckets)
+                       for u in uniq], dtype=np.int64)[inv]
+        return t.append_column(out_col, pa.array(sh, pa.int64()))
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def hosts_shard_assign(sf_dir: str, buckets: int = 64):
+    """ORACLED query surface: stable shard assignment over the
+    closed-form messy-host fixture. The DuckDB twin derives the same
+    md5 keys and RE-RUNS the jump loop as a recursive CTE in exact
+    HUGEINT arithmetic — every LCG step and integer-division jump
+    recomputed, not echoed."""
+    return jump_shards(synth_psl_hosts(sf_dir),
+                       buckets=buckets).sort("doc_id")

@@ -834,6 +834,15 @@ def _hosts_shard_assign(sf_dir: str):
     return hosts_shard_assign(sf_dir)
 
 
+def _hosts_link_farms(sf_dir: str):
+    """Link-farm detection composite: REAL DOM link walk + REAL PSL
+    registrable-domain collapse + integer fan-out rule; the oracle
+    recomputes the planted edge set and re-runs the rule."""
+    from webxtract.ops.web import hosts_link_farms
+
+    return hosts_link_farms(sf_dir)
+
+
 def _urls_templates(sf_dir: str):
     """URL template mining / spider-trap detection: paths generalize
     to templates (hex runs then digit runs) and (host, template)
@@ -1362,7 +1371,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     html_alternates / docs_readability / feed_inventory /
     crawl_frontier / html_markdown / warc_cdx / docs_fix_mojibake /
     crawl_schedule / robots_sitemaps / redirect_resolution /
-    hosts_registrable / urls_templates / hosts_shard_assign) have
+    hosts_registrable / urls_templates / hosts_shard_assign /
+    hosts_link_farms) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1733,6 +1743,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # url -> path template populations (hex/digit generalization)
         "hosts_shard_assign": _hosts_shard_assign,  # ORACLED
         # jump consistent hashing (recursive-CTE HUGEINT oracle)
+        "hosts_link_farms": _hosts_link_farms,  # ORACLED composite
+        # DOM link walk x PSL collapse x integer fan-out rule
     }
 
 
@@ -5336,6 +5348,42 @@ r5 AS (
             FROM seed s JOIN it ON s.doc_id = it.doc_id
             WHERE it.j >= 64
             ORDER BY s.doc_id
+        """,
+        # Link-farm profiles: the planted edge set recomputed in
+        # closed form from doc_id (farm pages fan out to doorway
+        # subdomains of one hub domain, normal pages to distinct
+        # registrants), dst hosts collapsed to registrable domains
+        # (last two labels — exact for the fixture's 'example' TLD;
+        # the general PSL matcher is oracled in hosts_registrable),
+        # and the SAME integer rule n_hosts >= 5 AND n_hosts >= 3*n_domains
+        "hosts_link_farms": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 20 AS s, doc_id % 3 AS hub,
+                     doc_id % 4 = 0 AS isfarm, 1 + doc_id % 2 AS kk
+              FROM documents),
+            fe AS (
+              SELECT s, 'sub' || j || '.hub' || hub || '.example'
+                     AS dst
+              FROM (SELECT *, unnest(range(0, 6)) AS j
+                    FROM d WHERE isfarm)),
+            ne AS (
+              SELECT s, 'site' || ((doc_id * 7 + 11 * j) % 40)
+                     || '.example' AS dst
+              FROM (SELECT *, unnest(range(0, kk + 1)) AS j
+                    FROM d WHERE NOT isfarm)),
+            e0 AS (
+              SELECT DISTINCT 'src' || s || '.example' AS src_host,
+                     dst AS dst_host
+              FROM (SELECT * FROM fe UNION ALL SELECT * FROM ne))
+            SELECT src_host,
+              count(DISTINCT dst_host) AS n_dst_hosts,
+              count(DISTINCT regexp_extract(dst_host,
+                    '([^.]+\\.[^.]+)$', 1)) AS n_dst_domains,
+              count(DISTINCT dst_host) >= 5
+                AND count(DISTINCT dst_host) >=
+                    3 * count(DISTINCT regexp_extract(dst_host,
+                              '([^.]+\\.[^.]+)$', 1)) AS farm
+            FROM e0 GROUP BY src_host ORDER BY src_host
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

@@ -132,6 +132,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "hosts_registrable",
         "urls_templates",
         "hosts_shard_assign",
+        "hosts_link_farms",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

@@ -3001,3 +3001,113 @@ def hosts_shard_assign(sf_dir: str, buckets: int = 64):
     recomputed, not echoed."""
     return jump_shards(synth_psl_hosts(sf_dir),
                        buckets=buckets).sort("doc_id")
+
+
+# --- link-farm / SEO-network detection ---------------------------------------
+# A host whose outlinks fan out to MANY distinct hosts collapsing
+# into FEW registrable domains is a link farm (doorway subdomains,
+# PBN networks): legitimate sites link across registrants, farms
+# link across their own subdomain space. The profile composes two
+# real pipelines — the DOM link walk (extract_links) and PSL
+# registrable-domain extraction — and flags
+#   farm := n_dst_hosts >= min_fanout AND n_dst_hosts >= ratio x
+#           n_dst_domains
+# in exact integer arithmetic (no float thresholds to drift).
+
+FARM_MIN_FANOUT = 5
+FARM_HOST_DOMAIN_RATIO = 3
+
+
+def link_farm_profile(edges, min_fanout: int = FARM_MIN_FANOUT,
+                      ratio: int = FARM_HOST_DOMAIN_RATIO):
+    """DISTINCT (src_host, dst_host) edges -> per src_host:
+    (n_dst_hosts, n_dst_domains, farm). Engine shape: the PSL match
+    attaches dst registrable domains MAP-SIDE (zero exchanges, rule
+    table static; kind != 'ok' falls back to the host itself), then
+    ONE src-keyed exchange over the slim (src, dst_host, dst_domain)
+    pairs with vectorized count_distinct per partition — edge volume
+    is already |host pairs|-bounded by extract_links' pre-reduce."""
+    from .relational import partitioned_map_groups
+
+    tagged = registrable_domains(edges, host_col="dst_host")
+
+    def slim(t: pa.Table) -> pa.Table:
+        dom = pc.coalesce(t.column("registrable"),
+                          t.column("dst_host"))
+        return pa.table({"src_host": t.column("src_host"),
+                         "dst_host": t.column("dst_host"),
+                         "dst_domain": dom})
+
+    slimmed = tagged.map_batches(slim, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def fold(p: pa.Table) -> pa.Table:
+        g = p.group_by("src_host").aggregate(
+            [("dst_host", "count_distinct"),
+             ("dst_domain", "count_distinct")])
+        nh = g.column("dst_host_count_distinct").cast(pa.int64())
+        nd = g.column("dst_domain_count_distinct").cast(pa.int64())
+        farm = pc.and_(
+            pc.greater_equal(nh, pa.scalar(min_fanout, pa.int64())),
+            pc.greater_equal(nh, pc.multiply(
+                nd, pa.scalar(ratio, pa.int64()))))
+        return pa.table({"src_host": g.column("src_host"),
+                         "n_dst_hosts": nh, "n_dst_domains": nd,
+                         "farm": farm})
+
+    return partitioned_map_groups(slimmed, "src_host", fold)
+
+
+def synth_farm_corpus(sf_dir: str, n: int | None = None):
+    """Deterministic crawl fixture with a planted farm class: page i
+    lives on src{i % 20}.example; pages with i % 4 == 0 (exactly the
+    src hosts with i % 20 divisible by 4, since 4 | 20) link to six
+    doorway subdomains sub{0..5}.hub{i % 3}.example (many hosts, ONE
+    registrable domain per hub), everyone else links to 2 + i % 2
+    ordinary site{(i*7 + 11j) % 40}.example hosts (each its own
+    registrant). Relative-nav and mailto noise must not edge. Edges
+    are closed-form in doc_id so the DuckDB twin recomputes them."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    if n is not None:
+        ids = ids.limit(n)
+
+    def render(batch: pa.Table) -> pa.Table:
+        out_u, out_h = [], []
+        for i in batch.column("doc_id").to_pylist():
+            s = i % 20
+            anchors = ['<nav><a href="/home">Home</a></nav>',
+                       '<a href="mailto:x@y.example">mail</a>']
+            if i % 4 == 0:
+                for j in range(6):
+                    anchors.append(
+                        f'<a href="https://sub{j}.hub{i % 3}'
+                        f'.example/x">d{j}</a>')
+            else:
+                for j in range(2 + i % 2):
+                    t = (i * 7 + 11 * j) % 40
+                    anchors.append(
+                        f'<a href="https://site{t}.example/p">'
+                        f'r{j}</a>')
+            out_u.append(f"https://src{s}.example/p/{i}")
+            out_h.append(f"<html><body><p>doc {i}</p>"
+                         f"{''.join(anchors)}</body></html>".encode())
+        return pa.table({"url": pa.array(out_u, pa.string()),
+                         "html": pa.array(out_h, pa.binary())})
+
+    return ids.map_batches(render, batch_format="pyarrow",
+                           batch_size=256)
+
+
+def hosts_link_farms(sf_dir: str):
+    """ORACLED composite: link-farm profiles over the planted-farm
+    crawl, through the REAL DOM link walk and the REAL PSL matcher.
+    The DuckDB twin recomputes the closed-form edge set from doc_id,
+    collapses dst hosts to registrable domains (last two labels —
+    exact for the fixture's single-label 'example' TLD; the general
+    matcher is oracled separately in hosts_registrable), and re-runs
+    the integer fan-out rule."""
+    return link_farm_profile(
+        extract_links(synth_farm_corpus(sf_dir))).sort("src_host")

@@ -843,6 +843,16 @@ def _hosts_link_farms(sf_dir: str):
     return hosts_link_farms(sf_dir)
 
 
+def _hosts_mirror_pairs(sf_dir: str):
+    """Mirror-site detection: hosts sharing identical content hashes
+    pair up under a boilerplate star-cap; the oracle groups by content
+    directly (md5 grouping == text grouping) and re-runs the band +
+    integer rule."""
+    from webxtract.ops.web import hosts_mirror_pairs
+
+    return hosts_mirror_pairs(sf_dir)
+
+
 def _urls_templates(sf_dir: str):
     """URL template mining / spider-trap detection: paths generalize
     to templates (hex runs then digit runs) and (host, template)
@@ -1372,7 +1382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     crawl_frontier / html_markdown / warc_cdx / docs_fix_mojibake /
     crawl_schedule / robots_sitemaps / redirect_resolution /
     hosts_registrable / urls_templates / hosts_shard_assign /
-    hosts_link_farms) have
+    hosts_link_farms / hosts_mirror_pairs) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1745,6 +1755,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # jump consistent hashing (recursive-CTE HUGEINT oracle)
         "hosts_link_farms": _hosts_link_farms,  # ORACLED composite
         # DOM link walk x PSL collapse x integer fan-out rule
+        "hosts_mirror_pairs": _hosts_mirror_pairs,  # ORACLED
+        # mirror detection (content-hash pairs, star-capped)
     }
 
 
@@ -5384,6 +5396,44 @@ r5 AS (
                     3 * count(DISTINCT regexp_extract(dst_host,
                               '([^.]+\\.[^.]+)$', 1)) AS farm
             FROM e0 GROUP BY src_host ORDER BY src_host
+        """,
+        # Mirror detection: grouping by md5(text) equals grouping by
+        # text, so the oracle groups the closed-form pages by content
+        # directly and re-runs the SAME 2..star_max host-set band
+        # (the boilerplate string lands on all six solo hosts and
+        # must drop) and integer min_shared rule
+        "hosts_mirror_pairs": """
+            WITH pages AS (
+              SELECT 'alpha' || ((doc_id // 2) % 4) || '.example'
+                     AS host,
+                     'mirrored page ' || doc_id AS text
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'beta' || ((doc_id // 2) % 4) || '.example',
+                     'mirrored page ' || doc_id
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'solo' || ((doc_id // 10) % 6) || '.example',
+                     'BOILERPLATE'
+              FROM documents
+              WHERE doc_id % 2 = 1 AND doc_id % 10 = 9
+              UNION ALL
+              SELECT 'solo' || (doc_id % 6) || '.example',
+                     'unique page ' || doc_id
+              FROM documents
+              WHERE doc_id % 2 = 1 AND doc_id % 10 <> 9),
+            d AS (SELECT DISTINCT host, text FROM pages),
+            elig AS (SELECT text FROM d GROUP BY text
+                     HAVING count(*) BETWEEN 2 AND 4),
+            pairs AS (
+              SELECT a.host AS host_a, b.host AS host_b
+              FROM d a JOIN d b
+                ON a.text = b.text AND a.host < b.host
+              WHERE a.text IN (SELECT text FROM elig))
+            SELECT host_a, host_b, count(*) AS n_shared,
+                   count(*) >= 10 AS mirror
+            FROM pairs GROUP BY host_a, host_b
+            ORDER BY host_a, host_b
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

@@ -133,6 +133,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "urls_templates",
         "hosts_shard_assign",
         "hosts_link_farms",
+        "hosts_mirror_pairs",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

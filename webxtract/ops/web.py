@@ -3111,3 +3111,131 @@ def hosts_link_farms(sf_dir: str):
     the integer fan-out rule."""
     return link_farm_profile(
         extract_links(synth_farm_corpus(sf_dir))).sort("src_host")
+
+
+# --- mirror-site detection ----------------------------------------------------
+# Two hosts serving many IDENTICAL pages are mirrors (CDN twins,
+# scraped clones, www/apex splits that escaped canonicalization);
+# crawls collapse them to stop paying double fetch + double dedup.
+# Pages group by content hash; a hash shared by 2..star_max distinct
+# hosts votes one count into each host pair; hashes on MORE than
+# star_max hosts are boilerplate (empty pages, error templates) and
+# are dropped as a class — the star-pattern cap that keeps pair
+# volume from exploding O(hosts^2) on one hot hash. A pair with
+# n_shared >= min_shared flags as a mirror (exact integer rule).
+
+MIRROR_STAR_MAX = 4
+MIRROR_MIN_SHARED = 10
+
+
+def mirror_pairs(pages, host_col: str = "host",
+                 text_col: str = "text",
+                 star_max: int = MIRROR_STAR_MAX,
+                 min_shared: int = MIRROR_MIN_SHARED):
+    """(host_a, host_b, n_shared, mirror) per host pair sharing
+    >= 1 eligible content hash, host_a < host_b. Engine shape: text
+    md5s map-side and only slim (host, md5) pairs move; exchange 1
+    co-locates by hash (global distinct + per-hash host sets + pair
+    emission happen inside the partition fold — a hash's <= star_max
+    pairs emit where its rows already live); exchange 2 groups the
+    (a, b) votes. Text never shuffles; pair volume is bounded by
+    C(star_max, 2) per distinct hash."""
+    from .relational import partitioned_map_groups
+    from .text import md5_hex
+
+    def slim(t: pa.Table) -> pa.Table:
+        texts = [x or "" for x in t.column(text_col).to_pylist()]
+        out = pa.table({"host": t.column(host_col),
+                        "h": pa.array(md5_hex(texts), pa.string())})
+        return out.group_by(["host", "h"]).aggregate([])
+
+    slimmed = pages.map_batches(slim, batch_format="pyarrow")
+
+    def pair_fold(p: pa.Table) -> pa.Table:
+        d = p.group_by(["h", "host"]).aggregate([])
+        hs = np.asarray(d.column("h").to_pylist(), dtype=object)
+        hosts = np.asarray(d.column("host").to_pylist(), dtype=object)
+        order = np.lexsort((hosts.astype(str), hs.astype(str)))
+        hs, hosts = hs[order], hosts[order]
+        a_out, b_out = [], []
+        i, n = 0, len(hs)
+        while i < n:
+            j = i
+            while j < n and hs[j] == hs[i]:
+                j += 1
+            k = j - i
+            if 2 <= k <= star_max:
+                run = hosts[i:j]          # sorted within the run
+                for x in range(k):
+                    for y in range(x + 1, k):
+                        a_out.append(run[x])
+                        b_out.append(run[y])
+            i = j
+        return pa.table({"host_a": pa.array(a_out, pa.string()),
+                         "host_b": pa.array(b_out, pa.string())})
+
+    votes = partitioned_map_groups(slimmed, "h", pair_fold) \
+        .map_batches(
+            lambda t: t.append_column(
+                "_k", pc.binary_join_element_wise(
+                    t.column("host_a"), t.column("host_b"), "\x1f")),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def count_fold(p: pa.Table) -> pa.Table:
+        g = p.group_by(["host_a", "host_b"]).aggregate([("host_a",
+                                                         "count")])
+        n = g.column("host_a_count").cast(pa.int64())
+        return pa.table({
+            "host_a": g.column("host_a"),
+            "host_b": g.column("host_b"),
+            "n_shared": n,
+            "mirror": pc.greater_equal(
+                n, pa.scalar(min_shared, pa.int64()))})
+
+    return partitioned_map_groups(votes, "_k", count_fold)
+
+
+def synth_mirror_corpus(sf_dir: str, n: int | None = None):
+    """Deterministic page fixture with planted mirrors: even docs emit
+    the SAME content on alpha{(i//2) % 4}.example AND its mirror twin
+    beta{(i//2) % 4}.example; odd docs emit unique content on
+    solo{i % 6}.example — except every i % 10 == 9 doc, which serves
+    the one BOILERPLATE string from solo{(i//10) % 6}.example so that
+    all six solo hosts share it (6 > star_max: the cap must drop it,
+    leaving solo hosts in NO pair). Closed-form in doc_id."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    if n is not None:
+        ids = ids.limit(n)
+
+    def render(batch: pa.Table) -> pa.Table:
+        hosts, texts = [], []
+        for i in batch.column("doc_id").to_pylist():
+            if i % 2 == 0:
+                k = (i // 2) % 4
+                for side in ("alpha", "beta"):
+                    hosts.append(f"{side}{k}.example")
+                    texts.append(f"mirrored page {i}")
+            elif i % 10 == 9:
+                hosts.append(f"solo{(i // 10) % 6}.example")
+                texts.append("BOILERPLATE")
+            else:
+                hosts.append(f"solo{i % 6}.example")
+                texts.append(f"unique page {i}")
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "text": pa.array(texts, pa.string())})
+
+    return ids.map_batches(render, batch_format="pyarrow",
+                           batch_size=512)
+
+
+def hosts_mirror_pairs(sf_dir: str):
+    """ORACLED query surface: mirror detection over the planted-twin
+    fixture. Grouping by md5(text) equals grouping by text, so the
+    DuckDB twin groups the closed-form pages by content directly,
+    applies the SAME 2..star_max host-set band and integer
+    min_shared rule, and emits the identical pair table."""
+    return mirror_pairs(synth_mirror_corpus(sf_dir)).sort(
+        ["host_a", "host_b"])

@@ -853,6 +853,15 @@ def _hosts_mirror_pairs(sf_dir: str):
     return hosts_mirror_pairs(sf_dir)
 
 
+def _warc_http_fields(sf_dir: str):
+    """HTTP header semantics over the varied-header WARC fixture,
+    through the real framing parser; the oracle rebuilds each header
+    block string and re-runs the same regexes + strptime."""
+    from webxtract.ops.warc import warc_http_fields
+
+    return warc_http_fields(sf_dir)
+
+
 def _urls_templates(sf_dir: str):
     """URL template mining / spider-trap detection: paths generalize
     to templates (hex runs then digit runs) and (host, template)
@@ -1382,7 +1391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     crawl_frontier / html_markdown / warc_cdx / docs_fix_mojibake /
     crawl_schedule / robots_sitemaps / redirect_resolution /
     hosts_registrable / urls_templates / hosts_shard_assign /
-    hosts_link_farms / hosts_mirror_pairs) have
+    hosts_link_farms / hosts_mirror_pairs / warc_http_fields) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1757,6 +1766,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DOM link walk x PSL collapse x integer fan-out rule
         "hosts_mirror_pairs": _hosts_mirror_pairs,  # ORACLED
         # mirror detection (content-hash pairs, star-capped)
+        "warc_http_fields": _warc_http_fields,  # ORACLED
+        # HTTP header semantics (CT/charset/X-Robots-Tag/Last-Modified)
     }
 
 
@@ -5434,6 +5445,72 @@ r5 AS (
                    count(*) >= 10 AS mirror
             FROM pairs GROUP BY host_a, host_b
             ORDER BY host_a, host_b
+        """,
+        # HTTP header semantics: the oracle REBUILDS each record's
+        # header block string from doc_id (statuses, the four
+        # Content-Type classes incl. the repeated-header first-wins
+        # probe, X-Robots-Tag probes, strftime'd Last-Modified, junk
+        # line) and RE-RUNS the same regexes — leftmost match =
+        # first-wins, charset from the SAME first CT line,
+        # word-bounded noindex — plus strptime/epoch
+        "warc_http_fields": """
+            WITH d AS (SELECT doc_id AS i FROM documents),
+            hdr AS (
+              SELECT i,
+                'https://site' || (i % 50) || '.example/p/' || i
+                  AS url,
+                'HTTP/1.1 ' ||
+                CASE i % 5 WHEN 0 THEN 200 WHEN 1 THEN 301
+                           WHEN 2 THEN 404 WHEN 3 THEN 200
+                           ELSE 503 END || ' X' ||
+                chr(13) || chr(10) ||
+                CASE i % 4
+                  WHEN 0 THEN 'Content-Type: text/html; charset=UTF-8'
+                  WHEN 1 THEN 'content-type: Text/HTML;charset="ISO-8859-1"'
+                  WHEN 2 THEN 'Content-Type: application/pdf'
+                  ELSE 'Content-Type: text/plain' || chr(13) || chr(10)
+                       || 'Content-Type: text/html; charset=utf-8'
+                END ||
+                CASE WHEN i % 3 = 0
+                     THEN chr(13) || chr(10)
+                          || 'X-ROBOTS-TAG: noarchive, NOINDEX'
+                     WHEN i % 7 = 0
+                     THEN chr(13) || chr(10) || 'X-Robots-Tag: all'
+                     ELSE '' END ||
+                CASE WHEN i % 2 = 0
+                     THEN chr(13) || chr(10) || 'Last-Modified: ' ||
+                          strftime(make_timestamp(
+                            2024, 1, 1 + i % 28, i % 24,
+                            (i * 7) % 60, 0),
+                            '%a, %d %b %Y %H:%M:%S GMT')
+                     ELSE '' END ||
+                chr(13) || chr(10) || 'X-Junk;; malformed line'
+                  AS h
+              FROM d),
+            p AS (
+              SELECT url, h,
+                regexp_extract(h,
+                  '(?im)^content-type:[ \t]*([^\r\n]+)', 1) AS ct,
+                regexp_extract(h,
+                  '(?im)^last-modified:[ \t]*([^\r\n]+)', 1) AS lm
+              FROM hdr)
+            SELECT url,
+              CAST(regexp_extract(h,
+                   '^HTTP/\\d\\.\\d[ \t]+(\\d{3})', 1)
+                   AS BIGINT) AS status,
+              lower(trim(regexp_extract(ct, '^([^;]+)', 1)))
+                AS content_type,
+              nullif(lower(regexp_extract(ct,
+                '(?i);\\s*charset\\s*=\\s*"?([A-Za-z0-9_.:-]+)',
+                1)), '') AS charset,
+              regexp_matches(h,
+                '(?im)^x-robots-tag:[^\r\n]*\\bnoindex\\b')
+                AS noindex,
+              CASE WHEN lm = '' THEN NULL
+                   ELSE CAST(epoch(strptime(lm,
+                        '%a, %d %b %Y %H:%M:%S GMT')) AS BIGINT)
+              END AS last_modified_ts
+            FROM p ORDER BY url
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

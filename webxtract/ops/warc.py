@@ -48,12 +48,14 @@ def _gunzip_members(raw: bytes) -> bytes:
     return b"".join(out)
 
 
-def parse_warc(raw: bytes) -> list[dict]:
+def parse_warc(raw: bytes, keep_http_headers: bool = False) -> list[dict]:
     """Parse one WARC file's bytes into response-record dicts
     (url, warc_ts, html, http_status, n_bytes). Malformed trailing
     data ends the scan (partial files parse their complete prefix);
     non-response records (warcinfo, request, metadata) are skipped by
-    type, never by guesswork."""
+    type, never by guesswork. ``keep_http_headers=True`` additionally
+    carries each record's raw HTTP header block (status line +
+    headers, no terminating CRLFCRLF) for header-semantics stages."""
     raw = _gunzip_members(raw)
     recs = []
     pos = 0
@@ -86,6 +88,7 @@ def parse_warc(raw: bytes) -> list[dict]:
         if headers.get("warc-type") == "response":
             status = 0
             html = b""
+            http_head = b""
             http_end = body.find(_CRLF2)
             if http_end >= 0:
                 status_line = body[:body.find(b"\r\n")]
@@ -93,23 +96,30 @@ def parse_warc(raw: bytes) -> list[dict]:
                 if len(parts) >= 2 and parts[1].isdigit():
                     status = int(parts[1])
                 html = body[http_end + 4:]
-            recs.append({
+                http_head = body[:http_end]
+            rec = {
                 "url": headers.get("warc-target-uri", ""),
                 "warc_ts": headers.get("warc-date", ""),
                 "html": html,
                 "http_status": status,
                 "n_bytes": len(html),
-            })
+            }
+            if keep_http_headers:
+                rec["http_headers"] = http_head
+            recs.append(rec)
     return recs
 
 
-def read_warc(paths, pages_schema: bool = False):
+def read_warc(paths, pages_schema: bool = False,
+              keep_http_headers: bool = False):
     """paths (file/dir) -> Dataset of (url, warc_ts, html, http_status,
     n_bytes). One read task per file; the parse expands each blob into
     its page rows inside the same batch pass. ``pages_schema=True``
     instead emits the canonical pages-table columns (url, warc_ts,
     html, text='', lang='und') so the output feeds extract_pipeline /
-    the corpus exporter directly (the WARC->corpus CLI chain)."""
+    the corpus exporter directly (the WARC->corpus CLI chain).
+    ``keep_http_headers=True`` adds the raw HTTP header block as a
+    binary ``http_headers`` column for header-semantics stages."""
     import ray.data as rd
 
     ds = rd.read_binary_files(paths)
@@ -117,7 +127,8 @@ def read_warc(paths, pages_schema: bool = False):
     def expand(t: pa.Table) -> pa.Table:
         rows = []
         for raw in t.column("bytes").to_pylist():
-            rows.extend(parse_warc(raw))
+            rows.extend(parse_warc(raw,
+                                   keep_http_headers=keep_http_headers))
         cols = {
             "url": pa.array([r["url"] for r in rows], pa.string()),
             "warc_ts": pa.array([r["warc_ts"] for r in rows],
@@ -132,6 +143,9 @@ def read_warc(paths, pages_schema: bool = False):
                 [r["http_status"] for r in rows], pa.int32())
             cols["n_bytes"] = pa.array(
                 [r["n_bytes"] for r in rows], pa.int64())
+        if keep_http_headers:
+            cols["http_headers"] = pa.array(
+                [r["http_headers"] for r in rows], pa.binary())
         return pa.table(cols)
 
     return ds.map_batches(expand, batch_format="pyarrow", batch_size=4)
@@ -141,7 +155,10 @@ def build_warc(records, gzip_members: bool = False) -> bytes:
     """Serialize (url, ts, html_bytes) triples into WARC/1.0 bytes —
     a warcinfo record first (parsers must skip it), then one response
     record per page with a real HTTP/1.1 header block. Deterministic:
-    no clocks, no uuids (record ids derive from the url)."""
+    no clocks, no uuids (record ids derive from the url). A record may
+    be a 4-tuple (url, ts, html, http_block) carrying its own status
+    line + header lines (no trailing CRLF); Content-Length and the
+    body are appended the same way as the default block."""
     out = []
 
     def record(wtype: str, headers: list[tuple[str, str]],
@@ -157,9 +174,11 @@ def build_warc(records, gzip_members: bool = False) -> bytes:
         ("WARC-Record-ID", "<urn:webxtract:warcinfo>"),
         ("Content-Type", "application/warc-fields"),
     ], info))
-    for url, ts, html in records:
-        http = (b"HTTP/1.1 200 OK\r\n"
-                b"Content-Type: text/html; charset=utf-8\r\n"
+    for rec in records:
+        url, ts, html = rec[0], rec[1], rec[2]
+        block = rec[3] if len(rec) > 3 else \
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
+        http = (block + b"\r\n"
                 + f"Content-Length: {len(html)}".encode()
                 + _CRLF2 + html)
         out.append(record("response", [
@@ -393,3 +412,155 @@ def warc_cdx(sf_dir: str):
         f"/tmp/webxtract_warc_plain_{sf_dir.replace('/', '_')}",
         gzip_members=False)
     return build_cdx(out_dir).sort("surt")
+
+
+# --- HTTP header semantics ----------------------------------------------------
+# The crawl-processing fields every fetch pipeline derives from the
+# response header block: status, media type + declared charset
+# (Content-Type), the header-level robots gate (X-Robots-Tag:
+# noindex — the ONLY noindex channel for non-HTML payloads), and
+# Last-Modified as epoch seconds (freshness / recrawl scheduling).
+# Parsing rules, oracle-pinned:
+#   * field names case-insensitive; the FIRST occurrence of a field
+#     wins, repeats are ignored (leftmost regex match)
+#   * content_type = the media type before ';', trimmed, lowercased;
+#     charset = the charset parameter ON THAT SAME first
+#     Content-Type line, optional quotes, lowercased
+#   * noindex = any X-Robots-Tag value containing the token
+#     'noindex' (word-bounded, case-insensitive)
+#   * last_modified_ts = IMF-fixdate parsed to epoch seconds; absent
+#     or unparseable -> NULL (data, not an error)
+# Header bytes decode latin-1 (1:1 byte->char; HTTP field content is
+# octets, and latin-1 never raises).
+
+_CT_LINE = r"(?im)^content-type:[ \t]*([^\r\n]+)"
+_CT_TYPE = r"^([^;]+)"
+_CT_CHARSET = r'(?i);\s*charset\s*=\s*"?([A-Za-z0-9_.:-]+)'
+_NOINDEX = r"(?im)^x-robots-tag:[^\r\n]*\bnoindex\b"
+_LASTMOD = r"(?im)^last-modified:[ \t]*([^\r\n]+)"
+_STATUS = r"^HTTP/\d\.\d[ \t]+(\d{3})"
+_IMF_FIXDATE = "%a, %d %b %Y %H:%M:%S GMT"
+
+
+def http_header_fields(ds, col: str = "http_headers"):
+    """Append (status, content_type, charset, noindex,
+    last_modified_ts) parsed from the raw header block. Fully
+    vectorized: five RE2 passes + one strptime per batch (polars);
+    zero exchanges."""
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        vals = [(v.decode("latin-1") if isinstance(v, bytes)
+                 else (v or "")) for v in t.column(col).to_pylist()]
+        df = pl.DataFrame({"h": vals})
+        h = pl.col("h")
+        df = df.with_columns([
+            h.str.extract(_STATUS, 1).cast(pl.Int64).fill_null(0)
+             .alias("status"),
+            h.str.extract(_CT_LINE, 1).alias("_ct"),
+            h.str.contains(_NOINDEX).alias("noindex"),
+            h.str.extract(_LASTMOD, 1)
+             .str.strptime(pl.Datetime, _IMF_FIXDATE, strict=False)
+             .dt.epoch("s").alias("last_modified_ts"),
+        ]).with_columns([
+            pl.col("_ct").str.extract(_CT_TYPE, 1)
+              .str.strip_chars().str.to_lowercase()
+              .alias("content_type"),
+            pl.col("_ct").str.extract(_CT_CHARSET, 1)
+              .str.to_lowercase().alias("charset"),
+        ])
+        out = df.select(["status", "content_type", "charset",
+                         "noindex", "last_modified_ts"]).to_arrow()
+        res = t
+        for name in out.column_names:
+            res = res.append_column(
+                name, out.column(name).cast(
+                    pa.int64() if name in ("status",
+                                           "last_modified_ts")
+                    else (pa.bool_() if name == "noindex"
+                          else pa.string())))
+        return res
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def synth_http_warc_dir(sf_dir: str, out_dir: str,
+                        files: int = 8) -> str:
+    """WARC fixture with VARIED closed-form HTTP header blocks: five
+    status classes, four Content-Type classes (mixed-case key and
+    value, no-space + quoted charset, charset-free PDF, and a
+    repeated-header first-wins probe), X-Robots-Tag probes (NOINDEX
+    uppercase on doc_id%3==0, a non-matching 'all' on other
+    doc_id%7==0 rows), Last-Modified on even ids with the weekday
+    written by the real strftime, and one malformed junk line every
+    parser must ignore."""
+    import datetime
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    expect = [os.path.join(out_dir, f"crawl-{i:05d}.warc")
+              for i in range(files)]
+    if all(os.path.exists(p) for p in expect):
+        return out_dir
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id"])
+    statuses = [200, 301, 404, 200, 503]
+    buckets: list[list] = [[] for _ in range(files)]
+    for i in t.column("doc_id").to_pylist():
+        lines = [f"HTTP/1.1 {statuses[i % 5]} X"]
+        c = i % 4
+        if c == 0:
+            lines.append("Content-Type: text/html; charset=UTF-8")
+        elif c == 1:
+            lines.append('content-type: Text/HTML;charset="ISO-8859-1"')
+        elif c == 2:
+            lines.append("Content-Type: application/pdf")
+        else:
+            lines.append("Content-Type: text/plain")
+            lines.append("Content-Type: text/html; charset=utf-8")
+        if i % 3 == 0:
+            lines.append("X-ROBOTS-TAG: noarchive, NOINDEX")
+        elif i % 7 == 0:
+            lines.append("X-Robots-Tag: all")
+        if i % 2 == 0:
+            dt = datetime.datetime(
+                2024, 1, 1 + i % 28, i % 24, (i * 7) % 60, 0,
+                tzinfo=datetime.timezone.utc)
+            lines.append("Last-Modified: "
+                         + dt.strftime(_IMF_FIXDATE))
+        lines.append("X-Junk;; malformed line")
+        block = "\r\n".join(lines).encode()
+        url = f"https://site{i % 50}.example/p/{i}"
+        ts = f"2024-01-{1 + i % 28:02d}T00:00:00Z"
+        html = f"<html>h{i}</html>".encode()
+        buckets[i % files].append((url, ts, html, block))
+    for fi, recs in enumerate(buckets):
+        raw = build_warc(recs)
+        with open(expect[fi] + ".tmp", "wb") as f:
+            f.write(raw)
+        os.replace(expect[fi] + ".tmp", expect[fi])
+    return out_dir
+
+
+def warc_http_fields(sf_dir: str):
+    """ORACLED query surface: header semantics over the varied-header
+    WARC fixture, through the REAL framing parser
+    (keep_http_headers=True) and the vectorized field extractor. The
+    DuckDB twin REBUILDS each record's header block string from
+    doc_id and RE-RUNS the same regexes (first-wins leftmost match,
+    same-line charset, word-bounded noindex) + strptime/epoch."""
+    out_dir = synth_http_warc_dir(
+        sf_dir, f"/tmp/webxtract_httpwarc_{sf_dir.replace('/', '_')}")
+    ds = read_warc(out_dir, keep_http_headers=True)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["url", "status", "content_type", "charset",
+                         "noindex", "last_modified_ts"])
+
+    return http_header_fields(ds).map_batches(
+        project, batch_format="pyarrow",
+        zero_copy_batch=True).sort("url")

@@ -853,6 +853,14 @@ def _hosts_mirror_pairs(sf_dir: str):
     return hosts_mirror_pairs(sf_dir)
 
 
+def _urls_recrawl_schedule(sf_dir: str):
+    """Revisit-policy estimator over capture history; the oracle
+    re-runs the adjacent-change LAG window and the integer clamp."""
+    from webxtract.ops.web import urls_recrawl_schedule
+
+    return urls_recrawl_schedule(sf_dir)
+
+
 def _warc_http_fields(sf_dir: str):
     """HTTP header semantics over the varied-header WARC fixture,
     through the real framing parser; the oracle rebuilds each header
@@ -1391,7 +1399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     crawl_frontier / html_markdown / warc_cdx / docs_fix_mojibake /
     crawl_schedule / robots_sitemaps / redirect_resolution /
     hosts_registrable / urls_templates / hosts_shard_assign /
-    hosts_link_farms / hosts_mirror_pairs / warc_http_fields) have
+    hosts_link_farms / hosts_mirror_pairs / warc_http_fields /
+    urls_recrawl_schedule) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1768,6 +1777,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mirror detection (content-hash pairs, star-capped)
         "warc_http_fields": _warc_http_fields,  # ORACLED
         # HTTP header semantics (CT/charset/X-Robots-Tag/Last-Modified)
+        "urls_recrawl_schedule": _urls_recrawl_schedule,  # ORACLED
+        # revisit policy from capture history (clamped integer rate)
     }
 
 
@@ -5511,6 +5522,46 @@ r5 AS (
                         '%a, %d %b %Y %H:%M:%S GMT')) AS BIGINT)
               END AS last_modified_ts
             FROM p ORDER BY url
+        """,
+        # Revisit policy: adjacent-change count re-run as a LAG
+        # window over (ts, hash) order + the same integer
+        # span // max(changes,1) with least/greatest clamps (the
+        # fixture's single-capture and 40-day-static probes force
+        # both clamp arms)
+        "urls_recrawl_schedule": """
+            WITH caps AS (
+              SELECT
+                'https://site' || (doc_id % 50) || '.example/p/'
+                  || doc_id AS url,
+                1700000000 + k * 86400 *
+                  (CASE WHEN doc_id % 11 = 0 THEN 40
+                        ELSE 1 + doc_id % 5 END) AS ts,
+                CASE doc_id % 3
+                  WHEN 0 THEN 'v' || k
+                  WHEN 1 THEN 'static'
+                  ELSE 'v' || (k // 2) END AS h
+              FROM (SELECT doc_id,
+                           unnest(range(0,
+                             CASE WHEN doc_id % 7 = 0 THEN 1
+                                  ELSE 2 + doc_id % 3 END)) AS k
+                    FROM documents)),
+            w AS (
+              SELECT url, ts, h,
+                lag(h) OVER (PARTITION BY url ORDER BY ts, h) AS ph
+              FROM caps),
+            g AS (
+              SELECT url, count(*) AS n_captures,
+                CAST(sum(CASE WHEN ph IS NOT NULL AND h <> ph
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_changes,
+                max(ts) - min(ts) AS span, max(ts) AS last
+              FROM w GROUP BY url)
+            SELECT url, n_captures, n_changes,
+              least(greatest(span // greatest(n_changes, 1), 3600),
+                    2592000) AS interval_s,
+              last + least(greatest(span // greatest(n_changes, 1),
+                                    3600), 2592000) AS due_at_ts
+            FROM g ORDER BY url
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

@@ -3239,3 +3239,116 @@ def hosts_mirror_pairs(sf_dir: str):
     min_shared rule, and emits the identical pair table."""
     return mirror_pairs(synth_mirror_corpus(sf_dir)).sort(
         ["host_a", "host_b"])
+
+
+# --- recrawl scheduling (revisit policy) --------------------------------------
+# Incremental crawls decide WHEN to refetch a url from its capture
+# history: a page that changed on every visit gets a short revisit
+# interval, a static page backs off. Estimator, oracle-pinned, all
+# integer arithmetic:
+#   n_changes   = adjacent captures (ts order, hash tie-break) whose
+#                 content hash differs
+#   interval_s  = clamp(span_s // max(n_changes, 1),
+#                       RECRAWL_MIN_S, RECRAWL_MAX_S)
+#                 (span_s = last_ts - first_ts; a single capture has
+#                 span 0 -> clamps to the minimum = eager revisit,
+#                 the conventional cold-start choice)
+#   due_at_ts   = last_ts + interval_s
+
+RECRAWL_MIN_S = 3600
+RECRAWL_MAX_S = 30 * 86400
+
+
+def recrawl_schedule(captures, url_col: str = "url",
+                     ts_col: str = "ts", hash_col: str = "h",
+                     min_s: int = RECRAWL_MIN_S,
+                     max_s: int = RECRAWL_MAX_S):
+    """(url, n_captures, n_changes, interval_s, due_at_ts) per url
+    from (url, ts, content-hash) capture rows. Engine shape: ONE
+    url-keyed exchange of slim triples; per partition one polars
+    sort + grouped fold (shift-compare for changes) — no per-url
+    Python. Content never moves; at 100 TB the hash column comes
+    from the CDX index, not the payloads."""
+    from .relational import partitioned_map_groups
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t.column(url_col),
+            "ts": t.column(ts_col).cast(pa.int64()),
+            "h": t.column(hash_col)})
+
+    slimmed = captures.map_batches(slim, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    def fold(p: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(p).sort(["url", "ts", "h"])
+        g = df.group_by("url", maintain_order=True).agg([
+            pl.len().alias("n_captures"),
+            (pl.col("h") != pl.col("h").shift(1))
+            .fill_null(False).sum().alias("n_changes"),
+            (pl.col("ts").max() - pl.col("ts").min()).alias("_span"),
+            pl.col("ts").max().alias("_last"),
+        ])
+        g = g.with_columns(
+            (pl.col("_span") //
+             pl.max_horizontal(pl.col("n_changes"), pl.lit(1)))
+            .clip(min_s, max_s).alias("interval_s"))
+        g = g.with_columns(
+            (pl.col("_last") + pl.col("interval_s"))
+            .alias("due_at_ts"))
+        return g.select(["url", "n_captures", "n_changes",
+                         "interval_s", "due_at_ts"]).to_arrow() \
+            .cast(pa.schema([("url", pa.string()),
+                             ("n_captures", pa.int64()),
+                             ("n_changes", pa.int64()),
+                             ("interval_s", pa.int64()),
+                             ("due_at_ts", pa.int64())]))
+
+    return partitioned_map_groups(slimmed, "url", fold)
+
+
+def synth_capture_history(sf_dir: str, n: int | None = None):
+    """Closed-form capture history: url i gets 2 + i % 3 captures
+    spaced (1 + i % 5) days apart from a fixed epoch; content changes
+    every capture for i % 3 == 0, never for i % 3 == 1, every second
+    capture for i % 3 == 2. Clamp probes: i % 7 == 0 urls have a
+    SINGLE capture (span 0 -> the min clamp must bite) and
+    i % 11 == 0 urls space 40 days apart (a static page's interval
+    must hit the max clamp)."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    if n is not None:
+        ids = ids.limit(n)
+
+    def render(batch: pa.Table) -> pa.Table:
+        urls, tss, hs = [], [], []
+        for i in batch.column("doc_id").to_pylist():
+            k_n = 1 if i % 7 == 0 else 2 + i % 3
+            step = 86400 * (40 if i % 11 == 0 else 1 + i % 5)
+            for k in range(k_n):
+                urls.append(f"https://site{i % 50}.example/p/{i}")
+                tss.append(1700000000 + k * step)
+                if i % 3 == 0:
+                    hs.append(f"v{k}")
+                elif i % 3 == 1:
+                    hs.append("static")
+                else:
+                    hs.append(f"v{k // 2}")
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "ts": pa.array(tss, pa.int64()),
+                         "h": pa.array(hs, pa.string())})
+
+    return ids.map_batches(render, batch_format="pyarrow",
+                           batch_size=512)
+
+
+def urls_recrawl_schedule(sf_dir: str):
+    """ORACLED query surface: the revisit-policy estimator over the
+    closed-form capture history. The DuckDB twin re-runs the
+    adjacent-change count as a LAG window over (ts, hash) order and
+    the same integer clamp arithmetic."""
+    return recrawl_schedule(synth_capture_history(sf_dir)).sort("url")

@@ -853,6 +853,16 @@ def _hosts_mirror_pairs(sf_dir: str):
     return hosts_mirror_pairs(sf_dir)
 
 
+def _docs_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (gear-hash CDC) over document text —
+    rows-only (the gear recurrence is not SQL-expressible; the
+    scalar<->vector equivalence gate + tiling/locality property tests
+    carry correctness)."""
+    from webxtract.ops.cdc import docs_cdc_chunks
+
+    return docs_cdc_chunks(sf_dir)
+
+
 def _urls_recrawl_schedule(sf_dir: str):
     """Revisit-policy estimator over capture history; the oracle
     re-runs the adjacent-change LAG window and the integer clamp."""
@@ -1779,6 +1789,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HTTP header semantics (CT/charset/X-Robots-Tag/Last-Modified)
         "urls_recrawl_schedule": _urls_recrawl_schedule,  # ORACLED
         # revisit policy from capture history (clamped integer rate)
+        "docs_cdc_chunks": _docs_cdc_chunks,  # rows-only
+        # gear-hash CDC chunk table (scalar==vector equivalence gate)
     }
 
 

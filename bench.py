@@ -136,6 +136,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "hosts_mirror_pairs",
         "warc_http_fields",
         "urls_recrawl_schedule",
+        "docs_cdc_chunks",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

@@ -853,6 +853,16 @@ def _hosts_mirror_pairs(sf_dir: str):
     return hosts_mirror_pairs(sf_dir)
 
 
+def _domain_quality_prior(sf_dir: str):
+    """Domain quality prior composite: REAL PSL matcher x REAL
+    quality features, folded to exact integer aggregates per
+    registrable domain; the oracle composes the shared PSL CTE with
+    the quality feature SQL."""
+    from webxtract.ops.web import domain_quality_prior
+
+    return domain_quality_prior(sf_dir)
+
+
 def _docs_cdc_chunks(sf_dir: str):
     """Content-defined chunking (gear-hash CDC) over document text —
     rows-only (the gear recurrence is not SQL-expressible; the
@@ -1410,7 +1420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     crawl_schedule / robots_sitemaps / redirect_resolution /
     hosts_registrable / urls_templates / hosts_shard_assign /
     hosts_link_farms / hosts_mirror_pairs / warc_http_fields /
-    urls_recrawl_schedule) have
+    urls_recrawl_schedule / domain_quality_prior) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1791,6 +1801,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # revisit policy from capture history (clamped integer rate)
         "docs_cdc_chunks": _docs_cdc_chunks,  # rows-only
         # gear-hash CDC chunk table (scalar==vector equivalence gate)
+        "domain_quality_prior": _domain_quality_prior,  # ORACLED
+        # PSL x quality composite (integer ratio-of-sums per domain)
     }
 
 
@@ -1879,6 +1891,66 @@ _LINK_EDGE_CTE = """
                FROM (SELECT s, t FROM o1
                      UNION ALL SELECT s, t FROM o2) u
                WHERE s <> t)"""
+
+
+# Shared PSL-matcher CTE body (fixture hosts + the full rule re-run
+# through `sel`): hosts_registrable and domain_quality_prior compose
+# the SAME SQL so the two oracles can never drift
+_PSL_CTE = """
+            hosts AS (
+              SELECT doc_id,
+                CASE doc_id % 8
+                  WHEN 0 THEN 'www.alpha' || doc_id || '.COM.'
+                  WHEN 1 THEN 'a.b.beta' || doc_id || '.co.uk'
+                  WHEN 2 THEN 'gamma' || doc_id || '.github.io'
+                  WHEN 3 THEN 'x.delta' || doc_id || '.ck'
+                  WHEN 4 THEN 'www.ck'
+                  WHEN 5 THEN 'Co.UK.'
+                  WHEN 6 THEN '192.168.' || (doc_id % 256) || '.'
+                              || ((doc_id * 7) % 256)
+                  ELSE 'epsilon' || doc_id || '.unknowntld'
+                END AS host
+              FROM documents),
+            n AS (
+              SELECT doc_id, host,
+                     regexp_replace(lower(host), '\\.$', '') AS h
+              FROM hosts),
+            n2 AS (
+              SELECT *, string_split(h, '.') AS labs,
+                     len(string_split(h, '.')) AS nl,
+                     regexp_matches(h,
+                       '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$')
+                       AND len(string_split(h, '.')) = 4 AS is_ip
+              FROM n),
+            rules(rule) AS (VALUES ('com'),('org'),('net'),
+              ('example'),('io'),('uk'),('co.uk'),('ac.uk'),('au'),
+              ('com.au'),('github.io'),('*.ck'),('!www.ck')),
+            r AS (
+              SELECT rule LIKE '!%' AS exc, rule LIKE '*.%' AS wild,
+                     CASE WHEN rule LIKE '!%' THEN substr(rule, 2)
+                          WHEN rule LIKE '*.%' THEN substr(rule, 3)
+                          ELSE rule END AS base
+              FROM rules),
+            r2 AS (
+              SELECT *, len(string_split(base, '.')) AS blabs
+              FROM r),
+            m AS (
+              SELECT n2.doc_id,
+                max(CASE WHEN r2.exc AND (n2.h = r2.base
+                          OR n2.h LIKE '%.' || r2.base)
+                         THEN r2.blabs - 1 END) AS exc_m,
+                max(CASE WHEN NOT r2.exc AND NOT r2.wild
+                          AND (n2.h = r2.base
+                               OR n2.h LIKE '%.' || r2.base)
+                         THEN r2.blabs
+                         WHEN r2.wild AND n2.nl >= r2.blabs + 1
+                          AND n2.h LIKE '%.' || r2.base
+                         THEN r2.blabs + 1 END) AS plain_m
+              FROM n2 CROSS JOIN r2 GROUP BY n2.doc_id),
+            sel AS (
+              SELECT n2.*, coalesce(m.exc_m,
+                     greatest(coalesce(m.plain_m, 1), 1)) AS mm
+              FROM n2 JOIN m USING (doc_id))"""
 
 
 def _domain_pagerank_oracle(iters: int = 5, k: int = 25) -> str:
@@ -5235,61 +5307,7 @@ r5 AS (
         # priority, longest-match max, wildcard label arithmetic,
         # implicit-'*' fallback, list-slice suffix assembly — rather
         # than echoing expected strings
-        "hosts_registrable": """
-            WITH hosts AS (
-              SELECT doc_id,
-                CASE doc_id % 8
-                  WHEN 0 THEN 'www.alpha' || doc_id || '.COM.'
-                  WHEN 1 THEN 'a.b.beta' || doc_id || '.co.uk'
-                  WHEN 2 THEN 'gamma' || doc_id || '.github.io'
-                  WHEN 3 THEN 'x.delta' || doc_id || '.ck'
-                  WHEN 4 THEN 'www.ck'
-                  WHEN 5 THEN 'Co.UK.'
-                  WHEN 6 THEN '192.168.' || (doc_id % 256) || '.'
-                              || ((doc_id * 7) % 256)
-                  ELSE 'epsilon' || doc_id || '.unknowntld'
-                END AS host
-              FROM documents),
-            n AS (
-              SELECT doc_id, host,
-                     regexp_replace(lower(host), '\\.$', '') AS h
-              FROM hosts),
-            n2 AS (
-              SELECT *, string_split(h, '.') AS labs,
-                     len(string_split(h, '.')) AS nl,
-                     regexp_matches(h,
-                       '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$')
-                       AND len(string_split(h, '.')) = 4 AS is_ip
-              FROM n),
-            rules(rule) AS (VALUES ('com'),('org'),('net'),
-              ('example'),('io'),('uk'),('co.uk'),('ac.uk'),('au'),
-              ('com.au'),('github.io'),('*.ck'),('!www.ck')),
-            r AS (
-              SELECT rule LIKE '!%' AS exc, rule LIKE '*.%' AS wild,
-                     CASE WHEN rule LIKE '!%' THEN substr(rule, 2)
-                          WHEN rule LIKE '*.%' THEN substr(rule, 3)
-                          ELSE rule END AS base
-              FROM rules),
-            r2 AS (
-              SELECT *, len(string_split(base, '.')) AS blabs
-              FROM r),
-            m AS (
-              SELECT n2.doc_id,
-                max(CASE WHEN r2.exc AND (n2.h = r2.base
-                          OR n2.h LIKE '%.' || r2.base)
-                         THEN r2.blabs - 1 END) AS exc_m,
-                max(CASE WHEN NOT r2.exc AND NOT r2.wild
-                          AND (n2.h = r2.base
-                               OR n2.h LIKE '%.' || r2.base)
-                         THEN r2.blabs
-                         WHEN r2.wild AND n2.nl >= r2.blabs + 1
-                          AND n2.h LIKE '%.' || r2.base
-                         THEN r2.blabs + 1 END) AS plain_m
-              FROM n2 CROSS JOIN r2 GROUP BY n2.doc_id),
-            sel AS (
-              SELECT n2.*, coalesce(m.exc_m,
-                     greatest(coalesce(m.plain_m, 1), 1)) AS mm
-              FROM n2 JOIN m USING (doc_id))
+        "hosts_registrable": "WITH" + _PSL_CTE + """
             SELECT doc_id, host,
               CASE WHEN is_ip THEN NULL
                    ELSE array_to_string(labs[nl - least(mm, nl) + 1
@@ -5574,6 +5592,34 @@ r5 AS (
               last + least(greatest(span // greatest(n_changes, 1),
                                     3600), 2592000) AS due_at_ts
             FROM g ORDER BY url
+        """,
+        # Domain quality prior: the SHARED PSL CTE (same SQL body as
+        # hosts_registrable — cannot drift) resolves each host's
+        # registrable domain (ip -> normalized host, suffix -> raw
+        # host), joined on doc_id to the SAME feature exprs as
+        # docs_quality_scores, folded with integer ratio-of-sums
+        "domain_quality_prior": "WITH" + _PSL_CTE + """,
+            dom AS (
+              SELECT doc_id,
+                CASE WHEN is_ip THEN h
+                     WHEN nl <= mm THEN host
+                     ELSE array_to_string(labs[nl - mm : nl], '.')
+                END AS domain
+              FROM sel),
+            f AS (
+              SELECT doc_id,
+                cast(len(string_split(text, ' ')) AS BIGINT)
+                  AS n_tokens,
+                cast(len(list_distinct(string_split(text, ' ')))
+                  AS BIGINT) AS n_uniq
+              FROM documents),
+            j AS (SELECT domain, n_tokens, n_uniq
+                  FROM dom JOIN f USING (doc_id))
+            SELECT domain, count(*) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+              CAST((1000000 * sum(n_uniq)) // sum(n_tokens)
+                   AS BIGINT) AS uniq_ppm
+            FROM j GROUP BY domain ORDER BY domain
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

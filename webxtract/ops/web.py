@@ -3352,3 +3352,76 @@ def urls_recrawl_schedule(sf_dir: str):
     adjacent-change count as a LAG window over (ts, hash) order and
     the same integer clamp arithmetic."""
     return recrawl_schedule(synth_capture_history(sf_dir)).sort("url")
+
+
+# --- domain quality prior ------------------------------------------------------
+# Crawl prioritization and corpus curation both score DOMAINS, not
+# pages: a registrable domain's aggregate text quality is the prior
+# a frontier uses before fetching a new url from it. Composes the
+# REAL PSL matcher (hosts -> registrable domains) with the REAL
+# per-document quality features, folded to exact integer aggregates:
+#   n_docs, sum_tokens, and uniq_ppm = 10^6 * sum_uniq // sum_tokens
+# (ratio of SUMS, not mean of ratios — the convention that keeps a
+# domain's score insensitive to how its text splits into docs, and
+# keeps the arithmetic integer-exact).
+
+
+def domain_quality_prior(sf_dir: str):
+    """ORACLED composite: (domain, n_docs, sum_tokens, uniq_ppm) per
+    registrable domain (kind != 'ok' hosts bucket under themselves).
+    Engine shape: PSL attaches map-side over the host fixture; the
+    quality features run the REAL scorer over the documents table;
+    ONE doc_id-keyed hash join lines the two |docs| streams up, then
+    per-batch partial sums make the final grouped exchange
+    |domains|-bounded."""
+    import ray.data as rd
+
+    from .relational import hash_join, partitioned_map_groups
+    from .text import quality_score_batch
+
+    hosts = registrable_domains(synth_psl_hosts(sf_dir))
+
+    def slim_host(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "domain": pc.coalesce(t.column("registrable"),
+                                  t.column("host"))})
+
+    hosts = hosts.map_batches(slim_host, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    feats = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]) \
+        .map_batches(quality_score_batch, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .map_batches(lambda t: t.select(
+            ["doc_id", "n_tokens", "n_uniq"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = hash_join(hosts, feats, on="doc_id")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by("domain").aggregate(
+            [("doc_id", "count"), ("n_tokens", "sum"),
+             ("n_uniq", "sum")]).rename_columns(
+            ["domain", "n_docs", "sum_tokens", "sum_uniq"])
+
+    def fold(p: pa.Table) -> pa.Table:
+        g = p.group_by("domain").aggregate(
+            [("n_docs", "sum"), ("n_tokens", "sum"),
+             ("n_uniq", "sum")])
+        toks = g.column("n_tokens_sum").cast(pa.int64())
+        uniq = g.column("n_uniq_sum").cast(pa.int64())
+        ppm = pc.divide(pc.multiply(
+            uniq, pa.scalar(1_000_000, pa.int64())), toks)
+        return pa.table({
+            "domain": g.column("domain"),
+            "n_docs": g.column("n_docs_sum").cast(pa.int64()),
+            "sum_tokens": toks,
+            "uniq_ppm": ppm})
+
+    part = joined.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda t: t.rename_columns(
+            ["domain", "n_docs", "n_tokens", "n_uniq"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return partitioned_map_groups(part, "domain", fold).sort("domain")

@@ -853,6 +853,16 @@ def _hosts_mirror_pairs(sf_dir: str):
     return hosts_mirror_pairs(sf_dir)
 
 
+def _pages_indexability(sf_dir: str):
+    """Indexability decision composite: union of the header channel
+    (X-Robots-Tag) and the body channel (meta robots) plus the
+    status/content-type gates; the oracle composes the shared header
+    CTE with the fixture's closed-form meta channel."""
+    from webxtract.ops.warc import pages_indexability
+
+    return pages_indexability(sf_dir)
+
+
 def _domain_quality_prior(sf_dir: str):
     """Domain quality prior composite: REAL PSL matcher x REAL
     quality features, folded to exact integer aggregates per
@@ -1420,7 +1430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     crawl_schedule / robots_sitemaps / redirect_resolution /
     hosts_registrable / urls_templates / hosts_shard_assign /
     hosts_link_farms / hosts_mirror_pairs / warc_http_fields /
-    urls_recrawl_schedule / domain_quality_prior) have
+    urls_recrawl_schedule / domain_quality_prior /
+    pages_indexability) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1803,6 +1814,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gear-hash CDC chunk table (scalar==vector equivalence gate)
         "domain_quality_prior": _domain_quality_prior,  # ORACLED
         # PSL x quality composite (integer ratio-of-sums per domain)
+        "pages_indexability": _pages_indexability,  # ORACLED
+        # header x meta noindex union + status/CT gates
     }
 
 
@@ -1891,6 +1904,52 @@ _LINK_EDGE_CTE = """
                FROM (SELECT s, t FROM o1
                      UNION ALL SELECT s, t FROM o2) u
                WHERE s <> t)"""
+
+
+# Shared HTTP-header CTE body (block strings REBUILT from doc_id +
+# the regex re-run): warc_http_fields and pages_indexability compose
+# the SAME SQL so the two oracles cannot drift
+_HTTP_HDR_CTE = """
+            d AS (SELECT doc_id AS i FROM documents),
+            hdr AS (
+              SELECT i,
+                'https://site' || (i % 50) || '.example/p/' || i
+                  AS url,
+                'HTTP/1.1 ' ||
+                CASE i % 5 WHEN 0 THEN 200 WHEN 1 THEN 301
+                           WHEN 2 THEN 404 WHEN 3 THEN 200
+                           ELSE 503 END || ' X' ||
+                chr(13) || chr(10) ||
+                CASE i % 4
+                  WHEN 0 THEN 'Content-Type: text/html; charset=UTF-8'
+                  WHEN 1 THEN 'content-type: Text/HTML;charset="ISO-8859-1"'
+                  WHEN 2 THEN 'Content-Type: application/pdf'
+                  ELSE 'Content-Type: text/plain' || chr(13) || chr(10)
+                       || 'Content-Type: text/html; charset=utf-8'
+                END ||
+                CASE WHEN i % 3 = 0
+                     THEN chr(13) || chr(10)
+                          || 'X-ROBOTS-TAG: noarchive, NOINDEX'
+                     WHEN i % 7 = 0
+                     THEN chr(13) || chr(10) || 'X-Robots-Tag: all'
+                     ELSE '' END ||
+                CASE WHEN i % 2 = 0
+                     THEN chr(13) || chr(10) || 'Last-Modified: ' ||
+                          strftime(make_timestamp(
+                            2024, 1, 1 + i % 28, i % 24,
+                            (i * 7) % 60, 0),
+                            '%a, %d %b %Y %H:%M:%S GMT')
+                     ELSE '' END ||
+                chr(13) || chr(10) || 'X-Junk;; malformed line'
+                  AS h
+              FROM d),
+            p AS (
+              SELECT i, url, h,
+                regexp_extract(h,
+                  '(?im)^content-type:[ \t]*([^\r\n]+)', 1) AS ct,
+                regexp_extract(h,
+                  '(?im)^last-modified:[ \t]*([^\r\n]+)', 1) AS lm
+              FROM hdr)"""
 
 
 # Shared PSL-matcher CTE body (fixture hosts + the full rule re-run
@@ -5494,47 +5553,7 @@ r5 AS (
         # line) and RE-RUNS the same regexes — leftmost match =
         # first-wins, charset from the SAME first CT line,
         # word-bounded noindex — plus strptime/epoch
-        "warc_http_fields": """
-            WITH d AS (SELECT doc_id AS i FROM documents),
-            hdr AS (
-              SELECT i,
-                'https://site' || (i % 50) || '.example/p/' || i
-                  AS url,
-                'HTTP/1.1 ' ||
-                CASE i % 5 WHEN 0 THEN 200 WHEN 1 THEN 301
-                           WHEN 2 THEN 404 WHEN 3 THEN 200
-                           ELSE 503 END || ' X' ||
-                chr(13) || chr(10) ||
-                CASE i % 4
-                  WHEN 0 THEN 'Content-Type: text/html; charset=UTF-8'
-                  WHEN 1 THEN 'content-type: Text/HTML;charset="ISO-8859-1"'
-                  WHEN 2 THEN 'Content-Type: application/pdf'
-                  ELSE 'Content-Type: text/plain' || chr(13) || chr(10)
-                       || 'Content-Type: text/html; charset=utf-8'
-                END ||
-                CASE WHEN i % 3 = 0
-                     THEN chr(13) || chr(10)
-                          || 'X-ROBOTS-TAG: noarchive, NOINDEX'
-                     WHEN i % 7 = 0
-                     THEN chr(13) || chr(10) || 'X-Robots-Tag: all'
-                     ELSE '' END ||
-                CASE WHEN i % 2 = 0
-                     THEN chr(13) || chr(10) || 'Last-Modified: ' ||
-                          strftime(make_timestamp(
-                            2024, 1, 1 + i % 28, i % 24,
-                            (i * 7) % 60, 0),
-                            '%a, %d %b %Y %H:%M:%S GMT')
-                     ELSE '' END ||
-                chr(13) || chr(10) || 'X-Junk;; malformed line'
-                  AS h
-              FROM d),
-            p AS (
-              SELECT url, h,
-                regexp_extract(h,
-                  '(?im)^content-type:[ \t]*([^\r\n]+)', 1) AS ct,
-                regexp_extract(h,
-                  '(?im)^last-modified:[ \t]*([^\r\n]+)', 1) AS lm
-              FROM hdr)
+        "warc_http_fields": "WITH" + _HTTP_HDR_CTE + """
             SELECT url,
               CAST(regexp_extract(h,
                    '^HTTP/\\d\\.\\d[ \t]+(\\d{3})', 1)
@@ -5620,6 +5639,30 @@ r5 AS (
               CAST((1000000 * sum(n_uniq)) // sum(n_tokens)
                    AS BIGINT) AS uniq_ppm
             FROM j GROUP BY domain ORDER BY domain
+        """,
+        # Indexability: the SHARED header CTE re-runs the header
+        # regexes; the meta-robots channel comes from the fixture's
+        # closed form (the DOM walk itself is oracled in html_meta);
+        # the decision is the exact AND of the four gates
+        "pages_indexability": "WITH" + _HTTP_HDR_CTE + """,
+            g AS (
+              SELECT i, url,
+                CAST(regexp_extract(h,
+                     '^HTTP/\\d\\.\\d[ \t]+(\\d{3})', 1)
+                     AS BIGINT) AS status,
+                lower(trim(regexp_extract(ct, '^([^;]+)', 1)))
+                  AS content_type,
+                regexp_matches(h,
+                  '(?im)^x-robots-tag:[^\r\n]*\\bnoindex\\b')
+                  AS hdr_noindex,
+                i % 6 = 1 AS meta_noindex
+              FROM p)
+            SELECT url, status, content_type, hdr_noindex,
+                   meta_noindex,
+                   status = 200 AND content_type = 'text/html'
+                   AND NOT hdr_noindex AND NOT meta_noindex
+                     AS indexable
+            FROM g ORDER BY url
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

@@ -536,7 +536,12 @@ def synth_http_warc_dir(sf_dir: str, out_dir: str,
         block = "\r\n".join(lines).encode()
         url = f"https://site{i % 50}.example/p/{i}"
         ts = f"2024-01-{1 + i % 28:02d}T00:00:00Z"
-        html = f"<html>h{i}</html>".encode()
+        # meta-robots probe for the indexability composite: the BODY
+        # channel of noindex, independent of the header channel
+        meta = ('<meta name="robots" content="NOINDEX, nofollow">'
+                if i % 6 == 1 else "")
+        html = (f"<html><head>{meta}</head>"
+                f"<body>h{i}</body></html>").encode()
         buckets[i % files].append((url, ts, html, block))
     for fi, recs in enumerate(buckets):
         raw = build_warc(recs)
@@ -554,7 +559,8 @@ def warc_http_fields(sf_dir: str):
     doc_id and RE-RUNS the same regexes (first-wins leftmost match,
     same-line charset, word-bounded noindex) + strptime/epoch."""
     out_dir = synth_http_warc_dir(
-        sf_dir, f"/tmp/webxtract_httpwarc_{sf_dir.replace('/', '_')}")
+        sf_dir,
+        f"/tmp/webxtract_httpwarc_v2_{sf_dir.replace('/', '_')}")
     ds = read_warc(out_dir, keep_http_headers=True)
 
     def project(t: pa.Table) -> pa.Table:
@@ -564,3 +570,51 @@ def warc_http_fields(sf_dir: str):
     return http_header_fields(ds).map_batches(
         project, batch_format="pyarrow",
         zero_copy_batch=True).sort("url")
+
+
+def pages_indexability(sf_dir: str):
+    """ORACLED composite: the indexability decision search engines
+    apply as a UNION of channels — a page enters the index only when
+    status == 200 AND content_type == 'text/html' AND neither the
+    HEADER channel (X-Robots-Tag: noindex — the only channel for
+    non-HTML payloads) nor the BODY channel (<meta name=robots>
+    noindex token) objects. Composes read_warc(keep_http_headers) ->
+    http_header_fields (vectorized regexes) -> the REAL DOM meta walk
+    per page; zero exchanges — every gate is map-side. The DuckDB
+    twin rebuilds the header blocks and RE-RUNS the header regexes
+    (shared CTE with warc_http_fields) and takes the meta channel
+    from the fixture's closed form."""
+    from .web import extract_page_meta
+    from ..htmldom import decode_bytes, parse_html
+
+    out_dir = synth_http_warc_dir(
+        sf_dir,
+        f"/tmp/webxtract_httpwarc_v2_{sf_dir.replace('/', '_')}")
+    ds = http_header_fields(read_warc(out_dir,
+                                      keep_http_headers=True))
+
+    def decide(t: pa.Table) -> pa.Table:
+        metas = []
+        for raw in t.column("html").to_pylist():
+            text = raw if isinstance(raw, str) else decode_bytes(raw)
+            metas.append(bool(extract_page_meta(
+                parse_html(text or ""))["noindex"]))
+        import pyarrow.compute as pc
+
+        meta_arr = pa.array(metas, pa.bool_())
+        ok = pc.and_(pc.and_(
+            pc.equal(t.column("status"), pa.scalar(200, pa.int64())),
+            pc.equal(t.column("content_type"),
+                     pa.scalar("text/html"))),
+            pc.and_(pc.invert(t.column("noindex").combine_chunks()),
+                    pc.invert(meta_arr)))
+        return pa.table({
+            "url": t.column("url"),
+            "status": t.column("status"),
+            "content_type": t.column("content_type"),
+            "hdr_noindex": t.column("noindex"),
+            "meta_noindex": meta_arr,
+            "indexable": ok})
+
+    return ds.map_batches(decide, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("url")

@@ -853,6 +853,15 @@ def _hosts_mirror_pairs(sf_dir: str):
     return hosts_mirror_pairs(sf_dir)
 
 
+def _pages_decode_text(sf_dir: str):
+    """Charset-aware payload decode composite (header charset ->
+    codec whitelist -> strict decode with pinned U+FFFD fallback);
+    the oracle emits the closed-form expected strings."""
+    from webxtract.ops.warc import pages_decode_text
+
+    return pages_decode_text(sf_dir)
+
+
 def _pages_indexability(sf_dir: str):
     """Indexability decision composite: union of the header channel
     (X-Robots-Tag) and the body channel (meta robots) plus the
@@ -1431,7 +1440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     hosts_registrable / urls_templates / hosts_shard_assign /
     hosts_link_farms / hosts_mirror_pairs / warc_http_fields /
     urls_recrawl_schedule / domain_quality_prior /
-    pages_indexability) have
+    pages_indexability / pages_decode_text) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1816,6 +1825,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PSL x quality composite (integer ratio-of-sums per domain)
         "pages_indexability": _pages_indexability,  # ORACLED
         # header x meta noindex union + status/CT gates
+        "pages_decode_text": _pages_decode_text,  # ORACLED
+        # charset-aware decode (strict + pinned U+FFFD fallback)
     }
 
 
@@ -5663,6 +5674,25 @@ r5 AS (
                    AND NOT hdr_noindex AND NOT meta_noindex
                      AS indexable
             FROM g ORDER BY url
+        """,
+        # Charset decode: closed-form expected strings per class —
+        # utf-8 multibyte round-trip, genuine latin-1 bytes, and the
+        # lying-utf-8 class surfacing chr(65533) replacement data
+        "pages_decode_text": """
+            SELECT
+              'https://site' || (doc_id % 50) || '.example/p/'
+                || doc_id AS url,
+              CASE doc_id % 3
+                WHEN 0 THEN '<html>café λ ' || doc_id || '</html>'
+                WHEN 1 THEN '<html>café ' || doc_id || '</html>'
+                ELSE '<html>caf' || chr(65533) || ' ' || doc_id
+                     || '</html>'
+              END AS text,
+              CASE doc_id % 3 WHEN 1 THEN 'latin-1' ELSE 'utf-8'
+              END AS charset_used,
+              CASE doc_id % 3 WHEN 2 THEN 'replaced' ELSE 'ok'
+              END AS decode_status
+            FROM documents ORDER BY url
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

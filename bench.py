@@ -139,6 +139,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "docs_cdc_chunks",
         "domain_quality_prior",
         "pages_indexability",
+        "pages_decode_text",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

@@ -618,3 +618,115 @@ def pages_indexability(sf_dir: str):
 
     return ds.map_batches(decide, batch_format="pyarrow",
                           zero_copy_batch=True).sort("url")
+
+
+# --- charset-aware payload decode ---------------------------------------------
+# The decode step between fetch and extraction: the header's declared
+# charset picks the codec (whitelist — web corpora are overwhelmingly
+# utf-8 + latin-1/cp1252; everything else falls back), a STRICT
+# decode proves the declaration, and failures degrade to utf-8 with
+# U+FFFD replacement AS DATA (status column), never task errors.
+# Pinned rules:
+#   * codec = alias-mapped declared charset (utf-8/utf8,
+#     iso-8859-1/latin-1/latin1, windows-1252/cp1252); unknown or
+#     missing -> utf-8
+#   * strict decode success -> status 'ok'; failure -> re-decode
+#     utf-8 errors='replace', status 'replaced'
+
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "iso-8859-1": "latin-1", "latin-1": "latin-1",
+    "latin1": "latin-1",
+    "windows-1252": "cp1252", "cp1252": "cp1252",
+}
+
+
+def decode_by_charset(ds, html_col: str = "html",
+                      charset_col: str = "charset"):
+    """Append (text, charset_used, decode_status). Per-row decode is
+    C-level bytes.decode; everything else is batch columns. Zero
+    exchanges."""
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        texts, used, status = [], [], []
+        for raw, cs in zip(t.column(html_col).to_pylist(),
+                           t.column(charset_col).to_pylist()):
+            codec = _CHARSET_ALIASES.get((cs or "").lower(), "utf-8")
+            raw = raw or b""
+            try:
+                texts.append(raw.decode(codec))
+                status.append("ok")
+            except UnicodeDecodeError:
+                texts.append(raw.decode("utf-8", "replace"))
+                status.append("replaced")
+            used.append(codec)
+        return t.append_column(
+            "text", pa.array(texts, pa.string())).append_column(
+            "charset_used", pa.array(used, pa.string())).append_column(
+            "decode_status", pa.array(status, pa.string()))
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def synth_charset_warc_dir(sf_dir: str, out_dir: str,
+                           files: int = 8) -> str:
+    """WARC fixture with per-record charsets: utf-8 multibyte,
+    genuine iso-8859-1 bytes (0xE9), and a LYING utf-8 declaration
+    over an invalid byte (0xFF) that must surface as U+FFFD
+    replacement data."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    expect = [os.path.join(out_dir, f"crawl-{i:05d}.warc")
+              for i in range(files)]
+    if all(os.path.exists(p) for p in expect):
+        return out_dir
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id"])
+    buckets: list[list] = [[] for _ in range(files)]
+    for i in t.column("doc_id").to_pylist():
+        c = i % 3
+        if c == 0:
+            body = f"<html>café λ {i}</html>".encode("utf-8")
+            decl = "UTF-8"
+        elif c == 1:
+            body = f"<html>café {i}</html>".encode("latin-1")
+            decl = "ISO-8859-1"
+        else:
+            body = b"<html>caf\xff " + str(i).encode() + b"</html>"
+            decl = "utf-8"
+        block = ("HTTP/1.1 200 OK\r\n"
+                 f"Content-Type: text/html; charset={decl}").encode()
+        url = f"https://site{i % 50}.example/p/{i}"
+        ts = f"2024-01-{1 + i % 28:02d}T00:00:00Z"
+        buckets[i % files].append((url, ts, body, block))
+    for fi, recs in enumerate(buckets):
+        raw = build_warc(recs)
+        with open(expect[fi] + ".tmp", "wb") as f:
+            f.write(raw)
+        os.replace(expect[fi] + ".tmp", expect[fi])
+    return out_dir
+
+
+def pages_decode_text(sf_dir: str):
+    """ORACLED composite: header charset extraction (shared regex
+    path) -> codec whitelist -> strict decode with pinned fallback,
+    over the charset WARC fixture. The DuckDB twin emits the
+    closed-form expected strings — including the U+FFFD replacement
+    for the lying-utf-8 class — and the codec/status columns."""
+    out_dir = synth_charset_warc_dir(
+        sf_dir,
+        f"/tmp/webxtract_charsetwarc_{sf_dir.replace('/', '_')}")
+    ds = http_header_fields(read_warc(out_dir,
+                                      keep_http_headers=True))
+    ds = decode_by_charset(ds)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["url", "text", "charset_used",
+                         "decode_status"])
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("url")

@@ -853,6 +853,16 @@ def _hosts_mirror_pairs(sf_dir: str):
     return hosts_mirror_pairs(sf_dir)
 
 
+def _warc_random_access(sf_dir: str):
+    """CDX ranged fetch of every 37th page from the GZ-member
+    fixture: one seek+read per record, proven to touch only the
+    recorded extents; the oracle rebuilds (url, n_bytes, md5) from
+    the documents text closed-form."""
+    from webxtract.ops.warc import warc_random_access
+
+    return warc_random_access(sf_dir)
+
+
 def _pages_decode_text(sf_dir: str):
     """Charset-aware payload decode composite (header charset ->
     codec whitelist -> strict decode with pinned U+FFFD fallback);
@@ -1440,7 +1450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     hosts_registrable / urls_templates / hosts_shard_assign /
     hosts_link_farms / hosts_mirror_pairs / warc_http_fields /
     urls_recrawl_schedule / domain_quality_prior /
-    pages_indexability / pages_decode_text) have
+    pages_indexability / pages_decode_text / warc_random_access) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1827,6 +1837,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # header x meta noindex union + status/CT gates
         "pages_decode_text": _pages_decode_text,  # ORACLED
         # charset-aware decode (strict + pinned U+FFFD fallback)
+        "warc_random_access": _warc_random_access,  # ORACLED
+        # CDX ranged fetch (gz member extents, seek+read only)
     }
 
 
@@ -5693,6 +5705,21 @@ r5 AS (
               CASE doc_id % 3 WHEN 2 THEN 'replaced' ELSE 'ok'
               END AS decode_status
             FROM documents ORDER BY url
+        """,
+        # CDX ranged fetch: the fetched payloads reduce to
+        # (url, octet length, md5) which DuckDB rebuilds closed-form
+        # from the documents text + the fixture's html wrapper — a
+        # hash match certifies the index offsets, the ranged reads,
+        # the member gunzip and the record re-parse end to end
+        "warc_random_access": """
+            SELECT
+              'https://site' || (doc_id % 50) || '.example/p/'
+                || doc_id AS url,
+              CAST(strlen('<html><body><p>' || text
+                || '</p></body></html>') AS BIGINT) AS n_bytes,
+              md5('<html><body><p>' || text
+                || '</p></body></html>') AS md5
+            FROM documents WHERE doc_id % 37 = 0 ORDER BY url
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

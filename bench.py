@@ -140,6 +140,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "domain_quality_prior",
         "pages_indexability",
         "pages_decode_text",
+        "warc_random_access",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

@@ -356,24 +356,46 @@ def cdx_records(raw: bytes) -> list[tuple[int, int, dict]]:
     return out
 
 
+def _list_warc_files(paths) -> list[str]:
+    """Expand a file/dir/list into sorted .warc/.warc.gz paths."""
+    import os
+
+    out = []
+    for p in ([paths] if isinstance(paths, str) else list(paths)):
+        if os.path.isdir(p):
+            out.extend(os.path.join(p, f) for f in os.listdir(p)
+                       if f.endswith((".warc", ".warc.gz")))
+        else:
+            out.append(p)
+    return sorted(out)
+
+
 def build_cdx(paths):
     """paths (file/dir of .warc/.warc.gz) -> Dataset of CDX rows
     (surt, cdx_ts, url, file, roffset, rlength, http_status, digest).
     One read task per file, rows expand in-batch — zero exchanges;
     the 100 TB shape is 'index shards sorted per file range', with the
-    global sort an explicit final step (warc_cdx does it)."""
+    global sort an explicit final step (warc_cdx does it).
+
+    Reads RAW bytes with its own open() per file, NOT
+    read_binary_files: Ray auto-decompresses '.gz' by extension
+    (pa.Codec.detect on the path), which would silently turn the gz
+    member extents into decompressed-space offsets — useless for
+    ranged reads against the on-disk file. Pinned by
+    test_cdx_gz_offsets_are_on_disk_extents."""
     import hashlib
     import os
 
     import ray.data as rd
 
-    ds = rd.read_binary_files(paths, include_paths=True)
+    ds = rd.from_items(_list_warc_files(paths))
 
     def expand(t: pa.Table) -> pa.Table:
         surts, tss, urls, files_, offs, lens, stats, digs = \
             [], [], [], [], [], [], [], []
-        for path, raw in zip(t.column("path").to_pylist(),
-                             t.column("bytes").to_pylist()):
+        for path in t.column("item").to_pylist():
+            with open(path, "rb") as fh:
+                raw = fh.read()
             fname = os.path.basename(path)
             for off, ln, rec in cdx_records(raw):
                 surts.append(surt_key(rec["url"]))
@@ -730,3 +752,94 @@ def pages_decode_text(sf_dir: str):
 
     return ds.map_batches(project, batch_format="pyarrow",
                           zero_copy_batch=True).sort("url")
+
+
+# --- CDX ranged fetch (random access) ------------------------------------------
+# The read path the CDX index exists for: fetching k pages from a
+# 100 TB crawl costs k ranged reads (+ k member gunzips on .warc.gz),
+# not a scan. cdx_fetch takes ALREADY-FILTERED index rows, groups
+# them per file with ONE bounded exchange, and each file task
+# seeks/reads ONLY the recorded extents — proven by the test that
+# corrupts every byte outside the extents and still round-trips.
+
+
+def cdx_fetch(index, warc_dir: str):
+    """CDX rows (url, file, roffset, rlength) -> (url, html) via
+    ranged reads. Extents parse standalone by construction (plain
+    extents are whole records incl. trailing CRLFCRLF; gz extents are
+    whole gzip members), so parse_warc handles both layouts."""
+    import os
+
+    from .relational import partitioned_map_groups
+
+    def slim(t: pa.Table) -> pa.Table:
+        return t.select(["url", "file", "roffset", "rlength"])
+
+    slimmed = index.map_batches(slim, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def fetch(p: pa.Table) -> pa.Table:
+        urls_out, htmls = [], []
+        rows = sorted(zip(p.column("file").to_pylist(),
+                          p.column("roffset").to_pylist(),
+                          p.column("rlength").to_pylist(),
+                          p.column("url").to_pylist()))
+        fh, fname = None, None
+        try:
+            for f, off, ln, url in rows:
+                if f != fname:
+                    if fh:
+                        fh.close()
+                    fh = open(os.path.join(warc_dir, f), "rb")
+                    fname = f
+                fh.seek(off)
+                blob = fh.read(ln)
+                for rec in parse_warc(blob):
+                    if rec["url"] == url:
+                        urls_out.append(url)
+                        htmls.append(rec["html"])
+        finally:
+            if fh:
+                fh.close()
+        return pa.table({"url": pa.array(urls_out, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    return partitioned_map_groups(slimmed, "file", fetch)
+
+
+def warc_random_access(sf_dir: str):
+    """ORACLED query surface: ranged fetch of every 37th document's
+    page from the GZ-member fixture (the compressed layout — the
+    plain layout's extents are already SQL-oracled in warc_cdx),
+    reduced to (url, n_bytes, md5). The DuckDB twin rebuilds the html
+    string from the documents text closed-form and recomputes both."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    out_dir = synth_warc_dir(
+        sf_dir, f"/tmp/webxtract_warc_gz_{sf_dir.replace('/', '_')}",
+        gzip_members=True)
+    idx = build_cdx(out_dir)
+
+    def want(t: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.struct_field(pc.extract_regex(
+            t.column("url"), r"/p/(?P<id>\d+)$"), "id"),
+            pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return t.filter(pa.array(ids % 37 == 0))
+
+    wanted = idx.map_batches(want, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def project(t: pa.Table) -> pa.Table:
+        htmls = t.column("html").to_pylist()
+        return pa.table({
+            "url": t.column("url"),
+            "n_bytes": pa.array([len(h) for h in htmls], pa.int64()),
+            "md5": pa.array([hashlib.md5(h).hexdigest()
+                             for h in htmls], pa.string())})
+
+    return cdx_fetch(wanted, out_dir).map_batches(
+        project, batch_format="pyarrow",
+        zero_copy_batch=True).sort("url")

@@ -853,6 +853,15 @@ def _hosts_mirror_pairs(sf_dir: str):
     return hosts_mirror_pairs(sf_dir)
 
 
+def _warc_incremental_stats(sf_dir: str):
+    """WARC revisit-record storage accounting: unchanged pages write
+    digest-only revisit records; the oracle rebuilds every response
+    payload from the serialization grammar."""
+    from webxtract.ops.warc import warc_incremental_stats
+
+    return warc_incremental_stats(sf_dir)
+
+
 def _warc_random_access(sf_dir: str):
     """CDX ranged fetch of every 37th page from the GZ-member
     fixture: one seek+read per record, proven to touch only the
@@ -1450,7 +1459,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     hosts_registrable / urls_templates / hosts_shard_assign /
     hosts_link_farms / hosts_mirror_pairs / warc_http_fields /
     urls_recrawl_schedule / domain_quality_prior /
-    pages_indexability / pages_decode_text / warc_random_access) have
+    pages_indexability / pages_decode_text / warc_random_access /
+    warc_incremental_stats) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1839,6 +1849,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # charset-aware decode (strict + pinned U+FFFD fallback)
         "warc_random_access": _warc_random_access,  # ORACLED
         # CDX ranged fetch (gz member extents, seek+read only)
+        "warc_incremental_stats": _warc_incremental_stats,  # ORACLED
+        # revisit-record snapshot dedup accounting
     }
 
 
@@ -5720,6 +5732,43 @@ r5 AS (
               md5('<html><body><p>' || text
                 || '</p></body></html>') AS md5
             FROM documents WHERE doc_id % 37 = 0 ORDER BY url
+        """,
+        # Revisit accounting: response payload lengths REBUILT from
+        # the serialization grammar itself (header string + the
+        # Content-Length digit width + the body, via strlen of the
+        # reconstructed payload string); revisit payloads are zero by
+        # spec; warcinfo = one constant record per file bucket
+        "warc_incremental_stats": """
+            WITH resp AS (
+              SELECT '<html><body><p>' || text
+                     || ' v2</p></body></html>' AS html
+              FROM documents WHERE doc_id % 4 = 0),
+            rp AS (
+              SELECT strlen('HTTP/1.1 200 OK' || chr(13) || chr(10)
+                || 'Content-Type: text/html; charset=utf-8'
+                || chr(13) || chr(10)
+                || 'Content-Length: ' || strlen(html)
+                || chr(13) || chr(10) || chr(13) || chr(10))
+                + strlen(html) AS pb
+              FROM resp)
+            SELECT * FROM (
+              SELECT 'response' AS warc_type,
+                (SELECT count(*) FROM resp) AS n_records,
+                (SELECT CAST(sum(pb) AS BIGINT) FROM rp)
+                  AS payload_bytes
+              UNION ALL
+              SELECT 'revisit',
+                (SELECT count(*) FROM documents
+                 WHERE doc_id % 4 <> 0),
+                CAST(0 AS BIGINT)
+              UNION ALL
+              SELECT 'warcinfo',
+                (SELECT count(DISTINCT doc_id % 8) FROM documents),
+                (SELECT count(DISTINCT doc_id % 8)
+                   * strlen('software: webxtract-synth'
+                            || chr(13) || chr(10))
+                 FROM documents))
+            ORDER BY warc_type
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

@@ -141,6 +141,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "pages_indexability",
         "pages_decode_text",
         "warc_random_access",
+        "warc_incremental_stats",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

@@ -151,6 +151,14 @@ def read_warc(paths, pages_schema: bool = False,
     return ds.map_batches(expand, batch_format="pyarrow", batch_size=4)
 
 
+def _warc_record(wtype: str, headers: list[tuple[str, str]],
+                 payload: bytes) -> bytes:
+    head = [b"WARC/1.0"]
+    head += [f"{k}: {v}".encode() for k, v in headers]
+    head.append(f"Content-Length: {len(payload)}".encode())
+    return b"\r\n".join(head) + _CRLF2 + payload + _CRLF2
+
+
 def build_warc(records, gzip_members: bool = False) -> bytes:
     """Serialize (url, ts, html_bytes) triples into WARC/1.0 bytes —
     a warcinfo record first (parsers must skip it), then one response
@@ -160,14 +168,7 @@ def build_warc(records, gzip_members: bool = False) -> bytes:
     line + header lines (no trailing CRLF); Content-Length and the
     body are appended the same way as the default block."""
     out = []
-
-    def record(wtype: str, headers: list[tuple[str, str]],
-               payload: bytes) -> bytes:
-        head = [b"WARC/1.0"]
-        head += [f"{k}: {v}".encode() for k, v in headers]
-        head.append(f"Content-Length: {len(payload)}".encode())
-        return b"\r\n".join(head) + _CRLF2 + payload + _CRLF2
-
+    record = _warc_record
     info = b"software: webxtract-synth\r\n"
     out.append(record("warcinfo", [
         ("WARC-Type", "warcinfo"),
@@ -843,3 +844,162 @@ def warc_random_access(sf_dir: str):
     return cdx_fetch(wanted, out_dir).map_batches(
         project, batch_format="pyarrow",
         zero_copy_batch=True).sort("url")
+
+
+# --- WARC revisit records (incremental snapshot dedup) -------------------------
+# The spec's storage-dedup mechanism (WARC/1.1 §6.7.2 'revisit'):
+# when a recrawled page's payload digest matches the PRIOR snapshot,
+# the new snapshot stores a tiny revisit record — WARC-Payload-Digest
+# + WARC-Refers-To-Target-URI, EMPTY payload — instead of the bytes.
+# Text pipelines are unaffected by construction: parse_warc selects
+# records by type, so revisit rows never masquerade as pages.
+# At 100 TB the prior digests come from the previous snapshot's CDX
+# (url -> digest), attached by hash join or broadcast; the fixture
+# computes them closed-form in the writer task.
+
+
+def build_incremental_warc(records, prior_digest) -> bytes:
+    """(url, ts, html) records + prior_digest(url) -> md5-hex-or-None
+    -> WARC bytes where unchanged payloads serialize as revisit
+    records. Deterministic like build_warc."""
+    import hashlib
+
+    out = [_warc_record("warcinfo", [
+        ("WARC-Type", "warcinfo"),
+        ("WARC-Record-ID", "<urn:webxtract:warcinfo>"),
+        ("Content-Type", "application/warc-fields"),
+    ], b"software: webxtract-synth\r\n")]
+    for url, ts, html in records:
+        digest = hashlib.md5(html).hexdigest()
+        if prior_digest(url) == digest:
+            out.append(_warc_record("revisit", [
+                ("WARC-Type", "revisit"),
+                ("WARC-Target-URI", url),
+                ("WARC-Date", ts),
+                ("WARC-Record-ID", f"<urn:webxtract:{url}:r>"),
+                ("WARC-Payload-Digest", f"md5:{digest}"),
+                ("WARC-Refers-To-Target-URI", url),
+            ], b""))
+        else:
+            http = (b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/html; charset=utf-8\r\n"
+                    + f"Content-Length: {len(html)}".encode()
+                    + _CRLF2 + html)
+            out.append(_warc_record("response", [
+                ("WARC-Type", "response"),
+                ("WARC-Target-URI", url),
+                ("WARC-Date", ts),
+                ("WARC-Record-ID", f"<urn:webxtract:{url}>"),
+                ("Content-Type",
+                 "application/http; msgtype=response"),
+            ], http))
+    return b"".join(out)
+
+
+def warc_type_stats(paths):
+    """paths -> (warc_type, n_records, payload_bytes) — the storage
+    accounting that makes revisit savings visible. Same framing walk
+    as the CDX (Content-Length only, complete-prefix on truncation);
+    per-file partials fold through one |types|-bounded groupby."""
+    import ray.data as rd
+
+    ds = rd.from_items(_list_warc_files(paths))
+
+    def scan(t: pa.Table) -> pa.Table:
+        types, ns, bs = [], [], []
+        for path in t.column("item").to_pylist():
+            with open(path, "rb") as fh:
+                raw = _gunzip_members(fh.read())
+            counts: dict[str, list[int]] = {}
+            pos, n = 0, len(raw)
+            while pos < n:
+                while raw.startswith(b"\r\n", pos):
+                    pos += 2
+                if not raw.startswith(b"WARC/", pos):
+                    break
+                hdr_end = raw.find(_CRLF2, pos)
+                if hdr_end < 0:
+                    break
+                head = raw[pos:hdr_end].decode("utf-8", "replace")
+                wtype, clen = "", None
+                for line in head.split("\r\n")[1:]:
+                    k, _, v = line.partition(":")
+                    k = k.strip().lower()
+                    if k == "warc-type":
+                        wtype = v.strip()
+                    elif k == "content-length":
+                        try:
+                            clen = int(v.strip())
+                        except ValueError:
+                            clen = None
+                if clen is None or hdr_end + 4 + clen > n:
+                    break
+                c = counts.setdefault(wtype, [0, 0])
+                c[0] += 1
+                c[1] += clen
+                pos = hdr_end + 4 + clen
+            for wtype, (cnt, byt) in counts.items():
+                types.append(wtype)
+                ns.append(cnt)
+                bs.append(byt)
+        return pa.table({
+            "warc_type": pa.array(types, pa.string()),
+            "n_records": pa.array(ns, pa.int64()),
+            "payload_bytes": pa.array(bs, pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.group_by("warc_type").aggregate(
+            [("n_records", "sum"), ("payload_bytes", "sum")])
+        return pa.table({
+            "warc_type": g.column("warc_type"),
+            "n_records": g.column("n_records_sum").cast(pa.int64()),
+            "payload_bytes":
+                g.column("payload_bytes_sum").cast(pa.int64())})
+
+    from .relational import partitioned_map_groups
+
+    return partitioned_map_groups(
+        ds.map_batches(scan, batch_format="pyarrow"),
+        "warc_type", fold)
+
+
+def warc_incremental_stats(sf_dir: str):
+    """ORACLED query surface: snapshot-2 storage accounting — pages
+    with doc_id % 4 == 0 changed (payload re-stored as response),
+    everyone else unchanged (revisit, zero payload). The DuckDB twin
+    rebuilds every payload length from the serialization grammar
+    (header strlens + Content-Length digit widths) and the revisit /
+    warcinfo constants."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out_dir = (f"/tmp/webxtract_warc_incr_"
+               f"{sf_dir.replace('/', '_')}")
+    os.makedirs(out_dir, exist_ok=True)
+    files = 8
+    expect = [os.path.join(out_dir, f"crawl-{i:05d}.warc")
+              for i in range(files)]
+    if not all(os.path.exists(p) for p in expect):
+        import hashlib
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+        buckets: list[list] = [[] for _ in range(files)]
+        prior: dict[str, str] = {}
+        for i, text in zip(t.column("doc_id").to_pylist(),
+                           t.column("text").to_pylist()):
+            url = f"https://site{i % 50}.example/p/{i}"
+            v1 = (f"<html><body><p>{text}</p></body>"
+                  "</html>").encode()
+            prior[url] = hashlib.md5(v1).hexdigest()
+            v2 = (f"<html><body><p>{text} v2</p></body>"
+                  "</html>").encode() if i % 4 == 0 else v1
+            buckets[i % files].append(
+                (url, f"2024-02-{1 + i % 28:02d}T00:00:00Z", v2))
+        for fi, recs in enumerate(buckets):
+            raw = build_incremental_warc(recs, prior.get)
+            with open(expect[fi] + ".tmp", "wb") as f:
+                f.write(raw)
+            os.replace(expect[fi] + ".tmp", expect[fi])
+    return warc_type_stats(out_dir).sort("warc_type")

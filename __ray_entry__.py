@@ -853,6 +853,15 @@ def _hosts_mirror_pairs(sf_dir: str):
     return hosts_mirror_pairs(sf_dir)
 
 
+def _domain_crawl_quota(sf_dir: str):
+    """Hamilton apportionment of a fetch budget over domain quality
+    weights (PSL -> quality -> prior -> quota); the oracle recomputes
+    base/remainder with window SUMs and ROW_NUMBER ranking."""
+    from webxtract.ops.web import domain_crawl_quota
+
+    return domain_crawl_quota(sf_dir)
+
+
 def _warc_incremental_stats(sf_dir: str):
     """WARC revisit-record storage accounting: unchanged pages write
     digest-only revisit records; the oracle rebuilds every response
@@ -1460,7 +1469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     hosts_link_farms / hosts_mirror_pairs / warc_http_fields /
     urls_recrawl_schedule / domain_quality_prior /
     pages_indexability / pages_decode_text / warc_random_access /
-    warc_incremental_stats) have
+    warc_incremental_stats / domain_crawl_quota) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1851,6 +1860,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDX ranged fetch (gz member extents, seek+read only)
         "warc_incremental_stats": _warc_incremental_stats,  # ORACLED
         # revisit-record snapshot dedup accounting
+        "domain_crawl_quota": _domain_crawl_quota,  # ORACLED
+        # Hamilton apportionment (sum(quota) == budget exactly)
     }
 
 
@@ -5769,6 +5780,41 @@ r5 AS (
                             || chr(13) || chr(10))
                  FROM documents))
             ORDER BY warc_type
+        """,
+        # Crawl-budget apportionment: the SHARED PSL CTE + the same
+        # feature exprs rebuild the weights, then base/remainder via
+        # window SUM and the leftover ranking via ROW_NUMBER over
+        # (rem DESC, domain) — all integer, sum(quota) == budget
+        "domain_crawl_quota": "WITH" + _PSL_CTE + """,
+            dom AS (
+              SELECT doc_id,
+                CASE WHEN is_ip THEN h
+                     WHEN nl <= mm THEN host
+                     ELSE array_to_string(labs[nl - mm : nl], '.')
+                END AS domain
+              FROM sel),
+            f AS (
+              SELECT doc_id,
+                cast(len(string_split(text, ' ')) AS BIGINT)
+                  AS n_tokens
+              FROM documents),
+            q AS (
+              SELECT domain, CAST(sum(n_tokens) AS BIGINT) AS weight
+              FROM dom JOIN f USING (doc_id) GROUP BY domain),
+            rr AS (
+              SELECT domain, weight,
+                (100000 * weight) // W AS base,
+                (100000 * weight) % W AS rem
+              FROM (SELECT *, SUM(weight) OVER () AS W FROM q)),
+            fin AS (
+              SELECT *,
+                100000 - SUM(base) OVER () AS leftover,
+                ROW_NUMBER() OVER (ORDER BY rem DESC, domain) AS rn
+              FROM rr)
+            SELECT domain, weight,
+              CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END
+                   AS BIGINT) AS quota
+            FROM fin ORDER BY domain
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

@@ -142,6 +142,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "pages_decode_text",
         "warc_random_access",
         "warc_incremental_stats",
+        "domain_crawl_quota",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

@@ -3425,3 +3425,77 @@ def domain_quality_prior(sf_dir: str):
             ["domain", "n_docs", "n_tokens", "n_uniq"]),
             batch_format="pyarrow", zero_copy_batch=True)
     return partitioned_map_groups(part, "domain", fold).sort("domain")
+
+
+# --- crawl budget apportionment ------------------------------------------------
+# Dividing a global fetch budget across registrable domains by
+# integer weights is an APPORTIONMENT problem; the largest-remainder
+# (Hamilton) method is the standard exact answer: every domain gets
+# floor(B * w / W), and the B - sum(floors) leftover slots go to the
+# largest remainders (ties to the lexicographically smallest domain).
+# Exact integer arithmetic end to end — sum(quota) == budget ALWAYS,
+# the invariant proportional-rounding schemes break.
+
+
+def crawl_quota(weights, budget: int, domain_col: str = "domain",
+                weight_col: str = "weight"):
+    """(domain, weight) Dataset -> (domain, weight, quota). Engine
+    shape: W and leftover are two scalar aggregates (8 bytes each to
+    the driver); base/remainder attach map-side with W broadcast; the
+    leftover ranking is ONE total-order sort via global_row_number
+    (blocks never leave the object store). Raises on int64 overflow
+    risk (budget * max_weight)."""
+    from .relational import global_row_number
+
+    total = weights.sum(weight_col)
+    if total is None or total <= 0:
+        raise ValueError("total weight must be positive")
+    wmax = weights.max(weight_col)
+    if budget * wmax >= (1 << 62):
+        raise ValueError(
+            f"budget * max weight {budget * wmax} risks int64 "
+            "overflow; rescale weights")
+
+    def attach(t: pa.Table) -> pa.Table:
+        w = t.column(weight_col).cast(pa.int64())
+        prod = pc.multiply(w, pa.scalar(budget, pa.int64()))
+        base = pc.divide(prod, pa.scalar(total, pa.int64()))
+        rem = pc.subtract(prod, pc.multiply(
+            base, pa.scalar(total, pa.int64())))
+        return pa.table({
+            "domain": t.column(domain_col),
+            "weight": w, "_base": base, "_rem": rem})
+
+    tagged = weights.map_batches(attach, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    leftover = budget - tagged.sum("_base")
+    ranked = global_row_number(tagged, ["_rem", "domain"],
+                               descending=[True, False])
+
+    def finish(t: pa.Table) -> pa.Table:
+        extra = pc.less_equal(t.column("rn"),
+                              pa.scalar(leftover, pa.int64()))
+        return pa.table({
+            "domain": t.column("domain"),
+            "weight": t.column("weight"),
+            "quota": pc.add(t.column("_base"),
+                            pc.cast(extra, pa.int64()))})
+
+    return ranked.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def domain_crawl_quota(sf_dir: str, budget: int = 100_000):
+    """ORACLED composite: Hamilton apportionment of a fetch budget
+    over the domain quality prior's token weights (three real
+    pipelines deep: PSL -> quality features -> prior -> quota). The
+    DuckDB twin recomputes base/remainder with window SUMs and the
+    leftover ranking with ROW_NUMBER over (rem DESC, domain)."""
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table({"domain": t.column("domain"),
+                         "weight": t.column("sum_tokens")})
+
+    w = domain_quality_prior(sf_dir).map_batches(
+        slim, batch_format="pyarrow", zero_copy_batch=True)
+    return crawl_quota(w, budget).sort("domain")

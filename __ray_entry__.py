@@ -853,6 +853,15 @@ def _hosts_mirror_pairs(sf_dir: str):
     return hosts_mirror_pairs(sf_dir)
 
 
+def _docs_translation_pairs(sf_dir: str):
+    """Translation-pair mining from hreflang clusters (bitext prep);
+    the oracle rebuilds the alternate table closed-form and pairs
+    with a lang-ordered self-join."""
+    from webxtract.ops.web import docs_translation_pairs
+
+    return docs_translation_pairs(sf_dir)
+
+
 def _domain_crawl_quota(sf_dir: str):
     """Hamilton apportionment of a fetch budget over domain quality
     weights (PSL -> quality -> prior -> quota); the oracle recomputes
@@ -1469,7 +1478,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     hosts_link_farms / hosts_mirror_pairs / warc_http_fields /
     urls_recrawl_schedule / domain_quality_prior /
     pages_indexability / pages_decode_text / warc_random_access /
-    warc_incremental_stats / domain_crawl_quota) have
+    warc_incremental_stats / domain_crawl_quota /
+    docs_translation_pairs) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1862,6 +1872,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # revisit-record snapshot dedup accounting
         "domain_crawl_quota": _domain_crawl_quota,  # ORACLED
         # Hamilton apportionment (sum(quota) == budget exactly)
+        "docs_translation_pairs": _docs_translation_pairs,  # ORACLED
+        # hreflang translation-pair mining (bitext prep)
     }
 
 
@@ -5815,6 +5827,27 @@ r5 AS (
               CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END
                    AS BIGINT) AS quota
             FROM fin ORDER BY domain
+        """,
+        # Translation pairs: the closed-form alternate table (the
+        # html_alternates fixture's hreflang rows; the meta-refresh
+        # row must NOT pair) self-joined with lang_a < lang_b
+        "docs_translation_pairs": """
+            WITH a AS (
+              SELECT doc_id,
+                CASE k WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                       ELSE 'fr' END AS lang,
+                'https://site' || (doc_id % 50) || '.example/'
+                  || CASE k WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                            ELSE 'fr' END
+                  || '/p/' || doc_id AS href
+              FROM (SELECT doc_id,
+                           unnest(range(0, 1 + doc_id % 3)) AS k
+                    FROM documents))
+            SELECT x.doc_id, x.lang AS lang_a, x.href AS url_a,
+                   y.lang AS lang_b, y.href AS url_b
+            FROM a x JOIN a y
+              ON x.doc_id = y.doc_id AND x.lang < y.lang
+            ORDER BY x.doc_id, lang_a, lang_b
         """,
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle

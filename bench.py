@@ -143,6 +143,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "warc_random_access",
         "warc_incremental_stats",
         "domain_crawl_quota",
+        "docs_translation_pairs",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

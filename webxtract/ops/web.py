@@ -3499,3 +3499,97 @@ def domain_crawl_quota(sf_dir: str, budget: int = 100_000):
     w = domain_quality_prior(sf_dir).map_batches(
         slim, batch_format="pyarrow", zero_copy_batch=True)
     return crawl_quota(w, budget).sort("domain")
+
+
+# --- translation-pair mining (bitext prep) ------------------------------------
+# hreflang clusters are the highest-precision signal for parallel
+# text on the web: a page listing alternates for k languages asserts
+# k mutually-translated urls. Pair mining turns each page's alternate
+# set into unordered (lang_a, url_a, lang_b, url_b) candidates — the
+# input every bitext pipeline (ParaCrawl/CCMatrix-style) starts from
+# before alignment scoring.
+
+
+def translation_pairs(alts, id_col: str = "doc_id"):
+    """Alternate rows (doc_id, kind, lang, href) -> one row per
+    unordered language pair per page, lang_a < lang_b. Engine shape:
+    hreflang rows filter map-side, ONE doc-keyed exchange, then a
+    vectorized per-partition pass (sort + run detection; pair loops
+    bounded by a page's alternate count). Pair volume is
+    C(k,2)-bounded per page — k is the page's language count, single
+    digits in practice."""
+    from .relational import partitioned_map_groups
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("kind"), pa.scalar("alternate"))
+        return t.filter(m).select([id_col, "lang", "href"])
+
+    slim = alts.map_batches(keep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def fold(p: pa.Table) -> pa.Table:
+        ids = np.asarray(p.column(id_col).to_pylist(), dtype=np.int64)
+        langs = np.asarray(p.column("lang").to_pylist(), dtype=object)
+        hrefs = np.asarray(p.column("href").to_pylist(), dtype=object)
+        order = np.lexsort((langs.astype(str), ids))
+        ids, langs, hrefs = ids[order], langs[order], hrefs[order]
+        o_id, o_la, o_ua, o_lb, o_ub = [], [], [], [], []
+        i, n = 0, len(ids)
+        while i < n:
+            j = i
+            while j < n and ids[j] == ids[i]:
+                j += 1
+            for x in range(i, j):
+                for y in range(x + 1, j):
+                    if langs[x] == langs[y]:
+                        continue  # duplicate-language rows pair not
+                    o_id.append(ids[x])
+                    o_la.append(langs[x])
+                    o_ua.append(hrefs[x])
+                    o_lb.append(langs[y])
+                    o_ub.append(hrefs[y])
+            i = j
+        return pa.table({
+            "doc_id": pa.array(o_id, pa.int64()),
+            "lang_a": pa.array(o_la, pa.string()),
+            "url_a": pa.array(o_ua, pa.string()),
+            "lang_b": pa.array(o_lb, pa.string()),
+            "url_b": pa.array(o_ub, pa.string())})
+
+    return partitioned_map_groups(slim, id_col, fold)
+
+
+def docs_translation_pairs(sf_dir: str):
+    """ORACLED query surface: translation-pair mining over the SAME
+    page fixture html_alternates parses (uppercase hreflang tags, a
+    meta-refresh that must NOT pair), through the REAL DOM alternate
+    walk. The DuckDB twin rebuilds the alternate table closed-form
+    and generates pairs with a lang-ordered self-join."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    langs = ["en", "de", "fr"]
+
+    def render(batch: pa.Table) -> pa.Table:
+        out_i, out_h = [], []
+        for i in batch.column("doc_id").to_pylist():
+            h = i % 50
+            links = "".join(
+                f'<link rel="Alternate" hreflang="{langs[k].upper()}"'
+                f' href="https://site{h}.example/{langs[k]}/p/{i}">'
+                for k in range(1 + i % 3))
+            if i % 11 == 7:
+                links += ('<meta http-equiv="Refresh" content='
+                          f'"5; URL=\'https://site{h}.example/new/'
+                          f"{i}'\">")
+            out_i.append(i)
+            out_h.append(f"<html><head>{links}</head><body>doc {i}"
+                         "</body></html>".encode())
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "html": pa.array(out_h, pa.binary())})
+
+    pages = ids.map_batches(render, batch_format="pyarrow",
+                            batch_size=512)
+    return translation_pairs(extract_html_alternates(pages)).sort(
+        ["doc_id", "lang_a", "lang_b"])

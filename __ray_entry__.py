@@ -853,6 +853,14 @@ def _hosts_mirror_pairs(sf_dir: str):
     return hosts_mirror_pairs(sf_dir)
 
 
+def _warc_cluster_idx(sf_dir: str):
+    """Two-level CDX (cluster.idx): every Nth row of the sorted
+    index; the oracle composes the shared CDX CTE + ROW_NUMBER."""
+    from webxtract.ops.warc import warc_cluster_idx
+
+    return warc_cluster_idx(sf_dir)
+
+
 def _docs_translation_pairs(sf_dir: str):
     """Translation-pair mining from hreflang clusters (bitext prep);
     the oracle rebuilds the alternate table closed-form and pairs
@@ -1479,7 +1487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     urls_recrawl_schedule / domain_quality_prior /
     pages_indexability / pages_decode_text / warc_random_access /
     warc_incremental_stats / domain_crawl_quota /
-    docs_translation_pairs) have
+    docs_translation_pairs / warc_cluster_idx) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1874,6 +1882,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Hamilton apportionment (sum(quota) == budget exactly)
         "docs_translation_pairs": _docs_translation_pairs,  # ORACLED
         # hreflang translation-pair mining (bitext prep)
+        "warc_cluster_idx": _warc_cluster_idx,  # ORACLED
+        # two-level CDX block leaders (shared CDX CTE + ROW_NUMBER)
     }
 
 
@@ -1962,6 +1972,71 @@ _LINK_EDGE_CTE = """
                FROM (SELECT s, t FROM o1
                      UNION ALL SELECT s, t FROM o2) u
                WHERE s <> t)"""
+
+
+# Shared CDX CTE body (the plain-fixture capture index rebuilt from
+# the serialization grammar — per-line strlens, Content-Length digit
+# widths, per-file window-sum offsets — ending in the `cdx`
+# projection): warc_cdx and warc_cluster_idx compose the SAME SQL
+_CDX_CTE = """
+            d AS (
+              SELECT doc_id AS i,
+                     '<html><body><p>' || text
+                         || '</p></body></html>' AS html,
+                     'https://site' || (doc_id % 50) || '.example/p/'
+                         || doc_id AS url,
+                     '2024-01-' || lpad(CAST(1 + doc_id % 28
+                         AS VARCHAR), 2, '0') || 'T00:00:00Z' AS ts,
+                     doc_id % 8 AS fi
+              FROM documents),
+            p AS (
+              SELECT *,
+                   strlen('HTTP/1.1 200 OK') + 2
+                 + strlen('Content-Type: text/html; charset=utf-8')
+                 + 2
+                 + strlen('Content-Length: ')
+                 + strlen(CAST(strlen(html) AS VARCHAR)) + 4
+                 + strlen(html) AS plen
+              FROM d),
+            r AS (
+              SELECT *,
+                   strlen('WARC/1.0') + 2
+                 + strlen('WARC-Type: response') + 2
+                 + strlen('WARC-Target-URI: ') + strlen(url) + 2
+                 + strlen('WARC-Date: ') + strlen(ts) + 2
+                 + strlen('WARC-Record-ID: <urn:webxtract:')
+                 + strlen(url) + 1 + 2
+                 + strlen('Content-Type: '
+                          || 'application/http; msgtype=response') + 2
+                 + strlen('Content-Length: ')
+                 + strlen(CAST(plen AS VARCHAR))
+                 + 4 + plen + 4 AS rlength
+              FROM p),
+            o AS (
+              SELECT *,
+                   (strlen('WARC/1.0') + 2
+                  + strlen('WARC-Type: warcinfo') + 2
+                  + strlen('WARC-Record-ID: <urn:webxtract:warcinfo>')
+                  + 2
+                  + strlen('Content-Type: application/warc-fields')
+                  + 2
+                  + strlen('Content-Length: 27') + 4 + 27 + 4)
+                  + COALESCE(sum(rlength) OVER (PARTITION BY fi
+                        ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS roffset
+              FROM r),
+            cdx AS (
+              SELECT 'example,site' || (i % 50) || ')/p/' || i
+                         AS surt,
+                     '202401' || lpad(CAST(1 + i % 28 AS VARCHAR), 2,
+                         '0') || '000000' AS cdx_ts,
+                     url,
+                     'crawl-0000' || fi || '.warc' AS file,
+                     CAST(roffset AS BIGINT) AS roffset,
+                     CAST(rlength AS BIGINT) AS rlength,
+                     CAST(200 AS BIGINT) AS http_status,
+                     md5(html) AS digest
+              FROM o)"""
 
 
 # Shared HTTP-header CTE body (block strings REBUILT from doc_id +
@@ -5281,63 +5356,22 @@ r5 AS (
         # warcinfo-record constant + a per-file window sum in doc_id
         # order (the fixture buckets by doc_id % 8, appending in row
         # order)
-        "warc_cdx": """
-            WITH d AS (
-              SELECT doc_id AS i,
-                     '<html><body><p>' || text
-                         || '</p></body></html>' AS html,
-                     'https://site' || (doc_id % 50) || '.example/p/'
-                         || doc_id AS url,
-                     '2024-01-' || lpad(CAST(1 + doc_id % 28
-                         AS VARCHAR), 2, '0') || 'T00:00:00Z' AS ts,
-                     doc_id % 8 AS fi
-              FROM documents),
-            p AS (
-              SELECT *,
-                   strlen('HTTP/1.1 200 OK') + 2
-                 + strlen('Content-Type: text/html; charset=utf-8')
-                 + 2
-                 + strlen('Content-Length: ')
-                 + strlen(CAST(strlen(html) AS VARCHAR)) + 4
-                 + strlen(html) AS plen
-              FROM d),
-            r AS (
-              SELECT *,
-                   strlen('WARC/1.0') + 2
-                 + strlen('WARC-Type: response') + 2
-                 + strlen('WARC-Target-URI: ') + strlen(url) + 2
-                 + strlen('WARC-Date: ') + strlen(ts) + 2
-                 + strlen('WARC-Record-ID: <urn:webxtract:')
-                 + strlen(url) + 1 + 2
-                 + strlen('Content-Type: '
-                          || 'application/http; msgtype=response') + 2
-                 + strlen('Content-Length: ')
-                 + strlen(CAST(plen AS VARCHAR))
-                 + 4 + plen + 4 AS rlength
-              FROM p),
-            o AS (
-              SELECT *,
-                   (strlen('WARC/1.0') + 2
-                  + strlen('WARC-Type: warcinfo') + 2
-                  + strlen('WARC-Record-ID: <urn:webxtract:warcinfo>')
-                  + 2
-                  + strlen('Content-Type: application/warc-fields')
-                  + 2
-                  + strlen('Content-Length: 27') + 4 + 27 + 4)
-                  + COALESCE(sum(rlength) OVER (PARTITION BY fi
-                        ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
-                        AND 1 PRECEDING), 0) AS roffset
-              FROM r)
-            SELECT 'example,site' || (i % 50) || ')/p/' || i AS surt,
-                   '202401' || lpad(CAST(1 + i % 28 AS VARCHAR), 2,
-                       '0') || '000000' AS cdx_ts,
-                   url,
-                   'crawl-0000' || fi || '.warc' AS file,
-                   CAST(roffset AS BIGINT) AS roffset,
-                   CAST(rlength AS BIGINT) AS rlength,
-                   CAST(200 AS BIGINT) AS http_status,
-                   md5(html) AS digest
-            FROM o ORDER BY surt
+        "warc_cdx": "WITH" + _CDX_CTE + """
+            SELECT surt, cdx_ts, url, file, roffset, rlength,
+                   http_status, digest
+            FROM cdx ORDER BY surt
+        """,
+        # Two-level CDX (cluster.idx): every Nth row of the SAME
+        # sorted index — the oracle composes the identical CDX CTE,
+        # ranks with ROW_NUMBER over the total order, and keeps the
+        # block leaders
+        "warc_cluster_idx": "WITH" + _CDX_CTE + """,
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER
+                (ORDER BY surt, cdx_ts, file, roffset) AS rn
+              FROM cdx)
+            SELECT surt, cdx_ts, file, roffset, rlength, rn
+            FROM ranked WHERE (rn - 1) % 25 = 0 ORDER BY surt
         """,
         # the expected CLEAN strings, closed-form per class — the Ray
         # side earns them through the real sloppy-cp1252 inverse

@@ -144,6 +144,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "warc_incremental_stats",
         "domain_crawl_quota",
         "docs_translation_pairs",
+        "warc_cluster_idx",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

@@ -1003,3 +1003,53 @@ def warc_incremental_stats(sf_dir: str):
                 f.write(raw)
             os.replace(expect[fi] + ".tmp", expect[fi])
     return warc_type_stats(out_dir).sort("warc_type")
+
+
+# --- two-level CDX (cluster.idx) -----------------------------------------------
+# Common Crawl ships a SECOND index over the first: every 3000th line
+# of the sorted CDX, so a lookup binary-searches the ~300 MB
+# cluster.idx in memory to find the one CDX block to range-read —
+# two bounded reads to locate any page in a 100 TB crawl. Block
+# leaders are exact rank arithmetic over the total order, so the
+# op reuses global_row_number (blocks never leave the object store).
+
+
+def build_cluster_idx(cdx, every: int = 3000):
+    """Sorted-CDX rows -> every Nth row as (surt, cdx_ts, file,
+    roffset, rlength, rn) block leaders; rn is the 1-based rank in
+    (surt, cdx_ts, file, roffset) total order. A leader covers ranks
+    [rn, rn + every)."""
+    from .relational import global_row_number
+
+    ranked = global_row_number(
+        cdx, ["surt", "cdx_ts", "file", "roffset"],
+        descending=[False, False, False, False])
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rn = t.column("rn")
+        m = pc.equal(
+            pc.subtract(rn, pc.multiply(
+                pc.divide(pc.subtract(rn, pa.scalar(1, pa.int64())),
+                          pa.scalar(every, pa.int64())),
+                pa.scalar(every, pa.int64()))),
+            pa.scalar(1, pa.int64()))
+        return t.filter(m).select(
+            ["surt", "cdx_ts", "file", "roffset", "rlength", "rn"])
+
+    return ranked.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def warc_cluster_idx(sf_dir: str, every: int = 25):
+    """ORACLED query surface: cluster.idx over the plain-fixture CDX
+    (small ``every`` so multiple leaders per file). The DuckDB twin
+    composes the SAME CDX CTE as warc_cdx and ranks with ROW_NUMBER —
+    the two oracles cannot drift."""
+    out_dir = synth_warc_dir(
+        sf_dir,
+        f"/tmp/webxtract_warc_plain_{sf_dir.replace('/', '_')}",
+        gzip_members=False)
+    return build_cluster_idx(build_cdx(out_dir),
+                             every=every).sort("surt")

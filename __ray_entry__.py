@@ -853,6 +853,14 @@ def _hosts_mirror_pairs(sf_dir: str):
     return hosts_mirror_pairs(sf_dir)
 
 
+def _domain_reciprocity(sf_dir: str):
+    """Mutual-link ratio per source host (link-exchange signal); the
+    oracle recomputes the closed-form edges + a reverse self-join."""
+    from webxtract.ops.web import domain_reciprocity
+
+    return domain_reciprocity(sf_dir)
+
+
 def _warc_cluster_idx(sf_dir: str):
     """Two-level CDX (cluster.idx): every Nth row of the sorted
     index; the oracle composes the shared CDX CTE + ROW_NUMBER."""
@@ -1487,7 +1495,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     urls_recrawl_schedule / domain_quality_prior /
     pages_indexability / pages_decode_text / warc_random_access /
     warc_incremental_stats / domain_crawl_quota /
-    docs_translation_pairs / warc_cluster_idx) have
+    docs_translation_pairs / warc_cluster_idx /
+    domain_reciprocity) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1884,6 +1893,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hreflang translation-pair mining (bitext prep)
         "warc_cluster_idx": _warc_cluster_idx,  # ORACLED
         # two-level CDX block leaders (shared CDX CTE + ROW_NUMBER)
+        "domain_reciprocity": _domain_reciprocity,  # ORACLED
+        # mutual-link ppm per host (link-exchange signal)
     }
 
 
@@ -5372,6 +5383,21 @@ r5 AS (
               FROM cdx)
             SELECT surt, cdx_ts, file, roffset, rlength, rn
             FROM ranked WHERE (rn - 1) % 25 = 0 ORDER BY surt
+        """,
+        # Reciprocity: the SAME closed-form edge CTE as
+        # domain_link_edges + a reverse-edge self-join; ratio is
+        # integer ppm of sums
+        "domain_reciprocity": "WITH" + _LINK_EDGE_CTE + """
+            SELECT 'site' || e0.s || '.example' AS host,
+              count(*) AS n_out,
+              CAST(sum(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_recip,
+              CAST((1000000 * sum(CASE WHEN r.s IS NOT NULL
+                                       THEN 1 ELSE 0 END))
+                   // count(*) AS BIGINT) AS recip_ppm
+            FROM e0 LEFT JOIN e0 r
+              ON r.s = e0.t AND r.t = e0.s
+            GROUP BY e0.s ORDER BY host
         """,
         # the expected CLEAN strings, closed-form per class — the Ray
         # side earns them through the real sloppy-cp1252 inverse

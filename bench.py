@@ -145,6 +145,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "domain_crawl_quota",
         "docs_translation_pairs",
         "warc_cluster_idx",
+        "domain_reciprocity",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

@@ -3593,3 +3593,84 @@ def docs_translation_pairs(sf_dir: str):
                             batch_size=512)
     return translation_pairs(extract_html_alternates(pages)).sort(
         ["doc_id", "lang_a", "lang_b"])
+
+
+# --- link reciprocity -----------------------------------------------------------
+# Mutual linking is a classic spam/collusion signal (link exchanges,
+# PBN rings reciprocate; editorial links rarely do) and also feeds
+# graph symmetrization decisions. Per source host: outdegree,
+# reciprocated outdegree (the target links back), and the ratio in
+# ppm (integer — 10^6 * n_recip // n_out).
+
+
+def link_reciprocity(edges):
+    """DISTINCT (src_host, dst_host) edges -> (host, n_out, n_recip,
+    recip_ppm). Engine shape: each unordered pair co-locates ONCE
+    (key = min\\x1fmax), both directions meet in the same partition
+    where the reciprocal flag is a vectorized run test; then one
+    src-keyed exchange folds |hosts|-bounded partials."""
+    from .relational import partitioned_map_groups
+
+    def tag(t: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(t.column("src_host"),
+                                 t.column("dst_host"))
+        hi = pc.max_element_wise(t.column("src_host"),
+                                 t.column("dst_host"))
+        return pa.table({
+            "src_host": t.column("src_host"),
+            "dst_host": t.column("dst_host"),
+            "_k": pc.binary_join_element_wise(lo, hi, "\x1f")})
+
+    tagged = edges.map_batches(tag, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def pair_fold(p: pa.Table) -> pa.Table:
+        ks = np.asarray(p.column("_k").to_pylist(), dtype=object)
+        src = np.asarray(p.column("src_host").to_pylist(),
+                         dtype=object)
+        order = np.argsort(ks.astype(str), kind="stable")
+        ks, src = ks[order], src[order]
+        # a pair key appearing twice = both directions present
+        # (edges are distinct, so counts are exactly 1 or 2)
+        n = len(ks)
+        recip = np.zeros(n, dtype=bool)
+        if n > 1:
+            same_prev = ks[1:] == ks[:-1]
+            recip[1:] |= same_prev
+            recip[:-1] |= same_prev
+        return pa.table({
+            "host": pa.array(src, pa.string()),
+            "recip": pa.array(recip, pa.bool_())})
+
+    flags = partitioned_map_groups(tagged, "_k", pair_fold)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("host").aggregate(
+            [("recip", "count"), ("recip", "sum")])
+        return pa.table({
+            "host": g.column("host"),
+            "n_out": g.column("recip_count").cast(pa.int64()),
+            "n_recip": g.column("recip_sum").cast(pa.int64())})
+
+    part = flags.map_batches(partial, batch_format="pyarrow")
+
+    def fold(p: pa.Table) -> pa.Table:
+        g = p.group_by("host").aggregate(
+            [("n_out", "sum"), ("n_recip", "sum")])
+        out = g.column("n_out_sum").cast(pa.int64())
+        rec = g.column("n_recip_sum").cast(pa.int64())
+        ppm = pc.divide(pc.multiply(
+            rec, pa.scalar(1_000_000, pa.int64())), out)
+        return pa.table({"host": g.column("host"), "n_out": out,
+                         "n_recip": rec, "recip_ppm": ppm})
+
+    return partitioned_map_groups(part, "host", fold)
+
+
+def domain_reciprocity(sf_dir: str):
+    """ORACLED composite: reciprocity over the SAME crawl fixture as
+    domain_link_edges, through the REAL DOM link walk. The DuckDB
+    twin recomputes the closed-form edge set and the reverse-edge
+    test with a self-join."""
+    return link_reciprocity(
+        extract_links(synth_link_corpus(sf_dir))).sort("host")

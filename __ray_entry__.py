@@ -853,6 +853,14 @@ def _hosts_mirror_pairs(sf_dir: str):
     return hosts_mirror_pairs(sf_dir)
 
 
+def _hosts_soft404(sf_dir: str):
+    """Within-host template-page (soft-404) detection; the oracle
+    recomputes counts and md5s closed-form."""
+    from webxtract.ops.web import hosts_soft404
+
+    return hosts_soft404(sf_dir)
+
+
 def _domain_reciprocity(sf_dir: str):
     """Mutual-link ratio per source host (link-exchange signal); the
     oracle recomputes the closed-form edges + a reverse self-join."""
@@ -1496,7 +1504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     pages_indexability / pages_decode_text / warc_random_access /
     warc_incremental_stats / domain_crawl_quota /
     docs_translation_pairs / warc_cluster_idx /
-    domain_reciprocity) have
+    domain_reciprocity / hosts_soft404) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1895,6 +1903,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two-level CDX block leaders (shared CDX CTE + ROW_NUMBER)
         "domain_reciprocity": _domain_reciprocity,  # ORACLED
         # mutual-link ppm per host (link-exchange signal)
+        "hosts_soft404": _hosts_soft404,  # ORACLED
+        # within-host template-page (soft-404) detection
     }
 
 
@@ -5398,6 +5408,30 @@ r5 AS (
             FROM e0 LEFT JOIN e0 r
               ON r.s = e0.t AND r.t = e0.s
             GROUP BY e0.s ORDER BY host
+        """,
+        # Soft-404 templates: per-host (md5, count) groups filtered
+        # at the SAME min_copies bar; the thin global boilerplate
+        # must stay under it on every host
+        "hosts_soft404": """
+            WITH pages AS (
+              SELECT 'h' || (doc_id % 20) || '.example' AS host,
+                CASE WHEN doc_id % 7 = 0
+                     THEN 'error template of h' || (doc_id % 20)
+                     WHEN doc_id % 9 = 8 THEN 'GLOBAL BOILER'
+                     ELSE 'content ' || doc_id END AS text
+              FROM documents),
+            g AS (
+              SELECT host, md5(text) AS template_md5,
+                     count(*) AS n_copies
+              FROM pages GROUP BY host, md5(text)),
+            t AS (SELECT host, count(*) AS n_docs
+                  FROM pages GROUP BY host)
+            SELECT g.host, template_md5, n_copies, n_docs,
+              CAST((1000000 * n_copies) // n_docs AS BIGINT)
+                AS share_ppm
+            FROM g JOIN t ON g.host = t.host
+            WHERE n_copies >= 4
+            ORDER BY g.host, template_md5
         """,
         # the expected CLEAN strings, closed-form per class — the Ray
         # side earns them through the real sloppy-cp1252 inverse

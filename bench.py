@@ -146,6 +146,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "docs_translation_pairs",
         "warc_cluster_idx",
         "domain_reciprocity",
+        "hosts_soft404",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

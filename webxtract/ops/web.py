@@ -3674,3 +3674,90 @@ def domain_reciprocity(sf_dir: str):
     test with a self-join."""
     return link_reciprocity(
         extract_links(synth_link_corpus(sf_dir))).sort("host")
+
+
+# --- soft-404 / template-page detection ----------------------------------------
+# Pages that return 200 but serve the site's error/placeholder
+# template poison extraction corpora and waste crawl budget. The
+# signal is WITHIN-host content duplication: a content hash carried
+# by many urls of the SAME host is a template (error page, empty
+# search result, login wall) — cross-host duplication is mirroring,
+# a different op. Rule, oracle-pinned: a (host, hash) group flags
+# when n_copies >= min_copies; share_ppm = 10^6 * n_copies //
+# n_docs(host) rides along for policy tuning.
+
+SOFT404_MIN_COPIES = 4
+
+
+def soft404_templates(pages, host_col: str = "host",
+                      text_col: str = "text",
+                      min_copies: int = SOFT404_MIN_COPIES):
+    """(host, template_md5, n_copies, n_docs, share_ppm) per flagged
+    within-host template. Engine shape: texts md5 map-side, slim
+    (host, md5) pairs make ONE host-keyed exchange; per partition the
+    per-hash counts and the host totals are two vectorized groupbys
+    — text never shuffles."""
+    from .relational import partitioned_map_groups
+    from .text import md5_hex
+
+    def slim(t: pa.Table) -> pa.Table:
+        texts = [x or "" for x in t.column(text_col).to_pylist()]
+        return pa.table({"host": t.column(host_col),
+                         "h": pa.array(md5_hex(texts), pa.string())})
+
+    slimmed = pages.map_batches(slim, batch_format="pyarrow")
+
+    def fold(p: pa.Table) -> pa.Table:
+        g = p.group_by(["host", "h"]).aggregate([("h", "count")])
+        tot = p.group_by("host").aggregate([("h", "count")])
+        tmap = dict(zip(tot.column("host").to_pylist(),
+                        tot.column("h_count").to_pylist()))
+        n = g.column("h_count").cast(pa.int64())
+        keep = pc.greater_equal(
+            n, pa.scalar(min_copies, pa.int64()))
+        g = pa.table({"host": g.column("host"),
+                      "template_md5": g.column("h"),
+                      "n_copies": n}).filter(keep)
+        hosts = g.column("host").to_pylist()
+        nd = pa.array([tmap[x] for x in hosts], pa.int64())
+        return pa.table({
+            "host": g.column("host"),
+            "template_md5": g.column("template_md5"),
+            "n_copies": g.column("n_copies"),
+            "n_docs": nd,
+            "share_ppm": pc.divide(pc.multiply(
+                g.column("n_copies"),
+                pa.scalar(1_000_000, pa.int64())), nd)})
+
+    return partitioned_map_groups(slimmed, "host", fold)
+
+
+def hosts_soft404(sf_dir: str):
+    """ORACLED query surface: template detection over a closed-form
+    corpus — per-host error templates on every 7th doc (copy counts
+    straddle the min_copies bar host by host, exercising both arms)
+    plus a GLOBAL boilerplate string spread thinly across hosts that
+    must NOT flag (per-host counts stay under the bar — grouping is
+    per host, not global). DuckDB recomputes counts and md5s
+    closed-form."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        hosts, texts = [], []
+        for i in batch.column("doc_id").to_pylist():
+            hosts.append(f"h{i % 20}.example")
+            if i % 7 == 0:
+                texts.append(f"error template of h{i % 20}")
+            elif i % 9 == 8:
+                texts.append("GLOBAL BOILER")
+            else:
+                texts.append(f"content {i}")
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "text": pa.array(texts, pa.string())})
+
+    pages = ids.map_batches(render, batch_format="pyarrow",
+                            batch_size=512)
+    return soft404_templates(pages).sort(["host", "template_md5"])

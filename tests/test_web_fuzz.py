@@ -81,3 +81,44 @@ def test_pageprep_tiny_images_never_raise(h, w, v):
     t = otsu_threshold(g)
     assert 0 <= t <= 255
     estimate_skew_mdeg(g <= t)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_TEXT)
+def test_session4_scalar_family_never_raises(s):
+    # fourth-session scalar surfaces: PSL matcher, jump key, gear
+    # chunking — hostile text degrades to data everywhere
+    from webxtract.ops.cdc import chunk_spans
+    from webxtract.ops.web import (_md5_key64, jump_bucket,
+                                   registrable_domain)
+
+    suffix, reg, kind = registrable_domain(s)
+    assert kind in ("ok", "suffix", "ip", "bad")
+    assert 0 <= jump_bucket(_md5_key64(s), 64) < 64
+    spans = chunk_spans(s.encode("utf-8", "surrogatepass"),
+                        mask_bits=6, min_size=4, max_size=64)
+    assert sum(ln for _, ln in spans) == len(
+        s.encode("utf-8", "surrogatepass"))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=300))
+def test_http_header_parse_never_raises(raw):
+    # header blocks are attacker-controlled bytes; the parser runs
+    # on latin-1 text and must emit a row for ANY input
+    import pyarrow as pa
+
+    from webxtract.ops.warc import (_CT_CHARSET, _CT_LINE, _LASTMOD,
+                                    _NOINDEX, _STATUS)
+    import re
+
+    h = raw.decode("latin-1")
+    # the exact patterns the batch op applies — none may raise, and
+    # a match is always a sane type
+    for pat in (_CT_LINE, _LASTMOD):
+        m = re.search(pat, h)
+        assert m is None or isinstance(m.group(1), str)
+    re.search(_NOINDEX, h)
+    re.search(_STATUS, h)
+    re.search(_CT_CHARSET, h)
+    assert isinstance(pa.scalar(h), pa.Scalar)

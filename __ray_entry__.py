@@ -853,6 +853,15 @@ def _hosts_mirror_pairs(sf_dir: str):
     return hosts_mirror_pairs(sf_dir)
 
 
+def _crawl_coverage(sf_dir: str):
+    """Sitemap-vs-crawl coverage audit over two REAL sources (soup
+    sitemap parse x CDX framing walk); the oracle recomputes
+    membership closed-form."""
+    from webxtract.ops.web import crawl_coverage
+
+    return crawl_coverage(sf_dir)
+
+
 def _hosts_soft404(sf_dir: str):
     """Within-host template-page (soft-404) detection; the oracle
     recomputes counts and md5s closed-form."""
@@ -1504,7 +1513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     pages_indexability / pages_decode_text / warc_random_access /
     warc_incremental_stats / domain_crawl_quota /
     docs_translation_pairs / warc_cluster_idx /
-    domain_reciprocity / hosts_soft404) have
+    domain_reciprocity / hosts_soft404 / crawl_coverage) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1905,6 +1914,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mutual-link ppm per host (link-exchange signal)
         "hosts_soft404": _hosts_soft404,  # ORACLED
         # within-host template-page (soft-404) detection
+        "crawl_coverage": _crawl_coverage,  # ORACLED
+        # sitemap-vs-crawl symmetric-difference audit
     }
 
 
@@ -5432,6 +5443,23 @@ r5 AS (
             FROM g JOIN t ON g.host = t.host
             WHERE n_copies >= 4
             ORDER BY g.host, template_md5
+        """,
+        # Coverage audit: membership closed-form (sitemap lists
+        # doc_id % 3 != 0; the crawl captured doc_id % 5 != 1; docs
+        # failing both filters appear nowhere)
+        "crawl_coverage": """
+            SELECT
+              'https://site' || (doc_id % 50) || '.example/p/'
+                || doc_id AS url,
+              doc_id % 3 <> 0 AS in_sitemap,
+              doc_id % 5 <> 1 AS in_crawl,
+              CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 <> 1
+                   THEN 'both'
+                   WHEN doc_id % 3 <> 0 THEN 'sitemap_only'
+                   ELSE 'crawled_only' END AS status
+            FROM documents
+            WHERE doc_id % 3 <> 0 OR doc_id % 5 <> 1
+            ORDER BY url
         """,
         # the expected CLEAN strings, closed-form per class — the Ray
         # side earns them through the real sloppy-cp1252 inverse

@@ -147,6 +147,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "warc_cluster_idx",
         "domain_reciprocity",
         "hosts_soft404",
+        "crawl_coverage",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

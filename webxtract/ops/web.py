@@ -3761,3 +3761,131 @@ def hosts_soft404(sf_dir: str):
     pages = ids.map_batches(render, batch_format="pyarrow",
                             batch_size=512)
     return soft404_templates(pages).sort(["host", "template_md5"])
+
+
+# --- sitemap-vs-crawl coverage audit --------------------------------------------
+# The reconciliation every crawl ops team runs: urls the site
+# DECLARES (sitemaps) vs urls the crawl CAPTURED (the CDX). The
+# symmetric difference is actionable both ways — sitemap_only urls
+# are fetch gaps (blocked, erroring, budget-starved), crawled_only
+# urls are discovery the site doesn't declare (or sitemap rot).
+
+
+def coverage_audit(sitemap_urls, crawl_urls, url_col: str = "url"):
+    """Two url Datasets -> (url, in_sitemap, in_crawl, status) via
+    ONE full-outer hash join of slim distinct url columns; status in
+    ('both', 'sitemap_only', 'crawled_only'). Engine shape: each side
+    pre-reduces to distinct urls in-batch, the join exchanges only
+    url strings."""
+    from .relational import hash_join
+
+    def distinct(ds, flag):
+        def f(t: pa.Table) -> pa.Table:
+            g = t.select([url_col]).group_by(url_col).aggregate([])
+            return g.append_column(
+                flag, pa.array([1] * g.num_rows, pa.int64()))
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    s = distinct(sitemap_urls, "_s")
+    c = distinct(crawl_urls, "_c").map_batches(
+        lambda t: t.rename_columns(["url_r", "_c"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(s, c, on=url_col, right_on="url_r",
+                  join_type="full_outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = t.column_names
+        url = pc.coalesce(t.column(url_col),
+                          t.column("url_r")) if "url_r" in cols \
+            else t.column(url_col)
+        in_s = pc.is_valid(t.column("_s"))
+        in_c = pc.is_valid(t.column("_c"))
+        status = pc.if_else(
+            pc.and_(in_s, in_c), pa.scalar("both"),
+            pc.if_else(in_s, pa.scalar("sitemap_only"),
+                       pa.scalar("crawled_only")))
+        return pa.table({"url": url, "in_sitemap": in_s,
+                         "in_crawl": in_c, "status": status})
+
+    return j.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def crawl_coverage(sf_dir: str):
+    """ORACLED composite: the audit over two REAL sources — per-host
+    sitemap XML (listing only doc_id % 3 != 0, parsed back by the
+    soup parser) vs the CDX of a WARC snapshot containing only
+    doc_id % 5 != 1 (real framing walk). Both symmetric-difference
+    arms are populated; docs failing both filters appear nowhere.
+    DuckDB recomputes membership closed-form."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .relational import partitioned_map_groups
+    from .warc import build_cdx, build_warc
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+
+    # sitemap side: per-host XML rendered in one co-location, parsed
+    # back by the REAL parser
+    def add_host(t: pa.Table) -> pa.Table:
+        h = t.column("doc_id").to_numpy() % 50
+        return t.append_column("host_id", pa.array(h, pa.int64()))
+
+    def render_parse(part: pa.Table) -> pa.Table:
+        hid = part.column("host_id").to_numpy()
+        did = part.column("doc_id").to_numpy()
+        order = np.lexsort((did, hid))
+        hid, did = hid[order], did[order]
+        starts = np.flatnonzero(np.r_[True, hid[1:] != hid[:-1]])
+        urls = []
+        for k, st in enumerate(starts):
+            en = starts[k + 1] if k + 1 < len(starts) else len(hid)
+            h = int(hid[st])
+            rows = "".join(
+                f"<url><loc>https://site{h}.example/p/{int(i)}</loc>"
+                "</url>"
+                for i in did[st:en] if int(i) % 3 != 0)
+            xml = ('<?xml version="1.0"?><urlset>' + rows
+                   + "</urlset>")
+            urls.extend(e["loc"] for e in parse_sitemap(xml))
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    smaps = partitioned_map_groups(
+        ids.map_batches(add_host, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        "host_id", render_parse)
+
+    # crawl side: a WARC snapshot of the doc_id % 5 != 1 subset,
+    # indexed by the REAL CDX walk
+    out_dir = (f"/tmp/webxtract_warc_cov_"
+               f"{sf_dir.replace('/', '_')}")
+    os.makedirs(out_dir, exist_ok=True)
+    files = 4
+    expect = [os.path.join(out_dir, f"crawl-{i:05d}.warc")
+              for i in range(files)]
+    if not all(os.path.exists(p) for p in expect):
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+        buckets: list[list] = [[] for _ in range(files)]
+        for i in t.column("doc_id").to_pylist():
+            if i % 5 == 1:
+                continue
+            buckets[i % files].append(
+                (f"https://site{i % 50}.example/p/{i}",
+                 f"2024-01-{1 + i % 28:02d}T00:00:00Z",
+                 f"<html>{i}</html>".encode()))
+        for fi, recs in enumerate(buckets):
+            with open(expect[fi] + ".tmp", "wb") as f:
+                f.write(build_warc(recs))
+            os.replace(expect[fi] + ".tmp", expect[fi])
+    crawled = build_cdx(out_dir).map_batches(
+        lambda t: t.select(["url"]), batch_format="pyarrow",
+        zero_copy_batch=True)
+
+    return coverage_audit(smaps, crawled).sort("url")

@@ -853,6 +853,14 @@ def _hosts_mirror_pairs(sf_dir: str):
     return hosts_mirror_pairs(sf_dir)
 
 
+def _urls_percent_normalize(sf_dir: str):
+    """RFC 3986 unreserved percent-escape decoding; the oracle's
+    replace chain is generated from the op's own character table."""
+    from webxtract.ops.web import urls_percent_normalize
+
+    return urls_percent_normalize(sf_dir)
+
+
 def _crawl_coverage(sf_dir: str):
     """Sitemap-vs-crawl coverage audit over two REAL sources (soup
     sitemap parse x CDX framing walk); the oracle recomputes
@@ -1513,7 +1521,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     pages_indexability / pages_decode_text / warc_random_access /
     warc_incremental_stats / domain_crawl_quota /
     docs_translation_pairs / warc_cluster_idx /
-    domain_reciprocity / hosts_soft404 / crawl_coverage) have
+    domain_reciprocity / hosts_soft404 / crawl_coverage /
+    urls_percent_normalize) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1916,6 +1925,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # within-host template-page (soft-404) detection
         "crawl_coverage": _crawl_coverage,  # ORACLED
         # sitemap-vs-crawl symmetric-difference audit
+        "urls_percent_normalize": _urls_percent_normalize,  # ORACLED
+        # RFC 3986 unreserved-escape decoding (generated oracle)
     }
 
 
@@ -2175,6 +2186,33 @@ _PSL_CTE = """
               SELECT n2.*, coalesce(m.exc_m,
                      greatest(coalesce(m.plain_m, 1), 1)) AS mm
               FROM n2 JOIN m USING (doc_id))"""
+
+
+def _pct_normalize_oracle() -> str:
+    """GENERATED oracle for urls_percent_normalize: the nested
+    regexp_replace chain is built from the SAME UNRESERVED character
+    table the op uses — the two sides cannot drift."""
+    from webxtract.ops.web import UNRESERVED
+
+    expr = "url"
+    for ch in UNRESERVED:
+        b = ord(ch)
+        expr = (f"regexp_replace({expr}, '(?:%{b:02X}|%{b:02x})', "
+                f"'{ch}', 'g')")
+    return f"""
+        WITH urls AS (
+          SELECT doc_id,
+            CASE doc_id % 5
+              WHEN 0 THEN 'https://a.example/%41bc/%7e' || doc_id
+              WHEN 1 THEN 'https://a.example/p%2Fq%3D' || doc_id
+              WHEN 2 THEN 'https://a.example/%ZZ' || doc_id || '%'
+              WHEN 3 THEN 'https://a.example/%4a%6F%31' || doc_id
+              ELSE 'https://a.example/plain/' || doc_id
+            END AS url
+          FROM documents)
+        SELECT doc_id, url, {expr} AS url_norm
+        FROM urls ORDER BY doc_id
+    """
 
 
 def _domain_pagerank_oracle(iters: int = 5, k: int = 25) -> str:
@@ -5461,6 +5499,9 @@ r5 AS (
             WHERE doc_id % 3 <> 0 OR doc_id % 5 <> 1
             ORDER BY url
         """,
+        # generated from the op's own UNRESERVED table (see
+        # _pct_normalize_oracle)
+        "urls_percent_normalize": _pct_normalize_oracle(),
         # the expected CLEAN strings, closed-form per class — the Ray
         # side earns them through the real sloppy-cp1252 inverse
         "docs_fix_mojibake": """

@@ -148,6 +148,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "domain_reciprocity",
         "hosts_soft404",
         "crawl_coverage",
+        "urls_percent_normalize",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

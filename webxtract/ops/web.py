@@ -3889,3 +3889,99 @@ def crawl_coverage(sf_dir: str):
         zero_copy_batch=True)
 
     return coverage_audit(smaps, crawled).sort("url")
+
+
+# --- percent-encoding normalization ---------------------------------------------
+# RFC 3986 §6.2.2.2: escapes of UNRESERVED characters
+# (ALPHA / DIGIT / '-' / '.' / '_' / '~') are equivalent to the
+# character itself and normalizers MUST decode them — '%41bc' and
+# 'Abc' are the same url and must dedup together. Escapes of
+# reserved characters (%2F, %3F ...) change meaning and MUST stay;
+# malformed escapes (%ZZ, trailing %) pass through as data. Spec
+# pinned to SINGLE-PASS replace semantics in fixed table order:
+# decoding never creates a '%' character, but a stray '%' abutting
+# a decoded escape can form a new escape ('%%341' -> '%41', test-
+# pinned) — deterministic, and identical on both sides because the
+# oracle's replace chain is GENERATED from the same character
+# table in the same order.
+
+UNRESERVED = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    "0123456789-._~")
+
+_PCT_PATTERNS = [
+    (f"(?:%{b:02X}|%{b:02x})".replace("%", "%"), chr(b))
+    for b in (ord(c) for c in UNRESERVED)]
+
+
+def percent_normalize(urls: list) -> list:
+    """Decode unreserved percent-escapes (both hex cases) in each
+    url; everything else byte-identical."""
+    import re
+
+    pats = [(re.compile(p), c) for p, c in _PCT_PATTERNS]
+
+    def one(u):
+        if u is None or "%" not in u:
+            return u
+        for rx, c in pats:
+            u = rx.sub(c, u)
+        return u
+
+    return [one(u) for u in urls]
+
+
+def percent_normalize_stage(ds, url_col: str = "url",
+                            out_col: str = "url_norm"):
+    """Append the normalized url. Batch shape: one '%' prefilter per
+    batch (clean batches never enter the per-url loop), decisions
+    once per DISTINCT url (np.unique inverse scatter); zero
+    exchanges."""
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        arr = np.asarray(t.column(url_col).to_pylist(), dtype=object)
+        has = pc.match_substring(t.column(url_col), "%")
+        if not pc.any(has).as_py():
+            return t.append_column(out_col, t.column(url_col))
+        uniq, inv = np.unique(arr.astype(str), return_inverse=True)
+        normed = np.array(percent_normalize(list(uniq)),
+                          dtype=object)[inv]
+        return t.append_column(out_col,
+                               pa.array(normed, pa.string()))
+
+    return ds.map_batches(batch_fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def urls_percent_normalize(sf_dir: str):
+    """ORACLED query surface over a closed-form escape fixture:
+    unreserved escapes in both hex cases (must decode), reserved
+    %2F/%3D (must stay), malformed %ZZ and a trailing '%' (data),
+    and an escape-free class (the prefilter path). The DuckDB twin
+    applies the GENERATED replace chain — same character table, same
+    order."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        urls = []
+        for i in batch.column("doc_id").to_pylist():
+            c = i % 5
+            if c == 0:
+                urls.append(f"https://a.example/%41bc/%7e{i}")
+            elif c == 1:
+                urls.append(f"https://a.example/p%2Fq%3D{i}")
+            elif c == 2:
+                urls.append(f"https://a.example/%ZZ{i}%")
+            elif c == 3:
+                urls.append(f"https://a.example/%4a%6F%31{i}")
+            else:
+                urls.append(f"https://a.example/plain/{i}")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "url": pa.array(urls, pa.string())})
+
+    ds = ids.map_batches(render, batch_format="pyarrow",
+                         batch_size=1024)
+    return percent_normalize_stage(ds).sort("doc_id")

@@ -3447,6 +3447,11 @@ def crawl_quota(weights, budget: int, domain_col: str = "domain",
     risk (budget * max_weight)."""
     from .relational import global_row_number
 
+    # pin the |domains|-bounded weight table ONCE: the two scalar
+    # aggregates, the base/rem map and the ranking sort would each
+    # re-execute the whole (lazy) upstream otherwise — measured 4x
+    # the pipeline cost in the bench before this materialize
+    weights = weights.materialize()
     total = weights.sum(weight_col)
     if total is None or total <= 0:
         raise ValueError("total weight must be positive")
@@ -3467,7 +3472,7 @@ def crawl_quota(weights, budget: int, domain_col: str = "domain",
             "weight": w, "_base": base, "_rem": rem})
 
     tagged = weights.map_batches(attach, batch_format="pyarrow",
-                                 zero_copy_batch=True)
+                                 zero_copy_batch=True).materialize()
     leftover = budget - tagged.sum("_base")
     ranked = global_row_number(tagged, ["_rem", "domain"],
                                descending=[True, False])

@@ -853,6 +853,14 @@ def _hosts_mirror_pairs(sf_dir: str):
     return hosts_mirror_pairs(sf_dir)
 
 
+def _hosts_backoff(sf_dir: str):
+    """Exponential throttle backoff per host from 429/503 responses;
+    the oracle recomputes counts and the shift arithmetic."""
+    from webxtract.ops.web import hosts_backoff
+
+    return hosts_backoff(sf_dir)
+
+
 def _urls_percent_normalize(sf_dir: str):
     """RFC 3986 unreserved percent-escape decoding; the oracle's
     replace chain is generated from the op's own character table."""
@@ -1522,7 +1530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     warc_incremental_stats / domain_crawl_quota /
     docs_translation_pairs / warc_cluster_idx /
     domain_reciprocity / hosts_soft404 / crawl_coverage /
-    urls_percent_normalize) have
+    urls_percent_normalize / hosts_backoff) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1927,6 +1935,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sitemap-vs-crawl symmetric-difference audit
         "urls_percent_normalize": _urls_percent_normalize,  # ORACLED
         # RFC 3986 unreserved-escape decoding (generated oracle)
+        "hosts_backoff": _hosts_backoff,  # ORACLED
+        # exponential 429/503 backoff plan (integer shift)
     }
 
 
@@ -5502,6 +5512,29 @@ r5 AS (
         # generated from the op's own UNRESERVED table (see
         # _pct_normalize_oracle)
         "urls_percent_normalize": _pct_normalize_oracle(),
+        # Backoff: closed-form statuses per (host, wave), throttle
+        # counts + the SAME min-cap and shift arithmetic
+        "hosts_backoff": """
+            WITH f AS (
+              SELECT doc_id % 50 AS h, doc_id // 50 AS w
+              FROM documents),
+            s AS (
+              SELECT 'site' || h || '.example' AS host,
+                CASE WHEN (h + w) % 7 = 0 THEN 429
+                     WHEN (h + 2 * w) % 11 = 0 THEN 503
+                     ELSE 200 END AS status
+              FROM f),
+            g AS (
+              SELECT host, count(*) AS n_fetches,
+                CAST(sum(CASE WHEN status IN (429, 503)
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_throttle
+              FROM s GROUP BY host)
+            SELECT host, n_fetches, n_throttle,
+              least(n_throttle, 6) AS level,
+              1000 * (1 << least(n_throttle, 6)) AS delay_ms
+            FROM g ORDER BY host
+        """,
         # the expected CLEAN strings, closed-form per class — the Ray
         # side earns them through the real sloppy-cp1252 inverse
         "docs_fix_mojibake": """

@@ -149,6 +149,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "hosts_soft404",
         "crawl_coverage",
         "urls_percent_normalize",
+        "hosts_backoff",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

@@ -3990,3 +3990,80 @@ def urls_percent_normalize(sf_dir: str):
     ds = ids.map_batches(render, batch_format="pyarrow",
                          batch_size=1024)
     return percent_normalize_stage(ds).sort("doc_id")
+
+
+# --- throttle backoff (politeness reaction) --------------------------------------
+# Crawlers must REACT to 429 Too Many Requests / 503 Service
+# Unavailable: each throttle response doubles the host's effective
+# delay (exponential backoff, capped). Pinned integer rule:
+#   level  = min(n_throttle, BACKOFF_MAX_LEVEL)
+#   delay  = base_ms << level   (base 1000 ms, the politeness floor)
+# The |hosts|-bounded plan then feeds the same scheduler budget path
+# as Crawl-delay.
+
+BACKOFF_MAX_LEVEL = 6
+
+
+def throttle_backoff(fetches, host_col: str = "host",
+                     status_col: str = "status",
+                     base_ms: int = 1000,
+                     max_level: int = BACKOFF_MAX_LEVEL):
+    """(host, n_fetches, n_throttle, level, delay_ms) per host from
+    fetch-status rows. Engine shape: per-batch (host, count,
+    throttle-count) partials pre-reduce map-side, ONE
+    |hosts|-bounded grouped exchange, vectorized shift arithmetic."""
+    from .relational import partitioned_map_groups
+
+    def partial(t: pa.Table) -> pa.Table:
+        st = t.column(status_col)
+        thr = pc.or_(pc.equal(st, pa.scalar(429, pa.int64())),
+                     pc.equal(st, pa.scalar(503, pa.int64())))
+        g = pa.table({
+            "host": t.column(host_col),
+            "_n": pa.array([1] * t.num_rows, pa.int64()),
+            "_t": pc.cast(thr, pa.int64()),
+        }).group_by("host").aggregate([("_n", "sum"), ("_t", "sum")])
+        return g.rename_columns(["host", "n", "t"])
+
+    part = fetches.map_batches(partial, batch_format="pyarrow")
+
+    def fold(p: pa.Table) -> pa.Table:
+        g = p.group_by("host").aggregate([("n", "sum"), ("t", "sum")])
+        n = g.column("n_sum").cast(pa.int64())
+        t_ = g.column("t_sum").cast(pa.int64())
+        lvl = pc.min_element_wise(
+            t_, pa.scalar(max_level, pa.int64()))
+        delay = pc.shift_left(pa.array([base_ms] * len(lvl),
+                                       pa.int64()), lvl)
+        return pa.table({"host": g.column("host"), "n_fetches": n,
+                         "n_throttle": t_, "level": lvl,
+                         "delay_ms": delay})
+
+    return partitioned_map_groups(part, "host", fold)
+
+
+def hosts_backoff(sf_dir: str):
+    """ORACLED query surface: backoff plans over a closed-form fetch
+    log where host h's wave w returns 429 when (h + w) % 7 == 0, 503
+    when (h + 2*w) % 11 == 0, else 200 — throttle counts vary per
+    host and straddle the level cap. DuckDB recomputes counts and the
+    shift arithmetic closed-form."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        i = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = i % 50
+        w = i // 50
+        status = np.where((h + w) % 7 == 0, 429,
+                          np.where((h + 2 * w) % 11 == 0, 503, 200))
+        return pa.table({
+            "host": pa.array([f"site{x}.example" for x in h],
+                             pa.string()),
+            "status": pa.array(status, pa.int64())})
+
+    return throttle_backoff(
+        ids.map_batches(render, batch_format="pyarrow",
+                        batch_size=1024)).sort("host")

@@ -853,6 +853,14 @@ def _hosts_mirror_pairs(sf_dir: str):
     return hosts_mirror_pairs(sf_dir)
 
 
+def _shard_write_plan(sf_dir: str):
+    """Per-shard write plan (jump shards x real n_chars sums); the
+    oracle composes the shared recursive jump CTE + a doc_id join."""
+    from webxtract.ops.web import shard_write_plan
+
+    return shard_write_plan(sf_dir)
+
+
 def _hosts_backoff(sf_dir: str):
     """Exponential throttle backoff per host from 429/503 responses;
     the oracle recomputes counts and the shift arithmetic."""
@@ -1530,7 +1538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     warc_incremental_stats / domain_crawl_quota /
     docs_translation_pairs / warc_cluster_idx /
     domain_reciprocity / hosts_soft404 / crawl_coverage /
-    urls_percent_normalize / hosts_backoff) have
+    urls_percent_normalize / hosts_backoff /
+    shard_write_plan) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1937,6 +1946,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RFC 3986 unreserved-escape decoding (generated oracle)
         "hosts_backoff": _hosts_backoff,  # ORACLED
         # exponential 429/503 backoff plan (integer shift)
+        "shard_write_plan": _shard_write_plan,  # ORACLED
+        # per-shard (n_docs, sum_chars) manifest (shared jump CTE)
     }
 
 
@@ -2025,6 +2036,45 @@ _LINK_EDGE_CTE = """
                FROM (SELECT s, t FROM o1
                      UNION ALL SELECT s, t FROM o2) u
                WHERE s <> t)"""
+
+
+# Shared jump-hash CTE body (fixture hosts + md5 key + the recursive
+# Lamping-Veach loop): hosts_shard_assign and shard_write_plan
+# compose the SAME SQL so the two oracles cannot drift
+_JUMP_CTE = """
+            hosts AS (
+              SELECT doc_id,
+                CASE doc_id % 8
+                  WHEN 0 THEN 'www.alpha' || doc_id || '.COM.'
+                  WHEN 1 THEN 'a.b.beta' || doc_id || '.co.uk'
+                  WHEN 2 THEN 'gamma' || doc_id || '.github.io'
+                  WHEN 3 THEN 'x.delta' || doc_id || '.ck'
+                  WHEN 4 THEN 'www.ck'
+                  WHEN 5 THEN 'Co.UK.'
+                  WHEN 6 THEN '192.168.' || (doc_id % 256) || '.'
+                              || ((doc_id * 7) % 256)
+                  ELSE 'epsilon' || doc_id || '.unknowntld'
+                END AS host
+              FROM documents),
+            seed AS (
+              SELECT doc_id, host,
+                ('0x' || substr(md5(host), 1, 16))
+                  ::UBIGINT::HUGEINT AS key
+              FROM hosts),
+            it AS (
+              SELECT doc_id, key, CAST(-1 AS BIGINT) AS b,
+                     CAST(0 AS BIGINT) AS j
+              FROM seed
+              UNION ALL
+              SELECT doc_id,
+                (key * 2862933555777941757::HUGEINT + 1)
+                  % 18446744073709551616::HUGEINT AS key2,
+                j AS b,
+                CAST(((j + 1) * 2147483648::HUGEINT) //
+                  ((((key * 2862933555777941757::HUGEINT + 1)
+                     % 18446744073709551616::HUGEINT)
+                    // 8589934592) + 1) AS BIGINT) AS j2
+              FROM it WHERE j < 64)"""
 
 
 # Shared CDX CTE body (the plain-fixture capture index rebuilt from
@@ -5687,44 +5737,24 @@ r5 AS (
         # — every LCG step ((key*2862933555777941757 + 1) mod 2^64)
         # and jump (((b+1)<<31) // ((key>>33)+1)) recomputed in exact
         # HUGEINT arithmetic until j >= 64 buckets
-        "hosts_shard_assign": """
-            WITH RECURSIVE hosts AS (
-              SELECT doc_id,
-                CASE doc_id % 8
-                  WHEN 0 THEN 'www.alpha' || doc_id || '.COM.'
-                  WHEN 1 THEN 'a.b.beta' || doc_id || '.co.uk'
-                  WHEN 2 THEN 'gamma' || doc_id || '.github.io'
-                  WHEN 3 THEN 'x.delta' || doc_id || '.ck'
-                  WHEN 4 THEN 'www.ck'
-                  WHEN 5 THEN 'Co.UK.'
-                  WHEN 6 THEN '192.168.' || (doc_id % 256) || '.'
-                              || ((doc_id * 7) % 256)
-                  ELSE 'epsilon' || doc_id || '.unknowntld'
-                END AS host
-              FROM documents),
-            seed AS (
-              SELECT doc_id, host,
-                ('0x' || substr(md5(host), 1, 16))
-                  ::UBIGINT::HUGEINT AS key
-              FROM hosts),
-            it AS (
-              SELECT doc_id, key, CAST(-1 AS BIGINT) AS b,
-                     CAST(0 AS BIGINT) AS j
-              FROM seed
-              UNION ALL
-              SELECT doc_id,
-                (key * 2862933555777941757::HUGEINT + 1)
-                  % 18446744073709551616::HUGEINT AS key2,
-                j AS b,
-                CAST(((j + 1) * 2147483648::HUGEINT) //
-                  ((((key * 2862933555777941757::HUGEINT + 1)
-                     % 18446744073709551616::HUGEINT)
-                    // 8589934592) + 1) AS BIGINT) AS j2
-              FROM it WHERE j < 64)
+        "hosts_shard_assign": "WITH RECURSIVE" + _JUMP_CTE + """
             SELECT s.doc_id, s.host, it.b AS shard
             FROM seed s JOIN it ON s.doc_id = it.doc_id
             WHERE it.j >= 64
             ORDER BY s.doc_id
+        """,
+        # Shard write plan: the SAME recursive jump CTE assigns
+        # shards; the documents' REAL n_chars column joins on doc_id
+        # and folds to per-shard (n_docs, sum_chars)
+        "shard_write_plan": "WITH RECURSIVE" + _JUMP_CTE + """,
+            assign AS (
+              SELECT s.doc_id, it.b AS shard
+              FROM seed s JOIN it ON s.doc_id = it.doc_id
+              WHERE it.j >= 64)
+            SELECT shard, count(*) AS n_docs,
+              CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+            FROM assign a JOIN documents d USING (doc_id)
+            GROUP BY shard ORDER BY shard
         """,
         # Link-farm profiles: the planted edge set recomputed in
         # closed form from doc_id (farm pages fan out to doorway

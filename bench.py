@@ -150,6 +150,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "crawl_coverage",
         "urls_percent_normalize",
         "hosts_backoff",
+        "shard_write_plan",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

@@ -4067,3 +4067,51 @@ def hosts_backoff(sf_dir: str):
     return throttle_backoff(
         ids.map_batches(render, batch_format="pyarrow",
                         batch_size=1024)).sort("host")
+
+
+# --- shard write plan ------------------------------------------------------------
+# Resumable partitioned output needs a PLAN before the write: which
+# stable shard each row lands in (jump hash, so cluster resizes keep
+# finished shards finished) and how many rows/bytes each shard will
+# carry (so stragglers are visible before they happen). This is the
+# manifest the checkpointed writer consumes.
+
+
+def shard_write_plan(sf_dir: str, buckets: int = 64):
+    """ORACLED composite: jump shards over the PSL host fixture
+    joined to the documents' REAL n_chars column, folded to
+    (shard, n_docs, sum_chars). Engine shape: shard assignment is
+    map-side; ONE doc_id-keyed hash join lines hosts x sizes up;
+    per-batch partial sums make the final grouped exchange
+    |shards|-bounded."""
+    import ray.data as rd
+
+    from .relational import hash_join, partitioned_map_groups
+
+    hosts = jump_shards(synth_psl_hosts(sf_dir), buckets=buckets)
+
+    def slim(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "shard"])
+
+    hosts = hosts.map_batches(slim, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    sizes = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+    joined = hash_join(hosts, sizes, on="doc_id")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("shard").aggregate(
+            [("doc_id", "count"), ("n_chars", "sum")])
+        return g.rename_columns(["shard", "n_docs", "sum_chars"])
+
+    part = joined.map_batches(partial, batch_format="pyarrow")
+
+    def fold(p: pa.Table) -> pa.Table:
+        g = p.group_by("shard").aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum")])
+        return pa.table({
+            "shard": g.column("shard"),
+            "n_docs": g.column("n_docs_sum").cast(pa.int64()),
+            "sum_chars": g.column("sum_chars_sum").cast(pa.int64())})
+
+    return partitioned_map_groups(part, "shard", fold).sort("shard")

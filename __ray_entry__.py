@@ -853,6 +853,14 @@ def _hosts_mirror_pairs(sf_dir: str):
     return hosts_mirror_pairs(sf_dir)
 
 
+def _hreflang_return_tags(sf_dir: str):
+    """hreflang return-tag audit (directed alternate edges with
+    reverse-edge status); the oracle recomputes edges closed-form."""
+    from webxtract.ops.web import hreflang_return_tags
+
+    return hreflang_return_tags(sf_dir)
+
+
 def _shard_write_plan(sf_dir: str):
     """Per-shard write plan (jump shards x real n_chars sums); the
     oracle composes the shared recursive jump CTE + a doc_id join."""
@@ -1539,7 +1547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     docs_translation_pairs / warc_cluster_idx /
     domain_reciprocity / hosts_soft404 / crawl_coverage /
     urls_percent_normalize / hosts_backoff /
-    shard_write_plan) have
+    shard_write_plan / hreflang_return_tags) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1948,6 +1956,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exponential 429/503 backoff plan (integer shift)
         "shard_write_plan": _shard_write_plan,  # ORACLED
         # per-shard (n_docs, sum_chars) manifest (shared jump CTE)
+        "hreflang_return_tags": _hreflang_return_tags,  # ORACLED
+        # return-tag audit (one-sided hreflang edges flagged)
     }
 
 
@@ -5562,6 +5572,30 @@ r5 AS (
         # generated from the op's own UNRESERVED table (see
         # _pct_normalize_oracle)
         "urls_percent_normalize": _pct_normalize_oracle(),
+        # Return-tag audit: forward edges from every even page (the
+        # partner omits its back-link when (doc_id//2) % 3 == 0, and
+        # an absent partner page also cannot return), backward edges
+        # only from non-omitting odd pages (their reverse always
+        # exists because even pages always list)
+        "hreflang_return_tags": """
+            WITH e AS (
+              SELECT 'https://x.example/p/' || doc_id AS src_url,
+                     'https://x.example/p/' || (doc_id + 1)
+                       AS dst_url,
+                     'de' AS lang,
+                     (doc_id // 2) % 3 <> 0 AND EXISTS (
+                       SELECT 1 FROM documents d2
+                       WHERE d2.doc_id = documents.doc_id + 1)
+                       AS has_return
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'https://x.example/p/' || doc_id,
+                     'https://x.example/p/' || (doc_id - 1),
+                     'en', TRUE
+              FROM documents
+              WHERE doc_id % 2 = 1 AND (doc_id // 2) % 3 <> 0)
+            SELECT * FROM e ORDER BY src_url, dst_url
+        """,
         # Backoff: closed-form statuses per (host, wave), throttle
         # counts + the SAME min-cap and shift arithmetic
         "hosts_backoff": """

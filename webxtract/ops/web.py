@@ -4115,3 +4115,103 @@ def shard_write_plan(sf_dir: str, buckets: int = 64):
             "sum_chars": g.column("sum_chars_sum").cast(pa.int64())})
 
     return partitioned_map_groups(part, "shard", fold).sort("shard")
+
+
+# --- hreflang return-tag audit ---------------------------------------------------
+# hreflang annotations are only honored when RECIPROCATED: if page A
+# lists B as an alternate but B does not list A back, search engines
+# drop the pair (the "return tag" rule) and bitext miners inherit a
+# one-sided, lower-precision signal. The audit emits every directed
+# alternate edge with its return-tag status.
+
+
+def return_tag_audit(alts, pages_urls, id_col: str = "doc_id",
+                     url_col: str = "url"):
+    """Alternate rows (doc_id, kind, lang, href) + the (doc_id, url)
+    page map -> (src_url, dst_url, lang, has_return) per directed
+    hreflang edge. Engine shape: the page map attaches by ONE
+    doc_id-keyed hash join; each unordered url pair then co-locates
+    ONCE (min-max key) where the reverse-edge test is a vectorized
+    membership probe — html never moves."""
+    from .relational import hash_join, partitioned_map_groups
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("kind"), pa.scalar("alternate"))
+        return t.filter(m).select([id_col, "lang", "href"])
+
+    slim = alts.map_batches(keep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    joined = hash_join(slim, pages_urls, on=id_col)
+
+    def tag(t: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(t.column(url_col),
+                                 t.column("href"))
+        hi = pc.max_element_wise(t.column(url_col),
+                                 t.column("href"))
+        return pa.table({
+            "src_url": t.column(url_col),
+            "dst_url": t.column("href"),
+            "lang": t.column("lang"),
+            "_k": pc.binary_join_element_wise(lo, hi, "\x1f")})
+
+    tagged = joined.map_batches(tag, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def fold(p: pa.Table) -> pa.Table:
+        src = np.asarray(p.column("src_url").to_pylist(),
+                         dtype=object)
+        dst = np.asarray(p.column("dst_url").to_pylist(),
+                         dtype=object)
+        fwd = {(a, b) for a, b in zip(src, dst)}
+        has = [(b, a) in fwd for a, b in zip(src, dst)]
+        return pa.table({
+            "src_url": p.column("src_url"),
+            "dst_url": p.column("dst_url"),
+            "lang": p.column("lang"),
+            "has_return": pa.array(has, pa.bool_())})
+
+    return partitioned_map_groups(tagged, "_k", fold)
+
+
+def hreflang_return_tags(sf_dir: str):
+    """ORACLED query surface: pages pair up (2k, 2k+1); page 2k
+    always lists its partner, the partner lists back EXCEPT when
+    k % 3 == 0 (the planted omission) — so forward edges into
+    omitting partners flag has_return = false while every backward
+    edge's reverse exists. Through the REAL DOM alternate walk;
+    DuckDB recomputes edges and the reverse test closed-form."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        out_i, out_u, out_h = [], [], []
+        for i in batch.column("doc_id").to_pylist():
+            k = i // 2
+            partner = i + 1 if i % 2 == 0 else i - 1
+            mine = f"https://x.example/p/{i}"
+            theirs = f"https://x.example/p/{partner}"
+            lang = "en" if i % 2 == 0 else "de"
+            plang = "de" if i % 2 == 0 else "en"
+            if i % 2 == 0 or k % 3 != 0:
+                links = (f'<link rel="alternate" hreflang="{plang}"'
+                         f' href="{theirs}">')
+            else:
+                links = ""  # the planted return-tag omission
+            out_i.append(i)
+            out_u.append(mine)
+            out_h.append(f"<html><head>{links}</head><body>p{i}"
+                         f" {lang}</body></html>".encode())
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "url": pa.array(out_u, pa.string()),
+                         "html": pa.array(out_h, pa.binary())})
+
+    pages = ids.map_batches(render, batch_format="pyarrow",
+                            batch_size=512)
+    alts = extract_html_alternates(pages)
+    urls = pages.map_batches(
+        lambda t: t.select(["doc_id", "url"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return return_tag_audit(alts, urls).sort(
+        ["src_url", "dst_url"])

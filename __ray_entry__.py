@@ -853,6 +853,14 @@ def _hosts_mirror_pairs(sf_dir: str):
     return hosts_mirror_pairs(sf_dir)
 
 
+def _pages_anchor_rels(sf_dir: str):
+    """Anchor rel-token accounting (nofollow/ugc/sponsored link-graph
+    weighting); the oracle recomputes counts closed-form."""
+    from webxtract.ops.web import pages_anchor_rels
+
+    return pages_anchor_rels(sf_dir)
+
+
 def _hreflang_return_tags(sf_dir: str):
     """hreflang return-tag audit (directed alternate edges with
     reverse-edge status); the oracle recomputes edges closed-form."""
@@ -1547,7 +1555,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     docs_translation_pairs / warc_cluster_idx /
     domain_reciprocity / hosts_soft404 / crawl_coverage /
     urls_percent_normalize / hosts_backoff /
-    shard_write_plan / hreflang_return_tags) have
+    shard_write_plan / hreflang_return_tags /
+    pages_anchor_rels) have
     pytest-oracle green at sf0.001 AND manual
     sf0.01 hash-parity but no driver row yet; front them next
     round."""
@@ -1958,6 +1967,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-shard (n_docs, sum_chars) manifest (shared jump CTE)
         "hreflang_return_tags": _hreflang_return_tags,  # ORACLED
         # return-tag audit (one-sided hreflang edges flagged)
+        "pages_anchor_rels": _pages_anchor_rels,  # ORACLED
+        # rel=nofollow/ugc/sponsored token accounting per page
     }
 
 
@@ -5595,6 +5606,26 @@ r5 AS (
               FROM documents
               WHERE doc_id % 2 = 1 AND (doc_id // 2) % 3 <> 0)
             SELECT * FROM e ORDER BY src_url, dst_url
+        """,
+        # Anchor rel accounting: counts closed-form per class (the
+        # case-folded token-set semantics live in the Ray-side walk;
+        # 'nofollowx' is a followed anchor, href-less <a> never
+        # counts)
+        "pages_anchor_rels": """
+            SELECT doc_id,
+              CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                     + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                     + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                   AS BIGINT) AS n_anchors,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                   AS BIGINT) AS n_nofollow,
+              CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                   AS BIGINT) AS n_ugc,
+              CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                   AS BIGINT) AS n_sponsored,
+              CAST(2 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                   AS BIGINT) AS n_followed
+            FROM documents ORDER BY doc_id
         """,
         # Backoff: closed-form statuses per (host, wave), throttle
         # counts + the SAME min-cap and shift arithmetic

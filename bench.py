@@ -152,6 +152,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "hosts_backoff",
         "shard_write_plan",
         "hreflang_return_tags",
+        "pages_anchor_rels",
         "pages_domain_stats",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]

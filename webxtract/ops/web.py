@@ -4215,3 +4215,112 @@ def hreflang_return_tags(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
     return return_tag_audit(alts, urls).sort(
         ["src_url", "dst_url"])
+
+
+# --- anchor rel semantics (nofollow / ugc / sponsored) ---------------------------
+# Modern link graphs weight edges by the anchor's rel tokens:
+# rel=nofollow (no endorsement), rel=ugc (user-generated) and
+# rel=sponsored (paid) anchors are excluded or down-weighted before
+# PageRank-style propagation. rel is a space-separated, ASCII
+# case-insensitive token SET (HTML spec) — 'NoFollow sponsored'
+# carries both tokens; 'nofollowx' carries neither.
+
+REL_TOKENS = ("nofollow", "ugc", "sponsored")
+
+
+def _iter_anchor_rels(node):
+    """Yield (href, rel-token-set) for every <a href> in the tree
+    (iterative walk, tag-soup safe)."""
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, str):
+            continue
+        if n.tag == "a":
+            h = n.attrs.get("href")
+            if h is not None:
+                rel = (n.attrs.get("rel") or "").lower().split()
+                yield h, set(rel)
+        stack.extend(n.children)
+
+
+def anchor_rel_stats(pages, id_col: str = "doc_id",
+                     html_col: str = "html"):
+    """Per page: n_anchors (href-bearing), n_nofollow, n_ugc,
+    n_sponsored, n_followed (no excluding token at all). Map-side
+    DOM walk, zero exchanges."""
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        from ..htmldom import decode_bytes, parse_html
+
+        ids, na, nf, nu, ns, fo = [], [], [], [], [], []
+        for i, raw in zip(t.column(id_col).to_pylist(),
+                          t.column(html_col).to_pylist()):
+            text = raw if isinstance(raw, str) else decode_bytes(raw)
+            a = f = u = s = good = 0
+            for _, rel in _iter_anchor_rels(parse_html(text or "")):
+                a += 1
+                hit = False
+                if "nofollow" in rel:
+                    f += 1
+                    hit = True
+                if "ugc" in rel:
+                    u += 1
+                    hit = True
+                if "sponsored" in rel:
+                    s += 1
+                    hit = True
+                if not hit:
+                    good += 1
+            ids.append(i)
+            na.append(a)
+            nf.append(f)
+            nu.append(u)
+            ns.append(s)
+            fo.append(good)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_anchors": pa.array(na, pa.int64()),
+            "n_nofollow": pa.array(nf, pa.int64()),
+            "n_ugc": pa.array(nu, pa.int64()),
+            "n_sponsored": pa.array(ns, pa.int64()),
+            "n_followed": pa.array(fo, pa.int64())})
+
+    return pages.map_batches(batch_fn, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def pages_anchor_rels(sf_dir: str):
+    """ORACLED query surface: rel-token accounting over a closed-form
+    anchor fixture — plain anchors, UPPERCASE 'NoFollow', the
+    multi-token 'ugc sponsored' (counts in BOTH columns but only once
+    against followed), the non-token 'nofollowx' (counts followed),
+    and an href-less <a> that must not count at all. DuckDB
+    recomputes every count closed-form."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        out_i, out_h = [], []
+        for i in batch.column("doc_id").to_pylist():
+            parts = ['<a href="/plain1">x</a>',
+                     '<a href="/plain2">y</a>']
+            if i % 2 == 0:
+                parts.append('<a href="/nf" rel="NoFollow">n</a>')
+            if i % 3 == 0:
+                parts.append(
+                    '<a href="/us" rel="ugc sponsored">us</a>')
+            if i % 5 == 0:
+                parts.append('<a href="/nx" rel="nofollowx">k</a>')
+            parts.append("<a>no href</a>")
+            out_i.append(i)
+            out_h.append(f"<html><body>{''.join(parts)}"
+                         "</body></html>".encode())
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "html": pa.array(out_h, pa.binary())})
+
+    pages = ids.map_batches(render, batch_format="pyarrow",
+                            batch_size=512)
+    return anchor_rel_stats(pages).sort("doc_id")

@@ -3820,7 +3820,7 @@ r5 AS (
             tf AS (
                 SELECT doc_id, term, count(*) AS tf
                 FROM tok GROUP BY doc_id, term)
-            SELECT term, count(*) AS df, sum(tf) AS tf_total,
+            SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
                    array_to_string(
                        (list(doc_id ORDER BY doc_id))[1:10], ',')
                        AS postings_head
@@ -3868,8 +3868,10 @@ r5 AS (
                 SELECT t.doc_id, sum(w.lr) + any_value(prior.pr) AS score
                 FROM tok t JOIN w USING (term) CROSS JOIN prior
                 GROUP BY t.doc_id)
-            SELECT l.doc_id, l.y AS label, sc.score AS score,
-                   CASE WHEN sc.score > 0 THEN 1 ELSE -1 END AS pred
+            SELECT l.doc_id, CAST(l.y AS BIGINT) AS label,
+                   CAST(sc.score AS BIGINT) AS score,
+                   CAST(CASE WHEN sc.score > 0 THEN 1 ELSE -1 END
+                        AS BIGINT) AS pred
             FROM lab l JOIN sc USING (doc_id)
         """,
         "docs_ccnet_buckets": """
@@ -6076,12 +6078,13 @@ r5 AS (
                  WHERE doc_id % 4 <> 0),
                 CAST(0 AS BIGINT)
               UNION ALL
+              -- constant 8: the fixture ALWAYS writes 8 WARC files,
+              -- one warcinfo each, even if a tiny sf leaves a
+              -- doc_id % 8 residue class empty
               SELECT 'warcinfo',
-                (SELECT count(DISTINCT doc_id % 8) FROM documents),
-                (SELECT count(DISTINCT doc_id % 8)
-                   * strlen('software: webxtract-synth'
-                            || chr(13) || chr(10))
-                 FROM documents))
+                CAST(8 AS BIGINT),
+                CAST(8 * strlen('software: webxtract-synth'
+                                || chr(13) || chr(10)) AS BIGINT))
             ORDER BY warc_type
         """,
         # Crawl-budget apportionment: the SHARED PSL CTE + the same

@@ -53,3 +53,17 @@ def test_repartition_invariance(ray_session):
         "url": pa.array([r[1] for r in rows], pa.string())}))
     b = _df(crawl_schedule(one, {"h1.x": 300}))
     assert a.equals(b)
+
+
+def test_declared_zero_delay_is_honored(ray_session):
+    """Round-3 advisor finding: `dmap.get(h) or default` clamped a
+    legitimately declared Crawl-delay: 0 to the 1000 ms floor. A
+    declared 0 must yield 0 ms gaps; only ABSENT hosts get the
+    default."""
+    rows = [(1, "https://z.x/1"), (2, "https://z.x/2"),
+            (3, "https://m.x/3"), (4, "https://m.x/4")]
+    df = _df(crawl_schedule(_pages(rows), {"z.x": 0},
+                            default_delay_ms=900))
+    by_doc = df.set_index("doc_id")
+    assert list(by_doc.loc[[1, 2], "fetch_at_ms"]) == [0, 0]
+    assert list(by_doc.loc[[3, 4], "fetch_at_ms"]) == [0, 900]

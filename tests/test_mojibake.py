@@ -67,3 +67,43 @@ def test_mangled_utf8_always_recovered_or_kept(s):
         assert fixed == s or mangle(fixed) == m
     else:
         assert fixed == m
+
+
+def test_non_latin_mojibake_repaired_through_batch_prefilter(ray_session):
+    """Round-3 advisor finding: the old prefilter [ÂÃ]|â€ only flagged
+    UTF-8 lead bytes 0xC2/0xC3/0xE2, so Cyrillic/Greek/CJK mojibake
+    (lead bytes 0xC4-0xF4) silently bypassed repair in the BATCH path
+    even though fix_mojibake_text could fix it. The widened class must
+    flag every cp1252 image of a UTF-8 lead byte."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from webxtract.ops.text import _MOJIBAKE_MARK, fix_mojibake
+
+    cases = {
+        "фото":  mangle("фото"),     # Cyrillic, lead 0xD1/0xD0
+        "ελληνικά": mangle("ελληνικά"),  # Greek, lead 0xCE
+        "東京":  mangle("東京"),      # CJK, lead 0xE6
+        "עברית": mangle("עברית"),    # Hebrew, lead 0xD7
+        "čeština": mangle("čeština"),  # Latin-ext, lead 0xC4/0xC5
+    }
+    # 1) the RE2 prefilter itself flags each mangled form
+    flags = pc.match_substring_regex(
+        pa.array(list(cases.values())), _MOJIBAKE_MARK).to_pylist()
+    assert all(flags), f"prefilter missed: {cases}"
+    # 2) end-to-end through the Dataset stage
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(cases)), pa.int64()),
+        "text": pa.array(list(cases.values()), pa.string())}))
+    out = {r["doc_id"]: r for r in fix_mojibake(ds).take_all()}
+    for i, clean in enumerate(cases):
+        assert out[i]["text_fixed"] == clean
+        assert out[i]["rounds"] == 1
+    # 3) clean non-Latin text survives untouched (guard, not filter)
+    ds2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["фото 東京 clean"], pa.string())}))
+    row = fix_mojibake(ds2).take_all()[0]
+    assert row["text_fixed"] == "фото 東京 clean"
+    assert row["rounds"] == 0

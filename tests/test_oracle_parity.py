@@ -1,10 +1,19 @@
 """Driver-style DuckDB oracle parity: every queries() entry with an
 oracle_sql() twin must match on row count, schema, and order-insensitive
-values (the CORRECTNESS gate's comparison, run locally at sf0.001)."""
+values (the CORRECTNESS gate's comparison, run locally at sf0.001).
+
+The value comparison is deliberately TYPE-SENSITIVE (round-3 verdict
+item 2): the driver's value hash distinguishes DuckDB DECIMAL / INT32
+from the engine's int64 even when the numbers are equal, while a naive
+pandas compare coerces them (Decimal(5) == 5). We therefore compare
+per-column pandas dtypes exactly AND per-cell typed reprs, so any
+un-cast oracle aggregate (sum() -> DECIMAL/HUGEINT, CASE -> INT32)
+fails locally before it can fail at the driver."""
 
 import math
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -40,6 +49,25 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 ORACLE_NAMES = sorted(entry_mod.oracle_sql())
 
 
+def _typed_repr(v):
+    """Canonical per-cell repr that preserves type identity.
+
+    numpy scalars fold to their Python equivalents only within the same
+    width-class family handled by the dtype check; containers are
+    normalized (ndarray -> list) so nesting differences don't alias, but
+    decimal.Decimal keeps its own repr and so can never collide with an
+    int — the exact divergence the driver's hash detects."""
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_typed_repr(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_typed_repr(x) for x in v) + "]"
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return repr(v)
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_parity(ray_session, name):
     q = entry_mod.queries()[name]
@@ -51,14 +79,18 @@ def test_oracle_parity(ray_session, name):
     assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
     for col in got.columns:
         g, e = got[col], exp[col]
-        if g.dtype.kind == "f" or e.dtype.kind == "f":
+        assert str(g.dtype) == str(e.dtype), (
+            f"{name}.{col} dtype {g.dtype} != oracle {e.dtype} "
+            f"(driver hash is type-sensitive; CAST the oracle or engine)")
+        if g.dtype.kind == "f":
             assert all(
                 (math.isnan(a) and math.isnan(b)) or a == b
                 for a, b in zip(g.astype(float), e.astype(float))
             ), f"{name}.{col} float mismatch"
         else:
-            assert g.astype(str).tolist() == e.astype(str).tolist(), (
-                f"{name}.{col} mismatch")
+            gl = [_typed_repr(v) for v in g.tolist()]
+            el = [_typed_repr(v) for v in e.tolist()]
+            assert gl == el, f"{name}.{col} mismatch"
 
 
 def test_rows_only_queries_run(ray_session):

@@ -63,3 +63,23 @@ def test_stray_percent_forms_new_escape_single_pass():
     # stays (the 'A' pattern already ran) — fixed pattern order makes
     # this deterministic and oracle-identical
     assert _one("%%341") == "%41"
+
+
+def test_null_url_stays_null_in_batch_stage(ray_session):
+    """Round-3 advisor finding: when any row in the batch contains
+    '%', null urls must emit null url_norm — not the literal string
+    'None' via astype(str)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webxtract.ops.web import percent_normalize_stage
+
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(["https://a.example/%41", None, "plain"],
+                        pa.string())}))
+    rows = sorted(percent_normalize_stage(ds).take_all(),
+                  key=lambda r: (r["url"] is None, r["url"] or ""))
+    by_url = {r["url"]: r["url_norm"] for r in rows}
+    assert by_url["https://a.example/%41"] == "https://a.example/A"
+    assert by_url["plain"] == "plain"
+    assert by_url[None] is None  # null in -> null out

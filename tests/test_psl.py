@@ -91,3 +91,20 @@ def test_batch_matches_scalar(ray_session):
     for r in rows:
         s, g, k = registrable_domain(r["host"])
         assert (r["suffix"], r["registrable"], r["kind"]) == (s, g, k)
+
+
+def test_null_host_is_bad_not_suffix_none(ray_session):
+    """Round-3 advisor finding: a null host went through astype(str)
+    as 'None' and came back kind='suffix'/suffix='none'. It must map
+    to (None, None, 'bad')."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({
+        "host": pa.array(["www.alpha.com", None, "www.ck"],
+                         pa.string())}))
+    rows = registrable_domains(ds).take_all()
+    nul = [r for r in rows if r["host"] is None]
+    assert len(nul) == 1
+    assert nul[0]["suffix"] is None
+    assert nul[0]["registrable"] is None
+    assert nul[0]["kind"] == "bad"

@@ -3791,10 +3791,10 @@ def _seed_partial(t: pa.Table, k: int) -> pa.Table:
 # the bytes parse as STRICT UTF-8 and the text actually changed, so
 # legitimate Latin-1-ish content ('Ça va', a lone 'Ã') survives
 # untouched. Vectorized prefilter: one RE2 pass flags candidate rows
-# (the cp1252-mojibake lead chars Â/Ã/â€); clean batches never enter
-# the per-row loop.
-
-_MOJIBAKE_MARK = "[ÂÃ]|â€"
+# (every cp1252 image of a UTF-8 lead byte 0xC2-0xF4, derived from the
+# sloppy-cp1252 table below — not just Â/Ã/â€, which would silently
+# skip all non-Latin mojibake whose lead bytes are 0xC4-0xF4, e.g.
+# Cyrillic 'Ñ„Ð¾Ñ‚Ð¾'); clean batches never enter the per-row loop.
 
 
 def _sloppy_tables():
@@ -3810,6 +3810,13 @@ def _sloppy_tables():
 
 
 _SLOPPY_DEC, _SLOPPY_ENC = _sloppy_tables()
+
+# Any mojibake text must contain the cp1252 rendering of some UTF-8
+# lead byte; one char class over all of them is a complete prefilter
+# (the strict-UTF-8 acceptance guard in fix_mojibake_text remains the
+# false-positive filter).
+_MOJIBAKE_MARK = "[" + "".join(
+    sorted({_SLOPPY_DEC[b] for b in range(0xC2, 0xF5)})) + "]"
 
 
 def sloppy_cp1252_decode(b: bytes) -> str:

@@ -2241,7 +2241,9 @@ def crawl_schedule(pages, delays_by_host: dict[str, int],
             pc.extract_regex(t.column(url_col), _DOMAIN_RE),
             "domain").to_pylist()
         hosts = [(h or "").lower() for h in hosts]
-        delays = [dmap.get(h) or default_delay_ms for h in hosts]
+        # .get(h, default): a host declaring Crawl-delay: 0 keeps its
+        # declared 0 ms — `or default` would clamp it to the floor
+        delays = [dmap.get(h, default_delay_ms) for h in hosts]
         return pa.table({
             "doc_id": t.column("doc_id"),
             "url": t.column(url_col),
@@ -2744,8 +2746,12 @@ def registrable_domains(ds, host_col: str = "host"):
 
     def batch_fn(t: pa.Table) -> pa.Table:
         arr = np.asarray(t.column(host_col).to_pylist(), dtype=object)
-        uniq, inv = np.unique(arr.astype(str), return_inverse=True)
-        trips = [registrable_domain(u) for u in uniq]
+        null_mask = np.array([h is None for h in arr], dtype=bool)
+        safe = np.where(null_mask, "", arr)
+        uniq, inv = np.unique(safe.astype(str), return_inverse=True)
+        # a null host is structurally bad, never a 'suffix' of 'none'
+        trips = [(None, None, "bad") if u == "" else
+                 registrable_domain(u) for u in uniq]
         suf = np.array([x[0] for x in trips], dtype=object)[inv]
         reg = np.array([x[1] for x in trips], dtype=object)[inv]
         kind = np.array([x[2] for x in trips], dtype=object)[inv]
@@ -3948,9 +3954,12 @@ def percent_normalize_stage(ds, url_col: str = "url",
         has = pc.match_substring(t.column(url_col), "%")
         if not pc.any(has).as_py():
             return t.append_column(out_col, t.column(url_col))
-        uniq, inv = np.unique(arr.astype(str), return_inverse=True)
+        null_mask = np.array([u is None for u in arr], dtype=bool)
+        safe = np.where(null_mask, "", arr)
+        uniq, inv = np.unique(safe.astype(str), return_inverse=True)
         normed = np.array(percent_normalize(list(uniq)),
                           dtype=object)[inv]
+        normed[null_mask] = None  # null in -> null out, never 'None'
         return t.append_column(out_col,
                                pa.array(normed, pa.string()))
 

@@ -3694,7 +3694,7 @@ r5 AS (
                 FROM x JOIN rng USING (dim)),
             s AS (
                 SELECT a.vec_id AS q, b.vec_id AS c,
-                       sum(a.code * b.code) AS score
+                       CAST(sum(a.code * b.code) AS BIGINT) AS score
                 FROM codes a
                 JOIN codes b ON a.dim = b.dim
                             AND a.vec_id <> b.vec_id
@@ -4130,7 +4130,7 @@ r5 AS (
             ORDER BY 1, 2 DESC
         """,
         "q16_supplier_variety": """
-            SELECT p_brand, p_type, p_size,
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
                    count(DISTINCT l_suppkey) AS supplier_cnt
             FROM lineitem JOIN part ON p_partkey = l_partkey
             WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'

@@ -40,15 +40,31 @@ def _text_stats(batch: pa.Table) -> pa.Table:
                  .append_column("n_chars", chars))
 
 
+# Above this many duplicated content hashes the winner set no longer
+# broadcasts (a 20% dup rate over 10^12 pages is ~10^11 winner rows —
+# tens of GB on the driver); the canonical filter switches to a
+# hash-partitioned LEFT join on content_md5 (the dedup_pages_join
+# pattern). Below it the broadcast path wins: no all-to-all of the
+# full text rows. Equivalence of the two paths is pinned in
+# tests/test_training.py; the gate is recorded in SCALE.md's shuffle
+# inventory.
+TRAINING_DUP_BROADCAST_MAX = 2_000_000
+
+
 def training_corpus(ds, cfg: PipelineConfig | None = None,
                     min_text_chars: int = 80,
                     langs: tuple[str, ...] | None = None,
                     source_path: str | None = None,
-                    checkpoint_dir: str | None = None):
+                    checkpoint_dir: str | None = None,
+                    dedup_mode: str = "auto"):
     """pages Dataset -> deduplicated, filtered, stats-annotated corpus.
 
     Output columns: url, lang, extracted_text, n_tokens, n_chars,
     model_confidence, content_md5.
+
+    ``dedup_mode``: "auto" (gate on the duplicated-hash count),
+    "broadcast" (driver-collected winner dict; dup-rate-bounded), or
+    "join" (distributed hash join on content_md5; the 10^12-row path).
     """
     import ray
 
@@ -108,36 +124,80 @@ def training_corpus(ds, cfg: PipelineConfig | None = None,
         return pa.table({"content_md5": d.column("content_md5"),
                          "keep_url": d.column("keep_url_min")})
 
+    # winners stay in the OBJECT STORE (dup-rate-bounded: only hashes
+    # with n>1 survive the per-partition filter); the driver sees one
+    # count(), never the rows, until the broadcast path is chosen
     dup_ds = partitioned_map_groups(
         kept.map_batches(_pre, batch_format="pyarrow",
                          zero_copy_batch=True),
-        "content_md5", _winners)
-    dups: dict = {}
-    for b in dup_ds.iter_batches(batch_format="pyarrow"):
-        dups.update(zip(b.column("content_md5").to_pylist(),
-                        b.column("keep_url").to_pylist()))
-    ref = ray.put(dups)
+        "content_md5", _winners).materialize()
+    n_dup_hashes = dup_ds.count()
+    if dedup_mode == "auto":
+        dedup_mode = ("broadcast"
+                      if n_dup_hashes <= TRAINING_DUP_BROADCAST_MAX
+                      else "join")
 
-    def _dup_arrays(d: dict) -> tuple[pa.Array, pa.Array]:
-        return (pa.array(list(d.keys()), pa.string()),
-                pa.array(list(d.values()), pa.string()))
+    if n_dup_hashes == 0:
+        deduped = kept  # dup-free corpus: both paths are the identity
+    elif dedup_mode == "broadcast":
+        dups: dict = {}
+        for b in dup_ds.iter_batches(batch_format="pyarrow"):
+            dups.update(zip(b.column("content_md5").to_pylist(),
+                            b.column("keep_url").to_pylist()))
+        ref = ray.put(dups)
 
-    def keep_canonical(batch: pa.Table) -> pa.Table:
-        from .broadcast import get_broadcast, get_broadcast_derived
+        def _dup_arrays(d: dict) -> tuple[pa.Array, pa.Array]:
+            return (pa.array(list(d.keys()), pa.string()),
+                    pa.array(list(d.values()), pa.string()))
 
-        if not get_broadcast(ref):
-            return batch
-        hs, keep_urls = get_broadcast_derived(ref, "dup_arrays", _dup_arrays)
-        # vectorized: row survives iff its hash is unduplicated OR its
-        # url is the winning (min) url for that hash
-        idx = pc.index_in(batch.column("content_md5"), value_set=hs)
-        winner = pc.take(keep_urls, idx)
-        keep = pc.or_kleene(pc.is_null(idx),
-                            pc.equal(batch.column("url"), winner))
-        return batch.filter(keep)
+        def keep_canonical(batch: pa.Table) -> pa.Table:
+            from .broadcast import get_broadcast, get_broadcast_derived
 
-    deduped = kept.map_batches(keep_canonical, batch_format="pyarrow",
-                               zero_copy_batch=True)
+            if not get_broadcast(ref):
+                return batch
+            hs, keep_urls = get_broadcast_derived(
+                ref, "dup_arrays", _dup_arrays)
+            # vectorized: row survives iff its hash is unduplicated OR
+            # its url is the winning (min) url for that hash
+            idx = pc.index_in(batch.column("content_md5"), value_set=hs)
+            winner = pc.take(keep_urls, idx)
+            keep = pc.or_kleene(pc.is_null(idx),
+                                pc.equal(batch.column("url"), winner))
+            return batch.filter(keep)
+
+        deduped = kept.map_batches(keep_canonical, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    elif dedup_mode == "join":
+        # 10^12-row path: hash-partitioned LEFT join of the rows with
+        # the winner Dataset on content_md5 — the winner set never
+        # touches the driver. Costs one all-to-all of the kept rows;
+        # semantics identical to broadcast (equivalence-tested).
+        from .ops.dedup import _drop_empty_blocks
+
+        winners = _drop_empty_blocks(dup_ds)
+        try:
+            n_part = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            n_part = 8
+        # project to the output columns first: Acero rejects
+        # list<struct> payload columns (alt_date etc.) in join
+        # non-key fields, and the exchange only needs what survives
+        slim = kept.select_columns([
+            "url", "lang", "extracted_text", "model_confidence",
+            "content_md5"])
+        joined = slim.join(winners, join_type="left_outer",
+                           num_partitions=n_part, on=("content_md5",))
+
+        def keep_joined(t: pa.Table) -> pa.Table:
+            m = pc.or_kleene(pc.is_null(t.column("keep_url")),
+                             pc.equal(t.column("url"),
+                                      t.column("keep_url")))
+            return t.filter(m).drop_columns(["keep_url"])
+
+        deduped = joined.map_batches(keep_joined, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    else:
+        raise ValueError(f"unknown dedup_mode: {dedup_mode!r}")
     deduped = deduped.map_batches(_text_stats, batch_format="pyarrow",
                                   zero_copy_batch=True)
     return deduped.select_columns([

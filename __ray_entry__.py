@@ -1534,35 +1534,16 @@ def _emb_random_projection(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is deliberate: the driver's CORRECTNESS gate
     verifies the FIRST 50 entries, so each round rotates
-    not-yet-driver-checked oracled queries to the front and already
-    driver-green entries to the back (round 2 checked what is now the
-    tail; round 3 fronts the 50 oracled queries that only had local
-    pytest-oracle green). ROUND-4 ROTATION QUEUE: the oracled queries
-    appended at the END of this dict (events_type_transitions through
-    emb_drift_monitor from the round-3 continuation session, plus the
-    round-3 web-native batch images_page_skew / domain_link_edges /
-    domain_pagerank / urls_canonicalize / warc_page_stats /
-    robots_gate / sitemap_url_inventory / domain_anchor_texts /
-    html_tables / html_meta / html_forms / html_jsonld /
-    html_alternates / docs_readability / feed_inventory /
-    crawl_frontier / html_markdown / warc_cdx / docs_fix_mojibake /
-    crawl_schedule / robots_sitemaps / redirect_resolution /
-    hosts_registrable / urls_templates / hosts_shard_assign /
-    hosts_link_farms / hosts_mirror_pairs / warc_http_fields /
-    urls_recrawl_schedule / domain_quality_prior /
-    pages_indexability / pages_decode_text / warc_random_access /
-    warc_incremental_stats / domain_crawl_quota /
-    docs_translation_pairs / warc_cluster_idx /
-    domain_reciprocity / hosts_soft404 / crawl_coverage /
-    urls_percent_normalize / hosts_backoff /
-    shard_write_plan / hreflang_return_tags /
-    pages_anchor_rels) have
-    pytest-oracle green at sf0.001 AND manual
-    sf0.01 hash-parity but no driver row yet; front them next
-    round."""
+    not-yet-driver-checked oracled queries to the front (the literal
+    dict keeps its historical order; _rotate_window applies the
+    round's window). Round 4 fronts the 48 never-driver-checked
+    web-native oracled queries plus the two round-3 red rows whose
+    oracle types were fixed (_R4_WINDOW below). Still never checked
+    after round 4: ~81 oracled names (docs_split .. docs_dup_ratio_by_
+    source block and friends) — front those in round 5."""
     from webxtract.ops import relational as R
 
-    return {
+    return _rotate_window({
         # --- round-3 driver window: oracled, driver-unchecked as of r2 ---
         # TPC-H query shapes
         "q2_best_supplier": R.q2_best_supplier,
@@ -1969,7 +1950,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # return-tag audit (one-sided hreflang edges flagged)
         "pages_anchor_rels": _pages_anchor_rels,  # ORACLED
         # rel=nofollow/ugc/sponsored token accounting per page
-    }
+    })
+
+
+# Round-4 driver window (the driver CORRECTNESS gate samples the FIRST
+# 50 queries() entries in dict order): the 48 never-driver-checked
+# web-native oracled queries — the graft's core axis — plus the two
+# round-3 red rows (oracle types now fixed; they must re-run to go
+# green in CORRECTNESS_r04). Everything else keeps its round-3
+# relative order behind them; rotate again in round 5 with the ~80
+# still-unchecked names.
+_R4_WINDOW = [
+    "images_page_skew", "domain_link_edges", "domain_pagerank",
+    "urls_canonicalize", "warc_page_stats", "robots_gate",
+    "sitemap_url_inventory", "domain_anchor_texts", "html_tables",
+    "html_meta", "html_forms", "html_jsonld", "html_alternates",
+    "docs_readability", "feed_inventory", "crawl_frontier",
+    "docs_dehyphenate", "robots_crawl_delay", "html_tables_markdown",
+    "html_markdown", "warc_cdx", "docs_fix_mojibake",
+    "crawl_schedule", "robots_sitemaps", "redirect_resolution",
+    "hosts_registrable", "urls_templates", "hosts_shard_assign",
+    "hosts_link_farms", "hosts_mirror_pairs", "warc_http_fields",
+    "urls_recrawl_schedule", "domain_quality_prior",
+    "pages_indexability", "pages_decode_text", "warc_random_access",
+    "warc_incremental_stats", "domain_crawl_quota",
+    "docs_translation_pairs", "warc_cluster_idx",
+    "domain_reciprocity", "hosts_soft404", "crawl_coverage",
+    "urls_percent_normalize", "hosts_backoff", "shard_write_plan",
+    "hreflang_return_tags", "pages_anchor_rels",
+    "docs_nb_quality", "docs_inverted_index",
+]
+
+
+def _rotate_window(d: dict) -> dict:
+    front = {k: d[k] for k in _R4_WINDOW}
+    assert len(front) == 50
+    return {**front, **{k: v for k, v in d.items() if k not in front}}
 
 
 # ---------------------------------------------------------------------------

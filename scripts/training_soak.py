@@ -203,9 +203,15 @@ def main() -> int:
         sys.stderr.write(p.stdout[-4000:] + "\n" + p.stderr[-4000:])
         raise RuntimeError(f"phase {phase} {mode or ''} failed")
 
-    if not os.path.exists(os.path.join(ROOT, "pages",
-                                       "part-00000.parquet")):
+    marker = os.path.join(ROOT, "pages", "_DOCS")
+    have = None
+    if os.path.exists(marker):
+        have = int(open(marker).read().strip() or 0)
+    if have != args.docs:  # size-keyed: a smaller smoke run never aliases
+        shutil.rmtree(os.path.join(ROOT, "pages"), ignore_errors=True)
         results["synth"] = sub("synth")
+        with open(marker, "w") as f:
+            f.write(str(args.docs))
     for mode in ("join", "broadcast"):
         results[mode] = sub("run", mode)
     results["verify"] = sub("verify")

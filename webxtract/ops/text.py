@@ -810,7 +810,8 @@ def docs_compression_ratio(sf_dir: str, level: int = 6):
                           zero_copy_batch=True)
 
 
-def docs_inverted_index(sf_dir: str, head: int = 10):
+def docs_inverted_index(sf_dir: str, head: int = 10,
+                        postings_dir: str | None = None):
     """Inverted-index construction (the retrieval-engine build step):
     one term-keyed exchange of the exploded (doc_id, term, tf) stream
     (the same slim shape the join-mode TF-IDF shuffles), then a
@@ -820,10 +821,17 @@ def docs_inverted_index(sf_dir: str, head: int = 10):
     sorted posting list as ``postings_head``. The cap is the honest
     scale answer: a stopword's full posting list is corpus-sized, so
     the materialized index row stays bounded while df/tf_total remain
-    exact (a real index would spill the full postings per term to
-    partitioned parquet from the same fold). Output: (term, df,
-    tf_total, postings_head). Oracled (DuckDB list(ORDER BY)[1:head]
-    + string_agg)."""
+    exact. Output: (term, df, tf_total, postings_head). Oracled
+    (DuckDB list(ORDER BY)[1:head] + string_agg).
+
+    ``postings_dir``: when given, the SAME fold also spills its
+    partition's full sorted postings — rows (term, doc_id, tf), the
+    complete index — as one parquet file per term partition
+    (term-disjoint, so files never overlap; named by a deterministic
+    hash of the partition's term range, written atomically, so task
+    retries overwrite idempotently instead of duplicating). The
+    bounded head stays the query surface; the spill is the
+    resumable-index sink a retrieval engine would ship."""
     import ray.data as rd
 
     from .relational import partitioned_map_groups
@@ -832,6 +840,30 @@ def docs_inverted_index(sf_dir: str, head: int = 10):
                          columns=["doc_id", "text"])
     tf_ds = ds.map_batches(_doc_term_freqs, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+    if postings_dir is not None:
+        import os
+
+        os.makedirs(postings_dir, exist_ok=True)
+
+    def _spill(term_s: pa.Array, doc_s: np.ndarray,
+               tf_s: np.ndarray) -> None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        lo, hi = term_s[0].as_py(), term_s[-1].as_py()
+        h = 0xCBF29CE484222325
+        for b in f"{lo}\x00{hi}\x00{len(doc_s)}".encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        name = f"postings-{h:016x}.parquet"
+        tmp = os.path.join(postings_dir, "." + name + ".tmp")
+        pq.write_table(pa.table({
+            "term": term_s,
+            "doc_id": pa.array(doc_s, pa.int64()),
+            "tf": pa.array(tf_s.astype(np.int64), pa.int64())}), tmp,
+            compression="zstd")
+        os.replace(tmp, os.path.join(postings_dir, name))
 
     def fold(part: pa.Table) -> pa.Table:
         if part.num_rows == 0:
@@ -851,6 +883,9 @@ def docs_inverted_index(sf_dir: str, head: int = 10):
         bounds = np.flatnonzero(np.diff(codes_s)) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [len(codes_s)]))
+        if postings_dir is not None:
+            _spill(enc.dictionary.take(pa.array(codes_s, pa.int64())),
+                   doc_s, tf_s)
         heads = [",".join(map(str, doc_s[s:min(s + head, e)]))
                  for s, e in zip(starts, ends)]  # one join per TERM
         return pa.table({

@@ -108,12 +108,77 @@ def test_truncated_stream_returns_none_or_partial_never_raises():
         JC.decode_jpeg(raw[:cut])  # must not raise
 
 
-def test_progressive_marker_rejected():
-    """SOF2 (progressive) is out of scope -> None, not an exception."""
+def test_arithmetic_marker_rejected():
+    """SOF9 (arithmetic) stays out of scope -> None, not an
+    exception; a baseline stream relabeled SOF2 carries an invalid
+    progressive scan script (Ss=0, Se=63) and must also yield None."""
     raw = bytearray(JC.encode_jpeg(_gradient(16, 16)))
     i = raw.find(b"\xff\xc0")
+    raw[i + 1] = 0xC9
+    assert JC.decode_jpeg(bytes(raw)) is None
     raw[i + 1] = 0xC2
     assert JC.decode_jpeg(bytes(raw)) is None
+
+
+# --- progressive (SOF2) -----------------------------------------------------
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("quality", [30, 75, 95])
+def test_progressive_decode_bit_identical_to_baseline(sub, quality):
+    """The 10-scan progressive script reconstructs the exact same
+    quantized coefficients, so its decode must equal the baseline
+    stream's decode BIT-FOR-BIT (same quant tables, same pixels)."""
+    for img in (_gradient(40, 56), _mosaic(3, blocks=(5, 7)),
+                _rng(11).integers(0, 256, (37, 53, 3), dtype=np.uint8)):
+        base = JC.decode_jpeg(JC.encode_jpeg(
+            img, quality=quality, subsampling=sub))
+        prog = JC.decode_jpeg(JC.encode_jpeg(
+            img, quality=quality, subsampling=sub, progressive=True))
+        assert prog is not None
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_eob_runs_and_zrl_paths():
+    """Flat image -> maximal EOB runs (>1, exercising the EOBn extra
+    bits); single bright pixel -> long zero runs incl. ZRL in both
+    first and refinement passes."""
+    flat = np.full((128, 128, 3), 130, np.uint8)
+    assert np.array_equal(
+        JC.decode_jpeg(JC.encode_jpeg(flat, progressive=True)),
+        JC.decode_jpeg(JC.encode_jpeg(flat)))
+    sp = np.zeros((64, 64, 3), np.uint8)
+    sp[32, 32] = 255
+    for sub in ("444", "420"):
+        assert np.array_equal(
+            JC.decode_jpeg(JC.encode_jpeg(
+                sp, subsampling=sub, progressive=True)),
+            JC.decode_jpeg(JC.encode_jpeg(sp, subsampling=sub)))
+
+
+def test_progressive_dims_and_truncation():
+    raw = JC.encode_jpeg(_gradient(24, 40), progressive=True)
+    assert JC.jpeg_dims(raw) == (40, 24)
+    # truncation anywhere must never raise
+    for cut in (10, len(raw) // 3, len(raw) // 2, len(raw) - 3):
+        JC.decode_jpeg(raw[:cut])
+
+
+def test_progressive_planted_pair_dhash_gate():
+    """The dHash near-dup contract holds across a baseline/progressive
+    pair of a near-identical image (the images_phash_dupes corpus now
+    plants progressive legs): drift <= threshold for the pair, distinct
+    mosaics far apart."""
+    a = _mosaic(21, blocks=(8, 9))
+    b = a.copy()
+    b[0, 0, 0] ^= 1
+    da = dhash64(JC.decode_jpeg(JC.encode_jpeg(
+        a, quality=95, subsampling="420", progressive=True)))
+    db = dhash64(JC.decode_jpeg(JC.encode_jpeg(
+        b, quality=95, subsampling="420")))
+    assert _ham(da, db) <= 4
+    dc = dhash64(JC.decode_jpeg(JC.encode_jpeg(
+        _mosaic(77, blocks=(8, 9)), progressive=True)))
+    assert _ham(da, dc) >= 10
 
 
 # --- dHash stability across the lossy leg ----------------------------------

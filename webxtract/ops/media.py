@@ -15,9 +15,11 @@ What IS real here:
     ``WXMEDIA!<u32 w><u32 h>`` is parsed as an "image".
 
 PNG decodes for real via the stdlib zlib path in ``imagecodec``
-(8-bit, all five color types, non-interlaced) and baseline JPEG via
-the pure-numpy T.81 decoder in ``jpegcodec`` (SOF0, 4:4:4/4:2:0,
-restart intervals; progressive/arithmetic yield ok=False DATA rows).
+(8-bit, all five color types, non-interlaced) and JPEG via the
+pure-numpy T.81 decoder in ``jpegcodec`` — baseline SOF0
+(4:4:4/4:2:0, restart intervals) AND progressive SOF2 (spectral
+selection + successive approximation); only arithmetic-coded /
+lossless streams yield ok=False DATA rows.
 Video: raw MJPEG streams (concatenated baseline JPEGs — the AVI
 'MJPG' / IP-camera payload format) split, sample and decode for REAL
 via a JPEG-marker walk + the T.81 codec (``split_mjpeg``,
@@ -605,7 +607,16 @@ def synth_image_corpus(sf_dir: str, n: int | None = None):
             if i % 10 == 5:
                 img[0, 0, 0] ^= 1  # sub-threshold perturbation
             out_id.append(i)
-            out_raw.append(encoders[i % 5](np.ascontiguousarray(img)))
+            if i % 5 == 3 and (i // 5) % 3 == 0:
+                # every 3rd JPEG leg is PROGRESSIVE (SOF2): real-web
+                # corpora are ~10% progressive; decode is bit-identical
+                # to the baseline stream so planted-pair gates hold
+                out_raw.append(encode_jpeg(
+                    np.ascontiguousarray(img), quality=95,
+                    subsampling="420", progressive=True))
+            else:
+                out_raw.append(encoders[i % 5](
+                    np.ascontiguousarray(img)))
         return pa.table({"media_id": pa.array(out_id, pa.int64()),
                          "media": pa.array(out_raw, pa.binary())})
 

@@ -50,6 +50,41 @@ def _headline(sf_dir: str) -> tuple[float, int]:
     return sec, docs
 
 
+# Web-native surfaces whose synthesized fixture corpora materialize
+# once to /tmp parquet (webxtract/fixturecache.py) or to /tmp WARC
+# files; constructing the query populates the cache EAGERLY, so one
+# untimed pass here means the timed loop measures the OPERATOR, not
+# the per-row Python fixture render (round-3 verdict item 7;
+# comparability note in BASELINE.md §4).
+_FIXTURE_WARM = [
+    "domain_link_edges", "domain_pagerank", "urls_canonicalize",
+    "robots_gate", "crawl_frontier", "crawl_schedule",
+    "crawl_coverage", "domain_crawl_quota", "domain_quality_prior",
+    "domain_reciprocity", "redirect_resolution",
+    "html_tables", "html_meta", "html_forms", "html_jsonld",
+    "html_alternates", "html_markdown", "html_tables_markdown",
+    "hosts_registrable", "urls_templates", "hosts_link_farms",
+    "hosts_mirror_pairs", "urls_recrawl_schedule",
+    "docs_translation_pairs", "hosts_soft404",
+    "urls_percent_normalize", "hosts_backoff", "shard_write_plan",
+    "hreflang_return_tags", "pages_anchor_rels",
+    "warc_page_stats", "warc_cdx", "warc_http_fields",
+    "warc_random_access", "warc_incremental_stats",
+    "warc_cluster_idx",
+]
+
+
+def _warm_fixture_caches(sf_dir: str) -> float:
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    t0 = time.monotonic()
+    for name in _FIXTURE_WARM:
+        res = qs[name](sf_dir)  # construction materializes the fixture
+        del res
+    return round(time.monotonic() - t0, 1)
+
+
 def _timed_queries(sf_dir: str) -> dict[str, float]:
     import __ray_entry__ as entry
 
@@ -174,6 +209,17 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
             for _ in res.iter_batches(batch_format="pyarrow"):
                 pass
         out[name] = round(time.monotonic() - t0, 3)
+    # The exact cosine sim-join pair is regime-sensitive (~2x spread
+    # between a cold ambient suite slot and a warm re-run — documented
+    # in BASELINE.md §8); record BOTH so round-over-round comparisons
+    # have a labeled warm number instead of suite noise (r3 item 8).
+    for name in ("docs_cosine_simjoin", "docs_cosine_simjoin_tf"):
+        t0 = time.monotonic()
+        res = qs[name](sf_dir)
+        if hasattr(res, "iter_batches"):
+            for _ in res.iter_batches(batch_format="pyarrow"):
+                pass
+        out[name + "_warm"] = round(time.monotonic() - t0, 3)
     return out
 
 
@@ -201,8 +247,11 @@ def run_bench() -> dict:
     logging.getLogger("ray").setLevel(logging.ERROR)
     try:
         sec, docs = _headline(sf_dir)
-        queries = ({} if os.environ.get("GRAFT_HEADLINE_ONLY")
-                   else _timed_queries(sf_dir))
+        if os.environ.get("GRAFT_HEADLINE_ONLY"):
+            queries, warm_s = {}, 0.0
+        else:
+            warm_s = _warm_fixture_caches(sf_dir)  # untimed: see note
+            queries = _timed_queries(sf_dir)
         return {
             "metric": "headline extraction wall time (read->dedup->gate->"
                       "extract->normalize->route->write) over synthesized "
@@ -214,6 +263,7 @@ def run_bench() -> dict:
             "num_cpus": num_cpus,
             "headline_docs": docs,
             "headline_docs_per_sec": round(docs / sec, 1),
+            "fixture_warm_sec_untimed": warm_s,
         }
     finally:
         ray.shutdown()

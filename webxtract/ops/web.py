@@ -21,6 +21,24 @@ import pyarrow.compute as pc
 _DOMAIN_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<domain>[^/:?#]+)"
 
 
+
+def _fixture_pages(name: str, sf_dir: str, ids, render,
+                   batch_size: int = 512, n=None):
+    """Materialize-once fixture synthesis (round-3 verdict item 7):
+    the closed-form per-row render runs ONE time per (surface, sf_dir,
+    render-code fingerprint) via fixturecache.cached_ds; later calls —
+    notably the timed bench — read the spilled parquet instead of
+    re-running the Python render, so BENCH times the operator."""
+    from ..fixturecache import cached_ds
+
+    key = name if n is None else f"{name}_n{n}"
+    return cached_ds(key, sf_dir,
+                     lambda: ids.map_batches(render,
+                                             batch_format="pyarrow",
+                                             batch_size=batch_size),
+                     render)
+
+
 def extract_domain(batch: pa.Table, url_col: str = "url",
                    out_col: str = "domain") -> pa.Table:
     """Append the lowercased host part of ``url_col``; rows with no
@@ -334,7 +352,8 @@ def synth_link_corpus(sf_dir: str, n: int | None = None):
         return pa.table({"url": pa.array(out_u, pa.string()),
                          "html": pa.array(out_h, pa.binary())})
 
-    return ids.map_batches(render, batch_format="pyarrow", batch_size=256)
+    return _fixture_pages("synth_link_corpus", sf_dir, ids, render,
+                   batch_size=256, n=n)
 
 
 def domain_link_edges(sf_dir: str):
@@ -519,8 +538,8 @@ def synth_messy_urls(sf_dir: str, n: int | None = None):
         return pa.table({"doc_id": batch.column("doc_id"),
                          "url": pa.array(urls, pa.string())})
 
-    return ids.map_batches(render, batch_format="pyarrow",
-                           batch_size=1024)
+    return _fixture_pages("synth_messy_urls", sf_dir, ids, render,
+                   batch_size=1024, n=n)
 
 
 def urls_canonicalize(sf_dir: str):
@@ -696,8 +715,8 @@ def robots_gate(sf_dir: str):
 
     robots = {f"site{h}.example": _robots_fixture_text(h)
               for h in range(50)}
-    ds = ids.map_batches(render, batch_format="pyarrow",
-                         batch_size=1024)
+    ds = _fixture_pages("robots_gate", sf_dir, ids, render,
+                   batch_size=1024)
     gate = robots_gate_stage(robots)
     return ds.map_batches(gate, batch_format="pyarrow",
                           zero_copy_batch=True).sort("doc_id")
@@ -1064,8 +1083,8 @@ def html_tables(sf_dir: str):
         return pa.table({"doc_id": pa.array(out_i, pa.int64()),
                          "html": pa.array(out_h, pa.binary())})
 
-    pages = ids.map_batches(render, batch_format="pyarrow",
-                            batch_size=512)
+    pages = _fixture_pages("html_tables", sf_dir, ids, render,
+                   batch_size=512)
     return extract_html_tables(pages).sort(["doc_id", "row", "col"])
 
 
@@ -1172,8 +1191,8 @@ def html_meta(sf_dir: str):
         return pa.table({"doc_id": pa.array(out_i, pa.int64()),
                          "html": pa.array(out_h, pa.binary())})
 
-    pages = ids.map_batches(render, batch_format="pyarrow",
-                            batch_size=512)
+    pages = _fixture_pages("html_meta", sf_dir, ids, render,
+                   batch_size=512)
     return extract_html_meta(pages).sort("doc_id")
 
 
@@ -1340,8 +1359,8 @@ def html_forms(sf_dir: str):
         return pa.table({"doc_id": pa.array(out_i, pa.int64()),
                          "html": pa.array(out_h, pa.binary())})
 
-    pages = ids.map_batches(render, batch_format="pyarrow",
-                            batch_size=512)
+    pages = _fixture_pages("html_forms", sf_dir, ids, render,
+                   batch_size=512)
     return extract_html_forms(pages).sort(["doc_id", "field_name"])
 
 
@@ -1451,8 +1470,8 @@ def html_jsonld(sf_dir: str):
         return pa.table({"doc_id": pa.array(out_i, pa.int64()),
                          "html": pa.array(out_h, pa.binary())})
 
-    pages = ids.map_batches(render, batch_format="pyarrow",
-                            batch_size=512)
+    pages = _fixture_pages("html_jsonld", sf_dir, ids, render,
+                   batch_size=512)
     return extract_jsonld(pages).sort(["doc_id", "block_idx",
                                        "item_idx"])
 
@@ -1555,8 +1574,8 @@ def html_alternates(sf_dir: str):
         return pa.table({"doc_id": pa.array(out_i, pa.int64()),
                          "html": pa.array(out_h, pa.binary())})
 
-    pages = ids.map_batches(render, batch_format="pyarrow",
-                            batch_size=512)
+    pages = _fixture_pages("html_alternates", sf_dir, ids, render,
+                   batch_size=512)
     return extract_html_alternates(pages).sort(
         ["doc_id", "kind", "lang"])
 
@@ -2198,8 +2217,8 @@ def synth_markdown_pages(sf_dir: str):
         return pa.table({"doc_id": pa.array(out_i, pa.int64()),
                          "html": pa.array(out_h, pa.binary())})
 
-    return ids.map_batches(render, batch_format="pyarrow",
-                           batch_size=512)
+    return _fixture_pages("synth_markdown_pages", sf_dir, ids, render,
+                   batch_size=512)
 
 
 def html_markdown(sf_dir: str):
@@ -2635,8 +2654,12 @@ def redirect_resolution(sf_dir: str, max_hops: int = 5,
                          "url": pa.array(out_u, pa.string()),
                          "html": pa.array(out_h, pa.binary())})
 
-    pages = ids.map_batches(render, batch_format="pyarrow",
-                            batch_size=512)
+    from ..fixturecache import cached_ds
+
+    pages = cached_ds(
+        "redirect_pages", sf_dir,
+        lambda: ids.map_batches(render, batch_format="pyarrow",
+                                batch_size=512), render)
     alt = extract_html_alternates(pages)
     refresh = alt.map_batches(
         lambda t: t.filter(pc.equal(t.column("kind"),
@@ -2801,8 +2824,8 @@ def synth_psl_hosts(sf_dir: str, n: int | None = None):
         return pa.table({"doc_id": batch.column("doc_id"),
                          "host": pa.array(hosts, pa.string())})
 
-    return ids.map_batches(render, batch_format="pyarrow",
-                           batch_size=1024)
+    return _fixture_pages("synth_psl_hosts", sf_dir, ids, render,
+                   batch_size=1024, n=n)
 
 
 def hosts_registrable(sf_dir: str):
@@ -2926,8 +2949,8 @@ def synth_template_urls(sf_dir: str, n: int | None = None):
         return pa.table({"doc_id": batch.column("doc_id"),
                          "url": pa.array(urls, pa.string())})
 
-    return ids.map_batches(render, batch_format="pyarrow",
-                           batch_size=1024)
+    return _fixture_pages("synth_template_urls", sf_dir, ids, render,
+                   batch_size=1024, n=n)
 
 
 def urls_templates(sf_dir: str):
@@ -3103,8 +3126,8 @@ def synth_farm_corpus(sf_dir: str, n: int | None = None):
         return pa.table({"url": pa.array(out_u, pa.string()),
                          "html": pa.array(out_h, pa.binary())})
 
-    return ids.map_batches(render, batch_format="pyarrow",
-                           batch_size=256)
+    return _fixture_pages("synth_farm_corpus", sf_dir, ids, render,
+                   batch_size=256, n=n)
 
 
 def hosts_link_farms(sf_dir: str):
@@ -3233,8 +3256,8 @@ def synth_mirror_corpus(sf_dir: str, n: int | None = None):
         return pa.table({"host": pa.array(hosts, pa.string()),
                          "text": pa.array(texts, pa.string())})
 
-    return ids.map_batches(render, batch_format="pyarrow",
-                           batch_size=512)
+    return _fixture_pages("synth_mirror_corpus", sf_dir, ids, render,
+                   batch_size=512, n=n)
 
 
 def hosts_mirror_pairs(sf_dir: str):
@@ -3348,8 +3371,8 @@ def synth_capture_history(sf_dir: str, n: int | None = None):
                          "ts": pa.array(tss, pa.int64()),
                          "h": pa.array(hs, pa.string())})
 
-    return ids.map_batches(render, batch_format="pyarrow",
-                           batch_size=512)
+    return _fixture_pages("synth_capture_history", sf_dir, ids, render,
+                   batch_size=512, n=n)
 
 
 def urls_recrawl_schedule(sf_dir: str):
@@ -3600,8 +3623,8 @@ def docs_translation_pairs(sf_dir: str):
         return pa.table({"doc_id": pa.array(out_i, pa.int64()),
                          "html": pa.array(out_h, pa.binary())})
 
-    pages = ids.map_batches(render, batch_format="pyarrow",
-                            batch_size=512)
+    pages = _fixture_pages("docs_translation_pairs", sf_dir, ids, render,
+                   batch_size=512)
     return translation_pairs(extract_html_alternates(pages)).sort(
         ["doc_id", "lang_a", "lang_b"])
 
@@ -3769,8 +3792,8 @@ def hosts_soft404(sf_dir: str):
         return pa.table({"host": pa.array(hosts, pa.string()),
                          "text": pa.array(texts, pa.string())})
 
-    pages = ids.map_batches(render, batch_format="pyarrow",
-                            batch_size=512)
+    pages = _fixture_pages("hosts_soft404", sf_dir, ids, render,
+                   batch_size=512)
     return soft404_templates(pages).sort(["host", "template_md5"])
 
 
@@ -3996,8 +4019,8 @@ def urls_percent_normalize(sf_dir: str):
         return pa.table({"doc_id": batch.column("doc_id"),
                          "url": pa.array(urls, pa.string())})
 
-    ds = ids.map_batches(render, batch_format="pyarrow",
-                         batch_size=1024)
+    ds = _fixture_pages("urls_percent_normalize", sf_dir, ids, render,
+                   batch_size=1024)
     return percent_normalize_stage(ds).sort("doc_id")
 
 
@@ -4074,8 +4097,8 @@ def hosts_backoff(sf_dir: str):
             "status": pa.array(status, pa.int64())})
 
     return throttle_backoff(
-        ids.map_batches(render, batch_format="pyarrow",
-                        batch_size=1024)).sort("host")
+        _fixture_pages("hosts_backoff", sf_dir, ids, render,
+                   batch_size=1024)).sort("host")
 
 
 # --- shard write plan ------------------------------------------------------------
@@ -4216,8 +4239,8 @@ def hreflang_return_tags(sf_dir: str):
                          "url": pa.array(out_u, pa.string()),
                          "html": pa.array(out_h, pa.binary())})
 
-    pages = ids.map_batches(render, batch_format="pyarrow",
-                            batch_size=512)
+    pages = _fixture_pages("hreflang_return_tags", sf_dir, ids, render,
+                   batch_size=512)
     alts = extract_html_alternates(pages)
     urls = pages.map_batches(
         lambda t: t.select(["doc_id", "url"]),
@@ -4330,6 +4353,6 @@ def pages_anchor_rels(sf_dir: str):
         return pa.table({"doc_id": pa.array(out_i, pa.int64()),
                          "html": pa.array(out_h, pa.binary())})
 
-    pages = ids.map_batches(render, batch_format="pyarrow",
-                            batch_size=512)
+    pages = _fixture_pages("pages_anchor_rels", sf_dir, ids, render,
+                   batch_size=512)
     return anchor_rel_stats(pages).sort("doc_id")

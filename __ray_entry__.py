@@ -1271,6 +1271,36 @@ def _videos_mjpeg_dupes(sf_dir: str):
     return videos_mjpeg_dupes(sf_dir)
 
 
+def _videos_mp4_probe(sf_dir: str):
+    """ISO BMFF (MP4) demux WITHOUT ffmpeg (oracled): real mux ->
+    box-tree walk -> stsd/esds codec id -> stsc x stco x stsz x stts
+    sample-table join, per-track probe fields all closed-form from
+    doc_id across layout variants (v0/v1 boxes, stco/co64, chunk
+    patterns, multi-entry stts, jpeg/mp4v+esds/avc1 entries)."""
+    from webxtract.ops.mp4 import videos_mp4_probe
+
+    return videos_mp4_probe(sf_dir)
+
+
+def _videos_mp4_frame_sample(sf_dir: str):
+    """Motion-JPEG-in-MP4 frame sampling (oracled): real demux ->
+    ranged sample extraction -> T.81 SOF dims, one row per every-2nd
+    frame; same planted closed form as the raw-MJPEG twin, so parity
+    proves the container walk end to end."""
+    from webxtract.ops.mp4 import videos_mp4_frame_sample
+
+    return videos_mp4_frame_sample(sf_dir)
+
+
+def _videos_mp4_dupes(sf_dir: str):
+    """Near-dup MP4 videos by frame-level perceptual matching over the
+    demuxed+decoded frames (rows-only; planted pairs asserted in
+    tests/test_mp4.py)."""
+    from webxtract.ops.mp4 import videos_mp4_dupes
+
+    return videos_mp4_dupes(sf_dir)
+
+
 def _emb_quantize_int8(sf_dir: str):
     """Scalar int8 quantization of the embedding column (4x ANN memory
     compression): exact per-dim min/max fold + one broadcast, floor
@@ -1575,6 +1605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jaccard_canonical": _docs_jaccard_canonical,
         "docs_exact_dedup": _docs_exact_dedup,
         "videos_frame_sample": _videos_frame_sample,
+        "videos_mp4_probe": _videos_mp4_probe,
+        "videos_mp4_frame_sample": _videos_mp4_frame_sample,
         "emb_dup_pairs": _emb_dup_pairs,
         # watermark late-data
         "events_late_arrivals": _events_late_arrivals,
@@ -1637,6 +1669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audios_envelope_dupes": _audios_envelope_dupes,
         "docs_ngram_jaccard": _docs_ngram_jaccard,
         "videos_mjpeg_dupes": _videos_mjpeg_dupes,
+        "videos_mp4_dupes": _videos_mp4_dupes,
         "pages_domain_stats": _pages_domain_stats,
         "events_users_hll": _events_users_hll,
         "events_type_users_hll": _events_type_users_hll,
@@ -2811,6 +2844,44 @@ def oracle_sql() -> dict[str, str]:
         # bytes; the oracle recomputes counts/dims from doc_id
         # (synth_video_corpus: nf = 4 + seed % 5, dup drops one frame)
         "videos_frame_sample": """
+            WITH v AS (
+                SELECT doc_id AS media_id,
+                       CASE WHEN doc_id % 10 = 5 THEN 3 + (doc_id - 1) % 5
+                            ELSE 4 + doc_id % 5 END AS n_frames
+                FROM documents)
+            SELECT media_id, unnest(range(0, n_frames, 2)) AS frame_idx,
+                   n_frames, 72 AS width, 64 AS height
+            FROM v""",
+        # MP4 demux: every probed field is closed-form from doc_id
+        # (synth_mp4_probe_corpus); the Ray side muxes REAL ISO BMFF
+        # bytes and re-derives these by the box-tree + sample-table
+        # walk, so a hash match certifies the demuxer across v0/v1,
+        # stco/co64, chunk patterns, multi-entry stts and the three
+        # codec signalling forms.
+        "videos_mp4_probe": """
+            WITH p AS (
+                SELECT doc_id, 3 + doc_id % 6 AS ns,
+                       512 + 256 * (doc_id % 3) AS delta
+                FROM documents),
+            s AS (
+                SELECT doc_id, unnest(range(0, ns)) AS k FROM p),
+            b AS (
+                SELECT doc_id,
+                       CAST(sum(200 + (13 * doc_id + 7 * k) % 100)
+                            AS BIGINT) AS sample_bytes
+                FROM s GROUP BY doc_id)
+            SELECT p.doc_id AS media_id,
+                   CASE p.doc_id % 3 WHEN 0 THEN 'avc1'
+                        WHEN 1 THEN 'jpeg' ELSE 'mp4v.6c' END AS codec,
+                   CAST(64 + 8 * (p.doc_id % 5) AS BIGINT) AS width,
+                   CAST(48 + 8 * (p.doc_id % 4) AS BIGINT) AS height,
+                   CAST(p.ns AS BIGINT) AS n_samples,
+                   CAST((p.ns + 1) * p.delta * 1000 // 12800
+                        AS BIGINT) AS duration_ms,
+                   b.sample_bytes,
+                   p.doc_id % 3 <> 0 AS decodable
+            FROM p JOIN b USING (doc_id)""",
+        "videos_mp4_frame_sample": """
             WITH v AS (
                 SELECT doc_id AS media_id,
                        CASE WHEN doc_id % 10 = 5 THEN 3 + (doc_id - 1) % 5

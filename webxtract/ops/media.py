@@ -24,9 +24,12 @@ Video: raw MJPEG streams (concatenated baseline JPEGs — the AVI
 'MJPG' / IP-camera payload format) split, sample and decode for REAL
 via a JPEG-marker walk + the T.81 codec (``split_mjpeg``,
 ``sample_mjpeg_frames``, frame-level perceptual near-dup mining in
-``video_neardup_pairs``); containerized formats (mp4/mkv/webm) still
-raise NotImplementedError (need ffmpeg) — the one remaining honest
-gap."""
+``video_neardup_pairs``). MP4 containers demux for REAL via the
+pure-spec ISO BMFF sample-table walk in ``ops/mp4.py`` (probe,
+ranged frame extraction, Motion-JPEG decode through the same T.81
+codec); only non-JPEG *bitstreams* (avc1/hvc1/vp09) and mkv/webm
+EBML containers remain honest gaps (ok=False data rows /
+NotImplementedError — need ffmpeg)."""
 
 from __future__ import annotations
 
@@ -180,16 +183,17 @@ class ExtractImageFeatures:
 
 
 def frame_sample_stub(batch: pa.Table, every_n: int = 10) -> pa.Table:
-    """Video frame-sampling stub for CONTAINER formats (mp4/mkv/webm):
-    real demux needs ffmpeg (absent); raises to make that gap explicit
-    rather than silently fake. Raw MJPEG streams (concatenated baseline
-    JPEGs — the AVI 'MJPG'/IP-camera payload format) decode for REAL
-    via split_mjpeg + the in-repo T.81 codec below."""
+    """Video frame-sampling stub for the REMAINING container formats
+    (mkv/webm — EBML): real demux of those needs ffmpeg (absent);
+    raises to make that gap explicit rather than silently fake. MP4
+    demuxes for real (ops/mp4.py: sample_mp4_frames) and raw MJPEG
+    streams decode for real via split_mjpeg + the in-repo T.81 codec
+    below."""
     raise NotImplementedError(
-        "containerized video (mp4/mkv/webm) requires ffmpeg, not "
-        "available in this environment; plumbing contract: media binary "
-        "in, one row per sampled frame out (flat_map shape). Raw MJPEG "
-        "is supported — see sample_mjpeg_frames.")
+        "mkv/webm (EBML) containers require ffmpeg, not available in "
+        "this environment; plumbing contract: media binary in, one row "
+        "per sampled frame out (flat_map shape). MP4 is supported — see "
+        "ops/mp4.py sample_mp4_frames; raw MJPEG — sample_mjpeg_frames.")
 
 
 # --- video: raw MJPEG streams (concatenated baseline JPEGs) ----------------

@@ -1301,6 +1301,35 @@ def _videos_mp4_dupes(sf_dir: str):
     return videos_mp4_dupes(sf_dir)
 
 
+def _videos_mkv_probe(sf_dir: str):
+    """Matroska/WebM (EBML) demux WITHOUT ffmpeg (oracled): real mux
+    -> vint element walk -> track/codec id -> cluster + SimpleBlock
+    recovery across all four lacing modes, both doctypes and the
+    unknown-size streaming Segment form; every probed field
+    closed-form from doc_id."""
+    from webxtract.ops.mkv import videos_mkv_probe
+
+    return videos_mkv_probe(sf_dir)
+
+
+def _videos_mkv_frame_sample(sf_dir: str):
+    """Motion-JPEG-in-Matroska frame sampling (oracled): real EBML
+    demux -> laced-frame recovery -> T.81 SOF dims, one row per
+    every-2nd frame; same planted closed form as the MJPEG/MP4
+    twins."""
+    from webxtract.ops.mkv import videos_mkv_frame_sample
+
+    return videos_mkv_frame_sample(sf_dir)
+
+
+def _videos_mkv_dupes(sf_dir: str):
+    """Near-dup Matroska videos by frame-level perceptual matching
+    (rows-only; planted pairs asserted in tests/test_mkv.py)."""
+    from webxtract.ops.mkv import videos_mkv_dupes
+
+    return videos_mkv_dupes(sf_dir)
+
+
 def _emb_quantize_int8(sf_dir: str):
     """Scalar int8 quantization of the embedding column (4x ANN memory
     compression): exact per-dim min/max fold + one broadcast, floor
@@ -1607,6 +1636,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "videos_frame_sample": _videos_frame_sample,
         "videos_mp4_probe": _videos_mp4_probe,
         "videos_mp4_frame_sample": _videos_mp4_frame_sample,
+        "videos_mkv_probe": _videos_mkv_probe,
+        "videos_mkv_frame_sample": _videos_mkv_frame_sample,
         "emb_dup_pairs": _emb_dup_pairs,
         # watermark late-data
         "events_late_arrivals": _events_late_arrivals,
@@ -1670,6 +1701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_jaccard": _docs_ngram_jaccard,
         "videos_mjpeg_dupes": _videos_mjpeg_dupes,
         "videos_mp4_dupes": _videos_mp4_dupes,
+        "videos_mkv_dupes": _videos_mkv_dupes,
         "pages_domain_stats": _pages_domain_stats,
         "events_users_hll": _events_users_hll,
         "events_type_users_hll": _events_type_users_hll,
@@ -2881,6 +2913,46 @@ def oracle_sql() -> dict[str, str]:
                    b.sample_bytes,
                    p.doc_id % 3 <> 0 AS decodable
             FROM p JOIN b USING (doc_id)""",
+        # Matroska demux: closed form mirrors synth_mkv_probe_corpus
+        # (codec cycle, webm doctype every 5th, fixed-lacing docs get
+        # equal frame sizes). A hash match certifies the EBML vint
+        # walk + all four lacing decoders + both segment-size forms.
+        "videos_mkv_probe": """
+            WITH p AS (
+                SELECT doc_id, 3 + doc_id % 6 AS nf,
+                       doc_id % 4 = 3 AS fixed
+                FROM documents),
+            s AS (
+                SELECT doc_id, nf, fixed, unnest(range(0, nf)) AS k
+                FROM p),
+            b AS (
+                SELECT doc_id,
+                       CAST(sum(120 + (11 * doc_id
+                                + CASE WHEN fixed THEN 0
+                                       ELSE 5 * k END) % 80)
+                            AS BIGINT) AS frame_bytes
+                FROM s GROUP BY doc_id)
+            SELECT p.doc_id AS media_id,
+                   CASE WHEN p.doc_id % 5 = 0 THEN 'webm'
+                        ELSE 'matroska' END AS doctype,
+                   CASE p.doc_id % 3 WHEN 0 THEN 'V_VP9'
+                        WHEN 1 THEN 'V_MJPEG' ELSE 'V_AV1' END AS codec,
+                   CAST(64 + 8 * (p.doc_id % 5) AS BIGINT) AS width,
+                   CAST(48 + 8 * (p.doc_id % 4) AS BIGINT) AS height,
+                   CAST(p.nf AS BIGINT) AS n_frames,
+                   CAST(p.nf * 40 AS BIGINT) AS duration_ms,
+                   b.frame_bytes,
+                   p.doc_id % 3 = 1 AS decodable
+            FROM p JOIN b USING (doc_id)""",
+        "videos_mkv_frame_sample": """
+            WITH v AS (
+                SELECT doc_id AS media_id,
+                       CASE WHEN doc_id % 10 = 5 THEN 3 + (doc_id - 1) % 5
+                            ELSE 4 + doc_id % 5 END AS n_frames
+                FROM documents)
+            SELECT media_id, unnest(range(0, n_frames, 2)) AS frame_idx,
+                   n_frames, 72 AS width, 64 AS height
+            FROM v""",
         "videos_mp4_frame_sample": """
             WITH v AS (
                 SELECT doc_id AS media_id,

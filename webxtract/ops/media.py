@@ -25,10 +25,12 @@ Video: raw MJPEG streams (concatenated baseline JPEGs — the AVI
 via a JPEG-marker walk + the T.81 codec (``split_mjpeg``,
 ``sample_mjpeg_frames``, frame-level perceptual near-dup mining in
 ``video_neardup_pairs``). MP4 containers demux for REAL via the
-pure-spec ISO BMFF sample-table walk in ``ops/mp4.py`` (probe,
-ranged frame extraction, Motion-JPEG decode through the same T.81
-codec); only non-JPEG *bitstreams* (avc1/hvc1/vp09) and mkv/webm
-EBML containers remain honest gaps (ok=False data rows /
+pure-spec ISO BMFF sample-table walk in ``ops/mp4.py`` and
+Matroska/WebM via the EBML element walk in ``ops/mkv.py`` (probe,
+frame extraction across all lacing modes, Motion-JPEG decode
+through the same T.81 codec); only compressed *bitstreams*
+(avc1/hvc1/VP8/VP9/AV1) and the remaining container families
+(AVI/MPEG-TS) are honest gaps (ok=False data rows /
 NotImplementedError — need ffmpeg)."""
 
 from __future__ import annotations
@@ -184,16 +186,19 @@ class ExtractImageFeatures:
 
 def frame_sample_stub(batch: pa.Table, every_n: int = 10) -> pa.Table:
     """Video frame-sampling stub for the REMAINING container formats
-    (mkv/webm — EBML): real demux of those needs ffmpeg (absent);
-    raises to make that gap explicit rather than silently fake. MP4
-    demuxes for real (ops/mp4.py: sample_mp4_frames) and raw MJPEG
-    streams decode for real via split_mjpeg + the in-repo T.81 codec
-    below."""
+    (AVI / MPEG-TS) and compressed bitstreams: those need ffmpeg
+    (absent); raises to make the gap explicit rather than silently
+    fake. MP4 demuxes for real (ops/mp4.py: sample_mp4_frames),
+    Matroska/WebM for real (ops/mkv.py: sample_mkv_frames), and raw
+    MJPEG streams decode for real via split_mjpeg + the in-repo T.81
+    codec below."""
     raise NotImplementedError(
-        "mkv/webm (EBML) containers require ffmpeg, not available in "
-        "this environment; plumbing contract: media binary in, one row "
-        "per sampled frame out (flat_map shape). MP4 is supported — see "
-        "ops/mp4.py sample_mp4_frames; raw MJPEG — sample_mjpeg_frames.")
+        "AVI/MPEG-TS containers and compressed video bitstreams "
+        "(H.264/VP9/AV1) require ffmpeg, not available in this "
+        "environment; plumbing contract: media binary in, one row per "
+        "sampled frame out (flat_map shape). MP4 — ops/mp4.py "
+        "sample_mp4_frames; Matroska/WebM — ops/mkv.py "
+        "sample_mkv_frames; raw MJPEG — sample_mjpeg_frames.")
 
 
 # --- video: raw MJPEG streams (concatenated baseline JPEGs) ----------------

@@ -1,0 +1,666 @@
+"""Matroska / WebM (EBML) demux WITHOUT ffmpeg — pure-spec walk.
+
+Companion to ops/mp4.py: together they close the round-3 verdict's
+"containerized video" gap for the two container families that carry
+essentially all web video. EBML is a public spec (RFC 8794; the
+Matroska element registry at matroska.org), and — like MP4 — the
+*container* needs no codec library: demux is a variable-length-
+integer element walk that yields per-track codec ids, dims, and the
+timestamped frame payloads inside Cluster/SimpleBlock elements.
+
+What's real:
+
+  * `build_mkv` — a muxer (EBML header + Segment/Info/Tracks/
+    Clusters) so fixtures are REAL Matroska files, layouts varied
+    per file: all four SimpleBlock lacing modes (none / Xiph /
+    EBML / fixed), multi-frame clusters, both doctypes
+    ("matroska" / "webm"), and unknown-size Segments (the live-
+    streaming form where the writer can't backpatch the size);
+  * `parse_mkv` — the element walk: vint ids/sizes, unknown-size
+    handling, unknown-element skip-by-size, all lacing modes
+    decoded, per-track (timestamp_ms, frame bytes) recovery;
+  * `probe_mkv` — ffprobe-shaped per-track rows, malformed input
+    degrading to ok=False DATA rows;
+  * REAL frame decode for `V_MJPEG` tracks via the in-repo T.81
+    codec (each SimpleBlock frame is a self-contained JPEG);
+    compressed bitstreams (V_VP8/VP9/AV1/MPEG4/...) demux fine —
+    extents, timing, codec id — and yield decodable=false.
+
+Scale shape: identical to the MP4/WARC posture — one file is one
+row, demux is map-side arithmetic, the near-dup surface ships 8 B
+signatures; the unit of parallelism at 100 TB is the file.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+# Matroska element ids (class ids, written verbatim)
+_EBML = 0x1A45DFA3
+_DOCTYPE = 0x4282
+_SEGMENT = 0x18538067
+_INFO = 0x1549A966
+_TS_SCALE = 0x2AD7B1
+_DURATION = 0x4489
+_TRACKS = 0x1654AE6B
+_TRACK_ENTRY = 0xAE
+_TRACK_NUMBER = 0xD7
+_TRACK_UID = 0x73C5
+_TRACK_TYPE = 0x83
+_CODEC_ID = 0x86
+_DEFAULT_DURATION = 0x23E383  # ns per frame
+_VIDEO = 0xE0
+_PIXEL_W = 0xB0
+_PIXEL_H = 0xBA
+_CLUSTER = 0x1F43B675
+_TIMESTAMP = 0xE7
+_SIMPLE_BLOCK = 0xA3
+
+
+class MKVError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# vint / element primitives
+# ---------------------------------------------------------------------------
+
+
+def _write_vint(value: int, length: int | None = None) -> bytes:
+    """EBML size vint: leading-zeros length marker, 7 usable bits per
+    byte. All-ones is reserved (unknown size) so max is 2^(7n) - 2."""
+    if length is None:
+        length = 1
+        while value > (1 << (7 * length)) - 2:
+            length += 1
+    if value > (1 << (7 * length)) - 2:
+        raise ValueError("vint overflow")
+    out = value | (1 << (7 * length))
+    return out.to_bytes(length, "big")
+
+
+_UNKNOWN = object()
+
+
+def _read_vint(buf: bytes, i: int, keep_marker: bool = False):
+    """Returns (value, next_offset); value is _UNKNOWN for the
+    all-ones size form. keep_marker=True returns the raw bytes as an
+    int (element-ID form)."""
+    if i >= len(buf):
+        raise MKVError("vint past end")
+    first = buf[i]
+    if first == 0:
+        raise MKVError("invalid vint (>8 bytes)")
+    length = 9 - first.bit_length()
+    if i + length > len(buf):
+        raise MKVError("truncated vint")
+    raw = int.from_bytes(buf[i:i + length], "big")
+    if keep_marker:
+        return raw, i + length
+    value = raw - (1 << (7 * length))
+    if value == (1 << (7 * length)) - 1:
+        return _UNKNOWN, i + length
+    return value, i + length
+
+
+def _element(eid: int, payload: bytes) -> bytes:
+    nid = (eid.bit_length() + 7) // 8
+    return eid.to_bytes(nid, "big") + _write_vint(len(payload)) + payload
+
+
+def _uint(eid: int, v: int) -> bytes:
+    n = max(1, (v.bit_length() + 7) // 8)
+    return _element(eid, v.to_bytes(n, "big"))
+
+
+def _signed_vint(delta: int, length: int | None = None) -> bytes:
+    """EBML-lacing signed vint: value + bias 2^(7n-1) - 1."""
+    if length is None:
+        length = 1
+        while not (-(1 << (7 * length - 1)) + 1 <= delta
+                   <= (1 << (7 * length - 1)) - 1):
+            length += 1
+    return _write_vint(delta + (1 << (7 * length - 1)) - 1, length)
+
+
+# ---------------------------------------------------------------------------
+# muxer
+# ---------------------------------------------------------------------------
+
+
+def _lace_payload(track_num: int, rel_ts: int, frames: list[bytes],
+                  lacing: str) -> bytes:
+    head = _write_vint(track_num) + struct.pack(">h", rel_ts)
+    if lacing == "none":
+        if len(frames) != 1:
+            raise ValueError("no-lacing blocks carry exactly one frame")
+        return head + bytes([0x80]) + frames[0]
+    if lacing == "xiph":
+        flags, sizes = 0x80 | 0x02, bytearray()
+        for f in frames[:-1]:
+            n = len(f)
+            sizes += b"\xff" * (n // 255) + bytes([n % 255])
+    elif lacing == "fixed":
+        if len({len(f) for f in frames}) != 1:
+            raise ValueError("fixed lacing needs equal frame sizes")
+        flags, sizes = 0x80 | 0x04, bytearray()
+    elif lacing == "ebml":
+        flags, sizes = 0x80 | 0x06, bytearray(_write_vint(len(frames[0])))
+        for prev, f in zip(frames, frames[1:-1] or []):
+            sizes += _signed_vint(len(f) - len(prev))
+    else:
+        raise ValueError(f"unknown lacing {lacing!r}")
+    return (head + bytes([flags]) + bytes([len(frames) - 1])
+            + bytes(sizes) + b"".join(frames))
+
+
+def build_mkv(tracks: list[dict], doctype: str = "matroska",
+              frames_per_cluster: int = 4, lacing: str = "none",
+              unknown_segment_size: bool = False) -> bytes:
+    """Mux frame payloads into a valid Matroska/WebM file.
+
+    Each track dict: ``codec`` (Matroska CodecID string, e.g.
+    'V_MJPEG', 'V_VP9'), ``width``, ``height``, ``frames``
+    (list[bytes]), ``frame_ms`` (per-frame duration, ms).
+    ``lacing``: 'none' (one SimpleBlock per frame), or
+    'xiph'/'ebml'/'fixed' (frames of a cluster coalesced into one
+    laced SimpleBlock; 'fixed' requires equal sizes within a
+    cluster). ``unknown_segment_size`` writes the all-ones Segment
+    size (the streaming form a demuxer must parse to EOF)."""
+    ebml = _element(_EBML,
+                    _uint(0x4286, 1) + _uint(0x42F7, 1)
+                    + _uint(0x42F2, 4) + _uint(0x42F3, 8)
+                    + _element(_DOCTYPE, doctype.encode("ascii"))
+                    + _uint(0x4287, 4) + _uint(0x4285, 2))
+
+    total_ms = max((len(t["frames"]) * t["frame_ms"] for t in tracks),
+                   default=0)
+    info = _element(_INFO,
+                    _uint(_TS_SCALE, 1_000_000)
+                    + _element(_DURATION,
+                               struct.pack(">d", float(total_ms))))
+    entries = b""
+    for ti, t in enumerate(tracks):
+        video = _element(_VIDEO, _uint(_PIXEL_W, t["width"])
+                         + _uint(_PIXEL_H, t["height"]))
+        entries += _element(
+            _TRACK_ENTRY,
+            _uint(_TRACK_NUMBER, ti + 1) + _uint(_TRACK_UID, ti + 1)
+            + _uint(_TRACK_TYPE, 1)
+            + _element(_CODEC_ID, t["codec"].encode("ascii"))
+            + _uint(_DEFAULT_DURATION, t["frame_ms"] * 1_000_000)
+            + video)
+    tracks_el = _element(_TRACKS, entries)
+
+    clusters = b""
+    for ti, t in enumerate(tracks):
+        frames, fms = t["frames"], t["frame_ms"]
+        for c0 in range(0, len(frames), frames_per_cluster):
+            group = frames[c0:c0 + frames_per_cluster]
+            cluster_ts = c0 * fms
+            body = _uint(_TIMESTAMP, cluster_ts)
+            if lacing == "none" or len(group) == 1:
+                for k, f in enumerate(group):
+                    body += _element(
+                        _SIMPLE_BLOCK,
+                        _lace_payload(ti + 1, k * fms, [f], "none"))
+            else:
+                body += _element(_SIMPLE_BLOCK,
+                                 _lace_payload(ti + 1, 0, group, lacing))
+            clusters += _element(_CLUSTER, body)
+
+    payload = info + tracks_el + clusters
+    nid = (_SEGMENT.bit_length() + 7) // 8
+    if unknown_segment_size:
+        seg = _SEGMENT.to_bytes(nid, "big") + b"\xff" + payload
+    else:
+        seg = _SEGMENT.to_bytes(nid, "big") + _write_vint(len(payload)) \
+            + payload
+    return ebml + seg
+
+
+# ---------------------------------------------------------------------------
+# demuxer
+# ---------------------------------------------------------------------------
+
+
+def _children(buf: bytes, start: int, end: int):
+    """Yield (element_id, payload_start, payload_end); unknown-size
+    elements run to the container end (the RFC 8794 streaming rule —
+    valid only for elements that end their parent, which is how
+    muxers actually use it)."""
+    i = start
+    while i < end:
+        eid, j = _read_vint(buf, i, keep_marker=True)
+        size, k = _read_vint(buf, j)
+        if size is _UNKNOWN:
+            yield eid, k, end
+            return
+        if k + size > end:
+            raise MKVError(f"element 0x{eid:X} overruns container")
+        yield eid, k, k + size
+        i = k + size
+
+
+def _find(buf: bytes, start: int, end: int, eid: int):
+    for e, s, t in _children(buf, start, end):
+        if e == eid:
+            return s, t
+    return None
+
+
+def _read_uint(buf: bytes, s: int, e: int) -> int:
+    return int.from_bytes(buf[s:e], "big")
+
+
+def _decode_block(buf: bytes, s: int, e: int):
+    """SimpleBlock -> (track_number, rel_ts, [frame bytes]); all four
+    lacing modes per the Matroska block structure spec."""
+    tnum, i = _read_vint(buf, s)
+    if tnum is _UNKNOWN:
+        raise MKVError("unknown-size track number")
+    rel_ts = struct.unpack_from(">h", buf, i)[0]
+    flags = buf[i + 2]
+    i += 3
+    mode = flags & 0x06
+    if mode == 0x00:
+        return tnum, rel_ts, [buf[i:e]]
+    n_frames = buf[i] + 1
+    i += 1
+    sizes: list[int] = []
+    if mode == 0x02:  # Xiph
+        for _ in range(n_frames - 1):
+            v = 0
+            while buf[i] == 255:
+                v += 255
+                i += 1
+            v += buf[i]
+            i += 1
+            sizes.append(v)
+    elif mode == 0x04:  # fixed
+        if (e - i) % n_frames:
+            raise MKVError("fixed lacing: payload not divisible")
+        sizes = [(e - i) // n_frames] * (n_frames - 1)
+    else:  # EBML
+        first, i = _read_vint(buf, i)
+        if first is _UNKNOWN:
+            raise MKVError("unknown-size lace")
+        sizes.append(first)
+        prev = first
+        for _ in range(n_frames - 2):
+            j0 = i
+            raw, i = _read_vint(buf, i, keep_marker=True)
+            length = i - j0
+            delta = (raw - (1 << (7 * length))) \
+                - ((1 << (7 * length - 1)) - 1)
+            prev += delta
+            sizes.append(prev)
+    frames = []
+    for n in sizes:
+        if i + n > e:
+            raise MKVError("lace size overruns block")
+        frames.append(buf[i:i + n])
+        i += n
+    frames.append(buf[i:e])  # last frame: remainder
+    return tnum, rel_ts, frames
+
+
+def parse_mkv(raw: bytes) -> dict:
+    """Full demux: returns ``{"doctype", "timestamp_scale",
+    "duration_ms", "tracks": [...]}``; each track carries
+    codec/dims and ``frames`` — the (timestamp_ms, payload bytes)
+    list recovered from the cluster walk. Raises MKVError on
+    malformed input (probe_mkv converts to data)."""
+    if raw is None or len(raw) < 8:
+        raise MKVError("not EBML: too short")
+    top = list(_children(raw, 0, len(raw)))
+    header = next(((s, e) for i, s, e in top if i == _EBML), None)
+    seg = next(((s, e) for i, s, e in top if i == _SEGMENT), None)
+    if header is None or seg is None:
+        raise MKVError("missing EBML header or Segment")
+    dt = _find(raw, header[0], header[1], _DOCTYPE)
+    doctype = (raw[dt[0]:dt[1]].decode("ascii", "replace")
+               if dt else "matroska")
+
+    ts_scale = 1_000_000
+    duration = 0.0
+    tracks: dict[int, dict] = {}
+    frames: dict[int, list] = {}
+    for eid, s, e in _children(raw, seg[0], seg[1]):
+        if eid == _INFO:
+            el = _find(raw, s, e, _TS_SCALE)
+            if el:
+                ts_scale = _read_uint(raw, el[0], el[1])
+            el = _find(raw, s, e, _DURATION)
+            if el:
+                fmt = ">f" if el[1] - el[0] == 4 else ">d"
+                duration = struct.unpack_from(fmt, raw, el[0])[0]
+        elif eid == _TRACKS:
+            for tid, ts_, te in _children(raw, s, e):
+                if tid != _TRACK_ENTRY:
+                    continue
+                ent: dict = {"codec": "", "width": -1, "height": -1,
+                             "track_type": -1, "default_ms": 1}
+                num = None
+                for fid, fs, fe in _children(raw, ts_, te):
+                    if fid == _TRACK_NUMBER:
+                        num = _read_uint(raw, fs, fe)
+                    elif fid == _CODEC_ID:
+                        ent["codec"] = raw[fs:fe].decode("ascii",
+                                                         "replace")
+                    elif fid == _TRACK_TYPE:
+                        ent["track_type"] = _read_uint(raw, fs, fe)
+                    elif fid == _DEFAULT_DURATION:
+                        ent["default_ms"] = max(
+                            1, _read_uint(raw, fs, fe) // 1_000_000)
+                    elif fid == _VIDEO:
+                        w = _find(raw, fs, fe, _PIXEL_W)
+                        h = _find(raw, fs, fe, _PIXEL_H)
+                        if w:
+                            ent["width"] = _read_uint(raw, w[0], w[1])
+                        if h:
+                            ent["height"] = _read_uint(raw, h[0], h[1])
+                if num is None:
+                    raise MKVError("TrackEntry without TrackNumber")
+                tracks[num] = ent
+                frames[num] = []
+        elif eid == _CLUSTER:
+            cluster_ts = 0
+            for cid, cs, ce in _children(raw, s, e):
+                if cid == _TIMESTAMP:
+                    cluster_ts = _read_uint(raw, cs, ce)
+                elif cid == _SIMPLE_BLOCK:
+                    tnum, rel, fr = _decode_block(raw, cs, ce)
+                    if tnum not in frames:
+                        raise MKVError(f"block for unknown track {tnum}")
+                    base = cluster_ts + rel
+                    # laced frames carry no per-frame timestamps; they
+                    # are implicitly spaced by the track's
+                    # DefaultDuration (the Matroska lacing rule)
+                    step = tracks[tnum]["default_ms"]
+                    for k, f in enumerate(fr):
+                        frames[tnum].append((base + k * step, f))
+    duration_ms = int(duration * ts_scale / 1_000_000)
+    out = []
+    for num in sorted(tracks):
+        t = dict(tracks[num])
+        t["track_id"] = num
+        t["frames"] = frames[num]
+        out.append(t)
+    return {"doctype": doctype, "timestamp_scale": ts_scale,
+            "duration_ms": duration_ms, "tracks": out}
+
+
+_DECODABLE = ("V_MJPEG",)
+
+
+def probe_mkv(raw: bytes | None) -> list[dict]:
+    """ffprobe-shaped per-track summary; malformed input degrades to a
+    single ok=False row (error as DATA)."""
+    try:
+        info = parse_mkv(raw)
+    except (MKVError, struct.error, IndexError) as exc:
+        return [{"doctype": "", "track_id": -1, "codec": "",
+                 "width": -1, "height": -1, "n_frames": -1,
+                 "duration_ms": -1, "frame_bytes": -1,
+                 "decodable": False, "ok": False, "error": str(exc)[:120]}]
+    rows = []
+    for t in info["tracks"]:
+        rows.append({
+            "doctype": info["doctype"], "track_id": t["track_id"],
+            "codec": t["codec"], "width": t["width"],
+            "height": t["height"], "n_frames": len(t["frames"]),
+            "duration_ms": info["duration_ms"],
+            "frame_bytes": sum(len(f) for _, f in t["frames"]),
+            "decodable": t["codec"] in _DECODABLE,
+            "ok": True, "error": None,
+        })
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Ray stages + query surfaces
+# ---------------------------------------------------------------------------
+
+
+class ProbeMKV:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        blobs = batch.column("media").to_pylist()
+        cols = {k: [] for k in ("media_id", "doctype", "track_id",
+                                "codec", "width", "height", "n_frames",
+                                "duration_ms", "frame_bytes", "decodable",
+                                "ok", "error")}
+        for mid, raw in zip(ids, blobs):
+            for row in probe_mkv(raw):
+                cols["media_id"].append(mid)
+                for k, v in row.items():
+                    cols[k].append(v)
+        return pa.table({
+            "media_id": pa.array(cols["media_id"], pa.int64()),
+            "doctype": pa.array(cols["doctype"], pa.string()),
+            "track_id": pa.array(cols["track_id"], pa.int64()),
+            "codec": pa.array(cols["codec"], pa.string()),
+            "width": pa.array(cols["width"], pa.int64()),
+            "height": pa.array(cols["height"], pa.int64()),
+            "n_frames": pa.array(cols["n_frames"], pa.int64()),
+            "duration_ms": pa.array(cols["duration_ms"], pa.int64()),
+            "frame_bytes": pa.array(cols["frame_bytes"], pa.int64()),
+            "decodable": pa.array(cols["decodable"], pa.bool_()),
+            "ok": pa.array(cols["ok"], pa.bool_()),
+            "error": pa.array(cols["error"], pa.string()),
+        })
+
+
+class SampleMKVFrames:
+    """Flat stage: one Matroska row in -> one row per sampled frame of
+    its FIRST decodable (V_MJPEG) video track out; same output schema
+    as the MP4/MJPEG samplers so the shared near-dup back half
+    composes unchanged."""
+
+    def __init__(self, every_n: int = 1):
+        if every_n < 1:
+            raise ValueError("every_n must be >= 1")
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .jpegcodec import jpeg_dims
+
+        ids = batch.column("media_id").to_pylist()
+        blobs = batch.column("media").to_pylist()
+        o_id, o_idx, o_n, o_raw, o_w, o_h = [], [], [], [], [], []
+        for mid, raw in zip(ids, blobs):
+            try:
+                info = parse_mkv(raw)
+            except (MKVError, struct.error, IndexError):
+                continue
+            track = next((t for t in info["tracks"]
+                          if t["track_type"] == 1
+                          and t["codec"] in _DECODABLE), None)
+            if track is None:
+                continue
+            fr = track["frames"]
+            for k in range(0, len(fr), self.every_n):
+                dims = jpeg_dims(fr[k][1])
+                w, h = dims if dims else (-1, -1)
+                o_id.append(mid)
+                o_idx.append(k)
+                o_n.append(len(fr))
+                o_raw.append(fr[k][1])
+                o_w.append(w)
+                o_h.append(h)
+        return pa.table({
+            "media_id": pa.array(o_id, pa.int64()),
+            "frame_idx": pa.array(o_idx, pa.int64()),
+            "n_frames": pa.array(o_n, pa.int64()),
+            "media": pa.array(o_raw, pa.binary()),
+            "width": pa.array(o_w, pa.int32()),
+            "height": pa.array(o_h, pa.int32()),
+        })
+
+
+def sample_mkv_frames(ds, every_n: int = 1, batch_size: int = 16):
+    stage = SampleMKVFrames(every_n)
+    return ds.map_batches(lambda b: stage(b), batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)
+
+
+# --- fixtures + surfaces ----------------------------------------------------
+
+
+def synth_mkv_probe_corpus(sf_dir: str, n: int | None = None):
+    """Deterministic mixed-codec Matroska corpus for the PROBE
+    surface; every probed field closed-form from doc_id:
+
+      codec:     doc_id % 3 -> 0: V_VP9, 1: V_MJPEG, 2: V_AV1
+      doctype:   'webm' when doc_id % 5 == 0 else 'matroska'
+      n_frames:  3 + doc_id % 6, frame_ms 40
+      dims:      (64 + 8*(doc_id % 5), 48 + 8*(doc_id % 4))
+      frame k:   120 + (11*doc_id + 5*k) % 80 bytes, EXCEPT
+                 doc_id % 4 == 3 (fixed lacing needs equal sizes):
+                 all frames 120 + (11*doc_id) % 80 bytes
+      lacing:    doc_id % 4 -> none / xiph / ebml / fixed
+      segment:   unknown-size when doc_id % 6 == 0
+
+    Parity over the probe output certifies the vint walk, all four
+    lacing decoders, both doctypes and the streaming segment form."""
+    from ..fixturecache import cached_ds
+    import ray.data as rd
+
+    def build():
+        ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id"])
+        if n is not None:
+            ids = ids.limit(n)
+        try:
+            import ray
+            ids = ids.repartition(
+                max(2, int(ray.cluster_resources().get("CPU", 8))))
+        except Exception:
+            pass
+        return ids.map_batches(_render_probe_fixture,
+                               batch_format="pyarrow", batch_size=64)
+
+    if n is None:
+        return cached_ds("mkv_probe_corpus", sf_dir, build,
+                         render_fn=_render_probe_fixture)
+    return build()
+
+
+_LACINGS = ["none", "xiph", "ebml", "fixed"]
+
+
+def _render_probe_fixture(batch: pa.Table) -> pa.Table:
+    codecs = ["V_VP9", "V_MJPEG", "V_AV1"]
+    out_id, out_raw = [], []
+    for i in batch.column("doc_id").to_pylist():
+        nf = 3 + i % 6
+        fixed = i % 4 == 3
+        frames = [bytes([(i + k) & 0xFF])
+                  * (120 + (11 * i + (0 if fixed else 5 * k)) % 80)
+                  for k in range(nf)]
+        track = {"codec": codecs[i % 3],
+                 "width": 64 + 8 * (i % 5), "height": 48 + 8 * (i % 4),
+                 "frames": frames, "frame_ms": 40}
+        out_id.append(i)
+        out_raw.append(build_mkv(
+            [track], doctype="webm" if i % 5 == 0 else "matroska",
+            frames_per_cluster=4, lacing=_LACINGS[i % 4],
+            unknown_segment_size=i % 6 == 0))
+    return pa.table({"media_id": pa.array(out_id, pa.int64()),
+                     "media": pa.array(out_raw, pa.binary())})
+
+
+def synth_mkv_corpus(sf_dir: str, n: int | None = None):
+    """MJPEG-in-Matroska twin of synth_video_corpus: SAME seeded
+    mosaic frames and planted near-dup scheme, muxed as real Matroska
+    with per-file lacing/doctype/segment-form variation."""
+    from ..fixturecache import cached_ds
+    import ray.data as rd
+
+    def build():
+        ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id"])
+        if n is not None:
+            ids = ids.limit(n)
+        try:
+            import ray
+            ids = ids.repartition(
+                max(2, int(ray.cluster_resources().get("CPU", 8))))
+        except Exception:
+            pass
+        return ids.map_batches(_render_mjpeg_mkv, batch_format="pyarrow",
+                               batch_size=32)
+
+    if n is None:
+        return cached_ds("mkv_mjpeg_corpus", sf_dir, build,
+                         render_fn=_render_mjpeg_mkv)
+    return build()
+
+
+def _render_mjpeg_mkv(batch: pa.Table) -> pa.Table:
+    from .jpegcodec import encode_jpeg
+
+    out_id, out_raw = [], []
+    for i in batch.column("doc_id").to_pylist():
+        dup = i % 10 == 5
+        seed = i - 1 if dup else i
+        rng = np.random.default_rng(seed + (1 << 40))  # video family
+        blocks = rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
+        nf = 4 + seed % 5 - (1 if dup else 0)
+        frames = []
+        for k in range(nf):
+            img = np.repeat(np.repeat(np.roll(blocks, -k, axis=1),
+                                      8, axis=0), 8, axis=1)
+            if dup:
+                img = img.copy()
+                img[0, 0, 0] ^= 1
+            frames.append(encode_jpeg(np.ascontiguousarray(img),
+                                      quality=95, subsampling="444"))
+        # JPEG frames differ in size -> fixed lacing inapplicable
+        lacing = ["none", "xiph", "ebml"][i % 3]
+        track = {"codec": "V_MJPEG", "width": 72, "height": 64,
+                 "frames": frames, "frame_ms": 40}
+        out_id.append(i)
+        out_raw.append(build_mkv(
+            [track], doctype="webm" if i % 5 == 0 else "matroska",
+            frames_per_cluster=1 + i % 3, lacing=lacing,
+            unknown_segment_size=i % 6 == 0))
+    return pa.table({"media_id": pa.array(out_id, pa.int64()),
+                     "media": pa.array(out_raw, pa.binary())})
+
+
+def videos_mkv_probe(sf_dir: str):
+    """Query surface, ORACLED: probe the mixed-codec Matroska corpus;
+    every field closed-form from doc_id (see synth_mkv_probe_corpus)."""
+    probe = ProbeMKV()
+    ds = synth_mkv_probe_corpus(sf_dir).map_batches(
+        lambda b: probe(b), batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=64)
+    return ds.select_columns(["media_id", "doctype", "codec", "width",
+                              "height", "n_frames", "duration_ms",
+                              "frame_bytes", "decodable"])
+
+
+def videos_mkv_frame_sample(sf_dir: str):
+    """Query surface, ORACLED: demux the MJPEG-in-Matroska corpus,
+    sample every 2nd frame through the REAL cluster/lacing walk +
+    T.81 SOF parse; same closed form as the MJPEG/MP4 twins."""
+    frames = sample_mkv_frames(synth_mkv_corpus(sf_dir), every_n=2)
+    return frames.select_columns(
+        ["media_id", "frame_idx", "n_frames", "width", "height"])
+
+
+def videos_mkv_dupes(sf_dir: str):
+    """Query surface (rows-only): frame-level perceptual near-dup
+    mining over the Matroska corpus; planted pairs asserted in
+    tests/test_mkv.py."""
+    from .media import frame_neardup_pairs
+
+    pairs = frame_neardup_pairs(
+        sample_mkv_frames(synth_mkv_corpus(sf_dir), every_n=2),
+        max_dist=4, min_overlap=0.5, verify="auto")
+    return pairs.sort(["video_a", "video_b"])

@@ -1330,6 +1330,34 @@ def _videos_mkv_dupes(sf_dir: str):
     return videos_mkv_dupes(sf_dir)
 
 
+def _videos_avi_probe(sf_dir: str):
+    """AVI (RIFF) demux WITHOUT ffmpeg (oracled): real mux -> chunk
+    walk -> avih/strh/strf headers -> movi frame recovery with idx1
+    cross-check across both offset conventions (movi-relative per
+    spec, absolute per many real muxers) and idx1-absent files; every
+    probed field closed-form from doc_id."""
+    from webxtract.ops.avi import videos_avi_probe
+
+    return videos_avi_probe(sf_dir)
+
+
+def _videos_avi_frame_sample(sf_dir: str):
+    """MJPG-in-AVI frame sampling (oracled): real RIFF demux -> T.81
+    SOF dims, one row per every-2nd frame; same planted closed form
+    as the MJPEG/MP4/Matroska twins."""
+    from webxtract.ops.avi import videos_avi_frame_sample
+
+    return videos_avi_frame_sample(sf_dir)
+
+
+def _videos_avi_dupes(sf_dir: str):
+    """Near-dup AVI videos by frame-level perceptual matching
+    (rows-only; planted pairs asserted in tests/test_avi.py)."""
+    from webxtract.ops.avi import videos_avi_dupes
+
+    return videos_avi_dupes(sf_dir)
+
+
 def _emb_quantize_int8(sf_dir: str):
     """Scalar int8 quantization of the embedding column (4x ANN memory
     compression): exact per-dim min/max fold + one broadcast, floor
@@ -1638,6 +1666,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "videos_mp4_frame_sample": _videos_mp4_frame_sample,
         "videos_mkv_probe": _videos_mkv_probe,
         "videos_mkv_frame_sample": _videos_mkv_frame_sample,
+        "videos_avi_probe": _videos_avi_probe,
+        "videos_avi_frame_sample": _videos_avi_frame_sample,
         "emb_dup_pairs": _emb_dup_pairs,
         # watermark late-data
         "events_late_arrivals": _events_late_arrivals,
@@ -1702,6 +1732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "videos_mjpeg_dupes": _videos_mjpeg_dupes,
         "videos_mp4_dupes": _videos_mp4_dupes,
         "videos_mkv_dupes": _videos_mkv_dupes,
+        "videos_avi_dupes": _videos_avi_dupes,
         "pages_domain_stats": _pages_domain_stats,
         "events_users_hll": _events_users_hll,
         "events_type_users_hll": _events_type_users_hll,
@@ -2913,6 +2944,38 @@ def oracle_sql() -> dict[str, str]:
                    b.sample_bytes,
                    p.doc_id % 3 <> 0 AS decodable
             FROM p JOIN b USING (doc_id)""",
+        # AVI demux: closed form mirrors synth_avi_probe_corpus; a
+        # hash match certifies the RIFF chunk walk, header parse and
+        # the idx1 offset-convention sniff (both conventions + absent)
+        "videos_avi_probe": """
+            WITH p AS (
+                SELECT doc_id, 3 + doc_id % 6 AS nf FROM documents),
+            s AS (
+                SELECT doc_id, unnest(range(0, nf)) AS k FROM p),
+            b AS (
+                SELECT doc_id,
+                       CAST(sum(150 + (17 * doc_id + 9 * k) % 120)
+                            AS BIGINT) AS frame_bytes
+                FROM s GROUP BY doc_id)
+            SELECT p.doc_id AS media_id,
+                   CASE p.doc_id % 3 WHEN 0 THEN 'XVID'
+                        WHEN 1 THEN 'MJPG' ELSE 'H264' END AS handler,
+                   CAST(64 + 8 * (p.doc_id % 5) AS BIGINT) AS width,
+                   CAST(48 + 8 * (p.doc_id % 4) AS BIGINT) AS height,
+                   CAST(p.nf AS BIGINT) AS n_frames,
+                   CAST(p.nf * 40 AS BIGINT) AS duration_ms,
+                   b.frame_bytes,
+                   p.doc_id % 3 = 1 AS decodable
+            FROM p JOIN b USING (doc_id)""",
+        "videos_avi_frame_sample": """
+            WITH v AS (
+                SELECT doc_id AS media_id,
+                       CASE WHEN doc_id % 10 = 5 THEN 3 + (doc_id - 1) % 5
+                            ELSE 4 + doc_id % 5 END AS n_frames
+                FROM documents)
+            SELECT media_id, unnest(range(0, n_frames, 2)) AS frame_idx,
+                   n_frames, 72 AS width, 64 AS height
+            FROM v""",
         # Matroska demux: closed form mirrors synth_mkv_probe_corpus
         # (codec cycle, webm doctype every 5th, fixed-lacing docs get
         # equal frame sizes). A hash match certifies the EBML vint

@@ -26,12 +26,12 @@ via a JPEG-marker walk + the T.81 codec (``split_mjpeg``,
 ``sample_mjpeg_frames``, frame-level perceptual near-dup mining in
 ``video_neardup_pairs``). MP4 containers demux for REAL via the
 pure-spec ISO BMFF sample-table walk in ``ops/mp4.py`` and
-Matroska/WebM via the EBML element walk in ``ops/mkv.py`` (probe,
-frame extraction across all lacing modes, Motion-JPEG decode
-through the same T.81 codec); only compressed *bitstreams*
-(avc1/hvc1/VP8/VP9/AV1) and the remaining container families
-(AVI/MPEG-TS) are honest gaps (ok=False data rows /
-NotImplementedError — need ffmpeg)."""
+Matroska/WebM via the EBML element walk in ``ops/mkv.py``, and AVI
+via the RIFF walk in ``ops/avi.py`` (probe, frame extraction,
+Motion-JPEG decode through the same T.81 codec in all three); only
+compressed *bitstreams* (avc1/hvc1/VP8/VP9/AV1) and MPEG-TS remain
+honest gaps (ok=False data rows / NotImplementedError — need
+ffmpeg)."""
 
 from __future__ import annotations
 
@@ -185,20 +185,18 @@ class ExtractImageFeatures:
 
 
 def frame_sample_stub(batch: pa.Table, every_n: int = 10) -> pa.Table:
-    """Video frame-sampling stub for the REMAINING container formats
-    (AVI / MPEG-TS) and compressed bitstreams: those need ffmpeg
-    (absent); raises to make the gap explicit rather than silently
-    fake. MP4 demuxes for real (ops/mp4.py: sample_mp4_frames),
-    Matroska/WebM for real (ops/mkv.py: sample_mkv_frames), and raw
-    MJPEG streams decode for real via split_mjpeg + the in-repo T.81
-    codec below."""
+    """Video frame-sampling stub for the REMAINING formats (MPEG-TS
+    containers, compressed bitstreams): those need ffmpeg (absent);
+    raises to make the gap explicit rather than silently fake. MP4
+    (ops/mp4.py), Matroska/WebM (ops/mkv.py), AVI (ops/avi.py) and
+    raw MJPEG streams (below) all demux/decode for real."""
     raise NotImplementedError(
-        "AVI/MPEG-TS containers and compressed video bitstreams "
+        "MPEG-TS containers and compressed video bitstreams "
         "(H.264/VP9/AV1) require ffmpeg, not available in this "
         "environment; plumbing contract: media binary in, one row per "
-        "sampled frame out (flat_map shape). MP4 — ops/mp4.py "
-        "sample_mp4_frames; Matroska/WebM — ops/mkv.py "
-        "sample_mkv_frames; raw MJPEG — sample_mjpeg_frames.")
+        "sampled frame out (flat_map shape). MP4 — ops/mp4.py; "
+        "Matroska/WebM — ops/mkv.py; AVI — ops/avi.py; raw MJPEG — "
+        "sample_mjpeg_frames.")
 
 
 # --- video: raw MJPEG streams (concatenated baseline JPEGs) ----------------

@@ -1358,6 +1358,17 @@ def _videos_avi_dupes(sf_dir: str):
     return videos_avi_dupes(sf_dir)
 
 
+def _videos_ts_probe(sf_dir: str):
+    """MPEG-TS (HLS segment) demux WITHOUT ffmpeg (oracled): 188-byte
+    packet-grid walk with resync, CRC-verified PAT/PMT, per-PID PES
+    reassembly across both length forms (bounded + the length-0
+    unbounded video form), PTS timing, continuity/PES error counting
+    as data; every probed field closed-form from doc_id."""
+    from webxtract.ops.mpegts import videos_ts_probe
+
+    return videos_ts_probe(sf_dir)
+
+
 def _emb_quantize_int8(sf_dir: str):
     """Scalar int8 quantization of the embedding column (4x ANN memory
     compression): exact per-dim min/max fold + one broadcast, floor
@@ -1668,6 +1679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "videos_mkv_frame_sample": _videos_mkv_frame_sample,
         "videos_avi_probe": _videos_avi_probe,
         "videos_avi_frame_sample": _videos_avi_frame_sample,
+        "videos_ts_probe": _videos_ts_probe,
         "emb_dup_pairs": _emb_dup_pairs,
         # watermark late-data
         "events_late_arrivals": _events_late_arrivals,
@@ -2943,6 +2955,33 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS duration_ms,
                    b.sample_bytes,
                    p.doc_id % 3 <> 0 AS decodable
+            FROM p JOIN b USING (doc_id)""",
+        # MPEG-TS demux: closed form mirrors synth_ts_probe_corpus; a
+        # hash match certifies the packet walk, PSI CRC parse, both
+        # PES length forms and PTS reassembly
+        "videos_ts_probe": """
+            WITH p AS (
+                SELECT doc_id, 3 + doc_id % 6 AS nf FROM documents),
+            s AS (
+                SELECT doc_id, unnest(range(0, nf)) AS k FROM p),
+            b AS (
+                SELECT doc_id,
+                       CAST(sum(180 + (19 * doc_id + 11 * k) % 150)
+                            AS BIGINT) AS payload_bytes
+                FROM s GROUP BY doc_id)
+            SELECT p.doc_id AS media_id,
+                   CAST(256 AS BIGINT) AS pid,
+                   CAST(CASE p.doc_id % 3 WHEN 0 THEN 27
+                        WHEN 1 THEN 6 ELSE 2 END AS BIGINT)
+                       AS stream_type,
+                   CASE p.doc_id % 3 WHEN 0 THEN 'h264'
+                        WHEN 1 THEN 'private_pes'
+                        ELSE 'mpeg2video' END AS codec,
+                   CAST(p.nf AS BIGINT) AS n_pes,
+                   b.payload_bytes,
+                   CAST((p.nf - 1) * 40 AS BIGINT) AS duration_ms,
+                   CAST(0 AS BIGINT) AS cc_errors,
+                   CAST(0 AS BIGINT) AS pes_errors
             FROM p JOIN b USING (doc_id)""",
         # AVI demux: closed form mirrors synth_avi_probe_corpus; a
         # hash match certifies the RIFF chunk walk, header parse and

@@ -26,12 +26,13 @@ via a JPEG-marker walk + the T.81 codec (``split_mjpeg``,
 ``sample_mjpeg_frames``, frame-level perceptual near-dup mining in
 ``video_neardup_pairs``). MP4 containers demux for REAL via the
 pure-spec ISO BMFF sample-table walk in ``ops/mp4.py`` and
-Matroska/WebM via the EBML element walk in ``ops/mkv.py``, and AVI
-via the RIFF walk in ``ops/avi.py`` (probe, frame extraction,
-Motion-JPEG decode through the same T.81 codec in all three); only
-compressed *bitstreams* (avc1/hvc1/VP8/VP9/AV1) and MPEG-TS remain
-honest gaps (ok=False data rows / NotImplementedError — need
-ffmpeg)."""
+Matroska/WebM via the EBML element walk in ``ops/mkv.py``, AVI via
+the RIFF walk in ``ops/avi.py`` (probe, frame extraction,
+Motion-JPEG decode through the same T.81 codec in all three), and
+MPEG-TS/HLS segments via the packet-grid + PSI + PES walk in
+``ops/mpegts.py`` (probe level — no JPEG-in-TS stream type exists);
+the ONLY remaining gap is compressed *bitstream* decode
+(H.264/HEVC/VP8/VP9/AV1 — ok=False data rows; needs ffmpeg)."""
 
 from __future__ import annotations
 
@@ -185,18 +186,19 @@ class ExtractImageFeatures:
 
 
 def frame_sample_stub(batch: pa.Table, every_n: int = 10) -> pa.Table:
-    """Video frame-sampling stub for the REMAINING formats (MPEG-TS
-    containers, compressed bitstreams): those need ffmpeg (absent);
-    raises to make the gap explicit rather than silently fake. MP4
-    (ops/mp4.py), Matroska/WebM (ops/mkv.py), AVI (ops/avi.py) and
-    raw MJPEG streams (below) all demux/decode for real."""
+    """Frame-sampling stub for compressed BITSTREAMS — the one
+    remaining video gap: every container family now demuxes for real
+    (MP4 ops/mp4.py, Matroska/WebM ops/mkv.py, AVI ops/avi.py,
+    MPEG-TS ops/mpegts.py, raw MJPEG below), but H.264/HEVC/VP9/AV1
+    pixel decode needs ffmpeg (absent); raises to make that explicit
+    rather than silently fake."""
     raise NotImplementedError(
-        "MPEG-TS containers and compressed video bitstreams "
-        "(H.264/VP9/AV1) require ffmpeg, not available in this "
-        "environment; plumbing contract: media binary in, one row per "
-        "sampled frame out (flat_map shape). MP4 — ops/mp4.py; "
-        "Matroska/WebM — ops/mkv.py; AVI — ops/avi.py; raw MJPEG — "
-        "sample_mjpeg_frames.")
+        "compressed video bitstream decode (H.264/HEVC/VP9/AV1) "
+        "requires ffmpeg, not available in this environment; plumbing "
+        "contract: media binary in, one row per sampled frame out "
+        "(flat_map shape). Containers all demux without it: MP4 — "
+        "ops/mp4.py; Matroska/WebM — ops/mkv.py; AVI — ops/avi.py; "
+        "MPEG-TS — ops/mpegts.py; raw MJPEG — sample_mjpeg_frames.")
 
 
 # --- video: raw MJPEG streams (concatenated baseline JPEGs) ----------------

@@ -1,0 +1,159 @@
+"""Arithmetic-coded JPEG (SOF9, the T.81 QM coder): raw-coder
+roundtrips with carry/stuffing coverage, bit-identity of the full
+codec path against the Huffman twin, DAC parsing, restart intervals,
+and hostile-input degradation."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from webxtract.ops.jpegarith import (ARITAB, FIXED_BIN, ArithDecoder,
+                                     ArithEncoder)
+from webxtract.ops.jpegcodec import decode_jpeg, encode_jpeg, jpeg_dims
+
+
+def _unstuff(b: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(b):
+        out.append(b[i])
+        if b[i] == 0xFF:
+            assert i + 1 < len(b) and b[i + 1] == 0x00, \
+                "entropy bytes must 0x00-stuff every 0xFF"
+            i += 2
+        else:
+            i += 1
+    return bytes(out)
+
+
+def test_aritab_spec_anchors():
+    """T.81 Table D.3 anchors: state 0 (Qe 0x5A1D, NMPS 1, NLPS 1,
+    SWITCH 1), the SWITCH rows heading each fast-attack column, and
+    the stationary 0.5-probability state 113 (self-loop, no switch)
+    used for AC signs."""
+    assert len(ARITAB) == 114
+
+    def fields(v):
+        return (v >> 16, (v >> 8) & 0xFF, v & 0x7F, (v >> 7) & 1)
+
+    assert fields(ARITAB[0]) == (0x5A1D, 1, 1, 1)
+    assert fields(ARITAB[1]) == (0x2586, 2, 14, 0)
+    assert fields(ARITAB[113]) == (0x5A1D, 113, 113, 0)
+    for k, v in enumerate(ARITAB):
+        qe, nm, nl, sw = fields(v)
+        assert 0 < qe < 0x8000 or qe in (0x5A7F, 0x5B12)  # all < 0.75
+        assert nm < 114 and nl < 114, k
+
+
+def test_qm_roundtrip_randomized():
+    """Encoder/decoder are exact inverses over adversarial symbol
+    streams: heavy MPS runs (carry chains + stacked 0xFF bytes),
+    near-random contexts, fixed-bin interleaving."""
+    random.seed(99)
+    for _ in range(200):
+        n_ctx = random.choice([1, 4, 64])
+        n = random.choice([1, 3, 50, 2000])
+        p = random.choice([0.002, 0.3, 0.5, 0.97])
+        bits = [(random.random() < p) * 1 for _ in range(n)]
+        ctxs = [random.randrange(n_ctx) for _ in range(n)]
+        fm = [random.random() < 0.15 for _ in range(n)]
+        enc = ArithEncoder()
+        se, fe = bytearray(n_ctx), bytearray([FIXED_BIN])
+        for b, cx, f in zip(bits, ctxs, fm):
+            enc.encode(fe if f else se, 0 if f else cx, b)
+        data = enc.flush()
+        dec = ArithDecoder(_unstuff(data))
+        sd, fd = bytearray(n_ctx), bytearray([FIXED_BIN])
+        got = [dec.decode(fd, 0) if f else dec.decode(sd, cx)
+               for cx, f in zip(ctxs, fm)]
+        assert got == bits
+
+
+def test_fixed_bin_never_adapts():
+    enc = ArithEncoder()
+    f = bytearray([FIXED_BIN])
+    for b in (1, 0, 1, 1, 0, 1, 1, 1, 0):
+        enc.encode(f, 0, b)
+        assert f[0] == FIXED_BIN  # state 113 self-loops, MPS pinned
+
+
+def test_arith_bit_identical_to_huffman_twin():
+    """The SOF9 stream decodes to EXACTLY the pixels of the SOF0
+    stream of the same image (same quantized coefficients, lossless
+    entropy swap) across subsampling, quality, restart intervals and
+    non-multiple-of-8 dims — and is smaller (the QM coder's win)."""
+    rng = np.random.default_rng(7)
+    for shape, sub, q, ri in [((64, 72, 3), "444", 95, 0),
+                              ((64, 72, 3), "420", 75, 0),
+                              ((33, 41, 3), "444", 90, 0),
+                              ((64, 72, 3), "444", 95, 4),
+                              ((16, 16, 3), "420", 50, 2)]:
+        blocks = rng.integers(
+            0, 256, size=(shape[0] // 8 + 1, shape[1] // 8 + 1, 3),
+            dtype=np.uint8)
+        img = np.ascontiguousarray(
+            np.repeat(np.repeat(blocks, 8, axis=0), 8,
+                      axis=1)[:shape[0], :shape[1]])
+        base = encode_jpeg(img, quality=q, subsampling=sub,
+                           restart_interval=ri)
+        ar = encode_jpeg(img, quality=q, subsampling=sub,
+                         restart_interval=ri, arithmetic=True)
+        da = decode_jpeg(ar)
+        assert da is not None
+        assert np.array_equal(decode_jpeg(base), da), (shape, sub, q, ri)
+        assert len(ar) < len(base)  # arithmetic must beat huffman here
+        assert jpeg_dims(ar) == (shape[1], shape[0])
+
+
+def test_arith_hostile_inputs():
+    img = np.ascontiguousarray(
+        np.repeat(np.repeat(
+            np.random.default_rng(3).integers(
+                0, 256, size=(8, 9, 3), dtype=np.uint8),
+            8, axis=0), 8, axis=1))
+    ar = encode_jpeg(img, quality=95, arithmetic=True)
+    # truncation: poison row (None), never an exception
+    assert decode_jpeg(ar[:len(ar) // 2]) is None or True
+    for cut in (len(ar) // 3, len(ar) - 3):
+        out = decode_jpeg(ar[:cut])
+        assert out is None or isinstance(out, np.ndarray)
+    # progressive-arithmetic (SOF10) stays an honest None
+    bad = bytearray(ar)
+    i = bytes(ar).find(b"\xff\xc9")
+    bad[i + 1] = 0xCA
+    assert decode_jpeg(bytes(bad)) is None
+    # garbage body after valid headers
+    bad2 = bytearray(ar)
+    bad2[-20:-10] = bytes(10)
+    out = decode_jpeg(bytes(bad2))
+    assert out is None or isinstance(out, np.ndarray)
+
+
+def test_arith_leg_in_image_corpus_pipeline(ray_session):
+    """The mixed-format corpus now carries arithmetic JPEGs; the
+    phash near-dup surface still recovers exactly the planted pairs
+    through the SOF9 decode path."""
+    import pyarrow.parquet as pq
+
+    from webxtract.ops.media import image_neardup_pairs, \
+        synth_image_corpus
+
+    sf = "/root/testdata/sf0.001"
+    ids = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id"]).column("doc_id").to_pylist()
+    # confirm the corpus actually contains SOF9 rows
+    sample = synth_image_corpus(sf).take_all()
+    kinds = {r["media_id"]: r["media"] for r in sample}
+    n_arith = sum(1 for i, b in kinds.items()
+                  if i % 5 == 3 and (i // 5) % 3 == 1
+                  and b"\xff\xc9" in b[:256])
+    assert n_arith > 0
+    planted = {(i - 1, i) for i in ids if i % 10 == 5 and (i - 1) in ids}
+    df = (image_neardup_pairs(synth_image_corpus(sf), max_dist=4)
+          .to_pandas())
+    found = set(zip(df.doc_a.astype(int), df.doc_b.astype(int)))
+    assert planted <= found
+    assert len(found - planted) <= len(planted) // 10

@@ -108,16 +108,25 @@ def test_truncated_stream_returns_none_or_partial_never_raises():
         JC.decode_jpeg(raw[:cut])  # must not raise
 
 
-def test_arithmetic_marker_rejected():
-    """SOF9 (arithmetic) stays out of scope -> None, not an
-    exception; a baseline stream relabeled SOF2 carries an invalid
-    progressive scan script (Ss=0, Se=63) and must also yield None."""
+def test_out_of_scope_markers_rejected():
+    """SOF10 (progressive arithmetic) and SOF3 (lossless) stay out of
+    scope -> None, not an exception (SOF9 sequential arithmetic is
+    now REAL — tests/test_jpegarith.py); a baseline stream relabeled
+    SOF2 carries an invalid progressive scan script (Ss=0, Se=63) and
+    must also yield None. A huffman stream relabeled SOF9 feeds
+    huffman bytes to the QM coder — that must degrade to None or
+    garbage pixels, never an exception."""
     raw = bytearray(JC.encode_jpeg(_gradient(16, 16)))
     i = raw.find(b"\xff\xc0")
-    raw[i + 1] = 0xC9
+    raw[i + 1] = 0xCA
+    assert JC.decode_jpeg(bytes(raw)) is None
+    raw[i + 1] = 0xC3
     assert JC.decode_jpeg(bytes(raw)) is None
     raw[i + 1] = 0xC2
     assert JC.decode_jpeg(bytes(raw)) is None
+    raw[i + 1] = 0xC9
+    out = JC.decode_jpeg(bytes(raw))
+    assert out is None or hasattr(out, "shape")
 
 
 # --- progressive (SOF2) -----------------------------------------------------

@@ -458,6 +458,9 @@ def _decode_jpeg(raw: bytes) -> np.ndarray | None:
     scan: list[tuple[int, int, int]] = []  # (comp_index, dc_id, ac_id)
     data_pos = -1
     progressive = False
+    arithmetic = False
+    dc_cond = {i: (0, 1) for i in range(4)}  # DAC defaults: L=0, U=1
+    ac_cond = {i: 5 for i in range(4)}       # Kx=5
     prog_layout = None  # (hmax, vmax, mcux, mcuy) once allocated
     prog_scans = 0
 
@@ -486,11 +489,14 @@ def _decode_jpeg(raw: bytes) -> np.ndarray | None:
                     tbl = np.frombuffer(seg[sp:sp + 128], ">u2").astype(np.int64)
                     sp += 128
                 qt[tq] = tbl
-        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif m in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 baseline, SOF2 progressive, SOF9 sequential
+            # arithmetic (T.81 Annex D/F QM coder, ops/jpegarith.py)
             prec = seg[0]
             if prec != 8:
                 return None
             progressive = (m == 0xC2)
+            arithmetic = (m == 0xC9)
             H, W = struct.unpack(">HH", seg[1:5])
             nf = seg[5]
             comps = []
@@ -499,7 +505,17 @@ def _decode_jpeg(raw: bytes) -> np.ndarray | None:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
         elif 0xC3 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
-            return None  # arithmetic / lossless / hierarchical
+            return None  # progressive-arithmetic / lossless / hierarchical
+        elif m == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            sp = 0
+            while sp + 1 < len(seg):
+                tc, tb = seg[sp] >> 4, seg[sp] & 0x0F
+                cs = seg[sp + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 0x0F, cs >> 4)  # (L, U)
+                else:
+                    ac_cond[tb] = cs                    # Kx
+                sp += 2
         elif m == 0xC4:  # DHT
             sp = 0
             while sp < len(seg):
@@ -578,6 +594,12 @@ def _decode_jpeg(raw: bytes) -> np.ndarray | None:
     # per-block (row, col, val) triples collect in Python lists and
     # bulk-assign once per component — no per-block numpy allocation
     segs = _split_entropy(raw, data_pos)
+    if arithmetic:
+        from .jpegarith import decode_arith_scan
+
+        decode_arith_scan(segs, comps, scan, mcux, mcuy,
+                          restart_interval, dc_cond, ac_cond)
+        return _finish_decode(comps, qt, hmax, vmax, W, H)
     nseg = len(segs)
     si = 0
     data = segs[0]
@@ -950,7 +972,8 @@ def _prog_ac_refine(qlist: list, bwb: int, cw2: int, ch2: int,
 def encode_jpeg(arr: np.ndarray, quality: int = 90,
                 subsampling: str = "444",
                 restart_interval: int = 0,
-                progressive: bool = False) -> bytes:
+                progressive: bool = False,
+                arithmetic: bool = False) -> bytes:
     """HxWx3 uint8 RGB -> JPEG bytes (deterministic). baseline SOF0 by
     default; ``progressive=True`` emits an SOF2 stream with a 10-scan
     script (interleaved DC first+refine, per-component spectral AC
@@ -1060,6 +1083,26 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
         out += _prog_ac_refine(cbq, cbw, ccw2, cch2, ac_p, 1, 63, 0)
         out += sos([(3, 1, 0)], 1, 63, 1, 0)
         out += _prog_ac_refine(crq, cbw, ccw2, cch2, ac_p, 1, 63, 0)
+        out += b"\xff\xd9"
+        return bytes(out)
+    if arithmetic:
+        # SOF9 sequential arithmetic: same quantized coefficients, QM
+        # entropy coding (ops/jpegarith.py); decode is bit-identical
+        # to the baseline stream's by construction. A DAC segment
+        # restates the default conditioning (DC L=0/U=1, AC Kx=5) so
+        # the decoder's DAC parse path is exercised.
+        from .jpegarith import encode_arith_scan
+
+        out += seg(0xC9, sof)
+        out += seg(0xCC, bytes([0x00, 0x10, 0x10, 0x05]))
+        if restart_interval:
+            out += seg(0xDD, struct.pack(">H", restart_interval))
+        out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00,
+                                0, 63, 0]))
+        mcux, mcuy = pw // mcu_w, ph // mcu_h
+        planes = [(yq, mcux * hs, vs, hs, 0, 0),
+                  (cbq, mcux, 1, 1, 0, 0), (crq, mcux, 1, 1, 0, 0)]
+        out += encode_arith_scan(planes, mcux, mcuy, restart_interval)
         out += b"\xff\xd9"
         return bytes(out)
     out += seg(0xC0, sof)

@@ -16,10 +16,12 @@ What IS real here:
 
 PNG decodes for real via the stdlib zlib path in ``imagecodec``
 (8-bit, all five color types, non-interlaced) and JPEG via the
-pure-numpy T.81 decoder in ``jpegcodec`` — baseline SOF0
-(4:4:4/4:2:0, restart intervals) AND progressive SOF2 (spectral
-selection + successive approximation); only arithmetic-coded /
-lossless streams yield ok=False DATA rows.
+pure-numpy T.81 codec in ``jpegcodec`` — baseline SOF0
+(4:4:4/4:2:0, restart intervals), progressive SOF2 (spectral
+selection + successive approximation) AND sequential arithmetic
+SOF9 (the Annex D QM coder, ``jpegarith``); only
+progressive-arithmetic / lossless / hierarchical streams yield
+ok=False DATA rows.
 Video: raw MJPEG streams (concatenated baseline JPEGs — the AVI
 'MJPG' / IP-camera payload format) split, sample and decode for REAL
 via a JPEG-marker walk + the T.81 codec (``split_mjpeg``,
@@ -623,6 +625,13 @@ def synth_image_corpus(sf_dir: str, n: int | None = None):
                 out_raw.append(encode_jpeg(
                     np.ascontiguousarray(img), quality=95,
                     subsampling="420", progressive=True))
+            elif i % 5 == 3 and (i // 5) % 3 == 1:
+                # ...and every 3rd-offset-1 leg is ARITHMETIC (SOF9,
+                # the T.81 QM coder): decode likewise bit-identical to
+                # the baseline stream (tests/test_jpegarith.py)
+                out_raw.append(encode_jpeg(
+                    np.ascontiguousarray(img), quality=95,
+                    subsampling="420", arithmetic=True))
             else:
                 out_raw.append(encoders[i % 5](
                     np.ascontiguousarray(img)))

@@ -816,6 +816,26 @@ def _html_markdown(sf_dir: str):
     return html_markdown(sf_dir)
 
 
+def _hosts_blocklist(sf_dir: str):
+    """UT1-style registrable-domain blocklist gate (oracled): PSL fold
+    -> ONE membership probe per row (broadcast set under a gate, hash
+    semi-join twin above it); a list entry blocks the whole domain
+    tree, suffix-only hosts never block."""
+    from webxtract.ops.web import hosts_blocklist
+
+    return hosts_blocklist(sf_dir)
+
+
+def _docs_lexicon_hits(sf_dir: str):
+    """Policy-lexicon hit counting (oracled): word-bounded
+    case-insensitive RE2 scan per lexicon entry incl. multi-word
+    phrases, vectorized per batch; (hits, n_terms, flagged) per doc.
+    The C4/UT1 badwords shape."""
+    from webxtract.ops.text import docs_lexicon_hits
+
+    return docs_lexicon_hits(sf_dir)
+
+
 def _hosts_registrable(sf_dir: str):
     """Registrable-domain (eTLD+1) extraction: PSL wildcard/exception
     matching over a closed-form messy-host fixture; the oracle re-runs
@@ -2011,6 +2031,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirect_resolution": _redirect_resolution,  # ORACLED
         # redirect-chain terminal urls + hop counts, cycle-safe
         "hosts_registrable": _hosts_registrable,  # ORACLED PSL
+        "hosts_blocklist": _hosts_blocklist,      # ORACLED UT1 gate
+        "docs_lexicon_hits": _docs_lexicon_hits,  # ORACLED badwords
         # eTLD+1 (wildcard/exception rules re-run in SQL)
         "urls_templates": _urls_templates,  # ORACLED trap mining
         # url -> path template populations (hex/digit generalization)
@@ -2391,6 +2413,41 @@ _PSL_CTE = """
               SELECT n2.*, coalesce(m.exc_m,
                      greatest(coalesce(m.plain_m, 1), 1)) AS mm
               FROM n2 JOIN m USING (doc_id))"""
+
+
+# registrable-domain assembly over `sel` — SHARED by hosts_registrable
+# and hosts_blocklist so the two oracles cannot drift
+_PSL_REG_EXPR = """CASE WHEN is_ip THEN h
+                   WHEN nl <= mm THEN NULL
+                   ELSE array_to_string(labs[nl - mm : nl], '.')
+              END"""
+
+
+def _lexicon_oracle() -> str:
+    """GENERATED oracle for docs_lexicon_hits: the per-entry RE2
+    patterns are built from the op's own POLICY_LEXICON in the same
+    order — both engines run RE2, so word-boundary and non-overlap
+    counting semantics match by construction."""
+    import re as _re
+
+    from webxtract.ops.text import LEXICON_FLAG_MIN, POLICY_LEXICON
+
+    lens = []
+    pres = []
+    for t in POLICY_LEXICON:
+        pat = r"(?i)\b" + _re.escape(t) + r"\b"
+        lens.append(f"len(regexp_extract_all(text, '{pat}'))")
+        pres.append(f"CASE WHEN len(regexp_extract_all(text, "
+                    f"'{pat}')) > 0 THEN 1 ELSE 0 END")
+    hits = " + ".join(lens)
+    nterms = " + ".join(pres)
+    return f"""
+        SELECT doc_id,
+               CAST({hits} AS BIGINT) AS hits,
+               CAST({nterms} AS BIGINT) AS n_terms,
+               ({hits}) >= {LEXICON_FLAG_MIN} AS flagged
+        FROM documents ORDER BY doc_id
+    """
 
 
 def _pct_normalize_oracle() -> str:
@@ -5998,21 +6055,36 @@ r5 AS (
         # priority, longest-match max, wildcard label arithmetic,
         # implicit-'*' fallback, list-slice suffix assembly — rather
         # than echoing expected strings
-        "hosts_registrable": "WITH" + _PSL_CTE + """
+        "hosts_registrable": "WITH" + _PSL_CTE + f"""
             SELECT doc_id, host,
               CASE WHEN is_ip THEN NULL
                    ELSE array_to_string(labs[nl - least(mm, nl) + 1
                                              : nl], '.')
               END AS suffix,
-              CASE WHEN is_ip THEN h
-                   WHEN nl <= mm THEN NULL
-                   ELSE array_to_string(labs[nl - mm : nl], '.')
-              END AS registrable,
+              {_PSL_REG_EXPR} AS registrable,
               CASE WHEN is_ip THEN 'ip'
                    WHEN nl <= mm THEN 'suffix'
                    ELSE 'ok' END AS kind
             FROM sel ORDER BY doc_id
         """,
+        # UT1-style domain blocklist gate: SHARED PSL CTE + the SHARED
+        # registrable expression (_PSL_REG_EXPR — cannot drift from
+        # hosts_registrable), blocklist = every 9th doc's registrable,
+        # membership with NULL-safe coalesce (suffix rows never block)
+        "hosts_blocklist": "WITH" + _PSL_CTE + f""",
+            reg AS (
+              SELECT doc_id, host, {_PSL_REG_EXPR} AS registrable
+              FROM sel),
+            bl AS (
+              SELECT DISTINCT registrable FROM reg
+              WHERE doc_id % 9 = 0 AND registrable IS NOT NULL)
+            SELECT doc_id, host, registrable,
+                   coalesce(registrable IN
+                            (SELECT registrable FROM bl), FALSE)
+                       AS blocked
+            FROM reg ORDER BY doc_id
+        """,
+        "docs_lexicon_hits": _lexicon_oracle(),
         # URL template mining: the oracle rebuilds the urls from
         # doc_id and RE-RUNS the generalization — the same two
         # regexp_replace passes in the same order (hex-run-first is

@@ -71,6 +71,11 @@ _FIXTURE_WARM = [
     "warc_page_stats", "warc_cdx", "warc_http_fields",
     "warc_random_access", "warc_incremental_stats",
     "warc_cluster_idx",
+    # container-demux corpora (round 4): cached_ds fixtures
+    "videos_mp4_probe", "videos_mp4_frame_sample",
+    "videos_mkv_probe", "videos_mkv_frame_sample",
+    "videos_avi_probe", "videos_avi_frame_sample",
+    "videos_ts_probe",
 ]
 
 
@@ -189,6 +194,10 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "hreflang_return_tags",
         "pages_anchor_rels",
         "pages_domain_stats",
+        # container demux (round 4): probe = pure sample-table walk,
+        # frame_sample = demux + ranged extraction + T.81 header parse
+        "videos_mp4_probe", "videos_mp4_frame_sample",
+        "videos_mkv_probe", "videos_ts_probe",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]
     # text-heavy outputs are consumed through the real sink (parallel

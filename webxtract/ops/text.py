@@ -19,6 +19,7 @@ Operators:
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -2631,6 +2632,70 @@ def docs_c4_clean(sf_dir: str):
 
     return ds.map_batches(run, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# --- policy-lexicon hit counting (the C4/UT1 badwords shape) -----------------
+# Corpus policy gates count occurrences of a term list (profanity /
+# policy lexicons; C4 drops pages with ANY hit, others threshold).
+# Multi-word phrases matter — a lexicon is not a token set — so the
+# scan is word-boundary RE2 per entry, not a tokenizer lookup. The
+# fixture lexicon is benign engine vocabulary; semantics (word
+# boundaries, case folding, phrase entries, non-overlap counting) are
+# exactly the production shape.
+
+POLICY_LEXICON = [
+    "spark", "slow", "dup", "vector",
+    "hash join", "table scan", "big data",
+]
+LEXICON_FLAG_MIN = 5  # hits at/above this flag the doc
+
+
+def lexicon_hits(ds, lexicon: list[str] | None = None,
+                 flag_min: int = LEXICON_FLAG_MIN,
+                 text_col: str = "text"):
+    """Append (hits, n_terms, flagged) per row: total non-overlapping
+    word-bounded case-insensitive matches across the lexicon, the
+    number of distinct entries with >=1 match, and the threshold
+    flag. One vectorized RE2 pass per lexicon entry per batch
+    (pc.count_substring_regex) — |lexicon| is policy-sized (10^2..
+    10^4), text never leaves the worker, zero exchanges. For 10^4+
+    entries the same stage swaps the per-entry passes for one
+    Aho-Corasick automaton; the Ray shape is unchanged."""
+    lex = POLICY_LEXICON if lexicon is None else lexicon
+    pats = [r"(?i)\b" + re.escape(t) + r"\b" for t in lex]
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col)
+        hits = None
+        nterms = None
+        for p in pats:
+            c = pc.count_substring_regex(txt, p)
+            c = pc.fill_null(c, 0)
+            present = pc.cast(pc.greater(c, 0), pa.int64())
+            hits = c if hits is None else pc.add(hits, c)
+            nterms = present if nterms is None \
+                else pc.add(nterms, present)
+        hits = pc.cast(hits, pa.int64())
+        return t.append_column("hits", hits) \
+            .append_column("n_terms", nterms) \
+            .append_column("flagged",
+                           pc.greater_equal(hits, flag_min))
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def docs_lexicon_hits(sf_dir: str):
+    """ORACLED query surface: the policy-lexicon counter over the
+    documents table. The DuckDB twin re-runs the SAME RE2 patterns
+    (both engines use RE2, so \\b and non-overlap semantics match by
+    construction) via len(regexp_extract_all(...))."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return lexicon_hits(ds).select_columns(
+        ["doc_id", "hits", "n_terms", "flagged"])
 
 
 def docs_temperature_mix(sf_dir: str, tau: float = 0.7,

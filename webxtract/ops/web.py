@@ -2839,6 +2839,111 @@ def hosts_registrable(sf_dir: str):
     return registrable_domains(synth_psl_hosts(sf_dir)).sort("doc_id")
 
 
+# --- domain blocklist gate (UT1 / policy-list filtering) --------------------
+# Corpus curation blocks whole registrable domains (the UT1 blocklists,
+# C4's badword DOMAINS, spam/SEO lists): a list entry bans the domain
+# AND every subdomain. The PSL fold (registrable_domains) already maps
+# each host to its eTLD+1, so the gate itself is ONE membership probe
+# per distinct registrable — subdomain semantics come free.
+
+DOMAIN_BLOCKLIST_BROADCAST_MAX = 2_000_000  # list entries
+
+
+def domain_blocklist(ds, blocklist, verify: str = "auto"):
+    """Append ``blocked`` (bool) to ``ds`` rows by membership of their
+    ``registrable`` column in ``blocklist`` (a Dataset with a
+    ``registrable`` column). NULL registrables (PSL 'suffix' rows)
+    are never blocked.
+
+    ``verify``: "broadcast" collects the distinct list once
+    (8-40 B/entry) and probes map-side via one vectorized pc.is_in
+    per batch; "join" pays a left-outer hash join on registrable —
+    the 100 TB path when the list outgrows a broadcast (gate:
+    DOMAIN_BLOCKLIST_BROADCAST_MAX); "auto" picks by list size.
+    Broadcast == join equivalence is pinned in tests/test_web3.py."""
+    import pyarrow.compute as pc
+
+    distinct = blocklist.groupby("registrable").count()
+    n_list = distinct.count()
+    if n_list == 0:
+        # empty list: nothing blocks on either plan (and Ray's hash
+        # join chokes on an empty unknown-schema build side)
+        return ds.map_batches(
+            lambda t: t.append_column(
+                "blocked", pa.array([False] * len(t), pa.bool_())),
+            batch_format="pyarrow", zero_copy_batch=True)
+    if verify == "auto":
+        verify = ("join" if n_list
+                  >= DOMAIN_BLOCKLIST_BROADCAST_MAX else "broadcast")
+    if verify == "broadcast":
+        import ray
+
+        names = {r["registrable"] for r in distinct.take_all()
+                 if r["registrable"] is not None}
+        empty = not names
+        ref = names if empty else ray.put(names)
+
+        def probe(t: pa.Table) -> pa.Table:
+            from ..broadcast import get_broadcast_derived
+
+            if empty:
+                hit = pa.array([False] * len(t), pa.bool_())
+            else:
+                vs = get_broadcast_derived(ref, "blset",
+                                           lambda s: pa.array(sorted(s)))
+                hit = pc.fill_null(
+                    pc.is_in(t.column("registrable"), value_set=vs),
+                    False)
+            return t.append_column("blocked", hit)
+
+        return ds.map_batches(probe, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if verify != "join":
+        raise ValueError(f"unknown verify mode {verify!r}")
+    from .relational import hash_join
+
+    marker = distinct.map_batches(
+        lambda t: pa.table({
+            "registrable": t.column("registrable"),
+            "_blk": pa.array([True] * len(t), pa.bool_())}),
+        batch_format="pyarrow")
+    joined = hash_join(ds, marker, on="registrable",
+                       join_type="left_outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        blk = pc.fill_null(t.column("_blk"), False)
+        return t.drop_columns(["_blk"]).append_column("blocked", blk)
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def hosts_blocklist(sf_dir: str, verify: str = "auto"):
+    """ORACLED query surface: the UT1-style domain gate over the
+    closed-form messy-host fixture, blocklist = the registrable
+    domains of every 9th doc (subdomains of a listed domain block via
+    the PSL fold; suffix-only hosts never block). The DuckDB twin
+    re-runs the full PSL match (the SHARED CTE hosts_registrable
+    composes) plus the same membership rule."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(
+            pc.equal(pc.subtract(
+                t.column("doc_id"),
+                pc.multiply(pc.divide(t.column("doc_id"), 9), 9)), 0),
+            pc.is_valid(t.column("registrable")))
+        return t.filter(m).select(["registrable"])
+
+    tagged = registrable_domains(synth_psl_hosts(sf_dir))
+    bl = tagged.map_batches(keep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = domain_blocklist(tagged, bl, verify=verify)
+    return out.select_columns(
+        ["doc_id", "host", "registrable", "blocked"]).sort("doc_id")
+
+
 # --- URL template mining / spider-trap detection -----------------------------
 # Generalize each url's path into a TEMPLATE — hex runs of >=8 chars
 # first ('{h}': content hashes, session ids), then any digit run

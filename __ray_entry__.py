@@ -816,6 +816,17 @@ def _html_markdown(sf_dir: str):
     return html_markdown(sf_dir)
 
 
+def _docs_bm25_retrieve(sf_dir: str):
+    """BM25 over the on-disk inverted index — the READ path (oracled,
+    same SQL as docs_bm25_topk: two physical plans, one answer):
+    metadata-only posting-partition pruning, term filter pushed into
+    the scan, ONE doc-keyed join for lengths, query-term-ordered
+    per-doc fold -> bit-identical scores to the full scan."""
+    from webxtract.ops.retrieval import docs_bm25_retrieve
+
+    return docs_bm25_retrieve(sf_dir)
+
+
 def _hosts_blocklist(sf_dir: str):
     """UT1-style registrable-domain blocklist gate (oracled): PSL fold
     -> ONE membership probe per row (broadcast set under a gate, hash
@@ -2032,6 +2043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # redirect-chain terminal urls + hop counts, cycle-safe
         "hosts_registrable": _hosts_registrable,  # ORACLED PSL
         "hosts_blocklist": _hosts_blocklist,      # ORACLED UT1 gate
+        "docs_bm25_retrieve": _docs_bm25_retrieve,  # ORACLED read path
         "docs_lexicon_hits": _docs_lexicon_hits,  # ORACLED badwords
         # eTLD+1 (wildcard/exception rules re-run in SQL)
         "urls_templates": _urls_templates,  # ORACLED trap mining
@@ -6479,6 +6491,10 @@ r5 AS (
     }
     # RRF fuses the two REGISTERED rankings verbatim, so the oracle
     # composes their SQL bodies and can never drift from them
+    # the index READ path shares the full-scan scorer's oracle
+    # VERBATIM: two physical plans (scan + broadcast vs pruned
+    # postings + doc-length join), one hash-identical answer
+    d["docs_bm25_retrieve"] = d["docs_bm25_topk"]
     d["docs_rrf_fusion"] = _rrf_oracle(d["docs_bm25_topk"],
                                        d["docs_quality_scores"])
     # likewise, the confusion matrix composes the langid oracle

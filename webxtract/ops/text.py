@@ -812,7 +812,8 @@ def docs_compression_ratio(sf_dir: str, level: int = 6):
 
 
 def docs_inverted_index(sf_dir: str, head: int = 10,
-                        postings_dir: str | None = None):
+                        postings_dir: str | None = None,
+                        num_parts: int | None = None):
     """Inverted-index construction (the retrieval-engine build step):
     one term-keyed exchange of the exploded (doc_id, term, tf) stream
     (the same slim shape the join-mode TF-IDF shuffles), then a
@@ -828,14 +829,20 @@ def docs_inverted_index(sf_dir: str, head: int = 10,
     ``postings_dir``: when given, the SAME fold also spills its
     partition's full sorted postings — rows (term, doc_id, tf), the
     complete index — as one parquet file per term partition
-    (term-disjoint, so files never overlap; named by a deterministic
-    hash of the partition's term range, written atomically, so task
-    retries overwrite idempotently instead of duplicating). The
-    bounded head stays the query surface; the spill is the
-    resumable-index sink a retrieval engine would ship."""
+    (term-disjoint, so files never overlap; named by the partition's
+    HASH BUCKET — recomputable from any query term with the
+    partitioner's own hash, so a reader prunes to exactly one file
+    per term (ops/retrieval.py) — plus a deterministic content hash,
+    written atomically, so task retries overwrite idempotently
+    instead of duplicating). The bounded head stays the query
+    surface; the spill is the resumable-index sink a retrieval
+    engine would ship."""
     import ray.data as rd
 
-    from .relational import partitioned_map_groups
+    from .relational import _default_parts, partitioned_map_groups
+
+    if num_parts is None:
+        num_parts = _default_parts()
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
@@ -851,13 +858,17 @@ def docs_inverted_index(sf_dir: str, head: int = 10,
                tf_s: np.ndarray) -> None:
         import os
 
+        import polars as pl
         import pyarrow.parquet as pq
 
         lo, hi = term_s[0].as_py(), term_s[-1].as_py()
+        # the partition's bucket under the SAME hash the exchange
+        # used (_hash_part_column: polars hash seed=7 mod num_parts)
+        bucket = int(pl.Series([lo]).hash(seed=7)[0] % num_parts)
         h = 0xCBF29CE484222325
         for b in f"{lo}\x00{hi}\x00{len(doc_s)}".encode("utf-8"):
             h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        name = f"postings-{h:016x}.parquet"
+        name = f"postings-b{bucket:05d}-{h:016x}.parquet"
         tmp = os.path.join(postings_dir, "." + name + ".tmp")
         pq.write_table(pa.table({
             "term": term_s,
@@ -897,7 +908,8 @@ def docs_inverted_index(sf_dir: str, head: int = 10,
                                  .astype(np.int64), pa.int64()),
             "postings_head": pa.array(heads, pa.string())})
 
-    return partitioned_map_groups(tf_ds, "term", fold)
+    return partitioned_map_groups(tf_ds, "term", fold,
+                                  num_parts=num_parts)
 
 
 _NB_SCALE = 1_000_000  # micro-nat fixed point for NB log-ratio weights

@@ -2427,6 +2427,30 @@ _PSL_CTE = """
               FROM n2 JOIN m USING (doc_id))"""
 
 
+# robots_gate fixture closed forms — SHARED by robots_gate,
+# crawl_frontier and crawl_schedule so the three oracles cannot
+# drift. Derivation (see _robots_fixture_text + robots_gate render):
+# host group h%4==0 disallows /private/ with an /private/ok/ allow
+# override -> only path class 0 blocks; group 3 disallows /p/ and
+# /other (classes 2, 3), the anchored wildcard /*.pdf$ (class 4 but
+# NOT the .pdfx anchor probe, class 7), and /files/ except the
+# LONGER /files/public* allow (class 6 blocks, class 5 survives).
+_ROBOTS_ALLOWED_EXPR = """NOT (((doc_id % 50) % 4 = 0
+                                AND doc_id % 8 = 0)
+                     OR ((doc_id % 50) % 4 = 3
+                         AND doc_id % 8 IN (2, 3, 4, 6)))"""
+_ROBOTS_URL_EXPR = """'https://site' || (doc_id % 50) || '.example'
+                || CASE doc_id % 8
+                       WHEN 0 THEN '/private/x' || doc_id
+                       WHEN 1 THEN '/private/ok/x' || doc_id
+                       WHEN 2 THEN '/p/' || doc_id
+                       WHEN 3 THEN '/other'
+                       WHEN 4 THEN '/doc' || doc_id || '.pdf'
+                       WHEN 5 THEN '/files/public/' || doc_id
+                                   || '.pdf'
+                       WHEN 6 THEN '/files/secret/' || doc_id
+                       ELSE '/doc' || doc_id || '.pdfx' END"""
+
 # registrable-domain assembly over `sel` — SHARED by hosts_registrable
 # and hosts_blocklist so the two oracles cannot drift
 _PSL_REG_EXPR = """CASE WHEN is_ip THEN h
@@ -2610,9 +2634,7 @@ def _crawl_frontier_oracle(iters: int = 5) -> str:
             FROM deg LEFT JOIN c{i} ON deg.node = c{i}.node)""")
     return (head + "," + ",".join(rounds) + f""",
         f AS (SELECT doc_id,
-                 NOT (((doc_id % 50) % 4 = 0 AND doc_id % 4 = 0)
-                      OR ((doc_id % 50) % 4 = 3
-                          AND doc_id % 4 IN (2, 3))) AS allowed,
+                 {_ROBOTS_ALLOWED_EXPR} AS allowed,
                  doc_id % 7 = 3 AS noindex
               FROM documents)
         SELECT f.doc_id, (f.allowed AND NOT f.noindex) AS admitted,
@@ -5552,19 +5574,13 @@ r5 AS (
         """,
         # closed-form decision table for the robots fixture
         # (ops.web._robots_fixture_text): host group g = (id%50)%4,
-        # path case c = id%4; blocked iff (g=0, c=0: /private/ with no
-        # longer Allow) or (g=3, c in {2,3}: /p/ and /other disallowed)
-        "robots_gate": """
+        # path case c = id%8 — the SHARED closed forms
+        # (_ROBOTS_URL_EXPR / _ROBOTS_ALLOWED_EXPR above) carry the
+        # derivation incl. the §2.2.3 wildcard rules
+        "robots_gate": f"""
             SELECT doc_id,
-                'https://site' || (doc_id % 50) || '.example'
-                || CASE doc_id % 4
-                       WHEN 0 THEN '/private/x' || doc_id
-                       WHEN 1 THEN '/private/ok/x' || doc_id
-                       WHEN 2 THEN '/p/' || doc_id
-                       ELSE '/other' END AS url,
-                NOT (((doc_id % 50) % 4 = 0 AND doc_id % 4 = 0)
-                     OR ((doc_id % 50) % 4 = 3
-                         AND doc_id % 4 IN (2, 3))) AS allowed
+                {_ROBOTS_URL_EXPR} AS url,
+                {_ROBOTS_ALLOWED_EXPR} AS allowed
             FROM documents ORDER BY doc_id
         """,
         # closed-form twin of the per-host urlset fixture
@@ -6000,18 +6016,11 @@ r5 AS (
         # delay = 4000 ms for host class 3 (planted Crawl-delay 4.0),
         # else the 1000 ms floor (class 0 plants exactly 1000; classes
         # 1/2 declare none)
-        "crawl_schedule": """
+        "crawl_schedule": f"""
             WITH f AS (
               SELECT doc_id, doc_id % 50 AS h,
-                 'https://site' || (doc_id % 50) || '.example'
-                 || CASE doc_id % 4
-                        WHEN 0 THEN '/private/x' || doc_id
-                        WHEN 1 THEN '/private/ok/x' || doc_id
-                        WHEN 2 THEN '/p/' || doc_id
-                        ELSE '/other' END AS url,
-                 (NOT (((doc_id % 50) % 4 = 0 AND doc_id % 4 = 0)
-                       OR ((doc_id % 50) % 4 = 3
-                           AND doc_id % 4 IN (2, 3)))
+                 {_ROBOTS_URL_EXPR} AS url,
+                 ({_ROBOTS_ALLOWED_EXPR}
                   AND NOT (doc_id % 7 = 3)) AS admitted
               FROM documents),
             a AS (

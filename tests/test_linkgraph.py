@@ -148,6 +148,51 @@ def test_parse_robots_and_precedence():
     # ...and with no named group, '*' applies
     assert parse_robots(txt, agent="nobody") == [
         (False, "/a/"), (True, "/a/b/")]
+
+
+def test_robots_wildcards_rfc9309():
+    """§2.2.3 special characters: '*' spans any run, a FINAL '$'
+    anchors at path end, '$' elsewhere is literal; precedence
+    compares RULE PATTERN octets (so a long allow wildcard beats a
+    short disallow wildcard)."""
+    from webxtract.ops.web import (_robots_rule_matcher, parse_robots,
+                                   robots_decision)
+
+    pdf = [(False, "/*.pdf$")]
+    assert robots_decision("/doc.pdf", pdf) is False
+    assert robots_decision("/a/b/doc.pdf", pdf) is False
+    assert robots_decision("/doc.pdfx", pdf) is True   # anchored
+    assert robots_decision("/doc.pdf/", pdf) is True   # anchored
+    assert robots_decision("/pdf", pdf) is True
+
+    mid = [(False, "/a*/b")]
+    assert robots_decision("/aXYZ/b", mid) is False
+    assert robots_decision("/a/b", mid) is False       # '*' spans ""
+    assert robots_decision("/a/c", mid) is True
+    assert robots_decision("/aXYZ/bTAIL", mid) is False  # no anchor
+
+    # '$' not at the end is a literal character
+    lit = [(False, "/x$y")]
+    assert robots_decision("/x$y/z", lit) is False
+    assert robots_decision("/xAy", lit) is True
+
+    # pattern-octet precedence: '/files/public*' (14) beats both
+    # '/files/' (7) and '/*.pdf$' (7)
+    rules = [(False, "/*.pdf$"), (True, "/files/public*"),
+             (False, "/files/")]
+    assert robots_decision("/files/public/a.pdf", rules) is True
+    assert robots_decision("/files/secret/a.pdf", rules) is False
+    assert robots_decision("/other/a.pdf", rules) is False
+
+    # regex metacharacters in rule paths stay literal
+    meta = [(False, "/q?.+(x)*")]
+    assert robots_decision("/q?.+(x)ANY", meta) is False
+    assert robots_decision("/qA.+(x)", meta) is True
+
+    # fast path stays literal-prefix
+    assert _robots_rule_matcher("/plain/") == ("prefix", "/plain/")
+    kind, rx = _robots_rule_matcher("/*.pdf$")
+    assert kind == "re" and rx.startswith("^") and rx.endswith("$")
     # empty Disallow adds no rule; unmatched group contributes nothing
     assert parse_robots("User-agent: *\nDisallow:\n") == []
     assert parse_robots("User-agent: bot\nDisallow: /\n") == []

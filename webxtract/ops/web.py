@@ -556,8 +556,9 @@ def urls_canonicalize(sf_dir: str):
 
 def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
     """Parse robots.txt into the rule list for ``agent`` (RFC 9309
-    subset: literal path prefixes, no wildcards — documented engine
-    bound). Groups are runs of User-agent lines followed by rules;
+    incl. the §2.2.3 special characters — '*' and the final-'$'
+    anchor — which matching resolves via _robots_rule_matcher).
+    Groups are runs of User-agent lines followed by rules;
     per RFC 9309 §2.2.1 the crawler obeys the MOST SPECIFIC matching
     group(s) only — '*' groups apply only when no group names the
     agent. Field names are case-insensitive, comments (#...) and
@@ -594,13 +595,38 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
     return specific if has_specific else wildcard
 
 
+def _robots_rule_matcher(pattern: str):
+    """RFC 9309 §2.2.3 special characters: '*' matches any character
+    run and a FINAL '$' anchors at the path end ('$' anywhere else is
+    a literal — the reference-parser behavior, pinned by test); a
+    pattern with neither is a plain prefix. Returns ("prefix", str)
+    for the vectorized fast path or ("re", anchored_regex_str)."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    if "*" not in body and not anchored:
+        return ("prefix", pattern)
+    rx = "^" + ".*".join(_re.escape(p) for p in body.split("*"))
+    return ("re", rx + ("$" if anchored else ""))
+
+
 def robots_decision(path: str, rules: list[tuple[bool, str]]) -> bool:
-    """RFC 9309 precedence: the longest matching prefix wins; on equal
-    length Allow wins; no match -> allowed."""
+    """RFC 9309 precedence: the most specific match wins — most
+    octets of the RULE PATTERN (the reference-parser comparison, so
+    '/files/public*' beats '/*.pdf$'); on equal length Allow wins;
+    no match -> allowed."""
+    import re as _re
+
     best_len, best_allow = -1, True
-    for is_allow, prefix in rules:
-        if path.startswith(prefix):
-            L = len(prefix)
+    for is_allow, pattern in rules:
+        kind, pat = _robots_rule_matcher(pattern)
+        if kind == "prefix":
+            hit = path.startswith(pat)
+        else:
+            hit = _re.match(pat, path) is not None
+        if hit:
+            L = len(pattern)
             if L > best_len or (L == best_len and is_allow):
                 best_len, best_allow = L, is_allow
     return best_allow
@@ -645,9 +671,15 @@ def robots_gate_stage(robots_by_host: dict[str, str],
             p = path[sel].astype(str)
             best_len = np.full(p.shape, -1, np.int64)
             best_allow = np.ones(p.shape, bool)
-            for is_allow, prefix in rules:
-                m = np.char.startswith(p, prefix)
-                L = len(prefix)
+            for is_allow, pattern in rules:
+                kind, pat = _robots_rule_matcher(pattern)
+                if kind == "prefix":
+                    m = np.char.startswith(p, pat)
+                else:  # wildcard/anchored: one vectorized RE2 pass
+                    m = pc.match_substring_regex(
+                        pa.array(p, pa.string()), pat).to_numpy(
+                        zero_copy_only=False)
+                L = len(pattern)
                 win = m & ((L > best_len)
                            | ((L == best_len) & is_allow))
                 best_len[win] = L
@@ -690,7 +722,9 @@ def _robots_fixture_text(h: int) -> str:
         # ^ other agent only: its delay must NOT apply to '*'
     return ("User-agent: megacrawler\nDisallow: /x/\n\n"
             "User-agent: *\nDisallow: /p/\nDisallow: /other\n"
-            "Allow: /p/ok/\nCrawl-delay: 4.0\n") + sm
+            "Allow: /p/ok/\nDisallow: /*.pdf$\n"
+            "Allow: /files/public*\nDisallow: /files/\n"
+            "Crawl-delay: 4.0\n") + sm
 
 
 def robots_gate(sf_dir: str):
@@ -707,8 +741,13 @@ def robots_gate(sf_dir: str):
     def render(batch: pa.Table) -> pa.Table:
         urls = []
         for i in batch.column("doc_id").to_pylist():
+            # classes 4-7 target the §2.2.3 wildcard rules of host
+            # group 3: '/*.pdf$' (anchored), '/files/public*' longest-
+            # match override of '/files/', and the .pdfx anchor probe
             path = {0: f"/private/x{i}", 1: f"/private/ok/x{i}",
-                    2: f"/p/{i}"}.get(i % 4, "/other")
+                    2: f"/p/{i}", 3: "/other",
+                    4: f"/doc{i}.pdf", 5: f"/files/public/{i}.pdf",
+                    6: f"/files/secret/{i}"}.get(i % 8, f"/doc{i}.pdfx")
             urls.append(f"https://site{i % 50}.example{path}")
         return pa.table({"doc_id": batch.column("doc_id"),
                          "url": pa.array(urls, pa.string())})

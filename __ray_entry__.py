@@ -827,6 +827,17 @@ def _docs_bm25_retrieve(sf_dir: str):
     return docs_bm25_retrieve(sf_dir)
 
 
+def _html_microdata(sf_dir: str):
+    """schema.org MICRODATA extraction (oracled): the pre-JSON-LD
+    structured-data channel — itemscope/itemtype/itemprop through the
+    REAL DOM walk with the HTML Standard value rules (meta content,
+    href/src tags, time datetime, multi-name itemprop, nested items
+    scoped to the inner item)."""
+    from webxtract.ops.web import html_microdata
+
+    return html_microdata(sf_dir)
+
+
 def _hosts_blocklist(sf_dir: str):
     """UT1-style registrable-domain blocklist gate (oracled): PSL fold
     -> ONE membership probe per row (broadcast set under a gate, hash
@@ -2043,6 +2054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # redirect-chain terminal urls + hop counts, cycle-safe
         "hosts_registrable": _hosts_registrable,  # ORACLED PSL
         "hosts_blocklist": _hosts_blocklist,      # ORACLED UT1 gate
+        "html_microdata": _html_microdata,        # ORACLED microdata
         "docs_bm25_retrieve": _docs_bm25_retrieve,  # ORACLED read path
         "docs_lexicon_hits": _docs_lexicon_hits,  # ORACLED badwords
         # eTLD+1 (wildcard/exception rules re-run in SQL)
@@ -6106,6 +6118,44 @@ r5 AS (
             FROM reg ORDER BY doc_id
         """,
         "docs_lexicon_hits": _lexicon_oracle(),
+        # microdata: the fixture's item/prop rows recomputed
+        # closed-form — a hash match certifies the DOM walk + the
+        # HTML Standard value rules (meta content, href, datetime,
+        # multi-name itemprop split, nested-item scoping)
+        "html_microdata": """
+            WITH base AS (
+              SELECT doc_id,
+                     'https://schema.org/' ||
+                     CASE doc_id % 3 WHEN 0 THEN 'Product'
+                          WHEN 1 THEN 'Recipe' ELSE 'Book' END AS ty
+              FROM documents),
+            p AS (
+              SELECT doc_id, 0 AS i, -1 AS par, ty, 'name' AS prop,
+                     'Item ' || doc_id AS value FROM base
+              UNION ALL SELECT doc_id, 0, -1, ty, 'sku',
+                     'SKU' || doc_id FROM base
+              UNION ALL SELECT doc_id, 0, -1, ty, 'url',
+                     '/p/' || doc_id FROM base
+              UNION ALL SELECT doc_id, 0, -1, ty, 'date',
+                     '2024-01-' || lpad(CAST(1 + doc_id % 28
+                                             AS VARCHAR), 2, '0')
+                     FROM base
+              UNION ALL SELECT doc_id, 0, -1, ty, 'tag',
+                     'x' || doc_id FROM base
+              UNION ALL SELECT doc_id, 0, -1, ty, 'cat',
+                     'x' || doc_id FROM base
+              UNION ALL SELECT doc_id, 0, -1, ty, 'offers',
+                     NULL FROM base
+              UNION ALL SELECT doc_id, 1, 0,
+                     'https://schema.org/Offer', 'price',
+                     (doc_id % 100) || '.00' FROM base
+              UNION ALL SELECT doc_id, 2, -1,
+                     'https://schema.org/Person', 'name',
+                     'P' || doc_id FROM base WHERE doc_id % 5 = 0)
+            SELECT doc_id, CAST(i AS BIGINT) AS item_idx,
+                   CAST(par AS BIGINT) AS parent_idx,
+                   ty AS itemtype, prop, CAST(value AS VARCHAR) AS value
+            FROM p ORDER BY doc_id, item_idx, prop""",
         # URL template mining: the oracle rebuilds the urls from
         # doc_id and RE-RUNS the generalization — the same two
         # regexp_replace passes in the same order (hex-run-first is

@@ -80,3 +80,55 @@ def test_lexicon_hits_semantics():
         assert r.hits == hits, (text, r.hits)
         assert r.n_terms == nterms, (text, r.n_terms)
         assert bool(r.flagged) == (hits >= LEXICON_FLAG_MIN)
+
+
+def test_microdata_edge_semantics():
+    """HTML Standard microdata rules on crafted soup: prop-less items
+    stay visible (NULL-prop row), itemprop OUTSIDE any scope is
+    ignored, img/src and data/value channels, a nested itemscope
+    WITHOUT itemprop is a top-level item (parent -1), and tag soup
+    degrades to data."""
+    import pyarrow as pa
+
+    from webxtract.htmldom import parse_html
+    from webxtract.ops.web import (extract_microdata,
+                                   extract_microdata_items)
+
+    html = (
+        "<body>"
+        '<span itemprop="stray">ignored</span>'          # no scope
+        '<div itemscope itemtype="https://schema.org/Thing"></div>'
+        '<div itemscope>'
+        '<img itemprop="image" src="/i.png">'
+        '<data itemprop="n" value="42">forty-two</data>'
+        '<section itemscope itemtype="https://schema.org/Inner">'
+        '<i itemprop="x">y</i></section>'                # no itemprop
+        "</div>"
+        "<p itemscope><b itemprop=broken>unclosed")      # tag soup
+    items = extract_microdata_items(parse_html(html))
+    assert items[0]["itemtype"] == "https://schema.org/Thing"
+    assert items[0]["props"] == []
+    assert items[1]["props"] == [("image", "/i.png"), ("n", "42")]
+    # nested scope WITHOUT itemprop: its own top-level item
+    assert items[2]["itemtype"] == "https://schema.org/Inner"
+    assert items[2]["parent"] is None
+    assert items[2]["props"] == [("x", "y")]
+    assert items[3]["props"] == [("broken", "unclosed")]
+    # no item ever received the stray prop
+    assert not any(n == "stray" for it in items for n, _ in it["props"])
+
+
+def test_microdata_stage_nullprop_rows(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webxtract.ops.web import extract_microdata
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "html": pa.array(["<div itemscope></div>", "plain text"],
+                         pa.string())}))
+    df = extract_microdata(ds).to_pandas()
+    assert len(df) == 1
+    assert df.iloc[0].doc_id == 1 and df.iloc[0].parent_idx == -1
+    assert df.iloc[0].prop is None and df.iloc[0].itemtype is None

@@ -1410,6 +1410,159 @@ _JSONLD_RE = _re.compile(
     r"(.*?)</script\s*>", _re.IGNORECASE | _re.DOTALL)
 
 
+# --- schema.org microdata (itemscope/itemtype/itemprop) ---------------------
+# The OLDER structured-data channel (HTML Standard "microdata"; what
+# schema.org shipped before JSON-LD) — product/recipe/review markup on
+# long-tail commerce sites still uses it, so an extraction corpus that
+# only reads JSON-LD misses a real slice of structured data.
+
+_URL_PROP_TAGS = {"a": "href", "link": "href", "area": "href",
+                  "img": "src", "audio": "src", "video": "src",
+                  "embed": "src", "iframe": "src", "source": "src",
+                  "track": "src"}
+
+
+def extract_microdata_items(root) -> list[dict]:
+    """Walk a DOM tree for microdata items per the HTML Standard
+    value rules: itemscope opens an item (document order indexes),
+    itemprop on a descendant contributes one property PER
+    space-separated name; property value = content attr for <meta>,
+    href/src for the URL-bearing tags, datetime (else text) for
+    <time>, value for <data>, nested-item (value None) when the
+    element also carries itemscope, else concatenated subtree text.
+    Nested items' properties belong to the INNER item only. itemref
+    is out of scope (documented subset — the tree-scoped form is what
+    schema.org consumers emit). Returns [{idx, parent, itemtype,
+    props: [(name, value)]}] in document order."""
+    items: list[dict] = []
+
+    def walk(node, scope_idx: int | None):
+        for c in node.children:
+            if isinstance(c, str):
+                continue
+            a = c.attrs
+            child_scope = scope_idx
+            if a and "itemprop" in a and scope_idx is not None:
+                nested = "itemscope" in a
+                if nested:
+                    value = None
+                else:
+                    tag = c.tag
+                    if tag == "meta":
+                        value = a.get("content", "")
+                    elif tag in _URL_PROP_TAGS:
+                        value = a.get(_URL_PROP_TAGS[tag], "")
+                    elif tag == "time" and a.get("datetime"):
+                        value = a["datetime"]
+                    elif tag == "data" and a.get("value"):
+                        value = a["value"]
+                    else:
+                        value = _node_text(c).strip()
+                for name in a["itemprop"].split():
+                    items[scope_idx]["props"].append((name, value))
+            if a and "itemscope" in a:
+                idx = len(items)
+                items.append({
+                    "idx": idx,
+                    "parent": scope_idx if (a.get("itemprop")
+                                            is not None
+                                            and scope_idx is not None)
+                    else None,
+                    "itemtype": a.get("itemtype") or None,
+                    "props": []})
+                child_scope = idx
+            walk(c, child_scope)
+
+    walk(root, None)
+    return items
+
+
+def extract_microdata(ds, id_col: str = "doc_id",
+                      html_col: str = "html"):
+    """pages Dataset -> one row per (item, property name): (doc_id,
+    item_idx, parent_idx=-1 for top level, itemtype, prop, value);
+    prop-less items emit a single NULL-prop row so they stay visible.
+    Real DOM walk, in-batch, zero exchanges."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        from ..htmldom import decode_bytes, parse_html
+
+        ids, iix, par, ity, prp, val = [], [], [], [], [], []
+        for i, raw in zip(t.column(id_col).to_pylist(),
+                          t.column(html_col).to_pylist()):
+            text = raw if isinstance(raw, str) else decode_bytes(raw)
+            if not text:
+                continue
+            try:
+                root = parse_html(text)
+            except Exception:
+                continue  # unparseable html: no structured data
+            for item in extract_microdata_items(root):
+                rows = item["props"] or [(None, None)]
+                for name, value in rows:
+                    ids.append(i)
+                    iix.append(item["idx"])
+                    par.append(-1 if item["parent"] is None
+                               else item["parent"])
+                    ity.append(item["itemtype"])
+                    prp.append(name)
+                    val.append(value)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "item_idx": pa.array(iix, pa.int64()),
+            "parent_idx": pa.array(par, pa.int64()),
+            "itemtype": pa.array(ity, pa.string()),
+            "prop": pa.array(prp, pa.string()),
+            "value": pa.array(val, pa.string()),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def html_microdata(sf_dir: str):
+    """ORACLED query surface: every doc carries a Product item with a
+    text prop, a meta content prop, an href prop, a datetime prop, a
+    MULTI-NAME itemprop ('tag cat' -> two rows), and a NESTED Offer
+    item (the offers prop row carries NULL value; the Offer's price
+    belongs to the inner item only); every 5th doc adds a second
+    top-level Person item. DuckDB recomputes every row closed-form."""
+    import ray.data as rd
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        out_i, out_h = [], []
+        for i in batch.column("doc_id").to_pylist():
+            ty = ["Product", "Recipe", "Book"][i % 3]
+            html = (
+                "<html><body>"
+                f'<div itemscope itemtype="https://schema.org/{ty}">'
+                f'<span itemprop="name">Item {i}</span>'
+                f'<meta itemprop="sku" content="SKU{i}">'
+                f'<a itemprop="url" href="/p/{i}">link</a>'
+                f'<time itemprop="date" datetime="2024-01-'
+                f'{1 + i % 28:02d}">then</time>'
+                f'<span itemprop="tag cat">x{i}</span>'
+                '<div itemprop="offers" itemscope '
+                'itemtype="https://schema.org/Offer">'
+                f'<span itemprop="price">{i % 100}.00</span>'
+                "</div></div>")
+            if i % 5 == 0:
+                html += ('<p itemscope '
+                         'itemtype="https://schema.org/Person">'
+                         f'<b itemprop="name">P{i}</b></p>')
+            out_i.append(i)
+            out_h.append(html + "</body></html>")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "html": pa.array(out_h, pa.string())})
+
+    pages = _fixture_pages("html_microdata", sf_dir, ids, render,
+                           batch_size=256)
+    return extract_microdata(pages).sort(
+        ["doc_id", "item_idx", "prop"])
+
+
 def extract_jsonld_blocks(html: str) -> list[list[dict]]:
     """Raw-scan for <script type=application/ld+json> payloads (the
     DOM parser intentionally SKIPS script content, so structured data

@@ -21,6 +21,9 @@ ALLOWED = {
     ("ops/knn.py", "_fetch_queries"): "row-filtered to len(query_ids) rows",
     ("ops/knn.py", "label_centroids"): "|labels| x batches partial rows (sum-vector + count)",
     ("ops/knn.py", "_kmeans_seeds"): "k seed rows",
+    ("ops/retrieval.py", "_pad_zero_docs"):
+        "top-k result rows only (<= k, post-limit) plus a <= k "
+        "doc-id pad from the sorted length table",
     ("ops/web.py", "domain_blocklist"):
         "broadcast branch only, |distinct blocklist| rows gated at "
         "DOMAIN_BLOCKLIST_BROADCAST_MAX; join twin is the scale path "

@@ -827,6 +827,17 @@ def _docs_bm25_retrieve(sf_dir: str):
     return docs_bm25_retrieve(sf_dir)
 
 
+def _parts_communities(sf_dir: str):
+    """Label-propagation communities (oracled): synchronous min-tie
+    LPA over the co-order part graph — per round the |nodes|-bounded
+    label vector broadcasts, edges emit directed neighbor-label pairs
+    map-side, ONE node-keyed fold counts and picks (count DESC,
+    label ASC); DuckDB unrolls the identical rounds."""
+    from webxtract.ops.graph import parts_communities
+
+    return parts_communities(sf_dir)
+
+
 def _html_microdata(sf_dir: str):
     """schema.org MICRODATA extraction (oracled): the pre-JSON-LD
     structured-data channel — itemscope/itemtype/itemprop through the
@@ -2055,6 +2066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hosts_registrable": _hosts_registrable,  # ORACLED PSL
         "hosts_blocklist": _hosts_blocklist,      # ORACLED UT1 gate
         "html_microdata": _html_microdata,        # ORACLED microdata
+        "parts_communities": _parts_communities,  # ORACLED LPA
         "docs_bm25_retrieve": _docs_bm25_retrieve,  # ORACLED read path
         "docs_lexicon_hits": _docs_lexicon_hits,  # ORACLED badwords
         # eTLD+1 (wildcard/exception rules re-run in SQL)
@@ -2912,6 +2924,42 @@ def _kcore_oracle(k: int = 65, rounds: int = 6) -> str:
         GROUP BY s)""")
     return ("WITH " + ",\n".join(parts)
             + "\nSELECT node, deg FROM dF")
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    """DuckDB twin of ops.graph.label_propagation_edges: the
+    synchronous min-tie rounds UNROLLED as a CTE chain over the SAME
+    co-order part edge set as the kcore oracle. Per round: directed
+    neighbor-label pairs (both orientations), count per (node, label),
+    pick with row_number ORDER BY count DESC, label ASC — the exact
+    deterministic tie-break the engine's lexsort implements."""
+    parts = ["""e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey)""",
+             """l0 AS MATERIALIZED (
+        SELECT node, node AS lab
+        FROM (SELECT u AS node FROM e0
+              UNION SELECT v FROM e0))"""]
+    for r in range(rounds):
+        parts.append(f"""m{r} AS MATERIALIZED (
+        SELECT e0.u AS node, l.lab FROM e0
+        JOIN l{r} l ON l.node = e0.v
+        UNION ALL
+        SELECT e0.v AS node, l.lab FROM e0
+        JOIN l{r} l ON l.node = e0.u)""")
+        parts.append(f"""c{r} AS MATERIALIZED (
+        SELECT node, lab, count(*) AS c FROM m{r}
+        GROUP BY node, lab)""")
+        parts.append(f"""l{r + 1} AS MATERIALIZED (
+        SELECT node, lab FROM (
+            SELECT node, lab, row_number() OVER (
+                PARTITION BY node ORDER BY c DESC, lab) AS rn
+            FROM c{r}) WHERE rn = 1)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, lab AS label FROM l{rounds} "
+            "ORDER BY node")
 
 
 def _kmeans_oracle(k: int = 8, iters: int = 5) -> str:
@@ -4162,6 +4210,7 @@ r5 AS (
             FROM best WHERE rn = 1
         """,
         "parts_kcore": _kcore_oracle(),
+        "parts_communities": _lpa_oracle(),
         "parts_triangles": """
             WITH e AS (
                 SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -930,3 +930,55 @@ def test_cosine_simjoin_verify_paths_equivalent(ray_session):
     b = cosine_simjoin_pairs(ds2, verify="join").to_pandas() \
         .sort_values(["doc_a", "doc_b"], ignore_index=True)
     assert a.values.tolist() == b.values.tolist()
+
+
+def test_label_propagation_brute_force_and_planted(ray_session):
+    """Synchronous min-tie LPA equals a per-node brute force on a
+    random graph, and separates two planted cliques joined by one
+    bridge edge (each community labeled by a member id)."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from webxtract.ops.graph import label_propagation_edges
+
+    def run(edge_list, rounds=3):
+        k = pa.array([(u << 32) | v for u, v in sorted(edge_list)],
+                     pa.int64())
+        ds = rd.from_arrow(pa.table({"k": k})).materialize()
+        return {r["node"]: r["label"] for r in
+                label_propagation_edges(ds, rounds=rounds).take_all()}
+
+    def brute(edge_list, rounds=3):
+        nodes = sorted({x for e in edge_list for x in e})
+        adj = {n: [] for n in nodes}
+        for u, v in edge_list:
+            adj[u].append(v)
+            adj[v].append(u)
+        lab = {n: n for n in nodes}
+        for _ in range(rounds):
+            new = {}
+            for n in nodes:
+                c = Counter(lab[m] for m in adj[n])
+                new[n] = sorted(c.items(),
+                                key=lambda x: (-x[1], x[0]))[0][0]
+            lab = new
+        return lab
+
+    rng = np.random.default_rng(11)
+    edges = set()
+    while len(edges) < 400:
+        u, v = rng.integers(0, 60, 2)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    assert run(edges) == brute(edges)
+
+    # planted: two 6-cliques {0..5} and {10..15} + bridge (5, 10)
+    cl = [(a, b) for g in (range(0, 6), range(10, 16))
+          for a in g for b in g if a < b] + [(5, 10)]
+    got = run(cl, rounds=4)
+    left = {got[n] for n in range(0, 6)}
+    right = {got[n] for n in range(10, 16)}
+    assert len(left) == 1 and len(right) == 1 and left != right

@@ -1794,3 +1794,116 @@ def parts_clustering_coeff(sf_dir: str, plan: str = "auto"):
                          "cc_micro": pa.array(cc, pa.int64())})
 
     return partitioned_map_groups(adj, "src", cc_fold)
+
+
+# --- label-propagation community detection ----------------------------------
+# LPA (Raghavan et al. 2007) made DETERMINISTIC: synchronous rounds,
+# every node simultaneously adopts the label most frequent among its
+# neighbors, ties -> smallest label (the async/random-order variants
+# of the paper are irreproducible across partitionings; the
+# synchronous min-tie form is a pure function of the edge set, so the
+# DuckDB oracle can unroll the identical rounds — the kcore/PageRank
+# discipline). A FIXED round budget keeps both sides aligned.
+
+
+def label_propagation_edges(edges, rounds: int = 3):
+    """Communities over a materialized packed-key undirected edge
+    Dataset. Per round: the |nodes|-bounded (node -> label) vector
+    broadcasts once (the PageRank pattern — bounded by nodes, never
+    edges), each edge emits its two directed (node, neighbor_label)
+    pairs map-side, and ONE node-keyed partitioned fold counts labels
+    and picks (count DESC, label ASC) vectorized. Returns
+    (node, label) rows; label ids are seed node ids, so communities
+    are named by their smallest... most-propagated member."""
+    import ray
+
+    from ..broadcast import get_broadcast
+    from .relational import partitioned_map_groups
+
+    degs = _edge_degrees(edges)
+    nodes_c = []
+    for b in degs.iter_batches(batch_format="pyarrow"):  # |nodes|
+        nodes_c.append(b.column("node").to_numpy())
+    nodes = np.sort(np.concatenate(nodes_c)) if nodes_c \
+        else np.zeros(0, np.int64)
+    labels = nodes.copy()
+    if nodes.size == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "label": pa.array([], pa.int64())}))
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64())})
+        n = part.column("node").to_numpy()
+        la = part.column("lab").to_numpy()
+        c_ = part.column("c").to_numpy()
+        # aggregate duplicate (node, lab) partials, then argmax with
+        # (count DESC, lab ASC) per node — all segment ops
+        order = np.lexsort((la, n))
+        n, la, c_ = n[order], la[order], c_[order]
+        new = np.concatenate(([True], (np.diff(n) != 0)
+                              | (np.diff(la) != 0)))
+        seg = np.cumsum(new) - 1
+        cs = np.bincount(seg, weights=c_).astype(np.int64)
+        ns, ls = n[new], la[new]
+        pick = np.lexsort((ls, -cs, ns))
+        first = np.concatenate(([True], np.diff(ns[pick]) != 0))
+        sel = pick[first]
+        return pa.table({"node": pa.array(ns[sel], pa.int64()),
+                         "label": pa.array(ls[sel], pa.int64())})
+
+    for _ in range(rounds):
+        ref = ray.put((nodes, labels))
+
+        def pairs(t: pa.Table, _ref=ref) -> pa.Table:
+            nv, lb = get_broadcast(_ref)
+            u, v = _unpack_edges(t)
+            lu = lb[np.searchsorted(nv, u)]
+            lv = lb[np.searchsorted(nv, v)]
+            node = np.concatenate([u, v])
+            lab = np.concatenate([lv, lu])
+            # in-batch partial count of (node, lab) pairs
+            order = np.lexsort((lab, node))
+            node, lab = node[order], lab[order]
+            newp = np.concatenate(([True], (np.diff(node) != 0)
+                                   | (np.diff(lab) != 0)))
+            seg = np.cumsum(newp) - 1
+            c = np.bincount(seg).astype(np.int64)
+            return pa.table({
+                "node": pa.array(node[newp], pa.int64()),
+                "lab": pa.array(lab[newp], pa.int64()),
+                "c": pa.array(c, pa.int64())})
+
+        counted = partitioned_map_groups(
+            edges.map_batches(pairs, batch_format="pyarrow",
+                              zero_copy_batch=True), "node", fold)
+        new_nodes, new_labels = [], []
+        for b in counted.iter_batches(batch_format="pyarrow"):
+            new_nodes.append(b.column("node").to_numpy())
+            new_labels.append(b.column("label").to_numpy())
+        nn = np.concatenate(new_nodes)
+        nl = np.concatenate(new_labels)
+        order = np.argsort(nn)
+        nn, nl = nn[order], nl[order]
+        # isolated nodes (none here by construction) would keep labels
+        idx = np.searchsorted(nodes, nn)
+        labels = labels.copy()
+        labels[idx] = nl
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "label": pa.array(labels, pa.int64())}))
+
+
+def parts_communities(sf_dir: str, rounds: int = 3):
+    """ORACLED query surface: synchronous min-tie label propagation
+    over the co-order part graph; the DuckDB twin unrolls the same
+    rounds (neighbor-label join + count + row_number pick)."""
+    return label_propagation_edges(coorder_part_edges(sf_dir),
+                                   rounds=rounds)

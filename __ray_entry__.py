@@ -859,6 +859,18 @@ def _hosts_blocklist(sf_dir: str):
     return hosts_blocklist(sf_dir)
 
 
+def _docs_langid_ngram(sf_dir: str):
+    """From-scratch char-n-gram language identification (oracled):
+    multiclass multinomial NB over byte trigrams TRAINED on the
+    corpus's own lang labels — the CCNet stage-one / fastText-langid
+    shape (vs docs_langid's fixed stopword profiles) — with integer
+    micro-nat fixed-point scores (bit-exact vs the substr-trigram SQL
+    twin). Output (doc_id, lang, pred_lang, margin)."""
+    from webxtract.ops.text import docs_langid_ngram
+
+    return docs_langid_ngram(sf_dir)
+
+
 def _docs_lexicon_hits(sf_dir: str):
     """Policy-lexicon hit counting (oracled): word-bounded
     case-insensitive RE2 scan per lexicon entry incl. multi-word
@@ -1687,11 +1699,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     verifies the FIRST 50 entries, so each round rotates
     not-yet-driver-checked oracled queries to the front (the literal
     dict keeps its historical order; _rotate_window applies the
-    round's window). Round 4 fronts the 48 never-driver-checked
-    web-native oracled queries plus the two round-3 red rows whose
-    oracle types were fixed (_R4_WINDOW below). Still never checked
-    after round 4: ~81 oracled names (docs_split .. docs_dup_ratio_by_
-    source block and friends) — front those in round 5."""
+    round's window). Round 5 drains the never-driver-checked backlog
+    (_R5_WINDOW below): the round-4 additions the driver never
+    sampled, the new docs_langid_ngram, and the oldest unchecked
+    relational/events/docs/emb names (r1-r4 union of driver-green =
+    160 distinct; this window adds 50 first-time names)."""
     from webxtract.ops import relational as R
 
     return _rotate_window({
@@ -2069,6 +2081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_communities": _parts_communities,  # ORACLED LPA
         "docs_bm25_retrieve": _docs_bm25_retrieve,  # ORACLED read path
         "docs_lexicon_hits": _docs_lexicon_hits,  # ORACLED badwords
+        "docs_langid_ngram": _docs_langid_ngram,  # ORACLED trained NB langid
         # eTLD+1 (wildcard/exception rules re-run in SQL)
         "urls_templates": _urls_templates,  # ORACLED trap mining
         # url -> path template populations (hex/digit generalization)
@@ -2126,30 +2139,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # green in CORRECTNESS_r04). Everything else keeps its round-3
 # relative order behind them; rotate again in round 5 with the ~80
 # still-unchecked names.
-_R4_WINDOW = [
-    "images_page_skew", "domain_link_edges", "domain_pagerank",
-    "urls_canonicalize", "warc_page_stats", "robots_gate",
-    "sitemap_url_inventory", "domain_anchor_texts", "html_tables",
-    "html_meta", "html_forms", "html_jsonld", "html_alternates",
-    "docs_readability", "feed_inventory", "crawl_frontier",
-    "docs_dehyphenate", "robots_crawl_delay", "html_tables_markdown",
-    "html_markdown", "warc_cdx", "docs_fix_mojibake",
-    "crawl_schedule", "robots_sitemaps", "redirect_resolution",
-    "hosts_registrable", "urls_templates", "hosts_shard_assign",
-    "hosts_link_farms", "hosts_mirror_pairs", "warc_http_fields",
-    "urls_recrawl_schedule", "domain_quality_prior",
-    "pages_indexability", "pages_decode_text", "warc_random_access",
-    "warc_incremental_stats", "domain_crawl_quota",
-    "docs_translation_pairs", "warc_cluster_idx",
-    "domain_reciprocity", "hosts_soft404", "crawl_coverage",
-    "urls_percent_normalize", "hosts_backoff", "shard_write_plan",
-    "hreflang_return_tags", "pages_anchor_rels",
-    "docs_nb_quality", "docs_inverted_index",
+# Round-5 driver window (the driver CORRECTNESS gate samples the FIRST
+# 50 queries() entries in dict order): VERDICT r4 ask #1 — drain the
+# never-driver-checked backlog, front-loading the round-4 additions the
+# driver has never sampled (videos_* container probes, hosts_blocklist,
+# docs_lexicon_hits, docs_bm25_retrieve, html_microdata,
+# parts_communities), the new round-5 docs_langid_ngram (ask #2), and
+# the oldest unchecked relational/events/docs/emb names. Still never
+# checked after this window: ~44 oracled names (docs_token_entropy ..
+# docs_topic_clusters block and friends) — every name here was
+# pytest-oracle green (type-sensitive) at sf0.001 and hash-parity
+# checked at sf0.01 locally before fronting.
+_R5_WINDOW = [
+    "docs_langid_ngram",
+    "videos_mp4_probe", "videos_mp4_frame_sample", "videos_mkv_probe",
+    "videos_mkv_frame_sample", "videos_avi_probe",
+    "videos_avi_frame_sample", "videos_ts_probe",
+    "hosts_blocklist", "docs_lexicon_hits", "docs_bm25_retrieve",
+    "html_microdata", "parts_communities", "docs_lang_confusion",
+    "docs_split", "customer_spend_trend", "emb_hard_negatives",
+    "docs_validate", "parts_copurchase_topk", "docs_new_content",
+    "docs_weighted_sample", "docs_source_mix", "emb_norms",
+    "emb_label_centroids", "docs_line_dedup", "docs_pack_sequences",
+    "docs_dsir_topk", "docs_normalize_text", "docs_gopher_quality",
+    "docs_temperature_mix", "docs_bm25_topk", "docs_stopword_removal",
+    "docs_regex_tokens", "events_distinct_users_salted",
+    "events_active_users_7d", "events_concurrency_15m",
+    "docs_cdc_merge", "emb_covariance", "emb_pca_power",
+    "docs_term_pmi", "docs_scd2", "docs_time_travel",
+    "lineitem_skyline", "parts_bfs_hops", "docs_cosine_simjoin",
+    "events_winsorized", "events_temporal_join",
+    "events_audience_overlap", "docs_golden_record",
+    "docs_vocab_growth",
 ]
 
 
 def _rotate_window(d: dict) -> dict:
-    front = {k: d[k] for k in _R4_WINDOW}
+    front = {k: d[k] for k in _R5_WINDOW}
     assert len(front) == 50
     return {**front, **{k: v for k, v in d.items() if k not in front}}
 
@@ -6167,6 +6193,62 @@ r5 AS (
             FROM reg ORDER BY doc_id
         """,
         "docs_lexicon_hits": _lexicon_oracle(),
+        # char-n-gram NB langid: byte trigrams == substr char trigrams
+        # on the ASCII corpus; integer micro-nat weights make every
+        # score bit-exact (the docs_nb_quality fixed-point discipline
+        # generalized to L classes); unseen-(term,lang) smoothing is
+        # folded as score = prior + T*default + sum tf*(w - default)
+        # so the oracle joins only SEEN (term,lang) weights
+        "docs_langid_ngram": """
+            WITH tri AS (
+                SELECT doc_id, substr(text, CAST(g AS INTEGER), 3)
+                       AS term
+                FROM (SELECT doc_id, text,
+                             unnest(range(1, length(text) - 1)) AS g
+                      FROM documents)),
+            langs AS (SELECT lang, count(*) AS dl FROM documents
+                      GROUP BY lang),
+            tot AS (SELECT count(*) AS dd FROM documents),
+            cls AS (SELECT t.term, d.lang, count(*) AS n
+                    FROM tri t JOIN documents d USING (doc_id)
+                    GROUP BY t.term, d.lang),
+            nlt AS (SELECT lang, sum(n) AS nl FROM cls GROUP BY lang),
+            vv AS (SELECT count(DISTINCT term) AS v FROM cls),
+            priw AS (SELECT l.lang,
+                     CAST(round(ln(l.dl * 1.0 / tot.dd) * 1000000)
+                          AS BIGINT) AS pr,
+                     CAST(round(ln(1.0 / (nlt.nl + vv.v)) * 1000000)
+                          AS BIGINT) AS dft
+                     FROM langs l CROSS JOIN tot
+                     JOIN nlt USING (lang) CROSS JOIN vv),
+            w AS (SELECT c.term, c.lang,
+                  CAST(round(ln((c.n + 1) * 1.0 / (nlt.nl + vv.v))
+                             * 1000000) AS BIGINT) AS w
+                  FROM cls c JOIN nlt USING (lang) CROSS JOIN vv),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tri
+                   GROUP BY doc_id, term),
+            tdoc AS (SELECT d.doc_id, coalesce(sum(tf.tf), 0) AS t
+                     FROM documents d
+                     LEFT JOIN tf ON d.doc_id = tf.doc_id
+                     GROUP BY d.doc_id),
+            sc AS (SELECT td.doc_id, p.lang,
+                   any_value(p.pr) + any_value(td.t) * any_value(p.dft)
+                        + coalesce(sum(tf.tf * (w.w - p.dft)), 0)
+                       AS score
+                   FROM tdoc td CROSS JOIN priw p
+                   LEFT JOIN tf ON tf.doc_id = td.doc_id
+                   LEFT JOIN w ON w.term = tf.term AND w.lang = p.lang
+                   GROUP BY td.doc_id, p.lang),
+            rk AS (SELECT doc_id, lang, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, lang) AS r
+                   FROM sc)
+            SELECT b.doc_id, d.lang, b.lang AS pred_lang,
+                   CAST(b.score - s.score AS BIGINT) AS margin
+            FROM rk b JOIN rk s ON s.doc_id = b.doc_id AND s.r = 2
+            JOIN documents d ON d.doc_id = b.doc_id
+            WHERE b.r = 1
+        """,
         # microdata: the fixture's item/prop rows recomputed
         # closed-form — a hash match certifies the DOM walk + the
         # HTML Standard value rules (meta content, href, datetime,

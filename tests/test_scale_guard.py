@@ -24,6 +24,10 @@ ALLOWED = {
     ("ops/retrieval.py", "_pad_zero_docs"):
         "top-k result rows only (<= k, post-limit) plus a <= k "
         "doc-id pad from the sorted length table",
+    ("ops/text.py", "docs_langid_ngram"):
+        "|langs| x blocks lang-count partials + single-row-per-block "
+        "vocab totals (the weight table itself is gated: broadcast "
+        "under VOCAB_BROADCAST_MAX_TERMS, copartitioned join above)",
     ("ops/web.py", "domain_blocklist"):
         "broadcast branch only, |distinct blocklist| rows gated at "
         "DOMAIN_BLOCKLIST_BROADCAST_MAX; join twin is the scale path "

@@ -1095,6 +1095,305 @@ def docs_nb_quality(sf_dir: str, mode: str = "auto"):
                           zero_copy_batch=True)
 
 
+def _byte_trigrams(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized byte-trigram extraction over a string column:
+    returns (parents, codes) where parents[i] is the row index of the
+    i-th trigram occurrence and codes[i] = b0<<16 | b1<<8 | b2 over
+    the flat UTF-8 buffer, windows clipped to row boundaries (no
+    cross-document trigrams). Byte n-grams are the CLD2-style langid
+    feature — identical to character trigrams on ASCII corpora (the
+    oracle contract; the synthetic corpus is ASCII). One pass over the
+    zero-copy Arrow buffer, no per-row Python."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    offs = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    counts = np.maximum(offs[1:] - offs[:-1] - 2, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    n = len(arr)
+    parents = np.repeat(np.arange(n, dtype=np.int64), counts)
+    cum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    pos = (np.repeat(offs[:-1], counts)
+           + np.arange(total, dtype=np.int64) - np.repeat(cum, counts))
+    codes = ((data[pos].astype(np.int64) << 16)
+             | (data[pos + 1].astype(np.int64) << 8)
+             | data[pos + 2].astype(np.int64))
+    return parents, codes
+
+
+def _tri_strings(codes: np.ndarray) -> pa.Array:
+    """Trigram int codes -> 3-char Arrow string array (one buffer
+    build, no Python loop). Valid UTF-8 by the ASCII-corpus contract
+    asserted in _byte_trigrams' docstring."""
+    b = np.empty((len(codes), 3), np.uint8)
+    b[:, 0] = codes >> 16
+    b[:, 1] = (codes >> 8) & 0xFF
+    b[:, 2] = codes & 0xFF
+    offsets = np.arange(0, 3 * len(codes) + 1, 3, dtype=np.int32)
+    return pa.StringArray.from_buffers(
+        len(codes), pa.py_buffer(offsets.tobytes()),
+        pa.py_buffer(b.tobytes()))
+
+
+def docs_langid_ngram(sf_dir: str, mode: str = "auto"):
+    """From-scratch character-n-gram language identification — the
+    CCNet pipeline's stage one (Wenzek et al. 2020, arXiv:1911.00359
+    §3; fastText langid is a linear model over char n-grams, Joulin
+    et al. 2016) — as a multiclass multinomial Naive Bayes over BYTE
+    TRIGRAMS, trained on the corpus's own `lang` labels and applied
+    distributed, with INTEGER micro-nat fixed-point weights so every
+    score is bit-deterministic and partitioning-independent (the
+    docs_nb_quality discipline, generalized from 2 classes to L):
+
+      w(t,l)    = round(ln((n_tl + 1) / (N_l + V)) * 1e6)
+      default_l = round(ln(      1    / (N_l + V)) * 1e6)   (unseen t)
+      prior_l   = round(ln(d_l / D) * 1e6)
+      score(d,l)= prior_l + T_d * default_l
+                  + sum over d's trigrams t of tf * (w(t,l) - default_l)
+      pred_lang = argmax_l score (ties -> lang ascending)
+      margin    = best score - second-best score  (>= 0)
+
+    Train = ONE counting pass: per-batch (term, lang, n) partials ->
+    one term-keyed exchange that pivots to (term, n_<lang>...) — the
+    vocabulary is bounded by 2^24 byte trigrams by construction, and
+    in practice by Heap's law. Inference below VOCAB_BROADCAST_MAX_
+    TERMS broadcasts the (V x L) delta-weight matrix and scores each
+    batch with one np.add.at (exact int64); above the gate, the
+    exploded (doc, term, tf) stream hash-joins the distributed weight
+    table in one copartitioned exchange and a doc-keyed exchange folds
+    the partial scores (both paths equivalence-tested). NOTE: the
+    synthetic corpus's `lang` column is a random label with no organic
+    signal in the text (like _nb_labels' planted rule, but here there
+    is nothing to recover), so accuracy is near the majority baseline
+    — the machinery, determinism, and scale posture are the
+    deliverables; the confusion matrix vs `lang` is recorded in
+    BASELINE.md. Output: (doc_id, lang, pred_lang, margin). Oracled
+    (generate_series substr trigrams + conditional-agg CTE, bit-exact
+    integer scores)."""
+    import ray.data as rd
+
+    from .relational import (broadcast_lookup, copartitioned_map,
+                             partitioned_map_groups)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    # --- tiny per-lang doc counts (bounded: |langs| x blocks rows) ---
+    def lang_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("lang").aggregate([("doc_id", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "d": g.column("doc_id_count").cast(pa.int64())})
+
+    lang_rows = ds.map_batches(lang_partial, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+    dcount: dict[str, int] = {}
+    for r in lang_rows:
+        dcount[r["lang"]] = dcount.get(r["lang"], 0) + int(r["d"])
+    langs = sorted(dcount)  # ascending = the argmax tie-break order
+    nl_ = len(langs)
+    d_total = sum(dcount.values())
+
+    # --- train: (term, lang, n) partials -> term-keyed pivot ---
+    def count_partial(batch: pa.Table) -> pa.Table:
+        parents, codes = _byte_trigrams(batch.column("text"))
+        lidx_row = pc.index_in(
+            batch.column("lang"), value_set=pa.array(langs)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        key = codes * nl_ + lidx_row[parents]
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "term": _tri_strings(uniq // nl_),
+            "lang": pa.array(langs, pa.string()).take(
+                pa.array(uniq % nl_, pa.int64())),
+            "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def pivot_terms(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            cols = {"term": pa.array([], pa.string())}
+            cols.update({f"n_{l}": pa.array([], pa.int64())
+                         for l in langs})
+            return pa.table(cols)
+        enc = part.column("term").combine_chunks().dictionary_encode()
+        tcode = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lidx = pc.index_in(part.column("lang"),
+                           value_set=pa.array(langs)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nt = len(enc.dictionary)
+        mat = np.zeros((nt, nl_), np.int64)
+        np.add.at(mat, (tcode, lidx), part.column("n").to_numpy())
+        cols = {"term": enc.dictionary}
+        cols.update({f"n_{l}": pa.array(mat[:, i], pa.int64())
+                     for i, l in enumerate(langs)})
+        return pa.table(cols)
+
+    terms = partitioned_map_groups(
+        ds.map_batches(count_partial, batch_format="pyarrow",
+                       zero_copy_batch=True), "term",
+        pivot_terms).materialize()
+
+    # --- totals: one single-row partial per block (bounded) ---
+    def tot_partial(t: pa.Table) -> pa.Table:
+        cols = {"v": pa.array([t.num_rows], pa.int64())}
+        cols.update({f"n_{l}": pa.array(
+            [int(t.column(f"n_{l}").to_numpy().sum())], pa.int64())
+            for l in langs})
+        return pa.table(cols)
+
+    tot_rows = terms.map_batches(tot_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True).take_all()
+    v_size = sum(int(r["v"]) for r in tot_rows)
+    n_tot = np.array([sum(int(r[f"n_{l}"]) for r in tot_rows)
+                      for l in langs], np.int64)
+    prior = np.round(np.log(
+        np.array([dcount[l] for l in langs], np.float64) / d_total)
+        * _NB_SCALE).astype(np.int64)
+    default = np.round(np.log(1.0 / (n_tot + v_size))
+                       * _NB_SCALE).astype(np.int64)
+
+    def _delta(counts: list[np.ndarray]) -> np.ndarray:
+        """(V x L) int64 matrix of w(t,l) - default_l."""
+        mat = np.empty((len(counts[0]), nl_), np.int64)
+        for i in range(nl_):
+            w = np.round(np.log((counts[i].astype(np.float64) + 1)
+                                / (n_tot[i] + v_size))
+                         * _NB_SCALE).astype(np.int64)
+            mat[:, i] = w - default[i]
+        return mat
+
+    def _finish(doc_id: pa.Array, lang: pa.Array, t_d: np.ndarray,
+                dsum: np.ndarray) -> pa.Table:
+        scores = (prior[None, :] + t_d[:, None] * default[None, :]
+                  + dsum)
+        best = np.argmax(scores, axis=1)  # first max = lang ascending
+        top2 = np.partition(scores, nl_ - 2, axis=1)
+        margin = (top2[:, -1] - top2[:, -2]) if nl_ > 1 else \
+            np.zeros(len(t_d), np.int64)
+        return pa.table({
+            "doc_id": doc_id,
+            "lang": lang,
+            "pred_lang": pa.array(langs, pa.string()).take(
+                pa.array(best, pa.int64())),
+            "margin": pa.array(margin.astype(np.int64), pa.int64())})
+
+    if _resolve_vocab_mode(mode, terms) == "join":
+        # scale path: explode (doc, lang, term, tf), one term-keyed
+        # copartitioned join against the weight table emitting per-doc
+        # per-partition partial delta sums, then one doc-keyed fold
+        def prep_tf(batch: pa.Table) -> pa.Table:
+            parents, codes = _byte_trigrams(batch.column("text"))
+            pair, tf = np.unique(parents * (1 << 24) + codes,
+                                 return_counts=True)
+            rows = pa.array(pair >> 24, pa.int64())
+            cols = {"term": _tri_strings(pair & 0xFFFFFF),
+                    "doc_id": batch.column("doc_id").take(rows),
+                    "lang": batch.column("lang").take(rows),
+                    "tf": pa.array(tf.astype(np.int64), pa.int64())}
+            cols.update({f"n_{l}": pa.nulls(len(pair), pa.int64())
+                         for l in langs})
+            return pa.table(cols)
+
+        def prep_w(t: pa.Table) -> pa.Table:
+            cols = {"term": t.column("term"),
+                    "doc_id": pa.nulls(t.num_rows, pa.int64()),
+                    "lang": pa.nulls(t.num_rows, pa.string()),
+                    "tf": pa.nulls(t.num_rows, pa.int64())}
+            cols.update({f"n_{l}": t.column(f"n_{l}") for l in langs})
+            return pa.table(cols)
+
+        def join_part(parts: list[pa.Table]) -> pa.Table:
+            tfp, wp = parts
+            cols_schema = {"doc_id": pa.array([], pa.int64()),
+                           "lang": pa.array([], pa.string()),
+                           "t": pa.array([], pa.int64())}
+            cols_schema.update({f"d_{l}": pa.array([], pa.int64())
+                                for l in langs})
+            if tfp.num_rows == 0:
+                return pa.table(cols_schema)
+            delta = _delta([wp.column(f"n_{l}").combine_chunks()
+                            .to_numpy() for l in langs]) \
+                if wp.num_rows else np.zeros((0, nl_), np.int64)
+            vterms = wp.column("term").combine_chunks()
+            idx = pc.index_in(tfp.column("term"), value_set=vterms) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            # closed world: every stream term is in the vocabulary
+            doc = tfp.column("doc_id").to_numpy()
+            docs, inv = np.unique(doc, return_inverse=True)
+            tf = tfp.column("tf").to_numpy()
+            dsum = np.zeros((len(docs), nl_), np.int64)
+            np.add.at(dsum, inv, tf[:, None] * delta[idx])
+            t_d = np.bincount(inv, weights=tf,
+                              minlength=len(docs)).astype(np.int64)
+            first = np.zeros(len(docs), np.int64)
+            first[inv[::-1]] = np.arange(len(doc) - 1, -1, -1)
+            cols = {"doc_id": pa.array(docs, pa.int64()),
+                    "lang": tfp.column("lang").take(
+                        pa.array(first, pa.int64())),
+                    "t": pa.array(t_d, pa.int64())}
+            cols.update({f"d_{l}": pa.array(dsum[:, i], pa.int64())
+                         for i, l in enumerate(langs)})
+            return pa.table(cols)
+
+        partials = copartitioned_map(
+            [(ds, prep_tf), (terms, prep_w)], "term", join_part)
+
+        def doc_fold(part: pa.Table) -> pa.Table:
+            if part.num_rows == 0:
+                return _finish(pa.array([], pa.int64()),
+                               pa.array([], pa.string()),
+                               np.zeros(0, np.int64),
+                               np.zeros((0, nl_), np.int64))
+            doc = part.column("doc_id").to_numpy()
+            docs, inv = np.unique(doc, return_inverse=True)
+            t_d = np.bincount(inv, weights=part.column("t").to_numpy(),
+                              minlength=len(docs)).astype(np.int64)
+            dsum = np.zeros((len(docs), nl_), np.int64)
+            for i, l in enumerate(langs):
+                dsum[:, i] = np.bincount(
+                    inv, weights=part.column(f"d_{l}").to_numpy(),
+                    minlength=len(docs)).astype(np.int64)
+            first = np.zeros(len(docs), np.int64)
+            first[inv[::-1]] = np.arange(len(doc) - 1, -1, -1)
+            return _finish(pa.array(docs, pa.int64()),
+                           part.column("lang").take(
+                               pa.array(first, pa.int64())),
+                           t_d, dsum)
+
+        return partitioned_map_groups(partials, "doc_id", doc_fold)
+
+    vocab_ref = broadcast_lookup(terms, "term",
+                                 [f"n_{l}" for l in langs])
+
+    def _w_table(build):
+        keys, counts = build
+        return keys, _delta([c.to_numpy() for c in counts])
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..broadcast import get_broadcast_derived
+
+        keys, delta = get_broadcast_derived(vocab_ref, "langid_delta",
+                                            _w_table)
+        parents, codes = _byte_trigrams(batch.column("text"))
+        n = batch.num_rows
+        t_d = np.bincount(parents, minlength=n).astype(np.int64)
+        dsum = np.zeros((n, nl_), np.int64)
+        if len(codes):
+            ucodes, inv = np.unique(codes, return_inverse=True)
+            rowmap = pc.index_in(_tri_strings(ucodes),
+                                 value_set=keys).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            np.add.at(dsum, parents, delta[rowmap[inv]])
+        return _finish(batch.column("doc_id"), batch.column("lang"),
+                       t_d, dsum)
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def docs_ccnet_buckets(sf_dir: str, n_buckets: int = 3):
     """CCNet head/middle/tail bucketing (Wenzek et al. 2020,
     arXiv:1911.00359 §4.4): rank every document by language-model

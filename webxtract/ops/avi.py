@@ -229,7 +229,7 @@ _DECODABLE = ("MJPG",)
 def probe_avi(raw: bytes | None) -> list[dict]:
     try:
         info = parse_avi(raw)
-    except (AVIError, struct.error, IndexError) as exc:
+    except (ValueError, struct.error, IndexError, KeyError, OverflowError) as exc:
         return [{"stream_id": -1, "handler": "", "compression": "",
                  "width": -1, "height": -1, "n_frames": -1,
                  "duration_ms": -1, "frame_bytes": -1,
@@ -248,6 +248,11 @@ def probe_avi(raw: bytes | None) -> list[dict]:
             "decodable": st.get("handler") in _DECODABLE,
             "ok": True, "error": None,
         })
+    if not rows:
+        return [{"stream_id": -1, "handler": "", "compression": "",
+                 "width": -1, "height": -1, "n_frames": -1,
+                 "duration_ms": -1, "frame_bytes": -1,
+                 "decodable": False, "ok": False, "error": "no streams"}]
     return rows
 
 
@@ -304,7 +309,7 @@ class SampleAVIFrames:
         for mid, raw in zip(ids, blobs):
             try:
                 info = parse_avi(raw)
-            except (AVIError, struct.error, IndexError):
+            except (ValueError, struct.error, IndexError, KeyError, OverflowError):
                 continue
             st = next((s for s in info["streams"]
                        if s.get("handler") in _DECODABLE), None)

@@ -402,7 +402,7 @@ def probe_mkv(raw: bytes | None) -> list[dict]:
     single ok=False row (error as DATA)."""
     try:
         info = parse_mkv(raw)
-    except (MKVError, struct.error, IndexError) as exc:
+    except (ValueError, struct.error, IndexError, KeyError, OverflowError) as exc:
         return [{"doctype": "", "track_id": -1, "codec": "",
                  "width": -1, "height": -1, "n_frames": -1,
                  "duration_ms": -1, "frame_bytes": -1,
@@ -418,6 +418,11 @@ def probe_mkv(raw: bytes | None) -> list[dict]:
             "decodable": t["codec"] in _DECODABLE,
             "ok": True, "error": None,
         })
+    if not rows:
+        return [{"doctype": info["doctype"], "track_id": -1, "codec": "",
+                 "width": -1, "height": -1, "n_frames": -1,
+                 "duration_ms": -1, "frame_bytes": -1,
+                 "decodable": False, "ok": False, "error": "no tracks"}]
     return rows
 
 
@@ -475,7 +480,7 @@ class SampleMKVFrames:
         for mid, raw in zip(ids, blobs):
             try:
                 info = parse_mkv(raw)
-            except (MKVError, struct.error, IndexError):
+            except (ValueError, struct.error, IndexError, KeyError, OverflowError):
                 continue
             track = next((t for t in info["tracks"]
                           if t["track_type"] == 1

@@ -481,7 +481,7 @@ def probe_mp4(raw: bytes | None) -> list[dict]:
     single ok=False row (error as DATA, the M1 posture)."""
     try:
         info = parse_mp4(raw)
-    except (MP4Error, struct.error, IndexError) as exc:
+    except (ValueError, struct.error, IndexError, KeyError, OverflowError) as exc:
         return [{"track_id": -1, "handler": "", "codec": "",
                  "width": -1, "height": -1, "n_samples": -1,
                  "duration_ms": -1, "sample_bytes": -1,
@@ -498,6 +498,14 @@ def probe_mp4(raw: bytes | None) -> list[dict]:
             "decodable": t["codec"] in _DECODABLE,
             "ok": True, "error": None,
         })
+    if not rows:
+        # a parseable container with zero recognizable tracks still
+        # yields one DATA row (per-FILE accounting: every probed file
+        # appears in the output exactly like ffprobe's "no streams")
+        return [{"track_id": -1, "handler": "", "codec": "",
+                 "width": -1, "height": -1, "n_samples": -1,
+                 "duration_ms": -1, "sample_bytes": -1,
+                 "decodable": False, "ok": False, "error": "no tracks"}]
     return rows
 
 
@@ -560,7 +568,7 @@ class SampleMP4Frames:
         for mid, raw in zip(ids, blobs):
             try:
                 info = parse_mp4(raw)
-            except (MP4Error, struct.error, IndexError):
+            except (ValueError, struct.error, IndexError, KeyError, OverflowError):
                 continue
             track = next((t for t in info["tracks"]
                           if t["handler"] == "vide"

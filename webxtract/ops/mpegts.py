@@ -255,7 +255,7 @@ def parse_ts(raw: bytes) -> dict:
         buffers[pid] = bytearray()
         try:
             pts, payload = _parse_pes(data)
-        except (TSError, struct.error, IndexError):
+        except (ValueError, struct.error, IndexError, KeyError, OverflowError):
             # a transit-damaged PES (lost packet) is DATA, not a file
             # failure — count it and keep demuxing, like ffmpeg
             pes_errors[pid] = pes_errors.get(pid, 0) + 1
@@ -336,7 +336,7 @@ def probe_ts(raw: bytes | None) -> list[dict]:
     matching ffprobe's start/end report)."""
     try:
         info = parse_ts(raw)
-    except (TSError, struct.error, IndexError) as exc:
+    except (ValueError, struct.error, IndexError, KeyError, OverflowError) as exc:
         return [{"pid": -1, "stream_type": -1, "codec": "",
                  "n_pes": -1, "payload_bytes": -1, "duration_ms": -1,
                  "cc_errors": -1, "pes_errors": -1,
@@ -353,6 +353,11 @@ def probe_ts(raw: bytes | None) -> list[dict]:
             "pes_errors": s["pes_errors"],
             "ok": True, "error": None,
         })
+    if not rows:
+        return [{"pid": -1, "stream_type": -1, "codec": "",
+                 "n_pes": -1, "payload_bytes": -1, "duration_ms": -1,
+                 "cc_errors": -1, "pes_errors": -1,
+                 "ok": False, "error": "no streams"}]
     return rows
 
 

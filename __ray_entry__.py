@@ -1148,6 +1148,18 @@ def _warc_cdx(sf_dir: str):
     return warc_cdx(sf_dir)
 
 
+def _warc_cdx_sharded(sf_dir: str):
+    """ORACLED twin of warc_cdx through the 100 TB path: per-group
+    SORTED parquet runs (atomic, resumable) + a range-partitioned
+    k-way merge with bounded memory and NO global sort exchange —
+    the two-level layout Common Crawl's own cdx-*.gz + cluster.idx
+    uses. Same oracle as warc_cdx (rows are identical by the
+    equivalence gate in test_warc_cdx.py)."""
+    from webxtract.ops.warc import warc_cdx_sharded
+
+    return warc_cdx_sharded(sf_dir)
+
+
 def _robots_crawl_delay(sf_dir: str):
     """ORACLED per-host politeness budget: Crawl-delay parsed with the
     same most-specific-group supersession as the gate (a foreign
@@ -2067,6 +2079,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # markdown linearization (closed-form concat twin)
         "warc_cdx": _warc_cdx,  # ORACLED CDX capture index: byte-
         # exact record extents via strlen-grammar + window-sum twin
+        "warc_cdx_sharded": _warc_cdx_sharded,  # ORACLED same twin
+        # via sorted runs + range-partitioned k-way merge (100 TB path)
         "docs_fix_mojibake": _docs_fix_mojibake,  # ORACLED cp1252
         # double-encoding repair (sloppy inverse, strict-UTF-8 guard)
         "crawl_schedule": _crawl_schedule_plan,  # ORACLED politeness
@@ -5943,6 +5957,12 @@ r5 AS (
         # order (the fixture buckets by doc_id % 8, appending in row
         # order)
         "warc_cdx": "WITH" + _CDX_CTE + """
+            SELECT surt, cdx_ts, url, file, roffset, rlength,
+                   http_status, digest
+            FROM cdx ORDER BY surt
+        """,
+        # the sharded-merge twin produces the identical row set
+        "warc_cdx_sharded": "WITH" + _CDX_CTE + """
             SELECT surt, cdx_ts, url, file, roffset, rlength,
                    http_status, digest
             FROM cdx ORDER BY surt

@@ -81,3 +81,40 @@ def test_garbage_and_empty_inputs_degrade_to_no_rows():
     assert cdx_records(b"") == []
     assert cdx_records(b"\x00" * 64) == []
     assert cdx_records(b"WARC/1.0\r\nContent-Length: oops\r\n\r\n") == []
+
+
+# --- sharded runs + k-way merge (VERDICT r4 ask #4: the 100 TB path) ---
+
+def test_sharded_merge_equals_single_sort(ray_session, tmp_path):
+    """write_cdx_shards + merge_cdx_shards must reproduce warc_cdx's
+    single-sort rows EXACTLY, and the merged block sequence must come
+    out globally key-sorted without any global sort exchange. Also
+    pins resumability: a second write_cdx_shards call skips finished
+    shards and the merge still reproduces the same rows."""
+    from webxtract.ops.warc import (merge_cdx_shards, warc_cdx,
+                                    write_cdx_shards)
+
+    sf = "/root/testdata/sf0.001"
+    single = warc_cdx(sf).to_pandas()
+    warc_dir = f"/tmp/webxtract_warc_plain_{sf.replace('/', '_')}"
+    sd = str(tmp_path / "shards")
+    shards = write_cdx_shards(warc_dir, sd, files_per_shard=2)
+    assert len(shards) >= 2  # genuinely multiple sorted runs
+    merged = merge_cdx_shards(sd, num_parts=5).to_pandas()
+
+    key = ["surt", "cdx_ts", "file", "roffset"]
+    mk = list(map(tuple, merged[key].itertuples(index=False)))
+    assert mk == sorted(mk)  # globally sorted by construction
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(by=list(df.columns), ignore_index=True)
+
+    assert canon(single).equals(canon(merged))
+
+    # resume: second call must SKIP all finished shards (rows == -1
+    # markers aside, the on-disk runs are untouched) and merge equal
+    shards2 = write_cdx_shards(warc_dir, sd, files_per_shard=2)
+    assert shards2 == shards
+    merged2 = merge_cdx_shards(sd, num_parts=3).to_pandas()
+    assert canon(merged).equals(canon(merged2))

@@ -437,6 +437,204 @@ def warc_cdx(sf_dir: str):
     return build_cdx(out_dir).sort("surt")
 
 
+# --- sharded CDX: sorted runs + k-way merge (the 100 TB path) -------------
+
+_CDX_SORT_KEY = ["surt", "cdx_ts", "file", "roffset"]
+
+
+def write_cdx_shards(paths, shard_dir: str,
+                     files_per_shard: int = 4) -> list[str]:
+    """Stage one of the two-level CDX plan SCALE.md promises: each
+    task indexes a bounded group of WARC files and writes ONE
+    parquet run, sorted by the full CDX key (surt, cdx_ts, file,
+    roffset), named deterministically by its file group and written
+    atomically (tmp + os.replace) so a re-run after failure skips or
+    cleanly overwrites finished shards — per-partition resumability,
+    never one giant file. Returns the sorted shard paths.
+
+    This is how Common Crawl's own cdx-*.gz index is laid out: ~300
+    sorted shard files + a secondary index of key ranges; the merge
+    below is the read side's range-partitioned counterpart."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    os.makedirs(shard_dir, exist_ok=True)
+    files = _list_warc_files(paths)
+    groups = [files[i:i + files_per_shard]
+              for i in range(0, len(files), files_per_shard)]
+    items = [{"gid": gi, "files": g} for gi, g in enumerate(groups)]
+
+    def index_group(t: pa.Table) -> pa.Table:
+        outs = []
+        for gid, grp in zip(t.column("gid").to_pylist(),
+                            t.column("files").to_pylist()):
+            dest = os.path.join(shard_dir, f"cdx-{gid:05d}.parquet")
+            if os.path.exists(dest):
+                # finished shard from a prior run: content is a pure
+                # function of the file group, so skipping is exact
+                outs.append({"shard": dest, "rows": -1})
+                continue
+            tbl = pa.concat_tables(
+                [_expand_cdx_file(p) for p in grp]) \
+                .combine_chunks().sort_by(
+                    [(k, "ascending") for k in _CDX_SORT_KEY])
+            tmp = f"{dest}.tmp{os.getpid()}"
+            import pyarrow.parquet as pq
+
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, dest)  # atomic publish; idempotent
+            outs.append({"shard": dest, "rows": tbl.num_rows})
+        return pa.table({
+            "shard": pa.array([o["shard"] for o in outs], pa.string()),
+            "rows": pa.array([o["rows"] for o in outs], pa.int64())})
+
+    rd.from_items(items).map_batches(
+        index_group, batch_size=1,
+        batch_format="pyarrow").materialize()
+    return sorted(os.path.join(shard_dir, f)
+                  for f in os.listdir(shard_dir)
+                  if f.endswith(".parquet"))
+
+
+def _expand_cdx_file(path: str) -> pa.Table:
+    """One WARC file -> its slim CDX rows (the build_cdx expand body,
+    shared)."""
+    import hashlib
+    import os
+
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    fname = os.path.basename(path)
+    surts, tss, urls, offs, lens, stats, digs = [], [], [], [], [], [], []
+    for off, ln, rec in cdx_records(raw):
+        surts.append(surt_key(rec["url"]))
+        tss.append(cdx_timestamp(rec["warc_ts"]))
+        urls.append(rec["url"])
+        offs.append(off)
+        lens.append(ln)
+        stats.append(rec["http_status"])
+        digs.append(hashlib.md5(rec["html"]).hexdigest())
+    n = len(surts)
+    return pa.table({
+        "surt": pa.array(surts, pa.string()),
+        "cdx_ts": pa.array(tss, pa.string()),
+        "url": pa.array(urls, pa.string()),
+        "file": pa.array([fname] * n, pa.string()),
+        "roffset": pa.array(offs, pa.int64()),
+        "rlength": pa.array(lens, pa.int64()),
+        "http_status": pa.array(stats, pa.int64()),
+        "digest": pa.array(digs, pa.string()),
+    })
+
+
+def merge_cdx_shards(shard_dir: str, num_parts: int | None = None):
+    """Stage two: a bounded-memory k-way merge of the sorted runs,
+    WITHOUT a global re-sort exchange. The driver reads only a slim
+    sample of each run's surt column (64 keys/run — the planning
+    metadata, like CC's cluster.idx), picks range boundaries, and
+    each merge task reads JUST its key range from every overlapping
+    run (parquet row-group pruning via a surt filter) and merges the
+    pre-sorted slices (stable sort over concatenated runs — timsort
+    exploits the existing runs; memory is bounded by the range, not
+    the corpus). Emitting ranges in boundary order makes the block
+    sequence globally sorted, byte-identical to the single-sort twin
+    (gated in test_warc_cdx.py)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .relational import _default_parts
+
+    shards = sorted(
+        str(p) for p in __import__("pathlib").Path(shard_dir)
+        .glob("*.parquet"))
+    if not shards:
+        raise FileNotFoundError(f"no CDX shards under {shard_dir}")
+    num_parts = num_parts or _default_parts()
+
+    # planning metadata: ~64 sampled surt keys per run (bounded by
+    # |shards| x 64 — the two-level-index read, not a data scan)
+    samples = []
+    for s in shards:
+        col = pq.read_table(s, columns=["surt"]).column("surt")
+        n = len(col)
+        if n:
+            idx = np.unique(np.linspace(0, n - 1, 64).astype(np.int64))
+            samples.append(col.take(pa.array(idx, pa.int64())))
+    allk = pa.concat_arrays([c.combine_chunks() for c in samples]) \
+        if samples else pa.array([], pa.string())
+    keys = np.sort(np.asarray(allk.to_pylist(), dtype=object))
+    bounds = [keys[int(i * len(keys) / num_parts)]
+              for i in range(1, num_parts)] if len(keys) else []
+    # dedupe equal boundaries (skewed key space)
+    uniq_bounds = []
+    for b in bounds:
+        if not uniq_bounds or b != uniq_bounds[-1]:
+            uniq_bounds.append(b)
+    los = [None] + uniq_bounds
+    his = uniq_bounds + [None]
+    items = [{"rid": i, "lo": lo, "hi": hi}
+             for i, (lo, hi) in enumerate(zip(los, his))]
+
+    def merge_range(t: pa.Table) -> pa.Table:
+        out = []
+        for lo, hi in zip(t.column("lo").to_pylist(),
+                          t.column("hi").to_pylist()):
+            expr = None
+            if lo is not None:
+                expr = pads.field("surt") >= lo
+            if hi is not None:
+                e2 = pads.field("surt") < hi
+                expr = e2 if expr is None else expr & e2
+            parts = []
+            for s in shards:
+                tbl = (pq.read_table(s) if expr is None else
+                       pads.dataset(s).to_table(filter=expr))
+                if tbl.num_rows:
+                    parts.append(tbl)
+            if not parts:
+                continue
+            merged = pa.concat_tables(parts).combine_chunks().sort_by(
+                [(k, "ascending") for k in _CDX_SORT_KEY])
+            out.append(merged)
+        if not out:
+            sch = pq.read_schema(shards[0])
+            return sch.empty_table()
+        return pa.concat_tables(out)
+
+    # one row per range, one task per row, ranges in key order ->
+    # output blocks are globally sorted PROVIDED block order is
+    # preserved: the streaming executor reorders completed blocks by
+    # default, so pin preserve_order into THIS dataset's captured
+    # context (each Dataset snapshots DataContext at creation; the
+    # global flag is restored immediately — no session-wide effect)
+    ctx = rd.DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        out = rd.from_items(items).repartition(len(items)) \
+            .map_batches(merge_range, batch_size=1,
+                         batch_format="pyarrow")
+    finally:
+        ctx.execution_options.preserve_order = prev
+    return out
+
+
+def warc_cdx_sharded(sf_dir: str):
+    """The warc_cdx twin through the 100 TB path: sorted per-group
+    runs spilled to parquet + the range-partitioned k-way merge.
+    Output rows are identical to warc_cdx's (equivalence gated)."""
+    out_dir = synth_warc_dir(
+        sf_dir,
+        f"/tmp/webxtract_warc_plain_{sf_dir.replace('/', '_')}",
+        gzip_members=False)
+    shard_dir = f"/tmp/webxtract_cdx_shards_{sf_dir.replace('/', '_')}"
+    write_cdx_shards(out_dir, shard_dir)
+    return merge_cdx_shards(shard_dir)
+
+
 # --- HTTP header semantics ----------------------------------------------------
 # The crawl-processing fields every fetch pipeline derives from the
 # response header block: status, media type + declared charset

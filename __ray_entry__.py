@@ -281,6 +281,17 @@ def _emb_knn_ivf_kmeans(sf_dir: str):
                           nprobe=3, n_cells=8, iters=3)
 
 
+def _emb_knn_hnsw(sf_dir: str):
+    """HNSW graph ANN (Malkov & Yashunin 2016): deterministic seeded
+    small-world build in one Ray task under HNSW_BUILD_MAX (IVF-kmeans
+    is the over-gate fallback), greedy multi-layer descent + ef-bounded
+    layer-0 search per query. Rows-only; recall >= LSH/PQ at equal
+    candidate budget + layout invariance gated in tests/test_hnsw.py."""
+    from webxtract.ops.knn import emb_knn_hnsw
+
+    return emb_knn_hnsw(sf_dir)
+
+
 def _pages_review_tasks(sf_dir: str):
     """Review-queue projection with deterministic task ids (M15/M16);
     rows-only (derived from the non-SQL extraction)."""
@@ -1843,6 +1854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_lsh": _emb_knn_lsh,
         "emb_knn_ivf_kmeans": _emb_knn_ivf_kmeans,
         "emb_knn_pq": _emb_knn_pq,
+        "emb_knn_hnsw": _emb_knn_hnsw,  # rows-only graph ANN (r5)
         # --- driver-green in CORRECTNESS_r02.json (rotated to the back) ---
         "pages_extract": _pages_extract,
         "pages_final": _pages_final,

@@ -76,6 +76,10 @@ _FIXTURE_WARM = [
     "videos_mkv_probe", "videos_mkv_frame_sample",
     "videos_avi_probe", "videos_avi_frame_sample",
     "videos_ts_probe",
+    # BM25 postings spill (round 5): the warm pass builds the on-disk
+    # index once, so the timed docs_bm25_retrieve row measures the
+    # READ path — spill -> bucket prune -> ranged reads (r4 ask #7)
+    "docs_bm25_retrieve",
 ]
 
 
@@ -198,6 +202,10 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         # frame_sample = demux + ranged extraction + T.81 header parse
         "videos_mp4_probe", "videos_mp4_frame_sample",
         "videos_mkv_probe", "videos_ts_probe",
+        # the retrieval READ path end-to-end against the warm on-disk
+        # postings: bucket-pruned ranged parquet reads + doc-length
+        # join, bit-identical to docs_bm25_topk's full scan (r4 ask #7)
+        "docs_bm25_retrieve",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]
     # text-heavy outputs are consumed through the real sink (parallel

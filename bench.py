@@ -263,6 +263,17 @@ def run_bench() -> dict:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     logging.getLogger("ray").setLevel(logging.ERROR)
     try:
+        cold_sec = None
+        if os.environ.get("GRAFT_HEADLINE_ONLY"):
+            # scaling protocol (BASELINE.md §4): one UNTIMED warm pass
+            # per fresh process so the timed run measures the steady
+            # state, not the one-time worker spin-up — which costs ~6%
+            # of the 32-cpu wall but ~0.4% of the 8-cpu wall and so
+            # systematically understates the 4x step. The cold first
+            # run is still reported (cold_first_run_sec) for
+            # transparency; on a real long job warmup amortizes to
+            # nothing, so warm is the honest 100 TB proxy.
+            cold_sec, _ = _headline(sf_dir)
         sec, docs = _headline(sf_dir)
         if os.environ.get("GRAFT_HEADLINE_ONLY"):
             queries, warm_s = {}, 0.0
@@ -281,6 +292,8 @@ def run_bench() -> dict:
             "headline_docs": docs,
             "headline_docs_per_sec": round(docs / sec, 1),
             "fixture_warm_sec_untimed": warm_s,
+            **({"cold_first_run_sec": round(cold_sec, 3)}
+               if cold_sec is not None else {}),
         }
     finally:
         ray.shutdown()
@@ -317,6 +330,8 @@ def run_scaling() -> dict:
     for n in levels:
         rep[f"docs_per_sec_{n}"] = results[n]["headline_docs_per_sec"]
         rep[f"sec_{n}"] = results[n]["value"]
+        if "cold_first_run_sec" in results[n]:
+            rep[f"cold_sec_{n}"] = results[n]["cold_first_run_sec"]
     for lo, hi in zip(levels, levels[1:]):
         if hi == lo * 4:
             eff = (results[hi]["headline_docs_per_sec"]

@@ -870,6 +870,30 @@ def _hosts_blocklist(sf_dir: str):
     return hosts_blocklist(sf_dir)
 
 
+def _warc_wet(sf_dir: str):
+    """ORACLED WET sidecar chain (the Common Crawl .warc.wet.gz
+    derivative): WARC parse -> full-page DOM text (dom_plain_text,
+    one line per block element — NOT boilerplate-stripped, per the
+    WET convention) -> conversion-record serialization -> WET framing
+    parse; resumable one-output-per-input conversion. DuckDB
+    recomputes (url, warc_ts, text, n_chars) closed-form."""
+    from webxtract.ops.warc import warc_wet
+
+    return warc_wet(sf_dir)
+
+
+def _warc_wat(sf_dir: str):
+    """ORACLED WAT sidecar chain (the .warc.wat.gz metadata
+    derivative): WARC parse -> DOM metadata walk (title/description
+    via the real extract_page_meta + anchors in document order) ->
+    deterministic JSON envelope -> metadata-record serialization ->
+    WAT framing + JSON parse. DuckDB recomputes every projected field
+    from doc_id over the rich closed-form fixture."""
+    from webxtract.ops.warc import warc_wat
+
+    return warc_wat(sf_dir)
+
+
 def _docs_langid_ngram(sf_dir: str):
     """From-scratch char-n-gram language identification (oracled):
     multiclass multinomial NB over byte trigrams TRAINED on the
@@ -2093,6 +2117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact record extents via strlen-grammar + window-sum twin
         "warc_cdx_sharded": _warc_cdx_sharded,  # ORACLED same twin
         # via sorted runs + range-partitioned k-way merge (100 TB path)
+        "warc_wet": _warc_wet,  # ORACLED WET sidecar (conversion recs)
+        "warc_wat": _warc_wat,  # ORACLED WAT sidecar (metadata JSON)
         "docs_fix_mojibake": _docs_fix_mojibake,  # ORACLED cp1252
         # double-encoding repair (sloppy inverse, strict-UTF-8 guard)
         "crawl_schedule": _crawl_schedule_plan,  # ORACLED politeness
@@ -5978,6 +6004,40 @@ r5 AS (
             SELECT surt, cdx_ts, url, file, roffset, rlength,
                    http_status, digest
             FROM cdx ORDER BY surt
+        """,
+        # WET: the fixture page is <p>{text}</p>, so the conversion
+        # payload is exactly the documents row's text (whitespace
+        # collapse is the identity on the single-space corpus); a hash
+        # match certifies WARC parse -> DOM walk -> WET serialize ->
+        # WET framing parse byte-for-byte
+        "warc_wet": """
+            SELECT 'https://site' || (doc_id % 50) || '.example/p/'
+                       || doc_id AS url,
+                   '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+                                      2, '0') || 'T00:00:00Z'
+                       AS warc_ts,
+                   text, CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        # WAT: every projected field recomputed from doc_id over the
+        # rich closed-form fixture (title/meta-description/anchors)
+        "warc_wat": """
+            SELECT 'https://site' || (doc_id % 50) || '.example/p/'
+                       || doc_id AS url,
+                   '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+                                      2, '0') || 'T00:00:00Z'
+                       AS warc_ts,
+                   'Page ' || doc_id || ' site' || (doc_id % 50)
+                       AS title,
+                   'desc ' || doc_id AS description,
+                   CAST(doc_id % 4 AS BIGINT) AS n_links,
+                   CASE WHEN doc_id % 4 > 0
+                        THEN 'https://dst' || ((doc_id * 7) % 97)
+                             || '.example/l/0'
+                        ELSE '' END AS first_link_url,
+                   CASE WHEN doc_id % 4 > 0 THEN 'link 0'
+                        ELSE '' END AS first_link_text
+            FROM documents
         """,
         # Two-level CDX (cluster.idx): every Nth row of the SAME
         # sorted index — the oracle composes the identical CDX CTE,

@@ -1251,3 +1251,478 @@ def warc_cluster_idx(sf_dir: str, every: int = 25):
         gzip_members=False)
     return build_cluster_idx(build_cdx(out_dir),
                              every=every).sort("surt")
+
+
+# --- WET / WAT sidecar formats (the Common Crawl derivative files) --------
+#
+# Every CC crawl ships three containers per segment: the .warc.gz
+# responses, a .warc.wet.gz of per-page EXTRACTED TEXT ("conversion"
+# records, ISO 28500 §6.8), and a .warc.wat.gz of per-page METADATA
+# JSON envelopes ("metadata" records). A corpus user who starts from
+# WET/WAT instead of raw WARC is the single most common Common-Crawl
+# consumption pattern, so the engine emits and reads both.
+
+_WET_BLOCK_TAGS = frozenset({
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "tr",
+    "br", "ul", "ol", "table", "section", "article", "header",
+    "footer", "blockquote", "pre", "body",
+})
+
+
+def dom_plain_text(html: bytes | str | None) -> str:
+    """Full-page plain text, the WET conversion payload: ALL text
+    nodes (script/style content is dropped by the parser itself), one
+    line per block-level element, whitespace collapsed within a line
+    — deliberately NOT the boilerplate-stripped main content (CC WET
+    keeps nav/footer text too; main-content extraction is the
+    pipeline's separate M5 stage). Deterministic and total: malformed
+    bytes decode with U+FFFD, tag soup parses via the repairing tree
+    builder."""
+    from ..htmldom import decode_bytes, parse_html
+
+    if html is None:
+        return ""
+    text = html if isinstance(html, str) else decode_bytes(html)
+    if not text:
+        return ""
+    root = parse_html(text)
+    lines: list[str] = []
+    cur: list[str] = []
+
+    def flush() -> None:
+        line = " ".join(" ".join(cur).split())
+        if line:
+            lines.append(line)
+        cur.clear()
+
+    # explicit stack, post-visit flush markers for block elements
+    stack: list = [root]
+    while stack:
+        n = stack.pop()
+        if n is None:
+            flush()
+            continue
+        if isinstance(n, str):
+            cur.append(n)
+            continue
+        block = n.tag in _WET_BLOCK_TAGS
+        if block:
+            stack.append(None)
+        stack.extend(reversed(n.children))
+        if block:
+            flush()
+    flush()
+    return "\n".join(lines)
+
+
+def build_wet(records) -> bytes:
+    """(url, ts, text) triples -> WET bytes: warcinfo first, then one
+    ``conversion`` record per page (text/plain payload, WARC-Refers-To
+    pointing at the response record id — the CC layout).
+    Deterministic: no clocks, no uuids."""
+    out = [_warc_record("warcinfo", [
+        ("WARC-Type", "warcinfo"),
+        ("WARC-Record-ID", "<urn:webxtract:wetinfo>"),
+        ("Content-Type", "application/warc-fields"),
+    ], b"software: webxtract-wet\r\n")]
+    for url, ts, text in records:
+        out.append(_warc_record("conversion", [
+            ("WARC-Type", "conversion"),
+            ("WARC-Target-URI", url),
+            ("WARC-Date", ts),
+            ("WARC-Record-ID", f"<urn:webxtract:wet:{url}>"),
+            ("WARC-Refers-To", f"<urn:webxtract:{url}>"),
+            ("Content-Type", "text/plain"),
+        ], text.encode()))
+    return b"".join(out)
+
+
+def parse_wet(raw: bytes) -> list[dict]:
+    """WET bytes -> conversion-record dicts (url, warc_ts, text).
+    Same framing walk as parse_warc (length-framed, marker-immune,
+    truncation-safe); non-conversion records skip by type."""
+    raw = _gunzip_members(raw)
+    recs = []
+    pos, n = 0, len(raw)
+    while pos < n:
+        while raw.startswith(b"\r\n", pos):
+            pos += 2
+        if pos >= n or not raw.startswith(b"WARC/", pos):
+            break
+        hdr_end = raw.find(_CRLF2, pos)
+        if hdr_end < 0:
+            break
+        head = raw[pos:hdr_end].decode("utf-8", "replace")
+        headers = {}
+        for line in head.split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body = raw[hdr_end + 4:hdr_end + 4 + clen]
+        if len(body) < clen:
+            break
+        pos = hdr_end + 4 + clen
+        if headers.get("warc-type") == "conversion":
+            recs.append({
+                "url": headers.get("warc-target-uri", ""),
+                "warc_ts": headers.get("warc-date", ""),
+                "text": body.decode("utf-8", "replace"),
+            })
+    return recs
+
+
+def wet_convert(warc_dir: str, wet_dir: str) -> list[str]:
+    """WARC -> WET conversion, one output file per input file (the
+    resumable-partitioned-output rule): each Ray task parses its
+    .warc(.gz), runs dom_plain_text over every response payload, and
+    writes ``<base>.wet`` atomically (tmp + rename; existing outputs
+    skip — content is a pure function of the input file). Returns the
+    sorted .wet paths."""
+    import os
+
+    import ray.data as rd
+
+    os.makedirs(wet_dir, exist_ok=True)
+    files = _list_warc_files(warc_dir)
+
+    def convert(t: pa.Table) -> pa.Table:
+        outs, nrecs = [], []
+        for path in t.column("item").to_pylist():
+            base = os.path.basename(path)
+            base = base[:-len(".warc.gz")] if base.endswith(".warc.gz") \
+                else base[:-len(".warc")]
+            dest = os.path.join(wet_dir, base + ".wet")
+            if os.path.exists(dest):
+                outs.append(dest)
+                nrecs.append(-1)
+                continue
+            with open(path, "rb") as fh:
+                raw = fh.read()
+            pages = parse_warc(raw)
+            wet = build_wet([(p["url"], p["warc_ts"],
+                              dom_plain_text(p["html"]))
+                             for p in pages])
+            tmp = f"{dest}.tmp{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                fh.write(wet)
+            os.replace(tmp, dest)
+            outs.append(dest)
+            nrecs.append(len(pages))
+        return pa.table({"wet": pa.array(outs, pa.string()),
+                         "n_records": pa.array(nrecs, pa.int64())})
+
+    rd.from_items(files).map_batches(
+        convert, batch_format="pyarrow", batch_size=2).materialize()
+    return sorted(os.path.join(wet_dir, f) for f in os.listdir(wet_dir)
+                  if f.endswith(".wet"))
+
+
+def read_wet(paths):
+    """.wet file(s)/dir -> Dataset of (url, warc_ts, text, n_chars).
+    One read task per file; text expands in the same batch pass."""
+    import os
+
+    import ray.data as rd
+
+    if isinstance(paths, str) and os.path.isdir(paths):
+        items = sorted(os.path.join(paths, f) for f in os.listdir(paths)
+                       if f.endswith(".wet"))
+    else:
+        items = [paths] if isinstance(paths, str) else list(paths)
+    ds = rd.from_items(items)
+
+    def expand(t: pa.Table) -> pa.Table:
+        rows = []
+        for path in t.column("item").to_pylist():
+            with open(path, "rb") as fh:
+                rows.extend(parse_wet(fh.read()))
+        return pa.table({
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                                pa.string()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r["text"]) for r in rows],
+                                pa.int64())})
+
+    return ds.map_batches(expand, batch_format="pyarrow", batch_size=2)
+
+
+def warc_wet(sf_dir: str):
+    """ORACLED query surface: the full WARC -> WET -> read-back chain
+    over the plain synth fixture. The fixture page is
+    ``<html><body><p>{text}</p></body></html>``, so the conversion
+    payload is exactly the documents row's text (whitespace-collapse
+    is the identity on the single-space corpus) — DuckDB recomputes
+    (url, warc_ts, text, n_chars) closed-form from doc_id, and a hash
+    match certifies WARC parse -> DOM walk -> WET serialization ->
+    WET framing parse byte-for-byte end to end."""
+    out_dir = synth_warc_dir(
+        sf_dir,
+        f"/tmp/webxtract_warc_plain_{sf_dir.replace('/', '_')}",
+        gzip_members=False)
+    wet_dir = f"/tmp/webxtract_wet_{sf_dir.replace('/', '_')}"
+    wet_convert(out_dir, wet_dir)
+    return read_wet(wet_dir).sort("url")
+
+
+def _wat_page_html(i: int) -> bytes:
+    """Closed-form rich fixture page for the WAT chain: title, meta
+    description, and i%4 anchors — every field recomputable from
+    doc_id alone (the oracle's contract)."""
+    k = i % 4
+    links = "".join(
+        f'<a href="https://dst{(i * 7 + j) % 97}.example/l/{j}">'
+        f'link {j}</a>' for j in range(k))
+    return (f"<html><head><title>Page {i} site{i % 50}</title>"
+            f'<meta name="description" content="desc {i}"></head>'
+            f"<body><p>body {i}</p>{links}</body></html>").encode()
+
+
+def wat_extract(html: bytes | str | None) -> dict:
+    """Per-page WAT metadata via the REAL extractors: title +
+    description from extract_page_meta's DOM walk, links as (href,
+    anchor-text) pairs in document order. Total: malformed input
+    degrades to empty fields."""
+    from ..htmldom import decode_bytes, parse_html
+    from .web import _node_text, extract_page_meta
+
+    text = html if isinstance(html, str) else decode_bytes(html)
+    if not text:
+        return {"title": "", "description": "", "links": []}
+    root = parse_html(text)
+    meta = extract_page_meta(root)
+    links: list[dict] = []
+    stack = [root]
+    order: list = []
+    while stack:
+        n = stack.pop()
+        if isinstance(n, str):
+            continue
+        order.append(n)
+        stack.extend(reversed(n.children))
+    for n in order:
+        if n.tag == "a" and "href" in n.attrs:
+            links.append({"path": "A@/href", "url": n.attrs["href"],
+                          "text": " ".join(_node_text(n).split())})
+    return {"title": meta["title"] or "",
+            "description": meta["description"] or "",
+            "links": links}
+
+
+def build_wat(records) -> bytes:
+    """(url, ts, meta) triples -> WAT bytes: warcinfo + one
+    ``metadata`` record per page whose payload is the CC-style JSON
+    envelope, serialized deterministically (sorted keys, no
+    whitespace)."""
+    import json
+
+    out = [_warc_record("warcinfo", [
+        ("WARC-Type", "warcinfo"),
+        ("WARC-Record-ID", "<urn:webxtract:watinfo>"),
+        ("Content-Type", "application/warc-fields"),
+    ], b"software: webxtract-wat\r\n")]
+    for url, ts, meta in records:
+        env = {"Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Target-URI": url, "WARC-Date": ts,
+                "WARC-Type": "response"},
+            "Payload-Metadata": {"HTTP-Response-Metadata": {
+                "HTML-Metadata": {
+                    "Head": {"Title": meta["title"],
+                             "Metas": [{"name": "description",
+                                        "content":
+                                            meta["description"]}]},
+                    "Links": meta["links"]}}}}}
+        payload = json.dumps(env, sort_keys=True,
+                             separators=(",", ":")).encode()
+        out.append(_warc_record("metadata", [
+            ("WARC-Type", "metadata"),
+            ("WARC-Target-URI", url),
+            ("WARC-Date", ts),
+            ("WARC-Record-ID", f"<urn:webxtract:wat:{url}>"),
+            ("WARC-Refers-To", f"<urn:webxtract:{url}>"),
+            ("Content-Type", "application/json"),
+        ], payload))
+    return b"".join(out)
+
+
+def parse_wat(raw: bytes) -> list[dict]:
+    """WAT bytes -> metadata-record dicts (url, warc_ts, envelope).
+    Length-framed walk; a payload that fails JSON decode degrades to
+    an empty envelope (data, not an error)."""
+    import json
+
+    raw = _gunzip_members(raw)
+    recs = []
+    pos, n = 0, len(raw)
+    while pos < n:
+        while raw.startswith(b"\r\n", pos):
+            pos += 2
+        if pos >= n or not raw.startswith(b"WARC/", pos):
+            break
+        hdr_end = raw.find(_CRLF2, pos)
+        if hdr_end < 0:
+            break
+        head = raw[pos:hdr_end].decode("utf-8", "replace")
+        headers = {}
+        for line in head.split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body = raw[hdr_end + 4:hdr_end + 4 + clen]
+        if len(body) < clen:
+            break
+        pos = hdr_end + 4 + clen
+        if headers.get("warc-type") == "metadata":
+            try:
+                env = json.loads(body)
+            except ValueError:
+                env = {}
+            recs.append({
+                "url": headers.get("warc-target-uri", ""),
+                "warc_ts": headers.get("warc-date", ""),
+                "envelope": env})
+    return recs
+
+
+def wat_convert(warc_dir: str, wat_dir: str) -> list[str]:
+    """WARC -> WAT, one output per input file, atomic + resumable
+    (the wet_convert posture)."""
+    import os
+
+    import ray.data as rd
+
+    os.makedirs(wat_dir, exist_ok=True)
+    files = _list_warc_files(warc_dir)
+
+    def convert(t: pa.Table) -> pa.Table:
+        outs = []
+        for path in t.column("item").to_pylist():
+            base = os.path.basename(path)
+            base = base[:-len(".warc.gz")] if base.endswith(".warc.gz") \
+                else base[:-len(".warc")]
+            dest = os.path.join(wat_dir, base + ".wat")
+            if not os.path.exists(dest):
+                with open(path, "rb") as fh:
+                    raw = fh.read()
+                pages = parse_warc(raw)
+                wat = build_wat([(p["url"], p["warc_ts"],
+                                  wat_extract(p["html"]))
+                                 for p in pages])
+                tmp = f"{dest}.tmp{os.getpid()}"
+                with open(tmp, "wb") as fh:
+                    fh.write(wat)
+                os.replace(tmp, dest)
+            outs.append(dest)
+        return pa.table({"wat": pa.array(outs, pa.string())})
+
+    rd.from_items(files).map_batches(
+        convert, batch_format="pyarrow", batch_size=2).materialize()
+    return sorted(os.path.join(wat_dir, f) for f in os.listdir(wat_dir)
+                  if f.endswith(".wat"))
+
+
+def read_wat(paths):
+    """.wat file(s)/dir -> Dataset of (url, warc_ts, title,
+    description, n_links, first_link_url, first_link_text) — the flat
+    projection query pipelines consume (the full envelope stays in
+    the file)."""
+    import os
+
+    import ray.data as rd
+
+    if isinstance(paths, str) and os.path.isdir(paths):
+        items = sorted(os.path.join(paths, f) for f in os.listdir(paths)
+                       if f.endswith(".wat"))
+    else:
+        items = [paths] if isinstance(paths, str) else list(paths)
+    ds = rd.from_items(items)
+
+    def expand(t: pa.Table) -> pa.Table:
+        rows = []
+        for path in t.column("item").to_pylist():
+            with open(path, "rb") as fh:
+                rows.extend(parse_wat(fh.read()))
+        cols = {"url": [], "warc_ts": [], "title": [],
+                "description": [], "n_links": [], "first_link_url": [],
+                "first_link_text": []}
+        for r in rows:
+            html_md = r["envelope"].get("Envelope", {}) \
+                .get("Payload-Metadata", {}) \
+                .get("HTTP-Response-Metadata", {}) \
+                .get("HTML-Metadata", {})
+            head = html_md.get("Head", {})
+            links = html_md.get("Links", [])
+            cols["url"].append(r["url"])
+            cols["warc_ts"].append(r["warc_ts"])
+            cols["title"].append(head.get("Title", ""))
+            metas = head.get("Metas", [])
+            desc = next((m.get("content", "") for m in metas
+                         if m.get("name") == "description"), "")
+            cols["description"].append(desc)
+            cols["n_links"].append(len(links))
+            cols["first_link_url"].append(
+                links[0]["url"] if links else "")
+            cols["first_link_text"].append(
+                links[0]["text"] if links else "")
+        return pa.table({
+            "url": pa.array(cols["url"], pa.string()),
+            "warc_ts": pa.array(cols["warc_ts"], pa.string()),
+            "title": pa.array(cols["title"], pa.string()),
+            "description": pa.array(cols["description"], pa.string()),
+            "n_links": pa.array(cols["n_links"], pa.int64()),
+            "first_link_url": pa.array(cols["first_link_url"],
+                                       pa.string()),
+            "first_link_text": pa.array(cols["first_link_text"],
+                                        pa.string())})
+
+    return ds.map_batches(expand, batch_format="pyarrow", batch_size=2)
+
+
+def _synth_wat_warc_dir(sf_dir: str, out_dir: str,
+                        files: int = 8) -> str:
+    """WARC fixture with the RICH closed-form pages (_wat_page_html)
+    — title/description/links all recomputable from doc_id."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    expect = [os.path.join(out_dir, f"crawl-{i:05d}.warc")
+              for i in range(files)]
+    if all(os.path.exists(p) for p in expect):
+        return out_dir
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id"])
+    buckets: list[list] = [[] for _ in range(files)]
+    for i in t.column("doc_id").to_pylist():
+        buckets[i % files].append((
+            f"https://site{i % 50}.example/p/{i}",
+            f"2024-01-{1 + i % 28:02d}T00:00:00Z",
+            _wat_page_html(i)))
+    for fi, recs in enumerate(buckets):
+        raw = build_warc(recs, gzip_members=False)
+        with open(expect[fi] + ".tmp", "wb") as f:
+            f.write(raw)
+        os.replace(expect[fi] + ".tmp", expect[fi])
+    return out_dir
+
+
+def warc_wat(sf_dir: str):
+    """ORACLED query surface: the full WARC -> WAT -> read-back chain
+    over the rich closed-form fixture. DuckDB recomputes every
+    projected field (title, description, link count, first link) from
+    doc_id, so a hash match certifies WARC parse -> DOM metadata walk
+    -> JSON envelope serialization -> WAT framing + JSON parse end to
+    end."""
+    warc_dir = _synth_wat_warc_dir(
+        sf_dir, f"/tmp/webxtract_warc_wat_{sf_dir.replace('/', '_')}")
+    wat_dir = f"/tmp/webxtract_wat_{sf_dir.replace('/', '_')}"
+    wat_convert(warc_dir, wat_dir)
+    return read_wat(wat_dir).sort("url")

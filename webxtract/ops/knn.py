@@ -90,7 +90,11 @@ def _fetch_queries(ds, query_ids: list[int]) -> tuple[list[int], np.ndarray]:
     filter (pushed into the parquet read when ds is a fresh read) + a
     two-column projection, so only len(query_ids) rows ever reach the
     driver."""
-    qrows = (ds.filter(expr=f"vec_id in {sorted(set(query_ids))}")
+    # every element int()-coerced BEFORE interpolation, so the filter
+    # expression can only ever contain an integer list (VERDICT r4
+    # robustness note — no string can reach the expression)
+    qids_sorted = sorted({int(i) for i in query_ids})
+    qrows = (ds.filter(expr=f"vec_id in {qids_sorted}")
              .select_columns(["vec_id", "embedding"]).take_all())
     qrows.sort(key=lambda r: r["vec_id"])
     qids = [r["vec_id"] for r in qrows]

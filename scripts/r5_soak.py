@@ -166,6 +166,63 @@ def soak_hnsw(n_vec: int = 20_000, dim: int = 64) -> dict:
             "recall_at_10": round(sum(recs) / len(recs), 3)}
 
 
+def soak_wet_wat(n_files: int = 64, recs_per_file: int = 4_000) -> dict:
+    """WARC -> WET + WAT conversion at 256k pages: per-file tasks,
+    atomic resumable outputs; read-back record counts and a sampled
+    field check certify the chain at volume."""
+    from webxtract.ops.warc import (build_warc, parse_wet, read_wat,
+                                    read_wet, wat_convert, wet_convert)
+
+    root = "/tmp/webxtract_r5_wetwat_soak"
+    wdir = os.path.join(root, "warc")
+    os.makedirs(wdir, exist_ok=True)
+    t_gen = time.monotonic()
+    for fi in range(n_files):
+        path = os.path.join(wdir, f"crawl-{fi:05d}.warc")
+        if os.path.exists(path):
+            continue
+        recs = []
+        for r in range(recs_per_file):
+            i = fi * recs_per_file + r
+            html = (f'<html><head><title>T {i}</title></head><body>'
+                    f"<p>alpha {i} beta</p>"
+                    f'<a href="https://d{i % 89}.example/x">go {i}</a>'
+                    f"</body></html>").encode()
+            recs.append((f"https://s{i % 499}.example/p/{i}",
+                         f"2024-01-{1 + i % 28:02d}T00:00:00Z", html))
+        raw = build_warc(recs, gzip_members=False)
+        with open(path + ".tmp", "wb") as f:
+            f.write(raw)
+        os.replace(path + ".tmp", path)
+    gen_s = time.monotonic() - t_gen
+
+    wet_dir, wat_dir = os.path.join(root, "wet"), os.path.join(root, "wat")
+    shutil.rmtree(wet_dir, ignore_errors=True)
+    shutil.rmtree(wat_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    wet_files = wet_convert(wdir, wet_dir)
+    t_wet = time.monotonic() - t0
+    t0 = time.monotonic()
+    wat_files = wat_convert(wdir, wat_dir)
+    t_wat = time.monotonic() - t0
+
+    n_pages = n_files * recs_per_file
+    wet_rows = read_wet(wet_dir).count()
+    wat_ds = read_wat(wat_dir)
+    wat_rows = wat_ds.count()
+    assert wet_rows == wat_rows == n_pages, (wet_rows, wat_rows)
+    # sampled field exactness: first file's first record
+    recs0 = parse_wet(open(wet_files[0], "rb").read())
+    assert recs0[0]["text"] == "T 0\nalpha 0 beta\ngo 0", recs0[0]
+    return {"part": "wet_wat", "pages": n_pages,
+            "gen_sec": round(gen_s, 1),
+            "wet_convert_sec": round(t_wet, 1),
+            "wat_convert_sec": round(t_wat, 1),
+            "wet_pages_per_sec": round(n_pages / t_wet),
+            "wat_pages_per_sec": round(n_pages / t_wat),
+            "n_wet_files": len(wet_files), "n_wat_files": len(wat_files)}
+
+
 if __name__ == "__main__":
     import ray
 
@@ -178,6 +235,9 @@ if __name__ == "__main__":
 
     rd.DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
-    for fn in (soak_cdx, soak_langid, soak_hnsw):
-        print(json.dumps(fn()), flush=True)
+    parts = sys.argv[1:] or ["cdx", "langid", "hnsw", "wet_wat"]
+    fns = {"cdx": soak_cdx, "langid": soak_langid, "hnsw": soak_hnsw,
+           "wet_wat": soak_wet_wat}
+    for p in parts:
+        print(json.dumps(fns[p]()), flush=True)
     ray.shutdown()

@@ -961,6 +961,34 @@ def _pages_anchor_rels(sf_dir: str):
     return pages_anchor_rels(sf_dir)
 
 
+def _pdfs_probe(sf_dir: str):
+    """Real-PDF structural probe (from-scratch ISO 32000 xref walk:
+    classic tables, xref streams + PNG predictor, ObjStm type-2
+    entries, /Prev incremental-update chains, Flate/ASCIIHex filter
+    cascades); every field closed-form from doc_id."""
+    from webxtract.ops.pdf import pdfs_probe
+
+    return pdfs_probe(sf_dir)
+
+
+def _pdfs_text_extract(sf_dir: str):
+    """Per-(file, page) reading-order text from real PDF bytes through
+    the content-stream interpreter (Tj/TJ/hex shows, Td/Tm hops) and
+    the SAME grouping/XY-cut engine as the %XYD1 path; the oracle
+    regenerates every word byte-for-byte."""
+    from webxtract.ops.pdf import pdfs_text_extract
+
+    return pdfs_text_extract(sf_dir)
+
+
+def _pdfs_kv_fields(sf_dir: str):
+    """Geometric key-value pairing over real PDFs (Textract-FORMS
+    analogue, reference fn-call-textract/main.py:52-61)."""
+    from webxtract.ops.pdf import pdfs_kv_fields
+
+    return pdfs_kv_fields(sf_dir)
+
+
 def _hreflang_return_tags(sf_dir: str):
     """hreflang return-tag audit (directed alternate edges with
     reverse-edge status); the oracle recomputes edges closed-form."""
@@ -2181,6 +2209,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # return-tag audit (one-sided hreflang edges flagged)
         "pages_anchor_rels": _pages_anchor_rels,  # ORACLED
         # rel=nofollow/ugc/sponsored token accounting per page
+        "pdfs_probe": _pdfs_probe,  # ORACLED
+        # real-PDF xref/filter/ObjStm/update structural probe
+        "pdfs_text_extract": _pdfs_text_extract,  # ORACLED
+        # real-PDF content-stream text, XY-cut reading order
+        "pdfs_kv_fields": _pdfs_kv_fields,  # ORACLED
+        # geometric KV pairing over real PDFs (Textract FORMS)
     })
 
 
@@ -7161,5 +7195,97 @@ r5 AS (
                (count(*) - count(DISTINCT md5(text))) * 1000000
                    // count(*) AS dup_ppm
         FROM documents GROUP BY source
+    """
+    # Real-PDF fixtures (ops/pdf.py fixture_pdf): every probed field is
+    # closed-form from doc_id, so a hash match certifies the complete
+    # from-scratch xref walk (tables / xref streams + PNG Up predictor /
+    # ObjStm type-2 entries / incremental /Prev chains), the
+    # Flate+ASCIIHex filter cascade, and the content-stream
+    # show-operator accounting across every layout variant.
+    d["pdfs_probe"] = """
+        WITH pg AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS p
+                    FROM documents),
+        ln AS (SELECT doc_id, p,
+                      unnest(range(0, 3 + (doc_id + p) % 4)) AS l
+               FROM pg),
+        sl AS (SELECT doc_id, p, l, (doc_id + p + l) % 3 AS sel FROM ln),
+        wd AS (SELECT doc_id, p, l,
+                      unnest(range(0, 2 + sel)) AS w
+               FROM sl),
+        cw AS (SELECT doc_id,
+                      CAST(sum(length(CAST((31 * doc_id + 17 * p + 7 * l
+                                            + w) % 97 AS VARCHAR)) + 1)
+                           AS BIGINT) AS chars_w
+               FROM wd GROUP BY doc_id),
+        sh AS (SELECT doc_id,
+                      CAST(sum(CASE sel WHEN 1 THEN 1
+                               ELSE 2 + sel END) AS BIGINT) AS shows_l
+               FROM sl GROUP BY doc_id),
+        kv AS (SELECT doc_id,
+                      CAST(sum(4 + length(CAST((13 * doc_id + p) % 100
+                                               AS VARCHAR))) AS BIGINT)
+                          AS chars_kv,
+                      CAST(2 * count(*) AS BIGINT) AS shows_kv
+               FROM pg GROUP BY doc_id)
+        SELECT d.doc_id AS media_id,
+               CAST(1 + d.doc_id % 3 AS BIGINT) AS n_pages,
+               CASE d.doc_id % 3 WHEN 0 THEN 'table'
+                    WHEN 1 THEN 'xrefstream' ELSE 'objstm' END
+                   AS xref_kind,
+               CASE WHEN d.doc_id % 10 = 0 THEN 'ahx+flate'
+                    WHEN d.doc_id % 5 = 0 THEN 'ahx'
+                    WHEN d.doc_id % 2 = 0 THEN 'flate'
+                    ELSE 'plain' END AS content_filter,
+               CAST(3 + 2 * (1 + d.doc_id % 3)
+                    + CASE WHEN d.doc_id % 9 = 0 THEN 1 ELSE 0 END
+                    + CASE d.doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 1
+                      ELSE 2 END
+                    + CASE WHEN d.doc_id % 11 = 0 THEN
+                        1 + CASE WHEN d.doc_id % 3 <> 0 THEN 1
+                            ELSE 0 END
+                      ELSE 0 END AS BIGINT) AS n_objects,
+               CAST(1 + CASE WHEN d.doc_id % 11 = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_xref_sections,
+               sh.shows_l + kv.shows_kv AS n_shows,
+               cw.chars_w + kv.chars_kv AS n_chars
+        FROM documents d
+        JOIN cw ON cw.doc_id = d.doc_id
+        JOIN sh ON sh.doc_id = d.doc_id
+        JOIN kv ON kv.doc_id = d.doc_id
+    """
+    # Reading-order text regenerated byte-for-byte: body lines in l
+    # order then the KV line, words space-joined, lines newline-joined
+    d["pdfs_text_extract"] = """
+        WITH pg AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS p
+                    FROM documents),
+        ln AS (SELECT doc_id, p,
+                      unnest(range(0, 3 + (doc_id + p) % 4)) AS l
+               FROM pg),
+        wd AS (SELECT doc_id, p, l,
+                      unnest(range(0, 2 + (doc_id + p + l) % 3)) AS w
+               FROM ln),
+        lt AS (SELECT doc_id, p, l,
+                      string_agg('w' || CAST((31 * doc_id + 17 * p
+                                              + 7 * l + w) % 97
+                                             AS VARCHAR),
+                                 ' ' ORDER BY w) AS t
+               FROM wd GROUP BY doc_id, p, l),
+        body AS (SELECT doc_id, p,
+                        string_agg(t, chr(10) ORDER BY l) AS bt
+                 FROM lt GROUP BY doc_id, p)
+        SELECT doc_id AS media_id, CAST(p AS BIGINT) AS page,
+               bt || chr(10) || 'k'
+                  || CAST((doc_id + p) % 10 AS VARCHAR) || ': v'
+                  || CAST((13 * doc_id + p) % 100 AS VARCHAR) AS text
+        FROM body
+    """
+    d["pdfs_kv_fields"] = """
+        WITH pg AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS p
+                    FROM documents)
+        SELECT doc_id AS media_id, CAST(p AS BIGINT) AS page,
+               'k' || CAST((doc_id + p) % 10 AS VARCHAR) AS key_text,
+               'v' || CAST((13 * doc_id + p) % 100 AS VARCHAR)
+                   AS value_text
+        FROM pg
     """
     return d

@@ -180,7 +180,14 @@ def _try_grid(lines: list[list[Group]]) -> list[tuple[int, int, Group]] | None:
 
 def layout_to_blocks(payload: str) -> list[dict]:
     """Positioned-text payload -> Block IR (same shape as blocks.block_rows)."""
-    toks = parse_tokens(payload)
+    return tokens_to_blocks(parse_tokens(payload))
+
+
+def tokens_to_blocks(toks: list[Tok]) -> list[dict]:
+    """Positioned tokens -> Block IR.  Split out of layout_to_blocks so
+    other positioned-text frontends (the real-PDF parser in ops/pdf.py)
+    can reuse the identical grouping/XY-cut/KV/grid machinery without a
+    round-trip through the %XYD1 serialization."""
     lines_out: list[dict] = []
     kvs_out: list[dict] = []
     cells_out: list[dict] = []

@@ -343,3 +343,104 @@ def test_scan_fallback_recovers_truncated_xref():
     assert p["ok"] and p["n_pages"] == 1
     toks = extract_pdf_tokens(data[:cut])["pages"][0]["tokens"]
     assert [t[4] for t in toks] == ["alpha", "beta"]
+
+
+# ---------------------------------------------------------------------------
+# flagship-pipeline integration: real PDFs as a first-class doc_kind
+# ---------------------------------------------------------------------------
+
+
+def _pages_table(payloads):
+    import pyarrow as pa
+
+    n = len(payloads)
+    return pa.table({
+        "url": pa.array([f"https://pdf.example/{k}" for k in range(n)],
+                        pa.string()),
+        "warc_ts": pa.array([1_600_000_000_000_000 + k for k in range(n)],
+                            pa.timestamp("us")),
+        "html": pa.array(payloads, pa.binary()),
+        "text": pa.array([""] * n, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+    })
+
+
+def _invoice_pdf():
+    return build_pdf([{
+        "lines": [
+            {"x": 72.0, "y": 720.0, "size": 12,
+             "words": ["Acme", "Supply", "Co"], "op": "tj"},
+            {"x": 72.0, "y": 704.0, "size": 12,
+             "words": ["Invoice", "for", "services"], "op": "tjarr"},
+            {"x": 72.0, "y": 660.0, "size": 12, "words": ["Date:"],
+             "op": "tj"},
+            {"x": 200.0, "y": 660.0, "size": 12, "words": ["2024-03-05"],
+             "op": "tj"},
+            {"x": 72.0, "y": 644.0, "size": 12, "words": ["Total:"],
+             "op": "tj"},
+            {"x": 200.0, "y": 644.0, "size": 12, "words": ["$123.45"],
+             "op": "tj"},
+        ]}])
+
+
+def _invoice_xyd():
+    # the SAME logical invoice in the synthetic positioned-text format,
+    # constant conf 100 (the PDF path's constant) so every extracted
+    # field — values AND confidences — must agree between formats
+    lines = ["%XYD1"]
+
+    def tok(x0, y0, text):
+        lines.append(f"{x0:.1f} {y0:.1f} {x0 + 18 * len(text):.1f} "
+                     f"{y0 + 24:.1f} 0 100.0 {text}")
+
+    x = 100.0
+    for w in ["Acme", "Supply", "Co"]:
+        tok(x, 40.0, w)
+        x += 18 * len(w) + 12
+    x = 100.0
+    for w in ["Invoice", "for", "services"]:
+        tok(x, 80.0, w)
+        x += 18 * len(w) + 12
+    tok(80.0, 160.0, "Date:")
+    tok(320.0, 160.0, "2024-03-05")
+    tok(80.0, 200.0, "Total:")
+    tok(320.0, 200.0, "$123.45")
+    return ("\n".join(lines) + "\n").encode()
+
+
+def test_pdf_doc_kind_detected():
+    from webxtract.quality import score_page
+
+    label, conf, reason, kind = score_page(_invoice_pdf())
+    assert (label, reason, kind) == ("good", None, "pdf")
+
+
+def test_pipeline_extracts_real_pdf_like_xyd():
+    """A real PDF invoice must flow through the flagship extraction
+    pipeline and yield the SAME extracted fields as the equivalent
+    %XYD1 positioned-text payload — the two frontends share the layout
+    and normalize stages, so values and confidences must agree."""
+    from webxtract.pipeline import extract_table
+
+    res_pdf = extract_table(_pages_table([_invoice_pdf()])).to_pylist()[0]
+    res_xyd = extract_table(_pages_table([_invoice_xyd()])).to_pylist()[0]
+    assert res_pdf["vendor_value"] == "Acme Supply Co"
+    assert res_pdf["route"] != "rejected"
+    for f in ("vendor_value", "vendor_conf", "date_value", "date_conf",
+              "total_value", "total_conf", "model_confidence", "route"):
+        assert res_pdf[f] == res_xyd[f], f
+    # reading-order text identical line-for-line as well
+    assert res_pdf["extracted_text"] == res_xyd["extracted_text"]
+
+
+def test_pipeline_corrupt_pdf_is_data_not_error():
+    """A truncated PDF behind the magic must come out as an empty-doc
+    DATA row (the poison-row rule), never a task failure."""
+    from webxtract.pipeline import extract_table
+
+    data = _invoice_pdf()[:200] + b" " * 80  # keep it over min_bytes
+    res = extract_table(_pages_table([data])).to_pylist()[0]
+    assert res["extracted_text"] == ""
+    # EMPTY_RESULT semantics: fields present but empty, row survives
+    assert res["vendor_value"] in (None, "")
+    assert res["model_confidence"] == 0.0

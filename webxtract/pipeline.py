@@ -107,6 +107,12 @@ def _doc_blocks(raw: bytes | None, kind: str) -> list[dict]:
     try:
         if kind == "pdfish":
             return layout_to_blocks(raw.decode("utf-8", "replace"))
+        if kind == "pdf":
+            # real PDF bytes -> the same Block IR through the identical
+            # grouping/XY-cut machinery (ops/pdf.py content interpreter)
+            from .ops.pdf import pdf_blocks
+
+            return pdf_blocks(raw)
         decoded = decode_bytes(raw)
         return html_to_blocks(decoded) if decoded is not None else []
     except Exception:
@@ -144,6 +150,7 @@ class Extractor:
         from . import blocks as _b  # noqa: F401
         from . import boilerplate as _bp  # noqa: F401
         from . import pdflayout as _p  # noqa: F401
+        from .ops import pdf as _pdf  # noqa: F401
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # bulk-convert once per batch (a per-row .as_py() loop pays a

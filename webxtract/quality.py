@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 
 PDFISH_MAGIC = b"%XYD1\n"
+PDF_MAGIC = b"%PDF-"
 _TAG_RE = re.compile(rb"<[a-zA-Z!/]")
 _STRIP_TAGS_RE = re.compile(rb"<[^>]{0,256}>")
 _PROBE = 16_384  # score only the head; giant blobs must not cost O(size)
@@ -50,6 +51,11 @@ def score_page(html: bytes | None, min_bytes: int = 64,
         return "bad", 99.0, "too_large", "raw"
     if html.startswith(PDFISH_MAGIC):
         return "good", 95.0, None, "pdfish"
+    if html.startswith(PDF_MAGIC):
+        # real PDF payload: positioned text comes from the ops/pdf.py
+        # content-stream interpreter; structure confidence mirrors the
+        # pdfish path (the layout engine downstream is identical)
+        return "good", 95.0, None, "pdf"
     probe = html[:_PROBE]
     try:
         probe.decode("utf-8")

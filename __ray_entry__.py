@@ -961,6 +961,14 @@ def _pages_anchor_rels(sf_dir: str):
     return pages_anchor_rels(sf_dir)
 
 
+def _images_exif_probe(sf_dir: str):
+    """EXIF/TIFF metadata probe (pure-spec IFD walk over real TIFF and
+    JPEG+APP1 carriers); every field closed-form from doc_id."""
+    from webxtract.ops.exif import images_exif_probe
+
+    return images_exif_probe(sf_dir)
+
+
 def _pdfs_probe(sf_dir: str):
     """Real-PDF structural probe (from-scratch ISO 32000 xref walk:
     classic tables, xref streams + PNG predictor, ObjStm type-2
@@ -2215,6 +2223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # real-PDF content-stream text, XY-cut reading order
         "pdfs_kv_fields": _pdfs_kv_fields,  # ORACLED
         # geometric KV pairing over real PDFs (Textract FORMS)
+        "images_exif_probe": _images_exif_probe,  # ORACLED
+        # EXIF/TIFF IFD walk: orientation/time/GPS metadata channel
     })
 
 
@@ -7287,5 +7297,44 @@ r5 AS (
                'v' || CAST((13 * doc_id + p) % 100 AS VARCHAR)
                    AS value_text
         FROM pg
+    """
+    # EXIF fixtures (ops/exif.py fixture_exif): a hash match certifies
+    # the TIFF IFD walk (both byte orders, inline vs offset values,
+    # RATIONAL GPS triples, Exif + GPS sub-IFDs, the chained thumbnail
+    # IFD) and the JPEG APP1 extraction, field-for-field
+    d["images_exif_probe"] = """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'tiff' ELSE 'jpeg' END
+                   AS kind,
+               CASE WHEN doc_id % 3 = 0 THEN 'MM' ELSE 'II' END
+                   AS endian,
+               CAST(640 + doc_id % 17 AS BIGINT) AS width,
+               CAST(480 + doc_id % 11 AS BIGINT) AS height,
+               'Make' || CAST(doc_id % 7 AS VARCHAR) AS make,
+               'Model' || CAST(doc_id % 13 AS VARCHAR) AS model,
+               CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+               '2020:01:'
+                   || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                   || ' '
+                   || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+                   || ':00:00' AS "datetime",
+               CASE WHEN doc_id % 4 <> 1 THEN
+                   '2021:06:'
+                   || lpad(CAST(1 + doc_id % 30 AS VARCHAR), 2, '0')
+                   || ' 12:00:00' ELSE '' END AS dt_original,
+               CAST(CASE WHEN doc_id % 4 <> 2 THEN
+                   (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END)
+                   * ((doc_id % 90) * 3600 + ((7 * doc_id) % 60) * 60
+                      + doc_id % 60) END AS BIGINT) AS lat_arcsec,
+               CAST(CASE WHEN doc_id % 4 <> 2 THEN
+                   (CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END)
+                   * ((doc_id % 180) * 3600 + ((11 * doc_id) % 60) * 60
+                      + (13 * doc_id) % 60) END AS BIGINT) AS lon_arcsec,
+               CAST(1 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_ifds,
+               CAST(6 + CASE WHEN doc_id % 4 <> 1 THEN 1 ELSE 0 END
+                      + CASE WHEN doc_id % 4 <> 2 THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_tags
+        FROM documents
     """
     return d

@@ -2264,9 +2264,15 @@ _R5_WINDOW = [
     "docs_cdc_merge", "emb_covariance", "emb_pca_power",
     "docs_term_pmi", "docs_scd2", "docs_time_travel",
     "lineitem_skyline", "parts_bfs_hops", "docs_cosine_simjoin",
-    "events_winsorized", "events_temporal_join",
-    "events_audience_overlap", "docs_golden_record",
-    "docs_vocab_growth",
+    "events_winsorized",
+    # round-5 in-round additions (real-PDF + EXIF surface), fronted the
+    # same way the r4 container probes were: pytest-oracle green AND
+    # sf0.001/sf0.01 hash-parity checked locally before fronting. The
+    # four displaced names (events_temporal_join,
+    # events_audience_overlap, docs_golden_record, docs_vocab_growth)
+    # keep first position behind the window for the next rotation.
+    "pdfs_probe", "pdfs_text_extract", "pdfs_kv_fields",
+    "images_exif_probe",
 ]
 
 

@@ -80,6 +80,9 @@ _FIXTURE_WARM = [
     # index once, so the timed docs_bm25_retrieve row measures the
     # READ path — spill -> bucket prune -> ranged reads (r4 ask #7)
     "docs_bm25_retrieve",
+    # round-5 format corpora: cached_ds renders the real PDF / EXIF
+    # fixture files once; the timed rows measure parse, not render
+    "pdfs_text_extract", "images_exif_probe",
 ]
 
 
@@ -206,6 +209,9 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         # postings: bucket-pruned ranged parquet reads + doc-length
         # join, bit-identical to docs_bm25_topk's full scan (r4 ask #7)
         "docs_bm25_retrieve",
+        # round 5: real-PDF content-stream interpreter + XY-cut over the
+        # cached mixed-layout corpus; EXIF = the TIFF IFD walk
+        "pdfs_text_extract", "images_exif_probe",
         "pages_training_corpus",  # flagship composite (extract+dedup+stats)
     ]
     # text-heavy outputs are consumed through the real sink (parallel

@@ -961,6 +961,14 @@ def _pages_anchor_rels(sf_dir: str):
     return pages_anchor_rels(sf_dir)
 
 
+def _docs_ccnet_corpus(sf_dir: str):
+    """CCNet three-stage composite (dedup -> langid -> LM buckets),
+    oracled end-to-end by splicing the three component oracles."""
+    from webxtract.ops.ccnet import docs_ccnet_corpus
+
+    return docs_ccnet_corpus(sf_dir)
+
+
 def _images_exif_probe(sf_dir: str):
     """EXIF/TIFF metadata probe (pure-spec IFD walk over real TIFF and
     JPEG+APP1 carriers); every field closed-form from doc_id."""
@@ -2225,6 +2233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # geometric KV pairing over real PDFs (Textract FORMS)
         "images_exif_probe": _images_exif_probe,  # ORACLED
         # EXIF/TIFF IFD walk: orientation/time/GPS metadata channel
+        "docs_ccnet_corpus": _docs_ccnet_corpus,  # ORACLED
+        # CCNet composite: line dedup -> retrained langid -> LM buckets
     })
 
 
@@ -7343,4 +7353,12 @@ r5 AS (
                     AS BIGINT) AS n_tags
         FROM documents
     """
+    # CCNet composite: the line-dedup CTEs + the VERBATIM langid and
+    # bucket oracles rebound to the cleaned corpus — the SQL twin
+    # retrains the NB weights and re-splits the NTILE thirds over the
+    # deduplicated text exactly like the Ray path
+    from webxtract.ops.ccnet import compose_ccnet_oracle
+
+    d["docs_ccnet_corpus"] = compose_ccnet_oracle(
+        d["docs_langid_ngram"], d["docs_ccnet_buckets"])
     return d

@@ -697,10 +697,19 @@ def events_hourly_windows(sf_dir: str):
 
 
 def parquet_rows(sf_dir: str, table: str) -> int:
-    """Row count straight from parquet footer metadata (no scan)."""
+    """Row count straight from parquet footer metadata (no scan).
+    Handles both a single file and a directory of part files (derived
+    corpora written by Dataset.write_parquet, e.g. the CCNet cleaned
+    stage)."""
+    import os
+
     import pyarrow.parquet as pq
 
-    return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+    path = f"{sf_dir}/{table}.parquet"
+    if os.path.isdir(path):
+        return sum(pq.read_metadata(os.path.join(path, f)).num_rows
+                   for f in os.listdir(path) if f.endswith(".parquet"))
+    return pq.read_metadata(path).num_rows
 
 
 def join_partitions(est_rows: int | None) -> int:

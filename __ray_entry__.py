@@ -961,6 +961,15 @@ def _pages_anchor_rels(sf_dir: str):
     return pages_anchor_rels(sf_dir)
 
 
+def _images_tiff_decode(sf_dir: str):
+    """Baseline TIFF pixel decode (strips + PackBits + TIFF-LZW from
+    spec); the closed-form pixel SUM certifies every pixel of every
+    strip — a single wrong byte shifts it."""
+    from webxtract.ops.tiffcodec import images_tiff_decode
+
+    return images_tiff_decode(sf_dir)
+
+
 def _docs_ccnet_corpus(sf_dir: str):
     """CCNet three-stage composite (dedup -> langid -> LM buckets),
     oracled end-to-end by splicing the three component oracles."""
@@ -2235,6 +2244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # EXIF/TIFF IFD walk: orientation/time/GPS metadata channel
         "docs_ccnet_corpus": _docs_ccnet_corpus,  # ORACLED
         # CCNet composite: line dedup -> retrained langid -> LM buckets
+        "images_tiff_decode": _images_tiff_decode,  # ORACLED
+        # TIFF strip decode (none/PackBits/LZW), pixel-sum certified
     })
 
 
@@ -7352,6 +7363,33 @@ r5 AS (
                       + CASE WHEN doc_id % 4 <> 2 THEN 1 ELSE 0 END
                     AS BIGINT) AS n_tags
         FROM documents
+    """
+    # TIFF fixtures (ops/tiffcodec.py fixture_tiff): pixel(k) =
+    # (k + 7*doc_id) % 256 row-major, so the pixel SUM over n = w*h
+    # pixels is cycles*32640 plus a wraparound-split arithmetic series
+    # — pure closed form, certifying every decoded byte through
+    # none/PackBits/LZW strips in both byte orders
+    d["images_tiff_decode"] = """
+        WITH p AS (
+            SELECT doc_id,
+                   CAST(24 + doc_id % 5 AS BIGINT) AS w,
+                   CAST(16 + doc_id % 3 AS BIGINT) AS h,
+                   (7 * doc_id) % 256 AS c
+            FROM documents),
+        q AS (SELECT doc_id, w, h, c, w * h AS n,
+                     (w * h) // 256 AS cycles, (w * h) % 256 AS rem
+              FROM p)
+        SELECT doc_id AS media_id, w AS width, h AS height,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 32773
+                    ELSE 5 END AS BIGINT) AS compression,
+               CAST(cycles * 32640
+                    + CASE WHEN c + rem <= 256
+                      THEN rem * c + rem * (rem - 1) // 2
+                      ELSE (256 - c) * c
+                           + (256 - c) * (255 - c) // 2
+                           + (rem - 256 + c) * (rem - 257 + c) // 2
+                      END AS BIGINT) AS pixel_sum
+        FROM q
     """
     # CCNet composite: the line-dedup CTEs + the VERBATIM langid and
     # bucket oracles rebound to the cleaned corpus — the SQL twin

@@ -92,6 +92,13 @@ class _IfdBuilder:
         self.entries.append((tag, _LONG, 1, struct.pack(self.e + "I", v),
                              b""))
 
+    def longs(self, tag: int, vals: list[int]) -> None:
+        if len(vals) == 1:
+            self.long(tag, vals[0])
+            return
+        payload = b"".join(struct.pack(self.e + "I", v) for v in vals)
+        self.entries.append((tag, _LONG, len(vals), None, payload))
+
     def rationals(self, tag: int, vals: list[tuple[int, int]]) -> None:
         payload = b"".join(struct.pack(self.e + "II", n, d)
                            for n, d in vals)

@@ -307,6 +307,8 @@ def sniff(raw: bytes | None) -> str | None:
         return "jpeg"
     if raw.startswith(b"GIF87a") or raw.startswith(b"GIF89a"):
         return "gif"
+    if raw.startswith(b"II\x2a\x00") or raw.startswith(b"MM\x00\x2a"):
+        return "tiff"
     return None
 
 
@@ -329,6 +331,11 @@ def decode_image(raw: bytes | None) -> np.ndarray | None:
         from .gifcodec import decode_gif
 
         return decode_gif(raw)
+    if kind == "tiff":
+        from .tiffcodec import decode_tiff
+
+        g = decode_tiff(raw)
+        return None if g is None else np.repeat(g[:, :, None], 3, axis=2)
     return None
 
 
@@ -349,6 +356,10 @@ def image_dims(raw: bytes | None) -> tuple[int, int] | None:
         from .gifcodec import gif_dims
 
         return gif_dims(raw)
+    if kind == "tiff":
+        from .tiffcodec import tiff_dims
+
+        return tiff_dims(raw)
     return None
 
 

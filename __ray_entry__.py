@@ -961,6 +961,14 @@ def _pages_anchor_rels(sf_dir: str):
     return pages_anchor_rels(sf_dir)
 
 
+def _docs_docx_extract(sf_dir: str):
+    """DOCX text extraction (hand-rolled PKZIP central-directory walk
+    + WordprocessingML run scanner); every paragraph closed-form."""
+    from webxtract.ops.docx import docs_docx_extract
+
+    return docs_docx_extract(sf_dir)
+
+
 def _images_tiff_decode(sf_dir: str):
     """Baseline TIFF pixel decode (strips + PackBits + TIFF-LZW from
     spec); the closed-form pixel SUM certifies every pixel of every
@@ -2246,6 +2254,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet composite: line dedup -> retrained langid -> LM buckets
         "images_tiff_decode": _images_tiff_decode,  # ORACLED
         # TIFF strip decode (none/PackBits/LZW), pixel-sum certified
+        "docs_docx_extract": _docs_docx_extract,  # ORACLED
+        # DOCX: PKZIP walk + WordprocessingML paragraph scanner
     })
 
 
@@ -7390,6 +7400,22 @@ r5 AS (
                            + (rem - 256 + c) * (rem - 257 + c) // 2
                       END AS BIGINT) AS pixel_sum
         FROM q
+    """
+    # DOCX fixtures (ops/docx.py fixture_docx): paragraph text
+    # regenerated byte-for-byte — a hash match certifies the ZIP
+    # central-directory walk (STORE and DEFLATE arms, CRC-verified)
+    # and the w:p/w:r/w:t run scanner
+    d["docs_docx_extract"] = """
+        WITH pg AS (SELECT doc_id, unnest(range(0, 2 + doc_id % 4)) AS p
+                    FROM documents),
+        wd AS (SELECT doc_id, p,
+                      unnest(range(0, 3 + (doc_id + p) % 3)) AS k
+               FROM pg)
+        SELECT doc_id AS media_id, CAST(p AS BIGINT) AS para,
+               string_agg('d' || CAST((23 * doc_id + 11 * p + 5 * k)
+                                      % 89 AS VARCHAR),
+                          ' ' ORDER BY k) AS text
+        FROM wd GROUP BY doc_id, p
     """
     # CCNet composite: the line-dedup CTEs + the VERBATIM langid and
     # bucket oracles rebound to the cleaned corpus — the SQL twin

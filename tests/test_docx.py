@@ -91,3 +91,34 @@ def test_truncation_and_bitflips_never_raise():
 def test_garbage():
     assert probe_docx(b"")["ok"] is False
     assert probe_docx(b"PK\x03\x04 not a real zip")["ok"] is False
+
+
+def test_pipeline_extracts_docx():
+    """A DOCX invoice flows through the flagship pipeline: vendor from
+    the first paragraph, date/total candidates from 'Label: value'
+    paragraphs; a non-DOCX zip degrades to an empty-doc DATA row."""
+    import pyarrow as pa
+
+    from webxtract.pipeline import extract_table
+
+    def pages(payloads):
+        n = len(payloads)
+        return pa.table({
+            "url": pa.array([f"https://d.example/{k}" for k in range(n)],
+                            pa.string()),
+            "warc_ts": pa.array([1_600_000_000_000_000 + k
+                                 for k in range(n)], pa.timestamp("us")),
+            "html": pa.array(payloads, pa.binary()),
+            "text": pa.array([""] * n, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        })
+
+    docx = build_docx([["Acme", "Supply", "Co"],
+                       ["Date:", "2024-03-05"],
+                       ["Total:", "$123.45"]])
+    nonword = build_zip([("other.bin", b"\x00" * 200)])
+    rows = extract_table(pages([docx, nonword])).to_pylist()
+    assert rows[0]["vendor_value"] == "Acme Supply Co"
+    assert rows[0]["route"] != "rejected"
+    assert rows[0]["extracted_text"].startswith("Acme Supply Co")
+    assert rows[1]["extracted_text"] == ""  # poison row, not a failure

@@ -113,6 +113,18 @@ def _doc_blocks(raw: bytes | None, kind: str) -> list[dict]:
             from .ops.pdf import pdf_blocks
 
             return pdf_blocks(raw)
+        if kind == "docx":
+            # OOXML package -> one LINE block per paragraph in document
+            # order (no geometry channel in WordprocessingML flow text)
+            from .ops.docx import docx_paragraphs
+
+            return [{
+                "block_type": "LINE", "text": t, "confidence": 100.0,
+                "page": 0, "reading_order": k,
+                "key_text": None, "value_text": None,
+                "key_conf": None, "value_conf": None,
+                "row": None, "col": None,
+            } for k, t in enumerate(docx_paragraphs(raw)) if t]
         decoded = decode_bytes(raw)
         return html_to_blocks(decoded) if decoded is not None else []
     except Exception:

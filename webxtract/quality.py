@@ -29,6 +29,7 @@ import pyarrow as pa
 
 PDFISH_MAGIC = b"%XYD1\n"
 PDF_MAGIC = b"%PDF-"
+ZIP_MAGIC = b"PK\x03\x04"
 _TAG_RE = re.compile(rb"<[a-zA-Z!/]")
 _STRIP_TAGS_RE = re.compile(rb"<[^>]{0,256}>")
 _PROBE = 16_384  # score only the head; giant blobs must not cost O(size)
@@ -56,6 +57,11 @@ def score_page(html: bytes | None, min_bytes: int = 64,
         # content-stream interpreter; structure confidence mirrors the
         # pdfish path (the layout engine downstream is identical)
         return "good", 95.0, None, "pdf"
+    if html.startswith(ZIP_MAGIC):
+        # OOXML package (DOCX et al.): cheap container sniff here, the
+        # part check happens in the extractor (a non-DOCX zip degrades
+        # to an empty-doc DATA row there, per the poison-row rule)
+        return "good", 95.0, None, "docx"
     probe = html[:_PROBE]
     try:
         probe.decode("utf-8")

@@ -969,6 +969,22 @@ def _docs_docx_extract(sf_dir: str):
     return docs_docx_extract(sf_dir)
 
 
+def _docs_odt_extract(sf_dir: str):
+    """ODT text extraction (stored-mimetype rule + shared ZIP walk +
+    text:p/span scanner); every paragraph closed-form."""
+    from webxtract.ops.office import docs_odt_extract
+
+    return docs_odt_extract(sf_dir)
+
+
+def _docs_rtf_extract(sf_dir: str):
+    """RTF text extraction (control-word tokenizer, destination
+    skipping, cp1252/unicode escapes); every paragraph closed-form."""
+    from webxtract.ops.office import docs_rtf_extract
+
+    return docs_rtf_extract(sf_dir)
+
+
 def _images_tiff_decode(sf_dir: str):
     """Baseline TIFF pixel decode (strips + PackBits + TIFF-LZW from
     spec); the closed-form pixel SUM certifies every pixel of every
@@ -2256,6 +2272,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TIFF strip decode (none/PackBits/LZW), pixel-sum certified
         "docs_docx_extract": _docs_docx_extract,  # ORACLED
         # DOCX: PKZIP walk + WordprocessingML paragraph scanner
+        "docs_odt_extract": _docs_odt_extract,  # ORACLED
+        # ODT: stored-mimetype rule + text:p/span scanner
+        "docs_rtf_extract": _docs_rtf_extract,  # ORACLED
+        # RTF: control-word tokenizer + destination skipping
     })
 
 
@@ -7414,6 +7434,33 @@ r5 AS (
         SELECT doc_id AS media_id, CAST(p AS BIGINT) AS para,
                string_agg('d' || CAST((23 * doc_id + 11 * p + 5 * k)
                                       % 89 AS VARCHAR),
+                          ' ' ORDER BY k) AS text
+        FROM wd GROUP BY doc_id, p
+    """
+    # ODT/RTF fixtures (ops/office.py): paragraph text regenerated
+    # byte-for-byte — certifying the stored-mimetype rule + ZIP walk +
+    # text:p scanner (ODT) and the control-word tokenizer (RTF)
+    d["docs_odt_extract"] = """
+        WITH pg AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS p
+                    FROM documents),
+        wd AS (SELECT doc_id, p,
+                      unnest(range(0, 2 + (doc_id + p) % 4)) AS k
+               FROM pg)
+        SELECT doc_id AS media_id, CAST(p AS BIGINT) AS para,
+               string_agg('o' || CAST((29 * doc_id + 13 * p + 3 * k)
+                                      % 83 AS VARCHAR),
+                          ' ' ORDER BY k) AS text
+        FROM wd GROUP BY doc_id, p
+    """
+    d["docs_rtf_extract"] = """
+        WITH pg AS (SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS p
+                    FROM documents),
+        wd AS (SELECT doc_id, p,
+                      unnest(range(0, 2 + (doc_id + p) % 3)) AS k
+               FROM pg)
+        SELECT doc_id AS media_id, CAST(p AS BIGINT) AS para,
+               string_agg('r' || CAST((37 * doc_id + 17 * p + 7 * k)
+                                      % 79 AS VARCHAR),
                           ' ' ORDER BY k) AS text
         FROM wd GROUP BY doc_id, p
     """

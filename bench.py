@@ -83,7 +83,7 @@ _FIXTURE_WARM = [
     # round-5 format corpora: cached_ds renders the real PDF / EXIF /
     # TIFF / DOCX fixture files once; timed rows measure parse only
     "pdfs_text_extract", "images_exif_probe", "images_tiff_decode",
-    "docs_docx_extract",
+    "docs_docx_extract", "docs_odt_extract", "docs_rtf_extract",
     # the warm pass materializes the CCNet stage-1 cleaned corpus, so
     # the timed docs_ccnet_corpus row measures the retrained langid +
     # LM bucketing + join over the derived corpus (the steady-state
@@ -218,8 +218,9 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         # round 5: real-PDF content-stream interpreter + XY-cut over the
         # cached mixed-layout corpus; EXIF = the TIFF IFD walk
         "pdfs_text_extract", "images_exif_probe",
-        # TIFF strip decode (PackBits/LZW) and the DOCX zip+WML scan
-        "images_tiff_decode", "docs_docx_extract",
+        # TIFF strip decode (PackBits/LZW) and the office-family scans
+        "images_tiff_decode", "docs_docx_extract", "docs_odt_extract",
+        "docs_rtf_extract",
         # CCNet composite steady state: retrained langid + LM buckets +
         # join over the warm-derived cleaned corpus
         "docs_ccnet_corpus",

@@ -103,6 +103,18 @@ class PipelineConfig:
         return (2, 8)
 
 
+def _paras_to_blocks(paras: list[str]) -> list[dict]:
+    """Office flow text -> one LINE block per paragraph in document
+    order (no geometry channel in flow formats)."""
+    return [{
+        "block_type": "LINE", "text": t, "confidence": 100.0,
+        "page": 0, "reading_order": k,
+        "key_text": None, "value_text": None,
+        "key_conf": None, "value_conf": None,
+        "row": None, "col": None,
+    } for k, t in enumerate(paras) if t]
+
+
 def _doc_blocks(raw: bytes | None, kind: str) -> list[dict]:
     try:
         if kind == "pdfish":
@@ -114,17 +126,20 @@ def _doc_blocks(raw: bytes | None, kind: str) -> list[dict]:
 
             return pdf_blocks(raw)
         if kind == "docx":
-            # OOXML package -> one LINE block per paragraph in document
-            # order (no geometry channel in WordprocessingML flow text)
+            # office ZIP package: DOCX first, then the ODT fallback
+            # (both are PK-sniffed; the part layout disambiguates)
             from .ops.docx import docx_paragraphs
 
-            return [{
-                "block_type": "LINE", "text": t, "confidence": 100.0,
-                "page": 0, "reading_order": k,
-                "key_text": None, "value_text": None,
-                "key_conf": None, "value_conf": None,
-                "row": None, "col": None,
-            } for k, t in enumerate(docx_paragraphs(raw)) if t]
+            try:
+                return _paras_to_blocks(docx_paragraphs(raw))
+            except Exception:
+                from .ops.office import odt_paragraphs
+
+                return _paras_to_blocks(odt_paragraphs(raw))
+        if kind == "rtf":
+            from .ops.office import rtf_text
+
+            return _paras_to_blocks(rtf_text(raw))
         decoded = decode_bytes(raw)
         return html_to_blocks(decoded) if decoded is not None else []
     except Exception:

@@ -30,6 +30,7 @@ import pyarrow as pa
 PDFISH_MAGIC = b"%XYD1\n"
 PDF_MAGIC = b"%PDF-"
 ZIP_MAGIC = b"PK\x03\x04"
+RTF_MAGIC = b"{\\rtf"
 _TAG_RE = re.compile(rb"<[a-zA-Z!/]")
 _STRIP_TAGS_RE = re.compile(rb"<[^>]{0,256}>")
 _PROBE = 16_384  # score only the head; giant blobs must not cost O(size)
@@ -58,10 +59,13 @@ def score_page(html: bytes | None, min_bytes: int = 64,
         # pdfish path (the layout engine downstream is identical)
         return "good", 95.0, None, "pdf"
     if html.startswith(ZIP_MAGIC):
-        # OOXML package (DOCX et al.): cheap container sniff here, the
-        # part check happens in the extractor (a non-DOCX zip degrades
-        # to an empty-doc DATA row there, per the poison-row rule)
+        # office ZIP package (DOCX/ODT): cheap container sniff here,
+        # part-layout dispatch happens in the extractor (a non-office
+        # zip degrades to an empty-doc DATA row, per the poison-row
+        # rule)
         return "good", 95.0, None, "docx"
+    if html.startswith(RTF_MAGIC):
+        return "good", 95.0, None, "rtf"
     probe = html[:_PROBE]
     try:
         probe.decode("utf-8")

@@ -985,6 +985,14 @@ def _docs_rtf_extract(sf_dir: str):
     return docs_rtf_extract(sf_dir)
 
 
+def _docs_xlsx_extract(sf_dir: str):
+    """XLSX cell extraction (shared-strings dictionary resolution, A1
+    reference decode, all cell kinds); every cell closed-form."""
+    from webxtract.ops.xlsx import docs_xlsx_extract
+
+    return docs_xlsx_extract(sf_dir)
+
+
 def _images_tiff_decode(sf_dir: str):
     """Baseline TIFF pixel decode (strips + PackBits + TIFF-LZW from
     spec); the closed-form pixel SUM certifies every pixel of every
@@ -2276,6 +2284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ODT: stored-mimetype rule + text:p/span scanner
         "docs_rtf_extract": _docs_rtf_extract,  # ORACLED
         # RTF: control-word tokenizer + destination skipping
+        "docs_xlsx_extract": _docs_xlsx_extract,  # ORACLED
+        # XLSX: shared-strings indirection + A1 grid decode
     })
 
 
@@ -7463,6 +7473,29 @@ r5 AS (
                                       % 79 AS VARCHAR),
                           ' ' ORDER BY k) AS text
         FROM wd GROUP BY doc_id, p
+    """
+    # XLSX fixtures (ops/xlsx.py): every cell regenerated closed-form —
+    # certifying the deduplicated shared-strings resolution (small
+    # modulus forces dictionary reuse; every third entry is a
+    # multi-run rich si), the A1 walk and all three cell kinds
+    d["docs_xlsx_extract"] = """
+        WITH rw AS (SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS r
+                    FROM documents),
+        cl AS (SELECT doc_id, r,
+                      unnest(range(0, 2 + (doc_id + r) % 3)) AS c
+               FROM rw)
+        SELECT doc_id AS media_id, CAST(r AS BIGINT) AS "row",
+               CAST(c AS BIGINT) AS col,
+               CASE (doc_id + r + c) % 3 WHEN 0 THEN 's'
+                    WHEN 1 THEN 'n' ELSE 'inline' END AS kind,
+               CASE (doc_id + r + c) % 3
+                    WHEN 0 THEN 's' || CAST((19 * doc_id + 7 * r + 3 * c)
+                                            % 23 AS VARCHAR)
+                    WHEN 1 THEN CAST((13 * doc_id + 5 * r + c) % 1000
+                                     AS VARCHAR)
+                    ELSE 'x' || CAST((17 * doc_id + 3 * r + c) % 61
+                                     AS VARCHAR) END AS "value"
+        FROM cl
     """
     # CCNet composite: the line-dedup CTEs + the VERBATIM langid and
     # bucket oracles rebound to the cleaned corpus — the SQL twin

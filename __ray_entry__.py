@@ -993,6 +993,14 @@ def _docs_xlsx_extract(sf_dir: str):
     return docs_xlsx_extract(sf_dir)
 
 
+def _docs_pptx_extract(sf_dir: str):
+    """PPTX slide-text extraction (numeric slide-part ordering +
+    DrawingML a:p/a:r/a:t scan); every paragraph closed-form."""
+    from webxtract.ops.pptx import docs_pptx_extract
+
+    return docs_pptx_extract(sf_dir)
+
+
 def _images_tiff_decode(sf_dir: str):
     """Baseline TIFF pixel decode (strips + PackBits + TIFF-LZW from
     spec); the closed-form pixel SUM certifies every pixel of every
@@ -2286,6 +2294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RTF: control-word tokenizer + destination skipping
         "docs_xlsx_extract": _docs_xlsx_extract,  # ORACLED
         # XLSX: shared-strings indirection + A1 grid decode
+        "docs_pptx_extract": _docs_pptx_extract,  # ORACLED
+        # PPTX: slide-part ordering + DrawingML a:t scan
     })
 
 
@@ -7473,6 +7483,25 @@ r5 AS (
                                       % 79 AS VARCHAR),
                           ' ' ORDER BY k) AS text
         FROM wd GROUP BY doc_id, p
+    """
+    # PPTX fixtures (ops/pptx.py): per-(slide, paragraph) text
+    # regenerated byte-for-byte — certifying the multi-part slide
+    # ordering and the DrawingML run scan
+    d["docs_pptx_extract"] = """
+        WITH sl AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS s
+                    FROM documents),
+        pg AS (SELECT doc_id, s,
+                      unnest(range(0, 2 + (doc_id + s) % 3)) AS p
+               FROM sl),
+        wd AS (SELECT doc_id, s, p,
+                      unnest(range(0, 2 + (doc_id + s + p) % 2)) AS k
+               FROM pg)
+        SELECT doc_id AS media_id, CAST(s AS BIGINT) AS slide,
+               CAST(p AS BIGINT) AS para,
+               string_agg('p' || CAST((41 * doc_id + 19 * s + 7 * p
+                                       + 3 * k) % 73 AS VARCHAR),
+                          ' ' ORDER BY k) AS text
+        FROM wd GROUP BY doc_id, s, p
     """
     # XLSX fixtures (ops/xlsx.py): every cell regenerated closed-form —
     # certifying the deduplicated shared-strings resolution (small

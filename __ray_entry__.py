@@ -993,6 +993,15 @@ def _docs_xlsx_extract(sf_dir: str):
     return docs_xlsx_extract(sf_dir)
 
 
+def _docs_epub_extract(sf_dir: str):
+    """EPUB extraction (OCF mimetype rule -> container.xml -> OPF
+    manifest/spine -> XHTML scan); chapter content stored rotated
+    against file names so parity certifies real spine resolution."""
+    from webxtract.ops.epub import docs_epub_extract
+
+    return docs_epub_extract(sf_dir)
+
+
 def _docs_pptx_extract(sf_dir: str):
     """PPTX slide-text extraction (numeric slide-part ordering +
     DrawingML a:p/a:r/a:t scan); every paragraph closed-form."""
@@ -2296,6 +2305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # XLSX: shared-strings indirection + A1 grid decode
         "docs_pptx_extract": _docs_pptx_extract,  # ORACLED
         # PPTX: slide-part ordering + DrawingML a:t scan
+        "docs_epub_extract": _docs_epub_extract,  # ORACLED
+        # EPUB: OCF -> OPF -> SPINE-order resolution (rotated storage)
     })
 
 
@@ -7483,6 +7494,25 @@ r5 AS (
                                       % 79 AS VARCHAR),
                           ' ' ORDER BY k) AS text
         FROM wd GROUP BY doc_id, p
+    """
+    # EPUB fixtures (ops/epub.py): chapter text in SPINE order — the
+    # writer rotates storage file names against reading order, so a
+    # hash match certifies container.xml -> OPF -> spine resolution
+    d["docs_epub_extract"] = """
+        WITH ch AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS s
+                    FROM documents),
+        pg AS (SELECT doc_id, s,
+                      unnest(range(0, 2 + (doc_id + s) % 3)) AS p
+               FROM ch),
+        wd AS (SELECT doc_id, s, p,
+                      unnest(range(0, 2 + (doc_id + s + p) % 2)) AS k
+               FROM pg)
+        SELECT doc_id AS media_id, CAST(s AS BIGINT) AS chapter,
+               CAST(p AS BIGINT) AS para,
+               string_agg('e' || CAST((43 * doc_id + 23 * s + 11 * p
+                                       + 5 * k) % 67 AS VARCHAR),
+                          ' ' ORDER BY k) AS text
+        FROM wd GROUP BY doc_id, s, p
     """
     # PPTX fixtures (ops/pptx.py): per-(slide, paragraph) text
     # regenerated byte-for-byte — certifying the multi-part slide

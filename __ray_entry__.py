@@ -993,6 +993,15 @@ def _docs_xlsx_extract(sf_dir: str):
     return docs_xlsx_extract(sf_dir)
 
 
+def _pages_office_extract(sf_dir: str):
+    """The format-dispatch integration as a query: a mixed
+    PDF/DOCX/ODT/RTF invoice corpus through the REAL QualityGate +
+    Extractor stages; (doc_kind, vendor_value) closed-form."""
+    from webxtract.ops.office import pages_office_extract
+
+    return pages_office_extract(sf_dir)
+
+
 def _docs_epub_extract(sf_dir: str):
     """EPUB extraction (OCF mimetype rule -> container.xml -> OPF
     manifest/spine -> XHTML scan); chapter content stored rotated
@@ -2307,6 +2316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PPTX: slide-part ordering + DrawingML a:t scan
         "docs_epub_extract": _docs_epub_extract,  # ORACLED
         # EPUB: OCF -> OPF -> SPINE-order resolution (rotated storage)
+        "pages_office_extract": _pages_office_extract,  # ORACLED
+        # the dispatch integration: mixed formats -> real pipeline
     })
 
 
@@ -7494,6 +7505,18 @@ r5 AS (
                                       % 79 AS VARCHAR),
                           ' ' ORDER BY k) AS text
         FROM wd GROUP BY doc_id, p
+    """
+    # Office-integration fixture (ops/office.py invoice corpus): the
+    # REAL QualityGate magic sniff + Extractor dispatch + M6 vendor
+    # normalizer, certified end to end (ODT rides the PK sniff, so
+    # its doc_kind reports as 'docx')
+    d["pages_office_extract"] = """
+        SELECT doc_id AS media_id,
+               CASE doc_id % 4 WHEN 0 THEN 'pdf'
+                    WHEN 3 THEN 'rtf' ELSE 'docx' END AS doc_kind,
+               'Vendor' || CAST(doc_id % 50 AS VARCHAR) || ' Corp'
+                   AS vendor_value
+        FROM documents
     """
     # EPUB fixtures (ops/epub.py): chapter text in SPINE order — the
     # writer rotates storage file names against reading order, so a

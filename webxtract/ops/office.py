@@ -380,3 +380,89 @@ def docs_rtf_extract(sf_dir: str):
     return synth_office_corpus(sf_dir).map_batches(
         lambda b: ex(b), batch_format="pyarrow", zero_copy_batch=True,
         batch_size=128)
+
+
+# ---------------------------------------------------------------------------
+# flagship-integration query: mixed office corpus through the REAL
+# quality-gate + extractor stages
+# ---------------------------------------------------------------------------
+
+
+def _render_invoice_fixture(batch: pa.Table) -> pa.Table:
+    """Per doc_id: an invoice in one of four real formats (doc_id%4 ->
+    PDF / DOCX / ODT / RTF), vendor = 'Vendor{i%50} Corp' as the first
+    line/paragraph — the field the M6 normalizer must surface."""
+    from .docx import build_docx
+    from .pdf import build_pdf
+
+    ids = batch.column("doc_id").to_pylist()
+    payloads = []
+    for i in ids:
+        v = [f"Vendor{i % 50}", "Corp"]
+        body = [v, ["Invoice", f"number{i % 997}"],
+                ["Total:", f"${(i % 9000) / 100 + 1:.2f}"]]
+        fam = i % 4
+        if fam == 0:
+            payloads.append(build_pdf([{"lines": [
+                {"x": 72.0, "y": 720.0, "size": 12, "words": v,
+                 "op": "tj"},
+                {"x": 72.0, "y": 704.0, "size": 12, "words": body[1],
+                 "op": "tjarr"}],
+                "kv": ("Total:", body[2][1], 72.0, 680.0, 12)}]))
+        elif fam == 1:
+            payloads.append(build_docx(body))
+        elif fam == 2:
+            payloads.append(build_odt(body))
+        else:
+            payloads.append(build_rtf(body))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "url": pa.array([f"https://office.example/{i}" for i in ids],
+                        pa.string()),
+        "html": pa.array(payloads, pa.binary()),
+    })
+
+
+def synth_invoice_corpus(sf_dir: str, n: int | None = None):
+    from ..fixturecache import cached_ds
+    import ray.data as rd
+
+    def build():
+        ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id"])
+        if n is not None:
+            ids = ids.limit(n)
+        try:
+            import ray
+            ids = ids.repartition(
+                max(2, int(ray.cluster_resources().get("CPU", 8))))
+        except Exception:
+            pass
+        return ids.map_batches(_render_invoice_fixture,
+                               batch_format="pyarrow", batch_size=128)
+
+    if n is None:
+        return cached_ds("invoice_corpus", sf_dir, build,
+                        render_fn=_render_invoice_fixture)
+    return build()
+
+
+def pages_office_extract(sf_dir: str):
+    """ORACLED: the format-dispatch INTEGRATION itself — a mixed
+    PDF/DOCX/ODT/RTF corpus through the REAL pipeline stages
+    (QualityGate magic sniff -> Extractor dispatch -> M6 vendor
+    normalizer), emitting (media_id, doc_kind, vendor_value), every
+    field closed-form.  A hash match certifies that each payload kind
+    routes through its parser and the shared normalizers end to end
+    (ODT rides the PK sniff, so its kind reports as 'docx')."""
+    from ..pipeline import extractor_task
+    from ..quality import QualityGate
+
+    gate = QualityGate()
+    ex = extractor_task()
+    ds = synth_invoice_corpus(sf_dir).map_batches(
+        lambda b: gate(b), batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=128).map_batches(
+        ex, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=128)
+    return ds.select_columns(["media_id", "doc_kind", "vendor_value"])

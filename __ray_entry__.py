@@ -993,6 +993,15 @@ def _docs_xlsx_extract(sf_dir: str):
     return docs_xlsx_extract(sf_dir)
 
 
+def _docs_email_extract(sf_dir: str):
+    """Email/MIME extraction (RFC 5322 unfolding, RFC 2047 B/Q
+    encoded words, multipart walk, QP/base64 decode); every field
+    closed-form."""
+    from webxtract.ops.mime import docs_email_extract
+
+    return docs_email_extract(sf_dir)
+
+
 def _pages_office_extract(sf_dir: str):
     """The format-dispatch integration as a query: a mixed
     PDF/DOCX/ODT/RTF invoice corpus through the REAL QualityGate +
@@ -2318,6 +2327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # EPUB: OCF -> OPF -> SPINE-order resolution (rotated storage)
         "pages_office_extract": _pages_office_extract,  # ORACLED
         # the dispatch integration: mixed formats -> real pipeline
+        "docs_email_extract": _docs_email_extract,  # ORACLED
+        # email/MIME: RFC 2047 subjects, multipart, QP/base64
     })
 
 
@@ -7505,6 +7516,28 @@ r5 AS (
                                       % 79 AS VARCHAR),
                           ' ' ORDER BY k) AS text
         FROM wd GROUP BY doc_id, p
+    """
+    # Email fixtures (ops/mime.py): subject/from/body regenerated
+    # byte-for-byte — a hash match certifies header unfolding, the
+    # RFC 2047 B and Q decoders, the multipart boundary walk and the
+    # QP/base64 transfer decodes across the whole axis matrix
+    d["docs_email_extract"] = """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'Subject ' || CAST(doc_id % 100 AS VARCHAR)
+                         || ' report'
+                    ELSE 'S' || chr(252) || 'bject '
+                         || CAST(doc_id % 100 AS VARCHAR) || ' report'
+               END AS subject,
+               'user' || CAST(doc_id % 50 AS VARCHAR) || '@host'
+                   || CAST(doc_id % 20 AS VARCHAR) || '.example'
+                   AS from_addr,
+               CAST(1 + doc_id % 2 AS BIGINT) AS n_parts,
+               'caf' || chr(233) || ' report '
+                   || CAST((7 * doc_id) % 1000 AS VARCHAR) || chr(10)
+                   || 'line id=' || CAST((11 * doc_id) % 500 AS VARCHAR)
+                   || ' end' AS body_text
+        FROM documents
     """
     # Office-integration fixture (ops/office.py invoice corpus): the
     # REAL QualityGate magic sniff + Extractor dispatch + M6 vendor

@@ -1,0 +1,411 @@
+"""Email / MIME parsing WITHOUT the email package — RFC 5322 headers,
+RFC 2045 multipart bodies, RFC 2047 encoded-word headers, and mbox
+framing, all from the public RFCs.
+
+Mail archives are a classic text-corpus source (mbox dumps circulate
+in web crawls and research corpora), and the format stack is exactly
+the kind of layered container this engine's readers specialize in:
+
+  * `parse_email` — header block split + UNFOLDING (continuation
+    lines), Content-Type parameter parsing (boundary, charset),
+    RFC 2047 encoded-word decode in Subject/From (both B and Q forms,
+    incl. the Q form's underscore-space rule), recursive multipart
+    walk over boundary delimiters, and per-part content-transfer-
+    encoding decode (7bit/8bit passthrough, quoted-printable with
+    soft line breaks, base64).
+  * `build_email` — a writer emitting genuine messages across all
+    those axes (folded headers, B/Q/plain subjects, singlepart and
+    multipart/alternative, 8bit/QP/base64 bodies) so the parser is
+    certified against messages it did not "remember".
+  * `build_mbox` / `split_mbox` — the ``From `` separator convention
+    with ``>From `` body-line quoting, both directions.
+
+Scale shape: one message (or one mbox file) one row; parse is
+map-side over the blob, zero exchanges — file-parallel like the rest
+of the container family.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import re
+
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# quoted-printable (RFC 2045 §6.7)
+# ---------------------------------------------------------------------------
+
+
+def qp_encode(data: bytes, soft_wrap: int = 72) -> str:
+    out = []
+    line_len = 0
+    for b in data:
+        if b == 0x0A:
+            out.append("\r\n")
+            line_len = 0
+            continue
+        if (0x20 <= b <= 0x7E and b != 0x3D):
+            tok = chr(b)
+        else:
+            tok = f"={b:02X}"
+        if line_len + len(tok) > soft_wrap:
+            out.append("=\r\n")
+            line_len = 0
+        out.append(tok)
+        line_len += len(tok)
+    return "".join(out)
+
+
+def qp_decode(text: str) -> bytes:
+    out = bytearray()
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "=":
+            if text[i + 1:i + 3] == "\r\n":
+                i += 3  # soft break
+                continue
+            if text[i + 1:i + 2] == "\n":
+                i += 2
+                continue
+            hx = text[i + 1:i + 3]
+            try:
+                out.append(int(hx, 16))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        if c == "\r":
+            i += 1
+            continue
+        if c == "\n":
+            out.append(0x0A)
+            i += 1
+            continue
+        out.append(ord(c) & 0xFF)
+        i += 1
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# RFC 2047 encoded words
+# ---------------------------------------------------------------------------
+
+_EW_RE = re.compile(r"=\?([^?]+)\?([bBqQ])\?([^?]*)\?=")
+
+
+def encode_word(text: str, form: str) -> str:
+    raw = text.encode("utf-8")
+    if form == "b":
+        return f"=?utf-8?B?{base64.b64encode(raw).decode()}?="
+    out = []
+    for b in raw:
+        if b == 0x20:
+            out.append("_")
+        elif 0x21 <= b <= 0x7E and b not in (0x3D, 0x3F, 0x5F):
+            out.append(chr(b))
+        else:
+            out.append(f"={b:02X}")
+    return f"=?utf-8?Q?{''.join(out)}?="
+
+
+def decode_header(value: str) -> str:
+    """Decode every RFC 2047 encoded word; whitespace BETWEEN adjacent
+    encoded words is elided per the spec."""
+    value = re.sub(r"(\?=)\s+(=\?)", r"\1\2", value)
+
+    def sub(m: re.Match) -> str:
+        charset, form, payload = m.groups()
+        try:
+            if form in "bB":
+                raw = base64.b64decode(payload + "=" * (-len(payload) % 4))
+            else:
+                raw = qp_decode(payload.replace("_", " "))
+            return raw.decode(charset.split("*")[0], "replace")
+        except (ValueError, binascii.Error, LookupError):
+            return m.group(0)
+
+    return _EW_RE.sub(sub, value)
+
+
+# ---------------------------------------------------------------------------
+# message writer
+# ---------------------------------------------------------------------------
+
+
+def _fold(name: str, value: str, limit: int = 76) -> str:
+    """RFC 5322 folding on spaces."""
+    line = f"{name}: {value}"
+    if len(line) <= limit:
+        return line
+    words = value.split(" ")
+    out = [f"{name}: {words[0]}"]
+    for w in words[1:]:
+        if len(out[-1]) + 1 + len(w) > limit:
+            out.append(" " + w)
+        else:
+            out[-1] += " " + w
+    return "\r\n".join(out)
+
+
+def build_email(subject: str, from_addr: str, to_addr: str,
+                body_text: str, *, subj_form: str = "plain",
+                cte: str = "8bit", multipart: bool = False,
+                boundary: str = "=_bound_42") -> bytes:
+    """One real RFC 5322 + MIME message.  subj_form: plain|b|q;
+    cte: 8bit|qp|base64 for the text/plain part."""
+    subj = subject if subj_form == "plain" else encode_word(subject,
+                                                           subj_form)
+    raw = body_text.encode("utf-8")
+    if cte == "qp":
+        enc_body, cte_hdr = qp_encode(raw), "quoted-printable"
+    elif cte == "base64":
+        b64 = base64.b64encode(raw).decode()
+        enc_body = "\r\n".join(b64[i:i + 76]
+                               for i in range(0, len(b64), 76))
+        cte_hdr = "base64"
+    else:
+        enc_body, cte_hdr = body_text.replace("\n", "\r\n"), "8bit"
+    head = [
+        f"From: {from_addr}",
+        f"To: {to_addr}",
+        _fold("Subject", subj),
+        "Date: Thu, 01 Jan 2026 00:00:00 +0000",
+        "MIME-Version: 1.0",
+    ]
+    if multipart:
+        html = ("<html><body><p>" + body_text.replace("\n", "<br/>")
+                + "</p></body></html>")
+        head.append('Content-Type: multipart/alternative; '
+                    f'boundary="{boundary}"')
+        body = (
+            "This is a MIME preamble.\r\n"
+            f"--{boundary}\r\n"
+            'Content-Type: text/plain; charset="utf-8"\r\n'
+            f"Content-Transfer-Encoding: {cte_hdr}\r\n\r\n"
+            f"{enc_body}\r\n"
+            f"--{boundary}\r\n"
+            'Content-Type: text/html; charset="utf-8"\r\n'
+            "Content-Transfer-Encoding: 8bit\r\n\r\n"
+            f"{html}\r\n"
+            f"--{boundary}--\r\n")
+    else:
+        head.append('Content-Type: text/plain; charset="utf-8"')
+        head.append(f"Content-Transfer-Encoding: {cte_hdr}")
+        body = enc_body + "\r\n"
+    return ("\r\n".join(head) + "\r\n\r\n" + body).encode("utf-8")
+
+
+# ---------------------------------------------------------------------------
+# message parser
+# ---------------------------------------------------------------------------
+
+
+def _split_headers(data: bytes) -> tuple[dict[str, str], bytes]:
+    for sep in (b"\r\n\r\n", b"\n\n"):
+        idx = data.find(sep)
+        if idx >= 0:
+            head, body = data[:idx], data[idx + len(sep):]
+            break
+    else:
+        head, body = data, b""
+    headers: dict[str, str] = {}
+    cur: str | None = None
+    for line in head.decode("utf-8", "replace").splitlines():
+        if line[:1] in (" ", "\t") and cur is not None:
+            headers[cur] += " " + line.strip()   # unfold
+        elif ":" in line:
+            name, _, value = line.partition(":")
+            cur = name.strip().lower()
+            headers[cur] = value.strip()
+    return headers, body
+
+
+def _ct_params(value: str) -> tuple[str, dict[str, str]]:
+    parts = [p.strip() for p in value.split(";")]
+    ctype = parts[0].lower() if parts else "text/plain"
+    params: dict[str, str] = {}
+    for p in parts[1:]:
+        if "=" in p:
+            k, _, v = p.partition("=")
+            params[k.strip().lower()] = v.strip().strip('"')
+    return ctype, params
+
+
+def _decode_part(headers: dict[str, str], body: bytes) -> str:
+    cte = headers.get("content-transfer-encoding", "7bit").lower()
+    if cte == "base64":
+        compact = re.sub(rb"\s", b"", body)
+        try:
+            body = base64.b64decode(compact + b"=" * (-len(compact) % 4))
+        except (ValueError, binascii.Error):
+            pass
+    elif cte == "quoted-printable":
+        body = qp_decode(body.decode("ascii", "replace"))
+    ctype, params = _ct_params(headers.get("content-type", "text/plain"))
+    charset = params.get("charset", "utf-8")
+    try:
+        text = body.decode(charset, "replace")
+    except LookupError:
+        text = body.decode("utf-8", "replace")
+    return text.replace("\r\n", "\n").rstrip("\n")
+
+
+def parse_email(data: bytes, depth: int = 0) -> dict:
+    """-> {"subject", "from", "to", "parts": [(content_type, text)]}"""
+    if depth > 8:
+        raise ValueError("multipart nesting too deep")
+    headers, body = _split_headers(data)
+    ctype, params = _ct_params(headers.get("content-type", "text/plain"))
+    out = {"subject": decode_header(headers.get("subject", "")),
+           "from": decode_header(headers.get("from", "")),
+           "to": decode_header(headers.get("to", "")),
+           "parts": []}
+    if ctype.startswith("multipart/"):
+        boundary = params.get("boundary")
+        if not boundary:
+            raise ValueError("multipart without boundary")
+        delim = b"--" + boundary.encode()
+        chunks = body.split(delim)
+        # chunks[0] = preamble; final chunk after the closing -- is
+        # the epilogue; real parts start with CRLF and headers
+        for chunk in chunks[1:]:
+            if chunk[:2] == b"--":
+                break  # closing delimiter
+            sub = chunk.lstrip(b"\r\n")
+            sub_headers, sub_body = _split_headers(sub)
+            sub_ct, _ = _ct_params(sub_headers.get("content-type",
+                                                   "text/plain"))
+            if sub_ct.startswith("multipart/"):
+                inner = parse_email(sub, depth + 1)
+                out["parts"].extend(inner["parts"])
+            else:
+                out["parts"].append(
+                    (sub_ct, _decode_part(sub_headers, sub_body)))
+    else:
+        out["parts"].append((ctype, _decode_part(headers, body)))
+    return out
+
+
+def email_text(data: bytes) -> str:
+    """First text/plain part's decoded text (the corpus-text field)."""
+    msg = parse_email(data)
+    for ctype, text in msg["parts"]:
+        if ctype == "text/plain":
+            return text
+    return msg["parts"][0][1] if msg["parts"] else ""
+
+
+# ---------------------------------------------------------------------------
+# mbox framing
+# ---------------------------------------------------------------------------
+
+
+def build_mbox(emails: list[bytes]) -> bytes:
+    out = []
+    for e in emails:
+        text = e.decode("utf-8", "replace")
+        # >From quoting for body lines that would look like separators
+        quoted = re.sub(r"(?m)^(>*From )", r">\1", text)
+        out.append("From sender@example Thu Jan  1 00:00:00 2026\n"
+                   + quoted.replace("\r\n", "\n") + "\n")
+    return "".join(out).encode("utf-8")
+
+
+def split_mbox(data: bytes) -> list[bytes]:
+    text = data.decode("utf-8", "replace")
+    msgs = re.split(r"(?m)^From [^\n]*\n", text)
+    out = []
+    for m in msgs:
+        if not m.strip():
+            continue
+        unq = re.sub(r"(?m)^>(>*From )", r"\1", m)
+        out.append(unq.rstrip("\n").encode("utf-8"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fixtures + query surface
+# ---------------------------------------------------------------------------
+
+
+def fixture_email(i: int) -> bytes:
+    subj_form = ("plain", "b", "q")[i % 3]
+    subject = (f"Subject {i % 100} report" if subj_form == "plain"
+               else f"Sübject {i % 100} report")
+    body = (f"café report {(7 * i) % 1000}\n"
+            f"line id={(11 * i) % 500} end")
+    return build_email(
+        subject, f"user{i % 50}@host{i % 20}.example",
+        "archive@example", body,
+        subj_form=subj_form,
+        cte=("8bit", "qp", "base64")[i % 3],
+        multipart=i % 2 == 1)
+
+
+def _render_email_fixture(batch: pa.Table) -> pa.Table:
+    ids = batch.column("doc_id").to_pylist()
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "media": pa.array([fixture_email(i) for i in ids],
+                                       pa.binary())})
+
+
+def synth_email_corpus(sf_dir: str, n: int | None = None):
+    from ..fixturecache import cached_ds
+    import ray.data as rd
+
+    def build():
+        ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id"])
+        if n is not None:
+            ids = ids.limit(n)
+        try:
+            import ray
+            ids = ids.repartition(
+                max(2, int(ray.cluster_resources().get("CPU", 8))))
+        except Exception:
+            pass
+        return ids.map_batches(_render_email_fixture,
+                               batch_format="pyarrow", batch_size=128)
+
+    if n is None:
+        return cached_ds("email_corpus", sf_dir, build,
+                         render_fn=_render_email_fixture)
+    return build()
+
+
+class ExtractEmail:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        blobs = batch.column("media").to_pylist()
+        out = {"media_id": [], "subject": [], "from_addr": [],
+               "n_parts": [], "body_text": []}
+        for i, b in zip(ids, blobs):
+            try:
+                msg = parse_email(b)
+            except Exception:  # noqa: BLE001 — poison-row rule
+                continue
+            out["media_id"].append(i)
+            out["subject"].append(msg["subject"])
+            out["from_addr"].append(msg["from"])
+            out["n_parts"].append(len(msg["parts"]))
+            out["body_text"].append(email_text(b))
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "subject": pa.array(out["subject"], pa.string()),
+            "from_addr": pa.array(out["from_addr"], pa.string()),
+            "n_parts": pa.array(out["n_parts"], pa.int64()),
+            "body_text": pa.array(out["body_text"], pa.string())})
+
+
+def docs_email_extract(sf_dir: str):
+    """ORACLED: per-message (subject, from, n_parts, body_text) across
+    the full axis matrix — plain/B/Q subjects (folded headers),
+    singlepart and multipart/alternative, 8bit/QP/base64 transfer
+    encodings — every field regenerated closed-form byte-for-byte."""
+    ex = ExtractEmail()
+    return synth_email_corpus(sf_dir).map_batches(
+        lambda b: ex(b), batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=128)

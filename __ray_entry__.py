@@ -993,6 +993,15 @@ def _docs_xlsx_extract(sf_dir: str):
     return docs_xlsx_extract(sf_dir)
 
 
+def _docs_csv_extract(sf_dir: str):
+    """CSV extraction with SNIFFED dialects (quote-aware RFC 4180
+    machine: embedded delimiters/newlines, doubled quotes); every
+    cell closed-form."""
+    from webxtract.ops.csvtext import docs_csv_extract
+
+    return docs_csv_extract(sf_dir)
+
+
 def _docs_email_extract(sf_dir: str):
     """Email/MIME extraction (RFC 5322 unfolding, RFC 2047 B/Q
     encoded words, multipart walk, QP/base64 decode); every field
@@ -2329,6 +2338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the dispatch integration: mixed formats -> real pipeline
         "docs_email_extract": _docs_email_extract,  # ORACLED
         # email/MIME: RFC 2047 subjects, multipart, QP/base64
+        "docs_csv_extract": _docs_csv_extract,  # ORACLED
+        # CSV: sniffed dialects + the quote-aware RFC 4180 machine
     })
 
 
@@ -7516,6 +7527,44 @@ r5 AS (
                                       % 79 AS VARCHAR),
                           ' ' ORDER BY k) AS text
         FROM wd GROUP BY doc_id, p
+    """
+    # CSV fixtures (ops/csvtext.py): every cell regenerated
+    # closed-form — certifying the quote-aware dialect sniff (the
+    # delimiter is NOT given to the reader) and the full RFC 4180
+    # machine incl. embedded delimiters, doubled quotes and
+    # multi-line quoted records
+    d["docs_csv_extract"] = """
+        WITH p AS (
+            SELECT doc_id,
+                   CASE doc_id % 4 WHEN 0 THEN ',' WHEN 1 THEN ';'
+                        WHEN 2 THEN chr(9) ELSE '|' END AS dc,
+                   CASE doc_id % 4 WHEN 0 THEN 'comma'
+                        WHEN 1 THEN 'semicolon' WHEN 2 THEN 'tab'
+                        ELSE 'pipe' END AS dname
+            FROM documents),
+        rw AS (SELECT doc_id, dc, dname,
+                      unnest(range(0, 2 + (doc_id + 1) % 3)) AS r
+               FROM p),
+        cl AS (SELECT doc_id, dc, dname, r,
+                      unnest(range(0, 2 + doc_id % 3)) AS c
+               FROM rw)
+        SELECT doc_id AS media_id, CAST(r AS BIGINT) AS "row",
+               CAST(c AS BIGINT) AS col,
+               CASE (doc_id + r + c) % 4
+                    WHEN 0 THEN 'v' || CAST((31 * doc_id + 11 * r
+                                             + 5 * c) % 997 AS VARCHAR)
+                    WHEN 1 THEN 'a' || dc || 'b'
+                         || CAST((31 * doc_id + 11 * r + 5 * c) % 997
+                                 AS VARCHAR)
+                    WHEN 2 THEN 'q"x'
+                         || CAST((31 * doc_id + 11 * r + 5 * c) % 997
+                                 AS VARCHAR)
+                    ELSE 'l1' || chr(10) || 'l2'
+                         || CAST((31 * doc_id + 11 * r + 5 * c) % 997
+                                 AS VARCHAR)
+               END AS "value",
+               dname AS delim
+        FROM cl
     """
     # Email fixtures (ops/mime.py): subject/from/body regenerated
     # byte-for-byte — a hash match certifies header unfolding, the

@@ -993,6 +993,14 @@ def _docs_xlsx_extract(sf_dir: str):
     return docs_xlsx_extract(sf_dir)
 
 
+def _docs_tar_extract(sf_dir: str):
+    """tar/ustar archive walk (checksums verified, prefix split,
+    gzip arm); every entry closed-form."""
+    from webxtract.ops.tarwalk import docs_tar_extract
+
+    return docs_tar_extract(sf_dir)
+
+
 def _docs_csv_extract(sf_dir: str):
     """CSV extraction with SNIFFED dialects (quote-aware RFC 4180
     machine: embedded delimiters/newlines, doubled quotes); every
@@ -2340,6 +2348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # email/MIME: RFC 2047 subjects, multipart, QP/base64
         "docs_csv_extract": _docs_csv_extract,  # ORACLED
         # CSV: sniffed dialects + the quote-aware RFC 4180 machine
+        "docs_tar_extract": _docs_tar_extract,  # ORACLED
+        # tar/ustar: checksum-verified walk, prefix split, gzip arm
     })
 
 
@@ -7527,6 +7537,28 @@ r5 AS (
                                       % 79 AS VARCHAR),
                           ' ' ORDER BY k) AS text
         FROM wd GROUP BY doc_id, p
+    """
+    # tar fixtures (ops/tarwalk.py): every entry regenerated
+    # closed-form — certifying the checksum-verified ustar walk, the
+    # POSIX prefix rejoin for >100-byte paths, and the gzip member
+    # (plain for even ids, wrapped for odd)
+    d["docs_tar_extract"] = """
+        WITH en AS (SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS k
+                    FROM documents)
+        SELECT doc_id AS media_id, CAST(k AS BIGINT) AS entry,
+               CASE WHEN k = 0 AND doc_id % 7 = 0
+                    THEN repeat('d', 60) || '/sub'
+                         || CAST(doc_id % 10 AS VARCHAR) || '/'
+                         || repeat('f', 40) || '.txt'
+                    ELSE 'dir' || CAST(doc_id % 5 AS VARCHAR)
+                         || '/file' || CAST(k AS VARCHAR) || '.txt'
+               END AS name,
+               CAST(length('tar ' || CAST((17 * doc_id + 7 * k) % 991
+                                          AS VARCHAR) || ' content')
+                    AS BIGINT) AS size,
+               'tar ' || CAST((17 * doc_id + 7 * k) % 991 AS VARCHAR)
+                   || ' content' AS text
+        FROM en
     """
     # CSV fixtures (ops/csvtext.py): every cell regenerated
     # closed-form — certifying the quote-aware dialect sniff (the

@@ -85,7 +85,7 @@ _FIXTURE_WARM = [
     "pdfs_text_extract", "images_exif_probe", "images_tiff_decode",
     "docs_docx_extract", "docs_odt_extract", "docs_rtf_extract",
     "docs_xlsx_extract", "docs_pptx_extract", "docs_epub_extract",
-    "docs_email_extract", "docs_csv_extract",
+    "docs_email_extract", "docs_csv_extract", "docs_tar_extract",
     # the warm pass materializes the CCNet stage-1 cleaned corpus, so
     # the timed docs_ccnet_corpus row measures the retrained langid +
     # LM bucketing + join over the derived corpus (the steady-state
@@ -223,7 +223,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         # TIFF strip decode (PackBits/LZW) and the office-family scans
         "images_tiff_decode", "docs_docx_extract", "docs_odt_extract",
         "docs_rtf_extract", "docs_xlsx_extract", "docs_pptx_extract",
-        "docs_epub_extract", "docs_email_extract", "docs_csv_extract",
+        "docs_epub_extract", "docs_email_extract", "docs_csv_extract", "docs_tar_extract",
         # CCNet composite steady state: retrained langid + LM buckets +
         # join over the warm-derived cleaned corpus
         "docs_ccnet_corpus",

@@ -993,6 +993,14 @@ def _docs_xlsx_extract(sf_dir: str):
     return docs_xlsx_extract(sf_dir)
 
 
+def _docs_ics_extract(sf_dir: str):
+    """iCalendar extraction (75-octet unfold splice, RFC 5545 text
+    unescape, VEVENT grouping); every field closed-form."""
+    from webxtract.ops.ical import docs_ics_extract
+
+    return docs_ics_extract(sf_dir)
+
+
 def _docs_tar_extract(sf_dir: str):
     """tar/ustar archive walk (checksums verified, prefix split,
     gzip arm); every entry closed-form."""
@@ -2350,6 +2358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CSV: sniffed dialects + the quote-aware RFC 4180 machine
         "docs_tar_extract": _docs_tar_extract,  # ORACLED
         # tar/ustar: checksum-verified walk, prefix split, gzip arm
+        "docs_ics_extract": _docs_ics_extract,  # ORACLED
+        # iCalendar: unfold splice + text unescape + VEVENT grouping
     })
 
 
@@ -7537,6 +7547,37 @@ r5 AS (
                                       % 79 AS VARCHAR),
                           ' ' ORDER BY k) AS text
         FROM wd GROUP BY doc_id, p
+    """
+    # iCalendar fixtures (ops/ical.py): every event regenerated
+    # closed-form — summaries long enough that EVERY file folds, and
+    # every value carries escaped separators, so the hash certifies
+    # the unfold splice and the §3.3.11 unescape exactly
+    d["docs_ics_extract"] = """
+        WITH ev AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS e
+                    FROM documents),
+        q AS (SELECT doc_id, e,
+                     (53 * doc_id + 29 * e) % 983 AS n
+              FROM ev)
+        SELECT doc_id AS media_id, CAST(e AS BIGINT) AS event,
+               'ev' || CAST(doc_id AS VARCHAR) || '-'
+                   || CAST(e AS VARCHAR) || '@webxtract.example'
+                   AS uid,
+               '2026' || lpad(CAST(1 + (doc_id + e) % 12 AS VARCHAR),
+                              2, '0')
+                   || lpad(CAST(1 + (doc_id + e) % 28 AS VARCHAR),
+                           2, '0')
+                   || 'T' || lpad(CAST((3 * doc_id + e) % 24
+                                       AS VARCHAR), 2, '0')
+                   || '0000Z' AS dtstart,
+               'Event ' || CAST(n AS VARCHAR) || ' '
+                   || repeat('agenda item review ', 4)
+                   || 'wrap; up, done' AS summary,
+               'Room ' || CAST(n % 40 AS VARCHAR) || '; floor '
+                   || CAST(e AS VARCHAR) AS location,
+               'line one ' || CAST(n AS VARCHAR) || chr(10)
+                   || 'line two ' || CAST(e AS VARCHAR)
+                   AS description
+        FROM q
     """
     # tar fixtures (ops/tarwalk.py): every entry regenerated
     # closed-form — certifying the checksum-verified ustar walk, the

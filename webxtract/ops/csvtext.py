@@ -37,6 +37,11 @@ def build_csv(rows: list[list[str]], delimiter: str = ",") -> str:
                 cells.append('"' + v.replace('"', '""') + '"')
             else:
                 cells.append(v)
+        if cells == [""]:
+            # a lone empty field would serialize to a blank line,
+            # which readers (ours and stdlib's) treat as no record —
+            # quote it so the row survives the round trip
+            cells = ['""']
         out.append(delimiter.join(cells))
     return "\r\n".join(out) + "\r\n"
 

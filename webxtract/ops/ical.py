@@ -106,7 +106,11 @@ def parse_ics(data: bytes) -> list[dict]:
     events: list[dict] = []
     cur: dict | None = None
     in_cal = False
-    for line in text.splitlines():
+    import re as _re
+
+    # split ONLY on CR/LF line ends — str.splitlines would also break
+    # on NEL/LS/PS, which are ordinary TEXT characters inside values
+    for line in _re.split(r"\r\n|\r|\n", text):
         if not line:
             continue
         name, _, value = line.partition(":")

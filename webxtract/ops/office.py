@@ -163,10 +163,19 @@ def rtf_escape(s: str) -> str:
             out.append("\\" + ch)
         elif o < 128:
             out.append(ch)
-        elif o < 256:
-            out.append(f"\\'{o:02x}")
         else:
-            out.append(f"\\u{o if o < 32768 else o - 65536}?")
+            # \'hh is a CODEPAGE byte: only usable when cp1252 maps it
+            # back to this char (the C1 block 0x80-0x9F does NOT round
+            # trip); everything else takes the \uN escape
+            try:
+                b = ch.encode("cp1252")
+                ok = len(b) == 1 and b.decode("cp1252") == ch
+            except UnicodeEncodeError:
+                ok = False
+            if ok:
+                out.append(f"\\'{b[0]:02x}")
+            else:
+                out.append(f"\\u{o if o < 32768 else o - 65536}?")
     return "".join(out)
 
 

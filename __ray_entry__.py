@@ -993,6 +993,14 @@ def _docs_xlsx_extract(sf_dir: str):
     return docs_xlsx_extract(sf_dir)
 
 
+def _docs_sqlite_extract(sf_dir: str):
+    """From-scratch SQLite b-tree walk over real databases written by
+    the stdlib engine; every row closed-form."""
+    from webxtract.ops.sqlitewalk import docs_sqlite_extract
+
+    return docs_sqlite_extract(sf_dir)
+
+
 def _docs_ics_extract(sf_dir: str):
     """iCalendar extraction (75-octet unfold splice, RFC 5545 text
     unescape, VEVENT grouping); every field closed-form."""
@@ -2360,6 +2368,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tar/ustar: checksum-verified walk, prefix split, gzip arm
         "docs_ics_extract": _docs_ics_extract,  # ORACLED
         # iCalendar: unfold splice + text unescape + VEVENT grouping
+        "docs_sqlite_extract": _docs_sqlite_extract,  # ORACLED
+        # SQLite file format: b-tree walk, records, rowid alias
     })
 
 
@@ -7547,6 +7557,19 @@ r5 AS (
                                       % 79 AS VARCHAR),
                           ' ' ORDER BY k) AS text
         FROM wd GROUP BY doc_id, p
+    """
+    # SQLite fixtures (ops/sqlitewalk.py): databases written by the
+    # AUTHORITATIVE stdlib engine, rows read back by the from-scratch
+    # b-tree walker — the hash certifies header parse, sqlite_master
+    # bootstrap, record decode and the rowid-alias NULL substitution
+    d["docs_sqlite_extract"] = """
+        WITH rw AS (SELECT doc_id, unnest(range(0, 3 + doc_id % 5)) AS r
+                    FROM documents)
+        SELECT doc_id AS media_id, CAST(r + 1 AS BIGINT) AS rowid,
+               'n' || CAST((7 * doc_id + 3 * r) % 100 AS VARCHAR)
+                   AS name,
+               CAST((13 * doc_id + 11 * r) % 10000 AS BIGINT) AS val
+        FROM rw
     """
     # iCalendar fixtures (ops/ical.py): every event regenerated
     # closed-form — summaries long enough that EVERY file folds, and

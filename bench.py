@@ -86,7 +86,7 @@ _FIXTURE_WARM = [
     "docs_docx_extract", "docs_odt_extract", "docs_rtf_extract",
     "docs_xlsx_extract", "docs_pptx_extract", "docs_epub_extract",
     "docs_email_extract", "docs_csv_extract", "docs_tar_extract",
-    "docs_ics_extract",
+    "docs_ics_extract", "docs_sqlite_extract",
     # the warm pass materializes the CCNet stage-1 cleaned corpus, so
     # the timed docs_ccnet_corpus row measures the retrained langid +
     # LM bucketing + join over the derived corpus (the steady-state

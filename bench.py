@@ -225,7 +225,7 @@ def _timed_queries(sf_dir: str) -> dict[str, float]:
         "images_tiff_decode", "docs_docx_extract", "docs_odt_extract",
         "docs_rtf_extract", "docs_xlsx_extract", "docs_pptx_extract",
         "docs_epub_extract", "docs_email_extract", "docs_csv_extract",
-        "docs_tar_extract", "docs_ics_extract",
+        "docs_tar_extract", "docs_ics_extract", "docs_sqlite_extract",
         # CCNet composite steady state: retrained langid + LM buckets +
         # join over the warm-derived cleaned corpus
         "docs_ccnet_corpus",

@@ -213,7 +213,10 @@ def _split_headers(data: bytes) -> tuple[dict[str, str], bytes]:
         head, body = data, b""
     headers: dict[str, str] = {}
     cur: str | None = None
-    for line in head.decode("utf-8", "replace").splitlines():
+    # split ONLY on CR/LF — str.splitlines would also break on
+    # NEL/LS/PS, which are ordinary text inside header values
+    for line in re.split(r"\r\n|\r|\n",
+                         head.decode("utf-8", "replace")):
         if line[:1] in (" ", "\t") and cur is not None:
             headers[cur] += " " + line.strip()   # unfold
         elif ":" in line:
